@@ -20,7 +20,18 @@ object Tables {
   def part(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "part")
   def nation(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "nation")
   def region(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "region")
-  def events(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "events")
+  /** `events.ts` is TIMESTAMP(NANOS) parquet, which Spark's µs timestamps
+    * can't hold (PARQUET_TYPE_ILLEGAL without the legacy flag). Read the
+    * raw nanos as long and floor-divide to µs with integer arithmetic
+    * (a double division would lose low bits above 2^53). DuckDB keeps ns,
+    * so oracles must only compare ts at ≥1s granularity (date_trunc /
+    * time_bucket / unix_seconds), never raw ts. */
+  def events(spark: SparkSession, sfDir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    table(spark, sfDir, "events")
+      .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
+        org.apache.spark.sql.functions.expr("ts DIV 1000")))
+  }
   def documents(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "documents")
   def embeddings(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "embeddings")
 }

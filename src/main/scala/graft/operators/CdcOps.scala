@@ -1,0 +1,263 @@
+package graft.operators
+
+import graft.Tables
+import graft.model.ChangeEvent
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, DoubleType}
+
+/** The reference's CDC dataflow surface, re-expressed as composable
+  * `DataFrame => DataFrame` transforms (the Spark analog of the
+  * reference's handler chain, sink/kafka/kafka.go:20-23).
+  *
+  * The driver's `events` table stands in for the replication stream:
+  * `event_type` drives the action mapping, `props` is the JSON row
+  * image, `event_id` is the WAL position (monotone), `ts` event time.
+  *
+  * Every transform is pure column algebra (no UDFs), so the whole CDC
+  * pipeline stays inside whole-stage codegen and is embarrassingly
+  * parallel — no shuffle anywhere on the envelope path at any scale.
+  */
+object CdcOps {
+
+  // ---- envelope construction (P1 decode + M1 uuid; postgres.go:379-428) ----
+
+  /** Deterministic UUID-shaped id derived from the WAL position via md5.
+    * The reference assigns a random v4 at ingest (postgres.go:349); random
+    * ids are nondeterministic across replays/retries, so the engine pins
+    * them to content — same idempotence the reference gets by assigning
+    * before the fan-out, but replay-stable (SURVEY.md §7 "hard parts"). */
+  def deterministicUuid(c: Column): Column = {
+    val h = md5(c.cast("string").cast("binary"))
+    concat_ws("-",
+      substring(h, 1, 8), substring(h, 9, 4), substring(h, 13, 4),
+      substring(h, 17, 4), substring(h, 21, 12))
+  }
+
+  /** events row → ChangeEvent envelope. Action mapping: signup→insert,
+    * purchase→update, error→delete; click/view carry no row change and
+    * map to NULL (dropped by the action filter, mirroring Begin/Commit
+    * markers being dropped, postgres.go:327-330). */
+  def toEnvelope(events: DataFrame): DataFrame = {
+    val action = when(col("event_type") === "signup", ChangeEvent.Insert)
+      .when(col("event_type") === "purchase", ChangeEvent.Update)
+      .when(col("event_type") === "error", ChangeEvent.Delete)
+      .otherwise(lit(null))
+    events.select(
+      lit("db1").as("host"),
+      lit("graft").as("database"),
+      lit("events").as("tbl"),
+      action.as("action"),
+      col("event_id").as("wal_position"),
+      col("ts").as("timestamp"),
+      deterministicUuid(col("event_id")).as("uuid"),
+      map(
+        lit("event_id"), col("event_id").cast("string"),
+        lit("user_id"), col("user_id").cast("string"),
+        lit("event_type"), col("event_type"),
+        lit("props"), col("props")).as("columns"))
+  }
+
+  // ---- filters (F1 validity kafka.go:180-192; F2 action postgres.go:327) ----
+
+  /** F2: keep only valid change actions; Begin/Commit-like rows drop. */
+  def filterActions(envelopes: DataFrame): DataFrame =
+    envelopes.filter(col("action").isin(ChangeEvent.ValidActions: _*))
+
+  /** F1: validity filter on the raw feed — row image must be parseable
+    * JSON with the expected key, and the event must carry a uuid.
+    * Corrupt rows are dropped, not fatal (kafka.go:181-192). */
+  def filterValid(events: DataFrame): DataFrame = {
+    val k = get_json_object(col("props"), "$.k")
+    events
+      .withColumn("uuid", deterministicUuid(col("event_id")))
+      .filter(k.isNotNull && col("uuid").isNotNull && (col("uuid") =!= ""))
+      .withColumn("k", k.cast("int"))
+  }
+
+  // ---- routing (R1 kafka.go:169-215) + keys (R2 kafka.go:246-248) ----
+
+  /** Table→topic routing with optional fallback. Unmapped tables route to
+    * the fallback topic; with no fallback they are dropped (the reference
+    * counts them as noTopic). Pure map lookup — broadcast-free, shuffle-free:
+    * the routing table is a literal CASE baked into codegen. */
+  def route(df: DataFrame, tableCol: Column, mapping: Map[String, String],
+            fallback: Option[String]): DataFrame = {
+    val mapped = mapping.foldLeft(lit(null).cast("string")) {
+      case (acc, (t, topic)) => when(tableCol === t, topic).otherwise(acc)
+    }
+    val topic = fallback.map(f => coalesce(mapped, lit(f))).getOrElse(mapped)
+    df.withColumn("topic", topic).filter(col("topic").isNotNull)
+  }
+
+  /** R2: default Kafka message key `host:database:table:action` — drives
+    * the sink's hash partitioning, same as the reference's balancer. */
+  def withKey(envelopes: DataFrame): DataFrame =
+    envelopes.withColumn("key",
+      concat_ws(":", col("host"), col("database"), col("tbl"), col("action")))
+
+  /** H1 passthrough handler: envelope → JSON wire bytes (value column),
+    * ready for a Kafka sink (`format("kafka")` consumes key/value/topic). */
+  def serialize(df: DataFrame, cols: Seq[String]): DataFrame =
+    df.withColumn("value", to_json(struct(cols.map(col): _*)))
+
+  // ================= driver-contract queries + oracles =================
+
+  private val routing = Map("signup" -> "topic.users", "purchase" -> "topic.txn")
+
+  /** Envelope projection (P1+M1+R2): scalar view of the envelope for the
+    * oracle (map column stays engine-side; maps don't hash-compare). */
+  def qEnvelope(spark: SparkSession, sfDir: String): DataFrame = {
+    val env = filterActions(toEnvelope(Tables.events(spark, sfDir)))
+    withKey(env).select(
+      col("wal_position"), col("host"), col("database"), col("tbl"),
+      col("action"), col("uuid"), col("key"),
+      element_at(col("columns"), "event_type").as("col_event_type"),
+      element_at(col("columns"), "user_id").as("col_user_id"))
+      .orderBy(col("wal_position"))
+  }
+
+  val qEnvelopeOracle: String =
+    """WITH env AS (
+      |  SELECT event_id AS wal_position, 'db1' AS host, 'graft' AS database,
+      |    'events' AS tbl,
+      |    CASE event_type WHEN 'signup' THEN 'insert'
+      |         WHEN 'purchase' THEN 'update'
+      |         WHEN 'error' THEN 'delete' END AS action,
+      |    md5(CAST(event_id AS VARCHAR)) AS h,
+      |    event_type AS col_event_type, CAST(user_id AS VARCHAR) AS col_user_id
+      |  FROM events)
+      |SELECT wal_position, host, database, tbl, action,
+      |  substr(h,1,8)||'-'||substr(h,9,4)||'-'||substr(h,13,4)||'-'||substr(h,17,4)||'-'||substr(h,21,12) AS uuid,
+      |  host||':'||database||':'||tbl||':'||action AS key,
+      |  col_event_type, col_user_id
+      |FROM env WHERE action IS NOT NULL
+      |ORDER BY wal_position""".stripMargin
+
+  /** F1 validity filter: parseable JSON row image with key `k` + uuid. */
+  def qValidity(spark: SparkSession, sfDir: String): DataFrame =
+    filterValid(Tables.events(spark, sfDir))
+      .select(col("event_id"), col("k"))
+      .orderBy(col("event_id"))
+
+  val qValidityOracle: String =
+    """SELECT event_id, CAST(json_extract_string(props, '$.k') AS INT) AS k
+      |FROM events
+      |WHERE json_extract_string(props, '$.k') IS NOT NULL
+      |ORDER BY event_id""".stripMargin
+
+  /** R1 routing, fallback configured: every event gets a topic. */
+  def qRouteFallback(spark: SparkSession, sfDir: String): DataFrame =
+    route(Tables.events(spark, sfDir), col("event_type"), routing,
+      fallback = Some("topic.default"))
+      .select(col("event_id"), col("event_type"), col("topic"))
+      .orderBy(col("event_id"))
+
+  val qRouteFallbackOracle: String =
+    """SELECT event_id, event_type,
+      |  CASE event_type WHEN 'signup' THEN 'topic.users'
+      |       WHEN 'purchase' THEN 'topic.txn'
+      |       ELSE 'topic.default' END AS topic
+      |FROM events ORDER BY event_id""".stripMargin
+
+  /** R1 routing, no fallback: unmapped events are dropped (noTopic path). */
+  def qRouteDrop(spark: SparkSession, sfDir: String): DataFrame =
+    route(Tables.events(spark, sfDir), col("event_type"), routing, None)
+      .select(col("event_id"), col("topic"))
+      .orderBy(col("event_id"))
+
+  val qRouteDropOracle: String =
+    """SELECT event_id,
+      |  CASE event_type WHEN 'signup' THEN 'topic.users'
+      |       WHEN 'purchase' THEN 'topic.txn' END AS topic
+      |FROM events
+      |WHERE event_type IN ('signup','purchase')
+      |ORDER BY event_id""".stripMargin
+
+  /** H1 serialization: envelope → compact JSON wire value. */
+  def qSerialize(spark: SparkSession, sfDir: String): DataFrame = {
+    val env = filterActions(toEnvelope(Tables.events(spark, sfDir)))
+    serialize(env, Seq("host", "database", "tbl", "action", "wal_position", "uuid"))
+      .select(col("wal_position"), col("value"))
+      .orderBy(col("wal_position"))
+  }
+
+  val qSerializeOracle: String =
+    """WITH env AS (
+      |  SELECT event_id AS wal_position,
+      |    CASE event_type WHEN 'signup' THEN 'insert'
+      |         WHEN 'purchase' THEN 'update'
+      |         WHEN 'error' THEN 'delete' END AS action,
+      |    md5(CAST(event_id AS VARCHAR)) AS h
+      |  FROM events)
+      |SELECT wal_position,
+      |  to_json(struct_pack(
+      |    host := 'db1', database := 'graft', tbl := 'events',
+      |    action := action, wal_position := wal_position,
+      |    uuid := substr(h,1,8)||'-'||substr(h,9,4)||'-'||substr(h,13,4)||'-'||substr(h,17,4)||'-'||substr(h,21,12)
+      |  ))::VARCHAR AS value
+      |FROM env WHERE action IS NOT NULL
+      |ORDER BY wal_position""".stripMargin
+
+  /** Stateful dedup by uuid: replayed feed (union with itself — the
+    * at-least-once duplicate case, README.md:58) collapses back to one
+    * row per uuid. Batch analog of the streaming dropDuplicates. */
+  def qDedupUuid(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+      .withColumn("uuid", deterministicUuid(col("event_id")))
+    ev.unionAll(ev)
+      .dropDuplicates("uuid")
+      .select(col("event_id"), col("uuid"))
+      .orderBy(col("event_id"))
+  }
+
+  val qDedupUuidOracle: String =
+    """WITH replayed AS (
+      |  SELECT event_id, md5(CAST(event_id AS VARCHAR)) AS h FROM events
+      |  UNION ALL
+      |  SELECT event_id, md5(CAST(event_id AS VARCHAR)) AS h FROM events)
+      |SELECT DISTINCT event_id,
+      |  substr(h,1,8)||'-'||substr(h,9,4)||'-'||substr(h,13,4)||'-'||substr(h,17,4)||'-'||substr(h,21,12) AS uuid
+      |FROM replayed ORDER BY event_id""".stripMargin
+
+  /** B1 batching analog: 5-minute tumbling windows per action — the
+    * batch-mode equivalent of the mux's count/time flush, expressed as
+    * an event-time window (what the streaming pipeline uses). */
+  def qBatchWindows(spark: SparkSession, sfDir: String): DataFrame = {
+    val dec = col("value").cast(DecimalType(18, 2))
+    Tables.events(spark, sfDir)
+      .groupBy(window(col("ts"), "5 minutes").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(dec).cast(DoubleType).as("sum_value"))
+      .select(unix_seconds(col("w.start")).as("window_start_s"),
+        col("event_type"), col("n"), col("sum_value"))
+      .orderBy(col("window_start_s"), col("event_type"))
+  }
+
+  val qBatchWindowsOracle: String =
+    """SELECT CAST(epoch(time_bucket(INTERVAL '5 minutes', ts)) AS BIGINT) AS window_start_s,
+      |  event_type, COUNT(*) AS n,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+      |FROM events
+      |GROUP BY 1, 2
+      |ORDER BY window_start_s, event_type""".stripMargin
+
+  /** All CDC queries + oracles, for SparkEntry registration. */
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "cdc_envelope" -> (qEnvelope _),
+    "cdc_validity_filter" -> (qValidity _),
+    "cdc_route_fallback" -> (qRouteFallback _),
+    "cdc_route_drop" -> (qRouteDrop _),
+    "cdc_serialize" -> (qSerialize _),
+    "cdc_dedup_uuid" -> (qDedupUuid _),
+    "cdc_batch_windows" -> (qBatchWindows _))
+
+  val oracles: Map[String, String] = Map(
+    "cdc_envelope" -> qEnvelopeOracle,
+    "cdc_validity_filter" -> qValidityOracle,
+    "cdc_route_fallback" -> qRouteFallbackOracle,
+    "cdc_route_drop" -> qRouteDropOracle,
+    "cdc_serialize" -> qSerializeOracle,
+    "cdc_dedup_uuid" -> qDedupUuidOracle,
+    "cdc_batch_windows" -> qBatchWindowsOracle)
+}
