@@ -8,11 +8,9 @@ object SparkEntry {
     Relational.q1PricingSummary(spark, "/root/testdata/sf0.001")
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    Map("q1_pricing_summary" -> (Relational.q1PricingSummary _)) ++
-      CdcOps.queries
+    Relational.queries ++ CdcOps.queries
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    Map("q1_pricing_summary" -> Relational.q1Oracle) ++
-      CdcOps.oracles
+    Relational.oracles ++ CdcOps.oracles
 }

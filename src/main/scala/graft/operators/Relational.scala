@@ -61,4 +61,453 @@ object Relational {
       |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
       |GROUP BY l_returnflag, l_linestatus
       |ORDER BY l_returnflag, l_linestatus""".stripMargin
+
+  private val decRevenue: Column =
+    dec("l_extendedprice") * (lit(1) - dec("l_discount"))
+  private val revenueSql =
+    "CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))"
+
+  /** TPC-H Q3-style shipping priority: 3-way join + agg + top-k.
+    * customer is filtered to one segment then joined to orders on
+    * custkey, lineitem joins orders on orderkey — both shuffle joins on
+    * their natural keys (at 100 TB these are the co-partitioned fact
+    * keys; AQE picks broadcast for the filtered customer side when it
+    * fits). Top-10 is a deterministic total order, not a heap guess. */
+  def q3ShippingPriority(spark: SparkSession, sfDir: String): DataFrame = {
+    val cust = Tables.customer(spark, sfDir)
+      .filter(col("c_mktsegment") === "BUILDING")
+      .select("c_custkey")
+    val ord = Tables.orders(spark, sfDir)
+      .filter(col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+      .select("o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority")
+    val li = Tables.lineitem(spark, sfDir)
+      .filter(col("l_shipdate") > lit("1998-01-01").cast("timestamp"))
+      .select(col("l_orderkey"), decRevenue.as("rev"))
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+      .agg(sum(col("rev")).cast(DoubleType).as("revenue"))
+      .orderBy(col("revenue").desc, col("l_orderkey"))
+      .limit(10)
+  }
+
+  val q3Oracle: String =
+    s"""SELECT l_orderkey, o_orderdate, o_orderpriority,
+       |  CAST(SUM($revenueSql) AS DOUBLE) AS revenue
+       |FROM lineitem
+       |JOIN orders ON l_orderkey = o_orderkey
+       |JOIN customer ON o_custkey = c_custkey
+       |WHERE c_mktsegment = 'BUILDING'
+       |  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+       |  AND l_shipdate > TIMESTAMP '1998-01-01 00:00:00'
+       |GROUP BY l_orderkey, o_orderdate, o_orderpriority
+       |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin
+
+  /** TPC-H Q4-style: EXISTS as a left-semi join (no row duplication,
+    * no distinct needed — semi join short-circuits on first match). */
+  def q4OrderPriority(spark: SparkSession, sfDir: String): DataFrame = {
+    val ord = Tables.orders(spark, sfDir)
+    val li = Tables.lineitem(spark, sfDir).select("l_orderkey", "l_shipdate")
+    ord.join(li,
+        col("o_orderkey") === col("l_orderkey") &&
+          col("l_shipdate") > col("o_orderdate"), "left_semi")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("order_count"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  val q4Oracle: String =
+    """SELECT o_orderpriority, COUNT(*) AS order_count
+      |FROM orders
+      |WHERE EXISTS (SELECT 1 FROM lineitem
+      |              WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+      |GROUP BY o_orderpriority
+      |ORDER BY o_orderpriority""".stripMargin
+
+  /** TPC-H Q5-style: 5-way join through the dimension chain with
+    * explicit broadcast of the bounded dims (region/nation/supplier stay
+    * small at any SF — they're broadcast so the fact tables never
+    * shuffle for them; customer/orders/lineitem join on their keys). */
+  def q5LocalSupplier(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = Tables.lineitem(spark, sfDir)
+      .select(col("l_orderkey"), col("l_suppkey"), decRevenue.as("rev"))
+    val ord = Tables.orders(spark, sfDir)
+      .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+      .select("o_orderkey", "o_custkey")
+    val cust = Tables.customer(spark, sfDir).select("c_custkey", "c_nationkey")
+    val supp = broadcast(Tables.supplier(spark, sfDir).select("s_suppkey", "s_nationkey"))
+    val nat = broadcast(Tables.nation(spark, sfDir))
+    val reg = broadcast(Tables.region(spark, sfDir).filter(col("r_name") === "ASIA"))
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .join(supp, col("l_suppkey") === col("s_suppkey") &&
+        col("c_nationkey") === col("s_nationkey"))
+      .join(nat, col("s_nationkey") === col("n_nationkey"))
+      .join(reg, col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("n_name"))
+      .agg(sum(col("rev")).cast(DoubleType).as("revenue"))
+      .orderBy(col("revenue").desc, col("n_name"))
+  }
+
+  val q5Oracle: String =
+    s"""SELECT n_name, CAST(SUM($revenueSql) AS DOUBLE) AS revenue
+       |FROM lineitem
+       |JOIN orders ON l_orderkey = o_orderkey
+       |JOIN customer ON o_custkey = c_custkey
+       |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+       |JOIN nation ON s_nationkey = n_nationkey
+       |JOIN region ON n_regionkey = r_regionkey
+       |WHERE r_name = 'ASIA'
+       |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+       |  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+       |GROUP BY n_name
+       |ORDER BY revenue DESC, n_name""".stripMargin
+
+  /** TPC-H Q6-style forecast revenue: pure scan+filter+agg — the filter
+    * must reach the parquet scan as PushedFilters (verified in bench). */
+  def q6ForecastRevenue(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.lineitem(spark, sfDir)
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1997-01-01").cast("timestamp") &&
+        col("l_discount") >= 0.05 && col("l_discount") <= 0.07 &&
+        col("l_quantity") < 24)
+      .agg(sum(dec("l_extendedprice") * dec("l_discount"))
+        .cast(DoubleType).as("revenue"),
+        count(lit(1)).as("n"))
+
+  val q6Oracle: String =
+    """SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+      |  COUNT(*) AS n
+      |FROM lineitem
+      |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+      |  AND l_discount >= 0.05 AND l_discount <= 0.07
+      |  AND l_quantity < 24""".stripMargin
+
+  /** NOT EXISTS as left-anti join: customers with no large order. */
+  def qAntiJoin(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.customer(spark, sfDir)
+      .join(Tables.orders(spark, sfDir).filter(col("o_totalprice") > 400000),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_name"))
+      .orderBy(col("c_custkey"))
+
+  val qAntiJoinOracle: String =
+    """SELECT c_custkey, c_name FROM customer
+      |WHERE NOT EXISTS (SELECT 1 FROM orders
+      |                  WHERE o_custkey = c_custkey AND o_totalprice > 400000)
+      |ORDER BY c_custkey""".stripMargin
+
+  /** Window-function sampler: row_number / rank / lag / running sum over
+    * one shuffle (all windows share the o_custkey partitioning). */
+  def qWindowFuncs(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byDate = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    val byPrice = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    Tables.orders(spark, sfDir).select(
+        col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+        row_number().over(byDate).as("rn"),
+        lag(col("o_totalprice"), 1).over(byDate).as("prev_price"),
+        sum(col("o_totalprice").cast(DecimalType(18, 2))).over(
+          byDate.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+          .cast(DoubleType).as("running_total"),
+        rank().over(byPrice).as("price_rank"))
+      .orderBy(col("o_custkey"), col("rn"))
+  }
+
+  val qWindowFuncsOracle: String =
+    """SELECT o_orderkey, o_custkey, o_totalprice,
+      |  row_number() OVER w AS rn,
+      |  lag(o_totalprice, 1) OVER w AS prev_price,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_total,
+      |  rank() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS price_rank
+      |FROM orders
+      |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+      |ORDER BY o_custkey, rn""".stripMargin
+
+  /** Per-group top-k via row_number — the scalable pattern (one shuffle
+    * on the group key; no global sort, no driver collect). */
+  def qTopKPerGroup(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    Tables.orders(spark, sfDir)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select("o_custkey", "o_orderkey", "o_totalprice", "rn")
+      .orderBy(col("o_custkey"), col("rn"))
+  }
+
+  val qTopKPerGroupOracle: String =
+    """SELECT o_custkey, o_orderkey, o_totalprice,
+      |  row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn
+      |FROM orders
+      |QUALIFY rn <= 3
+      |ORDER BY o_custkey, rn""".stripMargin
+
+  /** Global sort + limit (TakeOrderedAndProject — O(k) per partition,
+    * no full sort materialization). Fully tie-broken for determinism. */
+  def qSortLimit(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.lineitem(spark, sfDir)
+      .select("l_orderkey", "l_linenumber", "l_extendedprice")
+      .orderBy(col("l_extendedprice").desc, col("l_orderkey"), col("l_linenumber"))
+      .limit(10)
+
+  val qSortLimitOracle: String =
+    """SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem
+      |ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber LIMIT 10""".stripMargin
+
+  /** Set operations: union-distinct / intersect / except over two key
+    * sets, tagged so one result covers all three operators. */
+  def qSetOps(spark: SparkSession, sfDir: String): DataFrame = {
+    val withOrders = Tables.orders(spark, sfDir)
+      .select(col("o_custkey").as("custkey"))
+    val rich = Tables.customer(spark, sfDir)
+      .filter(col("c_acctbal") > 5000)
+      .select(col("c_custkey").as("custkey"))
+    withOrders.union(rich).distinct().withColumn("op", lit("union"))
+      .unionAll(withOrders.intersect(rich).withColumn("op", lit("intersect")))
+      .unionAll(rich.except(withOrders).withColumn("op", lit("except")))
+      .select("op", "custkey")
+      .orderBy("op", "custkey")
+  }
+
+  val qSetOpsOracle: String =
+    """SELECT 'union' AS op, custkey FROM (
+      |  SELECT o_custkey AS custkey FROM orders
+      |  UNION SELECT c_custkey FROM customer WHERE c_acctbal > 5000)
+      |UNION ALL
+      |SELECT 'intersect', custkey FROM (
+      |  SELECT o_custkey AS custkey FROM orders
+      |  INTERSECT SELECT c_custkey FROM customer WHERE c_acctbal > 5000)
+      |UNION ALL
+      |SELECT 'except', custkey FROM (
+      |  SELECT c_custkey AS custkey FROM customer WHERE c_acctbal > 5000
+      |  EXCEPT SELECT o_custkey FROM orders)
+      |ORDER BY op, custkey""".stripMargin
+
+  /** ROLLUP hierarchy totals with explicit grouping flags (so NULL group
+    * values from the rollup are distinguishable from NULL data). */
+  def qRollup(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.lineitem(spark, sfDir)
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(sum(dec("l_quantity")).cast(DoubleType).as("sum_qty"),
+        count(lit(1)).as("n"),
+        grouping(col("l_returnflag")).as("g_flag"),
+        grouping(col("l_linestatus")).as("g_status"))
+      .orderBy(asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus"))
+
+  val qRollupOracle: String =
+    """SELECT l_returnflag, l_linestatus,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+      |  COUNT(*) AS n,
+      |  CAST(GROUPING(l_returnflag) AS TINYINT) AS g_flag,
+      |  CAST(GROUPING(l_linestatus) AS TINYINT) AS g_status
+      |FROM lineitem
+      |GROUP BY ROLLUP(l_returnflag, l_linestatus)
+      |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin
+
+  /** CUBE over two dimensions (all 4 grouping combinations). */
+  def qCube(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.orders(spark, sfDir)
+      .cube(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("o_totalprice").cast(DecimalType(18, 2)))
+          .cast(DoubleType).as("sum_price"))
+      .orderBy(asc_nulls_first("o_orderstatus"), asc_nulls_first("o_orderpriority"))
+
+  val qCubeOracle: String =
+    """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+      |FROM orders
+      |GROUP BY CUBE(o_orderstatus, o_orderpriority)
+      |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin
+
+  /** Scalar-function sampler: string / date / math / array built-ins,
+    * all codegen'd (zero UDFs — stays inside WholeStageCodegen). */
+  def qScalarFuncs(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.orders(spark, sfDir).select(
+        col("o_orderkey"),
+        upper(col("o_orderpriority")).as("prio_upper"),
+        length(col("o_orderpriority")).as("prio_len"),
+        regexp_extract(col("o_orderpriority"), "^(\\d)", 1).as("prio_num"),
+        concat_ws("|", col("o_orderstatus"), col("o_orderpriority")).as("status_prio"),
+        year(col("o_orderdate")).as("y"),
+        month(col("o_orderdate")).as("m"),
+        dayofmonth(col("o_orderdate")).as("d"),
+        date_format(col("o_orderdate"), "yyyy-MM").as("ym"),
+        // Rounding must happen in the exact decimal domain: round() on a
+        // double division is engine-dependent at decimal half-boundaries
+        // (69195/1000 = 69.195 has no exact binary form).
+        round(dec("o_totalprice") * lit(BigDecimal("0.001")), 2)
+          .cast(DoubleType).as("price_k"),
+        abs(col("o_totalprice") - 100000.0).as("dist_100k"),
+        floor(col("o_totalprice")).as("price_floor"),
+        ceil(col("o_totalprice")).as("price_ceil"),
+        sqrt(col("o_totalprice")).as("price_sqrt"),
+        element_at(split(col("o_orderpriority"), "-"), 2).as("prio_word"),
+        size(split(col("o_orderpriority"), "-")).as("prio_parts"))
+      .orderBy(col("o_orderkey"))
+
+  val qScalarFuncsOracle: String =
+    """SELECT o_orderkey,
+      |  upper(o_orderpriority) AS prio_upper,
+      |  CAST(length(o_orderpriority) AS INT) AS prio_len,
+      |  regexp_extract(o_orderpriority, '^(\d)', 1) AS prio_num,
+      |  o_orderstatus || '|' || o_orderpriority AS status_prio,
+      |  CAST(year(o_orderdate) AS INT) AS y,
+      |  CAST(month(o_orderdate) AS INT) AS m,
+      |  CAST(day(o_orderdate) AS INT) AS d,
+      |  strftime(o_orderdate, '%Y-%m') AS ym,
+      |  CAST(round(CAST(o_totalprice AS DECIMAL(18,2)) * CAST(0.001 AS DECIMAL(6,3)), 2) AS DOUBLE) AS price_k,
+      |  abs(o_totalprice - 100000.0) AS dist_100k,
+      |  CAST(floor(o_totalprice) AS BIGINT) AS price_floor,
+      |  CAST(ceil(o_totalprice) AS BIGINT) AS price_ceil,
+      |  sqrt(o_totalprice) AS price_sqrt,
+      |  string_split(o_orderpriority, '-')[2] AS prio_word,
+      |  CAST(len(string_split(o_orderpriority, '-')) AS INT) AS prio_parts
+      |FROM orders ORDER BY o_orderkey""".stripMargin
+
+  /** Distinct + conditional aggregation (CASE-filtered sums). */
+  def qDistinctAgg(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.lineitem(spark, sfDir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        countDistinct(col("l_orderkey")).as("n_orders"),
+        countDistinct(col("l_partkey")).as("n_parts"),
+        sum(when(col("l_linestatus") === "F", dec("l_quantity")).otherwise(lit(0)))
+          .cast(DoubleType).as("qty_f"),
+        count(when(col("l_quantity") > 25, lit(1))).as("n_bulk"))
+      .orderBy(col("l_returnflag"))
+
+  val qDistinctAggOracle: String =
+    """SELECT l_returnflag,
+      |  COUNT(DISTINCT l_orderkey) AS n_orders,
+      |  COUNT(DISTINCT l_partkey) AS n_parts,
+      |  CAST(SUM(CASE WHEN l_linestatus = 'F' THEN CAST(l_quantity AS DECIMAL(18,2)) ELSE 0 END) AS DOUBLE) AS qty_f,
+      |  COUNT(CASE WHEN l_quantity > 25 THEN 1 END) AS n_bulk
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
+  /** Approximate distinct (HLL sketch) — algorithm-specific results, so
+    * no DuckDB oracle; the driver records a rows-only check. At 100 TB
+    * this replaces countDistinct wherever a ±2% answer is acceptable
+    * (no shuffle of distinct values, constant-size sketch per group). */
+  def qApproxDistinct(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.lineitem(spark, sfDir)
+      .groupBy(col("l_returnflag"))
+      .agg(approx_count_distinct(col("l_orderkey"), 0.02).as("approx_orders"),
+        countDistinct(col("l_orderkey")).as("exact_orders"))
+      .orderBy(col("l_returnflag"))
+
+  // ---- temporal joins (ABSENT in reference and in vanilla SQL-92) ----
+
+  /** Generic as-of join, Spark-first: instead of a join, union the two
+    * sides, window-partition by key ordered by time, and carry the last
+    * right-side id forward (`last(..., ignoreNulls)`). One shuffle on
+    * the key, no range explosion, no broadcast — this is the shape that
+    * survives 100 TB (a naive range join would be quadratic per key).
+    * Right rows sort before left rows at equal timestamps, so the match
+    * is `right.ts <= left.ts` inclusive — DuckDB ASOF JOIN semantics. */
+  def asofJoin(left: DataFrame, right: DataFrame, key: String, ts: String,
+               rightIdCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val l = left.withColumn("_side", lit(1))
+      .withColumn("_rid", lit(null).cast("long"))
+    val r = right.select(col(key), col(ts), col(rightIdCol).cast("long").as("_rid"))
+      .withColumn("_side", lit(0))
+    val u = l.unionByName(r, allowMissingColumns = true)
+    val w = Window.partitionBy(col(key)).orderBy(col(ts), col("_side"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    u.withColumn("_asof", last(col("_rid"), ignoreNulls = true).over(w))
+      .filter(col("_side") === 1)
+      .drop("_side", "_rid")
+  }
+
+  /** As-of join query: each purchase matched to the user's most recent
+    * signup at-or-before it. Compared on µs epochs (ns-parquet parity). */
+  def qAsofJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val signups = ev.filter(col("event_type") === "signup")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    asofJoin(purchases, signups, "user_id", "ts", "event_id")
+      .select(col("event_id"), col("user_id"), col("_asof").as("signup_event_id"))
+      .orderBy(col("event_id"))
+  }
+
+  val qAsofJoinOracle: String =
+    """WITH p AS (SELECT event_id, user_id, epoch_us(ts) AS tus FROM events WHERE event_type='purchase'),
+      |     s AS (SELECT event_id, user_id, epoch_us(ts) AS tus FROM events WHERE event_type='signup')
+      |SELECT p.event_id, p.user_id, s.event_id AS signup_event_id
+      |FROM p ASOF LEFT JOIN s ON p.user_id = s.user_id AND p.tus >= s.tus
+      |ORDER BY p.event_id""".stripMargin
+
+  /** Range join: purchases within 1 hour after each signup, per user.
+    * Equi key (user_id) + range predicate → shuffled hash join with the
+    * band as a post-filter; the equi key keeps it linear per user. */
+  def qRangeJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+    val s = ev.filter(col("event_type") === "signup")
+      .select(col("event_id").as("s_id"), col("user_id").as("s_user"),
+        unix_micros(col("ts")).as("s_tus"))
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), unix_micros(col("ts")).as("p_tus"))
+    s.join(p, col("s_user") === col("p_user") &&
+        col("p_tus") >= col("s_tus") &&
+        col("p_tus") <= col("s_tus") + expr("3600000000"), "inner")
+      .groupBy(col("s_id"))
+      .agg(count(lit(1)).as("purchases_within_1h"))
+      .orderBy(col("s_id"))
+  }
+
+  val qRangeJoinOracle: String =
+    """WITH s AS (SELECT event_id AS s_id, user_id, epoch_us(ts) AS tus FROM events WHERE event_type='signup'),
+      |     p AS (SELECT user_id, epoch_us(ts) AS tus FROM events WHERE event_type='purchase')
+      |SELECT s.s_id, COUNT(*) AS purchases_within_1h
+      |FROM s JOIN p ON s.user_id = p.user_id
+      |  AND p.tus >= s.tus AND p.tus <= s.tus + 3600000000
+      |GROUP BY s.s_id
+      |ORDER BY s.s_id""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q1_pricing_summary" -> (q1PricingSummary _),
+    "q3_shipping_priority" -> (q3ShippingPriority _),
+    "q4_order_priority" -> (q4OrderPriority _),
+    "q5_local_supplier" -> (q5LocalSupplier _),
+    "q6_forecast_revenue" -> (q6ForecastRevenue _),
+    "q_anti_join" -> (qAntiJoin _),
+    "q_window_funcs" -> (qWindowFuncs _),
+    "q_topk_per_group" -> (qTopKPerGroup _),
+    "q_sort_limit" -> (qSortLimit _),
+    "q_set_ops" -> (qSetOps _),
+    "q_rollup" -> (qRollup _),
+    "q_cube" -> (qCube _),
+    "q_scalar_funcs" -> (qScalarFuncs _),
+    "q_distinct_agg" -> (qDistinctAgg _),
+    "q_approx_distinct" -> (qApproxDistinct _),
+    "q_asof_join" -> (qAsofJoin _),
+    "q_range_join" -> (qRangeJoin _))
+
+  val oracles: Map[String, String] = Map(
+    "q1_pricing_summary" -> q1Oracle,
+    "q3_shipping_priority" -> q3Oracle,
+    "q4_order_priority" -> q4Oracle,
+    "q5_local_supplier" -> q5Oracle,
+    "q6_forecast_revenue" -> q6Oracle,
+    "q_anti_join" -> qAntiJoinOracle,
+    "q_window_funcs" -> qWindowFuncsOracle,
+    "q_topk_per_group" -> qTopKPerGroupOracle,
+    "q_sort_limit" -> qSortLimitOracle,
+    "q_set_ops" -> qSetOpsOracle,
+    "q_rollup" -> qRollupOracle,
+    "q_cube" -> qCubeOracle,
+    "q_scalar_funcs" -> qScalarFuncsOracle,
+    "q_distinct_agg" -> qDistinctAggOracle,
+    "q_asof_join" -> qAsofJoinOracle,
+    "q_range_join" -> qRangeJoinOracle)
+    // q_approx_distinct intentionally has no oracle (sketch-based).
 }
