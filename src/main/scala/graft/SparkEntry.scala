@@ -8,9 +8,11 @@ object SparkEntry {
     Relational.q1PricingSummary(spark, "/root/testdata/sf0.001")
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    Relational.queries ++ CdcOps.queries
+    Relational.queries ++ CdcOps.queries ++ TextOps.queries ++
+      DedupOps.queries ++ SimilarityOps.queries
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    Relational.oracles ++ CdcOps.oracles
+    Relational.oracles ++ CdcOps.oracles ++ TextOps.oracles ++
+      DedupOps.oracles ++ SimilarityOps.oracles
 }

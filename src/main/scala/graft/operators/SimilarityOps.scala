@@ -1,0 +1,120 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Similarity search over the `embeddings` table (north star,
+  * BASELINE.json:6): brute-force cosine top-k as the exact baseline,
+  * and a sign-LSH bucketed variant as the scale path.
+  *
+  * Scale design: the query set is small and BROADCAST, so the big
+  * candidate side never shuffles for the join; per-query top-k is a
+  * window over the query id (k rows per query survive the partial
+  * sort). The LSH variant additionally prunes candidates to one
+  * hash bucket — at 100 TB that's the difference between scanning
+  * the corpus once per query batch and scanning 1/2^planes of it.
+  * Dot products are sequential folds over the vector (same order as
+  * the DuckDB oracle → bit-identical doubles).
+  */
+object SimilarityOps {
+
+  private val NumQueries = 10
+  private val TopK = 5
+
+  /** Exact brute-force top-k: every query (vec_id < 10) scored against
+    * every other vector; rank by cosine desc with id tie-break. */
+  def qSimBruteForce(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = DedupOps.normedVectors(Tables.embeddings(spark, sfDir))
+    val q = broadcast(
+      e.filter(col("vec_id") < NumQueries)
+        .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn")))
+    val cand = e.select(col("vec_id").as("n_id"), col("v").as("nv"), col("nrm").as("nn"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cosine").desc, col("n_id"))
+    cand.join(q, col("q_id") =!= col("n_id"))
+      .withColumn("cosine", DedupOps.dot(col("qv"), col("nv")) / (col("qn") * col("nn")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= TopK)
+      .select(col("q_id"), col("rank"), col("n_id"),
+        round(col("cosine"), 6).as("cosine_r"))
+      .orderBy("q_id", "rank")
+  }
+
+  val qSimBruteForceOracle: String =
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+       |scored AS (
+       |  SELECT q.vec_id AS q_id, c.vec_id AS n_id,
+       |         list_dot_product(q.v, c.v) / (q.nrm * c.nrm) AS cosine
+       |  FROM n q JOIN n c ON q.vec_id < $NumQueries AND q.vec_id != c.vec_id),
+       |rk AS (
+       |  SELECT q_id, n_id, cosine,
+       |    row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, n_id) AS rank
+       |  FROM scored)
+       |SELECT q_id, rank, n_id, round(cosine, 6) AS cosine_r
+       |FROM rk WHERE rank <= $TopK
+       |ORDER BY q_id, rank""".stripMargin
+
+  /** Sign-LSH bucket key: the sign pattern of the first 4 dimensions
+    * (4 axis-aligned hyperplanes → 16 buckets). A production ANN uses
+    * random hyperplanes and multiple tables; the plan shape — compute
+    * key map-side, join on key, top-k inside the bucket — is the same
+    * and is what removes the O(n) scan per query. */
+  def bucketKey(v: Column): Column =
+    concat((1 to 4).map(i =>
+      when(element_at(v, i) >= 0, "1").otherwise("0")): _*)
+
+  /** Approximate top-3 via sign-LSH: queries join only their own
+    * bucket (~1/16 of the corpus), then exact cosine rank inside it. */
+  def qSimLshBucketed(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = DedupOps.normedVectors(Tables.embeddings(spark, sfDir))
+      .withColumn("bucket", bucketKey(col("v")))
+    val q = broadcast(
+      e.filter(col("vec_id") < NumQueries)
+        .select(col("vec_id").as("q_id"), col("v").as("qv"),
+          col("nrm").as("qn"), col("bucket")))
+    val cand = e.select(col("vec_id").as("n_id"), col("v").as("nv"),
+      col("nrm").as("nn"), col("bucket"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cosine").desc, col("n_id"))
+    cand.join(q, Seq("bucket"))
+      .filter(col("q_id") =!= col("n_id"))
+      .withColumn("cosine", DedupOps.dot(col("qv"), col("nv")) / (col("qn") * col("nn")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 3)
+      .select(col("q_id"), col("rank"), col("n_id"),
+        round(col("cosine"), 6).as("cosine_r"))
+      .orderBy("q_id", "rank")
+  }
+
+  val qSimLshBucketedOracle: String =
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm,
+       |  (CASE WHEN v[1] >= 0 THEN '1' ELSE '0' END ||
+       |   CASE WHEN v[2] >= 0 THEN '1' ELSE '0' END ||
+       |   CASE WHEN v[3] >= 0 THEN '1' ELSE '0' END ||
+       |   CASE WHEN v[4] >= 0 THEN '1' ELSE '0' END) AS bucket FROM e),
+       |scored AS (
+       |  SELECT q.vec_id AS q_id, c.vec_id AS n_id,
+       |         list_dot_product(q.v, c.v) / (q.nrm * c.nrm) AS cosine
+       |  FROM n q JOIN n c ON q.bucket = c.bucket
+       |   AND q.vec_id < $NumQueries AND q.vec_id != c.vec_id),
+       |rk AS (
+       |  SELECT q_id, n_id, cosine,
+       |    row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, n_id) AS rank
+       |  FROM scored)
+       |SELECT q_id, rank, n_id, round(cosine, 6) AS cosine_r
+       |FROM rk WHERE rank <= 3
+       |ORDER BY q_id, rank""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sim_bruteforce_topk" -> (qSimBruteForce _),
+    "sim_lsh_bucketed" -> (qSimLshBucketed _))
+
+  val oracles: Map[String, String] = Map(
+    "sim_bruteforce_topk" -> qSimBruteForceOracle,
+    "sim_lsh_bucketed" -> qSimLshBucketedOracle)
+}

@@ -1,0 +1,167 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DoubleType
+
+/** Text-analysis operators for large-scale training-data pipelines
+  * (north star beyond the reference surface, BASELINE.json:6): token
+  * statistics, quality scoring, language identification, document
+  * fingerprinting, per-language term frequencies — all over the
+  * driver's `documents` table.
+  *
+  * Everything here is pure column algebra over Spark built-ins (split /
+  * transform / filter / aggregate on arrays) — zero UDFs, so every
+  * operator stays inside whole-stage codegen and scales embarrassingly
+  * parallel: per-document work with no shuffle except where a groupBy
+  * is semantically required (term frequencies).
+  */
+object TextOps {
+
+  /** Whitespace tokens of the `text` column. */
+  private val toks: Column = split(col("text"), " ")
+
+  private val stopwords = Seq("the", "a", "of", "and", "to")
+
+  /** Token statistics + quality score per document.
+    * Quality heuristics (length, stopword ratio, type-token ratio) are
+    * the standard cheap pre-filters a 100 TB corpus pass runs before
+    * anything expensive — one scan, no shuffle, fully codegen'd. */
+  def qTokenStats(spark: SparkSession, sfDir: String): DataFrame = {
+    val nTok = size(toks)
+    val nStop = size(filter(toks, t => t.isin(stopwords: _*)))
+    val nDistinct = size(array_distinct(toks))
+    // tokens are single-space separated, so total token chars =
+    // length - (n_tokens - 1) separators; integer-exact before division.
+    val avgLen = (length(col("text")) - nTok + lit(1)).cast(DoubleType) / nTok
+    val stopRatio = nStop.cast(DoubleType) / nTok
+    val ttr = nDistinct.cast(DoubleType) / nTok
+    Tables.documents(spark, sfDir).select(
+        col("doc_id"),
+        length(col("text")).as("n_chars"),
+        nTok.as("n_tokens"),
+        nDistinct.as("n_distinct"),
+        nStop.as("n_stopwords"),
+        avgLen.as("avg_token_len"),
+        stopRatio.as("stopword_ratio"),
+        ttr.as("type_token_ratio"),
+        // composite quality score: lexical diversity damped by
+        // stopword density — both terms in [0,1], deterministic doubles.
+        (ttr * (lit(1.0) - stopRatio)).as("quality_score"))
+      .orderBy(col("doc_id"))
+  }
+
+  val qTokenStatsOracle: String =
+    """WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS ts FROM documents),
+      |s AS (SELECT doc_id,
+      |  CAST(length(text) AS INT) AS n_chars,
+      |  CAST(len(ts) AS INT) AS n_tokens,
+      |  CAST(len(list_distinct(ts)) AS INT) AS n_distinct,
+      |  CAST(len(list_filter(ts, x -> x IN ('the','a','of','and','to'))) AS INT) AS n_stopwords
+      |FROM t)
+      |SELECT doc_id, n_chars, n_tokens, n_distinct, n_stopwords,
+      |  CAST(n_chars - n_tokens + 1 AS DOUBLE) / n_tokens AS avg_token_len,
+      |  CAST(n_stopwords AS DOUBLE) / n_tokens AS stopword_ratio,
+      |  CAST(n_distinct AS DOUBLE) / n_tokens AS type_token_ratio,
+      |  (CAST(n_distinct AS DOUBLE) / n_tokens) * (1.0 - CAST(n_stopwords AS DOUBLE) / n_tokens) AS quality_score
+      |FROM s ORDER BY doc_id""".stripMargin
+
+  /** Language identification by marker-token profile: per-language
+    * scores are counts of language-specific function words; argmax with
+    * a fixed tie-break order. A real n-gram langid model is the same
+    * plan shape (dot product of a profile against token counts) — one
+    * scan, no shuffle, trivially 100 TB-able. */
+  def qLangId(spark: SparkSession, sfDir: String): DataFrame = {
+    def score(markers: Seq[String]): Column =
+      size(filter(toks, t => t.isin(markers: _*)))
+    val en = score(Seq("the", "a", "of", "and"))
+    val de = score(Seq("der", "die", "das", "und"))
+    val es = score(Seq("el", "los", "las", "y"))
+    val fr = score(Seq("le", "les", "et", "une"))
+    val pred = when(en >= greatest(de, es, fr), "en")
+      .when(de >= greatest(es, fr), "de")
+      .when(es >= fr, "es")
+      .otherwise("fr")
+    Tables.documents(spark, sfDir).select(
+        col("doc_id"), col("lang").as("labeled_lang"),
+        en.as("score_en"), de.as("score_de"),
+        es.as("score_es"), fr.as("score_fr"),
+        pred.as("predicted_lang"))
+      .withColumn("agrees", (col("predicted_lang") === col("labeled_lang")).cast("int"))
+      .orderBy(col("doc_id"))
+  }
+
+  val qLangIdOracle: String =
+    """WITH t AS (SELECT doc_id, lang, string_split(text, ' ') AS ts FROM documents),
+      |s AS (SELECT doc_id, lang AS labeled_lang,
+      |  CAST(len(list_filter(ts, x -> x IN ('the','a','of','and'))) AS INT) AS score_en,
+      |  CAST(len(list_filter(ts, x -> x IN ('der','die','das','und'))) AS INT) AS score_de,
+      |  CAST(len(list_filter(ts, x -> x IN ('el','los','las','y'))) AS INT) AS score_es,
+      |  CAST(len(list_filter(ts, x -> x IN ('le','les','et','une'))) AS INT) AS score_fr
+      |FROM t)
+      |SELECT doc_id, labeled_lang, score_en, score_de, score_es, score_fr,
+      |  CASE WHEN score_en >= greatest(score_de, score_es, score_fr) THEN 'en'
+      |       WHEN score_de >= greatest(score_es, score_fr) THEN 'de'
+      |       WHEN score_es >= score_fr THEN 'es'
+      |       ELSE 'fr' END AS predicted_lang,
+      |  CAST(CASE WHEN score_en >= greatest(score_de, score_es, score_fr) THEN 'en'
+      |       WHEN score_de >= greatest(score_es, score_fr) THEN 'de'
+      |       WHEN score_es >= score_fr THEN 'es'
+      |       ELSE 'fr' END = labeled_lang AS INT) AS agrees
+      |FROM s ORDER BY doc_id""".stripMargin
+
+  /** Document fingerprints: exact (md5 of raw text) and content
+    * (md5 of the sorted distinct-token set — invariant to word order
+    * and repetition, the cheap "bag-of-words fingerprint" used as a
+    * pre-cluster key before MinHash in dedup pipelines). */
+  def qFingerprint(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir).select(
+        col("doc_id"),
+        md5(col("text").cast("binary")).as("fp_exact"),
+        md5(array_join(array_sort(array_distinct(toks)), " ").cast("binary"))
+          .as("fp_content"))
+      .orderBy(col("doc_id"))
+
+  val qFingerprintOracle: String =
+    """SELECT doc_id, md5(text) AS fp_exact,
+      |  md5(array_to_string(list_sort(list_distinct(string_split(text,' '))), ' ')) AS fp_content
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  /** Per-language top-5 terms by frequency: explode → count → top-k
+    * window. The explode inflates rows ~40× but partial aggregation
+    * collapses them map-side before the single shuffle on
+    * (lang, token) — the plan a 100 TB vocabulary build wants. */
+  def qTermFreq(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("lang"))
+      .orderBy(col("n").desc, col("token"))
+    Tables.documents(spark, sfDir)
+      .select(col("lang"), explode(toks).as("token"))
+      .groupBy(col("lang"), col("token"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+      .orderBy(col("lang"), col("rank"))
+  }
+
+  val qTermFreqOracle: String =
+    """WITH tok AS (SELECT lang, unnest(string_split(text, ' ')) AS token FROM documents),
+      |cnt AS (SELECT lang, token, COUNT(*) AS n FROM tok GROUP BY 1, 2),
+      |rk AS (SELECT lang, token, n,
+      |  row_number() OVER (PARTITION BY lang ORDER BY n DESC, token) AS rank FROM cnt)
+      |SELECT lang, token, n, rank FROM rk WHERE rank <= 5
+      |ORDER BY lang, rank""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_token_stats" -> (qTokenStats _),
+    "text_langid" -> (qLangId _),
+    "text_fingerprint" -> (qFingerprint _),
+    "text_term_freq" -> (qTermFreq _))
+
+  val oracles: Map[String, String] = Map(
+    "text_token_stats" -> qTokenStatsOracle,
+    "text_langid" -> qLangIdOracle,
+    "text_fingerprint" -> qFingerprintOracle,
+    "text_term_freq" -> qTermFreqOracle)
+}
