@@ -150,7 +150,13 @@ object DedupOps {
 
   /** MinHash+LSH near-dup: band-bucket join → candidate pairs →
     * exact-Jaccard verification (≥ 0.1). The bucket join touches only
-    * docs sharing a band key — O(n) shuffle, no quadratic blowup. */
+    * docs sharing a band key — O(n) shuffle, no quadratic blowup.
+    * Verification scores ONLY the candidate pairs: each doc's distinct
+    * shingle set is collected once (docs are bounded-size, so the set
+    * fits a row), candidates join the two sets by id, and the
+    * intersection size comes from `array_intersect` — work proportional
+    * to |candidates|, never to the full pair matrix. That asymmetry is
+    * the whole point of LSH at 100 TB. */
   def qDedupMinhashLsh(spark: SparkSession, sfDir: String): DataFrame = {
     val sh = shingles(Tables.documents(spark, sfDir))
     val bands = minhashBands(sh)
@@ -160,8 +166,14 @@ object DedupOps {
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
       .distinct()
+    val sets = sh.groupBy(col("doc_id"))
+      .agg(collect_list(col("shingle")).as("ss"), count(lit(1)).as("n"))
     candidates
-      .join(jaccardPairs(sh), Seq("a_id", "b_id"))
+      .join(sets.select(col("doc_id").as("a_id"), col("ss").as("sa"), col("n").as("na")), "a_id")
+      .join(sets.select(col("doc_id").as("b_id"), col("ss").as("sb"), col("n").as("nb")), "b_id")
+      .withColumn("inter", size(array_intersect(col("sa"), col("sb"))))
+      .withColumn("jaccard",
+        col("inter").cast(DoubleType) / (col("na") + col("nb") - col("inter")))
       .filter(col("jaccard") >= 0.1)
       .select("a_id", "b_id", "jaccard")
       .orderBy("a_id", "b_id")
@@ -249,13 +261,13 @@ object DedupOps {
   def normedVectors(emb: DataFrame): DataFrame =
     emb.select(col("vec_id"), col("label"),
         transform(col("embedding"), x => x.cast(DoubleType)).as("v"))
-      .withColumn("nrm",
-        sqrt(aggregate(col("v"), lit(0.0), (acc, x) => acc + x * x)))
+      .withColumn("nrm", graft.functions.VectorFunctions.l2Norm(col("v")))
 
-  /** Sequential-fold dot product of two equal-length double arrays —
-    * same accumulation order as the oracle, so results match exactly. */
+  /** Codegen'd sequential dot product (graft.functions.DotProduct) —
+    * same left-to-right accumulation order as DuckDB's
+    * list_dot_product, so results match the oracle exactly. */
   def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+    graft.functions.VectorFunctions.dot(a, b)
 
   /** Embedding near-dup pairs: cosine ≥ 0.4 over all id-ordered pairs.
     * Exact O(n²) variant — correct but quadratic; the LSH-bucketed
