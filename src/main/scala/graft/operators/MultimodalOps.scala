@@ -1,0 +1,172 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal-column operators (north star, BASELINE.json:6): media as
+  * opaque `binary` payloads with typed metadata, plus decode /
+  * feature-extract / resize / frame-sample stages.
+  *
+  * The sandbox has no image/audio codecs, so the DECODE step is a
+  * clearly-marked deterministic stub (`StubCodec`) — but everything
+  * Spark-side is real and is what matters at 100 TB:
+  *   - payloads live in a `binary` column next to a typed metadata
+  *     struct, the layout that lets Parquet keep blobs out of the
+  *     column-pruned path (a metadata-only query never reads bytes);
+  *   - per-item work runs in `mapPartitions` over a typed Dataset —
+  *     one codec instance per partition (the expensive init amortizes
+  *     across the partition's rows, the same batch shape a Python
+  *     `mapInPandas` or a JNI decoder would use);
+  *   - frame sampling is pure column arithmetic (`sequence`/`explode`)
+  *     so the planner sees cardinality and can push the stride math
+  *     into codegen — no row-at-a-time driver logic anywhere.
+  *
+  * The media table derives deterministically from `documents` (the
+  * driver ships no binary table): payload = utf-8 bytes of `text`,
+  * media_type cycles image/audio/video by doc_id. The derivation is
+  * SQL-expressible, so metadata/frame queries keep full DuckDB oracles;
+  * stub-decoded features are rows-only by contract.
+  */
+object MultimodalOps {
+
+  /** documents → (doc_id, media_type, payload: binary, meta struct).
+    * Metadata is deterministic from doc_id so oracles can reproduce it. */
+  def mediaTable(spark: SparkSession, sfDir: String): DataFrame = {
+    val mt = element_at(
+      array(lit("image"), lit("audio"), lit("video")),
+      (col("doc_id") % 3 + 1).cast("int"))
+    Tables.documents(spark, sfDir).select(
+      col("doc_id"),
+      mt.as("media_type"),
+      col("text").cast("binary").as("payload"),
+      struct(
+        (col("doc_id") % 4 * 160 + 320).cast("int").as("width"),
+        (col("doc_id") % 4 * 90 + 180).cast("int").as("height"),
+        lit(16000).as("sample_rate")).as("meta"))
+  }
+
+  // ---- 1. metadata projection (never touches payload bytes) ----
+
+  /** Typed-metadata scan: size + checksum + dims. In a real layout the
+    * payload column is not read for width/height/type queries — Parquet
+    * column pruning skips the blobs entirely; md5/octet_length is the
+    * only part that reads bytes. */
+  def qMetadata(spark: SparkSession, sfDir: String): DataFrame =
+    mediaTable(spark, sfDir).select(
+        col("doc_id"), col("media_type"),
+        length(col("payload")).as("n_bytes"),
+        md5(col("payload")).as("checksum"),
+        col("meta.width").as("width"),
+        col("meta.height").as("height"))
+      .orderBy(col("doc_id"))
+
+  val qMetadataOracle: String =
+    """SELECT doc_id,
+      |  ['image','audio','video'][CAST(doc_id % 3 AS INT) + 1] AS media_type,
+      |  CAST(octet_length(encode(text)) AS INT) AS n_bytes,
+      |  md5(text) AS checksum,
+      |  CAST(doc_id % 4 * 160 + 320 AS INT) AS width,
+      |  CAST(doc_id % 4 * 90 + 180 AS INT) AS height
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  // ---- 2. stub decode + feature extraction (mapPartitions batch) ----
+
+  /** STUB CODEC — stands in for a real image/audio decoder (none in
+    * this container). Deterministic features over raw payload bytes:
+    * an 8-bin byte histogram and the unsigned mean. A real codec slots
+    * in here without touching the surrounding plumbing. */
+  object StubCodec {
+    def features(payload: Array[Byte]): (Array[Long], Double) = {
+      val hist = new Array[Long](8)
+      var sum = 0L
+      var i = 0
+      while (i < payload.length) {
+        val u = payload(i) & 0xff
+        hist(u >> 5) += 1
+        sum += u
+        i += 1
+      }
+      (hist, if (payload.length == 0) 0.0 else sum.toDouble / payload.length)
+    }
+
+    /** STUB "resize": strided byte sampling down to `target` samples —
+      * the plumbing twin of a real thumbnail/downsample kernel. */
+    def resize(payload: Array[Byte], target: Int): Array[Int] = {
+      val n = math.min(target, payload.length)
+      val out = new Array[Int](n)
+      val stride = math.max(1, payload.length / target)
+      var i = 0
+      while (i < n) { out(i) = payload(i * stride) & 0xff; i += 1 }
+      out
+    }
+  }
+
+  // public: Spark's generated encoder code must reach these
+  case class MediaRow(doc_id: Long, payload: Array[Byte])
+  case class FeatureRow(doc_id: Long, n_bytes: Int,
+      mean_byte: Double, hist: Array[Long], thumb: Array[Int])
+
+  /** Decode + feature-extract over partitions of binary payloads: the
+    * iterator shape gives one codec per partition and streaming memory
+    * (never materializes a partition of blobs). Feature values come
+    * from the stub codec → rows-only check (no SQL oracle by design). */
+  def qDecodeFeatures(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val media: Dataset[MediaRow] = mediaTable(spark, sfDir)
+      .select(col("doc_id"), col("payload")).as[MediaRow]
+    media.mapPartitions { rows =>
+      // per-partition codec init would go here (amortized, as with
+      // a JNI decoder or an Arrow batch worker)
+      rows.map { m =>
+        val (hist, mean) = StubCodec.features(m.payload)
+        FeatureRow(m.doc_id, m.payload.length, mean, hist,
+          StubCodec.resize(m.payload, 16))
+      }
+    }.toDF()
+      .select(col("doc_id"), col("n_bytes"), round(col("mean_byte"), 4).as("mean_byte_r"),
+        col("hist"), col("thumb"))
+      .orderBy(col("doc_id"))
+  }
+
+  // ---- 3. frame sampling (pure column arithmetic, full oracle) ----
+
+  private val FrameBytes = 256
+  private val SampleEvery = 4
+
+  /** Video frame sampling: fixed-size frames, keep every 4th frame.
+    * `sequence`+`explode` keeps the fan-out declarative — the planner
+    * knows the output cardinality and the whole stage stays in codegen
+    * (a 100 TB video corpus fans out to frame work items this way). */
+  def qFrameSample(spark: SparkSession, sfDir: String): DataFrame =
+    mediaTable(spark, sfDir)
+      .filter(col("media_type") === "video")
+      .withColumn("n_frames",
+        expr(s"length(payload) DIV $FrameBytes").cast("int"))
+      .filter(col("n_frames") > 0)
+      .select(col("doc_id"), col("n_frames"),
+        explode(sequence(lit(0), col("n_frames") - 1, lit(SampleEvery))).as("frame_idx"))
+      .withColumn("byte_offset", col("frame_idx") * FrameBytes)
+      .orderBy(col("doc_id"), col("frame_idx"))
+
+  val qFrameSampleOracle: String =
+    s"""WITH v AS (
+       |  SELECT doc_id,
+       |    CAST(octet_length(encode(text)) // $FrameBytes AS INT) AS n_frames
+       |  FROM documents WHERE doc_id % 3 = 2),
+       |f AS (
+       |  SELECT doc_id, n_frames, unnest(generate_series(0, n_frames - 1, $SampleEvery)) AS frame_idx
+       |  FROM v WHERE n_frames > 0)
+       |SELECT doc_id, n_frames, CAST(frame_idx AS INT) AS frame_idx,
+       |  CAST(frame_idx * $FrameBytes AS INT) AS byte_offset
+       |FROM f ORDER BY doc_id, frame_idx""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mm_metadata" -> (qMetadata _),
+    "mm_decode_features" -> (qDecodeFeatures _),
+    "mm_frame_sample" -> (qFrameSample _))
+
+  val oracles: Map[String, String] = Map(
+    "mm_metadata" -> qMetadataOracle,
+    "mm_frame_sample" -> qFrameSampleOracle)
+}

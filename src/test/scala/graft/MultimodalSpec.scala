@@ -1,0 +1,47 @@
+package graft
+
+import graft.operators.MultimodalOps
+import org.apache.spark.sql.functions._
+
+/** Specs for the multimodal plumbing: binary payload + metadata layout,
+  * stub-codec determinism, frame-sampling arithmetic. */
+class MultimodalSpec extends SparkSpec {
+
+  test("media table: every row has a payload, type cycles by doc_id") {
+    val m = MultimodalOps.mediaTable(spark, sf)
+    assert(m.filter(col("payload").isNull).count() === 0)
+    val types = m.select("media_type").distinct().collect().map(_.getString(0)).toSet
+    assert(types === Set("image", "audio", "video"))
+    val wrong = m.filter(
+      (col("doc_id") % 3 === 0 && col("media_type") =!= "image") ||
+      (col("doc_id") % 3 === 1 && col("media_type") =!= "audio") ||
+      (col("doc_id") % 3 === 2 && col("media_type") =!= "video"))
+    assert(wrong.count() === 0)
+  }
+
+  test("stub codec: histogram mass equals byte count; deterministic") {
+    val bytes = "hello multimodal".getBytes("UTF-8")
+    val (h1, m1) = MultimodalOps.StubCodec.features(bytes)
+    val (h2, m2) = MultimodalOps.StubCodec.features(bytes)
+    assert(h1.sum === bytes.length)
+    assert(h1.sameElements(h2) && m1 === m2)
+    assert(m1 > 0 && m1 < 256)
+  }
+
+  test("decode features: histogram mass matches n_bytes per row") {
+    val r = MultimodalOps.qDecodeFeatures(spark, sf)
+      .withColumn("mass", aggregate(col("hist"), lit(0L), (a, x) => a + x))
+    assert(r.count() > 0)
+    assert(r.filter(col("mass") =!= col("n_bytes")).count() === 0)
+    // thumbnails are capped at 16 samples
+    assert(r.filter(size(col("thumb")) > 16).count() === 0)
+  }
+
+  test("frame sample: offsets are stride-aligned and within payload") {
+    val f = MultimodalOps.qFrameSample(spark, sf)
+    assert(f.count() > 0)
+    assert(f.filter(col("byte_offset") % 256 =!= 0).count() === 0)
+    assert(f.filter(col("frame_idx") % 4 =!= 0).count() === 0)
+    assert(f.filter(col("frame_idx") >= col("n_frames")).count() === 0)
+  }
+}
