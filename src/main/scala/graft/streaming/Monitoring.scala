@@ -1,0 +1,84 @@
+package graft.streaming
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.streaming.StreamingQueryListener
+import org.apache.spark.sql.streaming.StreamingQueryListener._
+import java.util.concurrent.ConcurrentHashMap
+import java.util.concurrent.atomic.LongAdder
+
+/** M2/M3 — per-query stats counters and health, the Spark-native form
+  * of the reference's atomic counters + /health + /status endpoints
+  * (source/postgres/postgres.go:431-447, http.go:17-95).
+  *
+  * A `StreamingQueryListener` receives every micro-batch's progress
+  * (rows in, batch duration) and termination events off the hot path —
+  * zero cost to the queries themselves, unlike the reference's
+  * per-event atomic increments. Health mirrors the reference's
+  * `Status() error` contract: a query is unhealthy once terminated
+  * with an exception (and the Kafka-source rule "N consecutive fetch
+  * errors → unhealthy" maps to consecutive failed batches).
+  */
+final class Monitoring extends StreamingQueryListener {
+
+  final case class QueryStats(rows: LongAdder = new LongAdder,
+      batches: LongAdder = new LongAdder,
+      var lastException: Option[String] = None,
+      var active: Boolean = true) {
+    /** Reference Stats() string shape: name-less counter summary. */
+    def stats: String = s"batches ${batches.sum()} rows ${rows.sum()}"
+  }
+
+  private val byQuery = new ConcurrentHashMap[String, QueryStats]()
+
+  private def statsFor(name: String): QueryStats =
+    byQuery.computeIfAbsent(name, _ => QueryStats())
+
+  override def onQueryStarted(e: QueryStartedEvent): Unit =
+    statsFor(e.name match { case null => e.id.toString; case n => n }).active = true
+
+  override def onQueryProgress(e: QueryProgressEvent): Unit = {
+    val s = statsFor(e.progress.name match {
+      case null => e.progress.id.toString; case n => n })
+    s.rows.add(e.progress.numInputRows)
+    s.batches.increment()
+  }
+
+  override def onQueryTerminated(e: QueryTerminatedEvent): Unit = {
+    // terminated events carry no name; key by id when the name is gone
+    val key = byQuery.keySet().stream().filter(_ == e.id.toString)
+      .findFirst().orElse(e.id.toString)
+    val s = statsFor(key)
+    s.active = false
+    s.lastException = e.exception
+  }
+
+  /** /stats — counter snapshot per query. */
+  def stats: Map[String, String] = {
+    val b = Map.newBuilder[String, String]
+    byQuery.forEach((k, v) => b += k -> v.stats)
+    b.result()
+  }
+
+  def rowsProcessed(name: String): Long = statsFor(name).rows.sum()
+  def batchesProcessed(name: String): Long = statsFor(name).batches.sum()
+
+  /** /status — Some(error) if any query died exceptionally (the
+    * reference returns 500 when any component is unhealthy). */
+  def status: Option[String] = {
+    var err: Option[String] = None
+    byQuery.forEach((k, v) => if (v.lastException.isDefined && err.isEmpty)
+      err = Some(s"$k: ${v.lastException.get}"))
+    err
+  }
+
+  def healthy: Boolean = status.isEmpty
+}
+
+object Monitoring {
+  /** Attach a fresh Monitoring listener to the session. */
+  def attach(spark: SparkSession): Monitoring = {
+    val m = new Monitoring
+    spark.streams.addListener(m)
+    m
+  }
+}
