@@ -19,8 +19,10 @@ object Bench {
       name -> (System.nanoTime() - t0) / 1e9
     }
     // One warmup pass absorbs JVM/codegen/catalog init (the engine is
-    // long-lived in production); the timed pass is steady-state.
+    // long-lived in production); the timed pass is steady-state. The GC
+    // between passes keeps warmup garbage from billing a timed query.
     runAll()
+    System.gc()
     val results = runAll()
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

@@ -426,6 +426,30 @@ object Relational {
       .drop("_side", "_rid")
   }
 
+  /** Skew-safe aggregation via salting: when one group key dominates
+    * (hot user, null key), a single reducer drowns. Two-stage agg —
+    * group by (key, salt) first, then re-aggregate by key — spreads
+    * the hot key over 16 reducers; decimal partials make the result
+    * bit-identical to the direct aggregation, which is exactly what
+    * the oracle checks. AQE's skew handling covers joins; salting is
+    * the aggregation-side counterpart at 100 TB. */
+  def qSaltedAgg(spark: SparkSession, sfDir: String): DataFrame = {
+    val partial = Tables.events(spark, sfDir)
+      .withColumn("salt", pmod(col("event_id"), lit(16)))
+      .groupBy(col("user_id"), col("salt"))
+      .agg(count(lit(1)).as("pn"), sum(dec("value")).as("ps"))
+    partial
+      .groupBy(col("user_id"))
+      .agg(sum(col("pn")).as("n_events"),
+        sum(col("ps")).cast(DoubleType).as("sum_value"))
+      .orderBy(col("user_id"))
+  }
+
+  val qSaltedAggOracle: String =
+    """SELECT user_id, COUNT(*) AS n_events,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+      |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
+
   /** As-of join query: each purchase matched to the user's most recent
     * signup at-or-before it. Compared on µs epochs (ns-parquet parity). */
   def qAsofJoin(spark: SparkSession, sfDir: String): DataFrame = {
@@ -490,7 +514,8 @@ object Relational {
     "q_distinct_agg" -> (qDistinctAgg _),
     "q_approx_distinct" -> (qApproxDistinct _),
     "q_asof_join" -> (qAsofJoin _),
-    "q_range_join" -> (qRangeJoin _))
+    "q_range_join" -> (qRangeJoin _),
+    "q_skew_salted_agg" -> (qSaltedAgg _))
 
   val oracles: Map[String, String] = Map(
     "q1_pricing_summary" -> q1Oracle,
@@ -508,6 +533,7 @@ object Relational {
     "q_scalar_funcs" -> qScalarFuncsOracle,
     "q_distinct_agg" -> qDistinctAggOracle,
     "q_asof_join" -> qAsofJoinOracle,
-    "q_range_join" -> qRangeJoinOracle)
+    "q_range_join" -> qRangeJoinOracle,
+    "q_skew_salted_agg" -> qSaltedAggOracle)
     // q_approx_distinct intentionally has no oracle (sketch-based).
 }

@@ -1,0 +1,85 @@
+package graft.streaming
+
+import graft.model.ChangeEvent
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Stateful streaming operators beyond the reference's surface
+  * (SURVEY.md §2.2: session windows, stream-stream joins, custom
+  * state via mapGroupsWithState). The reference's only state is its
+  * progress marker; these are the Spark-native stateful capabilities
+  * a CDC consumer actually needs downstream.
+  *
+  * Scale notes: all state here is keyed and lives in the state store
+  * (RocksDB-backed on a real cluster), partitioned by the group key —
+  * state size is bounded by watermark/timeout, never by stream length.
+  */
+object StatefulOps {
+
+  /** Session windows per (table, action): events within `gap` of each
+    * other merge into one session — the event-time generalization of
+    * the mux's "flush after quiet period". */
+  def sessionCounts(envelopes: DataFrame, gap: String = "5 minutes",
+                    watermark: String = "10 minutes"): DataFrame =
+    envelopes
+      .withWatermark("timestamp", watermark)
+      .groupBy(session_window(col("timestamp"), gap).as("s"), col("table"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("s.start").as("session_start"), col("s.end").as("session_end"),
+        col("table"), col("n"))
+
+  /** Stream-stream inner join: deletes matched to the insert of the
+    * same row (by table + row id) within an hour — the "short-lived
+    * rows" detector. Both sides carry watermarks and the join
+    * condition bounds event-time distance, so per-key state expires. */
+  def shortLivedRows(envelopes: DataFrame, horizon: String = "1 hour"): DataFrame = {
+    val rowId = element_at(col("columns"), "id")
+    val ins = envelopes.filter(col("action") === ChangeEvent.Insert)
+      .select(col("table").as("i_table"), rowId.as("i_id"),
+        col("timestamp").as("i_ts"))
+      .withWatermark("i_ts", horizon)
+    val del = envelopes.filter(col("action") === ChangeEvent.Delete)
+      .select(col("table").as("d_table"), rowId.as("d_id"),
+        col("timestamp").as("d_ts"))
+      .withWatermark("d_ts", horizon)
+    ins.join(del,
+      col("i_table") === col("d_table") && col("i_id") === col("d_id") &&
+        col("d_ts") >= col("i_ts") &&
+        col("d_ts") <= col("i_ts") + expr(s"INTERVAL $horizon"))
+      .select(col("i_table").as("table"), col("i_id").as("row_id"),
+        col("i_ts"), col("d_ts"),
+        (unix_millis(col("d_ts")) - unix_millis(col("i_ts"))).as("lifetime_ms"))
+  }
+
+  /** Per-table cumulative change counters via mapGroupsWithState — the
+    * reference's per-source event counters (postgres.go:431-447) as
+    * durable keyed state: survives across micro-batches and restarts
+    * (checkpointed), emits a running (table, inserts, updates, deletes)
+    * row each batch the table appears in. */
+  case class TableCounts(table: String, inserts: Long, updates: Long, deletes: Long)
+
+  def runningCounts(envelopes: Dataset[ChangeEvent]): Dataset[TableCounts] = {
+    import envelopes.sparkSession.implicits._
+    envelopes.groupByKey(_.table)
+      .mapGroupsWithState[TableCounts, TableCounts](GroupStateTimeout.NoTimeout) {
+        (table: String, events: Iterator[ChangeEvent], state: GroupState[TableCounts]) =>
+          val prev = state.getOption.getOrElse(TableCounts(table, 0, 0, 0))
+          var (i, u, d) = (prev.inserts, prev.updates, prev.deletes)
+          events.foreach { e =>
+            e.action match {
+              case ChangeEvent.Insert => i += 1
+              case ChangeEvent.Update => u += 1
+              case ChangeEvent.Delete => d += 1
+              case _ =>
+            }
+          }
+          val next = TableCounts(table, i, u, d)
+          state.update(next)
+          next
+      }
+  }
+
+  /** Output mode required by runningCounts sinks. */
+  val runningCountsOutputMode: OutputMode = OutputMode.Update()
+}

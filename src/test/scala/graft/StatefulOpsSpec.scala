@@ -1,0 +1,83 @@
+package graft
+
+import graft.model.ChangeEvent
+import graft.streaming.StatefulOps
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import java.sql.Timestamp
+
+/** Specs for session windows, stream-stream joins, and
+  * mapGroupsWithState running counters. */
+class StatefulOpsSpec extends SparkSpec {
+
+  private val T0 = 1700000000000L
+  private def ev(wal: Long, action: String = "insert", table: String = "users",
+                 offsetSec: Long = 0, id: String = "1"): ChangeEvent =
+    ChangeEvent("h", "db", table, action, wal,
+      new Timestamp(T0 + offsetSec * 1000), s"u-$wal", Map("id" -> id))
+
+  test("session windows merge events within the gap, split across it") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val in = MemoryStream[ChangeEvent]
+    val q = StatefulOps.sessionCounts(in.toDF(), gap = "1 minute")
+      .writeStream.format("memory").queryName("sessions_out")
+      .outputMode("complete").start()
+    try {
+      // 3 events 10s apart (one session), then one 10 min later
+      in.addData(ev(1), ev(2, offsetSec = 10), ev(3, offsetSec = 20),
+        ev(4, offsetSec = 600))
+      q.processAllAvailable()
+      val got = spark.table("sessions_out").orderBy("session_start").collect()
+      assert(got.length === 2)
+      assert(got(0).getAs[Long]("n") === 3)
+      assert(got(1).getAs[Long]("n") === 1)
+    } finally q.stop()
+  }
+
+  test("stream-stream join finds delete-after-insert within horizon") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val in = MemoryStream[ChangeEvent]
+    val q = StatefulOps.shortLivedRows(in.toDF())
+      .writeStream.format("memory").queryName("shortlived_out")
+      .outputMode("append").start()
+    try {
+      in.addData(
+        ev(1, "insert", id = "42"),
+        ev(2, "delete", id = "42", offsetSec = 120),   // dies at 2 min → match
+        ev(3, "insert", id = "77"),
+        ev(4, "delete", id = "77", offsetSec = 7200))  // dies at 2 h → outside horizon
+      q.processAllAvailable()
+      val got = spark.table("shortlived_out").collect()
+      assert(got.length === 1)
+      assert(got(0).getAs[String]("row_id") === "42")
+      assert(got(0).getAs[Long]("lifetime_ms") === 120000L)
+    } finally q.stop()
+  }
+
+  test("mapGroupsWithState accumulates per-table counts across batches") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val in = MemoryStream[ChangeEvent]
+    val q = StatefulOps.runningCounts(in.toDS())
+      .writeStream.format("memory").queryName("counts_out")
+      .outputMode(StatefulOps.runningCountsOutputMode).start()
+    try {
+      in.addData(ev(1, "insert"), ev(2, "insert"), ev(3, "delete", table = "orders"))
+      q.processAllAvailable()
+      in.addData(ev(4, "update"), ev(5, "insert", table = "orders"))
+      q.processAllAvailable()
+      // memory sink in update mode appends each emitted update; the
+      // LAST row per table is the current state
+      val rows = spark.table("counts_out").collect()
+      val latest = rows.zipWithIndex
+        .groupBy(_._1.getAs[String]("table"))
+        .map { case (t, rs) => t -> rs.maxBy(_._2)._1 }
+      assert(latest("users").getAs[Long]("inserts") === 2)
+      assert(latest("users").getAs[Long]("updates") === 1)
+      assert(latest("orders").getAs[Long]("deletes") === 1)
+      assert(latest("orders").getAs[Long]("inserts") === 1)
+    } finally q.stop()
+  }
+}
