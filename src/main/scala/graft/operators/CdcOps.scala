@@ -220,6 +220,32 @@ object CdcOps {
       |  substr(h,1,8)||'-'||substr(h,9,4)||'-'||substr(h,13,4)||'-'||substr(h,17,4)||'-'||substr(h,21,12) AS uuid
       |FROM replayed ORDER BY event_id""".stripMargin
 
+  /** P2 schema-registry analog: a typed per-table view. The reference
+    * caches Relation metadata to decode tuples (postgres.go:301-305);
+    * Spark's equivalent is a per-table StructType applied with
+    * `from_json` — the dynamic row image stays canonical, the typed
+    * view is derived on demand and fully codegen'd. */
+  def qTypedView(spark: SparkSession, sfDir: String): DataFrame = {
+    val propsSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("k",
+        org.apache.spark.sql.types.IntegerType),
+      org.apache.spark.sql.types.StructField("tag",
+        org.apache.spark.sql.types.StringType)))
+    Tables.events(spark, sfDir)
+      .withColumn("p", from_json(col("props"), propsSchema))
+      .select(col("event_id"), col("p.k").as("k"), col("p.tag").as("tag"))
+      .filter(col("k").isNotNull)
+      .orderBy(col("event_id"))
+  }
+
+  val qTypedViewOracle: String =
+    """SELECT event_id,
+      |  CAST(json_extract_string(props, '$.k') AS INT) AS k,
+      |  json_extract_string(props, '$.tag') AS tag
+      |FROM events
+      |WHERE json_extract_string(props, '$.k') IS NOT NULL
+      |ORDER BY event_id""".stripMargin
+
   /** B1 batching analog: 5-minute tumbling windows per action — the
     * batch-mode equivalent of the mux's count/time flush, expressed as
     * an event-time window (what the streaming pipeline uses). */
@@ -250,7 +276,8 @@ object CdcOps {
     "cdc_route_drop" -> (qRouteDrop _),
     "cdc_serialize" -> (qSerialize _),
     "cdc_dedup_uuid" -> (qDedupUuid _),
-    "cdc_batch_windows" -> (qBatchWindows _))
+    "cdc_batch_windows" -> (qBatchWindows _),
+    "cdc_typed_view" -> (qTypedView _))
 
   val oracles: Map[String, String] = Map(
     "cdc_envelope" -> qEnvelopeOracle,
@@ -259,5 +286,6 @@ object CdcOps {
     "cdc_route_drop" -> qRouteDropOracle,
     "cdc_serialize" -> qSerializeOracle,
     "cdc_dedup_uuid" -> qDedupUuidOracle,
-    "cdc_batch_windows" -> qBatchWindowsOracle)
+    "cdc_batch_windows" -> qBatchWindowsOracle,
+    "cdc_typed_view" -> qTypedViewOracle)
 }

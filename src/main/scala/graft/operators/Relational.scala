@@ -497,6 +497,102 @@ object Relational {
       |GROUP BY s.s_id
       |ORDER BY s.s_id""".stripMargin
 
+  /** TPC-H Q17-style correlated scalar subquery: lineitems below 50%
+    * of their part's average quantity. Decorrelated by hand into an
+    * aggregate + equi-join — the plan Catalyst's decorrelation would
+    * produce, stated explicitly: one pass computes per-part averages,
+    * the fact table joins them on partkey. At 100 TB the avg side is
+    * orders of magnitude smaller than lineitem and broadcasts. */
+  def qCorrelatedAvg(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = Tables.lineitem(spark, sfDir)
+    val avgQty = li.groupBy(col("l_partkey").as("ap_partkey"))
+      .agg((sum(dec("l_quantity")).cast(DoubleType) / count(lit(1))).as("avg_qty"))
+    li.join(avgQty, col("l_partkey") === col("ap_partkey"))
+      .filter(col("l_quantity") < col("avg_qty") * 0.5)
+      .groupBy(col("l_partkey"))
+      .agg(count(lit(1)).as("n_small"),
+        sum(dec("l_extendedprice")).cast(DoubleType).as("value_small"))
+      .orderBy(col("l_partkey"))
+  }
+
+  val qCorrelatedAvgOracle: String =
+    """WITH a AS (
+      |  SELECT l_partkey AS ap_partkey,
+      |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_qty
+      |  FROM lineitem GROUP BY 1)
+      |SELECT l_partkey, COUNT(*) AS n_small,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS value_small
+      |FROM lineitem JOIN a ON l_partkey = ap_partkey
+      |WHERE l_quantity < avg_qty * 0.5
+      |GROUP BY l_partkey ORDER BY l_partkey""".stripMargin
+
+  /** TPC-H Q18-style HAVING + IN-subquery: customers whose single
+    * orders exceed 300 units. The IN becomes a left-semi join against
+    * the HAVING-filtered aggregate — semi joins never duplicate rows,
+    * and the filtered key set is small enough to broadcast at scale. */
+  def qHavingIn(spark: SparkSession, sfDir: String): DataFrame = {
+    val big = Tables.lineitem(spark, sfDir)
+      .groupBy(col("l_orderkey").as("b_orderkey"))
+      .agg(sum(dec("l_quantity")).as("qty"))
+      .filter(col("qty") > 300)
+    val ord = Tables.orders(spark, sfDir)
+      .join(big, col("o_orderkey") === col("b_orderkey"), "left_semi")
+    ord.join(Tables.customer(spark, sfDir),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("c_custkey"), col("c_name"), col("o_orderkey"),
+        col("o_totalprice"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(20)
+  }
+
+  val qHavingInOracle: String =
+    """SELECT c_custkey, c_name, o_orderkey, o_totalprice
+      |FROM orders
+      |JOIN customer ON o_custkey = c_custkey
+      |WHERE o_orderkey IN (
+      |  SELECT l_orderkey FROM lineitem
+      |  GROUP BY l_orderkey
+      |  HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > 300)
+      |ORDER BY o_totalprice DESC, o_orderkey LIMIT 20""".stripMargin
+
+  /** TPC-H Q7-style nation-pair volume: supplier nation × customer
+    * nation yearly revenue. Two broadcast dimension joins + one fact
+    * join; the pair filter prunes before aggregation. */
+  def qNationPairs(spark: SparkSession, sfDir: String): DataFrame = {
+    val nat = Tables.nation(spark, sfDir).select("n_nationkey", "n_name")
+    val sn = broadcast(nat.select(col("n_nationkey").as("s_nk"), col("n_name").as("supp_nation")))
+    val cn = broadcast(nat.select(col("n_nationkey").as("c_nk"), col("n_name").as("cust_nation")))
+    val supp = broadcast(Tables.supplier(spark, sfDir).select("s_suppkey", "s_nationkey"))
+    val cust = Tables.customer(spark, sfDir).select("c_custkey", "c_nationkey")
+    val ord = Tables.orders(spark, sfDir).select("o_orderkey", "o_custkey")
+    val li = Tables.lineitem(spark, sfDir)
+      .select(col("l_orderkey"), col("l_suppkey"), col("l_shipdate"), decRevenue.as("rev"))
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .join(supp, col("l_suppkey") === col("s_suppkey"))
+      .join(sn, col("s_nationkey") === col("s_nk"))
+      .join(cn, col("c_nationkey") === col("c_nk"))
+      .filter(col("supp_nation") < col("cust_nation"))
+      .groupBy(col("supp_nation"), col("cust_nation"),
+        year(col("l_shipdate")).as("l_year"))
+      .agg(sum(col("rev")).cast(DoubleType).as("revenue"))
+      .orderBy(col("supp_nation"), col("cust_nation"), col("l_year"))
+  }
+
+  val qNationPairsOracle: String =
+    s"""SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+       |  CAST(year(l_shipdate) AS INT) AS l_year,
+       |  CAST(SUM($revenueSql) AS DOUBLE) AS revenue
+       |FROM lineitem
+       |JOIN orders ON l_orderkey = o_orderkey
+       |JOIN customer ON o_custkey = c_custkey
+       |JOIN supplier ON l_suppkey = s_suppkey
+       |JOIN nation sn ON s_nationkey = sn.n_nationkey
+       |JOIN nation cn ON c_nationkey = cn.n_nationkey
+       |WHERE sn.n_name < cn.n_name
+       |GROUP BY 1, 2, 3
+       |ORDER BY supp_nation, cust_nation, l_year""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_pricing_summary" -> (q1PricingSummary _),
     "q3_shipping_priority" -> (q3ShippingPriority _),
@@ -515,7 +611,10 @@ object Relational {
     "q_approx_distinct" -> (qApproxDistinct _),
     "q_asof_join" -> (qAsofJoin _),
     "q_range_join" -> (qRangeJoin _),
-    "q_skew_salted_agg" -> (qSaltedAgg _))
+    "q_skew_salted_agg" -> (qSaltedAgg _),
+    "q17_correlated_avg" -> (qCorrelatedAvg _),
+    "q18_having_in" -> (qHavingIn _),
+    "q7_nation_pairs" -> (qNationPairs _))
 
   val oracles: Map[String, String] = Map(
     "q1_pricing_summary" -> q1Oracle,
@@ -534,6 +633,9 @@ object Relational {
     "q_distinct_agg" -> qDistinctAggOracle,
     "q_asof_join" -> qAsofJoinOracle,
     "q_range_join" -> qRangeJoinOracle,
-    "q_skew_salted_agg" -> qSaltedAggOracle)
+    "q_skew_salted_agg" -> qSaltedAggOracle,
+    "q17_correlated_avg" -> qCorrelatedAvgOracle,
+    "q18_having_in" -> qHavingInOracle,
+    "q7_nation_pairs" -> qNationPairsOracle)
     // q_approx_distinct intentionally has no oracle (sketch-based).
 }
