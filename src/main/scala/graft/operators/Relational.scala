@@ -593,6 +593,31 @@ object Relational {
        |GROUP BY 1, 2, 3
        |ORDER BY supp_nation, cust_nation, l_year""".stripMargin
 
+  /** Custom typed Aggregator (UDAF): quantity-weighted average discount
+    * per return flag, exact in integer cents (see
+    * functions.WeightedAvgCents). Demonstrates the Aggregator extension
+    * point with full oracle parity — integer partials are merge-order-
+    * independent, so the distributed result is deterministic. */
+  def qWeightedAvg(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val wavg = udaf(graft.functions.WeightedAvgCents)
+    Tables.lineitem(spark, sfDir)
+      .select(col("l_returnflag"),
+        round(col("l_discount") * 100).cast("long").as("disc_c"),
+        round(col("l_quantity") * 100).cast("long").as("qty_c"))
+      .groupBy(col("l_returnflag"))
+      .agg(wavg(col("disc_c"), col("qty_c")).as("wavg_discount"),
+        count(lit(1)).as("n"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  val qWeightedAvgOracle: String =
+    """SELECT l_returnflag,
+      |  CAST(SUM(CAST(round(l_discount*100) AS BIGINT) * CAST(round(l_quantity*100) AS BIGINT)) AS DOUBLE)
+      |    / CAST(SUM(CAST(round(l_quantity*100) AS BIGINT)) AS DOUBLE) / 100.0 AS wavg_discount,
+      |  COUNT(*) AS n
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_pricing_summary" -> (q1PricingSummary _),
     "q3_shipping_priority" -> (q3ShippingPriority _),
@@ -614,7 +639,8 @@ object Relational {
     "q_skew_salted_agg" -> (qSaltedAgg _),
     "q17_correlated_avg" -> (qCorrelatedAvg _),
     "q18_having_in" -> (qHavingIn _),
-    "q7_nation_pairs" -> (qNationPairs _))
+    "q7_nation_pairs" -> (qNationPairs _),
+    "q_udaf_weighted_avg" -> (qWeightedAvg _))
 
   val oracles: Map[String, String] = Map(
     "q1_pricing_summary" -> q1Oracle,
@@ -636,6 +662,7 @@ object Relational {
     "q_skew_salted_agg" -> qSaltedAggOracle,
     "q17_correlated_avg" -> qCorrelatedAvgOracle,
     "q18_having_in" -> qHavingInOracle,
-    "q7_nation_pairs" -> qNationPairsOracle)
+    "q7_nation_pairs" -> qNationPairsOracle,
+    "q_udaf_weighted_avg" -> qWeightedAvgOracle)
     // q_approx_distinct intentionally has no oracle (sketch-based).
 }
