@@ -1,0 +1,92 @@
+package graft
+
+import graft.functions.WeightedAvgCents
+import graft.operators.MultimodalOps.StubCodec
+import org.scalacheck.{Gen, Prop, Properties}
+import org.scalacheck.Prop.forAll
+
+/** ScalaCheck laws for the pure kernels (SURVEY.md §5 test plan):
+  * the distributed-correctness argument for the custom Aggregator is
+  * exactly these algebraic laws — Spark may merge partials in any
+  * order and grouping, so the monoid laws ARE the correctness proof. */
+object AggregatorLaws extends Properties("WeightedAvgCents") {
+
+  private val cents = Gen.chooseNum(0L, 10000L)
+  private val pair = Gen.zip(cents, cents)
+  private val buf = Gen.zip(Gen.chooseNum(0L, 1L << 40), Gen.chooseNum(0L, 1L << 30))
+
+  property("merge is commutative") = forAll(buf, buf) { (a, b) =>
+    WeightedAvgCents.merge(a, b) == WeightedAvgCents.merge(b, a)
+  }
+
+  property("merge is associative") = forAll(buf, buf, buf) { (a, b, c) =>
+    WeightedAvgCents.merge(WeightedAvgCents.merge(a, b), c) ==
+      WeightedAvgCents.merge(a, WeightedAvgCents.merge(b, c))
+  }
+
+  property("zero is the merge identity") = forAll(buf) { a =>
+    WeightedAvgCents.merge(a, WeightedAvgCents.zero) == a &&
+      WeightedAvgCents.merge(WeightedAvgCents.zero, a) == a
+  }
+
+  property("any partition split yields the same buffer") =
+    forAll(Gen.listOf(pair), Gen.chooseNum(0, 100)) { (xs, cut) =>
+      val k = if (xs.isEmpty) 0 else cut % (xs.size + 1)
+      val (l, r) = xs.splitAt(k)
+      def fold(p: List[(Long, Long)]) = p.foldLeft(WeightedAvgCents.zero)(WeightedAvgCents.reduce)
+      WeightedAvgCents.merge(fold(l), fold(r)) == fold(xs)
+    }
+
+  property("finish is bounded by max value") = forAll(Gen.nonEmptyListOf(pair)) { xs =>
+    val b = xs.foldLeft(WeightedAvgCents.zero)(WeightedAvgCents.reduce)
+    val out = WeightedAvgCents.finish(b)
+    val vals = xs.filter(_._2 > 0).map(_._1 / 100.0)
+    vals.isEmpty || (out >= 0.0 && out <= vals.max + 1e-9)
+  }
+}
+
+/** Laws for the stub codec: the invariants a real codec must also hold
+  * (mass conservation, output bounds, determinism). */
+object StubCodecLaws extends Properties("StubCodec") {
+
+  private val payload = Gen.listOf(Gen.chooseNum(-128, 127).map(_.toByte)).map(_.toArray)
+
+  property("histogram mass equals byte count") = forAll(payload) { p =>
+    StubCodec.features(p)._1.sum == p.length
+  }
+
+  property("mean is within [0, 255]") = forAll(payload) { p =>
+    val m = StubCodec.features(p)._2
+    m >= 0.0 && m <= 255.0
+  }
+
+  property("features are deterministic") = forAll(payload) { p =>
+    val (h1, m1) = StubCodec.features(p)
+    val (h2, m2) = StubCodec.features(p)
+    h1.sameElements(h2) && m1 == m2
+  }
+
+  property("resize never exceeds target or source length") =
+    forAll(payload, Gen.chooseNum(1, 64)) { (p, t) =>
+      val out = StubCodec.resize(p, t)
+      out.length <= t && out.length <= p.length && out.forall(v => v >= 0 && v <= 255)
+    }
+}
+
+/** Routing-law check on the pure CASE-fold semantics (SURVEY.md §5:
+  * "fallback totality; key format") without a SparkSession: the
+  * mapping fold used by CdcOps.route is Map.get + orElse fallback. */
+object RouterLaws extends Properties("router") {
+  private val topic = Gen.alphaNumStr.suchThat(_.nonEmpty)
+  private val mapping = Gen.mapOf(Gen.zip(topic, topic))
+
+  property("with fallback every table routes") =
+    forAll(mapping, topic, topic) { (m, fb, t) =>
+      m.getOrElse(t, fb).nonEmpty
+    }
+
+  property("mapped tables win over fallback") =
+    forAll(mapping, topic) { (m, fb) =>
+      m.forall { case (t, dest) => m.getOrElse(t, fb) == dest }
+    }
+}

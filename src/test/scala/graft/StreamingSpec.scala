@@ -78,14 +78,16 @@ class StreamingSpec extends SparkSpec {
     val wire = CdcPipeline.toWire(CdcPipeline.validated(in.toDF()),
       Map("events" -> "topic.events"), fallback = Some("topic.default"))
     var sinkACalls = 0
+    // data must exist BEFORE start: AvailableNow snapshots offsets at
+    // query start, so later addData would be invisible to this run
+    in.addData(ev(1), ev(2, table = "other"))
     val q = CdcPipeline.muxFanout(wire, Seq(
         "a" -> { b => sinkACalls += 1; b.write.mode("append").parquet(s"$tmp/a") },
         "b" -> { b => b.write.mode("append").parquet(s"$tmp/b") }),
       checkpoint = s"$tmp/ckpt",
       trigger = org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
     try {
-      in.addData(ev(1), ev(2, table = "other"))
-      q.awaitTermination(30000)
+      assert(q.awaitTermination(60000), "stream did not finish in time")
       val a = spark.read.parquet(s"$tmp/a")
       val b = spark.read.parquet(s"$tmp/b")
       // both sinks saw the same single batch (fan-out reads source once)
@@ -112,14 +114,15 @@ class StreamingSpec extends SparkSpec {
         Seq("p" -> { b => b.write.mode("append").parquet(s"$tmp/out") }),
         checkpoint = s"$tmp/ckpt",
         trigger = org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
-    val q1 = start(in)
+    // data before start: AvailableNow snapshots offsets at query start
     in.addData(ev(10), ev(11))
-    q1.awaitTermination(30000); q1.stop()
+    val q1 = start(in)
+    assert(q1.awaitTermination(60000), "first run did not finish"); q1.stop()
     assert(spark.read.parquet(s"$tmp/out").count() === 2)
     // restart from the same checkpoint with the same source content:
     // committed offsets are not re-emitted (C1 commit-point semantics)
     val q2 = start(in)
-    q2.awaitTermination(30000); q2.stop()
+    assert(q2.awaitTermination(60000), "restart did not finish"); q2.stop()
     assert(spark.read.parquet(s"$tmp/out").count() === 2)
   }
 }
