@@ -131,21 +131,27 @@ object DedupOps {
 
   /** MinHash signatures: for seed j in [0,12), min over shingles of
     * md5(j:shingle). The min-of-md5-hex-string IS a valid minhash (any
-    * consistent total order works); md5 keeps it oracle-reproducible. */
+    * consistent total order works); md5 keeps it oracle-reproducible.
+    *
+    * Plan shape: all 12 seeded hashes are computed map-side as columns
+    * and reduced by ONE groupBy(doc_id) carrying 12 min-aggregates —
+    * not an explode to (doc_id, seed) rows, which would shuffle 12× the
+    * data for the same answer. Band keys then fan out 4 rows per doc
+    * from the aggregated signature (4 rows/doc is nothing; 12 rows per
+    * SHINGLE was the expensive version). */
   def minhashBands(sh: DataFrame): DataFrame = {
-    val seeded = sh
-      .select(col("doc_id"), col("shingle"),
-        explode(sequence(lit(0), lit(NumHashes - 1))).as("seed"))
-      .withColumn("h", md5(concat(col("seed").cast("string"), lit(":"), col("shingle")).cast("binary")))
-    seeded
-      .groupBy(col("doc_id"), col("seed"))
-      .agg(min(col("h")).as("minh"))
-      .withColumn("band", expr("seed DIV 3"))
-      .groupBy(col("doc_id"), col("band"))
-      .agg(md5(array_join(
-        transform(sort_array(collect_list(struct(col("seed"), col("minh")))),
-          s => s.getField("minh")),
-        ",").cast("binary")).as("bkey"))
+    val mins = (0 until NumHashes).map { j =>
+      min(md5(concat(lit(j.toString), lit(":"), col("shingle")).cast("binary"))).as(s"m$j")
+    }
+    val sig = sh.groupBy(col("doc_id")).agg(mins.head, mins.tail: _*)
+    val bands = (0 until NumHashes / BandSize).map { b =>
+      struct(lit(b).as("band"),
+        md5(concat_ws(",",
+          (0 until BandSize).map(i => col(s"m${b * BandSize + i}")): _*)
+          .cast("binary")).as("bkey"))
+    }
+    sig.select(col("doc_id"), explode(array(bands: _*)).as("bb"))
+      .select(col("doc_id"), col("bb.band"), col("bb.bkey"))
   }
 
   /** MinHash+LSH near-dup: band-bucket join → candidate pairs →

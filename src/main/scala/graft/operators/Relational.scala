@@ -398,7 +398,7 @@ object Relational {
   def qApproxDistinct(spark: SparkSession, sfDir: String): DataFrame =
     Tables.lineitem(spark, sfDir)
       .groupBy(col("l_returnflag"))
-      .agg(approx_count_distinct(col("l_orderkey"), 0.02).as("approx_orders"),
+      .agg(approx_count_distinct(col("l_orderkey")).as("approx_orders"),
         countDistinct(col("l_orderkey")).as("exact_orders"))
       .orderBy(col("l_returnflag"))
 
