@@ -220,6 +220,39 @@ object CdcOps {
       |  substr(h,1,8)||'-'||substr(h,9,4)||'-'||substr(h,13,4)||'-'||substr(h,17,4)||'-'||substr(h,21,12) AS uuid
       |FROM replayed ORDER BY event_id""".stripMargin
 
+  /** F1 dead-letter variant: instead of silently dropping invalid rows
+    * (the reference logs-and-skips, kafka.go:181-192), tag every row
+    * valid→its route / invalid→the DLQ topic with a reason. One pass,
+    * no shuffle; at 100 TB the DLQ branch is the difference between
+    * debuggable ingestion and silent data loss. */
+  def qDeadLetter(spark: SparkSession, sfDir: String): DataFrame = {
+    val k = get_json_object(col("props"), "$.k")
+    val routed = route(Tables.events(spark, sfDir), col("event_type"),
+      routing, fallback = Some("topic.default"))
+    routed
+      .withColumn("is_valid", k.isNotNull)
+      .withColumn("dest",
+        when(col("is_valid"), col("topic")).otherwise(lit("topic.dlq")))
+      .withColumn("reason",
+        when(col("is_valid"), lit(null).cast("string"))
+          .otherwise(lit("missing_row_image_key")))
+      .groupBy(col("dest"), col("reason"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("dest"), col("reason"))
+  }
+
+  val qDeadLetterOracle: String =
+    """WITH t AS (
+      |  SELECT CASE WHEN json_extract_string(props, '$.k') IS NOT NULL
+      |    THEN CASE event_type WHEN 'signup' THEN 'topic.users'
+      |         WHEN 'purchase' THEN 'topic.txn' ELSE 'topic.default' END
+      |    ELSE 'topic.dlq' END AS dest,
+      |  CASE WHEN json_extract_string(props, '$.k') IS NOT NULL THEN NULL
+      |       ELSE 'missing_row_image_key' END AS reason
+      |  FROM events)
+      |SELECT dest, reason, COUNT(*) AS n FROM t
+      |GROUP BY dest, reason ORDER BY dest, reason""".stripMargin
+
   /** P2 schema-registry analog: a typed per-table view. The reference
     * caches Relation metadata to decode tuples (postgres.go:301-305);
     * Spark's equivalent is a per-table StructType applied with
@@ -277,7 +310,8 @@ object CdcOps {
     "cdc_serialize" -> (qSerialize _),
     "cdc_dedup_uuid" -> (qDedupUuid _),
     "cdc_batch_windows" -> (qBatchWindows _),
-    "cdc_typed_view" -> (qTypedView _))
+    "cdc_typed_view" -> (qTypedView _),
+    "cdc_dead_letter" -> (qDeadLetter _))
 
   val oracles: Map[String, String] = Map(
     "cdc_envelope" -> qEnvelopeOracle,
@@ -287,5 +321,6 @@ object CdcOps {
     "cdc_serialize" -> qSerializeOracle,
     "cdc_dedup_uuid" -> qDedupUuidOracle,
     "cdc_batch_windows" -> qBatchWindowsOracle,
-    "cdc_typed_view" -> qTypedViewOracle)
+    "cdc_typed_view" -> qTypedViewOracle,
+    "cdc_dead_letter" -> qDeadLetterOracle)
 }

@@ -110,11 +110,78 @@ object SimilarityOps {
        |FROM rk WHERE rank <= 3
        |ORDER BY q_id, rank""".stripMargin
 
+  private val NumCentroids = 8
+
+  /** IVF-style ANN: a coarse quantizer assigns every vector to its
+    * nearest centroid (here: the first 8 vectors as deterministic
+    * centroids — a production build k-means-trains them; the plan is
+    * identical), queries probe ONLY their own cell (nprobe=1), exact
+    * cosine ranks within the cell. At 100 TB the corpus is stored
+    * partitioned BY cell, so a probe reads 1/K of the data — the
+    * partition-pruned layout LSH cannot give you (its buckets are
+    * computed, not stored). Assignment is one broadcast join against
+    * K centroids + an argmax window — no shuffle of the corpus. */
+  def qSimIvf(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = DedupOps.normedVectors(Tables.embeddings(spark, sfDir))
+    val cent = broadcast(
+      e.filter(col("vec_id") < NumCentroids)
+        .select(col("vec_id").as("cid"), col("v").as("cv"), col("nrm").as("cn")))
+    val wAsg = Window.partitionBy(col("vec_id"))
+      .orderBy(col("ccos").desc, col("cid"))
+    val assigned = e.join(cent)
+      .withColumn("ccos", DedupOps.dot(col("v"), col("cv")) / (col("nrm") * col("cn")))
+      .withColumn("rn", row_number().over(wAsg))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("v"), col("nrm"), col("cid"))
+    val q = broadcast(
+      assigned.filter(col("vec_id") < NumQueries)
+        .select(col("vec_id").as("q_id"), col("v").as("qv"),
+          col("nrm").as("qn"), col("cid")))
+    val wRank = Window.partitionBy(col("q_id"))
+      .orderBy(col("cosine").desc, col("n_id"))
+    assigned.select(col("vec_id").as("n_id"), col("v").as("nv"),
+        col("nrm").as("nn"), col("cid"))
+      .join(q, Seq("cid"))
+      .filter(col("q_id") =!= col("n_id"))
+      .withColumn("cosine", DedupOps.dot(col("qv"), col("nv")) / (col("qn") * col("nn")))
+      .withColumn("rank", row_number().over(wRank))
+      .filter(col("rank") <= 3)
+      .select(col("q_id"), col("rank"), col("n_id"),
+        round(col("cosine"), 6).as("cosine_r"))
+      .orderBy("q_id", "rank")
+  }
+
+  val qSimIvfOracle: String =
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+       |cent AS (SELECT vec_id AS cid, v AS cv, nrm AS cn FROM n WHERE vec_id < $NumCentroids),
+       |asg AS (
+       |  SELECT vec_id, v, nrm, cid,
+       |    row_number() OVER (PARTITION BY vec_id
+       |      ORDER BY list_dot_product(v, cv) / (nrm * cn) DESC, cid) AS rn
+       |  FROM n CROSS JOIN cent),
+       |a AS (SELECT vec_id, v, nrm, cid FROM asg WHERE rn = 1),
+       |q AS (SELECT vec_id AS q_id, v AS qv, nrm AS qn, cid FROM a WHERE vec_id < $NumQueries),
+       |scored AS (
+       |  SELECT q.q_id, c.vec_id AS n_id,
+       |    list_dot_product(q.qv, c.v) / (q.qn * c.nrm) AS cosine
+       |  FROM a c JOIN q ON c.cid = q.cid AND q.q_id != c.vec_id),
+       |rk AS (
+       |  SELECT q_id, n_id, cosine,
+       |    row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, n_id) AS rank
+       |  FROM scored)
+       |SELECT q_id, rank, n_id, round(cosine, 6) AS cosine_r
+       |FROM rk WHERE rank <= 3
+       |ORDER BY q_id, rank""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sim_bruteforce_topk" -> (qSimBruteForce _),
-    "sim_lsh_bucketed" -> (qSimLshBucketed _))
+    "sim_lsh_bucketed" -> (qSimLshBucketed _),
+    "sim_ivf_probe" -> (qSimIvf _))
 
   val oracles: Map[String, String] = Map(
     "sim_bruteforce_topk" -> qSimBruteForceOracle,
-    "sim_lsh_bucketed" -> qSimLshBucketedOracle)
+    "sim_lsh_bucketed" -> qSimLshBucketedOracle,
+    "sim_ivf_probe" -> qSimIvfOracle)
 }
