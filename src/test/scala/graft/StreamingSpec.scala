@@ -125,4 +125,35 @@ class StreamingSpec extends SparkSpec {
     assert(q2.awaitTermination(60000), "restart did not finish"); q2.stop()
     assert(spark.read.parquet(s"$tmp/out").count() === 2)
   }
+
+  test("deleting the checkpoint rewinds and replays (C3 walPositionOverride)") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val tmp = Files.createTempDirectory("graft-rewind").toString
+    val in = MemoryStream[ChangeEvent]
+    def start() =
+      CdcPipeline.muxFanout(
+        CdcPipeline.toWire(in.toDF(), Map("events" -> "t.e"), Some("t.d")),
+        Seq("p" -> { b => b.write.mode("append").parquet(s"$tmp/out") }),
+        checkpoint = s"$tmp/ckpt",
+        trigger = org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    in.addData(ev(20), ev(21))
+    val q1 = start()
+    assert(q1.awaitTermination(60000)); q1.stop()
+    assert(spark.read.parquet(s"$tmp/out").count() === 2)
+    // rewind: wipe the progress store (≡ walPositionOverride to 0,
+    // postgres.go:131-140) → the source replays from the beginning,
+    // at-least-once duplicates appear, and uuid-dedup repairs them
+    import scala.reflect.io.Directory
+    new Directory(new java.io.File(s"$tmp/ckpt")).deleteRecursively()
+    val q2 = start()
+    assert(q2.awaitTermination(60000)); q2.stop()
+    val out = spark.read.parquet(s"$tmp/out")
+    assert(out.count() === 4) // replayed: duplicates visible (at-least-once)
+    val deduped = out.withColumn("uuid",
+      org.apache.spark.sql.functions.get_json_object(
+        org.apache.spark.sql.functions.col("value"), "$.uuid"))
+      .dropDuplicates("uuid")
+    assert(deduped.count() === 2) // idempotent downstream repair
+  }
 }
