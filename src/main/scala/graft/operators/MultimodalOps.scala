@@ -161,12 +161,46 @@ object MultimodalOps {
        |  CAST(frame_idx * $FrameBytes AS INT) AS byte_offset
        |FROM f ORDER BY doc_id, frame_idx""".stripMargin
 
+  private val WinSamples = 400  // 25 ms @ 16 kHz
+  private val HopSamples = 160  // 10 ms @ 16 kHz
+
+  /** Audio feature-frame math: 25 ms windows with 10 ms hop at the
+    * metadata's sample rate (payload bytes stand in for samples).
+    * Pure arithmetic on sizes — the planner-visible prelude every
+    * audio featurizer (MFCC, fbank) fans work out from; the decode
+    * inside each window would be the stub codec's job. */
+  def qAudioWindows(spark: SparkSession, sfDir: String): DataFrame =
+    mediaTable(spark, sfDir)
+      .filter(col("media_type") === "audio")
+      .select(col("doc_id"),
+        col("meta.sample_rate").as("sample_rate"),
+        length(col("payload")).as("n_samples"))
+      .withColumn("duration_ms",
+        expr("n_samples * 1000 DIV sample_rate").cast("long"))
+      .withColumn("n_windows",
+        when(col("n_samples") < WinSamples, 0)
+          .otherwise(expr(s"(n_samples - $WinSamples) DIV $HopSamples + 1"))
+          .cast("int"))
+      .orderBy(col("doc_id"))
+
+  val qAudioWindowsOracle: String =
+    s"""SELECT doc_id, 16000 AS sample_rate,
+       |  CAST(octet_length(encode(text)) AS INT) AS n_samples,
+       |  CAST(octet_length(encode(text)) * 1000 // 16000 AS BIGINT) AS duration_ms,
+       |  CAST(CASE WHEN octet_length(encode(text)) < $WinSamples THEN 0
+       |       ELSE (octet_length(encode(text)) - $WinSamples) // $HopSamples + 1
+       |       END AS INT) AS n_windows
+       |FROM documents WHERE doc_id % 3 = 1
+       |ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm_metadata" -> (qMetadata _),
     "mm_decode_features" -> (qDecodeFeatures _),
-    "mm_frame_sample" -> (qFrameSample _))
+    "mm_frame_sample" -> (qFrameSample _),
+    "mm_audio_windows" -> (qAudioWindows _))
 
   val oracles: Map[String, String] = Map(
     "mm_metadata" -> qMetadataOracle,
-    "mm_frame_sample" -> qFrameSampleOracle)
+    "mm_frame_sample" -> qFrameSampleOracle,
+    "mm_audio_windows" -> qAudioWindowsOracle)
 }

@@ -618,6 +618,69 @@ object Relational {
       |  COUNT(*) AS n
       |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
+  /** Batch sessionization: per-user sessions split at >30 min gaps —
+    * lag to detect boundaries, running sum to number sessions, one
+    * aggregate per session. Single shuffle on user_id shared by both
+    * windows and the final groupBy (same partitioning reused — Catalyst
+    * plans one Exchange). The batch twin of the streaming
+    * `session_window` in StatefulOps. */
+  def qSessionize(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("tus"), col("event_id"))
+    val ev = Tables.events(spark, sfDir)
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("tus"))
+    ev.withColumn("prev", lag(col("tus"), 1).over(byUser))
+      .withColumn("new_s",
+        when(col("prev").isNull || col("tus") - col("prev") > 1800000000L, 1)
+          .otherwise(0))
+      .withColumn("session_id",
+        sum(col("new_s")).over(byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(count(lit(1)).as("n_events"),
+        (min(col("tus")) / 1000000L).cast("long").as("start_s"),
+        (max(col("tus")) / 1000000L).cast("long").as("end_s"))
+      .orderBy(col("user_id"), col("session_id"))
+  }
+
+  val qSessionizeOracle: String =
+    """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS tus FROM events),
+      |b AS (SELECT user_id, event_id, tus,
+      |  CASE WHEN lag(tus) OVER w IS NULL
+      |         OR tus - lag(tus) OVER w > 1800000000 THEN 1 ELSE 0 END AS new_s
+      |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tus, event_id)),
+      |s AS (SELECT user_id, tus,
+      |  SUM(new_s) OVER (PARTITION BY user_id ORDER BY tus, event_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      |  FROM b)
+      |SELECT user_id, session_id, COUNT(*) AS n_events,
+      |  CAST(min(tus) // 1000000 AS BIGINT) AS start_s,
+      |  CAST(max(tus) // 1000000 AS BIGINT) AS end_s
+      |FROM s GROUP BY user_id, session_id
+      |ORDER BY user_id, session_id""".stripMargin
+
+  /** Pivot: order counts per priority × status, fixed pivot values so
+    * the schema is static (dynamic pivot would need a driver-side
+    * distinct — fine at 25 values, wrong at 25 million; always pin
+    * pivot columns at scale). */
+  def qPivot(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.orders(spark, sfDir)
+      .groupBy(col("o_orderpriority"))
+      .pivot("o_orderstatus", Seq("F", "O", "P"))
+      .agg(count(lit(1)))
+      .na.fill(0L)
+      .withColumnRenamed("F", "n_f")
+      .withColumnRenamed("O", "n_o")
+      .withColumnRenamed("P", "n_p")
+      .orderBy(col("o_orderpriority"))
+
+  val qPivotOracle: String =
+    """SELECT o_orderpriority,
+      |  COUNT(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS n_f,
+      |  COUNT(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS n_o,
+      |  COUNT(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS n_p
+      |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_pricing_summary" -> (q1PricingSummary _),
     "q3_shipping_priority" -> (q3ShippingPriority _),
@@ -640,7 +703,9 @@ object Relational {
     "q17_correlated_avg" -> (qCorrelatedAvg _),
     "q18_having_in" -> (qHavingIn _),
     "q7_nation_pairs" -> (qNationPairs _),
-    "q_udaf_weighted_avg" -> (qWeightedAvg _))
+    "q_udaf_weighted_avg" -> (qWeightedAvg _),
+    "q_sessionize" -> (qSessionize _),
+    "q_pivot" -> (qPivot _))
 
   val oracles: Map[String, String] = Map(
     "q1_pricing_summary" -> q1Oracle,
@@ -663,6 +728,8 @@ object Relational {
     "q17_correlated_avg" -> qCorrelatedAvgOracle,
     "q18_having_in" -> qHavingInOracle,
     "q7_nation_pairs" -> qNationPairsOracle,
-    "q_udaf_weighted_avg" -> qWeightedAvgOracle)
+    "q_udaf_weighted_avg" -> qWeightedAvgOracle,
+    "q_sessionize" -> qSessionizeOracle,
+    "q_pivot" -> qPivotOracle)
     // q_approx_distinct intentionally has no oracle (sketch-based).
 }
