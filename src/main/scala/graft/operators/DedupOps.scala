@@ -259,21 +259,26 @@ object DedupOps {
     * key = simhash → canonical = min doc_id). At 100 TB: 64-bit
     * fingerprints + hamming-ball probing over rotated tables; the plan
     * shape (explode → two tiny-key groupBys) is identical. */
-  def qDedupSimhash(spark: SparkSession, sfDir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val tok = Tables.documents(spark, sfDir)
+  /** 16-bit SimHash per document (doc_id, simhash) — shared by the
+    * exact-cluster and hamming-near-match queries. */
+  def simhashes(docs: DataFrame): DataFrame = {
+    val tok = docs
       .select(col("doc_id"),
         explode(array_distinct(split(col("text"), " "))).as("tk"))
       .withColumn("hv", conv(substring(md5(col("tk").cast("binary")), 1, 4), 16, 10).cast("int"))
-    val bits = tok
+    tok
       .select(col("doc_id"), col("hv"),
         explode(sequence(lit(0), lit(15))).as("b"))
       .groupBy(col("doc_id"), col("b"))
       .agg(sum(expr("CASE WHEN (hv >> b) & 1 = 1 THEN 1 ELSE -1 END")).as("w"))
-    bits
       .groupBy(col("doc_id"))
       .agg(sum(expr("CASE WHEN w > 0 THEN shiftleft(CAST(1 AS BIGINT), b) ELSE CAST(0 AS BIGINT) END"))
         .as("simhash"))
+  }
+
+  def qDedupSimhash(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    simhashes(Tables.documents(spark, sfDir))
       .withColumn("canonical_id",
         min(col("doc_id")).over(Window.partitionBy(col("simhash"))))
       .withColumn("is_dup", (col("doc_id") =!= col("canonical_id")).cast("int"))
@@ -297,6 +302,61 @@ object DedupOps {
       |  min(doc_id) OVER (PARTITION BY simhash) AS canonical_id,
       |  CAST(doc_id != min(doc_id) OVER (PARTITION BY simhash) AS INT) AS is_dup
       |FROM sh ORDER BY doc_id""".stripMargin
+
+  /** SimHash NEAR-match via the pigeonhole chunk join: any pair within
+    * Hamming distance ≤ 1 of a 16-bit hash must agree exactly on one
+    * of its two 8-bit chunks — so candidates come from an EQUI-join on
+    * (chunk_idx, chunk_value), never a quadratic bit-count scan, and
+    * only candidates pay the exact Hamming verification
+    * (`bit_count(xor)`). Same asymmetry as MinHash banding. Chunk
+    * width sets the recall/cost trade: k chunks catch distance ≤ k-1,
+    * and the candidate volume scales with n²/2^width per chunk — at
+    * 64-bit hashes, 4×16-bit chunks (d ≤ 3) keep buckets sparse; this
+    * 16-bit demo hash needs 8-bit chunks to stay sparse at all. */
+  def qDedupSimhashHamming(spark: SparkSession, sfDir: String): DataFrame = {
+    val maxHamming = 1
+    val sh = simhashes(Tables.documents(spark, sfDir))
+    val chunks = sh.select(col("doc_id"), col("simhash"),
+        explode(sequence(lit(0), lit(1))).as("c"))
+      .withColumn("cv", expr("(simhash >> (c * 8)) & 255"))
+    val cand = chunks.as("a")
+      .join(chunks.as("b"),
+        col("a.c") === col("b.c") && col("a.cv") === col("b.cv") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("a_id"), col("a.simhash").as("ha"),
+        col("b.doc_id").as("b_id"), col("b.simhash").as("hb"))
+      .distinct()
+    cand
+      .withColumn("hamming", bit_count(expr("ha ^ hb")))
+      .filter(col("hamming") <= maxHamming && col("hamming") > 0)
+      .select(col("a_id"), col("b_id"), col("hamming"))
+      .orderBy("a_id", "b_id")
+  }
+
+  val qDedupSimhashHammingOracle: String =
+    """WITH tok AS (
+      |  SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS tk FROM documents),
+      |h AS (SELECT doc_id, CAST('0x' || substr(md5(tk), 1, 4) AS INT) AS hv FROM tok),
+      |bits AS (
+      |  SELECT doc_id, b.b,
+      |         SUM(CASE WHEN (hv >> b.b) & 1 = 1 THEN 1 ELSE -1 END) AS w
+      |  FROM h, (SELECT unnest(generate_series(0, 15)) AS b) b GROUP BY 1, 2),
+      |sh AS (
+      |  SELECT doc_id,
+      |         SUM(CASE WHEN w > 0 THEN CAST(1 AS BIGINT) << b ELSE 0 END) AS simhash
+      |  FROM bits GROUP BY 1),
+      |chunks AS (
+      |  SELECT doc_id, simhash, c.c, (simhash >> (c.c * 8)) & 255 AS cv
+      |  FROM sh, (SELECT unnest(generate_series(0, 1)) AS c) c),
+      |cand AS (
+      |  SELECT DISTINCT a.doc_id AS a_id, a.simhash AS ha,
+      |         b.doc_id AS b_id, b.simhash AS hb
+      |  FROM chunks a JOIN chunks b
+      |    ON a.c = b.c AND a.cv = b.cv AND a.doc_id < b.doc_id)
+      |SELECT a_id, b_id, CAST(bit_count(xor(ha, hb)) AS INT) AS hamming
+      |FROM cand
+      |WHERE bit_count(xor(ha, hb)) <= 1 AND bit_count(xor(ha, hb)) > 0
+      |ORDER BY a_id, b_id""".stripMargin
 
   // ---- 5. embedding-cosine near-dup ----
 
@@ -344,6 +404,7 @@ object DedupOps {
     "dedup_jaccard_capped" -> (qDedupJaccardCapped _),
     "dedup_minhash_lsh" -> (qDedupMinhashLsh _),
     "dedup_simhash" -> (qDedupSimhash _),
+    "dedup_simhash_hamming" -> (qDedupSimhashHamming _),
     "dedup_embedding_cosine" -> (qDedupEmbedding _))
 
   val oracles: Map[String, String] = Map(
@@ -352,5 +413,6 @@ object DedupOps {
     "dedup_jaccard_capped" -> qDedupJaccardCappedOracle,
     "dedup_minhash_lsh" -> qDedupMinhashLshOracle,
     "dedup_simhash" -> qDedupSimhashOracle,
+    "dedup_simhash_hamming" -> qDedupSimhashHammingOracle,
     "dedup_embedding_cosine" -> qDedupEmbeddingOracle)
 }
