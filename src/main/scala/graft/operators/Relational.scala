@@ -659,6 +659,33 @@ object Relational {
       |FROM s GROUP BY user_id, session_id
       |ORDER BY user_id, session_id""".stripMargin
 
+  /** RANGE window frame (value-based, vs the ROWS frames elsewhere):
+    * per customer, how many of their orders fall within ±7 days of
+    * each order — the moving-neighborhood count. RANGE frames bound
+    * state by ORDER-BY value, not row count, so ties and gaps behave
+    * correctly; epoch seconds give both engines the same arithmetic. */
+  def qRangeFrame(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val week = 7L * 86400
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("t"))
+      .rangeBetween(-week, week)
+    Tables.orders(spark, sfDir)
+      .select(col("o_orderkey"), col("o_custkey"),
+        // orderdate is TIMESTAMP_NTZ; go through an explicit UTC cast
+        // for epoch seconds (session TZ is pinned UTC on both engines)
+        unix_seconds(col("o_orderdate").cast("timestamp")).as("t"))
+      .withColumn("neighbors", count(lit(1)).over(w))
+      .select(col("o_orderkey"), col("o_custkey"), col("neighbors"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  val qRangeFrameOracle: String =
+    """SELECT o_orderkey, o_custkey,
+      |  COUNT(*) OVER (PARTITION BY o_custkey ORDER BY epoch(o_orderdate)
+      |    RANGE BETWEEN 604800 PRECEDING AND 604800 FOLLOWING) AS neighbors
+      |FROM orders ORDER BY o_orderkey""".stripMargin
+
   /** Pivot: order counts per priority × status, fixed pivot values so
     * the schema is static (dynamic pivot would need a driver-side
     * distinct — fine at 25 values, wrong at 25 million; always pin
@@ -705,7 +732,8 @@ object Relational {
     "q7_nation_pairs" -> (qNationPairs _),
     "q_udaf_weighted_avg" -> (qWeightedAvg _),
     "q_sessionize" -> (qSessionize _),
-    "q_pivot" -> (qPivot _))
+    "q_pivot" -> (qPivot _),
+    "q_window_range_frame" -> (qRangeFrame _))
 
   val oracles: Map[String, String] = Map(
     "q1_pricing_summary" -> q1Oracle,
@@ -730,6 +758,7 @@ object Relational {
     "q7_nation_pairs" -> qNationPairsOracle,
     "q_udaf_weighted_avg" -> qWeightedAvgOracle,
     "q_sessionize" -> qSessionizeOracle,
-    "q_pivot" -> qPivotOracle)
+    "q_pivot" -> qPivotOracle,
+    "q_window_range_frame" -> qRangeFrameOracle)
     // q_approx_distinct intentionally has no oracle (sketch-based).
 }
