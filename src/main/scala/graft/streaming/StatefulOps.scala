@@ -82,4 +82,53 @@ object StatefulOps {
 
   /** Output mode required by runningCounts sinks. */
   val runningCountsOutputMode: OutputMode = OutputMode.Update()
+
+  /** Stream-static enrichment join: each change event picks up its
+    * table's static dimension row (owner, tier, …). The static side is
+    * broadcast — re-resolved per micro-batch, so a dimension refresh
+    * lands without restarting the stream. No state, no watermark: the
+    * static side is never late. */
+  def enriched(envelopes: DataFrame, tableDim: DataFrame): DataFrame =
+    envelopes.join(org.apache.spark.sql.functions.broadcast(tableDim),
+      Seq("table"), "left")
+
+  case class TableSession(table: String, start_ms: Long, end_ms: Long, n: Long)
+
+  /** Closed-session emission via flatMapGroupsWithState + event-time
+    * timeout: a per-table session stays open while events keep arriving
+    * within `gapSec`; once the watermark passes last-event + gap, the
+    * timeout fires and the CLOSED session is emitted exactly once.
+    * This is the custom-state generalization of `session_window` —
+    * the shape to reach for when the per-group logic outgrows what
+    * windows express (mixed timeout kinds, speculative emits, side
+    * outputs). State is one small tuple per active key, watermark-
+    * bounded — O(active keys), never O(stream). */
+  def closedSessions(envelopes: Dataset[ChangeEvent], gapSec: Long = 60)
+      : Dataset[TableSession] = {
+    import envelopes.sparkSession.implicits._
+    envelopes
+      .withWatermark("timestamp", "0 seconds")
+      .groupByKey(_.table)
+      .flatMapGroupsWithState[TableSession, TableSession](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (table: String, events: Iterator[ChangeEvent],
+         state: GroupState[TableSession]) =>
+          if (state.hasTimedOut) {
+            val closed = state.get
+            state.remove()
+            Iterator(closed)
+          } else {
+            val ts = events.map(_.timestamp.getTime).toSeq
+            val cur = state.getOption.getOrElse(
+              TableSession(table, ts.min, ts.max, 0L))
+            val next = TableSession(table,
+              math.min(cur.start_ms, ts.min),
+              math.max(cur.end_ms, ts.max),
+              cur.n + ts.size)
+            state.update(next)
+            state.setTimeoutTimestamp(next.end_ms + gapSec * 1000)
+            Iterator.empty
+          }
+      }
+  }
 }

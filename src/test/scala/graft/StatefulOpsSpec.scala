@@ -56,6 +56,53 @@ class StatefulOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-static join enriches events from a broadcast dimension") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val dim = Seq(("users", "team-identity"), ("orders", "team-billing"))
+      .toDF("table", "owner")
+    val in = MemoryStream[ChangeEvent]
+    val q = StatefulOps.enriched(in.toDF(), dim)
+      .writeStream.format("memory").queryName("enriched_out")
+      .outputMode("append").start()
+    try {
+      in.addData(ev(1, table = "users"), ev(2, table = "orders"), ev(3, table = "misc"))
+      q.processAllAvailable()
+      val got = spark.table("enriched_out")
+        .select("table", "owner").collect()
+        .map(r => r.getString(0) -> r.getString(1)).toMap
+      assert(got === Map("users" -> "team-identity",
+        "orders" -> "team-billing", "misc" -> null))
+    } finally q.stop()
+  }
+
+  test("flatMapGroupsWithState emits a session once its timeout passes") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val in = MemoryStream[ChangeEvent]
+    val q = StatefulOps.closedSessions(in.toDS(), gapSec = 60)
+      .writeStream.format("memory").queryName("closed_out")
+      .outputMode("append").start()
+    try {
+      // session on table A: two events 10s apart
+      in.addData(ev(1, table = "a"), ev(2, table = "a", offsetSec = 10))
+      q.processAllAvailable()
+      assert(spark.table("closed_out").count() === 0) // still open
+      // an event far in the future advances the watermark past a's
+      // timeout (end + 60s) → a's session closes
+      in.addData(ev(3, table = "b", offsetSec = 600))
+      q.processAllAvailable()
+      in.addData(ev(4, table = "b", offsetSec = 1200)) // extra batch to fire timeouts
+      q.processAllAvailable()
+      val closed = spark.table("closed_out").collect()
+      assert(closed.length === 1)
+      val s = closed.head
+      assert(s.getAs[String]("table") === "a")
+      assert(s.getAs[Long]("n") === 2)
+      assert(s.getAs[Long]("end_ms") - s.getAs[Long]("start_ms") === 10000L)
+    } finally q.stop()
+  }
+
   test("mapGroupsWithState accumulates per-table counts across batches") {
     import spark.implicits._
     implicit val sc = spark.sqlContext
