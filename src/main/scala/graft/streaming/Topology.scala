@@ -45,6 +45,19 @@ object Topology {
     }
   }
 
+  /** Graceful shutdown (reference: handleShutdown, main.go:59-96 —
+    * stop intake, flush buffered batches to sinks, then close): drain
+    * every query's available data so the final micro-batch commits,
+    * then stop. A plain `stop()` mid-batch would be safe too (replay
+    * on next start) but loses the "flush on shutdown" promptness. */
+  def stopAll(queries: Seq[StreamingQuery]): Unit = {
+    queries.foreach { q =>
+      try q.processAllAvailable()
+      catch { case _: Throwable => } // already-failed query: just stop it
+      q.stop()
+    }
+  }
+
   /** Build + start every per-source streaming query. Sinks subscribing
     * to the same source share one query (single read, multi-write);
     * each source checkpoints independently, so one source stalling

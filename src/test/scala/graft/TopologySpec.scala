@@ -89,7 +89,8 @@ class TopologySpec extends SparkSpec {
       assert(mon.rowsProcessed("graft-src1") >= 3)
       assert(mon.healthy)
     } finally {
-      queries.foreach(_.stop())
+      Topology.stopAll(queries) // graceful: drain final batch, then stop
+      assert(queries.forall(!_.isActive))
       spark.streams.removeListener(mon)
     }
   }
