@@ -708,6 +708,36 @@ object Relational {
       |  COUNT(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS n_p
       |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
 
+  /** Exact per-group median via rank selection (lower median at
+    * position ceil(n/2)). Engines disagree on quantile interpolation
+    * (Spark percentile vs DuckDB quantile_cont), so the portable exact
+    * form is order-statistics selection — value at a rank is
+    * interpolation-free. Ties are safe: equal values at the cut rank
+    * yield the same result under any tie order. One shuffle on the
+    * group key; at 100 TB swap in approx_percentile for the same plan
+    * minus the per-group sort. */
+  def qMedian(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("l_returnflag")).orderBy(col("l_quantity"))
+    Tables.lineitem(spark, sfDir)
+      .select(col("l_returnflag"), col("l_quantity"))
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy(col("l_returnflag"))))
+      .filter(col("rn") === expr("(n + 1) DIV 2")) // integer div: lower median
+      .select(col("l_returnflag"), col("l_quantity").as("median_qty"), col("n"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  val qMedianOracle: String =
+    """WITH r AS (
+      |  SELECT l_returnflag, l_quantity,
+      |    row_number() OVER (PARTITION BY l_returnflag ORDER BY l_quantity) AS rn,
+      |    COUNT(*) OVER (PARTITION BY l_returnflag) AS n
+      |  FROM lineitem)
+      |SELECT l_returnflag, l_quantity AS median_qty, n
+      |FROM r WHERE rn = (n + 1) // 2
+      |ORDER BY l_returnflag""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_pricing_summary" -> (q1PricingSummary _),
     "q3_shipping_priority" -> (q3ShippingPriority _),
@@ -733,7 +763,8 @@ object Relational {
     "q_udaf_weighted_avg" -> (qWeightedAvg _),
     "q_sessionize" -> (qSessionize _),
     "q_pivot" -> (qPivot _),
-    "q_window_range_frame" -> (qRangeFrame _))
+    "q_window_range_frame" -> (qRangeFrame _),
+    "q_median_exact" -> (qMedian _))
 
   val oracles: Map[String, String] = Map(
     "q1_pricing_summary" -> q1Oracle,
@@ -759,6 +790,7 @@ object Relational {
     "q_udaf_weighted_avg" -> qWeightedAvgOracle,
     "q_sessionize" -> qSessionizeOracle,
     "q_pivot" -> qPivotOracle,
-    "q_window_range_frame" -> qRangeFrameOracle)
+    "q_window_range_frame" -> qRangeFrameOracle,
+    "q_median_exact" -> qMedianOracle)
     // q_approx_distinct intentionally has no oracle (sketch-based).
 }
