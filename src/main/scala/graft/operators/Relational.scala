@@ -738,6 +738,26 @@ object Relational {
       |FROM r WHERE rn = (n + 1) // 2
       |ORDER BY l_returnflag""".stripMargin
 
+  /** The engine's SQL-string front door (graft.Sql): the same plan a
+    * DataFrame build produces, from an ANSI SQL string over registered
+    * views — proving a SQL-first user can drive the engine unchanged. */
+  def qSqlInterface(spark: SparkSession, sfDir: String): DataFrame =
+    graft.Sql.run(spark, sfDir,
+      """SELECT year(o_orderdate) AS y, o_orderstatus,
+        |  COUNT(*) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM orders
+        |GROUP BY year(o_orderdate), o_orderstatus
+        |ORDER BY y, o_orderstatus""".stripMargin)
+
+  val qSqlInterfaceOracle: String =
+    """SELECT CAST(year(o_orderdate) AS INT) AS y, o_orderstatus,
+      |  COUNT(*) AS n,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+      |FROM orders
+      |GROUP BY year(o_orderdate), o_orderstatus
+      |ORDER BY y, o_orderstatus""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_pricing_summary" -> (q1PricingSummary _),
     "q3_shipping_priority" -> (q3ShippingPriority _),
@@ -764,7 +784,8 @@ object Relational {
     "q_sessionize" -> (qSessionize _),
     "q_pivot" -> (qPivot _),
     "q_window_range_frame" -> (qRangeFrame _),
-    "q_median_exact" -> (qMedian _))
+    "q_median_exact" -> (qMedian _),
+    "q_sql_interface" -> (qSqlInterface _))
 
   val oracles: Map[String, String] = Map(
     "q1_pricing_summary" -> q1Oracle,
@@ -791,6 +812,7 @@ object Relational {
     "q_sessionize" -> qSessionizeOracle,
     "q_pivot" -> qPivotOracle,
     "q_window_range_frame" -> qRangeFrameOracle,
-    "q_median_exact" -> qMedianOracle)
+    "q_median_exact" -> qMedianOracle,
+    "q_sql_interface" -> qSqlInterfaceOracle)
     // q_approx_distinct intentionally has no oracle (sketch-based).
 }

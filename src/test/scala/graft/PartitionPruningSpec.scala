@@ -1,0 +1,37 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import java.nio.file.Files
+
+/** Scale-architecture spec: a year-partitioned layout + a year
+  * predicate must prune to one partition directory — the layout choice
+  * that turns a 100 TB full scan into a 1-year scan. Asserts the
+  * pruning in the plan (PartitionFilters), not just the answer. */
+class PartitionPruningSpec extends SparkSpec {
+
+  test("year-partitioned parquet prunes to the filtered year") {
+    val dir = Files.createTempDirectory("graft-part").toString
+    Tables.orders(spark, sf)
+      .withColumn("o_year", year(col("o_orderdate")))
+      .write.partitionBy("o_year").mode("overwrite").parquet(dir)
+
+    val q = spark.read.parquet(dir)
+      .filter(col("o_year") === 1997)
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"))
+    val rows = q.collect()
+    val expected = Tables.orders(spark, sf)
+      .filter(year(col("o_orderdate")) === 1997).count()
+    assert(rows.map(_.getAs[Long]("n")).sum === expected)
+
+    val plan = q.queryExecution.executedPlan.toString
+    // the year predicate must be a partition filter on the scan —
+    // pruned at planning, never evaluated per row
+    assert(plan.contains("PartitionFilters") && plan.contains("o_year"),
+      s"partition filter missing:\n$plan")
+    // and it must not survive as a post-scan data Filter
+    assert(!plan.linesIterator.exists(l =>
+      l.trim.startsWith("+- Filter") && l.contains("o_year")),
+      "year predicate was not pruned away")
+  }
+}
