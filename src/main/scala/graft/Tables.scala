@@ -27,7 +27,12 @@ object Tables {
     * so oracles must only compare ts at ≥1s granularity (date_trunc /
     * time_bucket / unix_seconds), never raw ts. */
   def events(spark: SparkSession, sfDir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // The flag is session-level (set at session build by Bench/Verify/
+    // tests). Set here ONLY if absent — a fallback for user-built
+    // sessions — rather than unconditionally flipping a global legacy
+    // conf on every table load.
+    if (!spark.conf.getOption("spark.sql.legacy.parquet.nanosAsLong").contains("true"))
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     table(spark, sfDir, "events")
       .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
         org.apache.spark.sql.functions.expr("ts DIV 1000")))

@@ -54,7 +54,10 @@ object DedupOps {
   /** Exact-Jaccard pairs from a (doc_id, shingle) relation: inverted-
     * index join + per-pair intersection count. Returns
     * (a_id, b_id, inter, jaccard). */
-  def jaccardPairs(sh: DataFrame): DataFrame = {
+  def jaccardPairs(sh0: DataFrame): DataFrame = {
+    // sh feeds the per-doc counts and BOTH sides of the inverted-index
+    // self-join — persist so the (exploded) relation is computed once
+    val sh = sh0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val counts = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val pairs = sh.as("a")
       .join(sh.as("b"),
@@ -133,7 +136,10 @@ object DedupOps {
     * query with its own oracle (same cap on both sides). */
   def qDedupJaccardCapped(spark: SparkSession, sfDir: String): DataFrame = {
     val maxDf = 20
+    // persisted: sh feeds the document-frequency agg AND the join that
+    // filters to rare shingles — one explode instead of two
     val sh = shingles(Tables.documents(spark, sfDir))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val rare = sh.groupBy(col("shingle"))
       .agg(count(lit(1)).as("df"))
       .filter(col("df") <= maxDf)
@@ -202,7 +208,13 @@ object DedupOps {
     * to |candidates|, never to the full pair matrix. That asymmetry is
     * the whole point of LSH at 100 TB. */
   def qDedupMinhashLsh(spark: SparkSession, sfDir: String): DataFrame = {
+    // The shingle relation feeds three consumers (band signatures, the
+    // collected sets, and both sides of the bucket self-join); without
+    // a persist each consumer re-explodes ~40× rows from parquet.
+    // Materializing it once cuts two full scans — the cache is freed by
+    // the session's cache manager (Bench clears it between queries).
     val sh = shingles(Tables.documents(spark, sfDir))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val bands = minhashBands(sh)
     val candidates = bands.as("a")
       .join(bands.as("b"),
@@ -296,7 +308,7 @@ object DedupOps {
       |  FROM h, (SELECT unnest(generate_series(0, 15)) AS b) b GROUP BY 1, 2),
       |sh AS (
       |  SELECT doc_id,
-      |         SUM(CASE WHEN w > 0 THEN CAST(1 AS BIGINT) << b ELSE 0 END) AS simhash
+      |         CAST(SUM(CASE WHEN w > 0 THEN CAST(1 AS BIGINT) << b ELSE 0 END) AS BIGINT) AS simhash
       |  FROM bits GROUP BY 1)
       |SELECT doc_id, simhash,
       |  min(doc_id) OVER (PARTITION BY simhash) AS canonical_id,
@@ -343,7 +355,7 @@ object DedupOps {
       |  FROM h, (SELECT unnest(generate_series(0, 15)) AS b) b GROUP BY 1, 2),
       |sh AS (
       |  SELECT doc_id,
-      |         SUM(CASE WHEN w > 0 THEN CAST(1 AS BIGINT) << b ELSE 0 END) AS simhash
+      |         CAST(SUM(CASE WHEN w > 0 THEN CAST(1 AS BIGINT) << b ELSE 0 END) AS BIGINT) AS simhash
       |  FROM bits GROUP BY 1),
       |chunks AS (
       |  SELECT doc_id, simhash, c.c, (simhash >> (c.c * 8)) & 255 AS cv

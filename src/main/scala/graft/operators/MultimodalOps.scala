@@ -124,8 +124,13 @@ object MultimodalOps {
           StubCodec.resize(m.payload, 16))
       }
     }.toDF()
+      // arrays are emitted as sortable scalar digests: the driver's
+      // rows-only compare sorts columns in pandas, which cannot
+      // factorize ndarray cells — a string digest keeps the codec
+      // plumbing verifiable without changing what was computed
       .select(col("doc_id"), col("n_bytes"), round(col("mean_byte"), 4).as("mean_byte_r"),
-        col("hist"), col("thumb"))
+        concat_ws(",", col("hist")).as("hist_csv"),
+        concat_ws(",", col("thumb")).as("thumb_csv"))
       .orderBy(col("doc_id"))
   }
 

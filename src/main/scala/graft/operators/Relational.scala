@@ -419,7 +419,10 @@ object Relational {
     val r = right.select(col(key), col(ts), col(rightIdCol).cast("long").as("_rid"))
       .withColumn("_side", lit(0))
     val u = l.unionByName(r, allowMissingColumns = true)
-    val w = Window.partitionBy(col(key)).orderBy(col(ts), col("_side"))
+    // _rid as the final sort key makes ties deterministic: among right
+    // rows sharing (key, ts), the largest id wins (last in order), so
+    // the pick never depends on partition-internal row order
+    val w = Window.partitionBy(col(key)).orderBy(col(ts), col("_side"), col("_rid"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     u.withColumn("_asof", last(col("_rid"), ignoreNulls = true).over(w))
       .filter(col("_side") === 1)
@@ -465,7 +468,9 @@ object Relational {
 
   val qAsofJoinOracle: String =
     """WITH p AS (SELECT event_id, user_id, epoch_us(ts) AS tus FROM events WHERE event_type='purchase'),
-      |     s AS (SELECT event_id, user_id, epoch_us(ts) AS tus FROM events WHERE event_type='signup')
+      |     s AS (SELECT user_id, tus, max(event_id) AS event_id
+      |           FROM (SELECT event_id, user_id, epoch_us(ts) AS tus FROM events WHERE event_type='signup')
+      |           GROUP BY user_id, tus)
       |SELECT p.event_id, p.user_id, s.event_id AS signup_event_id
       |FROM p ASOF LEFT JOIN s ON p.user_id = s.user_id AND p.tus >= s.tus
       |ORDER BY p.event_id""".stripMargin
@@ -638,8 +643,8 @@ object Relational {
         sum(col("new_s")).over(byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
       .groupBy(col("user_id"), col("session_id"))
       .agg(count(lit(1)).as("n_events"),
-        (min(col("tus")) / 1000000L).cast("long").as("start_s"),
-        (max(col("tus")) / 1000000L).cast("long").as("end_s"))
+        expr("min(tus) DIV 1000000").as("start_s"),
+        expr("max(tus) DIV 1000000").as("end_s"))
       .orderBy(col("user_id"), col("session_id"))
   }
 
@@ -650,8 +655,8 @@ object Relational {
       |         OR tus - lag(tus) OVER w > 1800000000 THEN 1 ELSE 0 END AS new_s
       |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tus, event_id)),
       |s AS (SELECT user_id, tus,
-      |  SUM(new_s) OVER (PARTITION BY user_id ORDER BY tus, event_id
-      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      |  CAST(SUM(new_s) OVER (PARTITION BY user_id ORDER BY tus, event_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
       |  FROM b)
       |SELECT user_id, session_id, COUNT(*) AS n_events,
       |  CAST(min(tus) // 1000000 AS BIGINT) AS start_s,

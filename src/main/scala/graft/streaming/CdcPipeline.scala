@@ -52,12 +52,16 @@ object CdcPipeline {
       .filter(col("uuid").isNotNull && (col("uuid") =!= ""))
 
   /** Watermarked dedup by uuid: collapses at-least-once replays inside
-    * the watermark horizon. State is bounded by the watermark — the
-    * 100 TB-safe way to keep a dedup set (an unbounded set OOMs). */
+    * the watermark horizon. `dropDuplicatesWithinWatermark` ties state
+    * eviction to the watermark even though the dedup key itself carries
+    * no event time — plain `dropDuplicates("uuid")` would keep every
+    * uuid forever (the watermark only evicts state for keys that
+    * INCLUDE the event-time column). Bounded state is the whole point:
+    * an unbounded dedup set OOMs at 100 TB. */
   def deduped(envelopes: DataFrame, watermark: String = "10 minutes"): DataFrame =
     envelopes
       .withWatermark("timestamp", watermark)
-      .dropDuplicates("uuid")
+      .dropDuplicatesWithinWatermark("uuid")
 
   /** Tumbling event-time counts per (window, table, action) — the
     * streaming form of the mux flush statistics (M2 counters), with

@@ -29,24 +29,31 @@ final class Monitoring extends StreamingQueryListener {
   }
 
   private val byQuery = new ConcurrentHashMap[String, QueryStats]()
+  // started/progress events carry the query name; terminated events
+  // only carry ids — remember id→name at start so termination updates
+  // the SAME entry instead of minting a duplicate id-keyed one
+  private val idToName = new ConcurrentHashMap[String, String]()
 
   private def statsFor(name: String): QueryStats =
     byQuery.computeIfAbsent(name, _ => QueryStats())
 
-  override def onQueryStarted(e: QueryStartedEvent): Unit =
-    statsFor(e.name match { case null => e.id.toString; case n => n }).active = true
+  override def onQueryStarted(e: QueryStartedEvent): Unit = {
+    val name = e.name match { case null => e.id.toString; case n => n }
+    idToName.put(e.id.toString, name)
+    statsFor(name).active = true
+  }
 
   override def onQueryProgress(e: QueryProgressEvent): Unit = {
-    val s = statsFor(e.progress.name match {
-      case null => e.progress.id.toString; case n => n })
+    val name = e.progress.name match {
+      case null => e.progress.id.toString; case n => n }
+    idToName.put(e.progress.id.toString, name)
+    val s = statsFor(name)
     s.rows.add(e.progress.numInputRows)
     s.batches.increment()
   }
 
   override def onQueryTerminated(e: QueryTerminatedEvent): Unit = {
-    // terminated events carry no name; key by id when the name is gone
-    val key = byQuery.keySet().stream().filter(_ == e.id.toString)
-      .findFirst().orElse(e.id.toString)
+    val key = idToName.getOrDefault(e.id.toString, e.id.toString)
     val s = statsFor(key)
     s.active = false
     s.lastException = e.exception

@@ -126,7 +126,13 @@ object StatefulOps {
               math.max(cur.end_ms, ts.max),
               cur.n + ts.size)
             state.update(next)
-            state.setTimeoutTimestamp(next.end_ms + gapSec * 1000)
+            // A timeout at-or-before the current watermark throws
+            // IllegalArgumentException and kills the whole query; clamp
+            // so a group whose session end trails the global watermark
+            // times out on the very next batch instead of crashing.
+            state.setTimeoutTimestamp(
+              math.max(next.end_ms + gapSec * 1000,
+                state.getCurrentWatermarkMs() + 1))
             Iterator.empty
           }
       }

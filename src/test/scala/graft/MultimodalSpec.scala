@@ -30,11 +30,12 @@ class MultimodalSpec extends SparkSpec {
 
   test("decode features: histogram mass matches n_bytes per row") {
     val r = MultimodalOps.qDecodeFeatures(spark, sf)
+      .withColumn("hist", transform(split(col("hist_csv"), ","), _.cast("long")))
       .withColumn("mass", aggregate(col("hist"), lit(0L), (a, x) => a + x))
     assert(r.count() > 0)
     assert(r.filter(col("mass") =!= col("n_bytes")).count() === 0)
     // thumbnails are capped at 16 samples
-    assert(r.filter(size(col("thumb")) > 16).count() === 0)
+    assert(r.filter(size(split(col("thumb_csv"), ",")) > 16).count() === 0)
   }
 
   test("frame sample: offsets are stride-aligned and within payload") {
