@@ -69,6 +69,13 @@ final class Monitoring extends StreamingQueryListener {
   def rowsProcessed(name: String): Long = statsFor(name).rows.sum()
   def batchesProcessed(name: String): Long = statsFor(name).batches.sum()
 
+  /** Per-query health: None = ok, Some(err) = died exceptionally. */
+  def statuses: Map[String, Option[String]] = {
+    val b = Map.newBuilder[String, Option[String]]
+    byQuery.forEach((k, v) => b += k -> v.lastException)
+    b.result()
+  }
+
   /** /status — Some(error) if any query died exceptionally (the
     * reference returns 500 when any component is unhealthy). */
   def status: Option[String] = {

@@ -1,7 +1,7 @@
 package graft
 
 import graft.model.ChangeEvent
-import graft.streaming.{Monitoring, Retry, Sinks, Topology}
+import graft.streaming.{ControlPlane, Monitoring, Retry, Sinks, Topology}
 import org.apache.spark.sql.functions._
 import java.nio.file.Files
 import java.sql.Timestamp
@@ -49,6 +49,132 @@ class TopologySpec extends SparkSpec {
       checkpointRoot = "/tmp/ckpt")
     val err = intercept[IllegalArgumentException](bad.validated)
     assert(err.getMessage.contains("unknown source"))
+  }
+
+  test("config file: round-trips the reference TOML shape into a running topology") {
+    import spark.implicits._
+    import graft.streaming.TopologyConfig
+    val root = Files.createTempDirectory("graft-cfg").toString
+    val inDir = s"$root/in"; Files.createDirectories(java.nio.file.Paths.get(inDir))
+    Seq(
+      ChangeEvent("h", "db", "users", "insert", 1L, new Timestamp(1700000001000L), "c-1", Map("id" -> "1")),
+      ChangeEvent("h", "db", "misc", "delete", 2L, new Timestamp(1700000002000L), "c-2", Map("id" -> "2")))
+      .toDF().coalesce(1).write.mode("overwrite").json(inDir)
+    val toml =
+      s"""# reference-shaped topology (psql-streamer.toml)
+         |checkpointRoot = "$root/ckpt"
+         |
+         |[source.db1]
+         |type = "file"
+         |dir = "$inDir"            # stream directory
+         |batchSize = 10            # maxFilesPerTrigger
+         |batchFlushInterval = 100
+         |
+         |[sink.kafka1]
+         |type = "parquet"
+         |sources = [ "db1" ]
+         |tableTopicMapping = { users = "t.users" }
+         |topicFallback = "t.fallback"
+         |path = "$root/out"
+         |""".stripMargin
+    Files.writeString(java.nio.file.Paths.get(s"$root/topology.toml"), toml)
+    val cfg = TopologyConfig.fromFile(s"$root/topology.toml")
+    assert(cfg.sources.head.maxFilesPerTrigger === 10)
+    assert(cfg.sources.head.dedupWatermark === None)
+    val queries = Topology.start(spark, cfg)
+    try {
+      queries.foreach(_.processAllAvailable())
+      val out = spark.read.parquet(s"$root/out")
+      assert(out.count() === 2)
+      assert(out.select("topic").distinct().collect().map(_.getString(0)).toSet
+        === Set("t.users", "t.fallback"))
+    } finally Topology.stopAll(queries)
+  }
+
+  test("config file: rejects undefined source subscription and duplicate names") {
+    import graft.streaming.TopologyConfig
+    val base =
+      """checkpointRoot = "/tmp/ckpt"
+        |[source.db1]
+        |dir = "/tmp/in"
+        |[sink.s1]
+        |type = "noop"
+        |sources = [ "db1" ]
+        |topicFallback = "t"
+        |""".stripMargin
+    // sanity: base parses
+    TopologyConfig.fromString(base)
+    val unknownSrc = base.replace("""sources = [ "db1" ]""", """sources = [ "nope" ]""")
+    val e1 = intercept[TopologyConfig.ConfigError](TopologyConfig.fromString(unknownSrc))
+    assert(e1.getMessage.contains("source 'nope' undefined"))
+    val dup = base + "\n[source.db1]\ndir = \"/tmp/in2\"\n"
+    val e2 = intercept[TopologyConfig.ConfigError](TopologyConfig.fromString(dup))
+    assert(e2.getMessage.contains("duplicate section 'source.db1'"))
+    val noSinkSources = base.replace("""sources = [ "db1" ]""", "sources = []")
+    val e3 = intercept[TopologyConfig.ConfigError](TopologyConfig.fromString(noSinkSources))
+    assert(e3.getMessage.contains("no sources defined"))
+  }
+
+  test("control plane: /health /stats /metrics /debug; /status turns 500 on failure") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sc = spark.sqlContext
+    val mon = Monitoring.attach(spark)
+    var debugSeen = false
+    val cp = new ControlPlane(mon, d => debugSeen = d).start(0)
+
+    def get(path: String): (Int, String) = {
+      val c = new java.net.URL(s"http://127.0.0.1:${cp.boundPort}$path")
+        .openConnection().asInstanceOf[java.net.HttpURLConnection]
+      val code = c.getResponseCode
+      val is = if (code >= 400) c.getErrorStream else c.getInputStream
+      val body = scala.io.Source.fromInputStream(is).mkString
+      c.disconnect()
+      (code, body)
+    }
+
+    try {
+      // a healthy query to populate the counters
+      val in = MemoryStream[Int]
+      in.addData(1, 2, 3)
+      val ok = in.toDF().writeStream.queryName("cp-ok")
+        .outputMode("append").format("noop").start()
+      ok.processAllAvailable()
+      val deadline = System.currentTimeMillis() + 15000
+      while (mon.rowsProcessed("cp-ok") < 3 && System.currentTimeMillis() < deadline)
+        Thread.sleep(50)
+      ok.stop()
+
+      assert(get("/health") === ((200, "Alive and well\n")))
+      val (sc1, statusBody) = get("/status")
+      assert(sc1 === 200 && statusBody.contains("[cp-ok] ok"))
+      val (_, statsBody) = get("/stats")
+      assert(statsBody.contains("[cp-ok] batches") && statsBody.contains("rows 3"))
+      val (_, metricsBody) = get("/metrics")
+      assert(metricsBody.contains("# TYPE graft_query_rows_total counter"))
+      assert(metricsBody.contains("""graft_query_rows_total{query="cp-ok"} 3"""))
+      assert(metricsBody.contains("""graft_query_batches_total{query="cp-ok"}"""))
+      assert(get("/debug/on") === ((200, "Debug is now true\n")) && debugSeen && cp.isDebug)
+      assert(get("/debug/off") === ((200, "Debug is now false\n")) && !debugSeen && !cp.isDebug)
+      assert(get("/debug/maybe")._1 === 400)
+
+      // a query that dies → /status flips to 500 with the error text
+      val bad = MemoryStream[Int]
+      bad.addData(1)
+      val failing = bad.toDF().writeStream.queryName("cp-bad")
+        .outputMode("append")
+        .foreachBatch { (_: org.apache.spark.sql.DataFrame, _: Long) =>
+          throw new RuntimeException("sink exploded")
+        }.start()
+      intercept[Exception](failing.awaitTermination(30000))
+      val d2 = System.currentTimeMillis() + 15000
+      while (mon.healthy && System.currentTimeMillis() < d2) Thread.sleep(50)
+      val (sc2, badBody) = get("/status")
+      assert(sc2 === 500 && badBody.contains("[cp-bad]"))
+    } finally {
+      cp.stop()
+      spark.streams.removeListener(mon)
+    }
   }
 
   test("topology: file source → two subscribed sinks, monitored") {
