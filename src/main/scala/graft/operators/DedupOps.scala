@@ -385,13 +385,27 @@ object DedupOps {
   def dot(a: Column, b: Column): Column =
     graft.functions.VectorFunctions.dot(a, b)
 
+  /** Hard ceiling for the exact all-pairs cosine variant. Above this
+    * the operator REFUSES to run: the quadratic baseline exists only
+    * to verify the LSH/IVF paths, and at 100× vectors it is 10⁴× the
+    * dot products — a guard beats an accidental cluster-melter. */
+  val MaxExactCosineRows: Long = 1000000L
+
   /** Embedding near-dup pairs: cosine ≥ 0.4 over all id-ordered pairs.
     * Exact O(n²) variant — correct but quadratic; the LSH-bucketed
     * variant in SimilarityOps is the 100 TB path (this one is the
     * verification oracle for it). sf0.1 ≈ 5k vectors → 12.5M pairs of
-    * 64-dim dots, fine on 32 cores; beyond that, bucket first. */
-  def qDedupEmbedding(spark: SparkSession, sfDir: String): DataFrame = {
-    val e = normedVectors(Tables.embeddings(spark, sfDir))
+    * 64-dim dots, fine on 32 cores; beyond that the guard trips. */
+  def qDedupEmbedding(spark: SparkSession, sfDir: String): DataFrame =
+    exactCosinePairs(normedVectors(Tables.embeddings(spark, sfDir)))
+
+  /** Guarded all-pairs cosine over a normed (vec_id, v, nrm) frame. */
+  def exactCosinePairs(e: DataFrame, maxRows: Long = MaxExactCosineRows): DataFrame = {
+    val n = e.count()
+    require(n <= maxRows,
+      s"exact all-pairs cosine refused: $n rows > $maxRows cap (~${n * n / 2} pairs). " +
+        "Use the scalable paths: SimilarityOps.qSimLshBucketed (sign-LSH) or " +
+        "qSimIvf (IVF cell probe); this exact variant is their verification twin.")
     val a = e.select(col("vec_id").as("a_id"), col("v").as("va"), col("nrm").as("na"))
     val b = e.select(col("vec_id").as("b_id"), col("v").as("vb"), col("nrm").as("nb"))
     a.join(b, col("a_id") < col("b_id"))

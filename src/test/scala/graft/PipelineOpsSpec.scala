@@ -96,6 +96,16 @@ class PipelineOpsSpec extends SparkSpec {
     assert(d === 11.0)
   }
 
+  test("exact cosine guard refuses above the row cap, runs below it") {
+    val e = DedupOps.normedVectors(Tables.embeddings(spark, sf))
+    val err = intercept[IllegalArgumentException] {
+      DedupOps.exactCosinePairs(e, maxRows = 1)
+    }
+    assert(err.getMessage.contains("refused"))
+    assert(err.getMessage.contains("qSimLshBucketed")) // points at the scale path
+    assert(DedupOps.exactCosinePairs(e).count() > 0)   // default cap admits sf0.001
+  }
+
   test("capped jaccard pairs are a subset of uncapped pairs") {
     val capped = DedupOps.qDedupJaccardCapped(spark, sf).select("a_id", "b_id")
     val full = DedupOps.qDedupJaccard(spark, sf).select("a_id", "b_id")
