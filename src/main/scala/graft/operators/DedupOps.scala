@@ -272,20 +272,28 @@ object DedupOps {
     * fingerprints + hamming-ball probing over rotated tables; the plan
     * shape (explode → two tiny-key groupBys) is identical. */
   /** 16-bit SimHash per document (doc_id, simhash) — shared by the
-    * exact-cluster and hamming-near-match queries. */
+    * exact-cluster and hamming-near-match queries.
+    *
+    * Plan shape: all 16 per-bit ±1 weights are partial aggregates in
+    * ONE groupBy(doc_id) — the same trick as the minhash signatures.
+    * The naive alternative (explode bit index 0..15 → groupBy
+    * (doc_id, bit) → groupBy doc_id) shuffles 16× the token rows
+    * TWICE; this shape shuffles the token relation once, with map-side
+    * combine, and assembles the fingerprint from the 16 aggregated
+    * weights for free. Result-identical; the oracle is unchanged. */
   def simhashes(docs: DataFrame): DataFrame = {
     val tok = docs
       .select(col("doc_id"),
         explode(array_distinct(split(col("text"), " "))).as("tk"))
       .withColumn("hv", conv(substring(md5(col("tk").cast("binary")), 1, 4), 16, 10).cast("int"))
-    tok
-      .select(col("doc_id"), col("hv"),
-        explode(sequence(lit(0), lit(15))).as("b"))
-      .groupBy(col("doc_id"), col("b"))
-      .agg(sum(expr("CASE WHEN (hv >> b) & 1 = 1 THEN 1 ELSE -1 END")).as("w"))
-      .groupBy(col("doc_id"))
-      .agg(sum(expr("CASE WHEN w > 0 THEN shiftleft(CAST(1 AS BIGINT), b) ELSE CAST(0 AS BIGINT) END"))
-        .as("simhash"))
+    val bitWeights = (0 until 16).map { b =>
+      sum(expr(s"CASE WHEN (hv >> $b) & 1 = 1 THEN 1 ELSE -1 END")).as(s"w$b")
+    }
+    tok.groupBy(col("doc_id")).agg(bitWeights.head, bitWeights.tail: _*)
+      .select(col("doc_id"),
+        (0 until 16).map { b =>
+          when(col(s"w$b") > 0, lit(1L << b)).otherwise(lit(0L))
+        }.reduce(_ + _).as("simhash"))
   }
 
   def qDedupSimhash(spark: SparkSession, sfDir: String): DataFrame = {
