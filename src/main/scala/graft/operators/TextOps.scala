@@ -153,15 +153,93 @@ object TextOps {
       |SELECT lang, token, n, rank FROM rk WHERE rank <= 5
       |ORDER BY lang, rank""".stripMargin
 
+  /** BPE-style pre-tokenization via regex (the GPT-2 pre-tokenizer
+    * family, restricted to constructs RE2 and Java regex share — no
+    * lookahead): contractions, space-prefixed word/number runs,
+    * punctuation runs. Token COUNTING is the 100 TB use: cost
+    * estimation and length filtering before an expensive real BPE
+    * encode; `regexp_extract_all` is codegen'd, one scan, no shuffle. */
+  private val BpePattern = "'[a-z]+| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 ]+"
+
+  def qBpeTokens(spark: SparkSession, sfDir: String): DataFrame = {
+    val pieces = regexp_extract_all(col("text"), lit(BpePattern), lit(0))
+    Tables.documents(spark, sfDir).select(
+        col("doc_id"),
+        length(col("text")).as("n_chars"),
+        size(pieces).as("n_pieces"),
+        size(array_distinct(pieces)).as("n_distinct_pieces"),
+        (length(col("text")).cast(DoubleType) / size(pieces)).as("chars_per_piece"),
+        (size(pieces).cast(DoubleType) / size(toks)).as("pieces_per_word"))
+      .orderBy(col("doc_id"))
+  }
+
+  val qBpeTokensOracle: String =
+    """WITH p AS (SELECT doc_id, text,
+      |  regexp_extract_all(text, '''[a-z]+| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 ]+') AS pieces,
+      |  string_split(text, ' ') AS ts FROM documents)
+      |SELECT doc_id,
+      |  CAST(length(text) AS INT) AS n_chars,
+      |  CAST(len(pieces) AS INT) AS n_pieces,
+      |  CAST(len(list_distinct(pieces)) AS INT) AS n_distinct_pieces,
+      |  CAST(length(text) AS DOUBLE) / len(pieces) AS chars_per_piece,
+      |  CAST(len(pieces) AS DOUBLE) / len(ts) AS pieces_per_word
+      |FROM p ORDER BY doc_id""".stripMargin
+
+  /** Rolling (Rabin-Karp polynomial) document fingerprint: per-token
+    * values folded left-to-right as h = (h·B + v) mod M, plus the
+    * minimum 3-token-window hash (winnowing's selection step — the
+    * local-fingerprint family used for plagiarism/overlap detection).
+    * Pure array algebra per document, no shuffle. The HOF fold is
+    * interpreted (not codegen'd) — acceptable for a per-doc O(tokens)
+    * pass; a native Expression is the promotion path if a bench ever
+    * shows it hot (the DotProduct precedent). */
+  def rollingHashes(docs: DataFrame): DataFrame = {
+    val B = 31L; val M = 1000000007L
+    val tv = (t: Column) =>
+      (length(t).cast("long") * lit(B) + ascii(substring(t, 1, 1)).cast("long")) % lit(M)
+    val hv = transform(toks, tv)
+    val docHash = aggregate(hv, lit(0L), (acc, x) => (acc * lit(B) + x) % lit(M))
+    val n = size(toks)
+    val winHashes = transform(sequence(lit(0), n - 3), i =>
+      ((element_at(hv, i + 1) * lit(B) + element_at(hv, i + 2)) * lit(B)
+        + element_at(hv, i + 3)) % lit(M))
+    docs.select(
+        col("doc_id"),
+        docHash.as("doc_hash"),
+        when(n >= 3, array_min(winHashes)).otherwise(lit(null).cast("long"))
+          .as("min_window_hash"))
+      .orderBy(col("doc_id"))
+  }
+
+  def qRollingHash(spark: SparkSession, sfDir: String): DataFrame =
+    rollingHashes(Tables.documents(spark, sfDir))
+
+  val qRollingHashOracle: String =
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+      |v AS (SELECT doc_id,
+      |  list_transform(ts, t -> (length(t)*31 + ascii(t[1:1])) % 1000000007) AS hv,
+      |  len(ts) AS n FROM t)
+      |SELECT doc_id,
+      |  CAST(list_reduce(list_prepend(0, hv),
+      |    (acc, x) -> (acc*31 + x) % 1000000007) AS BIGINT) AS doc_hash,
+      |  CAST(CASE WHEN n >= 3 THEN list_min(list_transform(generate_series(1, n-2),
+      |    i -> ((hv[i]*31 + hv[i+1])*31 + hv[i+2]) % 1000000007)) ELSE NULL END AS BIGINT)
+      |    AS min_window_hash
+      |FROM v ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_token_stats" -> (qTokenStats _),
     "text_langid" -> (qLangId _),
     "text_fingerprint" -> (qFingerprint _),
-    "text_term_freq" -> (qTermFreq _))
+    "text_term_freq" -> (qTermFreq _),
+    "text_bpe_tokens" -> (qBpeTokens _),
+    "text_rolling_hash" -> (qRollingHash _))
 
   val oracles: Map[String, String] = Map(
     "text_token_stats" -> qTokenStatsOracle,
     "text_langid" -> qLangIdOracle,
     "text_fingerprint" -> qFingerprintOracle,
-    "text_term_freq" -> qTermFreqOracle)
+    "text_term_freq" -> qTermFreqOracle,
+    "text_bpe_tokens" -> qBpeTokensOracle,
+    "text_rolling_hash" -> qRollingHashOracle)
 }

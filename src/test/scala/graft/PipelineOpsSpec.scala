@@ -83,6 +83,34 @@ class PipelineOpsSpec extends SparkSpec {
     assert(fp(0) === fp(1))
   }
 
+  test("bpe tokens: piece counts bounded by chars, at least one piece per word") {
+    val rows = TextOps.qBpeTokens(spark, sf).collect()
+    rows.foreach { r =>
+      assert(r.getAs[Int]("n_pieces") >= 1)
+      assert(r.getAs[Int]("n_pieces") <= r.getAs[Int]("n_chars"))
+      assert(r.getAs[Int]("n_distinct_pieces") <= r.getAs[Int]("n_pieces"))
+      assert(r.getAs[Double]("pieces_per_word") >= 1.0 - 1e-9) // regex splits words, never merges
+    }
+  }
+
+  test("rolling hash: values in [0, M); order-sensitive, deterministic") {
+    import spark.implicits._
+    val rows = TextOps.qRollingHash(spark, sf).collect()
+    val M = 1000000007L
+    rows.foreach { r =>
+      val h = r.getAs[Long]("doc_hash")
+      assert(h >= 0 && h < M)
+    }
+    // order sensitivity is the point of a rolling hash (vs the
+    // bag-of-words fp_content): same tokens, different order → ≠ hash
+    val probe = Seq((1L, "aa bb cc dd"), (2L, "dd cc bb aa"), (3L, "aa bb cc dd"))
+      .toDF("doc_id", "text")
+    val h = TextOps.rollingHashes(probe).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("doc_hash")).toMap
+    assert(h(1L) === h(3L)) // deterministic
+    assert(h(1L) !== h(2L)) // order-sensitive
+  }
+
   test("term freq emits at most 5 terms per language") {
     val r = TextOps.qTermFreq(spark, sf)
     assert(r.groupBy("lang").count().filter(col("count") > 5).count() === 0)

@@ -59,6 +59,25 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"))
   }
 
+  test("minhash LSH reads the shingle relation from cache, not parquet, per consumer") {
+    val df = graft.operators.DedupOps.qDedupMinhashLsh(spark, sf)
+    val p = planString(df)
+    // the persist must be engaged: every downstream consumer (bands ×2,
+    // sets) reads InMemoryTableScan; without it each re-explodes parquet
+    val cacheScans = p.linesIterator.count(_.trim.matches("""\(\d+\) InMemoryTableScan.*"""))
+    assert(cacheScans >= 2, s"expected >=2 cache scans, got $cacheScans")
+    spark.catalog.clearCache()
+  }
+
+  test("simhash is a single aggregation pass (no 16x bit-explode shuffle)") {
+    val p = planString(
+      graft.operators.DedupOps.simhashes(Tables.documents(spark, sf)))
+    // one Exchange for the groupBy(doc_id); a bit-index explode plan
+    // would add a second Exchange on (doc_id, bit)
+    val exchanges = p.linesIterator.count(_.trim.matches("""\(\d+\) Exchange.*"""))
+    assert(exchanges === 1, s"expected exactly 1 shuffle:\n$p")
+  }
+
   test("codegen'd dot product appears inside a WholeStageCodegen span") {
     val df = SimilarityOps.qSimBruteForce(spark, sf)
     df.collect() // finalize this DataFrame's own AQE plan
