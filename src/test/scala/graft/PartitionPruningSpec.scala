@@ -34,4 +34,24 @@ class PartitionPruningSpec extends SparkSpec {
       l.trim.startsWith("+- Filter") && l.contains("o_year")),
       "year predicate was not pruned away")
   }
+
+  test("modality-partitioned media layout: type prunes partitions, blobs stay unread") {
+    val dir = Files.createTempDirectory("graft-media-part").toString
+    graft.operators.MultimodalOps.mediaTable(spark, sf)
+      .write.partitionBy("media_type").mode("overwrite").parquet(dir)
+
+    // a metadata-only query over one modality: the layout every
+    // multimodal corpus wants — modality prunes at planning time AND
+    // column pruning keeps the payload bytes out of the scan entirely
+    val q = spark.read.parquet(dir)
+      .filter(col("media_type") === "audio")
+      .select(col("doc_id"), col("meta.sample_rate").as("sr"))
+    assert(q.count() > 0)
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("media_type"),
+      s"modality partition filter missing:\n$plan")
+    val readSchema = plan.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(!readSchema.contains("payload"),
+      s"blob column must be pruned from the scan: $readSchema")
+  }
 }
