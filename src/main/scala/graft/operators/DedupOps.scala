@@ -172,6 +172,8 @@ object DedupOps {
 
   private val NumHashes = 12
   private val BandSize = 3 // → 4 bands; catches jaccard ≳ 0.5 w.h.p.
+  /** Per-document shingle-set cap for the LSH verification row width. */
+  val MaxShinglesPerDoc = 100000L
 
   /** MinHash signatures: for seed j in [0,12), min over shingles of
     * md5(j:shingle). The min-of-md5-hex-string IS a valid minhash (any
@@ -222,8 +224,18 @@ object DedupOps {
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
       .distinct()
+    // Collected shingle sets are bounded by document length — fine for
+    // web documents, but a pathological doc (a concatenated dump, a
+    // binary misparse) would balloon one row past executor memory at
+    // 100 TB. Fail fast with a named error instead of OOMing the
+    // cluster; below the cap the result is bit-identical.
     val sets = sh.groupBy(col("doc_id"))
       .agg(collect_list(col("shingle")).as("ss"), count(lit(1)).as("n"))
+      .withColumn("ss",
+        when(col("n") > lit(MaxShinglesPerDoc), raise_error(concat(
+          lit(s"minhash verification: doc "), col("doc_id"),
+          lit(s" has > $MaxShinglesPerDoc shingles; pre-truncate or split the document"))))
+          .otherwise(col("ss")))
     candidates
       .join(sets.select(col("doc_id").as("a_id"), col("ss").as("sa"), col("n").as("na")), "a_id")
       .join(sets.select(col("doc_id").as("b_id"), col("ss").as("sb"), col("n").as("nb")), "b_id")
