@@ -121,28 +121,29 @@ object SimilarityOps {
     * partition-pruned layout LSH cannot give you (its buckets are
     * computed, not stored). Assignment is one broadcast join against
     * K centroids + an argmax window — no shuffle of the corpus. */
-  def qSimIvf(spark: SparkSession, sfDir: String): DataFrame = {
+  /** Top-`nprobe` centroid assignments per vector (broadcast join
+    * against K centroids + argmax window — the corpus never shuffles). */
+  private def cellAssignments(e: DataFrame, cent: DataFrame, nprobe: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val e = DedupOps.normedVectors(Tables.embeddings(spark, sfDir))
-    val cent = broadcast(
-      e.filter(col("vec_id") < NumCentroids)
-        .select(col("vec_id").as("cid"), col("v").as("cv"), col("nrm").as("cn")))
-    val wAsg = Window.partitionBy(col("vec_id"))
-      .orderBy(col("ccos").desc, col("cid"))
-    val assigned = e.join(cent)
+    val w = Window.partitionBy(col("vec_id")).orderBy(col("ccos").desc, col("cid"))
+    e.join(cent)
       .withColumn("ccos", DedupOps.dot(col("v"), col("cv")) / (col("nrm") * col("cn")))
-      .withColumn("rn", row_number().over(wAsg))
-      .filter(col("rn") === 1)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= nprobe)
       .select(col("vec_id"), col("v"), col("nrm"), col("cid"))
-    val q = broadcast(
-      assigned.filter(col("vec_id") < NumQueries)
-        .select(col("vec_id").as("q_id"), col("v").as("qv"),
-          col("nrm").as("qn"), col("cid")))
+  }
+
+  private def centroids(e: DataFrame): DataFrame = broadcast(
+    e.filter(col("vec_id") < NumCentroids)
+      .select(col("vec_id").as("cid"), col("v").as("cv"), col("nrm").as("cn")))
+
+  private def ivfTopK(assigned: DataFrame, qprobe: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val wRank = Window.partitionBy(col("q_id"))
       .orderBy(col("cosine").desc, col("n_id"))
     assigned.select(col("vec_id").as("n_id"), col("v").as("nv"),
         col("nrm").as("nn"), col("cid"))
-      .join(q, Seq("cid"))
+      .join(qprobe, Seq("cid"))
       .filter(col("q_id") =!= col("n_id"))
       .withColumn("cosine", DedupOps.dot(col("qv"), col("nv")) / (col("qn") * col("nn")))
       .withColumn("rank", row_number().over(wRank))
@@ -150,6 +151,34 @@ object SimilarityOps {
       .select(col("q_id"), col("rank"), col("n_id"),
         round(col("cosine"), 6).as("cosine_r"))
       .orderBy("q_id", "rank")
+  }
+
+  def qSimIvf(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = DedupOps.normedVectors(Tables.embeddings(spark, sfDir))
+    val cent = centroids(e)
+    val assigned = cellAssignments(e, cent, nprobe = 1)
+    val q = broadcast(
+      assigned.filter(col("vec_id") < NumQueries)
+        .select(col("vec_id").as("q_id"), col("v").as("qv"),
+          col("nrm").as("qn"), col("cid")))
+    ivfTopK(assigned, q)
+  }
+
+  /** Multi-probe IVF (nprobe=2): each query searches its TWO nearest
+    * cells — the standard recall knob. Corpus vectors still live in
+    * exactly one cell (the stored, partition-pruned layout is
+    * unchanged); only the tiny broadcast query side fans out ×nprobe,
+    * so the scan cost is nprobe/K of the corpus and recall recovers
+    * the neighbors that fell just across a cell boundary. */
+  def qSimIvfMultiprobe(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = DedupOps.normedVectors(Tables.embeddings(spark, sfDir))
+    val cent = centroids(e)
+    val assigned = cellAssignments(e, cent, nprobe = 1)
+    val qprobe = broadcast(
+      cellAssignments(e.filter(col("vec_id") < NumQueries), cent, nprobe = 2)
+        .select(col("vec_id").as("q_id"), col("v").as("qv"),
+          col("nrm").as("qn"), col("cid")))
+    ivfTopK(assigned, qprobe)
   }
 
   val qSimIvfOracle: String =
@@ -175,13 +204,39 @@ object SimilarityOps {
        |FROM rk WHERE rank <= 3
        |ORDER BY q_id, rank""".stripMargin
 
+  val qSimIvfMultiprobeOracle: String =
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+       |cent AS (SELECT vec_id AS cid, v AS cv, nrm AS cn FROM n WHERE vec_id < $NumCentroids),
+       |asg AS (
+       |  SELECT vec_id, v, nrm, cid,
+       |    row_number() OVER (PARTITION BY vec_id
+       |      ORDER BY list_dot_product(v, cv) / (nrm * cn) DESC, cid) AS rn
+       |  FROM n CROSS JOIN cent),
+       |a AS (SELECT vec_id, v, nrm, cid FROM asg WHERE rn = 1),
+       |qp AS (SELECT vec_id AS q_id, v AS qv, nrm AS qn, cid
+       |       FROM asg WHERE rn <= 2 AND vec_id < $NumQueries),
+       |scored AS (
+       |  SELECT q.q_id, c.vec_id AS n_id,
+       |    list_dot_product(q.qv, c.v) / (q.qn * c.nrm) AS cosine
+       |  FROM a c JOIN qp q ON c.cid = q.cid AND q.q_id != c.vec_id),
+       |rk AS (
+       |  SELECT q_id, n_id, cosine,
+       |    row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, n_id) AS rank
+       |  FROM scored)
+       |SELECT q_id, rank, n_id, round(cosine, 6) AS cosine_r
+       |FROM rk WHERE rank <= 3
+       |ORDER BY q_id, rank""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sim_bruteforce_topk" -> (qSimBruteForce _),
     "sim_lsh_bucketed" -> (qSimLshBucketed _),
-    "sim_ivf_probe" -> (qSimIvf _))
+    "sim_ivf_probe" -> (qSimIvf _),
+    "sim_ivf_multiprobe" -> (qSimIvfMultiprobe _))
 
   val oracles: Map[String, String] = Map(
     "sim_bruteforce_topk" -> qSimBruteForceOracle,
     "sim_lsh_bucketed" -> qSimLshBucketedOracle,
-    "sim_ivf_probe" -> qSimIvfOracle)
+    "sim_ivf_probe" -> qSimIvfOracle,
+    "sim_ivf_multiprobe" -> qSimIvfMultiprobeOracle)
 }

@@ -63,6 +63,21 @@ class PipelineOpsSpec extends SparkSpec {
     assert(joined.filter(col("qb") =!= col("nb")).count() === 0)
   }
 
+  test("multi-probe IVF recall dominates single-probe recall") {
+    def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.filter(col("rank") <= 3).select("q_id", "n_id").collect()
+        .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("n_id"))).toSet
+    val exact = pairs(SimilarityOps.qSimBruteForce(spark, sf))
+    val one = pairs(SimilarityOps.qSimIvf(spark, sf))
+    val two = pairs(SimilarityOps.qSimIvfMultiprobe(spark, sf))
+    // a true-top-3 neighbor found with one probe is still in the top-3
+    // of the larger candidate set: only ≤2 items anywhere beat it. So
+    // the correct-hit set can only grow — recall dominates. (The raw
+    // result sets are NOT nested: a better second-cell candidate may
+    // displace a first-cell one.)
+    assert((one & exact).subsetOf(two & exact))
+  }
+
   test("token stats: ratios bounded, counts consistent") {
     val rows = TextOps.qTokenStats(spark, sf).collect()
     rows.foreach { r =>
