@@ -95,4 +95,19 @@ object Monitoring {
     spark.streams.addListener(m)
     m
   }
+
+  /** The reference's stats ticker (stats.go:10-36): periodically emit
+    * every query's counter line. `emit` defaults to stdout like the
+    * reference's log.Print; tests inject a collector. Returns a handle
+    * whose `close()` stops the ticker (≡ chShutdown). A single daemon
+    * thread off the query hot path — zero cost at any scale. */
+  def startTicker(m: Monitoring, intervalMs: Long,
+      emit: String => Unit = s => println(s"(Ticker) $s")): AutoCloseable = {
+    val exec = java.util.concurrent.Executors.newSingleThreadScheduledExecutor(
+      (r: Runnable) => { val t = new Thread(r, "graft-ticker"); t.setDaemon(true); t })
+    exec.scheduleAtFixedRate(
+      () => m.stats.toSeq.sortBy(_._1).foreach { case (q, s) => emit(s"[$q] $s") },
+      intervalMs, intervalMs, java.util.concurrent.TimeUnit.MILLISECONDS)
+    () => exec.shutdownNow()
+  }
 }

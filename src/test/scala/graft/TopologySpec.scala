@@ -51,6 +51,33 @@ class TopologySpec extends SparkSpec {
     assert(err.getMessage.contains("unknown source"))
   }
 
+  test("stats ticker emits per-query counter lines until closed") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sc = spark.sqlContext
+    val mon = Monitoring.attach(spark)
+    val lines = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val ticker = Monitoring.startTicker(mon, intervalMs = 50, emit = lines.add(_))
+    try {
+      val in = MemoryStream[Int]
+      in.addData(1, 2)
+      val q = in.toDF().writeStream.queryName("tick-q")
+        .outputMode("append").format("noop").start()
+      q.processAllAvailable()
+      val deadline = System.currentTimeMillis() + 15000
+      while (!lines.toArray.exists(_.toString.contains("[tick-q]")) &&
+        System.currentTimeMillis() < deadline) Thread.sleep(50)
+      q.stop()
+      assert(lines.toArray.exists(_.toString.matches("""\[tick-q\] batches \d+ rows \d+""")))
+    } finally {
+      ticker.close()
+      val n = lines.size()
+      Thread.sleep(200) // closed ticker must emit nothing further
+      assert(lines.size() === n)
+      spark.streams.removeListener(mon)
+    }
+  }
+
   test("config file: round-trips the reference TOML shape into a running topology") {
     import spark.implicits._
     import graft.streaming.TopologyConfig
