@@ -1,9 +1,9 @@
 package graft.streaming
 
 import graft.model.ChangeEvent
-import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
 
 /** Stateful streaming operators beyond the reference's surface
   * (SURVEY.md §2.2: session windows, stream-stream joins, custom
@@ -91,6 +91,48 @@ object StatefulOps {
   def enriched(envelopes: DataFrame, tableDim: DataFrame): DataFrame =
     envelopes.join(org.apache.spark.sql.functions.broadcast(tableDim),
       Seq("table"), "left")
+
+  case class WalAnomaly(table: String, walPosition: Long, lastWal: Long)
+
+  /** Spark-4-native custom state (`transformWithState`): per-table WAL
+    * monotonicity monitor. The reference trusts its WAL positions to
+    * only move forward (postgres.go:350, 358-377); this operator turns
+    * that assumption into a checked invariant — any event whose
+    * walPosition is ≤ the table's high-water mark is emitted as an
+    * anomaly (a replay, a rewind, or an out-of-order source).
+    *
+    * `StatefulProcessor` + `ValueState` is the modern replacement for
+    * (flat)mapGroupsWithState: typed named state cells, TTL support,
+    * timers — and it REQUIRES the RocksDB state store provider, which
+    * is how it stays off-heap at scale. State here is one long per
+    * table — O(tables), nothing more. */
+  final class WalMonitorProcessor
+      extends StatefulProcessor[String, ChangeEvent, WalAnomaly] {
+    @transient private var lastWal: ValueState[Long] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      lastWal = getHandle.getValueState[Long]("lastWal", Encoders.scalaLong, TTLConfig.NONE)
+    override def handleInputRows(table: String, rows: Iterator[ChangeEvent],
+        tv: TimerValues): Iterator[WalAnomaly] = {
+      var last = if (lastWal.exists()) lastWal.get() else -1L
+      val out = scala.collection.mutable.ArrayBuffer[WalAnomaly]()
+      rows.foreach { e =>
+        if (e.walPosition <= last) out += WalAnomaly(table, e.walPosition, last)
+        else last = e.walPosition
+      }
+      lastWal.update(last)
+      out.iterator
+    }
+  }
+
+  /** WAL-regression anomalies per table (see [[WalMonitorProcessor]]).
+    * Requires `spark.sql.streaming.stateStore.providerClass` =
+    * RocksDBStateStoreProvider (enforced by transformWithState). */
+  def walAnomalies(envelopes: Dataset[ChangeEvent]): Dataset[WalAnomaly] = {
+    import envelopes.sparkSession.implicits._
+    envelopes.groupByKey(_.table)
+      .transformWithState(new WalMonitorProcessor,
+        TimeMode.None(), OutputMode.Append())
+  }
 
   case class TableSession(table: String, start_ms: Long, end_ms: Long, n: Long)
 

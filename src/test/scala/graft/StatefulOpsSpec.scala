@@ -152,6 +152,40 @@ class StatefulOpsSpec extends SparkSpec {
     }
   }
 
+  test("transformWithState flags WAL regressions per table, state crosses batches") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val in = MemoryStream[ChangeEvent]
+      val q = StatefulOps.walAnomalies(in.toDS())
+        .writeStream.format("memory").queryName("wal_anomalies")
+        .outputMode("append").start()
+      try {
+        in.addData(ev(10), ev(20), ev(15, table = "orders")) // all fine per table
+        q.processAllAvailable()
+        assert(spark.table("wal_anomalies").count() === 0)
+        // next batch: users replays wal=20 (≤ high-water 20) → anomaly;
+        // orders advances fine — per-table state survived the batch gap
+        in.addData(ev(20), ev(30), ev(16, table = "orders"))
+        q.processAllAvailable()
+        val rows = spark.table("wal_anomalies").collect()
+        assert(rows.length === 1)
+        assert(rows.head.getAs[String]("table") === "users")
+        assert(rows.head.getAs[Long]("walPosition") === 20L)
+        assert(rows.head.getAs[Long]("lastWal") === 20L)
+      } finally q.stop()
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
+
   test("mapGroupsWithState accumulates per-table counts across batches") {
     import spark.implicits._
     implicit val sc = spark.sqlContext
