@@ -51,6 +51,21 @@ object CdcPipeline {
       .filter(col("action").isin(ChangeEvent.ValidActions: _*))
       .filter(col("uuid").isNotNull && (col("uuid") =!= ""))
 
+  /** Per-batch data-quality counters via `Dataset.observe` — the M2
+    * counters (reference: per-event atomic increments,
+    * postgres.go:431-447) computed INSIDE the batch plan at zero extra
+    * passes: `events` (rows seen), `invalid_action`, `missing_uuid`.
+    * They surface on every `QueryProgressEvent.observedMetrics` under
+    * `name`, where [[Monitoring]] records them — apply BEFORE
+    * `validated` so the drop counts are visible, not silently filtered. */
+  def observed(envelopes: DataFrame, name: String = "cdc"): DataFrame =
+    envelopes.observe(name,
+      count(lit(1)).as("events"),
+      sum(when(!col("action").isin(ChangeEvent.ValidActions: _*), 1L)
+        .otherwise(0L)).as("invalid_action"),
+      sum(when(col("uuid").isNull || col("uuid") === "", 1L)
+        .otherwise(0L)).as("missing_uuid"))
+
   /** Watermarked dedup by uuid: collapses at-least-once replays inside
     * the watermark horizon. `dropDuplicatesWithinWatermark` ties state
     * eviction to the watermark even though the dedup key itself carries

@@ -43,6 +43,12 @@ final class Monitoring extends StreamingQueryListener {
     statsFor(name).active = true
   }
 
+  // latest Dataset.observe metrics per query: query → observation name
+  // → (metric → value). The in-plan counterpart of the reference's
+  // per-event atomic counters.
+  private val observedByQuery =
+    new ConcurrentHashMap[String, Map[String, Map[String, String]]]()
+
   override def onQueryProgress(e: QueryProgressEvent): Unit = {
     val name = e.progress.name match {
       case null => e.progress.id.toString; case n => n }
@@ -50,7 +56,22 @@ final class Monitoring extends StreamingQueryListener {
     val s = statsFor(name)
     s.rows.add(e.progress.numInputRows)
     s.batches.increment()
+    val om = e.progress.observedMetrics
+    if (om != null && !om.isEmpty) {
+      val snap = Map.newBuilder[String, Map[String, String]]
+      om.forEach { (obsName, row) =>
+        val fields = row.schema.fieldNames.zipWithIndex.map { case (f, i) =>
+          f -> String.valueOf(row.get(i))
+        }.toMap
+        snap += obsName -> fields
+      }
+      observedByQuery.put(name, snap.result())
+    }
   }
+
+  /** Latest observed-metrics snapshot for a query (empty if none). */
+  def observedMetrics(name: String): Map[String, Map[String, String]] =
+    observedByQuery.getOrDefault(name, Map.empty)
 
   override def onQueryTerminated(e: QueryTerminatedEvent): Unit = {
     val key = idToName.getOrDefault(e.id.toString, e.id.toString)

@@ -35,6 +35,30 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("observe() counters report events/invalid/missing per batch (M2)") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val mon = graft.streaming.Monitoring.attach(spark)
+    val in = MemoryStream[ChangeEvent]
+    val q = CdcPipeline.validated(CdcPipeline.observed(in.toDF()))
+      .writeStream.format("noop").queryName("observed_q")
+      .outputMode("append").start()
+    try {
+      in.addData(ev(1), ev(2, action = "begin"), ev(3, uuid = ""), ev(4, action = "delete"))
+      q.processAllAvailable()
+      val deadline = System.currentTimeMillis() + 15000
+      while (mon.observedMetrics("observed_q").isEmpty &&
+        System.currentTimeMillis() < deadline) Thread.sleep(50)
+      val m = mon.observedMetrics("observed_q")("cdc")
+      assert(m("events") === "4")         // all rows seen pre-filter
+      assert(m("invalid_action") === "1") // the 'begin' marker
+      assert(m("missing_uuid") === "1")   // the empty-uuid row
+    } finally {
+      q.stop()
+      spark.streams.removeListener(mon)
+    }
+  }
+
   test("watermarked dedup collapses an at-least-once replay") {
     import spark.implicits._
     implicit val sc = spark.sqlContext
