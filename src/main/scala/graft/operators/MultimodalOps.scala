@@ -198,14 +198,54 @@ object MultimodalOps {
        |FROM documents WHERE doc_id % 3 = 1
        |ORDER BY doc_id""".stripMargin
 
+  private val TileSize = 64
+
+  /** Image tiling: each image fans out to its 64×64 tile grid with
+    * clipped edge-tile dimensions — the work-item decomposition every
+    * vision preprocessor (patch embedding, tiled decode, OCR) starts
+    * from. Pure arithmetic from the metadata (`sequence`×`explode`,
+    * declarative cardinality, whole-stage codegen); the payload column
+    * is never read, so the scan stays metadata-only — at 100 TB the
+    * tile PLAN costs nothing and only the selected tiles' bytes move. */
+  def qImageTiles(spark: SparkSession, sfDir: String): DataFrame =
+    mediaTable(spark, sfDir)
+      .filter(col("media_type") === "image")
+      .select(col("doc_id"),
+        col("meta.width").as("width"), col("meta.height").as("height"))
+      .withColumn("tx", explode(sequence(lit(0), expr(s"(width - 1) DIV $TileSize"))))
+      .withColumn("ty", explode(sequence(lit(0), expr(s"(height - 1) DIV $TileSize"))))
+      .select(col("doc_id"), col("width"), col("height"),
+        col("tx").cast("int").as("tile_x"), col("ty").cast("int").as("tile_y"),
+        least(lit(TileSize), col("width") - col("tx") * TileSize).cast("int").as("tile_w"),
+        least(lit(TileSize), col("height") - col("ty") * TileSize).cast("int").as("tile_h"))
+      .orderBy(col("doc_id"), col("tile_x"), col("tile_y"))
+
+  val qImageTilesOracle: String =
+    s"""WITH img AS (
+       |  SELECT doc_id,
+       |    CAST(doc_id % 4 * 160 + 320 AS INT) AS width,
+       |    CAST(doc_id % 4 * 90 + 180 AS INT) AS height
+       |  FROM documents WHERE doc_id % 3 = 0),
+       |tx AS (SELECT doc_id, width, height,
+       |  unnest(generate_series(0, (width - 1) // $TileSize)) AS tile_x FROM img),
+       |txy AS (SELECT doc_id, width, height, tile_x,
+       |  unnest(generate_series(0, (height - 1) // $TileSize)) AS tile_y FROM tx)
+       |SELECT doc_id, width, height,
+       |  CAST(tile_x AS INT) AS tile_x, CAST(tile_y AS INT) AS tile_y,
+       |  CAST(least($TileSize, width - tile_x * $TileSize) AS INT) AS tile_w,
+       |  CAST(least($TileSize, height - tile_y * $TileSize) AS INT) AS tile_h
+       |FROM txy ORDER BY doc_id, tile_x, tile_y""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm_metadata" -> (qMetadata _),
     "mm_decode_features" -> (qDecodeFeatures _),
     "mm_frame_sample" -> (qFrameSample _),
-    "mm_audio_windows" -> (qAudioWindows _))
+    "mm_audio_windows" -> (qAudioWindows _),
+    "mm_image_tiles" -> (qImageTiles _))
 
   val oracles: Map[String, String] = Map(
     "mm_metadata" -> qMetadataOracle,
     "mm_frame_sample" -> qFrameSampleOracle,
-    "mm_audio_windows" -> qAudioWindowsOracle)
+    "mm_audio_windows" -> qAudioWindowsOracle,
+    "mm_image_tiles" -> qImageTilesOracle)
 }

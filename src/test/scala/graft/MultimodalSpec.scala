@@ -38,6 +38,20 @@ class MultimodalSpec extends SparkSpec {
     assert(r.filter(size(split(col("thumb_csv"), ",")) > 16).count() === 0)
   }
 
+  test("image tiles partition each image exactly") {
+    val t = MultimodalOps.qImageTiles(spark, sf)
+    assert(t.count() > 0)
+    // every tile fits inside the image
+    assert(t.filter(col("tile_x") * 64 + col("tile_w") > col("width")).count() === 0)
+    assert(t.filter(col("tile_y") * 64 + col("tile_h") > col("height")).count() === 0)
+    assert(t.filter(col("tile_w") <= 0 || col("tile_h") <= 0).count() === 0)
+    // tile areas sum to the full image area — a perfect partition
+    val bad = t.groupBy("doc_id", "width", "height")
+      .agg(sum(col("tile_w") * col("tile_h")).as("area"))
+      .filter(col("area") =!= col("width") * col("height"))
+    assert(bad.count() === 0)
+  }
+
   test("frame sample: offsets are stride-aligned and within payload") {
     val f = MultimodalOps.qFrameSample(spark, sf)
     assert(f.count() > 0)
