@@ -58,6 +58,21 @@ final class ControlPlane(monitoring: Monitoring,
       monitoring.rowsProcessed)
     family("graft_query_batches_total", "Micro-batches completed per query", "counter")(
       monitoring.batchesProcessed)
+    // Dataset.observe snapshots (per query × observation × metric),
+    // numeric values only — the in-plan quality counters
+    val observed = monitoring.stats.keys.toSeq.sorted.flatMap { q =>
+      monitoring.observedMetrics(q).toSeq.sortBy(_._1).flatMap { case (obs, ms) =>
+        ms.toSeq.sortBy(_._1).flatMap { case (metric, v) =>
+          v.toDoubleOption.map(d =>
+            s"""graft_observed{query="$q",observation="$obs",metric="$metric"} $d""")
+        }
+      }
+    }
+    if (observed.nonEmpty) {
+      sb.append("# HELP graft_observed Latest Dataset.observe metrics per query\n")
+      sb.append("# TYPE graft_observed gauge\n")
+      observed.foreach(l => sb.append(l).append('\n'))
+    }
     sb.toString
   }
 

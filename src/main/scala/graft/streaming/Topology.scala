@@ -70,7 +70,9 @@ object Topology {
       if (subscribed.isEmpty) Nil
       else {
         val raw = CdcPipeline.fileSource(spark, src.dir, src.maxFilesPerTrigger)
-        val env0 = CdcPipeline.validated(raw)
+        // in-plan quality counters (events/invalid/missing) surface on
+        // every progress event under the source's name — free M2 stats
+        val env0 = CdcPipeline.validated(CdcPipeline.observed(raw, src.name))
         val env = src.dedupWatermark.fold(env0)(w => CdcPipeline.deduped(env0, w))
         // sinks may differ in routing: serialize per sink inside the
         // fan-out, from the one persisted batch

@@ -241,6 +241,11 @@ class TopologySpec extends SparkSpec {
         Thread.sleep(100)
       assert(mon.rowsProcessed("graft-src1") >= 3)
       assert(mon.healthy)
+      // in-plan observe() counters arrived under the source's name
+      val om = mon.observedMetrics("graft-src1")
+      assert(om.contains("src1"), s"observed metrics missing: $om")
+      assert(om("src1")("events") === "3")
+      assert(om("src1")("invalid_action") === "0")
     } finally {
       Topology.stopAll(queries) // graceful: drain final batch, then stop
       assert(queries.forall(!_.isActive))
