@@ -52,6 +52,31 @@ object StatefulOps {
         (unix_millis(col("d_ts")) - unix_millis(col("i_ts"))).as("lifetime_ms"))
   }
 
+  /** Stream-stream LEFT OUTER join: every insert, annotated with its
+    * matching delete if one arrived within the horizon — or nulls once
+    * the watermark proves no delete can still come. The outer side
+    * emits ONLY at watermark expiry (that is the proof of absence), so
+    * `deleted_at IS NULL` rows are the durable survivors. Same bounded
+    * per-key state as the inner variant. */
+  def insertOutcomes(envelopes: DataFrame, horizon: String = "1 hour"): DataFrame = {
+    val rowId = element_at(col("columns"), "id")
+    val ins = envelopes.filter(col("action") === ChangeEvent.Insert)
+      .select(col("table").as("i_table"), rowId.as("i_id"),
+        col("timestamp").as("i_ts"))
+      .withWatermark("i_ts", horizon)
+    val del = envelopes.filter(col("action") === ChangeEvent.Delete)
+      .select(col("table").as("d_table"), rowId.as("d_id"),
+        col("timestamp").as("d_ts"))
+      .withWatermark("d_ts", horizon)
+    ins.join(del,
+      col("i_table") === col("d_table") && col("i_id") === col("d_id") &&
+        col("d_ts") >= col("i_ts") &&
+        col("d_ts") <= col("i_ts") + expr(s"INTERVAL $horizon"),
+      "leftOuter")
+      .select(col("i_table").as("table"), col("i_id").as("row_id"),
+        col("i_ts").as("inserted_at"), col("d_ts").as("deleted_at"))
+  }
+
   /** Per-table cumulative change counters via mapGroupsWithState — the
     * reference's per-source event counters (postgres.go:431-447) as
     * durable keyed state: survives across micro-batches and restarts

@@ -56,6 +56,37 @@ class StatefulOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("left-outer stream-stream join emits survivors after the watermark") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val in = MemoryStream[ChangeEvent]
+    val q = StatefulOps.insertOutcomes(in.toDF())
+      .writeStream.format("memory").queryName("outcomes_out")
+      .outputMode("append").start()
+    try {
+      in.addData(
+        ev(1, "insert", id = "42"),
+        ev(2, "delete", id = "42", offsetSec = 120), // matched pair
+        ev(3, "insert", id = "77"))                  // never deleted
+      q.processAllAvailable()
+      // push BOTH sides' watermarks far past 77's insert + horizon (the
+      // global watermark is the MIN across inputs — advancing only the
+      // insert side would leave the join's watermark stuck at the last
+      // delete), then give the store extra batches to evict
+      in.addData(ev(4, "insert", id = "99", offsetSec = 50000),
+        ev(5, "delete", id = "901", offsetSec = 50000))
+      q.processAllAvailable()
+      in.addData(ev(6, "insert", id = "100", offsetSec = 100000),
+        ev(7, "delete", id = "902", offsetSec = 100000))
+      q.processAllAvailable()
+      val got = spark.table("outcomes_out").collect()
+        .map(r => r.getAs[String]("row_id") ->
+          Option(r.getAs[java.sql.Timestamp]("deleted_at"))).toMap
+      assert(got("42").isDefined)  // matched within horizon
+      assert(got.contains("77") && got("77").isEmpty) // survivor: null match
+    } finally q.stop()
+  }
+
   test("stream-static join enriches events from a broadcast dimension") {
     import spark.implicits._
     implicit val sc = spark.sqlContext
