@@ -763,7 +763,105 @@ object Relational {
       |GROUP BY year(o_orderdate), o_orderstatus
       |ORDER BY y, o_orderstatus""".stripMargin
 
+  /** TPC-H Q14-style promo effect: what share of a quarter's revenue
+    * came from PROMO parts. lineitem is the fact side; part is a
+    * broadcast dimension; the conditional ratio is two decimal sums in
+    * ONE aggregate (no second pass, no self-join). */
+  def q14PromoEffect(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = Tables.lineitem(spark, sfDir)
+      .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1997-04-01").cast("timestamp"))
+      .select(col("l_partkey"), decRevenue.as("rev"))
+    val p = broadcast(Tables.part(spark, sfDir).select("p_partkey", "p_type"))
+    li.join(p, col("l_partkey") === col("p_partkey"))
+      .agg(
+        (sum(when(col("p_type") === "PROMO", col("rev")).otherwise(lit(0).cast(DecimalType(18, 2))))
+          .cast(DoubleType) * 100.0 /
+          sum(col("rev")).cast(DoubleType)).as("promo_pct"),
+        count(lit(1)).as("n_items"))
+  }
+
+  val q14Oracle: String =
+    s"""SELECT
+       |  CAST(SUM(CASE WHEN p_type = 'PROMO' THEN $revenueSql ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) * 100.0
+       |    / CAST(SUM($revenueSql) AS DOUBLE) AS promo_pct,
+       |  COUNT(*) AS n_items
+       |FROM lineitem JOIN part ON l_partkey = p_partkey
+       |WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+       |  AND l_shipdate < TIMESTAMP '1997-04-01 00:00:00'""".stripMargin
+
+  /** TPC-H Q10-style returned-item report: which customers returned
+    * the most revenue. Three-way join, aggregation on the
+    * high-cardinality customer key (unlike q1's tiny key space — this
+    * is the shuffle-heavy agg shape), deterministic top-20. */
+  def q10ReturnedItems(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = Tables.lineitem(spark, sfDir)
+      .filter(col("l_returnflag") === "R")
+      .select(col("l_orderkey"), decRevenue.as("rev"))
+    val ord = Tables.orders(spark, sfDir)
+      .filter(col("o_orderdate") >= lit("1997-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+      .select("o_orderkey", "o_custkey")
+    val cust = Tables.customer(spark, sfDir)
+      .select("c_custkey", "c_name", "c_acctbal", "c_mktsegment")
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_custkey"), col("c_name"), col("c_acctbal"), col("c_mktsegment"))
+      .agg(sum(col("rev")).cast(DoubleType).as("revenue"))
+      .orderBy(col("revenue").desc, col("c_custkey"))
+      .limit(20)
+  }
+
+  val q10Oracle: String =
+    s"""SELECT c_custkey, c_name, c_acctbal, c_mktsegment,
+       |  CAST(SUM($revenueSql) AS DOUBLE) AS revenue
+       |FROM lineitem
+       |JOIN orders ON l_orderkey = o_orderkey
+       |JOIN customer ON o_custkey = c_custkey
+       |WHERE l_returnflag = 'R'
+       |  AND o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+       |  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+       |GROUP BY c_custkey, c_name, c_acctbal, c_mktsegment
+       |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin
+
+  /** TPC-H Q22-style idle balances: per nation, rich customers
+    * (acctbal above the global positive average — a SCALAR aggregate
+    * subquery, broadcast as a 1-row cross join) with no RECENT order
+    * (anti join against the filtered orders). Composes three shapes no
+    * other query here combines. */
+  def q22IdleBalances(spark: SparkSession, sfDir: String): DataFrame = {
+    val cust = Tables.customer(spark, sfDir)
+    val avgBal = cust.filter(col("c_acctbal") > 0)
+      .agg((sum(dec("c_acctbal")).cast(DoubleType) / count(lit(1))).as("avg_bal"))
+    val rich = cust.crossJoin(broadcast(avgBal))
+      .filter(col("c_acctbal") > col("avg_bal"))
+    val recent = Tables.orders(spark, sfDir)
+      .filter(col("o_orderdate") >= lit("2000-01-01").cast("timestamp"))
+      .select("o_custkey")
+    val idle = rich.join(recent,
+      col("c_custkey") === col("o_custkey"), "left_anti")
+    idle.groupBy(col("c_nationkey"))
+      .agg(count(lit(1)).as("n_custs"),
+        sum(dec("c_acctbal")).cast(DoubleType).as("total_bal"))
+      .orderBy(col("c_nationkey"))
+  }
+
+  val q22Oracle: String =
+    """SELECT c_nationkey, COUNT(*) AS n_custs,
+      |  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal
+      |FROM customer
+      |WHERE c_acctbal > (
+      |    SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)
+      |    FROM customer WHERE c_acctbal > 0)
+      |  AND c_custkey NOT IN (
+      |    SELECT o_custkey FROM orders
+      |    WHERE o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
+      |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q10_returned_items" -> (q10ReturnedItems _),
+    "q14_promo_effect" -> (q14PromoEffect _),
+    "q22_idle_balances" -> (q22IdleBalances _),
     "q1_pricing_summary" -> (q1PricingSummary _),
     "q3_shipping_priority" -> (q3ShippingPriority _),
     "q4_order_priority" -> (q4OrderPriority _),
@@ -793,6 +891,9 @@ object Relational {
     "q_sql_interface" -> (qSqlInterface _))
 
   val oracles: Map[String, String] = Map(
+    "q10_returned_items" -> q10Oracle,
+    "q14_promo_effect" -> q14Oracle,
+    "q22_idle_balances" -> q22Oracle,
     "q1_pricing_summary" -> q1Oracle,
     "q3_shipping_priority" -> q3Oracle,
     "q4_order_priority" -> q4Oracle,
