@@ -228,15 +228,56 @@ object SimilarityOps {
        |FROM rk WHERE rank <= 3
        |ORDER BY q_id, rank""".stripMargin
 
+  /** One k-means M-step over the IVF cells: the new centroid of every
+    * cell, computed as the DIMENSION-WISE mean — `posexplode` the
+    * vectors to (cell, dim, value) rows, aggregate per (cell, dim),
+    * reassemble. This is the canonical distributed vector-mean shape
+    * (quantizer training, embedding cluster summaries): one shuffle on
+    * (cell, dim) with map-side partial sums, never a driver-side
+    * vector loop. Components are quantized to integers (floor ×10⁶)
+    * BEFORE summing so the aggregation is exact under any partial-sum
+    * order — float sums are order-dependent and would diverge between
+    * engines and between runs. */
+  def qKmeansStep(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = DedupOps.normedVectors(Tables.embeddings(spark, sfDir))
+    val assigned = cellAssignments(e, centroids(e), nprobe = 1)
+    assigned
+      .select(col("cid"), posexplode(col("v")).as(Seq("dim", "x")))
+      .withColumn("q", floor(col("x") * 1000000).cast("long"))
+      .groupBy(col("cid"), col("dim"))
+      .agg(count(lit(1)).as("n"),
+        (sum(col("q")).cast("double") / count(lit(1)) / 1000000.0).as("mean_q"))
+      .orderBy(col("cid"), col("dim"))
+  }
+
+  val qKmeansStepOracle: String =
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+       |cent AS (SELECT vec_id AS cid, v AS cv, nrm AS cn FROM n WHERE vec_id < $NumCentroids),
+       |asg AS (
+       |  SELECT vec_id, v, cid,
+       |    row_number() OVER (PARTITION BY vec_id
+       |      ORDER BY list_dot_product(v, cv) / (nrm * cn) DESC, cid) AS rn
+       |  FROM n CROSS JOIN cent),
+       |a AS (SELECT vec_id, v, cid FROM asg WHERE rn = 1),
+       |dims AS (
+       |  SELECT cid, u.i - 1 AS dim, CAST(floor(v[u.i] * 1000000) AS BIGINT) AS q
+       |  FROM a, unnest(generate_series(1, len(v))) AS u(i))
+       |SELECT cid, CAST(dim AS INT) AS dim, COUNT(*) AS n,
+       |  CAST(SUM(q) AS DOUBLE) / COUNT(*) / 1000000.0 AS mean_q
+       |FROM dims GROUP BY cid, dim ORDER BY cid, dim""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sim_bruteforce_topk" -> (qSimBruteForce _),
     "sim_lsh_bucketed" -> (qSimLshBucketed _),
     "sim_ivf_probe" -> (qSimIvf _),
-    "sim_ivf_multiprobe" -> (qSimIvfMultiprobe _))
+    "sim_ivf_multiprobe" -> (qSimIvfMultiprobe _),
+    "sim_kmeans_step" -> (qKmeansStep _))
 
   val oracles: Map[String, String] = Map(
     "sim_bruteforce_topk" -> qSimBruteForceOracle,
     "sim_lsh_bucketed" -> qSimLshBucketedOracle,
     "sim_ivf_probe" -> qSimIvfOracle,
-    "sim_ivf_multiprobe" -> qSimIvfMultiprobeOracle)
+    "sim_ivf_multiprobe" -> qSimIvfMultiprobeOracle,
+    "sim_kmeans_step" -> qKmeansStepOracle)
 }
