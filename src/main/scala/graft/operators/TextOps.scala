@@ -233,13 +233,71 @@ object TextOps {
       |    AS min_window_hash
       |FROM v ORDER BY doc_id""".stripMargin
 
+  /** The composed training-data filter chain — the pipeline every LLM
+    * corpus build runs, as ONE declarative query: quality gate (score +
+    * length) → language gate (prediction agrees with label) → exact
+    * dedup (keep only each content-fingerprint's min doc_id). Built
+    * from the same primitives verified individually above; Catalyst
+    * fuses the three gates into a single scan + one agg for the
+    * canonical set + one join — at 100 TB each gate is a column
+    * predicate, not a pass over the data. */
+  def qQualityPipeline(spark: SparkSession, sfDir: String): DataFrame = {
+    val stats = qTokenStats(spark, sfDir)
+      .select(col("doc_id"), col("quality_score"), col("n_tokens"))
+    val lang = qLangId(spark, sfDir)
+      .filter(col("agrees") === 1)
+      .select(col("doc_id"), col("predicted_lang"))
+    val canonical = qFingerprint(spark, sfDir)
+      .groupBy(col("fp_content")).agg(min(col("doc_id")).as("keep_id"))
+    stats
+      .filter(col("quality_score") >= 0.2 && col("n_tokens") >= 10)
+      .join(lang, "doc_id")
+      .join(canonical, col("doc_id") === col("keep_id"))
+      .select(col("doc_id"), col("predicted_lang"),
+        round(col("quality_score"), 6).as("quality_r"), col("n_tokens"))
+      .orderBy(col("doc_id"))
+  }
+
+  val qQualityPipelineOracle: String =
+    """WITH t AS (SELECT doc_id, lang, text, string_split(text, ' ') AS ts FROM documents),
+      |stats AS (SELECT doc_id,
+      |  CAST(len(ts) AS INT) AS n_tokens,
+      |  (CAST(len(list_distinct(ts)) AS DOUBLE) / len(ts)) *
+      |    (1.0 - CAST(len(list_filter(ts, x -> x IN ('the','a','of','and','to'))) AS DOUBLE) / len(ts))
+      |    AS quality_score
+      |  FROM t),
+      |lid AS (SELECT doc_id, lang AS labeled_lang,
+      |  CAST(len(list_filter(ts, x -> x IN ('the','a','of','and'))) AS INT) AS s_en,
+      |  CAST(len(list_filter(ts, x -> x IN ('der','die','das','und'))) AS INT) AS s_de,
+      |  CAST(len(list_filter(ts, x -> x IN ('el','los','las','y'))) AS INT) AS s_es,
+      |  CAST(len(list_filter(ts, x -> x IN ('le','les','et','une'))) AS INT) AS s_fr
+      |  FROM t),
+      |pred AS (SELECT doc_id, labeled_lang,
+      |  CASE WHEN s_en >= greatest(s_de, s_es, s_fr) THEN 'en'
+      |       WHEN s_de >= greatest(s_es, s_fr) THEN 'de'
+      |       WHEN s_es >= s_fr THEN 'es'
+      |       ELSE 'fr' END AS predicted_lang
+      |  FROM lid),
+      |fp AS (SELECT doc_id,
+      |  md5(array_to_string(list_sort(list_distinct(string_split(text,' '))), ' ')) AS fp_content
+      |  FROM documents),
+      |canon AS (SELECT fp_content, min(doc_id) AS keep_id FROM fp GROUP BY 1)
+      |SELECT s.doc_id, p.predicted_lang,
+      |  round(s.quality_score, 6) AS quality_r, s.n_tokens
+      |FROM stats s
+      |JOIN pred p ON p.doc_id = s.doc_id AND p.predicted_lang = p.labeled_lang
+      |JOIN canon c ON c.keep_id = s.doc_id
+      |WHERE s.quality_score >= 0.2 AND s.n_tokens >= 10
+      |ORDER BY s.doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_token_stats" -> (qTokenStats _),
     "text_langid" -> (qLangId _),
     "text_fingerprint" -> (qFingerprint _),
     "text_term_freq" -> (qTermFreq _),
     "text_bpe_tokens" -> (qBpeTokens _),
-    "text_rolling_hash" -> (qRollingHash _))
+    "text_rolling_hash" -> (qRollingHash _),
+    "text_quality_pipeline" -> (qQualityPipeline _))
 
   val oracles: Map[String, String] = Map(
     "text_token_stats" -> qTokenStatsOracle,
@@ -247,5 +305,6 @@ object TextOps {
     "text_fingerprint" -> qFingerprintOracle,
     "text_term_freq" -> qTermFreqOracle,
     "text_bpe_tokens" -> qBpeTokensOracle,
-    "text_rolling_hash" -> qRollingHashOracle)
+    "text_rolling_hash" -> qRollingHashOracle,
+    "text_quality_pipeline" -> qQualityPipelineOracle)
 }
