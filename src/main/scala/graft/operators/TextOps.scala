@@ -236,22 +236,40 @@ object TextOps {
   /** The composed training-data filter chain — the pipeline every LLM
     * corpus build runs, as ONE declarative query: quality gate (score +
     * length) → language gate (prediction agrees with label) → exact
-    * dedup (keep only each content-fingerprint's min doc_id). Built
-    * from the same primitives verified individually above; Catalyst
-    * fuses the three gates into a single scan + one agg for the
-    * canonical set + one join — at 100 TB each gate is a column
-    * predicate, not a pass over the data. */
+    * dedup (keep only each content-fingerprint's min doc_id).
+    *
+    * Plan shape: every per-document gate is a COLUMN in one projection
+    * over one scan (naively joining the individual queries would scan
+    * `documents` four times); the only extra pass is the canonical-set
+    * aggregation the dedup semantics require, and the only joins are
+    * against that tiny aggregate. At 100 TB: one wide scan, one small
+    * agg, one broadcastable join. */
   def qQualityPipeline(spark: SparkSession, sfDir: String): DataFrame = {
-    val stats = qTokenStats(spark, sfDir)
-      .select(col("doc_id"), col("quality_score"), col("n_tokens"))
-    val lang = qLangId(spark, sfDir)
-      .filter(col("agrees") === 1)
-      .select(col("doc_id"), col("predicted_lang"))
-    val canonical = qFingerprint(spark, sfDir)
-      .groupBy(col("fp_content")).agg(min(col("doc_id")).as("keep_id"))
-    stats
-      .filter(col("quality_score") >= 0.2 && col("n_tokens") >= 10)
-      .join(lang, "doc_id")
+    def score(markers: Seq[String]): Column =
+      size(filter(toks, t => t.isin(markers: _*)))
+    val nTok = size(toks)
+    val ttr = size(array_distinct(toks)).cast(DoubleType) / nTok
+    val stopRatio = score(stopwords).cast(DoubleType) / nTok
+    val gated = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("lang"),
+        nTok.as("n_tokens"),
+        (ttr * (lit(1.0) - stopRatio)).as("quality_score"),
+        score(Seq("the", "a", "of", "and")).as("s_en"),
+        score(Seq("der", "die", "das", "und")).as("s_de"),
+        score(Seq("el", "los", "las", "y")).as("s_es"),
+        score(Seq("le", "les", "et", "une")).as("s_fr"),
+        md5(array_join(array_sort(array_distinct(toks)), " ").cast("binary"))
+          .as("fp_content"))
+      .withColumn("predicted_lang",
+        when(col("s_en") >= greatest(col("s_de"), col("s_es"), col("s_fr")), "en")
+          .when(col("s_de") >= greatest(col("s_es"), col("s_fr")), "de")
+          .when(col("s_es") >= col("s_fr"), "es")
+          .otherwise("fr"))
+    val canonical = gated.groupBy(col("fp_content"))
+      .agg(min(col("doc_id")).as("keep_id"))
+    gated
+      .filter(col("quality_score") >= 0.2 && col("n_tokens") >= 10 &&
+        col("predicted_lang") === col("lang"))
       .join(canonical, col("doc_id") === col("keep_id"))
       .select(col("doc_id"), col("predicted_lang"),
         round(col("quality_score"), 6).as("quality_r"), col("n_tokens"))
