@@ -161,10 +161,12 @@ class TopologySpec extends SparkSpec {
     }
 
     try {
-      // a healthy query to populate the counters
+      // a healthy query to populate the counters (with an observe()
+      // so the /metrics observed-gauge path is exercised too)
       val in = MemoryStream[Int]
       in.addData(1, 2, 3)
-      val ok = in.toDF().writeStream.queryName("cp-ok")
+      val ok = in.toDF().observe("probe", count(lit(1)).as("n"))
+        .writeStream.queryName("cp-ok")
         .outputMode("append").format("noop").start()
       ok.processAllAvailable()
       val deadline = System.currentTimeMillis() + 15000
@@ -181,6 +183,9 @@ class TopologySpec extends SparkSpec {
       assert(metricsBody.contains("# TYPE graft_query_rows_total counter"))
       assert(metricsBody.contains("""graft_query_rows_total{query="cp-ok"} 3"""))
       assert(metricsBody.contains("""graft_query_batches_total{query="cp-ok"}"""))
+      assert(metricsBody.contains(
+        """graft_observed{query="cp-ok",observation="probe",metric="n"} 3"""),
+        s"observed gauge missing:\n$metricsBody")
       assert(get("/debug/on") === ((200, "Debug is now true\n")) && debugSeen && cp.isDebug)
       assert(get("/debug/off") === ((200, "Debug is now false\n")) && !debugSeen && !cp.isDebug)
       assert(get("/debug/maybe")._1 === 400)
