@@ -127,6 +127,24 @@ object CdcPipeline {
         (): Unit
       }
 
+  /** [[muxFanout]] variant whose sinks also receive the epoch id —
+    * for idempotent writers ([[Sinks.idempotentParquet]]) that key
+    * output by epoch so replays overwrite instead of duplicate. */
+  def muxFanoutIdempotent(wire: DataFrame,
+      sinks: Seq[(String, (DataFrame, Long) => Unit)],
+      checkpoint: String,
+      trigger: Trigger = Trigger.ProcessingTime("1 second")): DataStreamWriter[org.apache.spark.sql.Row] =
+    wire.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        batch.persist(StorageLevel.MEMORY_AND_DISK)
+        try sinks.foreach { case (_, write) => write(batch, batchId) }
+        finally batch.unpersist()
+        (): Unit
+      }
+
   /** Per-topic partitioned parquet sink: the file-sink stand-in for the
     * Kafka sink's per-topic batches (sink/kafka/kafka.go:257-287).
     * `partitionBy(topic)` is the per-topic grouping — one directory per

@@ -46,4 +46,16 @@ object Sinks {
   def withRetry(sink: DataFrame => Unit, intervalMs: Long = 100L,
                 maxAttempts: Option[Int] = None)(batch: DataFrame): Unit =
     Retry.retryForever(intervalMs, maxAttempts) { sink(batch) }
+
+  /** Idempotent file sink: each epoch OVERWRITES its own
+    * `batch=<epochId>` directory, so a replayed epoch (crash before
+    * checkpoint commit, or a deliberate rewind) replaces its previous
+    * partial output instead of appending duplicates. This turns the
+    * at-least-once replay contract into exactly-once OUTPUT without
+    * any dedup state — the (epochId → deterministic batch content)
+    * mapping from the checkpoint is the whole trick, and it is the
+    * standard upgrade the reference cannot express (its sinks are
+    * append-only, README.md:58). */
+  def idempotentParquet(outDir: String)(batch: DataFrame, batchId: Long): Unit =
+    batch.write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
 }

@@ -150,6 +150,35 @@ class StreamingSpec extends SparkSpec {
     assert(spark.read.parquet(s"$tmp/out").count() === 2)
   }
 
+  test("idempotent sink: checkpoint rewind replays WITHOUT duplicates") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val tmp = Files.createTempDirectory("graft-idem").toString
+    val in = MemoryStream[ChangeEvent]
+    def start() =
+      CdcPipeline.muxFanoutIdempotent(
+        CdcPipeline.toWire(in.toDF(), Map("events" -> "t.e"), Some("t.d")),
+        Seq("p" -> graft.streaming.Sinks.idempotentParquet(s"$tmp/out") _),
+        checkpoint = s"$tmp/ckpt",
+        trigger = org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    in.addData(ev(30), ev(31))
+    val q1 = start()
+    assert(q1.awaitTermination(60000)); q1.stop()
+    assert(spark.read.parquet(s"$tmp/out/batch=0").count() === 2)
+    // rewind: wipe the progress store → the same data replays under the
+    // SAME epoch ids and overwrites its own directories — exactly-once
+    // OUTPUT with zero dedup state (contrast the append-sink rewind
+    // test above, where duplicates appear and uuid-dedup must repair)
+    import scala.reflect.io.Directory
+    new Directory(new java.io.File(s"$tmp/ckpt")).deleteRecursively()
+    val q2 = start()
+    assert(q2.awaitTermination(60000)); q2.stop()
+    val dirs = new java.io.File(s"$tmp/out").listFiles().filter(_.isDirectory)
+      .map(_.getName).toSet
+    assert(dirs === Set("batch=0"))
+    assert(spark.read.parquet(s"$tmp/out/batch=0").count() === 2) // no duplicates
+  }
+
   test("deleting the checkpoint rewinds and replays (C3 walPositionOverride)") {
     import spark.implicits._
     implicit val sc = spark.sqlContext
