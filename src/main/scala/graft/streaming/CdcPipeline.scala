@@ -78,15 +78,21 @@ object CdcPipeline {
       .withWatermark("timestamp", watermark)
       .dropDuplicatesWithinWatermark("uuid")
 
-  /** Tumbling event-time counts per (window, table, action) — the
-    * streaming form of the mux flush statistics (M2 counters), with
-    * late data bounded by the watermark. */
+  /** Tumbling (or, with `slide` < `window`, SLIDING) event-time counts
+    * per (window, table, action) — the streaming form of the mux flush
+    * statistics (M2 counters), with late data bounded by the watermark.
+    * A sliding window assigns each event to window/slide overlapping
+    * windows (a smoothed rate view); state stays bounded by the
+    * watermark either way. */
   def windowedCounts(envelopes: DataFrame, window: String = "5 minutes",
-                     watermark: String = "10 minutes"): DataFrame =
+                     watermark: String = "10 minutes",
+                     slide: Option[String] = None): DataFrame =
     envelopes
       .withWatermark("timestamp", watermark)
       .groupBy(
-        org.apache.spark.sql.functions.window(col("timestamp"), window).as("w"),
+        slide.fold(org.apache.spark.sql.functions.window(col("timestamp"), window)) {
+          s => org.apache.spark.sql.functions.window(col("timestamp"), window, s)
+        }.as("w"),
         col("table"), col("action"))
       .agg(count(lit(1)).as("n"))
       .select(col("w.start").as("window_start"), col("table"), col("action"), col("n"))

@@ -150,6 +150,24 @@ class StreamingSpec extends SparkSpec {
     assert(spark.read.parquet(s"$tmp/out").count() === 2)
   }
 
+  test("sliding windows count each event into window/slide overlapping windows") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val in = MemoryStream[ChangeEvent]
+    // 10-minute window sliding every 5 → every event lands in exactly 2
+    val q = CdcPipeline.windowedCounts(in.toDF(), window = "10 minutes",
+        slide = Some("5 minutes"))
+      .writeStream.format("memory").queryName("sliding_out")
+      .outputMode("complete").start()
+    try {
+      in.addData(ev(1), ev(2), ev(3))
+      q.processAllAvailable()
+      val got = spark.table("sliding_out").collect()
+      assert(got.map(_.getAs[Long]("n")).sum === 6) // 3 events × 2 windows
+      assert(got.length === 2) // two overlapping windows, same (table, action)
+    } finally q.stop()
+  }
+
   test("idempotent sink: checkpoint rewind replays WITHOUT duplicates") {
     import spark.implicits._
     implicit val sc = spark.sqlContext
