@@ -17,8 +17,10 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   *   - post-hoc on a live session: `GraftExtensions.register(spark)`
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(GraftExtensions.vecDot)
+    ext.injectFunction(GraftExtensions.vecNorm)
+  }
 }
 
 object GraftExtensions {
@@ -30,8 +32,21 @@ object GraftExtensions {
       DotProduct(args.head, args(1))
     })
 
+  /** vec_norm(v) = sqrt(vec_dot(v, v)) — the same codegen'd kernel,
+    * composed at expression level so SQL users get the L2 norm too. */
+  private val vecNorm: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("vec_norm"),
+    new ExpressionInfo(classOf[DotProduct].getName, "vec_norm"),
+    { args: Seq[Expression] =>
+      require(args.length == 1, "vec_norm(v) takes exactly 1 array<double> argument")
+      org.apache.spark.sql.catalyst.expressions.Sqrt(DotProduct(args.head, args.head))
+    })
+
   /** Register on an already-built session (idempotent). */
-  def register(spark: SparkSession): Unit =
+  def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry
       .registerFunction(vecDot._1, vecDot._2, vecDot._3)
+    spark.sessionState.functionRegistry
+      .registerFunction(vecNorm._1, vecNorm._2, vecNorm._3)
+  }
 }

@@ -131,12 +131,15 @@ class PipelineOpsSpec extends SparkSpec {
     assert(r.groupBy("lang").count().filter(col("count") > 5).count() === 0)
   }
 
-  test("vec_dot is callable from SQL strings after extension registration") {
+  test("vec_dot and vec_norm are callable from SQL strings after registration") {
     graft.functions.GraftExtensions.register(spark)
     val d = spark.sql(
       "SELECT vec_dot(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS d")
       .head().getDouble(0)
     assert(d === 11.0)
+    val n = spark.sql("SELECT vec_norm(array(3.0d, 4.0d)) AS n")
+      .head().getDouble(0)
+    assert(n === 5.0)
   }
 
   test("exact cosine guard refuses above the row cap, runs below it") {
