@@ -22,6 +22,10 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
+      // drop per-query persist()s (dedup shingle relations) so cached
+      // blocks don't accumulate across the 60+ queries in this JVM —
+      // same caller-clears-cache contract as Bench
+      finally spark.catalog.clearCache()
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

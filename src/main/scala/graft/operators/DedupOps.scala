@@ -53,7 +53,14 @@ object DedupOps {
 
   /** Exact-Jaccard pairs from a (doc_id, shingle) relation: inverted-
     * index join + per-pair intersection count. Returns
-    * (a_id, b_id, inter, jaccard). */
+    * (a_id, b_id, inter, jaccard).
+    *
+    * CACHE CONTRACT (applies to every dedup query that persists the
+    * shingle relation): the persist lives until the caller runs
+    * `spark.catalog.clearCache()`. Bench and Verify both do this after
+    * every query; a long-lived interactive session embedding these
+    * queries must do the same (or `unpersist()` the input) or cached
+    * shingle relations accumulate and pin executor storage memory. */
   def jaccardPairs(sh0: DataFrame): DataFrame = {
     // sh feeds the per-doc counts and BOTH sides of the inverted-index
     // self-join — persist so the (exploded) relation is computed once

@@ -27,7 +27,9 @@ import scala.jdk.CollectionConverters._
   * named JSON segment files standing in for the WAL (no PG wire exists
   * in this sandbox):
   *
-  *   - offset       = count of segment files consumed, ≡ WAL position
+  *   - offset       = count of segment files consumed, ≡ WAL position,
+  *                    plus the boundary segment NAME so replays detect a
+  *                    mutated listing instead of silently remapping
   *   - latestOffset = directory listing past the last offset, capped by
   *                    `maxFilesPerTrigger` via [[SupportsAdmissionControl]]
   *                    — the mux batchSize count-trigger (mux/mux.go:57)
@@ -80,9 +82,20 @@ private[sources] final class CdcFileTable(options: CaseInsensitiveStringMap)
     }
 }
 
-/** Offset = number of segment files consumed (sorted by name). */
-private[sources] final case class SegmentOffset(segments: Long) extends Offset {
-  override def json(): String = segments.toString
+/** Offset = number of segment files consumed (sorted by name), PLUS the
+  * name of the last consumed segment. The count alone is positional: if
+  * retention deletes a segment, or a late writer drops a name that sorts
+  * before already-consumed ones, a checkpoint replay would silently remap
+  * offset ranges onto the wrong files (rows skipped or duplicated).
+  * Recording the boundary name makes that corruption DETECTABLE — every
+  * planning call re-checks that the sorted listing still has `lastName`
+  * at position `segments - 1` and fails fast otherwise, the same reason
+  * Spark's own FileStreamSource logs actual file names. */
+private[sources] final case class SegmentOffset(segments: Long, lastName: String)
+    extends Offset {
+  override def json(): String =
+    if (lastName == null) s"""{"segments":$segments}"""
+    else s"""{"segments":$segments,"last":"${lastName.replace("\\", "\\\\").replace("\"", "\\\"")}"}"""
 }
 
 private[sources] final class CdcFileMicroBatchStream(dir: String,
@@ -102,9 +115,32 @@ private[sources] final class CdcFileMicroBatchStream(dir: String,
       .toArray.sorted
   }
 
-  override def initialOffset(): Offset = SegmentOffset(0L)
-  override def deserializeOffset(json: String): Offset =
-    SegmentOffset(json.trim.toLong)
+  /** The listing prefix up to `off` must still end at the recorded
+    * boundary name; otherwise the positional mapping is corrupt (a
+    * consumed segment vanished or a new name sorted into the consumed
+    * range) and continuing would read the wrong files. */
+  private def verifyPrefix(names: Array[String], off: SegmentOffset): Unit = {
+    if (off.segments > 0 && off.lastName != null) {
+      val i = off.segments.toInt - 1
+      if (names.length <= i || names(i) != off.lastName)
+        throw new IllegalStateException(
+          s"CdcFileSource[$dir]: checkpoint says segment #${off.segments} is " +
+          s"'${off.lastName}' but the directory now lists " +
+          s"${if (names.length <= i) "fewer segments" else s"'${names(i)}'"} there. " +
+          "A consumed segment was deleted or a name sorted into the consumed " +
+          "range — refusing to remap offsets onto different files.")
+    }
+  }
+
+  override def initialOffset(): Offset = SegmentOffset(0L, null)
+  override def deserializeOffset(json: String): Offset = {
+    val t = json.trim
+    if (t.startsWith("{")) {
+      val n = new com.fasterxml.jackson.databind.ObjectMapper().readTree(t)
+      SegmentOffset(n.get("segments").asLong(),
+        if (n.has("last")) n.get("last").asText() else null)
+    } else SegmentOffset(t.toLong, null) // pre-name checkpoint format
+  }
 
   override def getDefaultReadLimit: ReadLimit =
     maxFilesPerTrigger.map(n => ReadLimit.maxFiles(n))
@@ -115,20 +151,27 @@ private[sources] final class CdcFileMicroBatchStream(dir: String,
       "latestOffset(Offset, ReadLimit) is used (SupportsAdmissionControl)")
 
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
-    val from = start.asInstanceOf[SegmentOffset].segments
-    val total = segmentNames().length.toLong
+    val so = start.asInstanceOf[SegmentOffset]
+    val names = segmentNames()
+    verifyPrefix(names, so)
+    val from = so.segments
+    val total = names.length.toLong
     val capped = limit match {
       case rl: org.apache.spark.sql.connector.read.streaming.ReadMaxFiles =>
         math.min(total, from + rl.maxFiles())
       case _ => total
     }
-    SegmentOffset(math.max(from, capped))
+    val to = math.max(from, capped)
+    SegmentOffset(to, if (to > 0 && to <= names.length) names(to.toInt - 1) else so.lastName)
   }
 
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
-    val from = start.asInstanceOf[SegmentOffset].segments.toInt
-    val to = end.asInstanceOf[SegmentOffset].segments.toInt
-    segmentNames().slice(from, to)
+    val so = start.asInstanceOf[SegmentOffset]
+    val eo = end.asInstanceOf[SegmentOffset]
+    val names = segmentNames()
+    verifyPrefix(names, so)
+    verifyPrefix(names, eo)
+    names.slice(so.segments.toInt, eo.segments.toInt)
       .map(n => SegmentPartition(s"$dir/$n"): InputPartition)
   }
 

@@ -61,7 +61,11 @@ object CdcPipeline {
   def observed(envelopes: DataFrame, name: String = "cdc"): DataFrame =
     envelopes.observe(name,
       count(lit(1)).as("events"),
-      sum(when(!col("action").isin(ChangeEvent.ValidActions: _*), 1L)
+      // NULL actions must be counted explicitly: `!isin(...)` is NULL
+      // (not true) for a null action, so without the isNull arm the
+      // counter would claim fewer drops than validated() performs
+      sum(when(col("action").isNull ||
+          !col("action").isin(ChangeEvent.ValidActions: _*), 1L)
         .otherwise(0L)).as("invalid_action"),
       sum(when(col("uuid").isNull || col("uuid") === "", 1L)
         .otherwise(0L)).as("missing_uuid"))

@@ -47,11 +47,16 @@ final class ControlPlane(monitoring: Monitoring,
     * `query` label per streaming query). */
   private[streaming] def metricsText: String = {
     val sb = new StringBuilder
+    // Label values must escape \ " and newline per the Prometheus text
+    // exposition format — an unescaped quote in a query name would make
+    // the whole /metrics page unparseable to scrapers.
+    def esc(v: String): String =
+      v.replace("\\", "\\\\").replace("\"", "\\\"").replace("\n", "\\n")
     def family(name: String, help: String, typ: String)
         (value: String => Long): Unit = {
       sb.append(s"# HELP $name $help\n# TYPE $name $typ\n")
       monitoring.stats.keys.toSeq.sorted.foreach { q =>
-        sb.append(s"""$name{query="$q"} ${value(q)}""").append('\n')
+        sb.append(s"""$name{query="${esc(q)}"} ${value(q)}""").append('\n')
       }
     }
     family("graft_query_rows_total", "Rows processed per query", "counter")(
@@ -64,7 +69,7 @@ final class ControlPlane(monitoring: Monitoring,
       monitoring.observedMetrics(q).toSeq.sortBy(_._1).flatMap { case (obs, ms) =>
         ms.toSeq.sortBy(_._1).flatMap { case (metric, v) =>
           v.toDoubleOption.map(d =>
-            s"""graft_observed{query="$q",observation="$obs",metric="$metric"} $d""")
+            s"""graft_observed{query="${esc(q)}",observation="${esc(obs)}",metric="${esc(metric)}"} $d""")
         }
       }
     }

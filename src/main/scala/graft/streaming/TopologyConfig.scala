@@ -78,6 +78,22 @@ object TopologyConfig {
     else throw ConfigError(s"expected quoted string at: $ctx")
   }
 
+  /** Split `s` on commas that sit OUTSIDE quoted strings — a bare
+    * split(",") would mis-split a quoted topic name containing a comma
+    * (same in-string scan as [[stripComment]]). */
+  private def splitTop(s: String): Seq[String] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    val cur = new StringBuilder
+    var inStr = false
+    s.foreach { c =>
+      if (c == '"') { inStr = !inStr; cur.append(c) }
+      else if (c == ',' && !inStr) { out += cur.toString; cur.clear() }
+      else cur.append(c)
+    }
+    out += cur.toString
+    out.toSeq
+  }
+
   private def parseValue(v: String, line: String): Any = v match {
     case "" => throw ConfigError(s"empty value at: $line")
     case s if s.startsWith("\"") => unquote(s, line)
@@ -86,11 +102,11 @@ object TopologyConfig {
     case s if s.startsWith("[") && s.endsWith("]") =>
       val inner = s.substring(1, s.length - 1).trim
       if (inner.isEmpty) Seq.empty[String]
-      else inner.split(",").map(unquote(_, line)).toSeq
+      else splitTop(inner).map(unquote(_, line)).toSeq
     case s if s.startsWith("{") && s.endsWith("}") =>
       val inner = s.substring(1, s.length - 1).trim
       if (inner.isEmpty) Map.empty[String, String]
-      else inner.split(",").map { kv =>
+      else splitTop(inner).map { kv =>
         kv.split("=", 2) match {
           case Array(k, value) => k.trim -> unquote(value, line)
           case _ => throw ConfigError(s"bad inline table entry '$kv' at: $line")

@@ -79,6 +79,33 @@ class CdcSourceSpec extends SparkSpec {
     assert(CdcFileSource.committed.get(in) >= 3L) // restart confirmed the recovered epochs
   }
 
+  test("DSv2 source: fails fast when the consumed listing prefix mutates") {
+    val root = Files.createTempDirectory("graft-dsv2-mut").toString
+    val in = s"$root/wal"; Files.createDirectories(Paths.get(in))
+    writeSegment(in, "seg-100.json", Seq(ev(1)))
+    writeSegment(in, "seg-101.json", Seq(ev(2)))
+    val run = () => {
+      val q = spark.readStream.format(CdcFileSource.Name)
+        .option("path", in).load()
+        .writeStream.option("checkpointLocation", s"$root/ckpt")
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          b.write.mode("append").parquet(s"$root/out"); (): Unit
+        }.start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    run() // consume both segments, checkpoint records boundary name
+    // a late writer drops a name that sorts BEFORE the consumed range —
+    // positional offsets would silently remap; we must refuse instead
+    writeSegment(in, "seg-000.json", Seq(ev(9)))
+    writeSegment(in, "seg-102.json", Seq(ev(3)))
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException](run())
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty else String.valueOf(t.getMessage) +: messages(t.getCause)
+    assert(messages(e).exists(_.contains("refusing to remap")))
+    // nothing was duplicated or skipped before the failure
+    assert(spark.read.parquet(s"$root/out").count() === 2)
+  }
+
   test("DSv2 source: composes with the envelope pipeline transforms") {
     val root = Files.createTempDirectory("graft-dsv2-pipe").toString
     val in = s"$root/wal"; Files.createDirectories(Paths.get(in))

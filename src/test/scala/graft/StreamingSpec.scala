@@ -44,14 +44,15 @@ class StreamingSpec extends SparkSpec {
       .writeStream.format("noop").queryName("observed_q")
       .outputMode("append").start()
     try {
-      in.addData(ev(1), ev(2, action = "begin"), ev(3, uuid = ""), ev(4, action = "delete"))
+      in.addData(ev(1), ev(2, action = "begin"), ev(3, uuid = ""),
+        ev(4, action = "delete"), ev(5, action = null))
       q.processAllAvailable()
       val deadline = System.currentTimeMillis() + 15000
       while (mon.observedMetrics("observed_q").isEmpty &&
         System.currentTimeMillis() < deadline) Thread.sleep(50)
       val m = mon.observedMetrics("observed_q")("cdc")
-      assert(m("events") === "4")         // all rows seen pre-filter
-      assert(m("invalid_action") === "1") // the 'begin' marker
+      assert(m("events") === "5")         // all rows seen pre-filter
+      assert(m("invalid_action") === "2") // 'begin' marker + NULL action
       assert(m("missing_uuid") === "1")   // the empty-uuid row
     } finally {
       q.stop()
