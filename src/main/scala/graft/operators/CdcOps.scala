@@ -301,6 +301,49 @@ object CdcOps {
       |GROUP BY 1, 2
       |ORDER BY window_start_s, event_type""".stripMargin
 
+  /** Snapshot materialization — the canonical CONSUMER of the change
+    * stream the reference produces: apply insert/update/delete per key
+    * in WAL order and emit the current-state table (what a downstream
+    * warehouse does with the reference's Kafka topics). Last-write-wins
+    * by wal_position; a key whose latest change is a delete has no row.
+    *
+    * Scale shape: `groupBy(key).agg(max_by(_, wal))` — ONE shuffle with
+    * map-side partial aggregation (each map task pre-reduces to one
+    * candidate row per key), which is strictly better at 100 TB than
+    * the window row_number() formulation (full sort of every version
+    * within each key, no partial agg). */
+  def qSnapshot(spark: SparkSession, sfDir: String): DataFrame = {
+    val env = filterActions(toEnvelope(Tables.events(spark, sfDir)))
+    env.select(
+        element_at(col("columns"), "user_id").as("user_id"),
+        col("wal_position"), col("action"),
+        element_at(col("columns"), "props").as("props"))
+      .groupBy(col("user_id"))
+      .agg(
+        max(col("wal_position")).as("last_wal"),
+        max_by(col("action"), col("wal_position")).as("last_action"),
+        max_by(col("props"), col("wal_position")).as("props"),
+        count(lit(1)).as("n_changes"))
+      .filter(col("last_action") =!= ChangeEvent.Delete)
+      .orderBy(col("user_id"))
+  }
+
+  val qSnapshotOracle: String =
+    """WITH env AS (
+      |  SELECT CAST(user_id AS VARCHAR) AS user_id, event_id AS wal, props,
+      |    CASE event_type WHEN 'signup' THEN 'insert'
+      |         WHEN 'purchase' THEN 'update'
+      |         WHEN 'error' THEN 'delete' END AS action
+      |  FROM events
+      |  WHERE event_type IN ('signup', 'purchase', 'error'))
+      |SELECT user_id, MAX(wal) AS last_wal,
+      |  arg_max(action, wal) AS last_action,
+      |  arg_max(props, wal) AS props,
+      |  COUNT(*) AS n_changes
+      |FROM env GROUP BY 1
+      |HAVING arg_max(action, wal) <> 'delete'
+      |ORDER BY user_id""".stripMargin
+
   /** All CDC queries + oracles, for SparkEntry registration. */
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "cdc_envelope" -> (qEnvelope _),
@@ -311,7 +354,8 @@ object CdcOps {
     "cdc_dedup_uuid" -> (qDedupUuid _),
     "cdc_batch_windows" -> (qBatchWindows _),
     "cdc_typed_view" -> (qTypedView _),
-    "cdc_dead_letter" -> (qDeadLetter _))
+    "cdc_dead_letter" -> (qDeadLetter _),
+    "cdc_snapshot" -> (qSnapshot _))
 
   val oracles: Map[String, String] = Map(
     "cdc_envelope" -> qEnvelopeOracle,
@@ -322,5 +366,6 @@ object CdcOps {
     "cdc_dedup_uuid" -> qDedupUuidOracle,
     "cdc_batch_windows" -> qBatchWindowsOracle,
     "cdc_typed_view" -> qTypedViewOracle,
-    "cdc_dead_letter" -> qDeadLetterOracle)
+    "cdc_dead_letter" -> qDeadLetterOracle,
+    "cdc_snapshot" -> qSnapshotOracle)
 }

@@ -451,6 +451,93 @@ object DedupOps {
       |WHERE list_dot_product(a.v, b.v) / (a.nrm * b.nrm) >= 0.4
       |ORDER BY a_id, b_id""".stripMargin
 
+  // ---- 7. Dedup clusters: connected components over the pair graph ----
+
+  /** Connected components by iterative min-label propagation — the step
+    * that turns pairwise near-dup MATCHES into dedup GROUPS ("keep one
+    * document per component"), which is what a training-data pipeline
+    * actually executes. Each round is one shuffle: propagate every
+    * node's current label across its edges, take the min per node, and
+    * stop at the fixpoint. Rounds needed = component diameter; near-dup
+    * components are short chains (docs transitively similar through
+    * shared boilerplate), so a diameter loop with a cheap emptiness
+    * probe converges in a handful of rounds. At 100 TB with adversarial
+    * long-chain graphs, swap the propagation step for alternating
+    * large-star/small-star (Kiveris et al., "Connected Components in
+    * MapReduce and Beyond", SoCC'14) — same join/agg primitives,
+    * O(log n) rounds; the API here stays the same.
+    *
+    * Input: undirected edges as (a_id, b_id). Output: (node, label)
+    * with label = min node id reachable, the component's canonical id.
+    */
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 25): DataFrame = {
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val edges = pairs.select(col("a_id").as("src"), col("b_id").as("dst"))
+      .union(pairs.select(col("b_id").as("src"), col("a_id").as("dst")))
+      .persist(lvl)
+    var labels = edges.select(col("src").as("node")).distinct()
+      .withColumn("label", col("node")).persist(lvl)
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIter) {
+      val prop = edges.join(labels, col("dst") === col("node"))
+        .select(col("src").as("node"), col("label"))
+        .union(labels)
+        .groupBy("node").agg(min("label").as("label"))
+        .persist(lvl)
+      prop.count() // materialize before probing / dropping the parent
+      converged = prop.withColumnRenamed("label", "new_label")
+        .join(labels, "node")
+        .filter(col("new_label") =!= col("label")).isEmpty
+      labels.unpersist()
+      labels = prop
+      iter += 1
+    }
+    edges.unpersist()
+    require(converged, s"connectedComponents did not converge in $maxIter rounds")
+    labels
+  }
+
+  /** Dedup clustering over the CAPPED jaccard pair graph (the scale-safe
+    * match variant): every matched doc gets its component's canonical id,
+    * the component size, and a keep/drop flag (`is_canonical` = the one
+    * survivor per cluster — min doc_id, deterministic). */
+  def qDedupClusters(spark: SparkSession, sfDir: String): DataFrame = {
+    val pairs = qDedupJaccardCapped(spark, sfDir).select("a_id", "b_id")
+    val comp = connectedComponents(pairs)
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("cluster_id"))
+    comp.select(col("node").as("doc_id"), col("label").as("cluster_id"))
+      .withColumn("csize", count(lit(1)).over(w))
+      .withColumn("is_canonical", col("doc_id") === col("cluster_id"))
+      .orderBy(col("doc_id"))
+  }
+
+  val qDedupClustersOracle: String =
+    s"""WITH RECURSIVE $shinglesSql,
+       |rare AS (SELECT shingle FROM sh GROUP BY shingle HAVING COUNT(*) <= 20),
+       |kept AS (SELECT sh.doc_id, sh.shingle FROM sh JOIN rare USING (shingle)),
+       |sc AS (SELECT doc_id, COUNT(*) AS n FROM kept GROUP BY 1),
+       |pairs AS (
+       |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS inter
+       |  FROM kept a JOIN kept b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2),
+       |matched AS (
+       |  SELECT p.a_id, p.b_id FROM pairs p
+       |  JOIN sc sa ON sa.doc_id = p.a_id
+       |  JOIN sc sb ON sb.doc_id = p.b_id
+       |  WHERE CAST(p.inter AS DOUBLE) / (sa.n + sb.n - p.inter) >= 0.1),
+       |edges AS (SELECT a_id AS src, b_id AS dst FROM matched
+       |          UNION SELECT b_id, a_id FROM matched),
+       |reach(src, dst) AS (
+       |  SELECT DISTINCT src, src FROM edges
+       |  UNION
+       |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+       |comp AS (SELECT src AS doc_id, MIN(dst) AS cluster_id FROM reach GROUP BY 1)
+       |SELECT doc_id, cluster_id,
+       |  COUNT(*) OVER (PARTITION BY cluster_id) AS csize,
+       |  doc_id = cluster_id AS is_canonical
+       |FROM comp ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_exact" -> (qDedupExact _),
     "dedup_ngram_jaccard" -> (qDedupJaccard _),
@@ -458,7 +545,8 @@ object DedupOps {
     "dedup_minhash_lsh" -> (qDedupMinhashLsh _),
     "dedup_simhash" -> (qDedupSimhash _),
     "dedup_simhash_hamming" -> (qDedupSimhashHamming _),
-    "dedup_embedding_cosine" -> (qDedupEmbedding _))
+    "dedup_embedding_cosine" -> (qDedupEmbedding _),
+    "dedup_clusters" -> (qDedupClusters _))
 
   val oracles: Map[String, String] = Map(
     "dedup_exact" -> qDedupExactOracle,
@@ -467,5 +555,6 @@ object DedupOps {
     "dedup_minhash_lsh" -> qDedupMinhashLshOracle,
     "dedup_simhash" -> qDedupSimhashOracle,
     "dedup_simhash_hamming" -> qDedupSimhashHammingOracle,
-    "dedup_embedding_cosine" -> qDedupEmbeddingOracle)
+    "dedup_embedding_cosine" -> qDedupEmbeddingOracle,
+    "dedup_clusters" -> qDedupClustersOracle)
 }

@@ -54,6 +54,28 @@ class CdcOpsSpec extends SparkSpec {
     assert(back.filter(col("uuid") =!= col("round_trip")).count() === 0)
   }
 
+  test("snapshot applies last-write-wins and removes deleted keys") {
+    val snap = CdcOps.qSnapshot(spark, sf)
+    // no key's final state is a delete (deleted keys have no row)
+    assert(snap.filter(col("last_action") === ChangeEvent.Delete).count() === 0)
+    // one row per surviving key
+    val keys = snap.select("user_id").collect().map(_.getString(0))
+    assert(keys.length === keys.distinct.length)
+    // last-write-wins: each key's last_wal is that key's max wal in the
+    // change stream, and keys whose LATEST change is a delete are absent
+    val lastByKey = env
+      .select(element_at(col("columns"), "user_id").as("user_id"),
+        col("wal_position"), col("action"))
+      .groupBy("user_id")
+      .agg(max("wal_position").as("max_wal"),
+        max_by(col("action"), col("wal_position")).as("last_action"))
+    val joined = snap.join(lastByKey, "user_id")
+    assert(joined.filter(col("last_wal") =!= col("max_wal")).count() === 0)
+    val deletedKeys = lastByKey.filter(col("last_action") === ChangeEvent.Delete)
+    assert(snap.join(deletedKeys, "user_id").count() === 0)
+    assert(snap.count() + deletedKeys.count() === lastByKey.count())
+  }
+
   test("dedup by uuid collapses an exact replay") {
     val n = events.count()
     val replayed = events.withColumn("uuid", CdcOps.deterministicUuid(col("event_id")))

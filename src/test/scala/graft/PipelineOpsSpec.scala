@@ -152,6 +152,31 @@ class PipelineOpsSpec extends SparkSpec {
     assert(DedupOps.exactCosinePairs(e).count() > 0)   // default cap admits sf0.001
   }
 
+  test("connected components: chain, pair, and triangle resolve to min-label clusters") {
+    import spark.implicits._
+    // chain 1-2-3-4 (diameter 3), pair 10-11, triangle 20-21-22
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L),
+      (20L, 21L), (21L, 22L), (20L, 22L)).toDF("a_id", "b_id")
+    val got = DedupOps.connectedComponents(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 20L, 22L -> 20L))
+  }
+
+  test("dedup clusters: every cluster keeps exactly one canonical doc") {
+    val r = DedupOps.qDedupClusters(spark, sf)
+    val perCluster = r.groupBy("cluster_id")
+      .agg(sum(col("is_canonical").cast("long")).as("keepers"),
+        count(lit(1)).as("n"), max(col("csize")).as("csize"))
+      .collect()
+    assert(perCluster.nonEmpty)
+    perCluster.foreach { row =>
+      assert(row.getAs[Long]("keepers") === 1L)        // one survivor
+      assert(row.getAs[Long]("n") === row.getAs[Long]("csize")) // csize consistent
+      assert(row.getAs[Long]("csize") >= 2L)           // matched docs only
+    }
+  }
+
   test("capped jaccard pairs are a subset of uncapped pairs") {
     val capped = DedupOps.qDedupJaccardCapped(spark, sf).select("a_id", "b_id")
     val full = DedupOps.qDedupJaccard(spark, sf).select("a_id", "b_id")
