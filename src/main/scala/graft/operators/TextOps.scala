@@ -308,6 +308,177 @@ object TextOps {
       |WHERE s.quality_score >= 0.2 AND s.n_tokens >= 10
       |ORDER BY s.doc_id""".stripMargin
 
+  /** Repetition quality metrics (the Gopher/MassiveText repetition
+    * rules, Rae et al. 2021 §A1.1): fraction of duplicate words, mass
+    * of the most frequent word/bigram, and mass of all duplicated
+    * bigrams. High values flag boilerplate/spam to drop before
+    * training. Shape: explode → two (doc, gram) partial-aggregated
+    * groupBys → join; each shuffles grams once with map-side combine —
+    * the only scalable shape (per-row array algebra would re-walk each
+    * document's token list per metric). */
+  def qRepetition(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    val wc = docs.select(col("doc_id"), explode(toks).as("tk"))
+      .groupBy(col("doc_id"), col("tk")).agg(count(lit(1)).as("c"))
+    val w = wc.groupBy(col("doc_id")).agg(
+      sum(col("c")).as("n_tok"), max(col("c")).as("top_w"),
+      (sum(col("c")) - count(lit(1))).as("dup_w"))
+    val bg0 = docs.select(col("doc_id"), toks.as("ts"))
+      .filter(size(col("ts")) >= 2)
+      .select(col("doc_id"), explode(transform(
+        sequence(lit(0), size(col("ts")) - 2),
+        i => concat_ws(" ", element_at(col("ts"), i + 1),
+          element_at(col("ts"), i + 2)))).as("bg"))
+    val bc = bg0.groupBy(col("doc_id"), col("bg")).agg(count(lit(1)).as("c"))
+    val b = bc.groupBy(col("doc_id")).agg(
+      sum(col("c")).as("n_bg"), max(col("c")).as("top_bg"),
+      sum(when(col("c") > 1, col("c")).otherwise(0L)).as("dup_bg"))
+    w.join(b, "doc_id")
+      .select(col("doc_id"), col("n_tok"),
+        (col("dup_w").cast(DoubleType) / col("n_tok")).as("dup_word_frac"),
+        (col("top_w").cast(DoubleType) / col("n_tok")).as("top_word_frac"),
+        (col("top_bg").cast(DoubleType) / col("n_bg")).as("top_bigram_frac"),
+        (col("dup_bg").cast(DoubleType) / col("n_bg")).as("dup_bigram_frac"))
+      .orderBy(col("doc_id"))
+  }
+
+  val qRepetitionOracle: String =
+    """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tk FROM documents),
+      |wc AS (SELECT doc_id, tk, COUNT(*) AS c FROM tok GROUP BY 1, 2),
+      |w AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tok, MAX(c) AS top_w,
+      |        CAST(SUM(c) - COUNT(*) AS BIGINT) AS dup_w FROM wc GROUP BY 1),
+      |bg0 AS (SELECT doc_id, ts[g] || ' ' || ts[g+1] AS bg
+      |  FROM (SELECT doc_id, string_split(text, ' ') AS ts FROM documents) t,
+      |       unnest(generate_series(1, len(ts)-1)) AS u(g)),
+      |bc AS (SELECT doc_id, bg, COUNT(*) AS c FROM bg0 GROUP BY 1, 2),
+      |b AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_bg, MAX(c) AS top_bg,
+      |        CAST(SUM(CASE WHEN c > 1 THEN c ELSE 0 END) AS BIGINT) AS dup_bg
+      |      FROM bc GROUP BY 1)
+      |SELECT w.doc_id, n_tok,
+      |  CAST(dup_w AS DOUBLE) / n_tok AS dup_word_frac,
+      |  CAST(top_w AS DOUBLE) / n_tok AS top_word_frac,
+      |  CAST(top_bg AS DOUBLE) / n_bg AS top_bigram_frac,
+      |  CAST(dup_bg AS DOUBLE) / n_bg AS dup_bigram_frac
+      |FROM w JOIN b ON w.doc_id = b.doc_id
+      |ORDER BY w.doc_id""".stripMargin
+
+  /** PII redaction: mask emails and phone numbers before training.
+    * The corpus is synthetic word soup, so deterministic PII is woven
+    * in first (same construction on both engines): every 5th doc gains
+    * an email, every 7th a phone number. Patterns stick to the regex
+    * subset Java and RE2 share (no lookaround). One scan, no shuffle,
+    * codegen'd `regexp_replace`/`regexp_count`. */
+  private val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private val PhoneRe = "[0-9]{3}-[0-9]{3}-[0-9]{4}"
+
+  def qPiiRedact(spark: SparkSession, sfDir: String): DataFrame = {
+    val withPii = Tables.documents(spark, sfDir).withColumn("text2",
+      concat(col("text"),
+        when(col("doc_id") % 5 === 0,
+          concat(lit(" contact user"), col("doc_id"), lit("@mail.example.com")))
+          .otherwise(lit("")),
+        when(col("doc_id") % 7 === 0,
+          concat(lit(" call 555-010-"),
+            lpad((col("doc_id") % 10000).cast("string"), 4, "0")))
+          .otherwise(lit(""))))
+    withPii.select(
+        col("doc_id"),
+        regexp_count(col("text2"), lit(EmailRe)).as("n_email"),
+        regexp_count(col("text2"), lit(PhoneRe)).as("n_phone"),
+        md5(regexp_replace(regexp_replace(col("text2"), EmailRe, "<EMAIL>"),
+          PhoneRe, "<PHONE>").cast("binary")).as("redacted_md5"))
+      .orderBy(col("doc_id"))
+  }
+
+  val qPiiRedactOracle: String =
+    """WITH aug AS (
+      |  SELECT doc_id, text ||
+      |    CASE WHEN doc_id % 5 = 0
+      |      THEN ' contact user' || doc_id || '@mail.example.com' ELSE '' END ||
+      |    CASE WHEN doc_id % 7 = 0
+      |      THEN ' call 555-010-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+      |      ELSE '' END AS text2
+      |  FROM documents)
+      |SELECT doc_id,
+      |  CAST(len(regexp_extract_all(text2, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INT) AS n_email,
+      |  CAST(len(regexp_extract_all(text2, '[0-9]{3}-[0-9]{3}-[0-9]{4}')) AS INT) AS n_phone,
+      |  md5(regexp_replace(regexp_replace(text2,
+      |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+      |    '[0-9]{3}-[0-9]{3}-[0-9]{4}', '<PHONE>', 'g')) AS redacted_md5
+      |FROM aug ORDER BY doc_id""".stripMargin
+
+  /** Overlapping fixed-size chunking — the standard pre-tokenization
+    * split of long documents into training windows (size 40 words,
+    * stride 30 → 10-word overlap). Declarative cardinality: the chunk
+    * starts are a `sequence` per doc, exploded; no UDF, no shuffle.
+    * `ts` is materialized BEFORE the transform lambda (the HOF rule:
+    * never index an array rebuilt inside the lambda). */
+  def qChunking(spark: SparkSession, sfDir: String): DataFrame = {
+    val (chunk, stride) = (40, 30)
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"), toks.as("ts"))
+      .select(col("doc_id"), col("ts"),
+        explode(sequence(lit(0), floor((size(col("ts")) - 1) / stride).cast("int")))
+          .as("chunk_id"))
+      .select(col("doc_id"), col("chunk_id"),
+        slice(col("ts"), col("chunk_id") * stride + 1, lit(chunk)).as("cw"))
+      .select(col("doc_id"), col("chunk_id"),
+        size(col("cw")).as("n_words"),
+        array_join(col("cw"), " ").as("chunk_text"))
+      .orderBy(col("doc_id"), col("chunk_id"))
+  }
+
+  val qChunkingOracle: String =
+    """WITH d AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+      |st AS (SELECT doc_id, ts, g AS chunk_id
+      |  FROM d, unnest(generate_series(0, CAST(floor((len(ts)-1) / 30) AS BIGINT))) AS u(g)),
+      |ch AS (SELECT doc_id, chunk_id,
+      |         ts[chunk_id*30 + 1 : least(chunk_id*30 + 40, len(ts))] AS cw
+      |       FROM st)
+      |SELECT doc_id, CAST(chunk_id AS INT) AS chunk_id,
+      |  CAST(len(cw) AS INT) AS n_words,
+      |  array_to_string(cw, ' ') AS chunk_text
+      |FROM ch ORDER BY doc_id, chunk_id""".stripMargin
+
+  /** TF-IDF top terms per document. The idf uses INTEGER-EXACT
+    * arithmetic — `score_1000 = (tf * N * 1000) div df` — instead of a
+    * float `ln(N/df)`: libm and the JVM may differ in the last ulp of
+    * `ln`, and ranking/hashing must be bit-reproducible across engines.
+    * Monotonicity in tf and 1/df is all a ranker needs. Shape: one
+    * gram shuffle for tf (map-side combine), a vocabulary-keyed join
+    * for df, a broadcast scalar for N, one window top-k per doc. */
+  def qTfidf(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(spark, sfDir)
+    val tf = docs.select(col("doc_id"), explode(toks).as("term"))
+      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("score_1000").desc, col("term"))
+    tf.join(df, "term")
+      .crossJoin(broadcast(n))
+      .withColumn("score_1000", expr("tf * n * 1000 DIV df"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 5)
+      .select(col("doc_id"), col("term"), col("tf"), col("df"), col("score_1000"))
+      .orderBy(col("doc_id"), col("term"))
+  }
+
+  val qTfidfOracle: String =
+    """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+      |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+      |df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+      |n AS (SELECT COUNT(*) AS n FROM documents),
+      |scored AS (
+      |  SELECT doc_id, term, tf.tf, df.df,
+      |    CAST((tf.tf * n.n * 1000) // df.df AS BIGINT) AS score_1000
+      |  FROM tf JOIN df USING (term), n),
+      |rk AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+      |         ORDER BY score_1000 DESC, term) AS rk FROM scored)
+      |SELECT doc_id, term, tf, df, score_1000
+      |FROM rk WHERE rk <= 5 ORDER BY doc_id, term""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_token_stats" -> (qTokenStats _),
     "text_langid" -> (qLangId _),
@@ -315,7 +486,11 @@ object TextOps {
     "text_term_freq" -> (qTermFreq _),
     "text_bpe_tokens" -> (qBpeTokens _),
     "text_rolling_hash" -> (qRollingHash _),
-    "text_quality_pipeline" -> (qQualityPipeline _))
+    "text_quality_pipeline" -> (qQualityPipeline _),
+    "text_repetition" -> (qRepetition _),
+    "text_pii_redact" -> (qPiiRedact _),
+    "text_chunking" -> (qChunking _),
+    "text_tfidf" -> (qTfidf _))
 
   val oracles: Map[String, String] = Map(
     "text_token_stats" -> qTokenStatsOracle,
@@ -324,5 +499,9 @@ object TextOps {
     "text_term_freq" -> qTermFreqOracle,
     "text_bpe_tokens" -> qBpeTokensOracle,
     "text_rolling_hash" -> qRollingHashOracle,
-    "text_quality_pipeline" -> qQualityPipelineOracle)
+    "text_quality_pipeline" -> qQualityPipelineOracle,
+    "text_repetition" -> qRepetitionOracle,
+    "text_pii_redact" -> qPiiRedactOracle,
+    "text_chunking" -> qChunkingOracle,
+    "text_tfidf" -> qTfidfOracle)
 }

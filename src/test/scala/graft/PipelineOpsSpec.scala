@@ -177,6 +177,78 @@ class PipelineOpsSpec extends SparkSpec {
     }
   }
 
+  test("repetition metrics are fractions; top-word mass bounds dup-word mass sanely") {
+    val r = TextOps.qRepetition(spark, sf).collect()
+    assert(r.nonEmpty)
+    r.foreach { row =>
+      Seq("dup_word_frac", "top_word_frac", "top_bigram_frac", "dup_bigram_frac")
+        .foreach { c =>
+          val v = row.getAs[Double](c)
+          assert(v >= 0.0 && v <= 1.0, s"$c=$v out of range")
+        }
+      // the most frequent word accounts for at least 1/n of the mass
+      assert(row.getAs[Double]("top_word_frac") >= 1.0 / row.getAs[Long]("n_tok"))
+    }
+  }
+
+  test("pii redact finds exactly the woven-in emails and phones") {
+    val r = TextOps.qPiiRedact(spark, sf).collect()
+    r.foreach { row =>
+      val id = row.getAs[Long]("doc_id")
+      assert(row.getAs[Int]("n_email") === (if (id % 5 == 0) 1 else 0))
+      assert(row.getAs[Int]("n_phone") === (if (id % 7 == 0) 1 else 0))
+    }
+  }
+
+  test("chunking covers every doc with stride-40/30 windows") {
+    val r = TextOps.qChunking(spark, sf)
+    val perDoc = r.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_chunks"), max("n_words").as("max_w"),
+        min("n_words").as("min_w"))
+    val docs = Tables.documents(spark, sf).select(col("doc_id"),
+      size(split(col("text"), " ")).as("n_tok"))
+    val joined = perDoc.join(docs, "doc_id").collect()
+    assert(joined.length === docs.count())
+    joined.foreach { row =>
+      val n = row.getAs[Int]("n_tok")
+      assert(row.getAs[Long]("n_chunks") === (n - 1) / 30 + 1)
+      assert(row.getAs[Int]("max_w") <= 40)
+      assert(row.getAs[Int]("min_w") >= 1)
+    }
+  }
+
+  test("tfidf keeps at most 5 terms per doc with consistent df bounds") {
+    val r = TextOps.qTfidf(spark, sf)
+    val n = Tables.documents(spark, sf).count()
+    val perDoc = r.groupBy("doc_id").agg(count(lit(1)).as("k")).collect()
+    assert(perDoc.forall(_.getAs[Long]("k") <= 5))
+    val bad = r.filter(col("df") < 1 || col("df") > n || col("score_1000") <= 0)
+    assert(bad.isEmpty)
+  }
+
+  test("hash split is deterministic, complete, and roughly 80/10/10") {
+    import graft.operators.SamplingOps
+    val a = SamplingOps.qSampleSplit(spark, sf).collect()
+    val b = SamplingOps.qSampleSplit(spark, sf).collect()
+    assert(a.map(_.toString).sameElements(b.map(_.toString))) // reproducible
+    val bySplit = a.groupBy(_.getAs[String]("split")).view.mapValues(_.length).toMap
+    assert(bySplit.keySet === Set("train", "valid", "test"))
+    val n = a.length.toDouble
+    assert(bySplit("train") / n > 0.7 && bySplit("train") / n < 0.9)
+    a.foreach { row =>
+      val bk = row.getAs[Int]("bucket")
+      assert(bk >= 0 && bk < 100)
+    }
+  }
+
+  test("class balancing caps every language at 60 docs") {
+    import graft.operators.SamplingOps
+    val r = SamplingOps.qBalanceClasses(spark, sf)
+    val counts = r.groupBy("lang").agg(count(lit(1)).as("n")).collect()
+    assert(counts.nonEmpty)
+    assert(counts.forall(_.getAs[Long]("n") <= 60))
+  }
+
   test("capped jaccard pairs are a subset of uncapped pairs") {
     val capped = DedupOps.qDedupJaccardCapped(spark, sf).select("a_id", "b_id")
     val full = DedupOps.qDedupJaccard(spark, sf).select("a_id", "b_id")
