@@ -858,6 +858,196 @@ object Relational {
       |    WHERE o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
       |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin
 
+  /** TPC-H Q8-style market share: a 6-way join (both the customer AND
+    * supplier dimension chains hang off lineitem) with a conditional-
+    * aggregate share per year. Every dimension (part, supplier, nation,
+    * region) is broadcast — the fact tables shuffle only for the
+    * orders⋈lineitem key join. Share = decimal-exact sums, ONE double
+    * division at the end (oracle-parity rule). */
+  def q8MarketShare(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = Tables.lineitem(spark, sfDir)
+      .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"), decRevenue.as("rev"))
+    val ord = Tables.orders(spark, sfDir).select("o_orderkey", "o_custkey", "o_orderdate")
+    val cust = Tables.customer(spark, sfDir).select("c_custkey", "c_nationkey")
+    val part = broadcast(Tables.part(spark, sfDir)
+      .filter(col("p_type") === "PROMO").select("p_partkey"))
+    val supp = broadcast(Tables.supplier(spark, sfDir).select("s_suppkey", "s_nationkey"))
+    val natS = broadcast(Tables.nation(spark, sfDir)
+      .select(col("n_nationkey").as("sn_key"), col("n_name").as("supp_nation")))
+    val natC = broadcast(Tables.nation(spark, sfDir)
+      .select(col("n_nationkey").as("cn_key"), col("n_regionkey")))
+    val reg = broadcast(Tables.region(spark, sfDir).filter(col("r_name") === "ASIA"))
+    li.join(part, col("l_partkey") === col("p_partkey"))
+      .join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .join(natC, col("c_nationkey") === col("cn_key"))
+      .join(reg, col("n_regionkey") === col("r_regionkey"))
+      .join(supp, col("l_suppkey") === col("s_suppkey"))
+      .join(natS, col("s_nationkey") === col("sn_key"))
+      .groupBy(year(col("o_orderdate")).as("o_year"))
+      .agg(
+        sum(when(col("supp_nation") === "NATION_7", col("rev")).otherwise(lit(0)))
+          .cast(DoubleType).as("nation_rev"),
+        sum(col("rev")).cast(DoubleType).as("total_rev"))
+      .select(col("o_year"),
+        (col("nation_rev") / col("total_rev")).as("mkt_share"))
+      .orderBy(col("o_year"))
+  }
+
+  val q8Oracle: String =
+    s"""WITH flat AS (
+       |  SELECT EXTRACT(year FROM o_orderdate) AS o_year,
+       |    $revenueSql AS rev, sn.n_name AS supp_nation
+       |  FROM lineitem
+       |  JOIN part ON l_partkey = p_partkey
+       |  JOIN orders ON l_orderkey = o_orderkey
+       |  JOIN customer ON o_custkey = c_custkey
+       |  JOIN nation cn ON c_nationkey = cn.n_nationkey
+       |  JOIN region ON cn.n_regionkey = r_regionkey
+       |  JOIN supplier ON l_suppkey = s_suppkey
+       |  JOIN nation sn ON s_nationkey = sn.n_nationkey
+       |  WHERE p_type = 'PROMO' AND r_name = 'ASIA')
+       |SELECT CAST(o_year AS INT) AS o_year,
+       |  CAST(SUM(CASE WHEN supp_nation = 'NATION_7' THEN rev ELSE 0 END) AS DOUBLE)
+       |    / CAST(SUM(rev) AS DOUBLE) AS mkt_share
+       |FROM flat GROUP BY 1 ORDER BY o_year""".stripMargin
+
+  /** TPC-H Q9-style profit by (supplier nation, order year) with a
+    * substring part filter — the classic "every fact row fans through
+    * two dimension chains" aggregation. LIKE on p_name is evaluated on
+    * the broadcast part dim BEFORE the join (predicate pushdown), so
+    * the fact join only sees matching parts. */
+  def q9ProfitShape(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = Tables.lineitem(spark, sfDir)
+      .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"), decRevenue.as("rev"))
+    val ord = Tables.orders(spark, sfDir).select("o_orderkey", "o_orderdate")
+    val part = broadcast(Tables.part(spark, sfDir)
+      .filter(col("p_name").like("%red%")).select("p_partkey"))
+    val supp = broadcast(Tables.supplier(spark, sfDir).select("s_suppkey", "s_nationkey"))
+    val nat = broadcast(Tables.nation(spark, sfDir))
+    li.join(part, col("l_partkey") === col("p_partkey"))
+      .join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(supp, col("l_suppkey") === col("s_suppkey"))
+      .join(nat, col("s_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name").as("nation"), year(col("o_orderdate")).as("o_year"))
+      .agg(sum(col("rev")).cast(DoubleType).as("sum_profit"),
+        count(lit(1)).as("n_items"))
+      .orderBy(col("nation"), col("o_year").desc)
+  }
+
+  val q9Oracle: String =
+    s"""SELECT sn.n_name AS nation,
+       |  CAST(EXTRACT(year FROM o_orderdate) AS INT) AS o_year,
+       |  CAST(SUM($revenueSql) AS DOUBLE) AS sum_profit,
+       |  COUNT(*) AS n_items
+       |FROM lineitem
+       |JOIN part ON l_partkey = p_partkey
+       |JOIN orders ON l_orderkey = o_orderkey
+       |JOIN supplier ON l_suppkey = s_suppkey
+       |JOIN nation sn ON s_nationkey = sn.n_nationkey
+       |WHERE p_name LIKE '%red%'
+       |GROUP BY 1, 2 ORDER BY nation, o_year DESC""".stripMargin
+
+  /** TPC-H Q21-style "suppliers who kept the order waiting": the
+    * EXISTS + NOT-EXISTS double-correlation, re-expressed as a
+    * left-semi then left-anti join chain (each short-circuits on first
+    * match — no row duplication, no distinct). "Late" = shipped more
+    * than 60 days after the order date (this schema has no
+    * receipt/commit dates). */
+  def q21WaitingSupplier(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = Tables.lineitem(spark, sfDir)
+      .select("l_orderkey", "l_suppkey", "l_shipdate")
+    val ordF = Tables.orders(spark, sfDir)
+      .filter(col("o_orderstatus") === "F")
+      .select("o_orderkey", "o_orderdate")
+    val lateLi = li.join(ordF, col("l_orderkey") === col("o_orderkey"))
+      .filter(col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"))
+      .select("l_orderkey", "l_suppkey")
+    val multiSupp = lateLi.as("l1").join(li.as("l2"),
+      col("l1.l_orderkey") === col("l2.l_orderkey") &&
+        col("l1.l_suppkey") =!= col("l2.l_suppkey"), "left_semi")
+    val soleLate = multiSupp.as("l1").join(lateLi.as("l3"),
+      col("l1.l_orderkey") === col("l3.l_orderkey") &&
+        col("l1.l_suppkey") =!= col("l3.l_suppkey"), "left_anti")
+    soleLate
+      .join(broadcast(Tables.supplier(spark, sfDir)),
+        col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("s_name"))
+      .agg(count(lit(1)).as("numwait"))
+      .orderBy(col("numwait").desc, col("s_name"))
+      .limit(20)
+  }
+
+  val q21Oracle: String =
+    """SELECT s_name, COUNT(*) AS numwait
+      |FROM lineitem l1
+      |JOIN orders ON o_orderkey = l1.l_orderkey
+      |JOIN supplier ON s_suppkey = l1.l_suppkey
+      |WHERE o_orderstatus = 'F'
+      |  AND l1.l_shipdate > o_orderdate + INTERVAL 60 DAY
+      |  AND EXISTS (SELECT 1 FROM lineitem l2
+      |              WHERE l2.l_orderkey = l1.l_orderkey
+      |                AND l2.l_suppkey <> l1.l_suppkey)
+      |  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+      |                  WHERE l3.l_orderkey = l1.l_orderkey
+      |                    AND l3.l_suppkey <> l1.l_suppkey
+      |                    AND l3.l_shipdate > o_orderdate + INTERVAL 60 DAY)
+      |GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 20""".stripMargin
+
+  /** Explicit GROUPING SETS (beyond the rollup/cube shorthands):
+    * (flag, status), (flag), and grand total in ONE pass — Spark
+    * expands the sets over a single shuffle (Expand + one aggregate),
+    * not one scan per set, which is the point at 100 TB. NULL group
+    * slots are labeled 'ALL' on both engines. */
+  def qGroupingSets(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.lineitem(spark, sfDir)
+      .groupingSets(
+        Seq(Seq(col("l_returnflag"), col("l_linestatus")),
+          Seq(col("l_returnflag")), Seq.empty),
+        col("l_returnflag"), col("l_linestatus"))
+      .agg(sum(dec("l_quantity")).cast(DoubleType).as("sum_qty"),
+        count(lit(1)).as("n"))
+      .select(coalesce(col("l_returnflag"), lit("ALL")).as("flag"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("status"),
+        col("sum_qty"), col("n"))
+      .orderBy(col("flag"), col("status"))
+
+  val qGroupingSetsOracle: String =
+    """SELECT COALESCE(l_returnflag, 'ALL') AS flag,
+      |  COALESCE(l_linestatus, 'ALL') AS status,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+      |  COUNT(*) AS n
+      |FROM lineitem
+      |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+      |ORDER BY flag, status""".stripMargin
+
+  /** Distribution window functions: ntile/percent_rank/cume_dist per
+    * market segment plus a lag delta. The ORDER BY carries c_custkey as
+    * a tiebreak — ntile assigns by ROW position, so a non-total order
+    * would be nondeterministic across engines/runs. */
+  def qWindowNtile(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("c_mktsegment"))
+      .orderBy(col("c_acctbal"), col("c_custkey"))
+    Tables.customer(spark, sfDir)
+      .select(col("c_custkey"), col("c_mktsegment"), col("c_acctbal"))
+      .withColumn("quartile", ntile(4).over(w))
+      .withColumn("pct_rank", percent_rank().over(w))
+      .withColumn("cume", cume_dist().over(w))
+      .withColumn("gap", col("c_acctbal") - lag(col("c_acctbal"), 1).over(w))
+      .orderBy(col("c_custkey"))
+  }
+
+  val qWindowNtileOracle: String =
+    """SELECT c_custkey, c_mktsegment, c_acctbal,
+      |  ntile(4) OVER w AS quartile,
+      |  percent_rank() OVER w AS pct_rank,
+      |  cume_dist() OVER w AS cume,
+      |  c_acctbal - lag(c_acctbal, 1) OVER w AS gap
+      |FROM customer
+      |WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)
+      |ORDER BY c_custkey""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q10_returned_items" -> (q10ReturnedItems _),
     "q14_promo_effect" -> (q14PromoEffect _),
@@ -888,7 +1078,12 @@ object Relational {
     "q_pivot" -> (qPivot _),
     "q_window_range_frame" -> (qRangeFrame _),
     "q_median_exact" -> (qMedian _),
-    "q_sql_interface" -> (qSqlInterface _))
+    "q_sql_interface" -> (qSqlInterface _),
+    "q8_market_share" -> (q8MarketShare _),
+    "q9_profit_shape" -> (q9ProfitShape _),
+    "q21_waiting_supplier" -> (q21WaitingSupplier _),
+    "q_grouping_sets" -> (qGroupingSets _),
+    "q_window_ntile" -> (qWindowNtile _))
 
   val oracles: Map[String, String] = Map(
     "q10_returned_items" -> q10Oracle,
@@ -919,6 +1114,11 @@ object Relational {
     "q_pivot" -> qPivotOracle,
     "q_window_range_frame" -> qRangeFrameOracle,
     "q_median_exact" -> qMedianOracle,
-    "q_sql_interface" -> qSqlInterfaceOracle)
+    "q_sql_interface" -> qSqlInterfaceOracle,
+    "q8_market_share" -> q8Oracle,
+    "q9_profit_shape" -> q9Oracle,
+    "q21_waiting_supplier" -> q21Oracle,
+    "q_grouping_sets" -> qGroupingSetsOracle,
+    "q_window_ntile" -> qWindowNtileOracle)
     // q_approx_distinct intentionally has no oracle (sketch-based).
 }
