@@ -475,22 +475,39 @@ object DedupOps {
     val edges = pairs.select(col("a_id").as("src"), col("b_id").as("dst"))
       .union(pairs.select(col("b_id").as("src"), col("a_id").as("dst")))
       .persist(lvl)
+    // localCheckpoint (eager) on every round's labels TRUNCATES LINEAGE —
+    // without it each round's plan nests the previous round's whole tree
+    // and Catalyst re-analysis grows without bound (measured: round 2
+    // alone 50+ s on a 485-node graph; with checkpointing the full loop
+    // is sub-second per round). Spark's own iterative algorithms
+    // checkpoint for exactly this reason. On a multi-executor cluster
+    // prefer a reliable `checkpoint()` dir — localCheckpoint pins blocks
+    // to executors and does not survive executor loss.
     var labels = edges.select(col("src").as("node")).distinct()
-      .withColumn("label", col("node")).persist(lvl)
+      .withColumn("label", col("node")).localCheckpoint(true)
     var converged = false
     var iter = 0
     while (!converged && iter < maxIter) {
+      // hash-min: pull the smallest label across every edge. Checkpointed
+      // BEFORE the self-join below — both to avoid computing it twice and
+      // because self-joining a Union-over-checkpoint plan trips Spark's
+      // union constraint rewrite (AttributeMap key-not-found).
       val prop = edges.join(labels, col("dst") === col("node"))
         .select(col("src").as("node"), col("label"))
         .union(labels)
         .groupBy("node").agg(min("label").as("label"))
-        .persist(lvl)
-      prop.count() // materialize before probing / dropping the parent
-      converged = prop.withColumnRenamed("label", "new_label")
-        .join(labels, "node")
-        .filter(col("new_label") =!= col("label")).isEmpty
-      labels.unpersist()
-      labels = prop
+        .localCheckpoint(true)
+      // pointer jump: label ← label(label). Every label is itself a node
+      // (a min of reachable node ids), so the self-join is total; this
+      // halves chain lengths each round, turning convergence from
+      // O(diameter) rounds into O(log diameter).
+      val next = prop.as("a")
+        .join(prop.as("b"), col("a.label") === col("b.node"))
+        .select(col("a.node").as("node"), col("b.label").as("label"))
+      converged = next
+        .join(labels.withColumnRenamed("label", "old"), "node")
+        .filter(col("label") =!= col("old")).count() == 0L
+      labels = next
       iter += 1
     }
     edges.unpersist()
