@@ -13,6 +13,16 @@ class PlanAuditSpec extends SparkSpec {
   private def planString(df: DataFrame): String =
     df.queryExecution.explainString(org.apache.spark.sql.execution.FormattedMode)
 
+  /** Build-side subtrees of every planned broadcast hash join. */
+  private def broadcastBuildSides(df: DataFrame): Seq[SparkPlan] =
+    df.queryExecution.sparkPlan.collect {
+      case j: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec =>
+        j.buildSide match {
+          case org.apache.spark.sql.catalyst.optimizer.BuildLeft => j.left
+          case _ => j.right
+        }
+    }
+
   test("q6: every predicate reaches the parquet scan; only 4 columns read") {
     val p = planString(Relational.q6ForecastRevenue(spark, sf))
     assert(p.contains("PushedFilters"))
@@ -28,16 +38,14 @@ class PlanAuditSpec extends SparkSpec {
     val df = Relational.q5LocalSupplier(spark, sf)
     val p = planString(df)
     assert(p.contains("BroadcastHashJoin"))
-    // the fact table must never be broadcast: no BroadcastExchange
-    // subtree's scan list includes lineitem
-    val exec = df.queryExecution.executedPlan
-    def broadcastSubtrees(plan: SparkPlan): Seq[SparkPlan] =
-      plan.collect {
-        case e: org.apache.spark.sql.execution.exchange.BroadcastExchangeExec => e
-      }
-    val broadcastsLineitem = broadcastSubtrees(exec)
-      .exists(_.toString.contains("lineitem"))
-    assert(!broadcastsLineitem, "fact table must not be broadcast")
+    // the fact table must never be broadcast: no broadcast-join BUILD
+    // side contains the lineitem scan. NOTE: executedPlan under AQE is
+    // an opaque AdaptiveSparkPlanExec and sparkPlan precedes exchange
+    // insertion, so the broadcast intent is read off the join's
+    // buildSide, not off BroadcastExchange nodes.
+    assert(broadcastBuildSides(df).nonEmpty, "expected broadcast dims")
+    assert(!broadcastBuildSides(df).exists(_.toString.contains("lineitem")),
+      "fact table must not be broadcast")
   }
 
   test("sort+limit compiles to TakeOrderedAndProject, not a global sort") {
@@ -76,6 +84,42 @@ class PlanAuditSpec extends SparkSpec {
     // would add a second Exchange on (doc_id, bit)
     val exchanges = p.linesIterator.count(_.trim.matches("""\(\d+\) Exchange.*"""))
     assert(exchanges === 1, s"expected exactly 1 shuffle:\n$p")
+  }
+
+  test("q8: dimensions broadcast; the lineitem fact is never broadcast") {
+    val df = Relational.q8MarketShare(spark, sf)
+    val p = planString(df)
+    // both dimension chains hang off broadcasts (≥5 BHJs at any sf;
+    // orders may or may not broadcast depending on its size)
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 5, s"expected broadcast chains:\n$p")
+    assert(broadcastBuildSides(df).nonEmpty)
+    assert(!broadcastBuildSides(df).exists(_.toString.contains("lineitem")),
+      "the lineitem fact must not be broadcast")
+  }
+
+  test("grouping sets run as ONE Expand + aggregate, not one scan per set") {
+    val p = planString(Relational.qGroupingSets(spark, sf))
+    assert(p.contains("Expand ("), s"missing Expand node:\n$p")
+    // a single scan of lineitem feeds the expand (not 3 scans unioned)
+    assert(p.linesIterator.count(_.contains("lineitem.parquet")) === 1,
+      s"grouping sets must scan the fact once:\n$p")
+  }
+
+  test("q21 compiles the EXISTS chain to semi/anti joins, no row-duplicating inner join") {
+    val p = planString(Relational.q21WaitingSupplier(spark, sf))
+    assert(p.contains("LeftSemi"), s"missing semi join:\n$p")
+    assert(p.contains("LeftAnti"), s"missing anti join:\n$p")
+  }
+
+  test("hash-split sampling plans with zero exchanges before the sort") {
+    val df = graft.operators.SamplingOps.qSampleSplit(spark, sf)
+    val sorted = df.queryExecution.executedPlan.toString
+    // the assignment itself is map-side; only the final presentation
+    // orderBy may exchange (range partitioning for the sort)
+    val exchanges = df.queryExecution.executedPlan.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }
+    assert(exchanges.size <= 1, s"hash split should not shuffle except to sort:\n$sorted")
   }
 
   test("codegen'd dot product appears inside a WholeStageCodegen span") {
