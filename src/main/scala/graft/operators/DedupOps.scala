@@ -458,14 +458,11 @@ object DedupOps {
     * document per component"), which is what a training-data pipeline
     * actually executes. Each round is one shuffle: propagate every
     * node's current label across its edges, take the min per node, and
-    * stop at the fixpoint. Rounds needed = component diameter; near-dup
-    * components are short chains (docs transitively similar through
-    * shared boilerplate), so a diameter loop with a cheap emptiness
-    * probe converges in a handful of rounds. At 100 TB with adversarial
-    * long-chain graphs, swap the propagation step for alternating
-    * large-star/small-star (Kiveris et al., "Connected Components in
-    * MapReduce and Beyond", SoCC'14) — same join/agg primitives,
-    * O(log n) rounds; the API here stays the same.
+    * stop at the fixpoint. Each round also pointer-jumps
+    * (label ← label(label)), so rounds needed are O(log diameter), the
+    * same asymptotics as the alternating large-star/small-star scheme
+    * (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    * SoCC'14) built from the same join/agg primitives.
     *
     * Input: undirected edges as (a_id, b_id). Output: (node, label)
     * with label = min node id reachable, the component's canonical id.
@@ -555,6 +552,42 @@ object DedupOps {
        |  doc_id = cluster_id AS is_canonical
        |FROM comp ORDER BY doc_id""".stripMargin
 
+  /** SEMANTIC dedup clusters: connected components over the
+    * embedding-cosine near-dup graph — "train on one doc per meaning
+    * cluster". Here the edge set is the guarded exact-cosine twin (so
+    * the DuckDB oracle can reproduce it); at 100 TB swap in the
+    * LSH/IVF candidate pairs as edges — [[connectedComponents]] is
+    * agnostic to how the pair graph was mined. */
+  def qDedupSemanticClusters(spark: SparkSession, sfDir: String): DataFrame = {
+    val pairs = qDedupEmbedding(spark, sfDir).select("a_id", "b_id")
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("cluster_id"))
+    connectedComponents(pairs)
+      .select(col("node").as("vec_id"), col("label").as("cluster_id"))
+      .withColumn("csize", count(lit(1)).over(w))
+      .withColumn("is_canonical", col("vec_id") === col("cluster_id"))
+      .orderBy(col("vec_id"))
+  }
+
+  val qDedupSemanticClustersOracle: String =
+    """WITH RECURSIVE
+      |e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+      |matched AS (
+      |  SELECT a.vec_id AS a_id, b.vec_id AS b_id
+      |  FROM n a JOIN n b ON a.vec_id < b.vec_id
+      |  WHERE list_dot_product(a.v, b.v) / (a.nrm * b.nrm) >= 0.4),
+      |edges AS (SELECT a_id AS src, b_id AS dst FROM matched
+      |          UNION SELECT b_id, a_id FROM matched),
+      |reach(src, dst) AS (
+      |  SELECT DISTINCT src, src FROM edges
+      |  UNION
+      |  SELECT r.src, e2.dst FROM reach r JOIN edges e2 ON r.dst = e2.src),
+      |comp AS (SELECT src AS vec_id, MIN(dst) AS cluster_id FROM reach GROUP BY 1)
+      |SELECT vec_id, cluster_id,
+      |  COUNT(*) OVER (PARTITION BY cluster_id) AS csize,
+      |  vec_id = cluster_id AS is_canonical
+      |FROM comp ORDER BY vec_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_exact" -> (qDedupExact _),
     "dedup_ngram_jaccard" -> (qDedupJaccard _),
@@ -563,7 +596,8 @@ object DedupOps {
     "dedup_simhash" -> (qDedupSimhash _),
     "dedup_simhash_hamming" -> (qDedupSimhashHamming _),
     "dedup_embedding_cosine" -> (qDedupEmbedding _),
-    "dedup_clusters" -> (qDedupClusters _))
+    "dedup_clusters" -> (qDedupClusters _),
+    "dedup_semantic_clusters" -> (qDedupSemanticClusters _))
 
   val oracles: Map[String, String] = Map(
     "dedup_exact" -> qDedupExactOracle,
@@ -573,5 +607,6 @@ object DedupOps {
     "dedup_simhash" -> qDedupSimhashOracle,
     "dedup_simhash_hamming" -> qDedupSimhashHammingOracle,
     "dedup_embedding_cosine" -> qDedupEmbeddingOracle,
-    "dedup_clusters" -> qDedupClustersOracle)
+    "dedup_clusters" -> qDedupClustersOracle,
+    "dedup_semantic_clusters" -> qDedupSemanticClustersOracle)
 }
