@@ -1048,7 +1048,139 @@ object Relational {
       |WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)
       |ORDER BY c_custkey""".stripMargin
 
+  /** TPC-H Q12-style priority split: orders⋈lineitem with TWO
+    * conditional counts per line status (urgent/high vs the rest) in a
+    * single aggregate — the "late shipments by mode" shape with
+    * l_linestatus standing in for the shipmode column this synthetic
+    * schema lacks. One fact-fact shuffle join on the order key, then a
+    * tiny-key agg; the CASE arithmetic rides inside the same
+    * whole-stage-codegen span as the join probe. */
+  def q12PrioritySplit(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = Tables.lineitem(spark, sfDir)
+      .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
+      .select("l_orderkey", "l_linestatus")
+    val ord = Tables.orders(spark, sfDir).select("o_orderkey", "o_orderpriority")
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("l_linestatus"))
+      .agg(
+        sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L)
+          .otherwise(0L)).as("high_line_count"),
+        sum(when(!col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L)
+          .otherwise(0L)).as("low_line_count"))
+      .orderBy(col("l_linestatus"))
+  }
+
+  val q12Oracle: String =
+    """SELECT l_linestatus,
+      |  SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+      |      THEN 1 ELSE 0 END) AS high_line_count,
+      |  SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT','2-HIGH')
+      |      THEN 1 ELSE 0 END) AS low_line_count
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      |  AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+      |GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin
+
+  /** TPC-H Q13-style customer order-count distribution: LEFT OUTER join
+    * (customers with zero orders MUST appear — an inner join silently
+    * drops them) followed by two stacked aggregations: orders per
+    * customer, then customers per order-count. The second agg's key
+    * space is tiny, so the expensive shuffle is only the first one on
+    * c_custkey. */
+  def q13CustDistribution(spark: SparkSession, sfDir: String): DataFrame = {
+    val cust = Tables.customer(spark, sfDir).select("c_custkey")
+    val ord = Tables.orders(spark, sfDir)
+      .filter(col("o_orderpriority") =!= "5-LOW")
+      .select("o_orderkey", "o_custkey")
+    cust.join(ord, col("c_custkey") === col("o_custkey"), "left_outer")
+      .groupBy(col("c_custkey"))
+      .agg(count(col("o_orderkey")).as("c_count")) // count(col) skips the outer-join nulls
+      .groupBy(col("c_count"))
+      .agg(count(lit(1)).as("custdist"))
+      .orderBy(col("custdist").desc, col("c_count").desc)
+  }
+
+  val q13Oracle: String =
+    """SELECT c_count, COUNT(*) AS custdist FROM (
+      |  SELECT c_custkey, COUNT(o_orderkey) AS c_count
+      |  FROM customer LEFT OUTER JOIN orders
+      |    ON c_custkey = o_custkey AND o_orderpriority <> '5-LOW'
+      |  GROUP BY c_custkey)
+      |GROUP BY c_count ORDER BY custdist DESC, c_count DESC""".stripMargin
+
+  /** TPC-H Q15-style top supplier: quarterly revenue per supplier, then
+    * ONLY the supplier(s) at the global maximum. The max is computed
+    * with an empty-frame window over the aggregated (tiny) relation —
+    * one extra exchange on a by-then ~suppliers-sized input instead of
+    * a second scan of lineitem for a scalar subquery. */
+  def q15TopSupplier(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val rev = Tables.lineitem(spark, sfDir)
+      .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1997-04-01").cast("timestamp"))
+      .groupBy(col("l_suppkey"))
+      .agg(sum(decRevenue).cast(DoubleType).as("total_revenue"))
+    val s = broadcast(Tables.supplier(spark, sfDir).select("s_suppkey", "s_name"))
+    rev.withColumn("max_rev", max(col("total_revenue")).over(Window.partitionBy()))
+      .filter(col("total_revenue") === col("max_rev"))
+      .join(s, col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"), col("total_revenue"))
+      .orderBy(col("s_suppkey"))
+  }
+
+  val q15Oracle: String =
+    s"""WITH rev AS (
+       |  SELECT l_suppkey, CAST(SUM($revenueSql) AS DOUBLE) AS total_revenue
+       |  FROM lineitem
+       |  WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+       |    AND l_shipdate < TIMESTAMP '1997-04-01 00:00:00'
+       |  GROUP BY l_suppkey)
+       |SELECT s_suppkey, s_name, total_revenue
+       |FROM rev JOIN supplier ON l_suppkey = s_suppkey
+       |WHERE total_revenue = (SELECT MAX(total_revenue) FROM rev)
+       |ORDER BY s_suppkey""".stripMargin
+
+  /** TPC-H Q19-style disjunctive join: lineitem⋈part where the filter
+    * is an OR of three (brand, size-range, quantity-range) conjunction
+    * arms. The join key itself is a plain equi-join (hashable); only
+    * the residual disjunction runs post-probe. The common
+    * `l_quantity <= 40` bound is factored OUT of the OR so it pushes
+    * down to the lineitem scan — inside the OR, no single-table
+    * predicate reaches the parquet reader. */
+  def q19DisjunctiveJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = Tables.lineitem(spark, sfDir)
+      .filter(col("l_quantity") >= 1 && col("l_quantity") <= 40)
+      .select(col("l_partkey"), col("l_quantity"), decRevenue.as("rev"))
+    val p = broadcast(Tables.part(spark, sfDir)
+      .filter(col("p_size") >= 1)
+      .select("p_partkey", "p_brand", "p_size"))
+    val arms =
+      (col("p_brand") === "Brand#11" && col("p_size") <= 5 &&
+        col("l_quantity") >= 1 && col("l_quantity") <= 11) ||
+      (col("p_brand") === "Brand#22" && col("p_size") <= 10 &&
+        col("l_quantity") >= 10 && col("l_quantity") <= 20) ||
+      (col("p_brand") === "Brand#33" && col("p_size") <= 15 &&
+        col("l_quantity") >= 20 && col("l_quantity") <= 40)
+    li.join(p, col("l_partkey") === col("p_partkey"))
+      .filter(arms)
+      .agg(sum(col("rev")).cast(DoubleType).as("revenue"),
+        count(lit(1)).as("n_items"))
+  }
+
+  val q19Oracle: String =
+    s"""SELECT CAST(SUM($revenueSql) AS DOUBLE) AS revenue, COUNT(*) AS n_items
+       |FROM lineitem JOIN part ON l_partkey = p_partkey
+       |WHERE l_quantity >= 1 AND l_quantity <= 40 AND p_size >= 1 AND (
+       |  (p_brand = 'Brand#11' AND p_size <= 5  AND l_quantity BETWEEN 1  AND 11) OR
+       |  (p_brand = 'Brand#22' AND p_size <= 10 AND l_quantity BETWEEN 10 AND 20) OR
+       |  (p_brand = 'Brand#33' AND p_size <= 15 AND l_quantity BETWEEN 20 AND 40))""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q12_priority_split" -> (q12PrioritySplit _),
+    "q13_cust_distribution" -> (q13CustDistribution _),
+    "q15_top_supplier" -> (q15TopSupplier _),
+    "q19_disjunctive_join" -> (q19DisjunctiveJoin _),
     "q10_returned_items" -> (q10ReturnedItems _),
     "q14_promo_effect" -> (q14PromoEffect _),
     "q22_idle_balances" -> (q22IdleBalances _),
@@ -1086,6 +1218,10 @@ object Relational {
     "q_window_ntile" -> (qWindowNtile _))
 
   val oracles: Map[String, String] = Map(
+    "q12_priority_split" -> q12Oracle,
+    "q13_cust_distribution" -> q13Oracle,
+    "q15_top_supplier" -> q15Oracle,
+    "q19_disjunctive_join" -> q19Oracle,
     "q10_returned_items" -> q10Oracle,
     "q14_promo_effect" -> q14Oracle,
     "q22_idle_balances" -> q22Oracle,

@@ -122,6 +122,40 @@ class PlanAuditSpec extends SparkSpec {
     assert(exchanges.size <= 1, s"hash split should not shuffle except to sort:\n$sorted")
   }
 
+  test("q19: part dim broadcast; factored quantity bound pushed to the lineitem scan") {
+    val df = Relational.q19DisjunctiveJoin(spark, sf)
+    val p = planString(df)
+    // the disjunction itself cannot push down, but the factored-out
+    // common bound must reach the parquet reader
+    assert(p.contains("GreaterThanOrEqual(l_quantity,1.0)"), "lower bound not pushed")
+    assert(p.contains("LessThanOrEqual(l_quantity,40.0)"), "upper bound not pushed")
+    assert(broadcastBuildSides(df).nonEmpty, "part dim should broadcast")
+    assert(!broadcastBuildSides(df).exists(_.toString.contains("lineitem")),
+      "fact table must not be broadcast")
+  }
+
+  test("q13: outer join keeps zero-order customers; second agg adds no wide shuffle") {
+    val df = Relational.q13CustDistribution(spark, sf)
+    val p = planString(df)
+    assert(p.contains("LeftOuter"), "customer-orders join must be LEFT OUTER")
+    // totality: the outer join keeps EVERY customer, so the bucket
+    // counts sum to |customer| (an inner join would lose the zero-order
+    // customers and undercount)
+    import org.apache.spark.sql.functions.sum
+    val total = df.agg(sum("custdist")).head.getLong(0)
+    assert(total === Tables.customer(spark, sf).count())
+  }
+
+  test("q15: the global-max window runs AFTER aggregation, on the tiny relation") {
+    val p = planString(Relational.q15TopSupplier(spark, sf))
+    // Window above HashAggregate in the tree: the single-partition
+    // exchange feeding it moves ~|suppliers| rows, not |lineitem|
+    val wIdx = p.indexOf("Window")
+    val aggIdx = p.indexOf("HashAggregate")
+    assert(wIdx >= 0 && aggIdx >= 0 && aggIdx > wIdx,
+      "window must consume the aggregated relation (appear above the agg in formatted output)")
+  }
+
   test("codegen'd dot product appears inside a WholeStageCodegen span") {
     val df = SimilarityOps.qSimBruteForce(spark, sf)
     df.collect() // finalize this DataFrame's own AQE plan
