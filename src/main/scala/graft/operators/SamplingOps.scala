@@ -76,11 +76,108 @@ object SamplingOps {
       |SELECT doc_id, lang, rn FROM rk WHERE rn <= 60
       |ORDER BY lang, rn""".stripMargin
 
+  /** Test-set DECONTAMINATION: flag training docs sharing word-3-gram
+    * shingles with the held-out benchmark slice (here: the hash split's
+    * `test` bucket; in production the benchmark suite itself). The
+    * collision join is the same inverted-index shape as the jaccard
+    * dedup family — shingle equi-join, never a cross join — so the
+    * 100 TB cost is Σ_s |train(s)|·|bench(s)| over shared shingles
+    * only. A real benchmark set is tiny (thousands of docs), so its
+    * shingle relation broadcasts and the whole pass is map-side; here
+    * the bench slice is 10% of the corpus, so it stays a shuffle join.
+    * Docs with ≥5 distinct colliding shingles are `contaminated` (the
+    * n-gram-overlap rule used for eval decontamination in LLM data
+    * pipelines). */
+  def qDecontaminate(spark: SparkSession, sfDir: String): DataFrame = {
+    // bucket is a pure function of doc_id, so it can be re-derived
+    // after the shingle explode instead of being threaded through it
+    val sh = DedupOps.shingles(Tables.documents(spark, sfDir))
+      .withColumn("bucket", bucket100("doc_id"))
+    val train = sh.filter(col("bucket") < 80).select("doc_id", "shingle")
+    val bench = sh.filter(col("bucket") >= 90)
+      .select(col("doc_id").as("bench_id"), col("shingle"))
+    train.join(bench, "shingle")
+      .groupBy(col("doc_id"))
+      .agg(
+        countDistinct(col("shingle")).as("n_shingle_hits"),
+        countDistinct(col("bench_id")).as("n_bench_docs"))
+      .withColumn("contaminated", col("n_shingle_hits") >= 5)
+      .orderBy(col("doc_id"))
+  }
+
+  val qDecontaminateOracle: String =
+    """WITH sh AS (
+      |  SELECT DISTINCT doc_id, ts[g] || ' ' || ts[g+1] || ' ' || ts[g+2] AS shingle
+      |  FROM (SELECT doc_id, string_split(text, ' ') AS ts FROM documents) t,
+      |       unnest(generate_series(1, len(ts)-2)) AS u(g)),
+      |b AS (SELECT doc_id, shingle,
+      |        CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS INT) % 100 AS bucket
+      |      FROM sh)
+      |SELECT t.doc_id,
+      |  COUNT(DISTINCT t.shingle) AS n_shingle_hits,
+      |  COUNT(DISTINCT b2.doc_id) AS n_bench_docs,
+      |  COUNT(DISTINCT t.shingle) >= 5 AS contaminated
+      |FROM b t JOIN b b2 ON t.shingle = b2.shingle
+      |WHERE t.bucket < 80 AND b2.bucket >= 90
+      |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin
+
+  /** MIXTURE sampling: hit a target per-domain mixture (upweight src0
+    * 3×, src1 2×, rest 1×) under a global document budget. The quota
+    * per source is computed from the weight table in-plan (distinct
+    * sources → weights → one scalar total → per-source floor), then
+    * broadcast back onto the corpus; the per-source exact pick is a
+    * row_number in md5 order — hash order, NOT doc_id order, so the
+    * sample is unbiased w.r.t. ingestion order and stable under
+    * appends. One shuffle on the source key; the quota side is
+    * O(#domains) rows. This is the "domain reweighting" step of
+    * training-data curation (cf. DoReMi-style mixtures) expressed as
+    * pure relational algebra. */
+  def qMixtureSample(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val budget = 300
+    val weight = when(col("source") === "src0", 3.0)
+      .when(col("source") === "src1", 2.0).otherwise(1.0)
+    val docs = Tables.documents(spark, sfDir).select(col("doc_id"), col("source"))
+    val srcW = docs.select("source").distinct().withColumn("w", weight)
+    val total = srcW.agg(sum(col("w")).as("tw"))
+    val quotas = srcW.crossJoin(broadcast(total))
+      .withColumn("quota", floor(lit(budget) * col("w") / col("tw")))
+      .select("source", "quota")
+    val w = Window.partitionBy(col("source"))
+      .orderBy(md5(col("doc_id").cast("string").cast("binary")), col("doc_id"))
+    docs.withColumn("rn", row_number().over(w))
+      .join(broadcast(quotas), "source")
+      .filter(col("rn") <= col("quota"))
+      .select("doc_id", "source", "rn", "quota")
+      .orderBy("source", "rn")
+  }
+
+  val qMixtureSampleOracle: String =
+    """WITH sw AS (SELECT DISTINCT source FROM documents),
+      |w AS (SELECT source,
+      |        CASE WHEN source = 'src0' THEN 3.0
+      |             WHEN source = 'src1' THEN 2.0 ELSE 1.0 END AS w
+      |      FROM sw),
+      |q AS (SELECT source,
+      |        CAST(floor(300 * w / (SELECT SUM(w) FROM w)) AS BIGINT) AS quota
+      |      FROM w),
+      |rk AS (SELECT doc_id, source,
+      |         ROW_NUMBER() OVER (PARTITION BY source
+      |           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+      |       FROM documents)
+      |SELECT rk.doc_id, rk.source, rk.rn, q.quota
+      |FROM rk JOIN q USING (source) WHERE rn <= quota
+      |ORDER BY source, rn""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sample_split" -> (qSampleSplit _),
-    "sample_balance_classes" -> (qBalanceClasses _))
+    "sample_balance_classes" -> (qBalanceClasses _),
+    "sample_decontaminate" -> (qDecontaminate _),
+    "sample_mixture" -> (qMixtureSample _))
 
   val oracles: Map[String, String] = Map(
     "sample_split" -> qSampleSplitOracle,
-    "sample_balance_classes" -> qBalanceClassesOracle)
+    "sample_balance_classes" -> qBalanceClassesOracle,
+    "sample_decontaminate" -> qDecontaminateOracle,
+    "sample_mixture" -> qMixtureSampleOracle)
 }
