@@ -3,7 +3,7 @@ package graft.operators
 import graft.Tables
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.DoubleType
+import org.apache.spark.sql.types.{DecimalType, DoubleType}
 
 /** Deduplication operators for training-data pipelines (north star,
   * BASELINE.json:6): exact hash dedup, n-gram Jaccard similarity,
@@ -141,7 +141,16 @@ object DedupOps {
     * This is the skew guard every web-scale dedup runs; results differ
     * from the uncapped variant by construction, so it is its own
     * query with its own oracle (same cap on both sides). */
-  def qDedupJaccardCapped(spark: SparkSession, sfDir: String): DataFrame = {
+  def qDedupJaccardCapped(spark: SparkSession, sfDir: String): DataFrame =
+    cappedJaccardPairs(spark, sfDir)
+      .select("a_id", "b_id", "inter", "jaccard")
+      .orderBy("a_id", "b_id")
+
+  /** Matched capped-jaccard pairs, UNSORTED — shared by the query above
+    * (which adds its deterministic output order) and the clustering
+    * edge miner, where a global sort feeding a groupBy would be dead
+    * weight in the materialized edge relation. */
+  def cappedJaccardPairs(spark: SparkSession, sfDir: String): DataFrame = {
     val maxDf = 20
     // persisted: sh feeds the document-frequency agg AND the join that
     // filters to rare shingles — one explode instead of two
@@ -152,10 +161,7 @@ object DedupOps {
       .filter(col("df") <= maxDf)
       .select("shingle")
     val kept = sh.join(rare, "shingle")
-    jaccardPairs(kept)
-      .filter(col("jaccard") >= 0.1)
-      .select("a_id", "b_id", "inter", "jaccard")
-      .orderBy("a_id", "b_id")
+    jaccardPairs(kept).filter(col("jaccard") >= 0.1)
   }
 
   val qDedupJaccardCappedOracle: String =
@@ -425,6 +431,7 @@ object DedupOps {
     * 64-dim dots, fine on 32 cores; beyond that the guard trips. */
   def qDedupEmbedding(spark: SparkSession, sfDir: String): DataFrame =
     exactCosinePairs(normedVectors(Tables.embeddings(spark, sfDir)))
+      .orderBy("a_id", "b_id")
 
   /** Guarded all-pairs cosine over a normed (vec_id, v, nrm) frame. */
   def exactCosinePairs(e: DataFrame, maxRows: Long = MaxExactCosineRows): DataFrame = {
@@ -439,7 +446,6 @@ object DedupOps {
       .withColumn("cosine", dot(col("va"), col("vb")) / (col("na") * col("nb")))
       .filter(col("cosine") >= 0.4)
       .select(col("a_id"), col("b_id"), round(col("cosine"), 6).as("cosine_r"))
-      .orderBy("a_id", "b_id")
   }
 
   val qDedupEmbeddingOracle: String =
@@ -469,9 +475,49 @@ object DedupOps {
     */
   def connectedComponents(pairs: DataFrame, maxIter: Int = 25): DataFrame = {
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
-    val edges = pairs.select(col("a_id").as("src"), col("b_id").as("dst"))
-      .union(pairs.select(col("b_id").as("src"), col("a_id").as("dst")))
+    // undirect the pair graph with ONE scan: explode each pair into its
+    // two directions. A union of two selects over `pairs` would execute
+    // the (expensive) mining plan twice inside this materialization.
+    val edgesRaw = pairs.select(explode(array(
+        struct(col("a_id").as("src"), col("b_id").as("dst")),
+        struct(col("b_id").as("src"), col("a_id").as("dst")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
       .persist(lvl)
+    // Right-size the loop's shuffle width from the measured edge count:
+    // the near-dup pair graph is orders of magnitude smaller than the
+    // corpus it was mined from, and a label relation of a few thousand
+    // rows shuffled across the session's full partition count pays ~the
+    // whole round in task-scheduling overhead. AQE coalesces partitions
+    // exactly like this WITHIN one query, but the manual loop
+    // materializes every round eagerly, so the width is chosen once
+    // here (≥2 so the plan shape stays distributed; scales back up
+    // linearly with real edge volume). Restored on exit; queries in
+    // this session run sequentially (Bench/Verify contract).
+    // dev-only phase timing: SPARK_GRAFT_CC_TRACE=1 prints per-round cost
+    val trace = sys.env.contains("SPARK_GRAFT_CC_TRACE")
+    def timed[A](tag: String)(f: => A): A =
+      if (!trace) f else {
+        val t0 = System.nanoTime(); val r = f
+        System.err.println(f"[cc] $tag%-12s ${(System.nanoTime() - t0) / 1e9}%.2fs"); r
+      }
+    val spark = pairs.sparkSession
+    val prevWidth = spark.conf.get("spark.sql.shuffle.partitions")
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    val nEdges = timed("edges")(edgesRaw.count())
+    val width = math.max(2L, math.min(prevWidth.toLong, nEdges / 500000L + 1L)).toInt
+    spark.conf.set("spark.sql.shuffle.partitions", width.toString)
+    // Re-lay the cached edges at the loop width, hash-partitioned on the
+    // join key: the mining plan's output partitioning (often the
+    // session's full width) would otherwise bill every round a full
+    // task-per-partition scan, and the cached hash partitioning on
+    // `dst` is reused by each round's join (InMemoryTableScan preserves
+    // outputPartitioning), so only the tiny label side shuffles.
+    val edges = timed("relayout") {
+      val e = edgesRaw.repartition(width, col("dst")).persist(lvl)
+      e.count(); edgesRaw.unpersist(); e
+    }
+    try {
     // localCheckpoint (eager) on every round's labels TRUNCATES LINEAGE —
     // without it each round's plan nests the previous round's whole tree
     // and Catalyst re-analysis grows without bound (measured: round 2
@@ -480,11 +526,12 @@ object DedupOps {
     // checkpoint for exactly this reason. On a multi-executor cluster
     // prefer a reliable `checkpoint()` dir — localCheckpoint pins blocks
     // to executors and does not survive executor loss.
-    var labels = edges.select(col("src").as("node")).distinct()
-      .withColumn("label", col("node")).localCheckpoint(true)
+    var labels = timed("init")(edges.select(col("src").as("node")).distinct()
+      .withColumn("label", col("node")).localCheckpoint(true))
     var converged = false
     var iter = 0
     while (!converged && iter < maxIter) {
+      timed(s"round $iter") {
       // hash-min: pull the smallest label across every edge. Checkpointed
       // BEFORE the self-join below — both to avoid computing it twice and
       // because self-joining a Union-over-checkpoint plan trips Spark's
@@ -494,10 +541,10 @@ object DedupOps {
         .union(labels)
         .groupBy("node").agg(min("label").as("label"))
         .localCheckpoint(true)
-      // pointer jump: label ← label(label). Every label is itself a node
-      // (a min of reachable node ids), so the self-join is total; this
-      // halves chain lengths each round, turning convergence from
-      // O(diameter) rounds into O(log diameter).
+      // path doubling: label ← label(label), the map composed with
+      // ITSELF (composing with a fixed pre-round map would only advance
+      // a constant hop count per round). Every label is itself a node
+      // (a min of reachable node ids), so the self-join is total.
       val next = prop.as("a")
         .join(prop.as("b"), col("a.label") === col("b.node"))
         .select(col("a.node").as("node"), col("b.label").as("label"))
@@ -506,10 +553,15 @@ object DedupOps {
         .filter(col("label") =!= col("old")).count() == 0L
       labels = next
       iter += 1
+      }
     }
-    edges.unpersist()
-    require(converged, s"connectedComponents did not converge in $maxIter rounds")
-    labels
+      edges.unpersist()
+      require(converged, s"connectedComponents did not converge in $maxIter rounds")
+      labels
+    } finally {
+      spark.conf.set("spark.sql.shuffle.partitions", prevWidth)
+      spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+    }
   }
 
   /** Dedup clustering over the CAPPED jaccard pair graph (the scale-safe
@@ -517,7 +569,7 @@ object DedupOps {
     * the component size, and a keep/drop flag (`is_canonical` = the one
     * survivor per cluster — min doc_id, deterministic). */
   def qDedupClusters(spark: SparkSession, sfDir: String): DataFrame = {
-    val pairs = qDedupJaccardCapped(spark, sfDir).select("a_id", "b_id")
+    val pairs = cappedJaccardPairs(spark, sfDir).select("a_id", "b_id")
     val comp = connectedComponents(pairs)
     val w = org.apache.spark.sql.expressions.Window.partitionBy(col("cluster_id"))
     comp.select(col("node").as("doc_id"), col("label").as("cluster_id"))
@@ -559,7 +611,8 @@ object DedupOps {
     * LSH/IVF candidate pairs as edges — [[connectedComponents]] is
     * agnostic to how the pair graph was mined. */
   def qDedupSemanticClusters(spark: SparkSession, sfDir: String): DataFrame = {
-    val pairs = qDedupEmbedding(spark, sfDir).select("a_id", "b_id")
+    val pairs = exactCosinePairs(normedVectors(Tables.embeddings(spark, sfDir)))
+      .select("a_id", "b_id")
     val w = org.apache.spark.sql.expressions.Window.partitionBy(col("cluster_id"))
     connectedComponents(pairs)
       .select(col("node").as("vec_id"), col("label").as("cluster_id"))

@@ -90,9 +90,13 @@ object SamplingOps {
     * pipelines). */
   def qDecontaminate(spark: SparkSession, sfDir: String): DataFrame = {
     // bucket is a pure function of doc_id, so it can be re-derived
-    // after the shingle explode instead of being threaded through it
+    // after the shingle explode instead of being threaded through it.
+    // Persisted because BOTH join sides slice this relation — without
+    // it the ~40× explode runs twice (same cache contract as the
+    // jaccard family: caller runs clearCache, as Bench/Verify do).
     val sh = DedupOps.shingles(Tables.documents(spark, sfDir))
       .withColumn("bucket", bucket100("doc_id"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val train = sh.filter(col("bucket") < 80).select("doc_id", "shingle")
     val bench = sh.filter(col("bucket") >= 90)
       .select(col("doc_id").as("bench_id"), col("shingle"))

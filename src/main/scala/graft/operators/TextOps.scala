@@ -450,8 +450,12 @@ object TextOps {
   def qTfidf(spark: SparkSession, sfDir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val docs = Tables.documents(spark, sfDir)
+    // persisted: tf feeds both the scored join and the df aggregation —
+    // without it the token explode + count runs twice (same cache
+    // contract as the dedup shingle relations: caller runs clearCache)
     val tf = docs.select(col("doc_id"), explode(toks).as("term"))
       .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val n = docs.agg(count(lit(1)).as("n"))
     val w = Window.partitionBy(col("doc_id"))

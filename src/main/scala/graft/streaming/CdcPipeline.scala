@@ -162,6 +162,93 @@ object CdcPipeline {
   def parquetTopicSink(outDir: String)(batch: DataFrame): Unit =
     batch.write.mode("append").partitionBy("topic").parquet(outDir)
 
+  // ---- streaming snapshot maintenance (the "apply the CDC stream" op) ----
+
+  /** Schema of the maintained snapshot state: latest envelope per key,
+    * INCLUDING delete tombstones (see [[mergeSnapshot]]). */
+  val snapshotSchema: org.apache.spark.sql.types.StructType =
+    org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("key",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("walPosition",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("action",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("columns",
+        org.apache.spark.sql.types.MapType(
+          org.apache.spark.sql.types.StringType,
+          org.apache.spark.sql.types.StringType))))
+
+  /** Current state relation (empty before the first batch). Falls back
+    * to the `.prev` generation if a crash landed between the two moves
+    * of [[snapshotSink]]'s swap. */
+  def snapshotState(spark: SparkSession, stateDir: String): DataFrame = {
+    val cur = new java.io.File(stateDir)
+    val prev = new java.io.File(stateDir + ".prev")
+    val dir = if (cur.exists) cur else prev
+    if (dir.exists) spark.read.schema(snapshotSchema).parquet(dir.toString)
+    else spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], snapshotSchema)
+  }
+
+  /** Merge one micro-batch of envelopes into the snapshot state: per
+    * key, keep the change with the highest WAL position. Delete
+    * tombstones are RETAINED in the state (filtered only in
+    * [[snapshotView]]): dropping them at merge time would let a
+    * replayed older update resurrect a deleted key — with tombstones,
+    * the merge is a pure per-key max, so replaying any batch (the
+    * at-least-once contract) is a no-op. */
+  def mergeSnapshot(state: DataFrame, batch: DataFrame, keyField: String): DataFrame = {
+    val changes = batch.select(
+      element_at(col("columns"), keyField).as("key"),
+      col("walPosition"), col("action"), col("columns"))
+    state.unionByName(changes)
+      .groupBy(col("key"))
+      .agg(
+        max(col("walPosition")).as("walPosition"),
+        max_by(col("action"), col("walPosition")).as("action"),
+        max_by(col("columns"), col("walPosition")).as("columns"))
+  }
+
+  /** foreachBatch sink maintaining a parquet-backed snapshot of the
+    * replicated table — the streaming counterpart of the batch
+    * `cdc_snapshot` query: read current state, merge the batch, write
+    * the next generation, swap directories. The swap (cur→prev,
+    * tmp→cur) is two renames; [[snapshotState]] recovers from `.prev`
+    * if a crash lands between them. On a real deployment this swap is
+    * what a transactional table format (Delta/Iceberg/Hudi) provides;
+    * the merge plan itself — one shuffle on the key, state size
+    * O(live keys + tombstones) — is unchanged there. At 100 TB,
+    * partition the state by key-hash bucket and rewrite only buckets
+    * the batch touches (bounded write amplification). */
+  def snapshotSink(stateDir: String, keyField: String)(batch: DataFrame, batchId: Long): Unit = {
+    val spark = batch.sparkSession
+    val merged = mergeSnapshot(snapshotState(spark, stateDir), batch, keyField)
+    val tmp = stateDir + ".tmp"
+    merged.write.mode("overwrite").parquet(tmp)
+    import java.nio.file.{Files, Paths}
+    val curP = Paths.get(stateDir)
+    val prevP = Paths.get(stateDir + ".prev")
+    if (Files.exists(prevP))
+      org.apache.commons.io.FileUtils.deleteDirectory(prevP.toFile)
+    if (Files.exists(curP)) Files.move(curP, prevP)
+    Files.move(Paths.get(tmp), curP)
+  }
+
+  /** The queryable snapshot: live rows only (tombstones hidden). */
+  def snapshotView(spark: SparkSession, stateDir: String): DataFrame =
+    snapshotState(spark, stateDir)
+      .filter(col("action") =!= ChangeEvent.Delete)
+
+  /** Files of change events → validate → maintained snapshot. */
+  def snapshotPipeline(spark: SparkSession, inDir: String, stateDir: String,
+                       checkpoint: String, keyField: String): StreamingQuery =
+    validated(fileSource(spark, inDir)).writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (b: DataFrame, id: Long) => snapshotSink(stateDir, keyField)(b, id) }
+      .start()
+
   /** End-to-end flagship stream: files of change events → validate →
     * dedup → route/serialize → fan-out to N sinks, checkpointed.
     * Start + awaitTermination is the caller's choice. */

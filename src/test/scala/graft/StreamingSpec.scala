@@ -128,6 +128,56 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("snapshot maintenance applies insert/update/delete; replay is a no-op") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val tmp = Files.createTempDirectory("graft-snap").toString
+    val state = s"$tmp/state"
+    def evk(wal: Long, action: String, key: String, v: String): ChangeEvent =
+      ChangeEvent("db1", "graft", "users", action, wal,
+        new Timestamp(1700000000000L + wal * 1000), s"u-$wal",
+        Map("user_id" -> key, "v" -> v))
+    val in = MemoryStream[ChangeEvent]
+    in.addData(
+      evk(1, "insert", "a", "a1"), evk(2, "insert", "b", "b1"),
+      evk(3, "update", "a", "a2"), evk(4, "delete", "b", "-"),
+      evk(5, "insert", "c", "c1"))
+    val q = CdcPipeline.validated(in.toDF()).writeStream
+      .outputMode("append")
+      .option("checkpointLocation", s"$tmp/ckpt")
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+        CdcPipeline.snapshotSink(state, "user_id")(b, id) }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    try assert(q.awaitTermination(60000)) finally q.stop()
+    val view = CdcPipeline.snapshotView(spark, state)
+      .select(col("key"), col("walPosition"), element_at(col("columns"), "v").as("v"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getString(2))).sortBy(_._1)
+    // 'a' at its update, 'b' deleted (tombstone hidden), 'c' present
+    assert(view.toSeq === Seq(("a", 3L, "a2"), ("c", 5L, "c1")))
+    // tombstone retained in state (idempotence under replayed updates)
+    assert(CdcPipeline.snapshotState(spark, state)
+      .filter(col("action") === "delete").count() === 1)
+
+    // at-least-once replay: re-apply the whole stream as one batch —
+    // the per-key max-WAL merge must leave the state unchanged
+    val replay = Seq(
+      evk(1, "insert", "a", "a1"), evk(2, "insert", "b", "b1"),
+      evk(3, "update", "a", "a2"), evk(4, "delete", "b", "-"),
+      evk(5, "insert", "c", "c1")).toDF()
+    CdcPipeline.snapshotSink(state, "user_id")(replay, 99L)
+    val after = CdcPipeline.snapshotView(spark, state)
+      .select("key", "walPosition").collect()
+      .map(r => (r.getString(0), r.getLong(1))).sortBy(_._1)
+    assert(after.toSeq === Seq(("a", 3L), ("c", 5L)))
+
+    // crash window: cur moved to .prev, tmp move lost → state recovers
+    import java.nio.file.{Files => JF, Paths}
+    JF.move(Paths.get(state), Paths.get(state + ".prev-tmp"))
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(state + ".prev"))
+    JF.move(Paths.get(state + ".prev-tmp"), Paths.get(state + ".prev"))
+    assert(CdcPipeline.snapshotView(spark, state).count() === 2)
+  }
+
   test("checkpoint restart does not reprocess committed batches") {
     import spark.implicits._
     implicit val sc = spark.sqlContext
