@@ -21,10 +21,15 @@ object PlanDump {
     spark.sparkContext.setLogLevel("ERROR")
     for (n <- names; fn <- SparkEntry.queries.get(n)) {
       val df = fn(spark, sfDir)
+      // execute first: under AQE the final plan (and its codegen ids)
+      // only exists after the query has run. collect() drives THIS
+      // df's QueryExecution (a write would plan its own); fine for a
+      // dev tool at small sf.
+      df.collect()
       val p = df.queryExecution.explainString(
         org.apache.spark.sql.execution.FormattedMode)
-      val spans = "\\(\\d+\\)".r.findAllIn(
-        p.linesIterator.filter(_.contains("WholeStageCodegen")).mkString).size
+      val spans = "codegen id : (\\d+)".r.findAllMatchIn(p)
+        .map(_.group(1)).toSet.size
       println(s"===== $n  [codegen spans: $spans] =====")
       println(p)
       spark.catalog.clearCache()
