@@ -1176,7 +1176,39 @@ object Relational {
        |  (p_brand = 'Brand#22' AND p_size <= 10 AND l_quantity BETWEEN 10 AND 20) OR
        |  (p_brand = 'Brand#33' AND p_size <= 15 AND l_quantity BETWEEN 20 AND 40))""".stripMargin
 
+  /** Data-profiling pass: row count, null counts, min/max, exact sums
+    * and distinct cardinalities for a column set — in ONE aggregate
+    * over one scan (the "profile the table before training on it"
+    * step). Multiple count-distincts expand the aggregate internally,
+    * but it is still a single pass over the fact table with map-side
+    * partials; at 100 TB swap the exact distincts for
+    * `approx_count_distinct` and keep the shape. Dates are formatted
+    * to strings so both engines hash identically. */
+  def qProfileStats(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.lineitem(spark, sfDir).agg(
+      count(lit(1)).as("n_rows"),
+      sum(when(col("l_quantity").isNull, 1L).otherwise(0L)).as("qty_nulls"),
+      min(col("l_quantity")).as("qty_min"),
+      max(col("l_quantity")).as("qty_max"),
+      sum(dec("l_quantity")).cast(DoubleType).as("qty_sum"),
+      count_distinct(col("l_extendedprice")).as("price_distinct"),
+      count_distinct(col("l_returnflag")).as("flag_distinct"),
+      date_format(min(col("l_shipdate")), "yyyy-MM-dd").as("ship_min"),
+      date_format(max(col("l_shipdate")), "yyyy-MM-dd").as("ship_max"))
+
+  val qProfileStatsOracle: String =
+    """SELECT COUNT(*) AS n_rows,
+      |  SUM(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END) AS qty_nulls,
+      |  MIN(l_quantity) AS qty_min, MAX(l_quantity) AS qty_max,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty_sum,
+      |  COUNT(DISTINCT l_extendedprice) AS price_distinct,
+      |  COUNT(DISTINCT l_returnflag) AS flag_distinct,
+      |  strftime(MIN(l_shipdate), '%Y-%m-%d') AS ship_min,
+      |  strftime(MAX(l_shipdate), '%Y-%m-%d') AS ship_max
+      |FROM lineitem""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_profile_stats" -> (qProfileStats _),
     "q12_priority_split" -> (q12PrioritySplit _),
     "q13_cust_distribution" -> (q13CustDistribution _),
     "q15_top_supplier" -> (q15TopSupplier _),
@@ -1218,6 +1250,7 @@ object Relational {
     "q_window_ntile" -> (qWindowNtile _))
 
   val oracles: Map[String, String] = Map(
+    "q_profile_stats" -> qProfileStatsOracle,
     "q12_priority_split" -> q12Oracle,
     "q13_cust_distribution" -> q13Oracle,
     "q15_top_supplier" -> q15Oracle,

@@ -35,6 +35,36 @@ class PartitionPruningSpec extends SparkSpec {
       "year predicate was not pruned away")
   }
 
+  test("dynamic partition pruning: a dim-side filter prunes fact partitions at runtime") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-dpp").toString
+    Tables.lineitem(spark, sf)
+      .withColumn("l_year", year(col("l_shipdate")))
+      .write.partitionBy("l_year").mode("overwrite").parquet(dir)
+
+    // the canonical DPP shape: the partition column is only constrained
+    // THROUGH a join with a filtered dimension — static pruning can't
+    // help, so the optimizer must inject a runtime subquery filter on
+    // the fact scan's partition column. The dim must be a SCAN (as any
+    // real dimension is): a Seq.toDF LocalRelation gets its filter
+    // constant-folded away by ConvertToLocalRelation, and with no
+    // Filter node left the DPP rule sees no selective predicate.
+    import spark.implicits._
+    val dimDir = Files.createTempDirectory("graft-dpp-dim").toString
+    Seq((1996, "history"), (1997, "target"), (1998, "future"))
+      .toDF("y", "tag").write.mode("overwrite").parquet(dimDir)
+    val dim = spark.read.parquet(dimDir)
+    val fact = spark.read.parquet(dir)
+    val q = fact.join(dim.filter(col("tag") === "target"), col("l_year") === col("y"))
+      .agg(count(lit(1)).as("n"), sum(col("l_quantity")).as("qty"))
+    val n = q.head.getLong(0)
+    assert(n === Tables.lineitem(spark, sf)
+      .filter(year(col("l_shipdate")) === 1997).count())
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("dynamicpruning"),
+      s"expected a dynamicpruning subquery on the fact scan:\n$plan")
+  }
+
   test("modality-partitioned media layout: type prunes partitions, blobs stay unread") {
     val dir = Files.createTempDirectory("graft-media-part").toString
     graft.operators.MultimodalOps.mediaTable(spark, sf)
