@@ -641,7 +641,46 @@ object DedupOps {
       |  vec_id = cluster_id AS is_canonical
       |FROM comp ORDER BY vec_id""".stripMargin
 
+  /** BLOCKED edit-distance near-dup: Levenshtein over document prefixes,
+    * but only within blocking groups (same language + same first word) —
+    * the classic record-linkage shape. The quadratic edit-distance
+    * comparison never sees the full corpus: the equi-join on the
+    * blocking key bounds candidates to Σ_b |block(b)|², exactly the
+    * inverted-index/LSH discipline applied to a string metric that has
+    * no algebraic decomposition. Prefixes (first 80 chars) bound the
+    * O(len²) DP per pair; a full-text distance would be the verification
+    * pass on surviving candidates only. */
+  def qDedupLevenshtein(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = Tables.documents(spark, sfDir).select(
+      col("doc_id"), col("lang"),
+      substring_index(col("text"), " ", 1).as("w0"),
+      substring(col("text"), 1, 80).as("prefix"))
+    val a = d.select(col("doc_id").as("a_id"), col("lang"), col("w0"),
+      col("prefix").as("pa"))
+    val b = d.select(col("doc_id").as("b_id"), col("lang"), col("w0"),
+      col("prefix").as("pb"))
+    a.join(b, Seq("lang", "w0"))
+      .filter(col("a_id") < col("b_id"))
+      .withColumn("dist", levenshtein(col("pa"), col("pb")))
+      .filter(col("dist") <= 20)
+      .select("a_id", "b_id", "lang", "dist")
+      .orderBy("a_id", "b_id")
+  }
+
+  val qDedupLevenshteinOracle: String =
+    """WITH d AS (
+      |  SELECT doc_id, lang, string_split(text, ' ')[1] AS w0,
+      |    substr(text, 1, 80) AS prefix
+      |  FROM documents)
+      |SELECT a.doc_id AS a_id, b.doc_id AS b_id, a.lang,
+      |  levenshtein(a.prefix, b.prefix) AS dist
+      |FROM d a JOIN d b
+      |  ON a.lang = b.lang AND a.w0 = b.w0 AND a.doc_id < b.doc_id
+      |WHERE levenshtein(a.prefix, b.prefix) <= 20
+      |ORDER BY a_id, b_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_levenshtein" -> (qDedupLevenshtein _),
     "dedup_exact" -> (qDedupExact _),
     "dedup_ngram_jaccard" -> (qDedupJaccard _),
     "dedup_jaccard_capped" -> (qDedupJaccardCapped _),
@@ -653,6 +692,7 @@ object DedupOps {
     "dedup_semantic_clusters" -> (qDedupSemanticClusters _))
 
   val oracles: Map[String, String] = Map(
+    "dedup_levenshtein" -> qDedupLevenshteinOracle,
     "dedup_exact" -> qDedupExactOracle,
     "dedup_ngram_jaccard" -> qDedupJaccardOracle,
     "dedup_jaccard_capped" -> qDedupJaccardCappedOracle,

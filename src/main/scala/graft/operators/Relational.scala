@@ -1207,7 +1207,87 @@ object Relational {
       |  strftime(MAX(l_shipdate), '%Y-%m-%d') AS ship_max
       |FROM lineitem""".stripMargin
 
+  /** UNPIVOT (wide → long): per-returnflag metric columns melted to
+    * (l_returnflag, metric, value) rows. `Dataset.unpivot` is a pure
+    * projection+Expand — zero extra shuffles beyond the feeding agg;
+    * the long layout is what metric stores and plotting layers want. */
+  def qUnpivot(spark: SparkSession, sfDir: String): DataFrame = {
+    val wide = Tables.lineitem(spark, sfDir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        sum(dec("l_quantity")).cast(DoubleType).as("sum_qty"),
+        sum(decRevenue).cast(DoubleType).as("sum_rev"),
+        count(lit(1)).cast(DoubleType).as("n_items"))
+    wide.unpivot(
+      Array(col("l_returnflag")),
+      Array(col("sum_qty"), col("sum_rev"), col("n_items")),
+      "metric", "value")
+      .orderBy(col("l_returnflag"), col("metric"))
+  }
+
+  val qUnpivotOracle: String =
+    s"""WITH wide AS (
+       |  SELECT l_returnflag,
+       |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+       |    CAST(SUM($revenueSql) AS DOUBLE) AS sum_rev,
+       |    CAST(COUNT(*) AS DOUBLE) AS n_items
+       |  FROM lineitem GROUP BY l_returnflag)
+       |SELECT l_returnflag, metric, value FROM (
+       |  SELECT l_returnflag, 'sum_qty' AS metric, sum_qty AS value FROM wide
+       |  UNION ALL SELECT l_returnflag, 'sum_rev', sum_rev FROM wide
+       |  UNION ALL SELECT l_returnflag, 'n_items', n_items FROM wide)
+       |ORDER BY l_returnflag, metric""".stripMargin
+
+  /** Time-series GAP FILL: a generated day spine left-joined to daily
+    * order aggregates — missing days appear with n=0 and the price
+    * metric forward-filled from the last observed day (the resample +
+    * ffill step of any time-series feature pipeline). The spine is
+    * `sequence()` over the month — O(days), generated in-plan, never
+    * collected; the join is a broadcast of the tiny spine. */
+  def qGapFill(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val daily = Tables.orders(spark, sfDir)
+      .filter(col("o_orderdate") >= lit("1997-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1997-02-01").cast("timestamp"))
+      .groupBy(to_date(col("o_orderdate")).as("d"))
+      .agg(count(lit(1)).as("n"),
+        sum(dec("o_totalprice")).cast(DoubleType).as("total"))
+    val spine = spark.range(1).select(explode(sequence(
+      lit("1997-01-01").cast("date"), lit("1997-01-31").cast("date"),
+      expr("interval 1 day"))).as("d"))
+    val w = Window.orderBy(col("d"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    spine.join(daily, Seq("d"), "left_outer")
+      .withColumn("n", coalesce(col("n"), lit(0L)))
+      .withColumn("total_ffill", last(col("total"), ignoreNulls = true).over(w))
+      .select(date_format(col("d"), "yyyy-MM-dd").as("day"),
+        col("n"), col("total_ffill"))
+      .orderBy(col("day"))
+  }
+
+  val qGapFillOracle: String =
+    """WITH spine AS (
+      |  SELECT CAST(u.d AS DATE) AS d
+      |  FROM unnest(generate_series(DATE '1997-01-01', DATE '1997-01-31',
+      |       INTERVAL 1 DAY)) AS u(d)),
+      |daily AS (
+      |  SELECT CAST(o_orderdate AS DATE) AS d, COUNT(*) AS n,
+      |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+      |  FROM orders
+      |  WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+      |    AND o_orderdate < TIMESTAMP '1997-02-01 00:00:00'
+      |  GROUP BY 1)
+      |SELECT strftime(spine.d, '%Y-%m-%d') AS day,
+      |  COALESCE(daily.n, 0) AS n,
+      |  last_value(daily.total IGNORE NULLS) OVER (
+      |    ORDER BY spine.d ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |    AS total_ffill
+      |FROM spine LEFT JOIN daily ON spine.d = daily.d
+      |ORDER BY day""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_unpivot" -> (qUnpivot _),
+    "q_gap_fill" -> (qGapFill _),
     "q_profile_stats" -> (qProfileStats _),
     "q12_priority_split" -> (q12PrioritySplit _),
     "q13_cust_distribution" -> (q13CustDistribution _),
@@ -1250,6 +1330,8 @@ object Relational {
     "q_window_ntile" -> (qWindowNtile _))
 
   val oracles: Map[String, String] = Map(
+    "q_unpivot" -> qUnpivotOracle,
+    "q_gap_fill" -> qGapFillOracle,
     "q_profile_stats" -> qProfileStatsOracle,
     "q12_priority_split" -> q12Oracle,
     "q13_cust_distribution" -> q13Oracle,
