@@ -564,6 +564,76 @@ object DedupOps {
     }
   }
 
+  /** Connected components via alternating LARGE-STAR / SMALL-STAR
+    * (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    * SoCC'14) — the provably O(log n)-round scheme built ONLY from
+    * symmetric groupBy-min + join over the edge list: no label-map
+    * lookup join, no broadcast, no assumption that the label relation
+    * is small. This is the 100 TB path when the pair graph itself is
+    * huge; [[connectedComponents]] (hash-min + path doubling) has a
+    * smaller constant on the sparse near-dup graphs the dedup queries
+    * mine. Both return the same (node, label) contract — equivalence
+    * is property-tested on random graphs.
+    *
+    * large-star: every node connects its LARGER neighbors to the min
+    * of its closed neighborhood; small-star: connects its smaller-or-
+    * equal neighbors (and itself) to that min. Edges only ever move
+    * "downhill", and the fixpoint is a depth-1 star forest rooted at
+    * each component's minimum. */
+  def connectedComponentsStars(pairs: DataFrame, maxIter: Int = 30): DataFrame = {
+    val nodes = pairs
+      .select(explode(array(col("a_id"), col("b_id"))).as("node"))
+      .distinct().localCheckpoint(true)
+    var e = pairs
+      .select(col("a_id").as("src"), col("b_id").as("dst"))
+      .filter(col("src") =!= col("dst"))
+      .distinct().localCheckpoint(true)
+    // same width discipline as the hash-min loop: per-round shuffles
+    // over a pair graph orders of magnitude smaller than the corpus
+    // should not run at the corpus' partition count (restored below)
+    val spark = pairs.sparkSession
+    val prevWidth = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions",
+      math.max(2L, math.min(prevWidth.toLong, e.count() / 500000L + 1L)).toString)
+    try {
+    def sym(d: DataFrame): DataFrame =
+      d.union(d.select(col("dst").as("src"), col("src").as("dst"))).distinct()
+    def star(d: DataFrame, large: Boolean): DataFrame = {
+      val s = sym(d)
+      val m = s.groupBy("src").agg(min(col("dst")).as("mn"))
+        .select(col("src"), least(col("mn"), col("src")).as("m"))
+      val j = s.join(m, "src")
+      val out =
+        if (large) j.filter(col("dst") > col("src"))
+          .select(col("dst").as("src"), col("m").as("dst"))
+        else j.filter(col("dst") < col("src"))
+          .select(col("dst").as("src"), col("m").as("dst"))
+          .union(m.select(col("src"), col("m").as("dst")))
+      out.filter(col("src") =!= col("dst")).distinct()
+    }
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIter) {
+      // localCheckpoint: same lineage-truncation reasoning as the
+      // hash-min loop — each round must not nest the previous round's
+      // whole plan tree
+      val next = star(star(e, large = true), large = false).localCheckpoint(true)
+      // exact set equality (both sides are distinct): equal counts and
+      // an empty difference — not a hash-sum heuristic
+      converged = next.count() == e.count() && next.except(e).isEmpty
+      e = next
+      iter += 1
+    }
+    require(converged, s"connectedComponentsStars did not converge in $maxIter rounds")
+    // fixpoint edges are (node, root) stars; roots have no outgoing edge
+    nodes.join(
+        e.select(col("src").as("node"), col("dst").as("root"))
+          .groupBy("node").agg(min(col("root")).as("root")),
+        Seq("node"), "left_outer")
+      .select(col("node"), coalesce(col("root"), col("node")).as("label"))
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prevWidth)
+  }
+
   /** Dedup clustering over the CAPPED jaccard pair graph (the scale-safe
     * match variant): every matched doc gets its component's canonical id,
     * the component size, and a keep/drop flag (`is_canonical` = the one
@@ -603,6 +673,19 @@ object DedupOps {
        |  COUNT(*) OVER (PARTITION BY cluster_id) AS csize,
        |  doc_id = cluster_id AS is_canonical
        |FROM comp ORDER BY doc_id""".stripMargin
+
+  /** [[qDedupClusters]] computed by the large-star/small-star scheme —
+    * same contract, same oracle; registered separately so the driver
+    * gate covers BOTH component algorithms end-to-end. */
+  def qDedupClustersStars(spark: SparkSession, sfDir: String): DataFrame = {
+    val pairs = cappedJaccardPairs(spark, sfDir).select("a_id", "b_id")
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("cluster_id"))
+    connectedComponentsStars(pairs)
+      .select(col("node").as("doc_id"), col("label").as("cluster_id"))
+      .withColumn("csize", count(lit(1)).over(w))
+      .withColumn("is_canonical", col("doc_id") === col("cluster_id"))
+      .orderBy(col("doc_id"))
+  }
 
   /** SEMANTIC dedup clusters: connected components over the
     * embedding-cosine near-dup graph — "train on one doc per meaning
@@ -689,6 +772,7 @@ object DedupOps {
     "dedup_simhash_hamming" -> (qDedupSimhashHamming _),
     "dedup_embedding_cosine" -> (qDedupEmbedding _),
     "dedup_clusters" -> (qDedupClusters _),
+    "dedup_clusters_stars" -> (qDedupClustersStars _),
     "dedup_semantic_clusters" -> (qDedupSemanticClusters _))
 
   val oracles: Map[String, String] = Map(
@@ -701,5 +785,6 @@ object DedupOps {
     "dedup_simhash_hamming" -> qDedupSimhashHammingOracle,
     "dedup_embedding_cosine" -> qDedupEmbeddingOracle,
     "dedup_clusters" -> qDedupClustersOracle,
+    "dedup_clusters_stars" -> qDedupClustersOracle,
     "dedup_semantic_clusters" -> qDedupSemanticClustersOracle)
 }

@@ -1,0 +1,79 @@
+package graft
+
+import graft.operators.DedupOps
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Equivalence + correctness of the two connected-components
+  * implementations: hash-min + path doubling ([[DedupOps.connectedComponents]])
+  * and large-star/small-star ([[DedupOps.connectedComponentsStars]]).
+  * Both must label every node with the minimum node id of its
+  * component — checked against a driver-side union-find oracle on
+  * adversarial shapes and seeded random graphs. */
+class ComponentsSpec extends SparkSpec {
+
+  private def oracle(pairs: Seq[(Long, Long)]): Map[Long, Long] = {
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) { val (lo, hi) = (math.min(ra, rb), math.max(ra, rb))
+        parent(hi) = lo }
+    }
+    parent.keys.map(k => k -> find(k)).toMap
+  }
+
+  private def toDf(pairs: Seq[(Long, Long)]): DataFrame = {
+    import spark.implicits._
+    pairs.toDF("a_id", "b_id")
+  }
+
+  private def labelsOf(df: DataFrame): Map[Long, Long] =
+    df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  private def checkBoth(pairs: Seq[(Long, Long)]): Unit = {
+    val want = oracle(pairs)
+    val hashMin = labelsOf(DedupOps.connectedComponents(toDf(pairs)))
+    val stars = labelsOf(DedupOps.connectedComponentsStars(toDf(pairs)))
+    assert(hashMin === want, "hash-min + doubling disagrees with union-find")
+    assert(stars === want, "large-star/small-star disagrees with union-find")
+  }
+
+  test("adversarial shapes: path, descending path, star, ring, forest, dumbbell") {
+    // long path, ids ascending then descending (order affects min flow)
+    checkBoth((1L to 40L).sliding(2).map(s => (s(0), s(1))).toSeq)
+    checkBoth((1L to 40L).sliding(2).map(s => (s(1), s(0))).toSeq)
+    // star centered high and low
+    checkBoth((1L to 20L).map(i => (100L, i)))
+    checkBoth((2L to 20L).map(i => (1L, i)))
+    // ring
+    checkBoth((1L to 30L).sliding(2).map(s => (s(0), s(1))).toSeq :+ (30L, 1L))
+    // forest of separate components
+    checkBoth(Seq((1L, 2L), (2L, 3L), (10L, 11L), (20L, 21L), (21L, 22L), (22L, 20L)))
+    // two cliques bridged by one edge
+    val cliqueA = for (i <- 1L to 6L; j <- (i + 1) to 6L) yield (i, j)
+    val cliqueB = for (i <- 11L to 16L; j <- (i + 1) to 16L) yield (i, j)
+    checkBoth(cliqueA ++ cliqueB :+ ((6L, 11L)))
+  }
+
+  test("seeded random graphs match the union-find oracle") {
+    for (seed <- Seq(7, 42, 1337)) {
+      val rnd = new scala.util.Random(seed)
+      val n = 60
+      val pairs = Seq.fill(45)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter { case (a, b) => a != b }
+      checkBoth(pairs)
+    }
+  }
+
+  test("stars fixpoint is a depth-1 forest rooted at component minima") {
+    val pairs = (1L to 25L).sliding(2).map(s => (s(0), s(1))).toSeq
+    val labels = labelsOf(DedupOps.connectedComponentsStars(toDf(pairs)))
+    // single path component → every node labeled 1
+    assert(labels.values.toSet === Set(1L))
+    assert(labels.keySet === (1L to 25L).toSet)
+  }
+}

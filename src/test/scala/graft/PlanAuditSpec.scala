@@ -156,6 +156,20 @@ class PlanAuditSpec extends SparkSpec {
       "window must consume the aggregated relation (appear above the agg in formatted output)")
   }
 
+  test("levenshtein dedup joins on the blocking key — never a nested-loop/cartesian plan") {
+    val p = planString(graft.operators.DedupOps.qDedupLevenshtein(spark, sf))
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      "edit-distance pairs must be bounded by the blocking equi-join")
+    // the distance filter is a residual AFTER the equi-join probe
+    assert(p.contains("levenshtein"))
+  }
+
+  test("decontamination is a shingle equi-join, not a cross join") {
+    val p = planString(graft.operators.SamplingOps.qDecontaminate(spark, sf))
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"))
+    spark.catalog.clearCache() // qDecontaminate persists its shingle relation
+  }
+
   test("codegen'd dot product appears inside a WholeStageCodegen span") {
     val df = SimilarityOps.qSimBruteForce(spark, sf)
     df.collect() // finalize this DataFrame's own AQE plan
