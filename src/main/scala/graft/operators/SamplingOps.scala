@@ -3,6 +3,7 @@ package graft.operators
 import graft.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DoubleType
 
 /** Sampling and class-balancing operators for training-data pipelines
   * (north star beyond the reference surface): deterministic hash-based
@@ -173,13 +174,72 @@ object SamplingOps {
       |FROM rk JOIN q USING (source) WHERE rn <= quota
       |ORDER BY source, rn""".stripMargin
 
+  /** Distribution DRIFT between two corpus snapshots (population
+    * stability index): bin a feature, compare bin shares across the
+    * 1996 vs 1997 order years, report the per-bin PSI term and the
+    * total. One conditional aggregate computes BOTH periods' histograms
+    * in a single scan (no self-join of the fact table); the totals ride
+    * along as window sums over the 10-bin relation. PSI > 0.2 is the
+    * conventional "investigate before training" threshold. The log
+    * ratio is rounded to 6 decimals — the repo's float-parity
+    * convention for transcendentals (libm vs JVM may differ in the
+    * last ulp). */
+  def qDriftPsi(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val li = Tables.lineitem(spark, sfDir)
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
+      .withColumn("yr", year(col("l_shipdate")))
+      .withColumn("bin", floor((col("l_quantity") - 1) / 5).cast("int"))
+    val hist = li.groupBy(col("bin")).agg(
+      sum(when(col("yr") === 1996, 1L).otherwise(0L)).as("na"),
+      sum(when(col("yr") === 1997, 1L).otherwise(0L)).as("nb"))
+    val w = Window.partitionBy()
+    hist
+      .withColumn("pa", col("na").cast(DoubleType) / sum(col("na")).over(w))
+      .withColumn("pb", col("nb").cast(DoubleType) / sum(col("nb")).over(w))
+      .filter(col("na") > 0 && col("nb") > 0)
+      .withColumn("psi_term",
+        round((col("pa") - col("pb")) * log(col("pa") / col("pb")), 6))
+      .withColumn("psi_total", round(sum(col("psi_term")).over(w), 6))
+      .select("bin", "na", "nb", "psi_term", "psi_total")
+      .orderBy(col("bin"))
+  }
+
+  val qDriftPsiOracle: String =
+    """WITH b AS (
+      |  SELECT CAST(floor((l_quantity - 1) / 5) AS INT) AS bin,
+      |    EXTRACT(year FROM l_shipdate) AS yr
+      |  FROM lineitem
+      |  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |    AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'),
+      |hist AS (
+      |  SELECT bin,
+      |    SUM(CASE WHEN yr = 1996 THEN 1 ELSE 0 END) AS na,
+      |    SUM(CASE WHEN yr = 1997 THEN 1 ELSE 0 END) AS nb
+      |  FROM b GROUP BY bin),
+      |p AS (
+      |  SELECT bin, na, nb,
+      |    CAST(na AS DOUBLE) / SUM(na) OVER () AS pa,
+      |    CAST(nb AS DOUBLE) / SUM(nb) OVER () AS pb
+      |  FROM hist),
+      |terms AS (
+      |  SELECT bin, na, nb,
+      |    round((pa - pb) * ln(pa / pb), 6) AS psi_term
+      |  FROM p WHERE na > 0 AND nb > 0)
+      |SELECT bin, na, nb, psi_term,
+      |  round(SUM(psi_term) OVER (), 6) AS psi_total
+      |FROM terms ORDER BY bin""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sample_drift_psi" -> (qDriftPsi _),
     "sample_split" -> (qSampleSplit _),
     "sample_balance_classes" -> (qBalanceClasses _),
     "sample_decontaminate" -> (qDecontaminate _),
     "sample_mixture" -> (qMixtureSample _))
 
   val oracles: Map[String, String] = Map(
+    "sample_drift_psi" -> qDriftPsiOracle,
     "sample_split" -> qSampleSplitOracle,
     "sample_balance_classes" -> qBalanceClassesOracle,
     "sample_decontaminate" -> qDecontaminateOracle,
