@@ -170,6 +170,36 @@ class PlanAuditSpec extends SparkSpec {
     spark.catalog.clearCache() // qDecontaminate persists its shingle relation
   }
 
+  test("runtime bloom filter: a selective dim filter is pushed to the fact side of a shuffle join") {
+    // the shuffle-join counterpart of dynamic partition pruning: when
+    // the dim side is selective, the optimizer builds a bloom filter
+    // from it and applies might_contain on the fact scan, cutting the
+    // shuffled fact volume. Thresholds are sized for clusters, so pin
+    // them down (and force a shuffle join) to assert the capability.
+    // applicationSideScanSizeThreshold is a MINIMUM for the fact side
+    // (default 10GB — cluster-sized), creationSideThreshold a MAXIMUM
+    // for the dim side (default 10MB, already satisfied here)
+    val confs = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val saved = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val li = Tables.lineitem(spark, sf).select("l_partkey", "l_quantity")
+      val p = Tables.part(spark, sf)
+        .filter(org.apache.spark.sql.functions.col("p_brand") === "Brand#11")
+        .select("p_partkey")
+      val q = li.join(p,
+        org.apache.spark.sql.functions.col("l_partkey") ===
+          org.apache.spark.sql.functions.col("p_partkey"))
+        .agg(org.apache.spark.sql.functions.sum("l_quantity"))
+      val plan = q.queryExecution.optimizedPlan.toString
+      assert(plan.contains("bloom_filter") || plan.contains("might_contain"),
+        s"expected an injected runtime bloom filter:\n$plan")
+    } finally saved.foreach { case (k, v) =>
+      v.fold(spark.conf.unset(k))(spark.conf.set(k, _)) }
+  }
+
   test("codegen'd dot product appears inside a WholeStageCodegen span") {
     val df = SimilarityOps.qSimBruteForce(spark, sf)
     df.collect() // finalize this DataFrame's own AQE plan
