@@ -483,7 +483,42 @@ object TextOps {
       |SELECT doc_id, term, tf, df, score_1000
       |FROM rk WHERE rk <= 5 ORDER BY doc_id, term""".stripMargin
 
+  /** Character-entropy quality signal: Shannon entropy of the per-doc
+    * character distribution (low entropy ⇒ repetitive/degenerate text,
+    * high ⇒ random noise — both filtered in web-corpus curation; cf.
+    * the compression-ratio heuristics in Gopher-style pipelines). Two
+    * keyed aggregations — (doc, char) counts, then the entropy fold —
+    * both with map-side partials; the log ratio is rounded to 6
+    * decimals per the float-parity convention. */
+  def qCharEntropy(spark: SparkSession, sfDir: String): DataFrame = {
+    val chars = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), explode(split(col("text"), "")).as("ch"))
+    chars.groupBy(col("doc_id"), col("ch")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n"),
+        count(lit(1)).as("distinct_chars"),
+        sum(col("c").cast("double") * log(col("c").cast("double"))).as("clogc"))
+      // H = log2(n) - (Σ c·ln c)/(n·ln 2): one pass, no per-row p=c/n
+      .withColumn("entropy_bits", round(
+        log(2.0, col("n")) - col("clogc") / (col("n") * lit(math.log(2.0))), 6))
+      .select("doc_id", "n", "distinct_chars", "entropy_bits")
+      .orderBy("doc_id")
+  }
+
+  val qCharEntropyOracle: String =
+    """WITH ch AS (
+      |  SELECT doc_id, unnest(string_split(text, '')) AS ch FROM documents),
+      |cc AS (SELECT doc_id, ch, COUNT(*) AS c FROM ch GROUP BY 1, 2),
+      |agg AS (
+      |  SELECT doc_id, SUM(c) AS n, COUNT(*) AS distinct_chars,
+      |    SUM(CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE))) AS clogc
+      |  FROM cc GROUP BY 1)
+      |SELECT doc_id, n, distinct_chars,
+      |  round(log2(n) - clogc / (n * ln(2.0)), 6) AS entropy_bits
+      |FROM agg ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_char_entropy" -> (qCharEntropy _),
     "text_token_stats" -> (qTokenStats _),
     "text_langid" -> (qLangId _),
     "text_fingerprint" -> (qFingerprint _),
@@ -497,6 +532,7 @@ object TextOps {
     "text_tfidf" -> (qTfidf _))
 
   val oracles: Map[String, String] = Map(
+    "text_char_entropy" -> qCharEntropyOracle,
     "text_token_stats" -> qTokenStatsOracle,
     "text_langid" -> qLangIdOracle,
     "text_fingerprint" -> qFingerprintOracle,
