@@ -1073,10 +1073,10 @@ object Relational {
 
   val q12Oracle: String =
     """SELECT l_linestatus,
-      |  SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
-      |      THEN 1 ELSE 0 END) AS high_line_count,
-      |  SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT','2-HIGH')
-      |      THEN 1 ELSE 0 END) AS low_line_count
+      |  CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+      |      THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+      |  CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT','2-HIGH')
+      |      THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
       |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
       |WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
       |  AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
@@ -1198,7 +1198,7 @@ object Relational {
 
   val qProfileStatsOracle: String =
     """SELECT COUNT(*) AS n_rows,
-      |  SUM(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END) AS qty_nulls,
+      |  CAST(SUM(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS qty_nulls,
       |  MIN(l_quantity) AS qty_min, MAX(l_quantity) AS qty_max,
       |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty_sum,
       |  COUNT(DISTINCT l_extendedprice) AS price_distinct,

@@ -215,8 +215,8 @@ object SamplingOps {
       |    AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'),
       |hist AS (
       |  SELECT bin,
-      |    SUM(CASE WHEN yr = 1996 THEN 1 ELSE 0 END) AS na,
-      |    SUM(CASE WHEN yr = 1997 THEN 1 ELSE 0 END) AS nb
+      |    CAST(SUM(CASE WHEN yr = 1996 THEN 1 ELSE 0 END) AS BIGINT) AS na,
+      |    CAST(SUM(CASE WHEN yr = 1997 THEN 1 ELSE 0 END) AS BIGINT) AS nb
       |  FROM b GROUP BY bin),
       |p AS (
       |  SELECT bin, na, nb,

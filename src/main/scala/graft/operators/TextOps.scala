@@ -510,7 +510,7 @@ object TextOps {
       |  SELECT doc_id, unnest(string_split(text, '')) AS ch FROM documents),
       |cc AS (SELECT doc_id, ch, COUNT(*) AS c FROM ch GROUP BY 1, 2),
       |agg AS (
-      |  SELECT doc_id, SUM(c) AS n, COUNT(*) AS distinct_chars,
+      |  SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n, COUNT(*) AS distinct_chars,
       |    SUM(CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE))) AS clogc
       |  FROM cc GROUP BY 1)
       |SELECT doc_id, n, distinct_chars,

@@ -47,6 +47,20 @@ def main(sf_dir, out_dir):
             print(f"  [FAIL] {q}: columns {list(g.columns)} != {list(e.columns)}")
             n_fail += 1
             continue
+        # The driver hashes typed values: an int64 Spark column vs a
+        # float64 oracle column (e.g. an uncast DuckDB SUM -> HUGEINT)
+        # hash-mismatches even when the numbers are equal. Catch the
+        # kind difference here instead of letting check_dtype=False
+        # paper over it.
+        kind_bad = [c for c in g.columns
+                    if g[c].dtype.kind != e[c].dtype.kind
+                    and {g[c].dtype.kind, e[c].dtype.kind} <= {"i", "u", "f"}
+                    and "f" in {g[c].dtype.kind, e[c].dtype.kind}]
+        if kind_bad:
+            print(f"  [FAIL] {q}: dtype kind mismatch (int vs float) in "
+                  f"{[(c, str(g[c].dtype), str(e[c].dtype)) for c in kind_bad]}")
+            n_fail += 1
+            continue
         if len(g) != len(e):
             print(f"  [FAIL] {q}: rows {len(g)} != {len(e)}")
             n_fail += 1
