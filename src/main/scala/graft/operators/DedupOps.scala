@@ -738,14 +738,29 @@ object DedupOps {
       col("doc_id"), col("lang"),
       substring_index(col("text"), " ", 1).as("w0"),
       substring(col("text"), 1, 80).as("prefix"))
+    // The corpus arrives as one small parquet file -> ONE input split,
+    // so without an explicit repartition the entire Σ|block|² DP work
+    // lands in a single task (measured: 10.7 s single-threaded at
+    // sf0.1 vs ~1 s spread over the cores). Spreading the PROBE side
+    // by a round-robin repartition is a ~5000-row shuffle — noise —
+    // and the build side still broadcasts. At 100 TB the scan itself
+    // yields thousands of splits and this repartition collapses to a
+    // no-op-sized exchange.
+    val width = spark.sparkContext.defaultParallelism
     val a = d.select(col("doc_id").as("a_id"), col("lang"), col("w0"),
-      col("prefix").as("pa"))
+      col("prefix").as("pa")).repartition(width)
     val b = d.select(col("doc_id").as("b_id"), col("lang"), col("w0"),
       col("prefix").as("pb"))
-    a.join(b, Seq("lang", "w0"))
+    a.join(broadcast(b), Seq("lang", "w0"))
       .filter(col("a_id") < col("b_id"))
-      .withColumn("dist", levenshtein(col("pa"), col("pb")))
-      .filter(col("dist") <= 20)
+      // necessary condition first: |len(a)-len(b)| <= k bounds the edit
+      // distance from below for ~free, before any DP runs
+      .filter(abs(length(col("pa")) - length(col("pb"))) <= 20)
+      // banded threshold variant: O(len·k) cells + early exit instead
+      // of the full O(len²) table; returns the exact distance when
+      // <= 20 and -1 otherwise, so the output is unchanged
+      .withColumn("dist", levenshtein(col("pa"), col("pb"), 20))
+      .filter(col("dist") >= 0)
       .select("a_id", "b_id", "lang", "dist")
       .orderBy("a_id", "b_id")
   }
