@@ -781,7 +781,66 @@ object DedupOps {
       |WHERE levenshtein(a.prefix, b.prefix) <= 20
       |ORDER BY a_id, b_id""".stripMargin
 
+  /** EXACT k-token substring overlap (the Lee et al. 2022
+    * "Deduplicating Training Data" shape): pairs of documents sharing
+    * at least one run of `SubstrK` consecutive tokens, found by
+    * exploding each document's distinct k-token windows and
+    * equi-joining on the window TEXT itself — joining on the string
+    * makes the match exact by construction (no hash-collision caveat
+    * to verify). `shared_windows` counts the matching windows, so a
+    * shared run of length L tokens scores L-k+1 — a usable overlap-
+    * mass signal for "remove the longer overlap" policies downstream.
+    *
+    * Scale: same inverted-index discipline as the jaccard family —
+    * cost is Σ_w |docs(w)|² over SHARED windows only, and the df cap
+    * deletes boilerplate windows (license headers, nav bars) that
+    * would otherwise contribute the quadratic skew term. An 8-token
+    * window is already highly selective, so candidate volume tracks
+    * true overlaps, not vocabulary. */
+  private val SubstrK = 8
+  private val SubstrMaxDf = 20
+
+  def qDedupSubstring(spark: SparkSession, sfDir: String): DataFrame = {
+    val ts = split(col("text"), " ")
+    val wins = Tables.spread(Tables.documents(spark, sfDir))
+      .select(col("doc_id"), ts.as("ts"))
+      .filter(size(col("ts")) >= SubstrK)
+      .select(col("doc_id"),
+        explode(array_distinct(transform(
+          sequence(lit(0), size(col("ts")) - SubstrK),
+          i => concat_ws(" ",
+            (0 until SubstrK).map(o => element_at(col("ts"), i + o + 1)): _*))))
+          .as("win"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val rare = wins.groupBy(col("win"))
+      .agg(count(lit(1)).as("df"))
+      .filter(col("df") <= SubstrMaxDf)
+      .select("win")
+    val kept = wins.join(rare, "win")
+    kept.as("a")
+      .join(kept.as("b"),
+        col("a.win") === col("b.win") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+      .agg(count(lit(1)).as("shared_windows"))
+      .orderBy(col("a_id"), col("b_id"))
+  }
+
+  val qDedupSubstringOracle: String =
+    s"""WITH w AS (
+       |  SELECT DISTINCT doc_id,
+       |    ${(0 until 8).map(o => s"ts[g+$o]").mkString(" || ' ' || ")} AS win
+       |  FROM (SELECT doc_id, string_split(text, ' ') AS ts FROM documents) t,
+       |       unnest(generate_series(1, len(ts) - 7)) AS u(g)
+       |  WHERE len(ts) >= 8),
+       |rare AS (SELECT win FROM w GROUP BY win HAVING COUNT(*) <= 20),
+       |kept AS (SELECT w.doc_id, w.win FROM w JOIN rare USING (win))
+       |SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS shared_windows
+       |FROM kept a JOIN kept b
+       |  ON a.win = b.win AND a.doc_id < b.doc_id
+       |GROUP BY 1, 2 ORDER BY a_id, b_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_substring" -> (qDedupSubstring _),
     "dedup_levenshtein" -> (qDedupLevenshtein _),
     "dedup_exact" -> (qDedupExact _),
     "dedup_ngram_jaccard" -> (qDedupJaccard _),
@@ -795,6 +854,7 @@ object DedupOps {
     "dedup_semantic_clusters" -> (qDedupSemanticClusters _))
 
   val oracles: Map[String, String] = Map(
+    "dedup_substring" -> qDedupSubstringOracle,
     "dedup_levenshtein" -> qDedupLevenshteinOracle,
     "dedup_exact" -> qDedupExactOracle,
     "dedup_ngram_jaccard" -> qDedupJaccardOracle,

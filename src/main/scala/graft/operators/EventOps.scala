@@ -1,0 +1,180 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DoubleType
+
+/** Behavioral-analytics operators over the `events` stream: funnel
+  * conversion, cohort retention, and last-touch attribution — the
+  * product-analytics queries every event warehouse runs, expressed as
+  * single-shuffle window/aggregate plans.
+  *
+  * Time convention (same as `q_sessionize`): `events.ts` is
+  * nanosecond parquet that Spark reads µs-truncated, so every
+  * cross-engine comparison goes through integer epoch-µs
+  * (`unix_micros` here, `epoch_us` in DuckDB) — never raw timestamps.
+  * The fixture has no sub-µs components and no per-user timestamp
+  * ties, so orderings are unambiguous on both engines.
+  *
+  * Scale design: all three operators shuffle the event stream exactly
+  * once, on `user_id` — the natural key that also bounds per-partition
+  * state (one user's history, never the global stream). Everything
+  * after that hash partition is map-side: window functions walk each
+  * user's slice, and the final rollups aggregate tiny keyspaces.
+  */
+object EventOps {
+
+  private def ev(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir).select(
+      col("event_id"), col("user_id"), col("event_type"),
+      unix_micros(col("ts")).as("tus"))
+
+  // ---- 1. funnel conversion ----
+
+  /** Ordered funnel view → click → purchase: a user converts a stage
+    * only with an event STRICTLY AFTER their previous stage's entry
+    * (the "ordered funnel" semantics — a purchase before the first
+    * view does not count). Three dependent min-aggregates over ONE
+    * user-partitioned window — each stage's entry time conditions the
+    * next, which a flat groupBy cannot express; the window shape pays
+    * one shuffle regardless of stage count. */
+  def qFunnel(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+    val staged = ev(spark, sfDir)
+      .withColumn("t1",
+        min(when(col("event_type") === "view", col("tus"))).over(w))
+      .withColumn("t2",
+        min(when(col("event_type") === "click" && col("tus") > col("t1"),
+          col("tus"))).over(w))
+      .withColumn("t3",
+        min(when(col("event_type") === "purchase" && col("tus") > col("t2"),
+          col("tus"))).over(w))
+      .groupBy(col("user_id"))
+      .agg(first(col("t1")).as("t1"), first(col("t2")).as("t2"),
+        first(col("t3")).as("t3"))
+    staged.agg(
+        count(col("t1")).as("u_view"),
+        count(col("t2")).as("u_click_after_view"),
+        count(col("t3")).as("u_purchase_after_click"))
+      .withColumn("conv_click", round(
+        col("u_click_after_view").cast(DoubleType) / col("u_view"), 6))
+      .withColumn("conv_purchase", round(
+        col("u_purchase_after_click").cast(DoubleType) /
+          nullif(col("u_click_after_view"), lit(0L)), 6))
+  }
+
+  val qFunnelOracle: String =
+    """WITH e AS (
+      |  SELECT user_id, event_type, epoch_us(ts) AS tus FROM events),
+      |s1 AS (SELECT user_id,
+      |         MIN(CASE WHEN event_type = 'view' THEN tus END) AS t1
+      |       FROM e GROUP BY 1),
+      |s2 AS (SELECT e.user_id, MIN(tus) AS t2
+      |       FROM e JOIN s1 USING (user_id)
+      |       WHERE event_type = 'click' AND tus > t1 GROUP BY 1),
+      |s3 AS (SELECT e.user_id, MIN(tus) AS t3
+      |       FROM e JOIN s2 USING (user_id)
+      |       WHERE event_type = 'purchase' AND tus > t2 GROUP BY 1),
+      |agg AS (SELECT
+      |  (SELECT COUNT(t1) FROM s1) AS u1,
+      |  (SELECT COUNT(*) FROM s2) AS u2,
+      |  (SELECT COUNT(*) FROM s3) AS u3)
+      |SELECT CAST(u1 AS BIGINT) AS u_view,
+      |  CAST(u2 AS BIGINT) AS u_click_after_view,
+      |  CAST(u3 AS BIGINT) AS u_purchase_after_click,
+      |  round(CAST(u2 AS DOUBLE) / u1, 6) AS conv_click,
+      |  round(CAST(u3 AS DOUBLE) / NULLIF(u2, 0), 6) AS conv_purchase
+      |FROM agg""".stripMargin
+
+  // ---- 2. cohort retention ----
+
+  /** Cohort retention: users grouped by the day of their first event
+    * (the cohort), counted in each subsequent week they were active.
+    * Shape: per-user min-day agg (shuffle on user_id), join back on
+    * the SAME user_id partitioning (no second shuffle of the big
+    * side — exchange reuse), then a distinct-count rollup over the
+    * tiny (cohort_day, week_offset) keyspace. */
+  def qRetention(spark: SparkSession, sfDir: String): DataFrame = {
+    val days = ev(spark, sfDir)
+      .select(col("user_id"), expr("tus DIV 86400000000").as("day"))
+      .distinct()
+    val cohort = days.groupBy(col("user_id"))
+      .agg(min(col("day")).as("cohort_day"))
+    days.join(cohort, "user_id")
+      .groupBy(col("cohort_day"),
+        expr("(day - cohort_day) DIV 7").as("week_offset"))
+      .agg(count_distinct(col("user_id")).as("n_users"))
+      .orderBy(col("cohort_day"), col("week_offset"))
+  }
+
+  val qRetentionOracle: String =
+    """WITH d AS (
+      |  SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day
+      |  FROM events),
+      |c AS (SELECT user_id, MIN(day) AS cohort_day FROM d GROUP BY 1)
+      |SELECT CAST(cohort_day AS BIGINT) AS cohort_day,
+      |  CAST((day - cohort_day) // 7 AS BIGINT) AS week_offset,
+      |  COUNT(DISTINCT d.user_id) AS n_users
+      |FROM d JOIN c USING (user_id)
+      |GROUP BY 1, 2 ORDER BY cohort_day, week_offset""".stripMargin
+
+  // ---- 3. last-touch attribution ----
+
+  /** Last-touch attribution: each purchase credits the latest
+    * click/view by the same user strictly before it, within a 1-hour
+    * window. The running "last touch" is a single ignore-nulls
+    * `last()` over a ROWS frame ending one row back — the struct
+    * carries (time, id) together so both fields come from the SAME
+    * touch event. One shuffle on user_id; no self-join (the naive
+    * per-purchase as-of self-join re-shuffles the stream twice and
+    * explodes candidates; the window walks each user's slice once). */
+  def qAttribution(spark: SparkSession, sfDir: String): DataFrame = {
+    val maxLagUs = 3600L * 1000000L
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("tus"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    ev(spark, sfDir)
+      .withColumn("touch",
+        last(when(col("event_type").isin("click", "view"),
+          struct(col("tus").as("t"), col("event_id").as("id"))),
+          ignoreNulls = true).over(w))
+      .filter(col("event_type") === "purchase" &&
+        col("touch").isNotNull &&
+        col("tus") - col("touch.t") <= maxLagUs)
+      .select(col("event_id").as("purchase_id"),
+        col("touch.id").as("touch_id"),
+        (col("tus") - col("touch.t")).as("latency_us"))
+      .orderBy(col("purchase_id"))
+  }
+
+  val qAttributionOracle: String =
+    """WITH e AS (
+      |  SELECT event_id, user_id, event_type, epoch_us(ts) AS tus
+      |  FROM events),
+      |t AS (SELECT event_id, event_type, tus,
+      |  last_value(CASE WHEN event_type IN ('click', 'view')
+      |               THEN tus END IGNORE NULLS) OVER w AS touch_t,
+      |  last_value(CASE WHEN event_type IN ('click', 'view')
+      |               THEN event_id END IGNORE NULLS) OVER w AS touch_id
+      |  FROM e
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY tus, event_id
+      |               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING))
+      |SELECT event_id AS purchase_id, touch_id,
+      |  CAST(tus - touch_t AS BIGINT) AS latency_us
+      |FROM t
+      |WHERE event_type = 'purchase' AND touch_t IS NOT NULL
+      |  AND tus - touch_t <= 3600000000
+      |ORDER BY purchase_id""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_funnel" -> (qFunnel _),
+    "q_retention" -> (qRetention _),
+    "q_attribution" -> (qAttribution _))
+
+  val oracles: Map[String, String] = Map(
+    "q_funnel" -> qFunnelOracle,
+    "q_retention" -> qRetentionOracle,
+    "q_attribution" -> qAttributionOracle)
+}

@@ -267,17 +267,81 @@ object SimilarityOps {
        |  CAST(SUM(q) AS DOUBLE) / COUNT(*) / 1000000.0 AS mean_q
        |FROM dims GROUP BY cid, dim ORDER BY cid, dim""".stripMargin
 
+  /** Scalar int8 quantization per vector (the compression step before
+    * an ANN index ships to serving): per-vector min/max affine map to
+    * [0,255], dequantize, and report reconstruction error. Pure
+    * per-row array algebra — zero shuffles; at 100 TB this is a
+    * map-only pass that rides whatever partitioning the corpus
+    * already has. The quantized codes are emitted as an md5 digest
+    * (not an array column) per the driver-compare convention —
+    * pandas cannot sort array cells. All arithmetic is DOUBLE in a
+    * fixed per-vector fold order, so both engines produce identical
+    * bits; the error metrics are rounded to 6 per the float-parity
+    * convention. */
+  def qQuantizeInt8(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"),
+        transform(col("embedding"), _.cast("double")).as("v"))
+      .withColumn("mn", array_min(col("v")))
+      .withColumn("mx", array_max(col("v")))
+      .withColumn("scale", (col("mx") - col("mn")) / lit(255.0))
+    val q = e.withColumn("q",
+      when(col("mx") === col("mn"),
+        transform(col("v"), _ => lit(0)))
+        .otherwise(transform(col("v"),
+          x => round((x - col("mn")) / col("scale")).cast("int"))))
+    val deq = q.withColumn("dq",
+      transform(col("q"), qi => col("mn") + qi.cast("double") * col("scale")))
+    deq
+      .withColumn("se",
+        zip_with(col("v"), col("dq"), (a, b) => (a - b) * (a - b)))
+      .select(col("vec_id"),
+        md5(array_join(transform(col("q"), _.cast("string")), ",")
+          .cast("binary")).as("q_md5"),
+        round(col("mn"), 6).as("v_min_r"),
+        round(col("mx"), 6).as("v_max_r"),
+        round(aggregate(col("se"), lit(0.0d), _ + _) / size(col("v")), 6)
+          .as("mse_r"),
+        round(array_max(zip_with(col("v"), col("dq"),
+          (a, b) => abs(a - b))), 6).as("max_abs_err_r"))
+      .orderBy(col("vec_id"))
+  }
+
+  val qQuantizeInt8Oracle: String =
+    """WITH e AS (
+      |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      |mm AS (SELECT vec_id, v, list_min(v) AS mn, list_max(v) AS mx,
+      |         (list_max(v) - list_min(v)) / 255.0 AS scale FROM e),
+      |qz AS (SELECT vec_id, v, mn, mx, scale,
+      |  CASE WHEN mx = mn THEN list_transform(v, x -> 0)
+      |       ELSE list_transform(v, x -> CAST(round((x - mn) / scale) AS INT))
+      |  END AS q FROM mm),
+      |dq AS (SELECT vec_id, v, mn, mx, scale, q,
+      |  list_transform(q, qi -> mn + CAST(qi AS DOUBLE) * scale) AS d
+      |  FROM qz)
+      |SELECT vec_id,
+      |  md5(array_to_string(q, ',')) AS q_md5,
+      |  round(mn, 6) AS v_min_r,
+      |  round(mx, 6) AS v_max_r,
+      |  round(list_sum(list_transform(generate_series(1, len(v)),
+      |    i -> (v[i] - d[i]) * (v[i] - d[i]))) / len(v), 6) AS mse_r,
+      |  round(list_max(list_transform(generate_series(1, len(v)),
+      |    i -> abs(v[i] - d[i]))), 6) AS max_abs_err_r
+      |FROM dq ORDER BY vec_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sim_bruteforce_topk" -> (qSimBruteForce _),
     "sim_lsh_bucketed" -> (qSimLshBucketed _),
     "sim_ivf_probe" -> (qSimIvf _),
     "sim_ivf_multiprobe" -> (qSimIvfMultiprobe _),
-    "sim_kmeans_step" -> (qKmeansStep _))
+    "sim_kmeans_step" -> (qKmeansStep _),
+    "sim_quantize_int8" -> (qQuantizeInt8 _))
 
   val oracles: Map[String, String] = Map(
     "sim_bruteforce_topk" -> qSimBruteForceOracle,
     "sim_lsh_bucketed" -> qSimLshBucketedOracle,
     "sim_ivf_probe" -> qSimIvfOracle,
     "sim_ivf_multiprobe" -> qSimIvfMultiprobeOracle,
-    "sim_kmeans_step" -> qKmeansStepOracle)
+    "sim_kmeans_step" -> qKmeansStepOracle,
+    "sim_quantize_int8" -> qQuantizeInt8Oracle)
 }

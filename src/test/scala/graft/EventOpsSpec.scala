@@ -1,0 +1,78 @@
+package graft
+
+import graft.operators.{DedupOps, EventOps, SimilarityOps}
+import org.apache.spark.sql.functions._
+
+/** Semantic invariants for the behavioral-analytics operators and the
+  * round-4 dedup/similarity additions. The DuckDB gate checks value
+  * equality; these pin the properties that make the answers MEAN the
+  * right thing (funnel monotonicity, retention totality, attribution
+  * ordering, substring-overlap symmetry bounds, quantization error
+  * bounds). */
+class EventOpsSpec extends SparkSpec {
+
+  test("funnel stages are monotonically non-increasing") {
+    val r = EventOps.qFunnel(spark, sf).collect().head
+    val (u1, u2, u3) = (r.getAs[Long]("u_view"),
+      r.getAs[Long]("u_click_after_view"),
+      r.getAs[Long]("u_purchase_after_click"))
+    assert(u1 >= u2 && u2 >= u3)
+    assert(u1 > 0) // fixture has views
+    val conv = r.getAs[Double]("conv_click")
+    assert(conv >= 0.0 && conv <= 1.0)
+  }
+
+  test("retention: week 0 covers every user of the cohort's later weeks") {
+    val r = EventOps.qRetention(spark, sf)
+    // offset-0 row exists for every cohort (a user is active in their
+    // own first week by construction)
+    val cohorts = r.select("cohort_day").distinct().count()
+    val zero = r.filter(col("week_offset") === 0).count()
+    assert(zero === cohorts)
+    // no cohort week retains more users than its size
+    val bad = r.as("a").join(
+        r.filter(col("week_offset") === 0)
+          .select(col("cohort_day"), col("n_users").as("c0")),
+        Seq("cohort_day"))
+      .filter(col("n_users") > col("c0"))
+    assert(bad.count() === 0)
+  }
+
+  test("attribution: touch precedes purchase within the window") {
+    val r = EventOps.qAttribution(spark, sf).collect()
+    r.foreach { row =>
+      val lat = row.getAs[Long]("latency_us")
+      assert(lat > 0 && lat <= 3600L * 1000000L)
+      // ids are distinct events
+      assert(row.getAs[Long]("purchase_id") != row.getAs[Long]("touch_id"))
+    }
+  }
+
+  test("substring overlap: every pair shares at least one 8-token window") {
+    val r = DedupOps.qDedupSubstring(spark, sf).collect()
+    r.foreach { row =>
+      assert(row.getAs[Long]("a_id") < row.getAs[Long]("b_id"))
+      assert(row.getAs[Long]("shared_windows") >= 1)
+    }
+  }
+
+  test("int8 quantization bounds reconstruction error by half a step") {
+    val r = SimilarityOps.qQuantizeInt8(spark, sf)
+      .join(Tables.embeddings(spark, sf)
+          .select(col("vec_id"),
+            (array_max(transform(col("embedding"), _.cast("double"))) -
+              array_min(transform(col("embedding"), _.cast("double"))))
+              .as("range")),
+        Seq("vec_id"))
+      .collect()
+    assert(r.nonEmpty)
+    r.foreach { row =>
+      val step = row.getAs[Double]("range") / 255.0
+      val maxErr = row.getAs[Double]("max_abs_err_r")
+      // affine int8 round-trip error is bounded by scale/2 (+rounding slack)
+      assert(maxErr <= step / 2.0 + 1e-6,
+        s"vec ${row.getAs[Long]("vec_id")}: maxErr $maxErr > step/2 ${step / 2}")
+      assert(row.getAs[Double]("mse_r") <= maxErr * maxErr + 1e-12)
+    }
+  }
+}
