@@ -1207,6 +1207,126 @@ object Relational {
       |  strftime(MAX(l_shipdate), '%Y-%m-%d') AS ship_max
       |FROM lineitem""".stripMargin
 
+  /** Group-wise EXACT quantiles (percentile_cont semantics): the
+    * distribution summary every profiling/monitoring layer wants.
+    * Exact percentiles need the full sorted group — Spark's
+    * `percentile` aggregates one pass per group member with a
+    * sort-based buffer; at 100 TB you'd reach for approx_percentile
+    * (t-digest, mergeable sketches — see q_approx_distinct's
+    * rows-only twin pattern) and keep THIS as the verification twin
+    * on sampled groups. Both engines interpolate linearly, so the
+    * rounded-to-6 values agree bit-for-bit. */
+  def qGroupQuantiles(spark: SparkSession, sfDir: String): DataFrame = {
+    val qs = Seq(0.25, 0.5, 0.75, 0.9)
+    Tables.lineitem(spark, sfDir)
+      .groupBy(col("l_returnflag"))
+      .agg(percentile(col("l_quantity"),
+        array(qs.map(lit): _*)).as("p"))
+      .select(col("l_returnflag"),
+        round(element_at(col("p"), 1), 6).as("p25"),
+        round(element_at(col("p"), 2), 6).as("p50"),
+        round(element_at(col("p"), 3), 6).as("p75"),
+        round(element_at(col("p"), 4), 6).as("p90"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  val qGroupQuantilesOracle: String =
+    """SELECT l_returnflag,
+      |  round(quantile_cont(l_quantity, 0.25), 6) AS p25,
+      |  round(quantile_cont(l_quantity, 0.50), 6) AS p50,
+      |  round(quantile_cont(l_quantity, 0.75), 6) AS p75,
+      |  round(quantile_cont(l_quantity, 0.90), 6) AS p90
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
+  /** Distributed simple linear regression (price on quantity, per
+    * returnflag) from EXACT integer moments: quantity is integral and
+    * price has exactly 2 decimals, so Σx, Σy, Σxy, Σx², Σy² are
+    * accumulated as DECIMAL(38,0) — exact under ANY partial-aggregation
+    * order — and only the final slope/intercept/r² arithmetic drops to
+    * double. Float moment sums would be partition-order-dependent and
+    * diverge run-to-run, let alone cross-engine (same discipline as
+    * sim_kmeans_step's quantized means). One shuffle on the group key,
+    * everything else map-side. */
+  def qRegression(spark: SparkSession, sfDir: String): DataFrame = {
+    val big = DecimalType(38, 0)
+    val x = col("l_quantity").cast(DecimalType(18, 0))
+    val y = (col("l_extendedprice") * 100).cast(DecimalType(18, 0))
+    Tables.lineitem(spark, sfDir)
+      .select(col("l_returnflag"), x.as("x"), y.as("y"))
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("x").cast(big)).cast(DoubleType).as("sx"),
+        sum(col("y").cast(big)).cast(DoubleType).as("sy"),
+        sum((col("x") * col("y")).cast(big)).cast(DoubleType).as("sxy"),
+        sum((col("x") * col("x")).cast(big)).cast(DoubleType).as("sxx"),
+        sum((col("y") * col("y")).cast(big)).cast(DoubleType).as("syy"))
+      .withColumn("slope_c",
+        (col("n") * col("sxy") - col("sx") * col("sy")) /
+          (col("n") * col("sxx") - col("sx") * col("sx")))
+      .withColumn("intercept_c",
+        (col("sy") - col("slope_c") * col("sx")) / col("n"))
+      .withColumn("r2", pow(
+        (col("n") * col("sxy") - col("sx") * col("sy")), 2) /
+        ((col("n") * col("sxx") - col("sx") * col("sx")) *
+          (col("n") * col("syy") - col("sy") * col("sy"))))
+      .select(col("l_returnflag"), col("n"),
+        round(col("slope_c") / 100, 6).as("slope"),
+        round(col("intercept_c") / 100, 6).as("intercept"),
+        round(col("r2"), 6).as("r2"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  val qRegressionOracle: String =
+    """WITH m AS (
+      |  SELECT l_returnflag, COUNT(*) AS n,
+      |    CAST(SUM(CAST(CAST(l_quantity AS DECIMAL(18,0)) AS DECIMAL(38,0))) AS DOUBLE) AS sx,
+      |    CAST(SUM(CAST(CAST(l_extendedprice * 100 AS DECIMAL(18,0)) AS DECIMAL(38,0))) AS DOUBLE) AS sy,
+      |    CAST(SUM(CAST(CAST(l_quantity AS DECIMAL(18,0)) * CAST(l_extendedprice * 100 AS DECIMAL(18,0)) AS DECIMAL(38,0))) AS DOUBLE) AS sxy,
+      |    CAST(SUM(CAST(CAST(l_quantity AS DECIMAL(18,0)) * CAST(l_quantity AS DECIMAL(18,0)) AS DECIMAL(38,0))) AS DOUBLE) AS sxx,
+      |    CAST(SUM(CAST(CAST(l_extendedprice * 100 AS DECIMAL(18,0)) * CAST(l_extendedprice * 100 AS DECIMAL(18,0)) AS DECIMAL(38,0))) AS DOUBLE) AS syy
+      |  FROM lineitem GROUP BY l_returnflag),
+      |c AS (SELECT *,
+      |    (n * sxy - sx * sy) / (n * sxx - sx * sx) AS slope_c
+      |  FROM m)
+      |SELECT l_returnflag, n,
+      |  round(slope_c / 100, 6) AS slope,
+      |  round(((sy - slope_c * sx) / n) / 100, 6) AS intercept,
+      |  round(pow(n * sxy - sx * sy, 2) /
+      |        ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS r2
+      |FROM c ORDER BY l_returnflag""".stripMargin
+
+  /** Market-basket co-occurrence (a-priori support counting): pairs of
+    * parts appearing in the same order, ranked by support. The
+    * ORDER-KEYED self-join is the inverted-index shape again — pair
+    * volume is Σ_orders |basket|², bounded by small baskets, never
+    * n² over parts. At 100 TB the same guard as the jaccard df-cap
+    * applies: drop mega-baskets (a basket of 10⁴ items is 10⁸ pairs)
+    * before the join. Top-N by (support, pair) is fully deterministic. */
+  def qMarketBasket(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = Tables.lineitem(spark, sfDir)
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+    li.as("a")
+      .join(li.as("b"),
+        col("a.l_orderkey") === col("b.l_orderkey") &&
+          col("a.l_partkey") < col("b.l_partkey"))
+      .groupBy(col("a.l_partkey").as("part_a"), col("b.l_partkey").as("part_b"))
+      .agg(count(lit(1)).as("support"))
+      .filter(col("support") >= 2)
+      .orderBy(col("support").desc, col("part_a"), col("part_b"))
+      .limit(100)
+  }
+
+  val qMarketBasketOracle: String =
+    """WITH li AS (
+      |  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+      |p AS (
+      |  SELECT a.l_partkey AS part_a, b.l_partkey AS part_b, COUNT(*) AS support
+      |  FROM li a JOIN li b
+      |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      |  GROUP BY 1, 2)
+      |SELECT part_a, part_b, support FROM p WHERE support >= 2
+      |ORDER BY support DESC, part_a, part_b LIMIT 100""".stripMargin
+
   /** UNPIVOT (wide → long): per-returnflag metric columns melted to
     * (l_returnflag, metric, value) rows. `Dataset.unpivot` is a pure
     * projection+Expand — zero extra shuffles beyond the feeding agg;
@@ -1289,6 +1409,9 @@ object Relational {
     "q_unpivot" -> (qUnpivot _),
     "q_gap_fill" -> (qGapFill _),
     "q_profile_stats" -> (qProfileStats _),
+    "q_group_quantiles" -> (qGroupQuantiles _),
+    "q_regression" -> (qRegression _),
+    "q_market_basket" -> (qMarketBasket _),
     "q12_priority_split" -> (q12PrioritySplit _),
     "q13_cust_distribution" -> (q13CustDistribution _),
     "q15_top_supplier" -> (q15TopSupplier _),
@@ -1333,6 +1456,9 @@ object Relational {
     "q_unpivot" -> qUnpivotOracle,
     "q_gap_fill" -> qGapFillOracle,
     "q_profile_stats" -> qProfileStatsOracle,
+    "q_group_quantiles" -> qGroupQuantilesOracle,
+    "q_regression" -> qRegressionOracle,
+    "q_market_basket" -> qMarketBasketOracle,
     "q12_priority_split" -> q12Oracle,
     "q13_cust_distribution" -> q13Oracle,
     "q15_top_supplier" -> q15Oracle,

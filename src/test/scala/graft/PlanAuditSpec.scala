@@ -164,6 +164,44 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("levenshtein"))
   }
 
+  /** Exchange partitionings, read from the FORMATTED plan's Arguments
+    * lines (sparkPlan precedes exchange insertion and executedPlan is
+    * opaque under AQE, so the explain text is the stable surface). */
+  private def shufflePartitionings(df: DataFrame): Seq[String] =
+    planString(df).linesIterator
+      .filter(_.startsWith("Arguments: "))
+      .filter(l => l.contains("partitioning(") || l.contains("SinglePartition"))
+      .toSeq
+
+  test("funnel and attribution shuffle the event stream exactly once, on user_id") {
+    for (df <- Seq(graft.operators.EventOps.qFunnel(spark, sf),
+        graft.operators.EventOps.qAttribution(spark, sf))) {
+      val user = shufflePartitionings(df)
+        .count(_.contains("hashpartitioning(user_id"))
+      assert(user === 1,
+        s"expected exactly one user_id shuffle of the event stream, " +
+          s"got: ${shufflePartitionings(df)}")
+    }
+  }
+
+  test("substring dedup and market basket are equi-joins, never nested-loop") {
+    for (df <- Seq(graft.operators.DedupOps.qDedupSubstring(spark, sf),
+        Relational.qMarketBasket(spark, sf))) {
+      val p = planString(df)
+      assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+        s"pair mining must be an inverted-index equi-join:\n$p")
+    }
+    spark.catalog.clearCache() // qDedupSubstring persists its window relation
+  }
+
+  test("int8 quantization is map-only: zero exchanges before the output sort") {
+    val parts = shufflePartitionings(SimilarityOps.qQuantizeInt8(spark, sf))
+      .filter(_.contains("partitioning("))
+    // exactly one shuffle: the rangepartitioning for the final orderBy
+    assert(parts.size === 1 && parts.head.contains("rangepartitioning"),
+      s"quantization must not shuffle data, got: $parts")
+  }
+
   test("decontamination is a shingle equi-join, not a cross join") {
     val p = planString(graft.operators.SamplingOps.qDecontaminate(spark, sf))
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"))
