@@ -325,6 +325,33 @@ object DedupOps {
         }.reduce(_ + _).as("simhash"))
   }
 
+  /** Per-ROW simhash: the same 16-bit fingerprint as [[simhashes]] but
+    * computed as one HOF fold over the token set — no explode, no
+    * shuffle, no aggregation. That makes it STREAMING-SAFE: it can sit
+    * before a stateful operator (see `StatefulOps.nearDupFiltered`)
+    * where an explode→groupBy signature would burn the one allowed
+    * aggregation or force a multi-stateful pipeline. Batch-equivalent
+    * to [[simhashes]] bit-for-bit (asserted in EventOpsSpec), because
+    * both reduce the same ±1 per-(token, bit) weights; only the
+    * reduction topology differs (per-row fold here, partial aggs
+    * there). Token-order invariant by construction — the fingerprint
+    * is a function of the distinct-token SET. */
+  def simhashExpr(text: Column): Column = {
+    val bits = sequence(lit(0), lit(15))
+    val folded = aggregate(
+      array_distinct(split(text, " ")),
+      array_repeat(lit(0), 16),
+      (acc, t) => {
+        val h = conv(substring(md5(t.cast("binary")), 1, 4), 16, 10).cast("int")
+        zip_with(acc, bits, (a, b) =>
+          a + when((h / pow(lit(2.0), b)).cast("int") % 2 === 1, 1).otherwise(-1))
+      })
+    aggregate(
+      zip_with(folded, bits, (w, b) =>
+        when(w > 0, pow(lit(2.0), b).cast("long")).otherwise(lit(0L))),
+      lit(0L), _ + _)
+  }
+
   def qDedupSimhash(spark: SparkSession, sfDir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     simhashes(Tables.documents(spark, sfDir))

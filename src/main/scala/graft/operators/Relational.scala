@@ -1238,6 +1238,27 @@ object Relational {
       |  round(quantile_cont(l_quantity, 0.90), 6) AS p90
       |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
+  /** The SCALE path for quantiles: `percentile_approx` (a mergeable
+    * KLL-style sketch — bounded memory per group, one pass, partial
+    * aggregation) — what q_group_quantiles' exact sort-based twin
+    * gets replaced by at 100 TB. Rows-only (sketch output is
+    * engine-specific by design); EventOpsSpec pins it within rank
+    * tolerance of the exact answer, which is the property a sketch
+    * actually promises. */
+  def qApproxQuantiles(spark: SparkSession, sfDir: String): DataFrame = {
+    val qs = Seq(0.25, 0.5, 0.75, 0.9)
+    Tables.lineitem(spark, sfDir)
+      .groupBy(col("l_returnflag"))
+      .agg(percentile_approx(col("l_quantity"),
+        array(qs.map(lit): _*), lit(10000)).as("p"))
+      .select(col("l_returnflag"),
+        element_at(col("p"), 1).as("p25"),
+        element_at(col("p"), 2).as("p50"),
+        element_at(col("p"), 3).as("p75"),
+        element_at(col("p"), 4).as("p90"))
+      .orderBy(col("l_returnflag"))
+  }
+
   /** Distributed simple linear regression (price on quantity, per
     * returnflag) from EXACT integer moments: quantity is integral and
     * price has exactly 2 decimals, so Σx, Σy, Σxy, Σx², Σy² are
@@ -1410,6 +1431,7 @@ object Relational {
     "q_gap_fill" -> (qGapFill _),
     "q_profile_stats" -> (qProfileStats _),
     "q_group_quantiles" -> (qGroupQuantiles _),
+    "q_approx_quantiles" -> (qApproxQuantiles _),
     "q_regression" -> (qRegression _),
     "q_market_basket" -> (qMarketBasket _),
     "q12_priority_split" -> (q12PrioritySplit _),

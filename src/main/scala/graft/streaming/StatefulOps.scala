@@ -204,4 +204,21 @@ object StatefulOps {
           }
       }
   }
+
+  /** STREAMING near-dup filter: the incremental twin of the batch
+    * simhash dedup — each arriving document is fingerprinted with the
+    * per-row `DedupOps.simhashExpr` (an HOF fold: no explode, no
+    * aggregation, so it composes freely with the stateful operator
+    * below) and only the FIRST document per fingerprint inside the
+    * watermark horizon survives. This is the "dedupe the crawl as it
+    * lands" operator of a training-data ingest pipeline: state is
+    * keyed by the 16-bit fingerprint and evicted at the watermark, so
+    * it is bounded by the near-dup rate × horizon, never by stream
+    * length. Exact-duplicate and token-permuted replays collapse (the
+    * fingerprint is a set function); genuinely new text passes. */
+  def nearDupFiltered(docs: DataFrame, watermark: String = "10 minutes"): DataFrame =
+    docs
+      .withColumn("simhash", graft.operators.DedupOps.simhashExpr(col("text")))
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("simhash")
 }

@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.{DedupOps, EventOps, SimilarityOps}
+import graft.operators.{DedupOps, EventOps, Relational, SimilarityOps}
 import org.apache.spark.sql.functions._
 
 /** Semantic invariants for the behavioral-analytics operators and the
@@ -54,6 +54,59 @@ class EventOpsSpec extends SparkSpec {
       assert(row.getAs[Long]("a_id") < row.getAs[Long]("b_id"))
       assert(row.getAs[Long]("shared_windows") >= 1)
     }
+  }
+
+  test("approx quantiles land within rank tolerance of the exact twin") {
+    val exact = Relational.qGroupQuantiles(spark, sf).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val approx = Relational.qApproxQuantiles(spark, sf).collect()
+    assert(approx.nonEmpty)
+    approx.foreach { r =>
+      val e = exact(r.getString(0))
+      for (c <- Seq("p25", "p50", "p75", "p90")) {
+        // quantity is integral 1..50; accuracy 10000 on sf0.001 groups
+        // means the sketch answer is an actual element within a hair of
+        // the exact rank — allow one quantity step of slack
+        assert(math.abs(r.getAs[Double](c) - e.getAs[Double](c)) <= 1.0,
+          s"${r.getString(0)}.$c: approx ${r.getAs[Double](c)} vs exact ${e.getAs[Double](c)}")
+      }
+    }
+  }
+
+  test("per-row simhashExpr is bit-identical to the aggregated simhashes()") {
+    val docs = Tables.documents(spark, sf).select(col("doc_id"), col("text"))
+    val perRow = docs.select(col("doc_id"),
+      graft.operators.DedupOps.simhashExpr(col("text")).as("sh_row"))
+    val agg = graft.operators.DedupOps.simhashes(docs)
+      .withColumnRenamed("simhash", "sh_agg")
+    val joined = perRow.join(agg, "doc_id")
+    assert(joined.count() === docs.count())
+    assert(joined.filter(col("sh_row") =!= col("sh_agg")).count() === 0,
+      "HOF-fold and explode-aggregate simhash must agree bit-for-bit")
+  }
+
+  test("streaming near-dup filter collapses replays and permutations") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val t0 = 1700000000000L
+    val in = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String, java.sql.Timestamp)]
+    val q = graft.streaming.StatefulOps.nearDupFiltered(
+        in.toDF().toDF("doc_id", "text", "ts"))
+      .writeStream.format("memory").queryName("neardup_out")
+      .outputMode("append").start()
+    try {
+      in.addData(
+        (1L, "the quick brown fox", new java.sql.Timestamp(t0)),
+        (2L, "the quick brown fox", new java.sql.Timestamp(t0 + 1000)), // replay
+        (3L, "fox brown quick the", new java.sql.Timestamp(t0 + 2000)), // permuted
+        (4L, "completely different text here", new java.sql.Timestamp(t0 + 3000)))
+      q.processAllAvailable()
+      val got = spark.table("neardup_out").select("doc_id")
+        .collect().map(_.getLong(0)).sorted
+      assert(got.toSeq === Seq(1L, 4L),
+        "first doc per fingerprint survives; replay + permutation collapse")
+    } finally q.stop()
   }
 
   test("int8 quantization bounds reconstruction error by half a step") {
