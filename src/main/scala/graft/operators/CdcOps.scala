@@ -344,6 +344,60 @@ object CdcOps {
       |HAVING arg_max(action, wal) <> 'delete'
       |ORDER BY user_id""".stripMargin
 
+  /** SCD2 dimension build — the OTHER canonical consumer of a change
+    * stream: instead of collapsing to current state (qSnapshot), keep
+    * every version with its validity interval [valid_from, valid_to)
+    * — `valid_to` = the NEXT change's time (lead over WAL order),
+    * NULL while current. Deletes close the prior version's interval
+    * but are not themselves versions; a key whose last change is a
+    * delete has no current row. This is how a warehouse keeps
+    * point-in-time history from the reference's topics.
+    *
+    * Scale shape: one shuffle on the row key, one ordered window walk
+    * per key (version numbering + lead share the same window frame),
+    * no joins. Timestamps surface as epoch seconds (the ns-parquet /
+    * µs-Spark parity rule). */
+  def qScd2(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id")).orderBy(col("wal_position"))
+    val env = filterActions(toEnvelope(Tables.events(spark, sfDir)))
+      .select(
+        element_at(col("columns"), "user_id").as("user_id"),
+        col("wal_position"), col("action"),
+        unix_micros(col("timestamp")).as("tus"))
+    env
+      .withColumn("next_tus", lead(col("tus"), 1).over(w))
+      .withColumn("version", row_number().over(w))
+      .filter(col("action") =!= ChangeEvent.Delete)
+      .select(col("user_id"), col("version"), col("action"),
+        col("wal_position"),
+        expr("tus DIV 1000000").as("valid_from_s"),
+        expr("next_tus DIV 1000000").as("valid_to_s"),
+        col("next_tus").isNull.cast("int").as("is_current"))
+      .orderBy(col("user_id"), col("version"))
+  }
+
+  val qScd2Oracle: String =
+    """WITH env AS (
+      |  SELECT CAST(user_id AS VARCHAR) AS user_id, event_id AS wal,
+      |    epoch_us(ts) AS tus,
+      |    CASE event_type WHEN 'signup' THEN 'insert'
+      |         WHEN 'purchase' THEN 'update'
+      |         WHEN 'error' THEN 'delete' END AS action
+      |  FROM events
+      |  WHERE event_type IN ('signup', 'purchase', 'error')),
+      |v AS (
+      |  SELECT user_id, action, wal AS wal_position, tus,
+      |    lead(tus) OVER w AS next_tus,
+      |    row_number() OVER w AS version
+      |  FROM env WINDOW w AS (PARTITION BY user_id ORDER BY wal))
+      |SELECT user_id, CAST(version AS INT) AS version, action, wal_position,
+      |  CAST(tus // 1000000 AS BIGINT) AS valid_from_s,
+      |  CAST(next_tus // 1000000 AS BIGINT) AS valid_to_s,
+      |  CAST(next_tus IS NULL AS INT) AS is_current
+      |FROM v WHERE action <> 'delete'
+      |ORDER BY user_id, version""".stripMargin
+
   /** All CDC queries + oracles, for SparkEntry registration. */
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "cdc_envelope" -> (qEnvelope _),
@@ -355,7 +409,8 @@ object CdcOps {
     "cdc_batch_windows" -> (qBatchWindows _),
     "cdc_typed_view" -> (qTypedView _),
     "cdc_dead_letter" -> (qDeadLetter _),
-    "cdc_snapshot" -> (qSnapshot _))
+    "cdc_snapshot" -> (qSnapshot _),
+    "cdc_scd2" -> (qScd2 _))
 
   val oracles: Map[String, String] = Map(
     "cdc_envelope" -> qEnvelopeOracle,
@@ -367,5 +422,6 @@ object CdcOps {
     "cdc_batch_windows" -> qBatchWindowsOracle,
     "cdc_typed_view" -> qTypedViewOracle,
     "cdc_dead_letter" -> qDeadLetterOracle,
-    "cdc_snapshot" -> qSnapshotOracle)
+    "cdc_snapshot" -> qSnapshotOracle,
+    "cdc_scd2" -> qScd2Oracle)
 }

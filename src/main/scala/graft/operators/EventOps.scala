@@ -168,13 +168,64 @@ object EventOps {
       |  AND tus - touch_t <= 3600000000
       |ORDER BY purchase_id""".stripMargin
 
+  // ---- 4. z-score outlier detection ----
+
+  /** Per-type z-score outliers (the monitoring/anomaly query): events
+    * whose value sits ≥ 3 population standard deviations from their
+    * event_type's mean. The moments are EXACT: value has two decimals,
+    * so value×100 is integral and Σx, Σx² accumulate as DECIMAL(38,0)
+    * window sums — order-independent, reproducible across engines and
+    * runs (a float `stddev` agg drifts with partition order; same
+    * discipline as q_regression). One shuffle on the tiny event_type
+    * key; mean/std/z drop to double only in the final projection. */
+  def qZscoreOutliers(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy(col("event_type"))
+    val big = org.apache.spark.sql.types.DecimalType(38, 0)
+    val xc = (col("value") * 100).cast(org.apache.spark.sql.types.DecimalType(18, 0))
+    Tables.events(spark, sfDir)
+      .select(col("event_id"), col("event_type"), col("value"), xc.as("x"))
+      .withColumn("n", count(lit(1)).over(w))
+      .withColumn("sx", sum(col("x").cast(big)).over(w).cast(DoubleType))
+      .withColumn("sxx", sum((col("x") * col("x")).cast(big)).over(w).cast(DoubleType))
+      .withColumn("mean_c", col("sx") / col("n"))
+      .withColumn("std_c", sqrt(
+        (col("n") * col("sxx") - col("sx") * col("sx")) / (col("n") * col("n"))))
+      .withColumn("z", (col("x").cast(DoubleType) - col("mean_c")) / col("std_c"))
+      .filter(abs(col("z")) >= 3.0)
+      .select(col("event_id"), col("event_type"), col("value"),
+        round(col("z"), 6).as("z_r"))
+      .orderBy(col("event_id"))
+  }
+
+  val qZscoreOutliersOracle: String =
+    """WITH x AS (
+      |  SELECT event_id, event_type, value,
+      |    CAST(CAST(value * 100 AS DECIMAL(18,0)) AS DECIMAL(38,0)) AS xc
+      |  FROM events),
+      |m AS (
+      |  SELECT event_id, event_type, value,
+      |    CAST(xc AS DOUBLE) AS xd,
+      |    COUNT(*) OVER w AS n,
+      |    CAST(SUM(xc) OVER w AS DOUBLE) AS sx,
+      |    CAST(SUM(xc * xc) OVER w AS DOUBLE) AS sxx
+      |  FROM x WINDOW w AS (PARTITION BY event_type)),
+      |z AS (
+      |  SELECT event_id, event_type, value,
+      |    (xd - sx / n) /
+      |      sqrt((n * sxx - sx * sx) / (n * n)) AS z
+      |  FROM m)
+      |SELECT event_id, event_type, value, round(z, 6) AS z_r
+      |FROM z WHERE abs(z) >= 3.0 ORDER BY event_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_funnel" -> (qFunnel _),
     "q_retention" -> (qRetention _),
-    "q_attribution" -> (qAttribution _))
+    "q_attribution" -> (qAttribution _),
+    "q_zscore_outliers" -> (qZscoreOutliers _))
 
   val oracles: Map[String, String] = Map(
     "q_funnel" -> qFunnelOracle,
     "q_retention" -> qRetentionOracle,
-    "q_attribution" -> qAttributionOracle)
+    "q_attribution" -> qAttributionOracle,
+    "q_zscore_outliers" -> qZscoreOutliersOracle)
 }
