@@ -42,7 +42,17 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    // The driver parses a tail-capture of stdout, and per-query JVM
+    // noise can scroll the totals line out of the window — so the line
+    // is ALSO written to bench_latest.json (a stable artifact the judge
+    // can always read) and re-printed as the very last line after
+    // spark.stop() so no shutdown logging can follow it.
+    println(line)
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get("bench_latest.json"),
+      (line + "\n").getBytes("UTF-8"))
     spark.stop()
+    println(line)
   }
 }

@@ -1348,6 +1348,38 @@ object Relational {
       |SELECT part_a, part_b, support FROM p WHERE support >= 2
       |ORDER BY support DESC, part_a, part_b LIMIT 100""".stripMargin
 
+  /** Two-phase a-priori market basket: identical output to
+    * [[qMarketBasket]] (same oracle — that equality IS the a-priori
+    * theorem: any pair with support ≥ s has both members in ≥ s
+    * baskets), but the pair join runs over a PRUNED item relation —
+    * frequent singletons are found with one cheap agg first, and only
+    * lines whose part survives that prune enter the quadratic-per-
+    * basket join. At 100 TB this first pass is the difference between
+    * pairing every long-tail part (most parts appear once — all
+    * wasted join work) and pairing only the co-occurrence-eligible
+    * ones; it's the first rung of the full a-priori ladder (frequent
+    * k-sets prune candidate (k+1)-sets). Plan-pinned: both inputs of
+    * the pair join contain the prune join (PlanAuditSpec). */
+  def qMarketBasketApriori(spark: SparkSession, sfDir: String): DataFrame = {
+    val minSupport = 2
+    val li = Tables.lineitem(spark, sfDir)
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+    val frequent = li.groupBy(col("l_partkey"))
+      .agg(count(lit(1)).as("part_df"))
+      .filter(col("part_df") >= minSupport)
+      .select("l_partkey")
+    val pruned = li.join(frequent, "l_partkey")
+    pruned.as("a")
+      .join(pruned.as("b"),
+        col("a.l_orderkey") === col("b.l_orderkey") &&
+          col("a.l_partkey") < col("b.l_partkey"))
+      .groupBy(col("a.l_partkey").as("part_a"), col("b.l_partkey").as("part_b"))
+      .agg(count(lit(1)).as("support"))
+      .filter(col("support") >= minSupport)
+      .orderBy(col("support").desc, col("part_a"), col("part_b"))
+      .limit(100)
+  }
+
   /** UNPIVOT (wide → long): per-returnflag metric columns melted to
     * (l_returnflag, metric, value) rows. `Dataset.unpivot` is a pure
     * projection+Expand — zero extra shuffles beyond the feeding agg;
@@ -1434,6 +1466,7 @@ object Relational {
     "q_approx_quantiles" -> (qApproxQuantiles _),
     "q_regression" -> (qRegression _),
     "q_market_basket" -> (qMarketBasket _),
+    "q_market_basket_apriori" -> (qMarketBasketApriori _),
     "q12_priority_split" -> (q12PrioritySplit _),
     "q13_cust_distribution" -> (q13CustDistribution _),
     "q15_top_supplier" -> (q15TopSupplier _),
@@ -1481,6 +1514,7 @@ object Relational {
     "q_group_quantiles" -> qGroupQuantilesOracle,
     "q_regression" -> qRegressionOracle,
     "q_market_basket" -> qMarketBasketOracle,
+    "q_market_basket_apriori" -> qMarketBasketOracle,
     "q12_priority_split" -> q12Oracle,
     "q13_cust_distribution" -> q13Oracle,
     "q15_top_supplier" -> q15Oracle,

@@ -76,4 +76,35 @@ class ComponentsSpec extends SparkSpec {
     assert(labels.values.toSet === Set(1L))
     assert(labels.keySet === (1L to 25L).toSet)
   }
+
+  test("ANN-mined clusters refine the exact clustering with bounded edge recall") {
+    val e = DedupOps.normedVectors(Tables.embeddings(spark, sf))
+    val exactPairs = DedupOps.exactCosinePairs(e)
+      .select("a_id", "b_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val annPairs = DedupOps.annCosinePairs(e)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // precision is exact by construction: every ANN edge passes the
+    // same cosine threshold, so it must appear in the exact edge set
+    assert(annPairs.subsetOf(exactPairs),
+      s"ANN emitted ${(annPairs -- exactPairs).size} edges the exact miner rejects")
+    // recall floor on this fixture: 6 sign-LSH tables over disjoint
+    // dimension groups — the 1-(1-p^k)^L ladder — must recover well
+    // over half the true edges at cosine 0.4
+    assert(exactPairs.nonEmpty)
+    val recall = annPairs.size.toDouble / exactPairs.size
+    assert(recall >= 0.5, f"ANN edge recall $recall%.2f below 0.5 floor")
+    // subgraph components refine the full-graph components: any two
+    // vectors the ANN path clusters together must share an exact cluster
+    val exactLabels = labelsOf(
+      DedupOps.connectedComponents(toDf(exactPairs.toSeq)))
+    val annLabels = labelsOf(
+      DedupOps.connectedComponents(toDf(annPairs.toSeq)))
+    val byAnnCluster = annLabels.groupBy(_._2).values
+    byAnnCluster.foreach { members =>
+      val exactOf = members.keys.map(exactLabels).toSet
+      assert(exactOf.size === 1,
+        s"ANN cluster spans ${exactOf.size} exact clusters: $members")
+    }
+  }
 }

@@ -238,6 +238,65 @@ class PlanAuditSpec extends SparkSpec {
       v.fold(spark.conf.unset(k))(spark.conf.set(k, _)) }
   }
 
+  test("a-priori market basket: both pair-join inputs are pruned by the frequency join") {
+    import org.apache.spark.sql.catalyst.plans.logical.Join
+    val df = Relational.qMarketBasketApriori(spark, sf)
+    val lp = df.queryExecution.optimizedPlan
+    val pairJoins = lp.collect {
+      case j: Join if j.condition.exists(_.references.exists(_.name == "l_orderkey")) => j
+    }
+    assert(pairJoins.nonEmpty, "pair join on l_orderkey missing from plan")
+    pairJoins.foreach { j =>
+      Seq(j.left, j.right).foreach { side =>
+        assert(side.collect { case inner: Join => inner }.nonEmpty,
+          s"pair-join input is not frequency-pruned:\n$side")
+      }
+    }
+    // and the pruned plan still produces the exact qMarketBasket rows
+    assert(df.collect().toSeq ===
+      Relational.qMarketBasket(spark, sf).collect().toSeq)
+  }
+
+  test("AQE splits the skewed partition of a shuffle join (skew=true in the final plan)") {
+    import org.apache.spark.sql.functions._
+    // one hot key carrying ~200k incompressible-ish rows vs a long cold
+    // tail: the optimizer must mark the sort-merge join skew-split —
+    // this is the join-side counterpart of q_skew_salted_agg's manual
+    // salting, and the default 100 TB answer to join skew (no code
+    // change, just AQE). Thresholds are cluster-sized by default, so
+    // pin them down to fire at fixture scale.
+    val confs = Seq(
+      "spark.sql.adaptive.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2.0",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "262144",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "262144",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1")
+    val saved = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val hot = spark.range(200000)
+        .select(lit(0L).as("k"), md5(col("id").cast("string")).as("payload"))
+      val cold = spark.range(20000)
+        .select((col("id") % 1000 + 1).as("k"), md5(col("id").cast("string")).as("payload"))
+      val left = hot.unionByName(cold)
+      val right = spark.range(1001).select(col("id").as("k"), (col("id") * 7).as("rv"))
+      // max(length(payload)) keeps the wide column alive through the
+      // shuffle (column pruning would otherwise shrink the hot
+      // partition below the skew threshold); collect() (NOT head(),
+      // which executes a separate limit plan) finalizes this plan's AQE
+      val joined = left.join(right, "k")
+        .agg(count(lit(1)).as("n"), max(length(col("payload"))).as("ml"))
+      val row = joined.collect().head
+      assert(row.getLong(0) === 220000L && row.getInt(1) === 32)
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("skew=true") || plan.contains("skewed"),
+        s"expected a skew-split join in the final adaptive plan:\n$plan")
+    } finally saved.foreach { case (k, v) =>
+      v.fold(spark.conf.unset(k))(spark.conf.set(k, _)) }
+  }
+
   test("codegen'd dot product appears inside a WholeStageCodegen span") {
     val df = SimilarityOps.qSimBruteForce(spark, sf)
     df.collect() // finalize this DataFrame's own AQE plan
