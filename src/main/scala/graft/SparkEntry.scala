@@ -10,11 +10,11 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Relational.queries ++ CdcOps.queries ++ TextOps.queries ++
       DedupOps.queries ++ SimilarityOps.queries ++ MultimodalOps.queries ++
-      SamplingOps.queries ++ EventOps.queries
+      SamplingOps.queries ++ EventOps.queries ++ CorpusPipeline.queries
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     Relational.oracles ++ CdcOps.oracles ++ TextOps.oracles ++
       DedupOps.oracles ++ SimilarityOps.oracles ++ MultimodalOps.oracles ++
-      SamplingOps.oracles ++ EventOps.oracles
+      SamplingOps.oracles ++ EventOps.oracles ++ CorpusPipeline.oracles
 }

@@ -1,0 +1,192 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The END-TO-END corpus build (the Lee et al. 2022 shape a
+  * training-data team actually ships): quality + language gate →
+  * exact dedup → near-dup removal (df-capped jaccard) → benchmark
+  * decontamination → domain-mixture sampling, composed as ONE
+  * declarative query over the `documents` table.
+  *
+  * Composition is where pipelines usually lose their scale
+  * properties, so those are the design constraints here:
+  *   - the per-document gates reuse `TextOps.gatedDocs` — one wide
+  *     projection, bit-identical to `text_quality_pipeline`;
+  *   - the shingle relation is exploded ONCE and persisted; the
+  *     near-dup miner AND the decontamination join both read it from
+  *     cache (plan-pinned in PlanAuditSpec), instead of each stage
+  *     re-exploding the corpus ~40×;
+  *   - every stage is an equi-join or anti-join off that one
+  *     relation — no stage introduces a cross join or an extra scan
+  *     of `documents` beyond the two the gate semantics require
+  *     (gate columns + canonical-fingerprint agg);
+  *   - drops compose as anti-joins on doc_id, so the surviving set
+  *     needs no per-stage materialization.
+  *
+  * Near-dup policy: drop the LARGER id of every matched pair (greedy
+  * keep-first) — deterministic and recursion-free, which keeps the
+  * DuckDB oracle exact; the clustering variants (`dedup_clusters*`)
+  * are the component-canonical alternative when transitive grouping
+  * is wanted.
+  */
+object CorpusPipeline {
+
+  private val Budget = 120
+  private val MinShingleHits = 5
+
+  def qPipelineCorpus(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(spark, sfDir)
+
+    // stage 1+2: quality/language gate + exact dedup (min doc_id per
+    // content fingerprint, computed over ALL docs as in qQualityPipeline)
+    val gated = TextOps.gatedDocs(docs, col("source"),
+      SamplingOps.bucket100("doc_id").as("bucket"))
+    val canonical = gated.groupBy(col("fp_content"))
+      .agg(min(col("doc_id")).as("keep_id"))
+    val clean = gated
+      .filter(col("quality_score") >= 0.2 && col("n_tokens") >= 10 &&
+        col("predicted_lang") === col("lang"))
+      .join(canonical, col("doc_id") === col("keep_id"))
+      .select(col("doc_id"), col("source"), col("bucket"))
+
+    // the one shingle explode, shared by near-dup mining and
+    // decontamination (released after the query's first action)
+    val sh = DedupOps.shingles(docs)
+      .withColumn("bucket", SamplingOps.bucket100("doc_id"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+    // stage 3: near-dup removal among the clean TRAIN docs — df-capped
+    // jaccard (same cap and threshold as dedup_jaccard_capped), drop
+    // the larger id of each matched pair.
+    // cleanTrain is persisted: it anchors FOUR downstream consumers
+    // (shingle slice, df-cap, pair join, survivor anti-joins) and each
+    // un-cached use would replay the whole gate+canonical subtree —
+    // measured 17 corpus scans without the persist, 3 with. It is a
+    // thin 3-column relation (ids + source + bucket), far smaller than
+    // the corpus it filters.
+    val cleanTrain = clean.filter(col("bucket") < 80)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val shClean = sh.filter(col("bucket") < 80)
+      .join(cleanTrain.select("doc_id"), "doc_id")
+      .select("doc_id", "shingle")
+    val rare = shClean.groupBy(col("shingle"))
+      .agg(count(lit(1)).as("df"))
+      .filter(col("df") <= 20)
+      .select("shingle")
+    val nearDups = DedupOps.jaccardPairs(shClean.join(rare, "shingle"))
+      .filter(col("jaccard") >= 0.1)
+      .select(col("b_id").as("doc_id")).distinct()
+
+    // stage 4: decontamination — drop train docs sharing >= 5 distinct
+    // shingles with the held-out bench slice (bucket >= 90, full corpus)
+    val contaminated = shClean
+      .join(sh.filter(col("bucket") >= 90).select(col("shingle")), "shingle")
+      .groupBy(col("doc_id"))
+      .agg(count_distinct(col("shingle")).as("hits"))
+      .filter(col("hits") >= MinShingleHits)
+      .select("doc_id")
+
+    val survivors = cleanTrain.select("doc_id", "source")
+      .join(nearDups, Seq("doc_id"), "left_anti")
+      .join(contaminated, Seq("doc_id"), "left_anti")
+
+    // stage 5: mixture sampling over the survivors (same weights and
+    // hash-order pick as sample_mixture, budget scaled to the pipeline)
+    val weight = when(col("source") === "src0", 3.0)
+      .when(col("source") === "src1", 2.0).otherwise(1.0)
+    val srcW = survivors.select("source").distinct().withColumn("w", weight)
+    val total = srcW.agg(sum(col("w")).as("tw"))
+    val quotas = srcW.crossJoin(broadcast(total))
+      .withColumn("quota", floor(lit(Budget) * col("w") / col("tw")))
+      .select("source", "quota")
+    val w = Window.partitionBy(col("source"))
+      .orderBy(md5(col("doc_id").cast("string").cast("binary")), col("doc_id"))
+    DedupOps.unpersistAfterFirstAction(
+      survivors.withColumn("rn", row_number().over(w))
+        .join(broadcast(quotas), "source")
+        .filter(col("rn") <= col("quota"))
+        .select("doc_id", "source", "rn", "quota")
+        .orderBy("source", "rn"),
+      sh, cleanTrain)
+  }
+
+  val qPipelineCorpusOracle: String =
+    s"""WITH t AS (
+       |  SELECT doc_id, lang, source, string_split(text, ' ') AS ts FROM documents),
+       |gate AS (SELECT doc_id, lang, source,
+       |  CAST(len(ts) AS INT) AS n_tokens,
+       |  (CAST(len(list_distinct(ts)) AS DOUBLE) / len(ts)) *
+       |    (1.0 - CAST(len(list_filter(ts, x -> x IN ('the','a','of','and','to'))) AS DOUBLE) / len(ts))
+       |    AS quality_score,
+       |  CAST(len(list_filter(ts, x -> x IN ('the','a','of','and'))) AS INT) AS s_en,
+       |  CAST(len(list_filter(ts, x -> x IN ('der','die','das','und'))) AS INT) AS s_de,
+       |  CAST(len(list_filter(ts, x -> x IN ('el','los','las','y'))) AS INT) AS s_es,
+       |  CAST(len(list_filter(ts, x -> x IN ('le','les','et','une'))) AS INT) AS s_fr,
+       |  md5(array_to_string(list_sort(list_distinct(ts)), ' ')) AS fp_content,
+       |  CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS INT) % 100 AS bucket
+       |  FROM t),
+       |pred AS (SELECT *,
+       |  CASE WHEN s_en >= greatest(s_de, s_es, s_fr) THEN 'en'
+       |       WHEN s_de >= greatest(s_es, s_fr) THEN 'de'
+       |       WHEN s_es >= s_fr THEN 'es'
+       |       ELSE 'fr' END AS predicted_lang
+       |  FROM gate),
+       |canon AS (SELECT fp_content, min(doc_id) AS keep_id FROM gate GROUP BY 1),
+       |clean AS (
+       |  SELECT p.doc_id, p.source, p.bucket
+       |  FROM pred p JOIN canon c ON c.keep_id = p.doc_id
+       |  WHERE p.quality_score >= 0.2 AND p.n_tokens >= 10
+       |    AND p.predicted_lang = p.lang),
+       |sh AS (
+       |  SELECT DISTINCT doc_id, ts[g] || ' ' || ts[g+1] || ' ' || ts[g+2] AS shingle
+       |  FROM t, unnest(generate_series(1, len(ts)-2)) AS u(g)),
+       |shb AS (SELECT doc_id, shingle,
+       |  CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS INT) % 100 AS bucket
+       |  FROM sh),
+       |shc AS (SELECT s.doc_id, s.shingle
+       |  FROM shb s JOIN clean c USING (doc_id) WHERE s.bucket < 80 AND c.bucket < 80),
+       |rare AS (SELECT shingle FROM shc GROUP BY shingle HAVING COUNT(*) <= 20),
+       |kept AS (SELECT shc.doc_id, shc.shingle FROM shc JOIN rare USING (shingle)),
+       |sc AS (SELECT doc_id, COUNT(*) AS n FROM kept GROUP BY 1),
+       |pairs AS (
+       |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS inter
+       |  FROM kept a JOIN kept b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2),
+       |nd AS (
+       |  SELECT DISTINCT p.b_id AS doc_id FROM pairs p
+       |  JOIN sc sa ON sa.doc_id = p.a_id
+       |  JOIN sc sb ON sb.doc_id = p.b_id
+       |  WHERE CAST(p.inter AS DOUBLE) / (sa.n + sb.n - p.inter) >= 0.1),
+       |cont AS (
+       |  SELECT s.doc_id FROM shc s
+       |  JOIN shb b2 ON s.shingle = b2.shingle AND b2.bucket >= 90
+       |  GROUP BY s.doc_id HAVING COUNT(DISTINCT s.shingle) >= $MinShingleHits),
+       |surv AS (
+       |  SELECT c.doc_id, c.source FROM clean c
+       |  WHERE c.bucket < 80
+       |    AND c.doc_id NOT IN (SELECT doc_id FROM nd)
+       |    AND c.doc_id NOT IN (SELECT doc_id FROM cont)),
+       |sw AS (SELECT DISTINCT source FROM surv),
+       |wt AS (SELECT source,
+       |  CASE WHEN source = 'src0' THEN 3.0
+       |       WHEN source = 'src1' THEN 2.0 ELSE 1.0 END AS w FROM sw),
+       |q AS (SELECT source,
+       |  CAST(floor($Budget * w / (SELECT SUM(w) FROM wt)) AS BIGINT) AS quota
+       |  FROM wt),
+       |rk AS (SELECT doc_id, source,
+       |  ROW_NUMBER() OVER (PARTITION BY source
+       |    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+       |  FROM surv)
+       |SELECT rk.doc_id, rk.source, rk.rn, q.quota
+       |FROM rk JOIN q USING (source) WHERE rn <= quota
+       |ORDER BY source, rn""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "pipeline_corpus" -> (qPipelineCorpus _))
+
+  val oracles: Map[String, String] = Map(
+    "pipeline_corpus" -> qPipelineCorpusOracle)
+}

@@ -655,9 +655,12 @@ object DedupOps {
       .select(col("a_id").as("src"), col("b_id").as("dst"))
       .filter(col("src") =!= col("dst"))
       .distinct().localCheckpoint(true)
+    // lazy on purpose: nodes reads the CHECKPOINTED edge set, so there
+    // is no lineage hazard and no reason to pay a materialization job —
+    // it is consumed exactly once, by the final labeling join
     val nodes = e
       .select(explode(array(col("src"), col("dst"))).as("node"))
-      .distinct().localCheckpoint(true)
+      .distinct()
     // same width discipline as the hash-min loop: per-round shuffles
     // over a pair graph orders of magnitude smaller than the corpus
     // should not run at the corpus' partition count (restored below)
@@ -666,6 +669,12 @@ object DedupOps {
     spark.conf.set("spark.sql.shuffle.partitions",
       math.max(2L, math.min(prevWidth.toLong, e.count() / 500000L + 1L)).toString)
     try {
+    // Each star op keeps ONE compaction point: sym()'s distinct. The
+    // star OUTPUTS deliberately carry duplicates — every downstream
+    // consumer is duplicate-insensitive (sym re-distincts, group-min
+    // aggregates, the final label agg is a min) — so the two output
+    // distincts the textbook formulation implies would be pure extra
+    // shuffles (~2 of 7 per round, measured ~25% of the loop).
     def sym(d: DataFrame): DataFrame =
       d.union(d.select(col("dst").as("src"), col("src").as("dst"))).distinct()
     def star(d: DataFrame, large: Boolean): DataFrame = {
@@ -679,25 +688,33 @@ object DedupOps {
         else j.filter(col("dst") < col("src"))
           .select(col("dst").as("src"), col("m").as("dst"))
           .union(m.select(col("src"), col("m").as("dst")))
-      out.filter(col("src") =!= col("dst")).distinct()
+      out.filter(col("src") =!= col("dst"))
     }
+    val trace = sys.env.contains("SPARK_GRAFT_CC_TRACE")
+    def timed[A](tag: String)(f: => A): A =
+      if (!trace) f else {
+        val t0 = System.nanoTime(); val r = f
+        System.err.println(f"[stars] $tag%-12s ${(System.nanoTime() - t0) / 1e9}%.2fs"); r
+      }
     var converged = false
     var iter = 0
     while (!converged && iter < maxIter) {
       // localCheckpoint: same lineage-truncation reasoning as the
       // hash-min loop — each round must not nest the previous round's
       // whole plan tree
-      val next = star(star(e, large = true), large = false).localCheckpoint(true)
-      // exact set equality in ONE action (both sides are distinct):
-      // tag-union the two edge sets and look for any (src,dst) key
-      // whose tag-sum isn't 3 = present on both sides. One shuffle +
-      // one take(1) job per round, vs the previous count() + except()
-      // (three jobs, two of them shuffle-heavy).
-      converged = next.select(col("src"), col("dst"), lit(1).as("tg"))
-        .union(e.select(col("src"), col("dst"), lit(2).as("tg")))
-        .groupBy("src", "dst").agg(sum(col("tg")).as("ts"))
-        .filter(col("ts") =!= 3)
-        .isEmpty
+      val next = timed(s"round $iter")(
+        star(star(e, large = true), large = false).localCheckpoint(true))
+      // exact SET equality in ONE action, duplicate-tolerant: group the
+      // tag-union by edge and demand every edge carry both tags (a
+      // tag-SUM check would break under the multiset outputs above).
+      // One shuffle + one take(1) job per round, vs the original
+      // count() + except() (three jobs, two shuffle-heavy).
+      converged = timed(s"check $iter")(
+        next.select(col("src"), col("dst"), lit(1).as("tg"))
+          .union(e.select(col("src"), col("dst"), lit(2).as("tg")))
+          .groupBy("src", "dst").agg(min(col("tg")).as("lo"), max(col("tg")).as("hi"))
+          .filter(col("lo") =!= 1 || col("hi") =!= 2)
+          .isEmpty)
       e = next
       iter += 1
     }

@@ -244,14 +244,20 @@ object TextOps {
     * aggregation the dedup semantics require, and the only joins are
     * against that tiny aggregate. At 100 TB: one wide scan, one small
     * agg, one broadcastable join. */
-  def qQualityPipeline(spark: SparkSession, sfDir: String): DataFrame = {
+  /** The per-document gate columns of the corpus filter chain —
+    * n_tokens, quality_score, language-marker scores + prediction, and
+    * the sorted-token-set content fingerprint — as ONE projection over
+    * one scan, plus any extra columns the caller threads through.
+    * Shared by [[qQualityPipeline]] and the end-to-end
+    * `CorpusPipeline.qPipelineCorpus`, so the two stay bit-identical. */
+  private[operators] def gatedDocs(docs: DataFrame, extraCols: Column*): DataFrame = {
     def score(markers: Seq[String]): Column =
       size(filter(toks, t => t.isin(markers: _*)))
     val nTok = size(toks)
     val ttr = size(array_distinct(toks)).cast(DoubleType) / nTok
     val stopRatio = score(stopwords).cast(DoubleType) / nTok
-    val gated = Tables.documents(spark, sfDir)
-      .select(col("doc_id"), col("lang"),
+    docs
+      .select((Seq(col("doc_id"), col("lang"),
         nTok.as("n_tokens"),
         (ttr * (lit(1.0) - stopRatio)).as("quality_score"),
         score(Seq("the", "a", "of", "and")).as("s_en"),
@@ -259,12 +265,16 @@ object TextOps {
         score(Seq("el", "los", "las", "y")).as("s_es"),
         score(Seq("le", "les", "et", "une")).as("s_fr"),
         md5(array_join(array_sort(array_distinct(toks)), " ").cast("binary"))
-          .as("fp_content"))
+          .as("fp_content")) ++ extraCols): _*)
       .withColumn("predicted_lang",
         when(col("s_en") >= greatest(col("s_de"), col("s_es"), col("s_fr")), "en")
           .when(col("s_de") >= greatest(col("s_es"), col("s_fr")), "de")
           .when(col("s_es") >= col("s_fr"), "es")
           .otherwise("fr"))
+  }
+
+  def qQualityPipeline(spark: SparkSession, sfDir: String): DataFrame = {
+    val gated = gatedDocs(Tables.documents(spark, sfDir))
     val canonical = gated.groupBy(col("fp_content"))
       .agg(min(col("doc_id")).as("keep_id"))
     gated

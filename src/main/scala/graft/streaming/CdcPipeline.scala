@@ -221,19 +221,9 @@ object CdcPipeline {
     * O(live keys + tombstones) — is unchanged there. At 100 TB,
     * partition the state by key-hash bucket and rewrite only buckets
     * the batch touches (bounded write amplification). */
-  def snapshotSink(stateDir: String, keyField: String)(batch: DataFrame, batchId: Long): Unit = {
-    val spark = batch.sparkSession
-    val merged = mergeSnapshot(snapshotState(spark, stateDir), batch, keyField)
-    val tmp = stateDir + ".tmp"
-    merged.write.mode("overwrite").parquet(tmp)
-    import java.nio.file.{Files, Paths}
-    val curP = Paths.get(stateDir)
-    val prevP = Paths.get(stateDir + ".prev")
-    if (Files.exists(prevP))
-      org.apache.commons.io.FileUtils.deleteDirectory(prevP.toFile)
-    if (Files.exists(curP)) Files.move(curP, prevP)
-    Files.move(Paths.get(tmp), curP)
-  }
+  def snapshotSink(stateDir: String, keyField: String)(batch: DataFrame, batchId: Long): Unit =
+    swapGenerations(stateDir,
+      mergeSnapshot(snapshotState(batch.sparkSession, stateDir), batch, keyField))
 
   /** The queryable snapshot: live rows only (tombstones hidden). */
   def snapshotView(spark: SparkSession, stateDir: String): DataFrame =
@@ -247,6 +237,109 @@ object CdcPipeline {
       .outputMode(OutputMode.Append)
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (b: DataFrame, id: Long) => snapshotSink(stateDir, keyField)(b, id) }
+      .start()
+
+  // ---- streaming SCD2 maintenance (append-version history) ----
+
+  /** Schema of the maintained SCD2 state: the ACCEPTED CHANGE SET —
+    * one row per (key, walPosition), never collapsed to current-only.
+    * Version numbers and validity windows are DERIVED in
+    * [[scd2History]], not stored: the history is a deterministic pure
+    * function of this set, which is what makes replays free (merging
+    * a batch twice adds no rows → derived history unchanged). */
+  val scd2StateSchema: org.apache.spark.sql.types.StructType =
+    org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("key",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("walPosition",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("action",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("columns",
+        org.apache.spark.sql.types.MapType(
+          org.apache.spark.sql.types.StringType,
+          org.apache.spark.sql.types.StringType)),
+      org.apache.spark.sql.types.StructField("tus",
+        org.apache.spark.sql.types.LongType)))
+
+  /** Current SCD2 change set (same `.prev` crash-recovery fallback as
+    * [[snapshotState]]). */
+  def scd2State(spark: SparkSession, stateDir: String): DataFrame = {
+    val cur = new java.io.File(stateDir)
+    val prev = new java.io.File(stateDir + ".prev")
+    val dir = if (cur.exists) cur else prev
+    if (dir.exists) spark.read.schema(scd2StateSchema).parquet(dir.toString)
+    else spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], scd2StateSchema)
+  }
+
+  /** Merge one micro-batch into the SCD2 change set: union + dedup on
+    * (key, walPosition). A replayed batch contributes only rows that
+    * already exist — the at-least-once contract costs nothing, exactly
+    * like [[mergeSnapshot]]'s tombstone-retaining max. Duplicate rows
+    * are bit-identical (same source change), so the dedup pick is
+    * immaterial. */
+  def mergeScd2(state: DataFrame, batch: DataFrame, keyField: String): DataFrame =
+    state.unionByName(
+        batch.select(
+          element_at(col("columns"), keyField).as("key"),
+          col("walPosition"), col("action"), col("columns"),
+          unix_micros(col("timestamp")).as("tus")))
+      .dropDuplicates("key", "walPosition")
+
+  /** Atomic two-rename generation swap shared by the snapshot and SCD2
+    * sinks (recovery contract documented at [[snapshotSink]]). */
+  private def swapGenerations(stateDir: String, merged: DataFrame): Unit = {
+    val tmp = stateDir + ".tmp"
+    merged.write.mode("overwrite").parquet(tmp)
+    import java.nio.file.{Files, Paths}
+    val curP = Paths.get(stateDir)
+    val prevP = Paths.get(stateDir + ".prev")
+    if (Files.exists(prevP))
+      org.apache.commons.io.FileUtils.deleteDirectory(prevP.toFile)
+    if (Files.exists(curP)) Files.move(curP, prevP)
+    Files.move(Paths.get(tmp), curP)
+  }
+
+  /** foreachBatch sink maintaining the SCD2 change set — the
+    * APPEND-VERSION output mode of the snapshot pipeline: instead of
+    * overwriting each key with its latest image, every accepted change
+    * persists and [[scd2History]] serves the full version history.
+    * Same swap/recovery mechanics as [[snapshotSink]]; same 100 TB
+    * note (a transactional table format makes the swap a MERGE, and
+    * key-hash bucketing bounds the rewrite to touched buckets — the
+    * derived-history design additionally means a replay rewrites
+    * nothing at all). */
+  def scd2Sink(stateDir: String, keyField: String)(batch: DataFrame, batchId: Long): Unit =
+    swapGenerations(stateDir,
+      mergeScd2(scd2State(batch.sparkSession, stateDir), batch, keyField))
+
+  /** The queryable SCD2 dimension: per-key version chain with validity
+    * windows — the streaming counterpart of the batch `cdc_scd2` query
+    * (CdcOps.qScd2), column-for-column: versions numbered in WAL order,
+    * `valid_to_s` = next version's start, deletes close their
+    * predecessor's window but emit no row themselves. */
+  def scd2History(spark: SparkSession, stateDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("key")).orderBy(col("walPosition"))
+    scd2State(spark, stateDir)
+      .withColumn("version", row_number().over(w))
+      .withColumn("next_tus", lead(col("tus"), 1).over(w))
+      .filter(col("action") =!= ChangeEvent.Delete)
+      .select(col("key"), col("version"), col("action"), col("walPosition"),
+        expr("tus DIV 1000000").as("valid_from_s"),
+        expr("next_tus DIV 1000000").as("valid_to_s"),
+        col("next_tus").isNull.cast("int").as("is_current"),
+        col("columns"))
+  }
+
+  /** Files of change events → validate → maintained SCD2 history. */
+  def scd2Pipeline(spark: SparkSession, inDir: String, stateDir: String,
+                   checkpoint: String, keyField: String): StreamingQuery =
+    validated(fileSource(spark, inDir)).writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (b: DataFrame, id: Long) => scd2Sink(stateDir, keyField)(b, id) }
       .start()
 
   /** End-to-end flagship stream: files of change events → validate →

@@ -205,6 +205,65 @@ object StatefulOps {
       }
   }
 
+  case class FunnelEvent(user_id: Long, event_type: String, ts: java.sql.Timestamp)
+  /** A user newly reaching funnel stage 1/2/3 (view / click-after-view /
+    * purchase-after-click) at event-time `tus` (µs). Emitted at most
+    * once per (user, stage), so stage counts are plain row counts. */
+  case class FunnelHit(user_id: Long, stage: Int, tus: Long)
+
+  private case class FunnelState(t1: Long, t2: Long, t3: Long)
+
+  /** The incremental twin of the batch ordered funnel
+    * (`EventOps.qFunnel`): per-user stage entry times as keyed
+    * `transformWithState` state (three longs — O(users), constant per
+    * key), advancing a stage only on an event STRICTLY AFTER the
+    * previous stage's entry — the same semantics as the batch
+    * conditional min-aggregates. Events are sorted by event time
+    * WITHIN each batch, so a replay of a fixture in timestamp order
+    * produces stage counts identical to the batch query (asserted in
+    * StatefulOpsSpec); out-of-order arrivals ACROSS batches cannot
+    * retro-lower an already-claimed stage time — the inherent
+    * incremental-vs-batch gap, bounded by the input watermark. */
+  final class FunnelProcessor
+      extends StatefulProcessor[Long, FunnelEvent, FunnelHit] {
+    @transient private var st: ValueState[FunnelState] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      st = getHandle.getValueState[FunnelState]("funnel",
+        Encoders.product[FunnelState], TTLConfig.NONE)
+    override def handleInputRows(user: Long, rows: Iterator[FunnelEvent],
+        tv: TimerValues): Iterator[FunnelHit] = {
+      var s = if (st.exists()) st.get() else FunnelState(-1L, -1L, -1L)
+      val out = scala.collection.mutable.ArrayBuffer[FunnelHit]()
+      rows.toSeq.sortBy(_.ts.getTime).foreach { e =>
+        val tus = e.ts.getTime * 1000L
+        e.event_type match {
+          case "view" if s.t1 < 0 =>
+            s = s.copy(t1 = tus); out += FunnelHit(user, 1, tus)
+          case "click" if s.t1 >= 0 && s.t2 < 0 && tus > s.t1 =>
+            s = s.copy(t2 = tus); out += FunnelHit(user, 2, tus)
+          case "purchase" if s.t2 >= 0 && s.t3 < 0 && tus > s.t2 =>
+            s = s.copy(t3 = tus); out += FunnelHit(user, 3, tus)
+          case _ =>
+        }
+      }
+      st.update(s)
+      out.iterator
+    }
+  }
+
+  /** Watermarked streaming funnel over a `FunnelEvent` stream — see
+    * [[FunnelProcessor]]. Requires the RocksDB state store provider
+    * (transformWithState's contract). */
+  def streamingFunnel(events: Dataset[FunnelEvent],
+      watermark: String = "1 hour"): Dataset[FunnelHit] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", watermark)
+      .groupByKey(_.user_id)
+      .transformWithState(new FunnelProcessor,
+        TimeMode.None(), OutputMode.Append())
+  }
+
   /** STREAMING near-dup filter: the incremental twin of the batch
     * simhash dedup — each arriving document is fingerprinted with the
     * per-row `DedupOps.simhashExpr` (an HOF fold: no explode, no

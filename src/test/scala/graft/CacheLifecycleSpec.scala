@@ -35,6 +35,10 @@ class CacheLifecycleSpec extends SparkSpec with Eventually {
     assert(newPersistsAfterRunning("dedup_substring").isEmpty)
   }
 
+  test("pipeline_corpus releases its shingle and clean-train persists after the action") {
+    assert(newPersistsAfterRunning("pipeline_corpus").isEmpty)
+  }
+
   test("cluster queries leave no persisted RDDs behind once the cleaner runs") {
     // connectedComponents explicitly unpersists its edge caches; the
     // per-round label localCheckpoints are pinned only by reachability

@@ -297,6 +297,21 @@ class PlanAuditSpec extends SparkSpec {
       v.fold(spark.conf.unset(k))(spark.conf.set(k, _)) }
   }
 
+  test("pipeline_corpus: one shingle explode serves near-dup AND decontamination; bounded doc scans") {
+    val df = graft.operators.CorpusPipeline.qPipelineCorpus(spark, sf)
+    val p = planString(df)
+    // the persisted shingle relation must feed all its consumers from
+    // cache (near-dup df-cap + pair join sides + decontamination sides)
+    val cacheScans = p.linesIterator.count(_.trim.matches("""\(\d+\) InMemoryTableScan.*"""))
+    assert(cacheScans >= 4, s"expected >=4 cache scans of the shingle relation, got $cacheScans")
+    // composing five stages must not multiply corpus scans: the gate
+    // semantics need two (gate columns + canonical agg) and the shingle
+    // build one — anything more is a stage re-exploding the corpus
+    val docScans = p.linesIterator.count(_.contains("documents.parquet"))
+    assert(docScans <= 3, s"pipeline re-scans documents $docScans times:\n$p")
+    spark.catalog.clearCache()
+  }
+
   test("codegen'd dot product appears inside a WholeStageCodegen span") {
     val df = SimilarityOps.qSimBruteForce(spark, sf)
     df.collect() // finalize this DataFrame's own AQE plan

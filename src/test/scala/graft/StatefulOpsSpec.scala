@@ -217,6 +217,48 @@ class StatefulOpsSpec extends SparkSpec {
     }
   }
 
+  test("streaming funnel replayed over the events fixture matches the batch stage counts") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      // the REAL fixture, replayed in event-time order (split into two
+      // batches to cross a state boundary mid-stream)
+      val fixture = Tables.events(spark, sf)
+        .select(col("user_id"), col("event_type"), col("ts"))
+        .orderBy(col("ts"), col("user_id"))
+        .as[StatefulOps.FunnelEvent]
+        .collect()
+      val (first, second) = fixture.splitAt(fixture.length / 2)
+      val in = MemoryStream[StatefulOps.FunnelEvent]
+      val q = StatefulOps.streamingFunnel(in.toDS())
+        .writeStream.format("memory").queryName("funnel_out")
+        .outputMode("append").start()
+      try {
+        in.addData(first.toSeq)
+        q.processAllAvailable()
+        in.addData(second.toSeq)
+        q.processAllAvailable()
+        val hits = spark.table("funnel_out").collect()
+        // each (user, stage) is emitted at most once
+        assert(hits.map(r => (r.getLong(0), r.getInt(1))).distinct.length === hits.length)
+        val stageCounts = hits.groupBy(_.getInt(1)).view.mapValues(_.length.toLong).toMap
+        val batch = graft.operators.EventOps.qFunnel(spark, sf).head()
+        assert(stageCounts.getOrElse(1, 0L) === batch.getAs[Long]("u_view"))
+        assert(stageCounts.getOrElse(2, 0L) === batch.getAs[Long]("u_click_after_view"))
+        assert(stageCounts.getOrElse(3, 0L) === batch.getAs[Long]("u_purchase_after_click"))
+      } finally q.stop()
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
+
   test("mapGroupsWithState accumulates per-table counts across batches") {
     import spark.implicits._
     implicit val sc = spark.sqlContext

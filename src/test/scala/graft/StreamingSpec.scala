@@ -178,6 +178,64 @@ class StreamingSpec extends SparkSpec {
     assert(CdcPipeline.snapshotView(spark, state).count() === 2)
   }
 
+  test("streaming SCD2: version history accrues across restart; replay is a no-op") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val tmp = Files.createTempDirectory("graft-scd2").toString
+    val state = s"$tmp/state"
+    def evk(wal: Long, action: String, key: String, v: String): ChangeEvent =
+      ChangeEvent("db1", "graft", "users", action, wal,
+        new Timestamp(1700000000000L + wal * 1000), s"u-$wal",
+        Map("user_id" -> key, "v" -> v))
+    val in = MemoryStream[ChangeEvent]
+    def start() = CdcPipeline.validated(in.toDF()).writeStream
+      .outputMode("append")
+      .option("checkpointLocation", s"$tmp/ckpt")
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+        CdcPipeline.scd2Sink(state, "user_id")(b, id) }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    // run 1: a's first two versions + b's insert
+    in.addData(evk(1, "insert", "a", "a1"), evk(2, "insert", "b", "b1"),
+      evk(3, "update", "a", "a2"))
+    val q1 = start()
+    try assert(q1.awaitTermination(60000)) finally q1.stop()
+    // restart from the same checkpoint: only the NEW changes apply, and
+    // they EXTEND the version chains instead of overwriting current
+    in.addData(evk(4, "delete", "b", "-"), evk(5, "update", "a", "a3"))
+    val q2 = start()
+    try assert(q2.awaitTermination(60000)) finally q2.stop()
+    def history() = CdcPipeline.scd2History(spark, state)
+      .select(col("key"), col("version"), col("action"), col("walPosition"),
+        col("valid_from_s"), col("valid_to_s"), col("is_current"))
+      .collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getString(2), r.getLong(3),
+        r.getLong(4), if (r.isNullAt(5)) -1L else r.getLong(5), r.getInt(6)))
+      .sortBy(t => (t._1, t._2)).toSeq
+    val expected = Seq(
+      // a: insert → update → update; each version's window closed by the next
+      ("a", 1, "insert", 1L, 1700000001L, 1700000003L, 0),
+      ("a", 2, "update", 3L, 1700000003L, 1700000005L, 0),
+      ("a", 3, "update", 5L, 1700000005L, -1L, 1),
+      // b: insert closed by its delete (the delete emits no row but
+      // closes the window → b has no current version)
+      ("b", 1, "insert", 2L, 1700000002L, 1700000004L, 0))
+    assert(history() === expected)
+    // at-least-once replay of the WHOLE stream as one batch: the
+    // (key, walPosition) dedup makes the merge a set-union no-op
+    val replay = Seq(
+      evk(1, "insert", "a", "a1"), evk(2, "insert", "b", "b1"),
+      evk(3, "update", "a", "a2"), evk(4, "delete", "b", "-"),
+      evk(5, "update", "a", "a3")).toDF()
+    CdcPipeline.scd2Sink(state, "user_id")(replay, 99L)
+    assert(history() === expected)
+    // crash window between the two generation renames → `.prev` serves
+    import java.nio.file.{Files => JF, Paths}
+    JF.move(Paths.get(state), Paths.get(state + ".prev-tmp"))
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(state + ".prev"))
+    JF.move(Paths.get(state + ".prev-tmp"), Paths.get(state + ".prev"))
+    assert(history() === expected)
+  }
+
   test("checkpoint restart does not reprocess committed batches") {
     import spark.implicits._
     implicit val sc = spark.sqlContext
