@@ -1016,7 +1016,116 @@ object DedupOps {
        |  ON a.win = b.win AND a.doc_id < b.doc_id
        |GROUP BY 1, 2 ORDER BY a_id, b_id""".stripMargin
 
+  /** INCREMENTAL ingest dedup — the nightly-crawl operator: classify
+    * every INCOMING document (id-hash bucket ≥ 90, standing in for the
+    * new crawl slice) against the BASE corpus (bucket < 90) as
+    * `exact` (content fingerprint already present), `near` (minhash
+    * band collision with a base doc verifying at jaccard ≥ 0.1), or
+    * `new`, with the smallest matching base id as evidence.
+    *
+    * This is the composition a 100 TB pipeline actually runs daily:
+    * the base side's fingerprints and band signatures are computed
+    * once and STORED (here derived in-query so the DuckDB oracle is
+    * self-contained); the incoming slice is orders of magnitude
+    * smaller, so the exact check is a hash join against the
+    * fingerprint index and the near check touches only band-bucket
+    * collisions — never a rescan of the base corpus text. Both match
+    * arms left-join onto the incoming slice, so every incoming doc is
+    * classified exactly once. */
+  def qDedupIncremental(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+      .withColumn("bucket", SamplingOps.bucket100("doc_id"))
+    val fp = docs.select(col("doc_id"), col("bucket"),
+      md5(col("text").cast("binary")).as("fp"))
+    val exact = fp.filter(col("bucket") >= 90).select(col("doc_id"), col("fp"))
+      .join(fp.filter(col("bucket") < 90)
+        .select(col("doc_id").as("base_id"), col("fp")), "fp")
+      .groupBy(col("doc_id")).agg(min(col("base_id")).as("exact_match_id"))
+    // one shingle explode serves signatures AND verification sets
+    val sh = shingles(docs)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val bands = minhashBands(sh)
+      .withColumn("bucket", SamplingOps.bucket100("doc_id"))
+    val cand = bands.filter(col("bucket") >= 90).as("a")
+      .join(bands.filter(col("bucket") < 90).as("b"),
+        col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey"))
+      .select(col("a.doc_id").as("doc_id"), col("b.doc_id").as("base_id"))
+      .distinct()
+    val sets = sh.groupBy(col("doc_id"))
+      .agg(collect_list(col("shingle")).as("ss"), count(lit(1)).as("n"))
+    val near = cand
+      .join(sets.select(col("doc_id"), col("ss").as("sa"), col("n").as("na")), "doc_id")
+      .join(sets.select(col("doc_id").as("base_id"), col("ss").as("sb"), col("n").as("nb")), "base_id")
+      .withColumn("inter", size(array_intersect(col("sa"), col("sb"))))
+      .filter(col("inter").cast(DoubleType) / (col("na") + col("nb") - col("inter")) >= 0.1)
+      .groupBy(col("doc_id")).agg(min(col("base_id")).as("near_match_id"))
+    unpersistAfterFirstAction(
+      docs.filter(col("bucket") >= 90).select("doc_id")
+        .join(exact, Seq("doc_id"), "left_outer")
+        .join(near, Seq("doc_id"), "left_outer")
+        .select(col("doc_id"),
+          when(col("exact_match_id").isNotNull, "exact")
+            .when(col("near_match_id").isNotNull, "near")
+            .otherwise("new").as("status"),
+          coalesce(col("exact_match_id"), col("near_match_id")).as("match_id"))
+        .orderBy(col("doc_id")),
+      sh)
+  }
+
+  val qDedupIncrementalOracle: String =
+    s"""WITH $shinglesSql,
+       |bkt AS (SELECT doc_id,
+       |  CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS INT) % 100 AS bucket
+       |  FROM documents),
+       |fp AS (SELECT doc_id, md5(text) AS fp FROM documents),
+       |ex AS (
+       |  SELECT i.doc_id, MIN(b.doc_id) AS exact_match_id
+       |  FROM fp i
+       |  JOIN bkt bi ON bi.doc_id = i.doc_id AND bi.bucket >= 90
+       |  JOIN fp b ON b.fp = i.fp
+       |  JOIN bkt bb ON bb.doc_id = b.doc_id AND bb.bucket < 90
+       |  GROUP BY 1),
+       |mh AS (
+       |  SELECT doc_id, s.seed, min(md5(s.seed || ':' || shingle)) AS minh
+       |  FROM sh, (SELECT unnest(generate_series(0, ${NumHashes - 1})) AS seed) s
+       |  GROUP BY 1, 2),
+       |bands AS (
+       |  SELECT doc_id, seed // $BandSize AS band,
+       |         md5(string_agg(minh, ',' ORDER BY seed)) AS bkey
+       |  FROM mh GROUP BY 1, 2),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS doc_id, b.doc_id AS base_id
+       |  FROM bands a
+       |  JOIN bkt ba ON ba.doc_id = a.doc_id AND ba.bucket >= 90
+       |  JOIN bands b ON a.band = b.band AND a.bkey = b.bkey
+       |  JOIN bkt bb ON bb.doc_id = b.doc_id AND bb.bucket < 90),
+       |sc AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+       |iv AS (
+       |  SELECT c.doc_id, c.base_id, COUNT(*) AS inter
+       |  FROM cand c
+       |  JOIN sh x ON x.doc_id = c.doc_id
+       |  JOIN sh y ON y.doc_id = c.base_id AND y.shingle = x.shingle
+       |  GROUP BY 1, 2),
+       |nr AS (
+       |  SELECT iv.doc_id, MIN(iv.base_id) AS near_match_id
+       |  FROM iv
+       |  JOIN sc sa ON sa.doc_id = iv.doc_id
+       |  JOIN sc sb ON sb.doc_id = iv.base_id
+       |  WHERE CAST(iv.inter AS DOUBLE) / (sa.n + sb.n - iv.inter) >= 0.1
+       |  GROUP BY 1)
+       |SELECT i.doc_id,
+       |  CASE WHEN e.exact_match_id IS NOT NULL THEN 'exact'
+       |       WHEN n2.near_match_id IS NOT NULL THEN 'near'
+       |       ELSE 'new' END AS status,
+       |  COALESCE(e.exact_match_id, n2.near_match_id) AS match_id
+       |FROM bkt i
+       |LEFT JOIN ex e ON e.doc_id = i.doc_id
+       |LEFT JOIN nr n2 ON n2.doc_id = i.doc_id
+       |WHERE i.bucket >= 90
+       |ORDER BY i.doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_incremental" -> (qDedupIncremental _),
     "dedup_substring" -> (qDedupSubstring _),
     "dedup_levenshtein" -> (qDedupLevenshtein _),
     "dedup_exact" -> (qDedupExact _),
@@ -1032,6 +1141,7 @@ object DedupOps {
     "dedup_semantic_clusters_ann" -> (qDedupSemanticClustersAnn _))
 
   val oracles: Map[String, String] = Map(
+    "dedup_incremental" -> qDedupIncrementalOracle,
     "dedup_substring" -> qDedupSubstringOracle,
     "dedup_levenshtein" -> qDedupLevenshteinOracle,
     "dedup_exact" -> qDedupExactOracle,

@@ -174,6 +174,40 @@ object SamplingOps {
       |FROM rk JOIN q USING (source) WHERE rn <= quota
       |ORDER BY source, rn""".stripMargin
 
+  /** IMPORTANCE RESAMPLING by quality weight (the DCLM/soft-filtering
+    * shape): instead of a hard quality cutoff, each document is kept
+    * with probability equal to its quality weight — here the
+    * type-token ratio in [0, 1] — decided by a DETERMINISTIC hash
+    * coin (first 8 md5 hex chars of doc_id as a uniform u ∈ [0,1),
+    * keep iff u < w). No RNG: the sample is reproducible across runs,
+    * engines, and partitionings, and append-stable (a new doc's fate
+    * never depends on other docs). Map-only, zero shuffles — at
+    * 100 TB this is a pure scan-side filter that rides the corpus'
+    * existing partitioning (plan-pinned like sample_split). */
+  def qImportanceSample(spark: SparkSession, sfDir: String): DataFrame = {
+    val ts = split(col("text"), " ")
+    val w = size(array_distinct(ts)).cast("double") / size(ts)
+    val u = conv(substring(md5(col("doc_id").cast("string").cast("binary")), 1, 8), 16, 10)
+      .cast("long").cast("double") / lit(4294967296.0)
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("lang"), w.as("w"), u.as("u"))
+      .filter(col("u") < col("w"))
+      .select(col("doc_id"), col("lang"),
+        round(col("w"), 6).as("w_r"), round(col("u"), 6).as("u_r"))
+      .orderBy(col("doc_id"))
+  }
+
+  val qImportanceSampleOracle: String =
+    """WITH d AS (
+      |  SELECT doc_id, lang,
+      |    CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE) /
+      |      len(string_split(text, ' ')) AS w,
+      |    CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) AS DOUBLE)
+      |      / 4294967296.0 AS u
+      |  FROM documents)
+      |SELECT doc_id, lang, round(w, 6) AS w_r, round(u, 6) AS u_r
+      |FROM d WHERE u < w ORDER BY doc_id""".stripMargin
+
   /** Distribution DRIFT between two corpus snapshots (population
     * stability index): bin a feature, compare bin shares across the
     * 1996 vs 1997 order years, report the per-bin PSI term and the
@@ -236,12 +270,14 @@ object SamplingOps {
     "sample_split" -> (qSampleSplit _),
     "sample_balance_classes" -> (qBalanceClasses _),
     "sample_decontaminate" -> (qDecontaminate _),
-    "sample_mixture" -> (qMixtureSample _))
+    "sample_mixture" -> (qMixtureSample _),
+    "sample_importance" -> (qImportanceSample _))
 
   val oracles: Map[String, String] = Map(
     "sample_drift_psi" -> qDriftPsiOracle,
     "sample_split" -> qSampleSplitOracle,
     "sample_balance_classes" -> qBalanceClassesOracle,
     "sample_decontaminate" -> qDecontaminateOracle,
-    "sample_mixture" -> qMixtureSampleOracle)
+    "sample_mixture" -> qMixtureSampleOracle,
+    "sample_importance" -> qImportanceSampleOracle)
 }

@@ -527,7 +527,61 @@ object TextOps {
       |  round(log2(n) - clogc / (n * ln(2.0)), 6) AS entropy_bits
       |FROM agg ORDER BY doc_id""".stripMargin
 
+  /** SEQUENCE PACKING — the pretraining-prep step that concatenates
+    * documents and slices the stream into fixed context windows
+    * (GPT-style packing with boundary crossing): each document gets
+    * its token offset in its shard's concatenated stream, the
+    * context window (`first_pack`) it starts in, and how many window
+    * boundaries it crosses. Docs are sharded by id-hash (shards pack
+    * INDEPENDENTLY — the embarrassingly-parallel axis at 100 TB:
+    * thousands of shards, one window-cumsum each, no cross-shard
+    * coordination) and ordered by md5 hash within the shard, so the
+    * packing is deterministic, unbiased w.r.t. crawl order, and
+    * append-stable. One shuffle on the shard key; the cumulative sum
+    * is a single running window over each shard's slice. */
+  def qPackSequences(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val capacity = 2048
+    val nShards = 8
+    val w = Window.partitionBy(col("shard"))
+      .orderBy(col("h"), col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"),
+        md5(col("doc_id").cast("string").cast("binary")).as("h"))
+      .withColumn("shard", SamplingOps.bucket100("doc_id") % nShards)
+      .withColumn("start_off", sum(col("n_tokens")).over(w) - col("n_tokens"))
+      .select(col("doc_id"), col("shard"), col("n_tokens"), col("start_off"),
+        // integer DIV, not `/` (which widens to double): offsets are
+        // exact longs and must stay exact past 2^53 tokens
+        expr(s"start_off DIV $capacity").as("first_pack"),
+        expr(s"(start_off + n_tokens - 1) DIV $capacity - start_off DIV $capacity")
+          .as("boundary_crossings"))
+      .orderBy(col("doc_id"))
+  }
+
+  val qPackSequencesOracle: String =
+    """WITH d AS (
+      |  SELECT doc_id,
+      |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+      |    md5(CAST(doc_id AS VARCHAR)) AS h,
+      |    (CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS INT) % 100) % 8 AS shard
+      |  FROM documents),
+      |o AS (
+      |  SELECT doc_id, shard, n_tokens,
+      |    CAST(SUM(n_tokens) OVER (PARTITION BY shard ORDER BY h, doc_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens
+      |      AS BIGINT) AS start_off
+      |  FROM d)
+      |SELECT doc_id, CAST(shard AS INT) AS shard, n_tokens, start_off,
+      |  CAST(start_off // 2048 AS BIGINT) AS first_pack,
+      |  CAST((start_off + n_tokens - 1) // 2048 - start_off // 2048 AS BIGINT)
+      |    AS boundary_crossings
+      |FROM o ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_pack_sequences" -> (qPackSequences _),
     "text_char_entropy" -> (qCharEntropy _),
     "text_token_stats" -> (qTokenStats _),
     "text_langid" -> (qLangId _),
@@ -542,6 +596,7 @@ object TextOps {
     "text_tfidf" -> (qTfidf _))
 
   val oracles: Map[String, String] = Map(
+    "text_pack_sequences" -> qPackSequencesOracle,
     "text_char_entropy" -> qCharEntropyOracle,
     "text_token_stats" -> qTokenStatsOracle,
     "text_langid" -> qLangIdOracle,

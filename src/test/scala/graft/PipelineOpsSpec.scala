@@ -249,6 +249,66 @@ class PipelineOpsSpec extends SparkSpec {
     assert(counts.forall(_.getAs[Long]("n") <= 60))
   }
 
+  test("sequence packing: shard streams are contiguous from offset 0") {
+    import graft.operators.TextOps
+    val rows = TextOps.qPackSequences(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getAs[Int]("shard")).values.foreach { shard =>
+      val ordered = shard.sortBy(_.getAs[Long]("start_off"))
+      assert(ordered.head.getAs[Long]("start_off") === 0L, "stream must start at 0")
+      ordered.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(b.getAs[Long]("start_off") ===
+            a.getAs[Long]("start_off") + a.getAs[Long]("n_tokens"),
+            "offsets must be gapless — every token lands in exactly one window")
+        case _ =>
+      }
+    }
+    // boundary crossings are consistent with the window arithmetic
+    rows.foreach { r =>
+      val (s, n) = (r.getAs[Long]("start_off"), r.getAs[Long]("n_tokens"))
+      assert(r.getAs[Long]("first_pack") === s / 2048)
+      assert(r.getAs[Long]("boundary_crossings") === (s + n - 1) / 2048 - s / 2048)
+    }
+  }
+
+  test("importance sampling: deterministic, u<w on every kept row, rate tracks weights") {
+    import graft.operators.SamplingOps
+    val a = SamplingOps.qImportanceSample(spark, sf).collect()
+    val b = SamplingOps.qImportanceSample(spark, sf).collect()
+    assert(a.map(_.toString).toSeq === b.map(_.toString).toSeq, "hash coin must be deterministic")
+    assert(a.nonEmpty)
+    a.foreach { r =>
+      // rounded columns: allow the rounding epsilon on the comparison
+      assert(r.getAs[Double]("u_r") <= r.getAs[Double]("w_r") + 1e-6)
+    }
+    val total = Tables.documents(spark, sf).count()
+    assert(a.length < total, "soft filter must reject some docs")
+    assert(a.length > total / 10, "soft filter must keep a sane fraction")
+  }
+
+  test("incremental dedup classifies every incoming doc; evidence ids are from the base slice") {
+    val r = DedupOps.qDedupIncremental(spark, sf).collect()
+    // bucket100 is operators-private; recompute the id-hash bucket inline
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"),
+        (org.apache.spark.sql.functions.conv(
+          org.apache.spark.sql.functions.substring(
+            org.apache.spark.sql.functions.md5(col("doc_id").cast("string").cast("binary")), 1, 4),
+          16, 10).cast("int") % 100).as("bucket"))
+      .collect().map(x => x.getLong(0) -> x.getInt(1)).toMap
+    val incoming = docs.filter(_._2 >= 90).keySet
+    assert(r.map(_.getLong(0)).toSet === incoming, "every incoming doc classified once")
+    r.foreach { row =>
+      val status = row.getString(1)
+      if (status == "new") assert(row.isNullAt(2))
+      else {
+        val m = row.getLong(2)
+        assert(docs(m) < 90, s"match evidence $m must come from the base slice")
+      }
+    }
+  }
+
   test("capped jaccard pairs are a subset of uncapped pairs") {
     val capped = DedupOps.qDedupJaccardCapped(spark, sf).select("a_id", "b_id")
     val full = DedupOps.qDedupJaccard(spark, sf).select("a_id", "b_id")

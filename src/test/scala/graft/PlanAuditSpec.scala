@@ -312,6 +312,26 @@ class PlanAuditSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("importance sampling is map-only; sequence packing shuffles once on the shard key") {
+    // the soft filter must stay a scan-side map (only the presentation
+    // sort may exchange), like sample_split
+    val imp = shufflePartitionings(graft.operators.SamplingOps.qImportanceSample(spark, sf))
+      .filter(_.contains("partitioning("))
+    assert(imp.size === 1 && imp.head.contains("rangepartitioning"),
+      s"importance sampling must not shuffle data, got: $imp")
+    // packing: exactly one hash exchange (the shard key) + the final sort
+    val pack = shufflePartitionings(graft.operators.TextOps.qPackSequences(spark, sf))
+    val hashed = pack.count(_.contains("hashpartitioning(shard"))
+    assert(hashed === 1, s"packing must shuffle once on shard, got: $pack")
+  }
+
+  test("incremental dedup: fingerprint and band joins are equi-joins, never nested-loop") {
+    val p = planString(graft.operators.DedupOps.qDedupIncremental(spark, sf))
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"incremental classification must be hash-join based:\n$p")
+    spark.catalog.clearCache() // builds (but does not run) a persisted shingle relation
+  }
+
   test("codegen'd dot product appears inside a WholeStageCodegen span") {
     val df = SimilarityOps.qSimBruteForce(spark, sf)
     df.collect() // finalize this DataFrame's own AQE plan
