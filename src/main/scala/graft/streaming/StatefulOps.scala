@@ -264,6 +264,62 @@ object StatefulOps {
         TimeMode.None(), OutputMode.Append())
   }
 
+  case class TouchEvent(event_id: Long, user_id: Long, event_type: String,
+      ts: java.sql.Timestamp)
+  case class AttributionHit(purchase_id: Long, touch_id: Long, latency_us: Long)
+
+  private case class TouchState(tus: Long, id: Long)
+
+  /** Full-precision event-time µs from a java.sql.Timestamp (getTime
+    * alone is ms-truncated; the nanos field carries the sub-second). */
+  private def micros(ts: java.sql.Timestamp): Long =
+    ts.getTime / 1000 * 1000000L + ts.getNanos / 1000
+
+  /** The incremental twin of batch last-touch attribution
+    * (`EventOps.qAttribution`): per-user state is ONE (time, id) pair —
+    * the latest click/view seen — and each purchase emits its
+    * attribution immediately if the touch is within the 1-hour window.
+    * Same semantics as the batch ignore-nulls `last()` over the
+    * trailing ROWS frame when events replay in (time, id) order
+    * (asserted row-identical in StatefulOpsSpec); state is O(users) ×
+    * one struct, the smallest possible. */
+  final class AttributionProcessor
+      extends StatefulProcessor[Long, TouchEvent, AttributionHit] {
+    private val MaxLagUs = 3600L * 1000000L
+    @transient private var st: ValueState[TouchState] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      st = getHandle.getValueState[TouchState]("touch",
+        Encoders.product[TouchState], TTLConfig.NONE)
+    override def handleInputRows(user: Long, rows: Iterator[TouchEvent],
+        tv: TimerValues): Iterator[AttributionHit] = {
+      var s = if (st.exists()) st.get() else null
+      val out = scala.collection.mutable.ArrayBuffer[AttributionHit]()
+      rows.toSeq.sortBy(e => (micros(e.ts), e.event_id)).foreach { e =>
+        val tus = micros(e.ts)
+        e.event_type match {
+          case "click" | "view" => s = TouchState(tus, e.event_id)
+          case "purchase" if s != null && tus - s.tus <= MaxLagUs =>
+            out += AttributionHit(e.event_id, s.id, tus - s.tus)
+          case _ =>
+        }
+      }
+      if (s != null) st.update(s)
+      out.iterator
+    }
+  }
+
+  /** Watermarked streaming last-touch attribution — see
+    * [[AttributionProcessor]]. RocksDB state store required. */
+  def streamingAttribution(events: Dataset[TouchEvent],
+      watermark: String = "1 hour"): Dataset[AttributionHit] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", watermark)
+      .groupByKey(_.user_id)
+      .transformWithState(new AttributionProcessor,
+        TimeMode.None(), OutputMode.Append())
+  }
+
   /** STREAMING near-dup filter: the incremental twin of the batch
     * simhash dedup — each arriving document is fingerprinted with the
     * per-row `DedupOps.simhashExpr` (an HOF fold: no explode, no

@@ -259,6 +259,45 @@ class StatefulOpsSpec extends SparkSpec {
     }
   }
 
+  test("streaming attribution replayed over the events fixture matches the batch rows") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val fixture = Tables.events(spark, sf)
+        .select(col("event_id"), col("user_id"), col("event_type"), col("ts"))
+        .orderBy(col("ts"), col("event_id"))
+        .as[StatefulOps.TouchEvent]
+        .collect()
+      val (first, second) = fixture.splitAt(fixture.length / 2)
+      val in = MemoryStream[StatefulOps.TouchEvent]
+      val q = StatefulOps.streamingAttribution(in.toDS())
+        .writeStream.format("memory").queryName("attr_out")
+        .outputMode("append").start()
+      try {
+        in.addData(first.toSeq)
+        q.processAllAvailable()
+        in.addData(second.toSeq)
+        q.processAllAvailable()
+        val streamed = spark.table("attr_out").collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+        val batch = graft.operators.EventOps.qAttribution(spark, sf).collect()
+          .map(r => (r.getAs[Long]("purchase_id"), r.getAs[Long]("touch_id"),
+            r.getAs[Long]("latency_us"))).toSet
+        assert(streamed === batch,
+          s"streaming-only: ${(streamed -- batch).take(3)}; batch-only: ${(batch -- streamed).take(3)}")
+      } finally q.stop()
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
+
   test("mapGroupsWithState accumulates per-table counts across batches") {
     import spark.implicits._
     implicit val sc = spark.sqlContext
