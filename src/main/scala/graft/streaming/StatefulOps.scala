@@ -320,6 +320,60 @@ object StatefulOps {
         TimeMode.None(), OutputMode.Append())
   }
 
+  case class RetentionEvent(user_id: Long, ts: java.sql.Timestamp)
+  /** User's first activity in a (cohort_day, week_offset) cell —
+    * emitted once per cell, so cell counts are plain row counts. */
+  case class RetentionHit(user_id: Long, cohort_day: Long, week_offset: Long)
+
+  private case class RetentionState(cohort: Long, weeksMask: Long)
+
+  /** The incremental twin of batch cohort retention
+    * (`EventOps.qRetention`): per-user state is the cohort day (day of
+    * first event) plus a BITMASK of week offsets already credited —
+    * two longs per user, the smallest possible, covering a 64-week
+    * horizon (beyond that, swap the mask for `MapState` keyed by week;
+    * the emit-once contract is unchanged). Each (user, week) cell
+    * emits exactly once, so the streaming cell counts equal the batch
+    * COUNT(DISTINCT user) per (cohort_day, week_offset) under
+    * in-order replay (asserted in StatefulOpsSpec). */
+  final class RetentionProcessor
+      extends StatefulProcessor[Long, RetentionEvent, RetentionHit] {
+    private val DayUs = 86400000000L
+    @transient private var st: ValueState[RetentionState] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      st = getHandle.getValueState[RetentionState]("retention",
+        Encoders.product[RetentionState], TTLConfig.NONE)
+    override def handleInputRows(user: Long, rows: Iterator[RetentionEvent],
+        tv: TimerValues): Iterator[RetentionHit] = {
+      var s = if (st.exists()) st.get() else null
+      val out = scala.collection.mutable.ArrayBuffer[RetentionHit]()
+      rows.toSeq.sortBy(e => micros(e.ts)).foreach { e =>
+        val day = micros(e.ts) / DayUs
+        if (s == null) s = RetentionState(day, 0L)
+        val week = (day - s.cohort) / 7
+        require(week < 64, s"retention horizon: week $week >= 64; use MapState")
+        if ((s.weeksMask & (1L << week)) == 0L) {
+          s = s.copy(weeksMask = s.weeksMask | (1L << week))
+          out += RetentionHit(user, s.cohort, week)
+        }
+      }
+      if (s != null) st.update(s)
+      out.iterator
+    }
+  }
+
+  /** Watermarked streaming cohort retention — see
+    * [[RetentionProcessor]]. RocksDB state store required. */
+  def streamingRetention(events: Dataset[RetentionEvent],
+      watermark: String = "1 hour"): Dataset[RetentionHit] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", watermark)
+      .groupByKey(_.user_id)
+      .transformWithState(new RetentionProcessor,
+        TimeMode.None(), OutputMode.Append())
+  }
+
   /** STREAMING near-dup filter: the incremental twin of the batch
     * simhash dedup — each arriving document is fingerprinted with the
     * per-row `DedupOps.simhashExpr` (an HOF fold: no explode, no

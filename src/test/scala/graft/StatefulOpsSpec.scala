@@ -298,6 +298,46 @@ class StatefulOpsSpec extends SparkSpec {
     }
   }
 
+  test("streaming retention replayed over the events fixture matches the batch cohort cells") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val fixture = Tables.events(spark, sf)
+        .select(col("user_id"), col("ts"))
+        .orderBy(col("ts"), col("user_id"))
+        .as[StatefulOps.RetentionEvent]
+        .collect()
+      val (first, second) = fixture.splitAt(fixture.length / 2)
+      val in = MemoryStream[StatefulOps.RetentionEvent]
+      val q = StatefulOps.streamingRetention(in.toDS())
+        .writeStream.format("memory").queryName("retention_out")
+        .outputMode("append").start()
+      try {
+        in.addData(first.toSeq)
+        q.processAllAvailable()
+        in.addData(second.toSeq)
+        q.processAllAvailable()
+        val streamed = spark.table("retention_out").collect()
+          .groupBy(r => (r.getLong(1), r.getLong(2)))
+          .view.mapValues(_.length.toLong).toMap
+        val batch = graft.operators.EventOps.qRetention(spark, sf).collect()
+          .map(r => (r.getAs[Long]("cohort_day"), r.getAs[Long]("week_offset")) ->
+            r.getAs[Long]("n_users")).toMap
+        assert(streamed === batch,
+          s"cell diff: ${(streamed.toSet diff batch.toSet).take(3)} / ${(batch.toSet diff streamed.toSet).take(3)}")
+      } finally q.stop()
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
+
   test("mapGroupsWithState accumulates per-table counts across batches") {
     import spark.implicits._
     implicit val sc = spark.sqlContext
