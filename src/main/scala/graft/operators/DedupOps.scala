@@ -1124,7 +1124,83 @@ object DedupOps {
        |WHERE i.bucket >= 90
        |ORDER BY i.doc_id""".stripMargin
 
+  /** SPAN-LEVEL duplicate coverage (the second half of Lee et al.'s
+    * ExactSubstr dedup — not just WHICH documents overlap, but HOW
+    * MUCH of each document is duplicated text): a token position is
+    * "covered" if any 8-token window through it also appears in
+    * another document; the query reports per-doc covered/retained
+    * token counts and the duplicate fraction — the inputs to a
+    * "cut the duplicated spans" rewrite or a "drop if >X% duplicated"
+    * policy.
+    *
+    * Scale shape: windows explode WITH positions (no per-doc distinct
+    * here — every occurrence covers its own span), document frequency
+    * is one distinct+agg over (doc, window), and only SHARED windows
+    * fan out ×8 into positions — the position explosion is bounded by
+    * the corpus' duplicate mass, not its size. Everything is
+    * equi-join + aggregate; the final left join restores docs with no
+    * shared spans (and sub-8-token docs) at coverage 0. */
+  def qDedupSpanCoverage(spark: SparkSession, sfDir: String): DataFrame = {
+    val ts = split(col("text"), " ")
+    val docs = Tables.documents(spark, sfDir)
+    val wins = Tables.spread(docs)
+      .select(col("doc_id"), ts.as("ts"))
+      .filter(size(col("ts")) >= SubstrK)
+      .select(col("doc_id"),
+        posexplode(transform(
+          sequence(lit(0), size(col("ts")) - SubstrK),
+          i => concat_ws(" ",
+            (0 until SubstrK).map(o => element_at(col("ts"), i + o + 1)): _*)))
+          .as(Seq("g", "win")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val shared = wins.select(col("doc_id"), col("win")).distinct()
+      .groupBy(col("win")).agg(count(lit(1)).as("d"))
+      .filter(col("d") >= 2)
+      .select("win")
+    val covered = wins.join(shared, "win")
+      .select(col("doc_id"),
+        explode(sequence(col("g"), col("g") + SubstrK - 1)).as("p"))
+      .distinct()
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("covered_tokens"))
+    unpersistAfterFirstAction(
+      docs.select(col("doc_id"), size(ts).cast("long").as("n_tokens"))
+        .join(covered, Seq("doc_id"), "left_outer")
+        .withColumn("covered_tokens", coalesce(col("covered_tokens"), lit(0L)))
+        .select(col("doc_id"), col("n_tokens"), col("covered_tokens"),
+          (col("n_tokens") - col("covered_tokens")).as("retained_tokens"),
+          round(col("covered_tokens").cast(DoubleType) / col("n_tokens"), 6)
+            .as("dup_fraction_r"))
+        .orderBy(col("doc_id")),
+      wins)
+  }
+
+  val qDedupSpanCoverageOracle: String =
+    s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+       |w AS (
+       |  SELECT doc_id, g - 1 AS g,
+       |    ${(0 until 8).map(o => s"ts[g+$o]").mkString(" || ' ' || ")} AS win
+       |  FROM t, unnest(generate_series(1, len(ts) - 7)) AS u(g)
+       |  WHERE len(ts) >= 8),
+       |sharedw AS (
+       |  SELECT win FROM (SELECT DISTINCT doc_id, win FROM w)
+       |  GROUP BY win HAVING COUNT(*) >= 2),
+       |cov AS (
+       |  SELECT DISTINCT w.doc_id, w.g + o.o AS p
+       |  FROM w JOIN sharedw USING (win),
+       |       unnest(generate_series(0, 7)) AS o(o)),
+       |cc AS (SELECT doc_id, COUNT(*) AS covered FROM cov GROUP BY 1),
+       |n AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+       |      FROM documents)
+       |SELECT n.doc_id, n.n_tokens,
+       |  COALESCE(cc.covered, 0) AS covered_tokens,
+       |  n.n_tokens - COALESCE(cc.covered, 0) AS retained_tokens,
+       |  round(CAST(COALESCE(cc.covered, 0) AS DOUBLE) / n.n_tokens, 6)
+       |    AS dup_fraction_r
+       |FROM n LEFT JOIN cc ON cc.doc_id = n.doc_id
+       |ORDER BY n.doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_span_coverage" -> (qDedupSpanCoverage _),
     "dedup_incremental" -> (qDedupIncremental _),
     "dedup_substring" -> (qDedupSubstring _),
     "dedup_levenshtein" -> (qDedupLevenshtein _),
@@ -1141,6 +1217,7 @@ object DedupOps {
     "dedup_semantic_clusters_ann" -> (qDedupSemanticClustersAnn _))
 
   val oracles: Map[String, String] = Map(
+    "dedup_span_coverage" -> qDedupSpanCoverageOracle,
     "dedup_incremental" -> qDedupIncrementalOracle,
     "dedup_substring" -> qDedupSubstringOracle,
     "dedup_levenshtein" -> qDedupLevenshteinOracle,

@@ -309,6 +309,25 @@ class PipelineOpsSpec extends SparkSpec {
     }
   }
 
+  test("span coverage: bounds hold and every substring-pair member has covered spans") {
+    val cov = DedupOps.qDedupSpanCoverage(spark, sf).collect()
+    assert(cov.nonEmpty)
+    cov.foreach { r =>
+      val (n, c, ret) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(c >= 0 && c <= n && ret === n - c)
+      // any covered position implies at least one whole shared window
+      if (c > 0) assert(c >= 8)
+    }
+    // substring pairs are mined from df-capped DISTINCT windows — a
+    // strict subset of the shared-window evidence span coverage uses,
+    // so every paired doc must show covered spans
+    val paired = DedupOps.qDedupSubstring(spark, sf).collect()
+      .flatMap(r => Seq(r.getLong(0), r.getLong(1))).toSet
+    val covered = cov.filter(_.getLong(2) > 0).map(_.getLong(0)).toSet
+    assert(paired.subsetOf(covered),
+      s"paired-but-uncovered docs: ${(paired -- covered).take(5)}")
+  }
+
   test("capped jaccard pairs are a subset of uncapped pairs") {
     val capped = DedupOps.qDedupJaccardCapped(spark, sf).select("a_id", "b_id")
     val full = DedupOps.qDedupJaccard(spark, sf).select("a_id", "b_id")
