@@ -33,3 +33,44 @@ object WeightedAvgCents extends Aggregator[(Long, Long), (Long, Long), Double] {
   override def bufferEncoder: Encoder[(Long, Long)] = Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong)
   override def outputEncoder: Encoder[Double] = Encoders.scalaDouble
 }
+
+/** One (value, id) entry of a bounded top-k buffer. */
+case class TopKEntry(v: Double, id: Long)
+/** The bounded buffer — a case-class wrapper so both the buffer and
+  * the output ride plain product encoders (no kryo, no reflection). */
+case class TopKBuf(items: Seq[TopKEntry])
+
+/** Bounded-heap per-group TOP-K as a typed Aggregator — the reason to
+  * prefer a custom aggregate over the window row_number pattern at
+  * 100 TB: `reduce` runs BEFORE the exchange (map-side partial
+  * aggregation), so each partition ships at most k rows PER KEY into
+  * the shuffle, while the window variant must shuffle and sort every
+  * row of every group before any rank can be filtered. Order is
+  * (value desc, id asc) — fully tie-broken, so results are
+  * deterministic and engine-comparable. The buffer is a k-bounded
+  * sorted vector: inserts are O(k), fine for the small k this
+  * pattern exists for (top-3 orders, top-10 neighbors, ...).
+  *
+  * Input is keyed rows (key, value, id); the key itself is carried by
+  * `groupByKey`, not the buffer. */
+final case class TopKByValue(k: Int)
+    extends Aggregator[(Long, Double, Long), TopKBuf, TopKBuf] {
+  private def before(a: TopKEntry, b: TopKEntry): Boolean =
+    a.v > b.v || (a.v == b.v && a.id < b.id)
+
+  override def zero: TopKBuf = TopKBuf(Vector.empty)
+
+  override def reduce(b: TopKBuf, row: (Long, Double, Long)): TopKBuf = {
+    val e = TopKEntry(row._2, row._3)
+    if (b.items.size >= k && before(b.items.last, e)) b
+    else TopKBuf((b.items :+ e).sortWith(before).take(k))
+  }
+
+  override def merge(x: TopKBuf, y: TopKBuf): TopKBuf =
+    TopKBuf((x.items ++ y.items).sortWith(before).take(k))
+
+  override def finish(r: TopKBuf): TopKBuf = r
+
+  override def bufferEncoder: Encoder[TopKBuf] = Encoders.product[TopKBuf]
+  override def outputEncoder: Encoder[TopKBuf] = Encoders.product[TopKBuf]
+}

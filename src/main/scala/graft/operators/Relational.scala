@@ -248,6 +248,32 @@ object Relational {
       |QUALIFY rn <= 3
       |ORDER BY o_custkey, rn""".stripMargin
 
+  /** [[qTopKPerGroup]] computed by the bounded-heap typed Aggregator
+    * (`graft.functions.TopKByValue`) instead of the window — same
+    * rows, same oracle. The difference is WHERE the pruning happens:
+    * the window variant shuffles every order row and sorts each
+    * customer's slice before row_number can filter; the aggregator's
+    * map-side partial `reduce` caps the buffer at k entries per key
+    * per partition, so the exchange carries ≤ k rows per (key,
+    * partition) — at 100 TB that is the difference between shuffling
+    * the fact table and shuffling ~k×|keys|. Equality with the window
+    * variant is collect()-asserted in RelationalSpec, two-phase
+    * aggregation is plan-pinned. */
+  def qTopKPerGroupAgg(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val topk = graft.functions.TopKByValue(3)
+    Tables.orders(spark, sfDir)
+      .select(col("o_custkey"), col("o_totalprice").cast(DoubleType), col("o_orderkey"))
+      .as[(Long, Double, Long)]
+      .groupByKey(_._1)
+      .agg(topk.toColumn.name("top"))
+      .toDF("o_custkey", "top")
+      .select(col("o_custkey"), posexplode(col("top.items")).as(Seq("i", "e")))
+      .select(col("o_custkey"), col("e.id").as("o_orderkey"),
+        col("e.v").as("o_totalprice"), (col("i") + 1).as("rn"))
+      .orderBy(col("o_custkey"), col("rn"))
+  }
+
   /** Global sort + limit (TakeOrderedAndProject — O(k) per partition,
     * no full sort materialization). Fully tie-broken for determinism. */
   def qSortLimit(spark: SparkSession, sfDir: String): DataFrame =
@@ -1482,6 +1508,7 @@ object Relational {
     "q_anti_join" -> (qAntiJoin _),
     "q_window_funcs" -> (qWindowFuncs _),
     "q_topk_per_group" -> (qTopKPerGroup _),
+    "q_topk_per_group_agg" -> (qTopKPerGroupAgg _),
     "q_sort_limit" -> (qSortLimit _),
     "q_set_ops" -> (qSetOps _),
     "q_rollup" -> (qRollup _),
@@ -1530,6 +1557,7 @@ object Relational {
     "q_anti_join" -> qAntiJoinOracle,
     "q_window_funcs" -> qWindowFuncsOracle,
     "q_topk_per_group" -> qTopKPerGroupOracle,
+    "q_topk_per_group_agg" -> qTopKPerGroupOracle,
     "q_sort_limit" -> qSortLimitOracle,
     "q_set_ops" -> qSetOpsOracle,
     "q_rollup" -> qRollupOracle,

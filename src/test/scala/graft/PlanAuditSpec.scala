@@ -332,6 +332,20 @@ class PlanAuditSpec extends SparkSpec {
     spark.catalog.clearCache() // builds (but does not run) a persisted shingle relation
   }
 
+  test("bounded-heap top-k runs partial+final aggregation and matches the window variant") {
+    val df = Relational.qTopKPerGroupAgg(spark, sf)
+    val p = planString(df)
+    // two-phase typed aggregation: the partial phase is the map-side
+    // k-pruning that keeps the exchange at <= k rows per (key, partition)
+    val aggs = p.linesIterator.count(_.trim.matches(
+      """\(\d+\) (ObjectHashAggregate|SortAggregate|HashAggregate).*"""))
+    assert(aggs >= 2, s"expected partial+final aggregation phases:\n$p")
+    assert(p.toLowerCase.contains("partial_topkbyvalue"),
+      s"expected a partial TopKByValue phase:\n$p")
+    assert(df.collect().toSeq ===
+      Relational.qTopKPerGroup(spark, sf).collect().toSeq)
+  }
+
   test("codegen'd dot product appears inside a WholeStageCodegen span") {
     val df = SimilarityOps.qSimBruteForce(spark, sf)
     df.collect() // finalize this DataFrame's own AQE plan
