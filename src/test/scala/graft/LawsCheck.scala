@@ -45,6 +45,50 @@ object AggregatorLaws extends Properties("WeightedAvgCents") {
   }
 }
 
+/** Laws for the bounded-heap top-k Aggregator: Spark may split the
+  * rows into arbitrary partitions and merge partials in any order and
+  * grouping — these laws are the distributed-correctness proof, plus
+  * the semantic anchor: any split-and-merge equals a global
+  * sort-and-take. */
+object TopKLaws extends Properties("TopKByValue") {
+  import graft.functions.{TopKByValue, TopKEntry}
+
+  private val agg = TopKByValue(3)
+  private val row: Gen[(Long, Double, Long)] = Gen.zip(
+    Gen.const(1L), Gen.chooseNum(-5.0, 5.0), Gen.chooseNum(0L, 50L))
+  private def fold(xs: List[(Long, Double, Long)]) =
+    xs.foldLeft(agg.zero)(agg.reduce)
+  private def sorted(xs: List[(Long, Double, Long)]): Seq[TopKEntry] =
+    xs.map(r => TopKEntry(r._2, r._3)).distinct
+      .sortBy(e => (-e.v, e.id)).take(3)
+
+  property("merge is commutative") = forAll(Gen.listOf(row), Gen.listOf(row)) { (a, b) =>
+    agg.merge(fold(a), fold(b)) == agg.merge(fold(b), fold(a))
+  }
+
+  property("merge is associative") =
+    forAll(Gen.listOf(row), Gen.listOf(row), Gen.listOf(row)) { (a, b, c) =>
+      agg.merge(agg.merge(fold(a), fold(b)), fold(c)) ==
+        agg.merge(fold(a), agg.merge(fold(b), fold(c)))
+    }
+
+  property("zero is the merge identity") = forAll(Gen.listOf(row)) { a =>
+    agg.merge(fold(a), agg.zero) == fold(a) && agg.merge(agg.zero, fold(a)) == fold(a)
+  }
+
+  property("any partition split equals global sort-take") =
+    forAll(Gen.listOf(row).map(_.distinctBy(r => (r._2, r._3))), Gen.chooseNum(0, 100)) {
+      (xs, cut) =>
+        val k = if (xs.isEmpty) 0 else cut % (xs.size + 1)
+        val (l, r) = xs.splitAt(k)
+        agg.finish(agg.merge(fold(l), fold(r))).items == sorted(xs)
+    }
+
+  property("buffer never exceeds k entries") = forAll(Gen.listOf(row)) { xs =>
+    fold(xs).items.size <= 3
+  }
+}
+
 /** Laws for the stub codec: the invariants a real codec must also hold
   * (mass conservation, output bounds, determinism). */
 object StubCodecLaws extends Properties("StubCodec") {
