@@ -329,7 +329,89 @@ object SimilarityOps {
       |    i -> abs(v[i] - d[i]))), 6) AS max_abs_err_r
       |FROM dq ORDER BY vec_id""".stripMargin
 
+  /** Dimension-pair Pearson CORRELATION MATRIX over the embedding
+    * corpus — the feature-stats pass before whitening / PCA /
+    * redundant-dimension pruning. The scalable shape: each row emits
+    * its own upper-triangle OUTER PRODUCT entries map-side
+    * (explode of a per-row pair array — never a self-join of the
+    * exploded (row, dim) relation, which would shuffle the corpus
+    * twice and join it to itself), then ONE aggregation per (d1, d2)
+    * with partial sums, plus a 64-row per-dim moment relation that
+    * broadcasts back onto the 2 080-row pair aggregate. Moments are
+    * exact: values quantize to integer millionths and accumulate as
+    * DECIMAL(38,0) (order-independent — same discipline as
+    * q_regression/q_zscore); correlation drops to double only in the
+    * final projection. Total shuffle: dims² rows, independent of
+    * corpus size. */
+  def qDimCorr(spark: SparkSession, sfDir: String): DataFrame = {
+    val big = org.apache.spark.sql.types.DecimalType(38, 0)
+    // per-row arithmetic stays in LONGs (codegen'd primitive ops across
+    // the dims²-wide explode — decimal math there measured ~30% slower);
+    // quantized unit-scale components bound each product at ~1e14, far
+    // inside long range. Only the corpus-sized SUMs, where counts not
+    // magnitudes overflow, widen to DECIMAL(38,0).
+    val e = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"),
+        transform(col("embedding"),
+          x => floor(x.cast("double") * 1000000).cast("long")).as("q"))
+    val nd = 64
+    val pairsArr = flatten(transform(sequence(lit(0), lit(nd - 1)), i =>
+      transform(sequence(i, lit(nd - 1)), j => struct(
+        i.as("d1"), j.as("d2"),
+        (element_at(col("q"), i + 1) * element_at(col("q"), j + 1)).cast(big).as("xy")))))
+    val pairSums = e.select(explode(pairsArr).as("p"))
+      .groupBy(col("p.d1").as("d1"), col("p.d2").as("d2"))
+      .agg(sum(col("p.xy")).cast("double").as("sxy"))
+    val dimStats = e.select(posexplode(col("q")).as(Seq("d", "x")))
+      .groupBy(col("d"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("x").cast(big)).cast("double").as("sx"),
+        sum((col("x") * col("x")).cast(big)).cast("double").as("sxx"))
+    val s1 = dimStats.select(col("d").as("d1"), col("n"),
+      col("sx").as("sx1"), col("sxx").as("sxx1"))
+    val s2 = dimStats.select(col("d").as("d2"),
+      col("sx").as("sx2"), col("sxx").as("sxx2"))
+    pairSums
+      .join(broadcast(s1), "d1").join(broadcast(s2), "d2")
+      .withColumn("den",
+        (col("n") * col("sxx1") - col("sx1") * col("sx1")) *
+          (col("n") * col("sxx2") - col("sx2") * col("sx2")))
+      .select(col("d1"), col("d2"),
+        when(col("den") > 0, round(
+          (col("n") * col("sxy") - col("sx1") * col("sx2")) / sqrt(col("den")), 6))
+          .as("corr_r"))
+      .orderBy(col("d1"), col("d2"))
+  }
+
+  val qDimCorrOracle: String =
+    """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      |q AS (SELECT vec_id,
+      |  list_transform(v, x -> CAST(floor(x * 1000000) AS BIGINT)) AS qv
+      |  FROM e),
+      |x AS (SELECT vec_id, u.i - 1 AS d, qv[u.i] AS xq
+      |      FROM q, unnest(generate_series(1, len(qv))) AS u(i)),
+      |ds AS (SELECT d, COUNT(*) AS n,
+      |  CAST(SUM(CAST(xq AS DECIMAL(38,0))) AS DOUBLE) AS sx,
+      |  CAST(SUM(CAST(xq * xq AS DECIMAL(38,0))) AS DOUBLE) AS sxx
+      |  FROM x GROUP BY 1),
+      |p AS (SELECT a.d AS d1, b.d AS d2,
+      |  CAST(SUM(CAST(a.xq * b.xq AS DECIMAL(38,0))) AS DOUBLE) AS sxy
+      |  FROM x a JOIN x b ON a.vec_id = b.vec_id AND a.d <= b.d
+      |  GROUP BY 1, 2)
+      |SELECT CAST(p.d1 AS INT) AS d1, CAST(p.d2 AS INT) AS d2,
+      |  CASE WHEN (s1.n * s1.sxx - s1.sx * s1.sx) *
+      |            (s1.n * s2.sxx - s2.sx * s2.sx) > 0
+      |       THEN round((s1.n * p.sxy - s1.sx * s2.sx) /
+      |         sqrt((s1.n * s1.sxx - s1.sx * s1.sx) *
+      |              (s1.n * s2.sxx - s2.sx * s2.sx)), 6)
+      |  END AS corr_r
+      |FROM p
+      |JOIN ds s1 ON s1.d = p.d1
+      |JOIN ds s2 ON s2.d = p.d2
+      |ORDER BY d1, d2""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sim_dim_corr" -> (qDimCorr _),
     "sim_bruteforce_topk" -> (qSimBruteForce _),
     "sim_lsh_bucketed" -> (qSimLshBucketed _),
     "sim_ivf_probe" -> (qSimIvf _),
@@ -338,6 +420,7 @@ object SimilarityOps {
     "sim_quantize_int8" -> (qQuantizeInt8 _))
 
   val oracles: Map[String, String] = Map(
+    "sim_dim_corr" -> qDimCorrOracle,
     "sim_bruteforce_topk" -> qSimBruteForceOracle,
     "sim_lsh_bucketed" -> qSimLshBucketedOracle,
     "sim_ivf_probe" -> qSimIvfOracle,

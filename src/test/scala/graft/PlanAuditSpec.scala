@@ -346,6 +346,17 @@ class PlanAuditSpec extends SparkSpec {
       Relational.qTopKPerGroup(spark, sf).collect().toSeq)
   }
 
+  test("dim-corr never self-joins the exploded corpus; only broadcast joins of dim stats") {
+    val p = planString(SimilarityOps.qDimCorr(spark, sf))
+    // the scalable Gram shape: per-row outer products exploded map-side
+    // and aggregated once — a vec_id self-join of the (row, dim)
+    // relation would shuffle the corpus twice and join it to itself
+    assert(!p.contains("SortMergeJoin"),
+      s"dim-corr must not shuffle-join the exploded relation:\n$p")
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2,
+      "the 64-row dim-stats relation joins back via broadcasts")
+  }
+
   test("codegen'd dot product appears inside a WholeStageCodegen span") {
     val df = SimilarityOps.qSimBruteForce(spark, sf)
     df.collect() // finalize this DataFrame's own AQE plan
