@@ -239,6 +239,26 @@ object CdcPipeline {
       .foreachBatch { (b: DataFrame, id: Long) => snapshotSink(stateDir, keyField)(b, id) }
       .start()
 
+  /** Top-k rows per window from a windowed-counts relation — the
+    * "trending tables" view. Ranking ACROSS keys is not expressible in
+    * append-mode streaming (a row's rank can change until its window
+    * closes), so this runs inside foreachBatch on the epoch's counts —
+    * the epoch batch is exactly where cross-key ranking belongs. The
+    * input is already the AGGREGATED windowed relation (tiny: windows ×
+    * tables × actions), so a deterministic window rank is right-sized
+    * here; `q_topk_per_group_agg`'s bounded-heap aggregator is the
+    * shape to switch to if the per-window key space ever rivals the
+    * event volume. */
+  def topPerWindow(counts: DataFrame, k: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("window_start"))
+      .orderBy(col("n").desc, col("table"), col("action"))
+    counts.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("window_start"), col("rank"), col("table"), col("action"), col("n"))
+      .orderBy(col("window_start"), col("rank"))
+  }
+
   // ---- streaming SCD2 maintenance (append-version history) ----
 
   /** Schema of the maintained SCD2 state: the ACCEPTED CHANGE SET —

@@ -178,6 +178,37 @@ class StreamingSpec extends SparkSpec {
     assert(CdcPipeline.snapshotView(spark, state).count() === 2)
   }
 
+  test("trending view: per-window top-k over streaming windowed counts via foreachBatch") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val in = MemoryStream[ChangeEvent]
+    val latest = new java.util.concurrent.atomic.AtomicReference[Array[org.apache.spark.sql.Row]](Array.empty)
+    val q = CdcPipeline.windowedCounts(in.toDF(), window = "1 minute")
+      .writeStream
+      .outputMode("complete")
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        latest.set(CdcPipeline.topPerWindow(b, k = 2).collect())
+        (): Unit
+      }.start()
+    try {
+      // window 1: events×3 inserts, orders×2 inserts, audit×1 delete →
+      // top-2 = events, orders (audit cut); window 2: one orders insert
+      in.addData(ev(1), ev(2), ev(3),
+        ev(4, table = "orders"), ev(5, table = "orders"),
+        ev(6, table = "audit", action = "delete"),
+        ev(61, table = "orders"))
+      q.processAllAvailable()
+      val got = latest.get()
+      val w1 = got
+        .sortBy(r => (r.getAs[java.sql.Timestamp]("window_start").getTime, r.getAs[Int]("rank")))
+      assert(w1.length === 3, s"expected 2 ranked rows in w1 + 1 in w2, got ${w1.toSeq}")
+      assert(w1(0).getAs[String]("table") === "events")
+      assert(w1(0).getAs[Long]("n") === 3L)
+      assert(w1(1).getAs[Long]("n") === 2L && w1(1).getAs[String]("table") === "orders")
+      assert(w1(2).getAs[Long]("n") === 1L && w1(2).getAs[String]("table") === "orders")
+    } finally q.stop()
+  }
+
   test("streaming SCD2: version history accrues across restart; replay is a no-op") {
     import spark.implicits._
     implicit val sc = spark.sqlContext
