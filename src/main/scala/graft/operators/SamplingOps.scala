@@ -93,21 +93,23 @@ object SamplingOps {
     // bucket is a pure function of doc_id, so it can be re-derived
     // after the shingle explode instead of being threaded through it.
     // Persisted because BOTH join sides slice this relation — without
-    // it the ~40× explode runs twice (same cache contract as the
-    // jaccard family: caller runs clearCache, as Bench/Verify do).
+    // it the ~40× explode runs twice; released by the
+    // unpersistAfterFirstAction wrapper like the jaccard family.
     val sh = DedupOps.shingles(Tables.documents(spark, sfDir))
       .withColumn("bucket", bucket100("doc_id"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val train = sh.filter(col("bucket") < 80).select("doc_id", "shingle")
     val bench = sh.filter(col("bucket") >= 90)
       .select(col("doc_id").as("bench_id"), col("shingle"))
-    train.join(bench, "shingle")
-      .groupBy(col("doc_id"))
-      .agg(
-        countDistinct(col("shingle")).as("n_shingle_hits"),
-        countDistinct(col("bench_id")).as("n_bench_docs"))
-      .withColumn("contaminated", col("n_shingle_hits") >= 5)
-      .orderBy(col("doc_id"))
+    DedupOps.unpersistAfterFirstAction(
+      train.join(bench, "shingle")
+        .groupBy(col("doc_id"))
+        .agg(
+          countDistinct(col("shingle")).as("n_shingle_hits"),
+          countDistinct(col("bench_id")).as("n_bench_docs"))
+        .withColumn("contaminated", col("n_shingle_hits") >= 5)
+        .orderBy(col("doc_id")),
+      sh)
   }
 
   val qDecontaminateOracle: String =

@@ -39,6 +39,12 @@ class CacheLifecycleSpec extends SparkSpec with Eventually {
     assert(newPersistsAfterRunning("pipeline_corpus").isEmpty)
   }
 
+  test("incremental dedup, span coverage, and decontamination release their persists") {
+    assert(newPersistsAfterRunning("dedup_incremental").isEmpty)
+    assert(newPersistsAfterRunning("dedup_span_coverage").isEmpty)
+    assert(newPersistsAfterRunning("sample_decontaminate").isEmpty)
+  }
+
   test("cluster queries leave no persisted RDDs behind once the cleaner runs") {
     // connectedComponents explicitly unpersists its edge caches; the
     // per-round label localCheckpoints are pinned only by reachability

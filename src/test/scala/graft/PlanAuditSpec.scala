@@ -186,6 +186,7 @@ class PlanAuditSpec extends SparkSpec {
 
   test("substring dedup and market basket are equi-joins, never nested-loop") {
     for (df <- Seq(graft.operators.DedupOps.qDedupSubstring(spark, sf),
+        graft.operators.DedupOps.qDedupSpanCoverage(spark, sf),
         Relational.qMarketBasket(spark, sf))) {
       val p = planString(df)
       assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
