@@ -580,7 +580,52 @@ object TextOps {
       |    AS boundary_crossings
       |FROM o ORDER BY doc_id""".stripMargin
 
+  /** Unigram language-model score per document — the CCNet/DCLM-style
+    * "perplexity filter" signal: avg over the doc's tokens of
+    * ln p(token), with p estimated from the corpus itself. Low scores
+    * = improbable token streams (mojibake, code dumps, boilerplate
+    * soup) to cut before training.
+    *
+    * Shape: ONE explode into per-(doc, token) counts; the corpus
+    * unigram table derives from that same relation by a second tiny
+    * agg (vocabulary-sized, not corpus-sized), joins back on token,
+    * and the per-doc score is Σ cnt·ln(tf) / Σ cnt − ln N. Token rows
+    * shuffle once; the vocab relation is the broadcastable side at
+    * 100 TB; N rides the documented 1-row broadcast pattern. */
+  def qLmScore(spark: SparkSession, sfDir: String): DataFrame = {
+    val dtf = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tk"))
+      .groupBy(col("doc_id"), col("tk"))
+      .agg(count(lit(1)).as("cnt"))
+    val tf = dtf.groupBy(col("tk")).agg(sum(col("cnt")).as("c"))
+    val total = tf.agg(sum(col("c")).as("n"))
+    dtf.join(tf, "tk")
+      .groupBy(col("doc_id"))
+      .agg(sum(col("cnt")).as("n_tokens"),
+        (sum(col("cnt") * log(col("c"))) / sum(col("cnt"))).as("alc"))
+      .crossJoin(broadcast(total))
+      .select(col("doc_id"), col("n_tokens"),
+        round(col("alc") - log(col("n")), 6).as("avg_logp_r"))
+      .orderBy(col("doc_id"))
+  }
+
+  val qLmScoreOracle: String =
+    """WITH tok AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS tk FROM documents),
+      |dtf AS (SELECT doc_id, tk, COUNT(*) AS cnt FROM tok GROUP BY 1, 2),
+      |tf AS (SELECT tk, SUM(cnt) AS c FROM dtf GROUP BY 1),
+      |tot AS (SELECT CAST(SUM(c) AS DOUBLE) AS n FROM tf),
+      |d AS (
+      |  SELECT dtf.doc_id,
+      |    CAST(SUM(dtf.cnt) AS BIGINT) AS n_tokens,
+      |    SUM(dtf.cnt * ln(tf.c)) / SUM(dtf.cnt) AS alc
+      |  FROM dtf JOIN tf USING (tk) GROUP BY 1)
+      |SELECT doc_id, n_tokens,
+      |  round(alc - ln((SELECT n FROM tot)), 6) AS avg_logp_r
+      |FROM d ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_lm_score" -> (qLmScore _),
     "text_pack_sequences" -> (qPackSequences _),
     "text_char_entropy" -> (qCharEntropy _),
     "text_token_stats" -> (qTokenStats _),
@@ -596,6 +641,7 @@ object TextOps {
     "text_tfidf" -> (qTfidf _))
 
   val oracles: Map[String, String] = Map(
+    "text_lm_score" -> qLmScoreOracle,
     "text_pack_sequences" -> qPackSequencesOracle,
     "text_char_entropy" -> qCharEntropyOracle,
     "text_token_stats" -> qTokenStatsOracle,

@@ -328,6 +328,24 @@ class PipelineOpsSpec extends SparkSpec {
       s"paired-but-uncovered docs: ${(paired -- covered).take(5)}")
   }
 
+  test("LM score: strictly negative, bounded by the rarest token, token counts exact") {
+    import graft.operators.TextOps
+    val lm = TextOps.qLmScore(spark, sf).collect()
+    assert(lm.nonEmpty)
+    val totalTokens = Tables.documents(spark, sf)
+      .select(org.apache.spark.sql.functions.size(
+        org.apache.spark.sql.functions.split(col("text"), " ")).cast("long").as("n"))
+      .agg(org.apache.spark.sql.functions.sum("n")).head().getLong(0)
+    val floor = math.log(1.0 / totalTokens) - 1e-6
+    lm.foreach { r =>
+      val s = r.getAs[Double]("avg_logp_r")
+      // every unigram probability is in (0, 1): the mean log sits in
+      // [ln(1/N), 0)
+      assert(s < 0.0 && s >= floor, s"score $s outside [ln(1/N), 0)")
+    }
+    assert(lm.map(_.getAs[Long]("n_tokens")).sum === totalTokens)
+  }
+
   test("capped jaccard pairs are a subset of uncapped pairs") {
     val capped = DedupOps.qDedupJaccardCapped(spark, sf).select("a_id", "b_id")
     val full = DedupOps.qDedupJaccard(spark, sf).select("a_id", "b_id")
