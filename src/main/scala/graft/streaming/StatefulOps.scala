@@ -234,8 +234,8 @@ object StatefulOps {
         tv: TimerValues): Iterator[FunnelHit] = {
       var s = if (st.exists()) st.get() else FunnelState(-1L, -1L, -1L)
       val out = scala.collection.mutable.ArrayBuffer[FunnelHit]()
-      rows.toSeq.sortBy(_.ts.getTime).foreach { e =>
-        val tus = e.ts.getTime * 1000L
+      rows.toSeq.sortBy(e => micros(e.ts)).foreach { e =>
+        val tus = micros(e.ts)
         e.event_type match {
           case "view" if s.t1 < 0 =>
             s = s.copy(t1 = tus); out += FunnelHit(user, 1, tus)
