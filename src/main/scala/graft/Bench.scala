@@ -4,6 +4,10 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // a PREVIOUS run's artifact must not survive a crashed run: delete
+    // up front so absence signals failure instead of stale totals
+    // masquerading as current ones
+    java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get("bench_latest.json"))
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)

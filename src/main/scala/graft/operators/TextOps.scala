@@ -461,8 +461,8 @@ object TextOps {
     import org.apache.spark.sql.expressions.Window
     val docs = Tables.documents(spark, sfDir)
     // persisted: tf feeds both the scored join and the df aggregation —
-    // without it the token explode + count runs twice (same cache
-    // contract as the dedup shingle relations: caller runs clearCache)
+    // without it the token explode + count runs twice; released by the
+    // unpersistAfterFirstAction wrapper like the dedup shingle caches
     val tf = docs.select(col("doc_id"), explode(toks).as("term"))
       .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -470,13 +470,15 @@ object TextOps {
     val n = docs.agg(count(lit(1)).as("n"))
     val w = Window.partitionBy(col("doc_id"))
       .orderBy(col("score_1000").desc, col("term"))
-    tf.join(df, "term")
-      .crossJoin(broadcast(n))
-      .withColumn("score_1000", expr("tf * n * 1000 DIV df"))
-      .withColumn("rk", row_number().over(w))
-      .filter(col("rk") <= 5)
-      .select(col("doc_id"), col("term"), col("tf"), col("df"), col("score_1000"))
-      .orderBy(col("doc_id"), col("term"))
+    DedupOps.unpersistAfterFirstAction(
+      tf.join(df, "term")
+        .crossJoin(broadcast(n))
+        .withColumn("score_1000", expr("tf * n * 1000 DIV df"))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 5)
+        .select(col("doc_id"), col("term"), col("tf"), col("df"), col("score_1000"))
+        .orderBy(col("doc_id"), col("term")),
+      tf)
   }
 
   val qTfidfOracle: String =

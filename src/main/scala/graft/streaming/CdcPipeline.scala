@@ -179,17 +179,24 @@ object CdcPipeline {
           org.apache.spark.sql.types.StringType,
           org.apache.spark.sql.types.StringType))))
 
-  /** Current state relation (empty before the first batch). Falls back
-    * to the `.prev` generation if a crash landed between the two moves
-    * of [[snapshotSink]]'s swap. */
-  def snapshotState(spark: SparkSession, stateDir: String): DataFrame = {
+  /** Shared cur/.prev generation read: the current state relation
+    * (empty before the first batch), falling back to the `.prev`
+    * generation if a crash landed between the two renames of
+    * [[swapGenerations]] — ONE implementation for every maintained
+    * state (snapshot, SCD2) so the recovery contract cannot diverge. */
+  private def stateRelation(spark: SparkSession, stateDir: String,
+      schema: org.apache.spark.sql.types.StructType): DataFrame = {
     val cur = new java.io.File(stateDir)
     val prev = new java.io.File(stateDir + ".prev")
     val dir = if (cur.exists) cur else prev
-    if (dir.exists) spark.read.schema(snapshotSchema).parquet(dir.toString)
+    if (dir.exists) spark.read.schema(schema).parquet(dir.toString)
     else spark.createDataFrame(
-      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], snapshotSchema)
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
   }
+
+  /** Current snapshot state — see [[stateRelation]]. */
+  def snapshotState(spark: SparkSession, stateDir: String): DataFrame =
+    stateRelation(spark, stateDir, snapshotSchema)
 
   /** Merge one micro-batch of envelopes into the snapshot state: per
     * key, keep the change with the highest WAL position. Delete
@@ -282,16 +289,9 @@ object CdcPipeline {
       org.apache.spark.sql.types.StructField("tus",
         org.apache.spark.sql.types.LongType)))
 
-  /** Current SCD2 change set (same `.prev` crash-recovery fallback as
-    * [[snapshotState]]). */
-  def scd2State(spark: SparkSession, stateDir: String): DataFrame = {
-    val cur = new java.io.File(stateDir)
-    val prev = new java.io.File(stateDir + ".prev")
-    val dir = if (cur.exists) cur else prev
-    if (dir.exists) spark.read.schema(scd2StateSchema).parquet(dir.toString)
-    else spark.createDataFrame(
-      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], scd2StateSchema)
-  }
+  /** Current SCD2 change set — see [[stateRelation]]. */
+  def scd2State(spark: SparkSession, stateDir: String): DataFrame =
+    stateRelation(spark, stateDir, scd2StateSchema)
 
   /** Merge one micro-batch into the SCD2 change set: union + dedup on
     * (key, walPosition). A replayed batch contributes only rows that

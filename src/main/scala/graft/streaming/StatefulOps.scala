@@ -223,7 +223,13 @@ object StatefulOps {
     * produces stage counts identical to the batch query (asserted in
     * StatefulOpsSpec); out-of-order arrivals ACROSS batches cannot
     * retro-lower an already-claimed stage time — the inherent
-    * incremental-vs-batch gap, bounded by the input watermark. */
+    * incremental-vs-batch gap. NOTE on lateness and state: under
+    * `TimeMode.None` transformWithState applies NO late-record
+    * filtering and NO eviction — the upstream watermark only governs
+    * downstream operators — so the stage guards below must stay safe
+    * under arbitrarily late input, and state is O(all users ever
+    * seen); a production deployment bounds it with a TTLConfig or
+    * event-time timers. */
   final class FunnelProcessor
       extends StatefulProcessor[Long, FunnelEvent, FunnelHit] {
     @transient private var st: ValueState[FunnelState] = _
@@ -271,18 +277,26 @@ object StatefulOps {
   private case class TouchState(tus: Long, id: Long)
 
   /** Full-precision event-time µs from a java.sql.Timestamp (getTime
-    * alone is ms-truncated; the nanos field carries the sub-second). */
+    * alone is ms-truncated; the nanos field carries the sub-second).
+    * floorDiv, not `/`: getTime truncates toward zero while getNanos
+    * is always non-negative, so plain division is ~1s high for any
+    * pre-epoch timestamp. */
   private def micros(ts: java.sql.Timestamp): Long =
-    ts.getTime / 1000 * 1000000L + ts.getNanos / 1000
+    Math.floorDiv(ts.getTime, 1000L) * 1000000L + ts.getNanos / 1000
 
   /** The incremental twin of batch last-touch attribution
     * (`EventOps.qAttribution`): per-user state is ONE (time, id) pair —
     * the latest click/view seen — and each purchase emits its
-    * attribution immediately if the touch is within the 1-hour window.
-    * Same semantics as the batch ignore-nulls `last()` over the
-    * trailing ROWS frame when events replay in (time, id) order
-    * (asserted row-identical in StatefulOpsSpec); state is O(users) ×
-    * one struct, the smallest possible. */
+    * attribution immediately if the touch is AT OR BEFORE it and
+    * within the 1-hour window (the `tus >= s.tus` guard: a late
+    * purchase arriving after a newer touch must not be credited to
+    * that FUTURE touch with negative latency; the batch twin's
+    * trailing ROWS frame can only see earlier touches). Same
+    * semantics as the batch ignore-nulls `last()` over the trailing
+    * ROWS frame when events replay in (time, id) order (asserted
+    * row-identical in StatefulOpsSpec); state is O(users) × one
+    * struct, the smallest possible — same lateness/eviction caveat as
+    * [[FunnelProcessor]]. */
   final class AttributionProcessor
       extends StatefulProcessor[Long, TouchEvent, AttributionHit] {
     private val MaxLagUs = 3600L * 1000000L
@@ -298,7 +312,7 @@ object StatefulOps {
         val tus = micros(e.ts)
         e.event_type match {
           case "click" | "view" => s = TouchState(tus, e.event_id)
-          case "purchase" if s != null && tus - s.tus <= MaxLagUs =>
+          case "purchase" if s != null && tus >= s.tus && tus - s.tus <= MaxLagUs =>
             out += AttributionHit(e.event_id, s.id, tus - s.tus)
           case _ =>
         }
@@ -335,7 +349,9 @@ object StatefulOps {
     * the emit-once contract is unchanged). Each (user, week) cell
     * emits exactly once, so the streaming cell counts equal the batch
     * COUNT(DISTINCT user) per (cohort_day, week_offset) under
-    * in-order replay (asserted in StatefulOpsSpec). */
+    * in-order replay (asserted in StatefulOpsSpec). Same
+    * lateness/eviction caveat as [[FunnelProcessor]]; events earlier
+    * than the recorded cohort day are dropped (see below). */
   final class RetentionProcessor
       extends StatefulProcessor[Long, RetentionEvent, RetentionHit] {
     private val DayUs = 86400000000L
@@ -348,13 +364,19 @@ object StatefulOps {
       var s = if (st.exists()) st.get() else null
       val out = scala.collection.mutable.ArrayBuffer[RetentionHit]()
       rows.toSeq.sortBy(e => micros(e.ts)).foreach { e =>
-        val day = micros(e.ts) / DayUs
+        val day = Math.floorDiv(micros(e.ts), DayUs)
         if (s == null) s = RetentionState(day, 0L)
-        val week = (day - s.cohort) / 7
-        require(week < 64, s"retention horizon: week $week >= 64; use MapState")
-        if ((s.weeksMask & (1L << week)) == 0L) {
-          s = s.copy(weeksMask = s.weeksMask | (1L << week))
-          out += RetentionHit(user, s.cohort, week)
+        // a late event from BEFORE the recorded cohort day is dropped:
+        // the incremental cohort cannot be retro-lowered (the batch
+        // twin would re-anchor it), and a negative week must never
+        // reach the shift below (1L << -1 wraps to bit 63)
+        if (day >= s.cohort) {
+          val week = (day - s.cohort) / 7
+          require(week < 64, s"retention horizon: week $week >= 64; use MapState")
+          if ((s.weeksMask & (1L << week)) == 0L) {
+            s = s.copy(weeksMask = s.weeksMask | (1L << week))
+            out += RetentionHit(user, s.cohort, week)
+          }
         }
       }
       if (s != null) st.update(s)

@@ -39,10 +39,11 @@ class CacheLifecycleSpec extends SparkSpec with Eventually {
     assert(newPersistsAfterRunning("pipeline_corpus").isEmpty)
   }
 
-  test("incremental dedup, span coverage, and decontamination release their persists") {
+  test("incremental dedup, span coverage, decontamination, and tfidf release their persists") {
     assert(newPersistsAfterRunning("dedup_incremental").isEmpty)
     assert(newPersistsAfterRunning("dedup_span_coverage").isEmpty)
     assert(newPersistsAfterRunning("sample_decontaminate").isEmpty)
+    assert(newPersistsAfterRunning("text_tfidf").isEmpty)
   }
 
   test("cluster queries leave no persisted RDDs behind once the cleaner runs") {

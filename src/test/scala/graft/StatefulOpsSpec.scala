@@ -338,6 +338,63 @@ class StatefulOpsSpec extends SparkSpec {
     }
   }
 
+  test("late cross-batch events: no negative attribution latency, no negative retention week") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    def t(sec: Long) = new Timestamp(T0 + sec * 1000)
+    try {
+      // attribution: click at t=100 lands first; a LATE purchase from
+      // t=50 arrives in the next batch — it must not be credited to
+      // the future touch (negative latency), and a purchase after the
+      // touch still works
+      val ain = MemoryStream[StatefulOps.TouchEvent]
+      val aq = StatefulOps.streamingAttribution(ain.toDS())
+        .writeStream.format("memory").queryName("late_attr_out")
+        .outputMode("append").start()
+      try {
+        ain.addData(StatefulOps.TouchEvent(1L, 7L, "click", t(100)))
+        aq.processAllAvailable()
+        ain.addData(StatefulOps.TouchEvent(2L, 7L, "purchase", t(50)))
+        aq.processAllAvailable()
+        assert(spark.table("late_attr_out").isEmpty,
+          "late purchase must not attribute to a future touch")
+        ain.addData(StatefulOps.TouchEvent(3L, 7L, "purchase", t(130)))
+        aq.processAllAvailable()
+        val hits = spark.table("late_attr_out").collect()
+        assert(hits.length === 1 && hits.head.getLong(2) === 30000000L)
+      } finally aq.stop()
+      // retention: first event anchors the cohort; a LATE event 8 days
+      // earlier arrives next batch — dropped, no bit-63 wraparound, and
+      // a later in-horizon week still credits normally
+      val rin = MemoryStream[StatefulOps.RetentionEvent]
+      val rq = StatefulOps.streamingRetention(rin.toDS())
+        .writeStream.format("memory").queryName("late_ret_out")
+        .outputMode("append").start()
+      try {
+        rin.addData(StatefulOps.RetentionEvent(9L, t(0)))
+        rq.processAllAvailable()
+        rin.addData(StatefulOps.RetentionEvent(9L, t(-8L * 86400)))
+        rq.processAllAvailable()
+        rin.addData(StatefulOps.RetentionEvent(9L, t(8L * 86400)))
+        rq.processAllAvailable()
+        val cells = spark.table("late_ret_out").collect()
+          .map(r => (r.getLong(1), r.getLong(2))).sorted
+        val cohort = cells.head._1
+        assert(cells.toSeq === Seq((cohort, 0L), (cohort, 1L)),
+          s"expected weeks 0 and 1 only, got ${cells.toSeq}")
+      } finally rq.stop()
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
+
   test("mapGroupsWithState accumulates per-table counts across batches") {
     import spark.implicits._
     implicit val sc = spark.sqlContext
