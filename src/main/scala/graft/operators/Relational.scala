@@ -519,6 +519,53 @@ object Relational {
       .orderBy(col("s_id"))
   }
 
+  /** PURE range join — no equi key at all: pairs of purchases within
+    * one hour of each other, across ALL users. Without help Spark
+    * plans a pure inequality join as a nested loop over the full
+    * cross product; the scalable rewrite is TIME BUCKETING — assign
+    * each row its hour bucket, fan the PROBE side out to the 3
+    * buckets its matches can live in, and equi-join on the bucket
+    * before the exact band filter. Cost drops from O(n²) to
+    * Σ_b |probe(b)|·|build(b)| over adjacent buckets — the density-
+    * bounded quadratic, exactly the inverted-index discipline applied
+    * to the time axis. The (earlier, later) orientation condition
+    * makes each unordered pair emit exactly once (the later row's
+    * probe of the earlier row fails the orientation test), so no
+    * dedup pass is needed. Plan-pinned: equi-join on bucket, never a
+    * nested loop. */
+  def qRangeJoinBucketed(spark: SparkSession, sfDir: String): DataFrame = {
+    val hourUs = 3600L * 1000000L
+    val p = Tables.events(spark, sfDir)
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id"), unix_micros(col("ts")).as("tus"))
+    val probe = p
+      .select(col("event_id").as("a_id"), col("tus").as("a_tus"))
+      .withColumn("bkt", explode(array(
+        expr(s"a_tus DIV $hourUs - 1"),
+        expr(s"a_tus DIV $hourUs"),
+        expr(s"a_tus DIV $hourUs + 1"))))
+    val build = p
+      .select(col("event_id").as("b_id"), col("tus").as("b_tus"))
+      .withColumn("bkt", expr(s"b_tus DIV $hourUs"))
+    probe.join(build, "bkt")
+      .filter((col("a_tus") < col("b_tus") ||
+          (col("a_tus") === col("b_tus") && col("a_id") < col("b_id"))) &&
+        col("b_tus") - col("a_tus") <= hourUs)
+      .select(col("a_id"), col("b_id"), (col("b_tus") - col("a_tus")).as("dt_us"))
+      .orderBy(col("a_id"), col("b_id"))
+  }
+
+  val qRangeJoinBucketedOracle: String =
+    """WITH p AS (
+      |  SELECT event_id, epoch_us(ts) AS tus FROM events
+      |  WHERE event_type = 'purchase')
+      |SELECT a.event_id AS a_id, b.event_id AS b_id,
+      |  CAST(b.tus - a.tus AS BIGINT) AS dt_us
+      |FROM p a JOIN p b
+      |  ON (a.tus < b.tus OR (a.tus = b.tus AND a.event_id < b.event_id))
+      | AND b.tus - a.tus <= 3600000000
+      |ORDER BY a_id, b_id""".stripMargin
+
   val qRangeJoinOracle: String =
     """WITH s AS (SELECT event_id AS s_id, user_id, epoch_us(ts) AS tus FROM events WHERE event_type='signup'),
       |     p AS (SELECT user_id, epoch_us(ts) AS tus FROM events WHERE event_type='purchase')
@@ -1518,6 +1565,7 @@ object Relational {
     "q_approx_distinct" -> (qApproxDistinct _),
     "q_asof_join" -> (qAsofJoin _),
     "q_range_join" -> (qRangeJoin _),
+    "q_range_join_bucketed" -> (qRangeJoinBucketed _),
     "q_skew_salted_agg" -> (qSaltedAgg _),
     "q17_correlated_avg" -> (qCorrelatedAvg _),
     "q18_having_in" -> (qHavingIn _),
@@ -1566,6 +1614,7 @@ object Relational {
     "q_distinct_agg" -> qDistinctAggOracle,
     "q_asof_join" -> qAsofJoinOracle,
     "q_range_join" -> qRangeJoinOracle,
+    "q_range_join_bucketed" -> qRangeJoinBucketedOracle,
     "q_skew_salted_agg" -> qSaltedAggOracle,
     "q17_correlated_avg" -> qCorrelatedAvgOracle,
     "q18_having_in" -> qHavingInOracle,

@@ -326,6 +326,13 @@ class PlanAuditSpec extends SparkSpec {
     assert(hashed === 1, s"packing must shuffle once on shard, got: $pack")
   }
 
+  test("bucketed range join stays an equi-join on the time bucket, never a nested loop") {
+    val p = planString(Relational.qRangeJoinBucketed(spark, sf))
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"a pure range join must be rewritten onto bucket equi-keys:\n$p")
+    assert(p.contains("bkt"), "bucket key missing from the join")
+  }
+
   test("incremental dedup: fingerprint and band joins are equi-joins, never nested-loop") {
     val p = planString(graft.operators.DedupOps.qDedupIncremental(spark, sf))
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
