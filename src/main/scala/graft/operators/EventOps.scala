@@ -217,13 +217,53 @@ object EventOps {
       |SELECT event_id, event_type, value, round(z, 6) AS z_r
       |FROM z WHERE abs(z) >= 3.0 ORDER BY event_id""".stripMargin
 
+  /** Rolling 7-day active users per day (the WAU curve). Spark windows
+    * cannot express a rolling COUNT DISTINCT (distinct aggregates are
+    * unsupported over frames), and the naive per-day self-join
+    * re-scans the activity relation once per day. The scalable rewrite
+    * is the OFFSET EXPLODE: each distinct (user, day) activity row
+    * contributes itself to the 7 report days it is visible from, then
+    * ONE distinct-count per report day — cost is 7× the distinct
+    * activity relation (tiny vs the event stream), shuffled once.
+    * Report days are clipped to the observed range so every emitted
+    * day has a full trailing week of data visibility. */
+  def qRollingActiveUsers(spark: SparkSession, sfDir: String): DataFrame = {
+    val days = ev(spark, sfDir)
+      .select(col("user_id"), expr("tus DIV 86400000000").as("day"))
+      .distinct()
+    days
+      .select(col("user_id"),
+        explode(sequence(col("day"), col("day") + 6)).as("report_day"))
+      .groupBy(col("report_day"))
+      .agg(count_distinct(col("user_id")).as("wau"))
+      .join(broadcast(days.agg(max(col("day")).as("max_day"))))
+      .filter(col("report_day") <= col("max_day"))
+      .select(col("report_day"), col("wau"))
+      .orderBy(col("report_day"))
+  }
+
+  val qRollingActiveUsersOracle: String =
+    """WITH d AS (
+      |  SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day
+      |  FROM events),
+      |x AS (
+      |  SELECT user_id, day + o.o AS report_day
+      |  FROM d, (SELECT unnest(generate_series(0, 6)) AS o) o),
+      |mx AS (SELECT MAX(day) AS max_day FROM d)
+      |SELECT CAST(report_day AS BIGINT) AS report_day,
+      |  COUNT(DISTINCT user_id) AS wau
+      |FROM x WHERE report_day <= (SELECT max_day FROM mx)
+      |GROUP BY 1 ORDER BY report_day""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_rolling_active_users" -> (qRollingActiveUsers _),
     "q_funnel" -> (qFunnel _),
     "q_retention" -> (qRetention _),
     "q_attribution" -> (qAttribution _),
     "q_zscore_outliers" -> (qZscoreOutliers _))
 
   val oracles: Map[String, String] = Map(
+    "q_rolling_active_users" -> qRollingActiveUsersOracle,
     "q_funnel" -> qFunnelOracle,
     "q_retention" -> qRetentionOracle,
     "q_attribution" -> qAttributionOracle,

@@ -109,6 +109,26 @@ class EventOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("rolling active users: DAU <= WAU <= total distinct users, full day coverage") {
+    import graft.operators.EventOps
+    val wau = EventOps.qRollingActiveUsers(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(wau.nonEmpty)
+    val activity = Tables.events(spark, sf)
+      .select(col("user_id"), expr("unix_micros(ts) DIV 86400000000").as("day"))
+      .distinct().collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val dau = activity.groupBy(_._2).view.mapValues(_.map(_._1).distinct.size.toLong).toMap
+    val total = activity.map(_._1).distinct.length.toLong
+    // every active day must be reported, and the rolling week dominates
+    // the single day while never exceeding the population
+    dau.foreach { case (day, n) =>
+      assert(wau.contains(day), s"active day $day missing from report")
+      assert(wau(day) >= n && wau(day) <= total,
+        s"day $day: wau ${wau(day)} outside [dau $n, total $total]")
+    }
+  }
+
   test("int8 quantization bounds reconstruction error by half a step") {
     val r = SimilarityOps.qQuantizeInt8(spark, sf)
       .join(Tables.embeddings(spark, sf)
