@@ -396,6 +396,49 @@ object StatefulOps {
         TimeMode.None(), OutputMode.Append())
   }
 
+  case class QuotaDoc(doc_id: Long, source: String, ts: java.sql.Timestamp)
+
+  /** Streaming per-source QUOTA sampler — the ingest-side counterpart
+    * of batch mixture sampling (`SamplingOps.qMixtureSample`): admit
+    * the first `quota(source)` documents per source and drop the rest.
+    * Batch mixture picks by hash order for append-stability; a stream
+    * cannot know the final hash order, so the streaming-native
+    * semantics is FIRST-N BY ARRIVAL — the standard budget cap on a
+    * live crawl. State is one long per source (O(domains)); admission
+    * is deterministic given the input order, so a checkpoint replay of
+    * the same batches re-admits the same documents. */
+  final class QuotaProcessor(quotas: Map[String, Long], defaultQuota: Long)
+      extends StatefulProcessor[String, QuotaDoc, QuotaDoc] {
+    @transient private var admitted: ValueState[Long] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      admitted = getHandle.getValueState[Long]("admitted",
+        Encoders.scalaLong, TTLConfig.NONE)
+    override def handleInputRows(source: String, rows: Iterator[QuotaDoc],
+        tv: TimerValues): Iterator[QuotaDoc] = {
+      val quota = quotas.getOrElse(source, defaultQuota)
+      var n = if (admitted.exists()) admitted.get() else 0L
+      val out = scala.collection.mutable.ArrayBuffer[QuotaDoc]()
+      // within-batch order after the keyed shuffle is not contractual:
+      // sort by (event time, id) so admission is deterministic under
+      // replay, like the other processors here
+      rows.toSeq.sortBy(d => (micros(d.ts), d.doc_id)).foreach { d =>
+        if (n < quota) { out += d; n += 1 }
+      }
+      admitted.update(n)
+      out.iterator
+    }
+  }
+
+  /** Quota-capped document stream — see [[QuotaProcessor]]. RocksDB
+    * state store required. */
+  def quotaSampled(docs: Dataset[QuotaDoc], quotas: Map[String, Long],
+      defaultQuota: Long = Long.MaxValue): Dataset[QuotaDoc] = {
+    import docs.sparkSession.implicits._
+    docs.groupByKey(_.source)
+      .transformWithState(new QuotaProcessor(quotas, defaultQuota),
+        TimeMode.None(), OutputMode.Append())
+  }
+
   /** STREAMING near-dup filter: the incremental twin of the batch
     * simhash dedup — each arriving document is fingerprinted with the
     * per-row `DedupOps.simhashExpr` (an HOF fold: no explode, no

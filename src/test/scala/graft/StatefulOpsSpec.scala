@@ -395,6 +395,43 @@ class StatefulOpsSpec extends SparkSpec {
     }
   }
 
+  test("quota sampler admits first-N per source across batches, default for unmapped") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      def d(id: Long, src: String) =
+        StatefulOps.QuotaDoc(id, src, new Timestamp(T0 + id * 1000))
+      val in = MemoryStream[StatefulOps.QuotaDoc]
+      val q = StatefulOps.quotaSampled(in.toDS(),
+          quotas = Map("a" -> 3L, "b" -> 1L), defaultQuota = 2L)
+        .writeStream.format("memory").queryName("quota_out")
+        .outputMode("append").start()
+      try {
+        in.addData(d(1, "a"), d(2, "a"), d(3, "b"), d(4, "c"))
+        q.processAllAvailable()
+        // quota state survives the batch boundary: a has 1 slot left,
+        // b none, c one
+        in.addData(d(5, "a"), d(6, "a"), d(7, "b"), d(8, "c"), d(9, "c"))
+        q.processAllAvailable()
+        val got = spark.table("quota_out").collect()
+          .map(r => (r.getString(1), r.getLong(0)))
+          .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+        assert(got("a") === Set(1L, 2L, 5L)) // first 3 arrivals
+        assert(got("b") === Set(3L))         // quota 1
+        assert(got("c") === Set(4L, 8L))     // default quota 2
+      } finally q.stop()
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
+
   test("mapGroupsWithState accumulates per-table counts across batches") {
     import spark.implicits._
     implicit val sc = spark.sqlContext
