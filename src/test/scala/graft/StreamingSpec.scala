@@ -209,6 +209,30 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("scd2Pipeline end-to-end: JSON segment files -> validated -> versioned history") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft-scd2e2e").toString
+    val inDir = s"$root/in"
+    Files.createDirectories(java.nio.file.Paths.get(inDir))
+    def evj(wal: Long, action: String, key: String, v: String): ChangeEvent =
+      ChangeEvent("h", "db", "users", action, wal,
+        new Timestamp(1700000000000L + wal * 1000), s"u-$wal",
+        Map("user_id" -> key, "v" -> v))
+    // includes a transaction marker the validation stage must drop
+    Seq(evj(1, "insert", "a", "a1"), evj(2, "update", "a", "a2"),
+      evj(3, "begin", "x", "-"))
+      .toDF().coalesce(1).write.mode("overwrite").json(inDir)
+    val q = CdcPipeline.scd2Pipeline(spark, inDir,
+      s"$root/state", s"$root/ckpt", "user_id")
+    try q.processAllAvailable() finally q.stop()
+    val hist = CdcPipeline.scd2History(spark, s"$root/state")
+      .select(col("key"), col("version"), col("action"), col("walPosition"))
+      .collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getString(2), r.getLong(3)))
+      .sortBy(t => (t._1, t._2))
+    assert(hist.toSeq === Seq(("a", 1, "insert", 1L), ("a", 2, "update", 2L)))
+  }
+
   test("streaming SCD2: version history accrues across restart; replay is a no-op") {
     import spark.implicits._
     implicit val sc = spark.sqlContext
