@@ -233,6 +233,27 @@ class StreamingSpec extends SparkSpec {
     assert(hist.toSeq === Seq(("a", 1, "insert", 1L), ("a", 2, "update", 2L)))
   }
 
+  test("snapshotPipeline end-to-end: JSON segment files -> validated -> live snapshot") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft-snape2e").toString
+    val inDir = s"$root/in"
+    Files.createDirectories(java.nio.file.Paths.get(inDir))
+    def evj(wal: Long, action: String, key: String, v: String): ChangeEvent =
+      ChangeEvent("h", "db", "users", action, wal,
+        new Timestamp(1700000000000L + wal * 1000), s"u-$wal",
+        Map("user_id" -> key, "v" -> v))
+    Seq(evj(1, "insert", "a", "a1"), evj(2, "insert", "b", "b1"),
+      evj(3, "update", "a", "a2"), evj(4, "delete", "b", "-"))
+      .toDF().coalesce(1).write.mode("overwrite").json(inDir)
+    val q = CdcPipeline.snapshotPipeline(spark, inDir,
+      s"$root/state", s"$root/ckpt", "user_id")
+    try q.processAllAvailable() finally q.stop()
+    val view = CdcPipeline.snapshotView(spark, s"$root/state")
+      .select(col("key"), element_at(col("columns"), "v").as("v"))
+      .collect().map(r => (r.getString(0), r.getString(1))).sortBy(_._1)
+    assert(view.toSeq === Seq(("a", "a2"))) // b deleted, a at latest image
+  }
+
   test("streaming SCD2: version history accrues across restart; replay is a no-op") {
     import spark.implicits._
     implicit val sc = spark.sqlContext
