@@ -365,6 +365,46 @@ class PlanAuditSpec extends SparkSpec {
       "the 64-row dim-stats relation joins back via broadcasts")
   }
 
+  test("global sweep: no registered query plans a cartesian or nested-loop join outside documented sites") {
+    // The one global anti-pattern gate: every future query is checked
+    // automatically. Legitimate nested-loop sites, each documented at
+    // its definition:
+    //   - 1-row scalar-subquery broadcasts (quota totals, corpus size,
+    //     PSI totals): sample_mixture, pipeline_corpus, text_tfidf,
+    //     text_lm_score, q14_promo_effect-style single-row joins
+    //   - intentionally non-equi broadcast joins: the brute-force /
+    //     exact-cosine verification twins (q_id != n_id, a_id < b_id)
+    //   - the IVF quantizer (every vector scored against the K-row
+    //     broadcast centroid set — a deliberate broadcast cross)
+    val allowNested = Set(
+      "sim_bruteforce_topk", "dedup_embedding_cosine",
+      "sim_ivf_probe", "sim_ivf_multiprobe", "sim_kmeans_step",
+      "dedup_semantic_clusters", "sample_mixture", "pipeline_corpus",
+      "text_tfidf", "text_lm_score", "q_rolling_active_users",
+      "q22_idle_balances", "q_profile_stats", "sample_drift_psi",
+      "q15_top_supplier", "q14_promo_effect", "q8_market_share",
+      "q17_correlated_avg", "q_approx_distinct", "q_approx_quantiles",
+      "q_median_exact", "q_group_quantiles")
+    // iterative queries execute their loop at BUILD time — each has
+    // its own targeted pin; excluded here to keep the sweep fast
+    val skipIterative = Set(
+      "dedup_clusters", "dedup_clusters_stars",
+      "dedup_semantic_clusters_ann", "cdc_scd2")
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filterNot { case (name, _) =>
+        skipIterative.contains(name) || allowNested.contains(name) }
+      .flatMap { case (name, fn) =>
+        val p = try planString(fn(spark, sf))
+          catch { case e: Throwable => s"BUILD FAILED: $e" }
+        if (p.contains("CartesianProduct") ||
+            p.contains("BroadcastNestedLoopJoin") ||
+            p.startsWith("BUILD FAILED")) Some(name -> p.take(200)) else None
+      }
+    spark.catalog.clearCache()
+    assert(offenders.isEmpty,
+      s"unexpected nested-loop/cartesian plans: ${offenders.map(_._1)}")
+  }
+
   test("codegen'd dot product appears inside a WholeStageCodegen span") {
     val df = SimilarityOps.qSimBruteForce(spark, sf)
     df.collect() // finalize this DataFrame's own AQE plan
