@@ -233,6 +233,25 @@ class StreamingSpec extends SparkSpec {
     assert(hist.toSeq === Seq(("a", 1, "insert", 1L), ("a", 2, "update", 2L)))
   }
 
+  test("flagship pipeline end-to-end: segments -> validate -> dedup -> route -> topic parquet") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft-flagship").toString
+    val inDir = s"$root/in"
+    Files.createDirectories(java.nio.file.Paths.get(inDir))
+    // a valid event, a replayed duplicate (same uuid), an invalid
+    // marker, and an unmapped table for the fallback topic
+    Seq(ev(1), ev(1), ev(2, action = "begin"), ev(3, table = "misc"))
+      .toDF().coalesce(1).write.mode("overwrite").json(inDir)
+    val q = CdcPipeline.pipeline(spark, inDir, s"$root/out", s"$root/ckpt",
+      mapping = Map("events" -> "topic.events"))
+    try q.processAllAvailable() finally q.stop()
+    val out = spark.read.parquet(s"$root/out")
+    val byTopic = out.collect()
+      .groupBy(_.getAs[String]("topic")).view.mapValues(_.length).toMap
+    // duplicate collapsed, marker dropped, fallback routed
+    assert(byTopic === Map("topic.events" -> 1, "topic.default" -> 1))
+  }
+
   test("snapshotPipeline end-to-end: JSON segment files -> validated -> live snapshot") {
     import spark.implicits._
     val root = Files.createTempDirectory("graft-snape2e").toString
