@@ -55,6 +55,10 @@ case class TopKBuf(items: Seq[TopKEntry])
   * `groupByKey`, not the buffer. */
 final case class TopKByValue(k: Int)
     extends Aggregator[(Long, Double, Long), TopKBuf, TopKBuf] {
+  // k=0 would otherwise surface as a NoSuchElementException deep inside
+  // reduce (items.last on an empty bounded buffer) — fail at construction
+  require(k > 0, s"TopKByValue requires k > 0, got $k")
+
   private def before(a: TopKEntry, b: TopKEntry): Boolean =
     a.v > b.v || (a.v == b.v && a.id < b.id)
 

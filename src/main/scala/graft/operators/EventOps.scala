@@ -225,8 +225,11 @@ object EventOps {
     * contributes itself to the 7 report days it is visible from, then
     * ONE distinct-count per report day — cost is 7× the distinct
     * activity relation (tiny vs the event stream), shuffled once.
-    * Report days are clipped to the observed range so every emitted
-    * day has a full trailing week of data visibility. */
+    * Report days are clipped at the TOP of the observed range only (no
+    * day later than the last activity day is emitted); the earliest ~6
+    * report days have windows truncated by the data start, and days
+    * with zero trailing-week activity are omitted rather than reported
+    * as wau=0 — both edges match the oracle's semantics. */
   def qRollingActiveUsers(spark: SparkSession, sfDir: String): DataFrame = {
     val days = ev(spark, sfDir)
       .select(col("user_id"), expr("tus DIV 86400000000").as("day"))
