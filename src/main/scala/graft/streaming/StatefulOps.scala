@@ -3,7 +3,7 @@ package graft.streaming
 import graft.model.ChangeEvent
 import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, MapState, OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
 
 /** Stateful streaming operators beyond the reference's surface
   * (SURVEY.md §2.2: session windows, stream-stream joins, custom
@@ -16,6 +16,18 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * state size is bounded by watermark/timeout, never by stream length.
   */
 object StatefulOps {
+
+  /** State TTL requires processing-time mode (Spark's transformWithState
+    * contract: TTL expiry is evaluated against the batch's processing
+    * timestamp); without a TTL the processors run in TimeMode.None. The
+    * twins below all take a TTLConfig so a production deployment bounds
+    * state to the eviction horizon — an evicted key re-entering is
+    * simply treated as NEW (funnel restarts at stage 1, retention
+    * re-anchors the cohort, attribution forgets the last touch, quota
+    * counters reset), the documented semantics of a bounded-memory
+    * incremental operator. */
+  private def timeModeFor(ttl: TTLConfig): TimeMode =
+    if (ttl == TTLConfig.NONE) TimeMode.None() else TimeMode.ProcessingTime()
 
   /** Session windows per (table, action): events within `gap` of each
     * other merge into one session — the event-time generalization of
@@ -223,19 +235,20 @@ object StatefulOps {
     * produces stage counts identical to the batch query (asserted in
     * StatefulOpsSpec); out-of-order arrivals ACROSS batches cannot
     * retro-lower an already-claimed stage time — the inherent
-    * incremental-vs-batch gap. NOTE on lateness and state: under
-    * `TimeMode.None` transformWithState applies NO late-record
+    * incremental-vs-batch gap. NOTE on lateness and state: without a
+    * TTL (`TimeMode.None`) transformWithState applies NO late-record
     * filtering and NO eviction — the upstream watermark only governs
     * downstream operators — so the stage guards below must stay safe
     * under arbitrarily late input, and state is O(all users ever
-    * seen); a production deployment bounds it with a TTLConfig or
-    * event-time timers. */
-  final class FunnelProcessor
+    * seen). Pass a `ttl` to bound state to the eviction horizon
+    * (O(users active within TTL)): an evicted user re-entering
+    * restarts at stage 1 — see [[timeModeFor]]. */
+  final class FunnelProcessor(ttl: TTLConfig = TTLConfig.NONE)
       extends StatefulProcessor[Long, FunnelEvent, FunnelHit] {
     @transient private var st: ValueState[FunnelState] = _
     override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
       st = getHandle.getValueState[FunnelState]("funnel",
-        Encoders.product[FunnelState], TTLConfig.NONE)
+        Encoders.product[FunnelState], ttl)
     override def handleInputRows(user: Long, rows: Iterator[FunnelEvent],
         tv: TimerValues): Iterator[FunnelHit] = {
       var s = if (st.exists()) st.get() else FunnelState(-1L, -1L, -1L)
@@ -261,13 +274,14 @@ object StatefulOps {
     * [[FunnelProcessor]]. Requires the RocksDB state store provider
     * (transformWithState's contract). */
   def streamingFunnel(events: Dataset[FunnelEvent],
-      watermark: String = "1 hour"): Dataset[FunnelHit] = {
+      watermark: String = "1 hour",
+      ttl: TTLConfig = TTLConfig.NONE): Dataset[FunnelHit] = {
     import events.sparkSession.implicits._
     events
       .withWatermark("ts", watermark)
       .groupByKey(_.user_id)
-      .transformWithState(new FunnelProcessor,
-        TimeMode.None(), OutputMode.Append())
+      .transformWithState(new FunnelProcessor(ttl),
+        timeModeFor(ttl), OutputMode.Append())
   }
 
   case class TouchEvent(event_id: Long, user_id: Long, event_type: String,
@@ -295,15 +309,16 @@ object StatefulOps {
     * semantics as the batch ignore-nulls `last()` over the trailing
     * ROWS frame when events replay in (time, id) order (asserted
     * row-identical in StatefulOpsSpec); state is O(users) × one
-    * struct, the smallest possible — same lateness/eviction caveat as
-    * [[FunnelProcessor]]. */
-  final class AttributionProcessor
+    * struct, the smallest possible — same lateness caveat and TTL
+    * bound as [[FunnelProcessor]] (an evicted user's next purchase
+    * simply finds no touch to credit). */
+  final class AttributionProcessor(ttl: TTLConfig = TTLConfig.NONE)
       extends StatefulProcessor[Long, TouchEvent, AttributionHit] {
     private val MaxLagUs = 3600L * 1000000L
     @transient private var st: ValueState[TouchState] = _
     override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
       st = getHandle.getValueState[TouchState]("touch",
-        Encoders.product[TouchState], TTLConfig.NONE)
+        Encoders.product[TouchState], ttl)
     override def handleInputRows(user: Long, rows: Iterator[TouchEvent],
         tv: TimerValues): Iterator[AttributionHit] = {
       var s = if (st.exists()) st.get() else null
@@ -325,13 +340,14 @@ object StatefulOps {
   /** Watermarked streaming last-touch attribution — see
     * [[AttributionProcessor]]. RocksDB state store required. */
   def streamingAttribution(events: Dataset[TouchEvent],
-      watermark: String = "1 hour"): Dataset[AttributionHit] = {
+      watermark: String = "1 hour",
+      ttl: TTLConfig = TTLConfig.NONE): Dataset[AttributionHit] = {
     import events.sparkSession.implicits._
     events
       .withWatermark("ts", watermark)
       .groupByKey(_.user_id)
-      .transformWithState(new AttributionProcessor,
-        TimeMode.None(), OutputMode.Append())
+      .transformWithState(new AttributionProcessor(ttl),
+        timeModeFor(ttl), OutputMode.Append())
   }
 
   case class RetentionEvent(user_id: Long, ts: java.sql.Timestamp)
@@ -344,21 +360,30 @@ object StatefulOps {
   /** The incremental twin of batch cohort retention
     * (`EventOps.qRetention`): per-user state is the cohort day (day of
     * first event) plus a BITMASK of week offsets already credited —
-    * two longs per user, the smallest possible, covering a 64-week
-    * horizon (beyond that, swap the mask for `MapState` keyed by week;
-    * the emit-once contract is unchanged). Each (user, week) cell
-    * emits exactly once, so the streaming cell counts equal the batch
-    * COUNT(DISTINCT user) per (cohort_day, week_offset) under
-    * in-order replay (asserted in StatefulOpsSpec). Same
-    * lateness/eviction caveat as [[FunnelProcessor]]; events earlier
-    * than the recorded cohort day are dropped (see below). */
-  final class RetentionProcessor
+    * two longs per user for the common case. Weeks 0–63 live in the
+    * mask; weeks BEYOND the 64-week mask horizon (a years-long stream)
+    * spill into a `MapState` keyed by week offset, so no cell is ever
+    * dropped and no data-dependent assert can kill the query — the
+    * emit-once contract holds across the whole stream lifetime, with
+    * map entries only for the rare far-horizon weeks. Each
+    * (user, week) cell emits exactly once, so the streaming cell
+    * counts equal the batch COUNT(DISTINCT user) per
+    * (cohort_day, week_offset) under in-order replay (asserted in
+    * StatefulOpsSpec). Same lateness caveat and TTL bound as
+    * [[FunnelProcessor]] (an evicted user re-anchors their cohort at
+    * the next event); events earlier than the recorded cohort day are
+    * dropped (see below). */
+  final class RetentionProcessor(ttl: TTLConfig = TTLConfig.NONE)
       extends StatefulProcessor[Long, RetentionEvent, RetentionHit] {
     private val DayUs = 86400000000L
     @transient private var st: ValueState[RetentionState] = _
-    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    @transient private var farWeeks: MapState[Long, Boolean] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
       st = getHandle.getValueState[RetentionState]("retention",
-        Encoders.product[RetentionState], TTLConfig.NONE)
+        Encoders.product[RetentionState], ttl)
+      farWeeks = getHandle.getMapState[Long, Boolean]("farWeeks",
+        Encoders.scalaLong, Encoders.scalaBoolean, ttl)
+    }
     override def handleInputRows(user: Long, rows: Iterator[RetentionEvent],
         tv: TimerValues): Iterator[RetentionHit] = {
       var s = if (st.exists()) st.get() else null
@@ -372,9 +397,13 @@ object StatefulOps {
         // reach the shift below (1L << -1 wraps to bit 63)
         if (day >= s.cohort) {
           val week = (day - s.cohort) / 7
-          require(week < 64, s"retention horizon: week $week >= 64; use MapState")
-          if ((s.weeksMask & (1L << week)) == 0L) {
-            s = s.copy(weeksMask = s.weeksMask | (1L << week))
+          if (week < 64) {
+            if ((s.weeksMask & (1L << week)) == 0L) {
+              s = s.copy(weeksMask = s.weeksMask | (1L << week))
+              out += RetentionHit(user, s.cohort, week)
+            }
+          } else if (!farWeeks.containsKey(week)) {
+            farWeeks.updateValue(week, true)
             out += RetentionHit(user, s.cohort, week)
           }
         }
@@ -387,13 +416,14 @@ object StatefulOps {
   /** Watermarked streaming cohort retention — see
     * [[RetentionProcessor]]. RocksDB state store required. */
   def streamingRetention(events: Dataset[RetentionEvent],
-      watermark: String = "1 hour"): Dataset[RetentionHit] = {
+      watermark: String = "1 hour",
+      ttl: TTLConfig = TTLConfig.NONE): Dataset[RetentionHit] = {
     import events.sparkSession.implicits._
     events
       .withWatermark("ts", watermark)
       .groupByKey(_.user_id)
-      .transformWithState(new RetentionProcessor,
-        TimeMode.None(), OutputMode.Append())
+      .transformWithState(new RetentionProcessor(ttl),
+        timeModeFor(ttl), OutputMode.Append())
   }
 
   case class QuotaDoc(doc_id: Long, source: String, ts: java.sql.Timestamp)
@@ -407,12 +437,13 @@ object StatefulOps {
     * live crawl. State is one long per source (O(domains)); admission
     * is deterministic given the input order, so a checkpoint replay of
     * the same batches re-admits the same documents. */
-  final class QuotaProcessor(quotas: Map[String, Long], defaultQuota: Long)
+  final class QuotaProcessor(quotas: Map[String, Long], defaultQuota: Long,
+      ttl: TTLConfig = TTLConfig.NONE)
       extends StatefulProcessor[String, QuotaDoc, QuotaDoc] {
     @transient private var admitted: ValueState[Long] = _
     override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
       admitted = getHandle.getValueState[Long]("admitted",
-        Encoders.scalaLong, TTLConfig.NONE)
+        Encoders.scalaLong, ttl)
     override def handleInputRows(source: String, rows: Iterator[QuotaDoc],
         tv: TimerValues): Iterator[QuotaDoc] = {
       val quota = quotas.getOrElse(source, defaultQuota)
@@ -432,11 +463,12 @@ object StatefulOps {
   /** Quota-capped document stream — see [[QuotaProcessor]]. RocksDB
     * state store required. */
   def quotaSampled(docs: Dataset[QuotaDoc], quotas: Map[String, Long],
-      defaultQuota: Long = Long.MaxValue): Dataset[QuotaDoc] = {
+      defaultQuota: Long = Long.MaxValue,
+      ttl: TTLConfig = TTLConfig.NONE): Dataset[QuotaDoc] = {
     import docs.sparkSession.implicits._
     docs.groupByKey(_.source)
-      .transformWithState(new QuotaProcessor(quotas, defaultQuota),
-        TimeMode.None(), OutputMode.Append())
+      .transformWithState(new QuotaProcessor(quotas, defaultQuota, ttl),
+        timeModeFor(ttl), OutputMode.Append())
   }
 
   /** STREAMING near-dup filter: the incremental twin of the batch

@@ -395,6 +395,97 @@ class StatefulOpsSpec extends SparkSpec {
     }
   }
 
+  test("retention credits far-horizon weeks past the 64-week bitmask, emit-once") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      def at(day: Long) = StatefulOps.RetentionEvent(7L,
+        new Timestamp(day * 86400000L))
+      val in = MemoryStream[StatefulOps.RetentionEvent]
+      val q = StatefulOps.streamingRetention(in.toDS())
+        .writeStream.format("memory").queryName("retention_far_out")
+        .outputMode("append").start()
+      try {
+        // cohort at day 10; mask edge (week 63), first far week (64),
+        // a years-later week (200) — split across batches so the far
+        // weeks exercise MapState persistence, with duplicates that
+        // must NOT re-emit
+        in.addData(at(10), at(10 + 63 * 7), at(10 + 64 * 7))
+        q.processAllAvailable()
+        in.addData(at(10 + 64 * 7 + 1), at(10 + 200 * 7), at(10 + 200 * 7 + 2))
+        q.processAllAvailable()
+        val got = spark.table("retention_far_out").collect()
+          .map(r => (r.getLong(1), r.getLong(2))).sorted
+        assert(got.toSeq === Seq((10L, 0L), (10L, 63L), (10L, 64L), (10L, 200L)),
+          s"far-horizon cells wrong: ${got.toSeq}")
+      } finally q.stop()
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
+
+  test("state TTL bounds the funnel: an evicted user re-enters as new") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val ttl = org.apache.spark.sql.streaming.TTLConfig(
+        java.time.Duration.ofSeconds(1))
+      def ev(sec: Long, typ: String) = StatefulOps.FunnelEvent(42L, typ,
+        new Timestamp(1700000000000L + sec * 1000))
+      val in = MemoryStream[StatefulOps.FunnelEvent]
+      val q = StatefulOps.streamingFunnel(in.toDS(), ttl = ttl)
+        .writeStream.format("memory").queryName("funnel_ttl_out")
+        .outputMode("append").start()
+      // In processing-time mode the stateful operator requests a batch
+      // after every batch (the TTL clock must advance even without
+      // data), so processAllAvailable never settles — poll the sink
+      // for POSITIVE signals instead.
+      def hitsWithin(deadlineMs: Long, want: Int): Seq[(Int, Long)] = {
+        val t0 = System.currentTimeMillis()
+        var got = Seq.empty[(Int, Long)]
+        while (got.length < want && System.currentTimeMillis() - t0 < deadlineMs) {
+          Thread.sleep(100)
+          got = spark.table("funnel_ttl_out").collect()
+            .map(r => (r.getInt(1), r.getLong(0))).toSeq
+        }
+        got
+      }
+      try {
+        in.addData(ev(0, "view"))
+        assert(hitsWithin(30000, 1).map(_._1).sorted === Seq(1))
+        // state alive within the TTL: the click advances to stage 2
+        // (it could not without the view's state entry)
+        in.addData(ev(1, "click"))
+        assert(hitsWithin(30000, 2).map(_._1).sorted === Seq(1, 2))
+        // past the TTL the user's state is evicted — bounded state —
+        // and the next view re-enters the funnel at stage 1 (the
+        // documented eviction semantics). Without eviction this view
+        // would be suppressed and no third row could ever appear.
+        Thread.sleep(2500)
+        in.addData(ev(2, "view"))
+        val hits = hitsWithin(30000, 3)
+        assert(hits.map(_._1).sorted === Seq(1, 1, 2),
+          s"expected stage-1 re-entry after TTL eviction: $hits")
+      } finally q.stop()
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
+
   test("quota sampler admits first-N per source across batches, default for unmapped") {
     import spark.implicits._
     implicit val sc = spark.sqlContext
