@@ -27,37 +27,50 @@ import org.apache.spark.sql.types.{DecimalType, DoubleType}
   */
 object DedupOps {
 
-  /** Unpersists `cached` once the next successful/failed action on the
-    * session completes — the "onComplete" discipline for caches that a
-    * lazily-returned DataFrame still references. The query functions
+  private val cacheScopeIds = new java.util.concurrent.atomic.AtomicLong(0L)
+
+  /** Unpersists `cached` once the first action OVER THE RETURNED
+    * DataFrame completes — the "onComplete" discipline for caches that
+    * a lazily-returned DataFrame still references. The query functions
     * here persist a shingle relation that feeds several consumers of
     * ONE downstream result; the first action over that result is by
-    * construction the moment the cache has served its purpose (Verify,
-    * Bench and the specs all run exactly one action per built query).
-    * If some other action lands first (interactive session), the cache
-    * is dropped early and the plan silently recomputes — a perf
-    * pessimisation, never a correctness hazard. Listener delivery is
-    * async (Spark's listener bus), so release is near-immediate, not
-    * synchronous. This replaces the previous "caller must clearCache"
-    * contract, which leaked storage in long-lived sessions. */
+    * construction the moment the cache has served its purpose. The
+    * result is tagged with a unique SubqueryAlias and the listener
+    * fires only for a QueryExecution whose analyzed plan contains that
+    * alias (writes and counts wrap the plan, so this is a subtree
+    * check, not plan equality) — an UNRELATED action in an interactive
+    * session neither drops the cache early nor fires the listener, and
+    * listener lifetime is bounded to the query that created it.
+    * Listener delivery is async (Spark's listener bus), so release is
+    * near-immediate, not synchronous. This replaces the previous
+    * "caller must clearCache" contract, which leaked storage in
+    * long-lived sessions. */
   private[graft] def unpersistAfterFirstAction(result: DataFrame, cached: DataFrame*): DataFrame = {
     val spark = result.sparkSession
+    val tag = s"graft_cache_scope_${cacheScopeIds.incrementAndGet()}"
     val done = new java.util.concurrent.atomic.AtomicBoolean(false)
     lazy val listener: org.apache.spark.sql.util.QueryExecutionListener =
       new org.apache.spark.sql.util.QueryExecutionListener {
-        private def fire(): Unit = if (done.compareAndSet(false, true)) {
-          cached.foreach(_.unpersist(false))
-          spark.listenerManager.unregister(listener)
+        private def fire(qe: org.apache.spark.sql.execution.QueryExecution): Unit = {
+          val relevant = qe.analyzed.exists {
+            case s: org.apache.spark.sql.catalyst.plans.logical.SubqueryAlias =>
+              s.identifier.name == tag
+            case _ => false
+          }
+          if (relevant && done.compareAndSet(false, true)) {
+            cached.foreach(_.unpersist(false))
+            spark.listenerManager.unregister(listener)
+          }
         }
         override def onSuccess(funcName: String,
             qe: org.apache.spark.sql.execution.QueryExecution,
-            durationNs: Long): Unit = fire()
+            durationNs: Long): Unit = fire(qe)
         override def onFailure(funcName: String,
             qe: org.apache.spark.sql.execution.QueryExecution,
-            exception: Exception): Unit = fire()
+            exception: Exception): Unit = fire(qe)
       }
     spark.listenerManager.register(listener)
-    result
+    result.as(tag)
   }
 
   /** Distinct word-3-gram shingles per document, one row per
@@ -84,6 +97,16 @@ object DedupOps {
       |  FROM (SELECT doc_id, string_split(text, ' ') AS ts FROM documents) t,
       |       unnest(generate_series(1, len(ts)-2)) AS u(g))""".stripMargin
 
+  /** Session conf gating 64-bit hashed shuffle keys in [[jaccardPairs]].
+    * Measured at sf0.1 local[32] (NOTES_r5): string keys 2.60 s vs
+    * hashed 2.40 s (~8%) — the md5/xxhash cost mostly offsets the
+    * narrower shuffle when the "network" is memory. On a real cluster
+    * the shuffle crosses a network and the trade likely flips, so the
+    * knob ships OFF by default with both paths oracle-equal
+    * (DedupSpec asserts flag-on == flag-off on the fixture; a 64-bit
+    * collision is the only possible divergence, ~n²/2⁶⁴). */
+  val ShingleHashKeysConf = "spark.graft.shingleHashJoinKeys"
+
   /** Exact-Jaccard pairs from a (doc_id, shingle) relation: inverted-
     * index join + per-pair intersection count. Returns
     * (a_id, b_id, inter, jaccard).
@@ -92,9 +115,17 @@ object DedupOps {
     * [[unpersistAfterFirstAction]] as soon as the first action over the
     * returned pairs completes — no caller-side clearCache contract. */
   def jaccardPairs(sh0: DataFrame): DataFrame = {
+    // optional narrow shuffle keys for cluster deployments (see
+    // ShingleHashKeysConf): per-doc distinct counts and pair
+    // intersection counts are invariant under any injective key
+    // mapping, so hashing before the joins changes bytes, not results
+    val hashed =
+      if (sh0.sparkSession.conf.getOption(ShingleHashKeysConf).contains("true"))
+        sh0.withColumn("shingle", xxhash64(col("shingle")))
+      else sh0
     // sh feeds the per-doc counts and BOTH sides of the inverted-index
     // self-join — persist so the (exploded) relation is computed once
-    val sh = sh0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sh = hashed.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val counts = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val pairs = sh.as("a")
       .join(sh.as("b"),
@@ -818,13 +849,13 @@ object DedupOps {
       |  vec_id = cluster_id AS is_canonical
       |FROM comp ORDER BY vec_id""".stripMargin
 
-  /** ANN-mined candidate edges by MULTI-TABLE sign-LSH: `tables` hash
-    * tables, table t keyed by the sign pattern of dimensions
-    * [4t, 4t+4); a pair is a candidate if it shares a bucket in ANY
-    * table, and every candidate then verifies at cosine ≥ `minCosine`.
-    * This is the production edge miner for semantic clustering:
+  /** ANN-mined candidate edges by MULTI-TABLE sign-LSH: L hash tables,
+    * table t keyed by the sign pattern of dimensions [kt, kt+k); a
+    * pair is a candidate if it shares a bucket in ANY table, and every
+    * candidate then verifies at cosine ≥ `minCosine`. This is the
+    * production edge miner for semantic clustering:
     *   - each table's bucket equi-join bounds pair generation to
-    *     Σ_b |bucket(b)|² — 1/2^planes of the all-pairs matrix;
+    *     Σ_b |bucket(b)|² — 1/2^k of the all-pairs matrix;
     *   - candidates are distinct'd on (a_id, b_id) BEFORE vectors are
     *     re-joined, so a pair colliding in several tables pays one dot
     *     product and the wide vector columns never ride the pair
@@ -832,13 +863,30 @@ object DedupOps {
     *   - precision is exact by construction (every edge passes the
     *     same cosine test as the exact miner); recall is the standard
     *     1-(1-p^k)^L ladder — more TABLES, never bigger buckets, is
-    *     the recall knob (measured ≥0.6 at cosine 0.4 on the fixture,
-    *     floor-pinned in ComponentsSpec). */
-  def annCosinePairs(e: DataFrame, minCosine: Double = 0.4, tables: Int = 6): DataFrame = {
-    def tblKey(t: Int): Column = concat((1 to 4).map(i =>
-      when(element_at(col("v"), t * 4 + i) >= 0, "1").otherwise("0")): _*)
-    val bk = e.select(col("vec_id"),
-      posexplode(array((0 until tables).map(tblKey): _*)).as(Seq("tbl", "bucket")))
+    *     the recall knob (floor-pinned in ComponentsSpec at two scale
+    *     factors).
+    *
+    * GEOMETRY SCALES WITH THE CORPUS (the occupancy knob): planes per
+    * table default to k = clamp(4, 10, ceil(log2(ceil(n/64)))) — one
+    * count() of the input picks k so expected bucket occupancy stays
+    * ~64 vectors regardless of n, keeping the within-bucket join
+    * n·occupancy, never O(n²/2^4) with a fixed width. The table count
+    * then fills the embedding dimensions (L = 64/k disjoint dimension
+    * groups), so raising k never shrinks the total recall ladder below
+    * what the dims support. Both knobs stay overridable; the DuckDB
+    * oracle reproduces the same k/L rule from COUNT(*), bit-for-bit
+    * (integer bit-length arithmetic on both sides — no float log2
+    * edge cases). Beyond n = 64·2¹⁰ vectors per 64-dim space, raise
+    * `tables` over md5-derived random hyperplanes instead — the
+    * disjoint-dims scheme is exhausted at k=10. Bucket occupancy is
+    * spec-bounded (≤ 2·n/2^k on the 4× fixture, ComponentsSpec). */
+  def annCosinePairs(e: DataFrame, minCosine: Double = 0.4, tables: Int = 0,
+      planesPerTable: Int = 0): DataFrame = {
+    val k = if (planesPerTable > 0) planesPerTable else signLshPlanes(e.count())
+    val nTables = if (tables > 0) tables else 64 / k
+    require(nTables * k <= 64,
+      s"sign-LSH geometry: $nTables tables x $k planes exceeds 64 dims")
+    val bk = signLshBuckets(e, k, nTables)
     val cand = bk.as("a")
       .join(bk.as("b"),
         col("a.tbl") === col("b.tbl") && col("a.bucket") === col("b.bucket") &&
@@ -851,6 +899,27 @@ object DedupOps {
       .withColumn("cosine", dot(col("va"), col("vb")) / (col("na") * col("nb")))
       .filter(col("cosine") >= minCosine)
       .select(col("a_id"), col("b_id"))
+  }
+
+  /** Planes per sign-LSH table for an `n`-vector corpus:
+    * clamp(4, 10, ceil(log2(ceil(n/64)))) — expected bucket occupancy
+    * ~64 at any scale. ceil(log2(m)) computed as bit_length(m-1) in
+    * pure integer arithmetic so the DuckDB oracle (LENGTH(bin(m-1)))
+    * agrees bit-for-bit, with no float-log2 boundary cases. */
+  private[graft] def signLshPlanes(n: Long): Int = {
+    val m = (n + 63L) / 64L
+    val raw = if (m <= 1L) 0 else 64 - java.lang.Long.numberOfLeadingZeros(m - 1L)
+    math.max(4, math.min(10, raw))
+  }
+
+  /** (vec_id, tbl, bucket) sign-LSH bucket assignments: table t keyed
+    * by the sign pattern of dimensions [kt, kt+k) of `v` (1-indexed
+    * element_at). Shared by [[annCosinePairs]] and the occupancy spec. */
+  private[graft] def signLshBuckets(e: DataFrame, k: Int, nTables: Int): DataFrame = {
+    def tblKey(t: Int): Column = concat((1 to k).map(i =>
+      when(element_at(col("v"), t * k + i) >= 0, "1").otherwise("0")): _*)
+    e.select(col("vec_id"),
+      posexplode(array((0 until nTables).map(tblKey): _*)).as(Seq("tbl", "bucket")))
   }
 
   /** [[qDedupSemanticClusters]] with the edge set mined by the
@@ -874,13 +943,16 @@ object DedupOps {
     """WITH RECURSIVE
       |e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
       |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+      |kk AS (
+      |  SELECT k, 64 // k AS ntab FROM (
+      |    SELECT GREATEST(4, LEAST(10,
+      |      CASE WHEN m <= 1 THEN 0 ELSE LENGTH(bin(m - 1)) END)) AS k
+      |    FROM (SELECT (COUNT(*) + 63) // 64 AS m FROM e) mm) kx),
       |bk AS (
       |  SELECT vec_id, t.t AS tbl,
-      |    (CASE WHEN v[t.t*4+1] >= 0 THEN '1' ELSE '0' END ||
-      |     CASE WHEN v[t.t*4+2] >= 0 THEN '1' ELSE '0' END ||
-      |     CASE WHEN v[t.t*4+3] >= 0 THEN '1' ELSE '0' END ||
-      |     CASE WHEN v[t.t*4+4] >= 0 THEN '1' ELSE '0' END) AS bucket
-      |  FROM n, (SELECT unnest(generate_series(0, 5)) AS t) t),
+      |    array_to_string([CASE WHEN v[t.t*k + i] >= 0 THEN '1' ELSE '0' END
+      |                     FOR i IN generate_series(1, k)], '') AS bucket
+      |  FROM n, kk, unnest(generate_series(0, (SELECT ntab - 1 FROM kk))) AS t(t)),
       |cand AS (
       |  SELECT DISTINCT a.vec_id AS a_id, b.vec_id AS b_id
       |  FROM bk a JOIN bk b
