@@ -37,8 +37,30 @@ object CorpusPipeline {
   private val MinShingleHits = 5
 
   def qPipelineCorpus(spark: SparkSession, sfDir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val docs = Tables.documents(spark, sfDir)
+    // the one shingle explode, shared by near-dup mining and
+    // decontamination (released after the query's first action)
+    val sh = bucketedShingles(docs)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val (result, caches) = stages(docs, sh)
+    DedupOps.unpersistAfterFirstAction(result, (sh +: caches): _*)
+  }
+
+  /** The bucketed (doc_id, shingle, bucket) relation the pipeline
+    * explodes once — exposed so the warm-composition spec can
+    * materialize it up front, exactly as a platform deployment would. */
+  private[graft] def bucketedShingles(docs: DataFrame): DataFrame =
+    DedupOps.shingles(docs).withColumn("bucket", SamplingOps.bucket100("doc_id"))
+
+  /** The five composed stages over an already-scanned corpus and an
+    * already-exploded (doc_id, shingle, bucket) relation. Split out so
+    * the WARM-COMPOSITION cost — what the pipeline adds on top of
+    * relations a platform team would have materialized anyway — is
+    * measurable separately from the cold scan+explode
+    * (CorpusPipelineSpec times both; NOTES_r6 records the split).
+    * Returns (result, internal persists the caller must release). */
+  private[graft] def stages(docs: DataFrame, sh: DataFrame): (DataFrame, Seq[DataFrame]) = {
+    import org.apache.spark.sql.expressions.Window
 
     // stage 1+2: quality/language gate + exact dedup (min doc_id per
     // content fingerprint, computed over ALL docs as in qQualityPipeline)
@@ -51,12 +73,6 @@ object CorpusPipeline {
         col("predicted_lang") === col("lang"))
       .join(canonical, col("doc_id") === col("keep_id"))
       .select(col("doc_id"), col("source"), col("bucket"))
-
-    // the one shingle explode, shared by near-dup mining and
-    // decontamination (released after the query's first action)
-    val sh = DedupOps.shingles(docs)
-      .withColumn("bucket", SamplingOps.bucket100("doc_id"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     // stage 3: near-dup removal among the clean TRAIN docs — df-capped
     // jaccard (same cap and threshold as dedup_jaccard_capped), drop
@@ -104,13 +120,12 @@ object CorpusPipeline {
       .select("source", "quota")
     val w = Window.partitionBy(col("source"))
       .orderBy(md5(col("doc_id").cast("string").cast("binary")), col("doc_id"))
-    DedupOps.unpersistAfterFirstAction(
-      survivors.withColumn("rn", row_number().over(w))
-        .join(broadcast(quotas), "source")
-        .filter(col("rn") <= col("quota"))
-        .select("doc_id", "source", "rn", "quota")
-        .orderBy("source", "rn"),
-      sh, cleanTrain)
+    val result = survivors.withColumn("rn", row_number().over(w))
+      .join(broadcast(quotas), "source")
+      .filter(col("rn") <= col("quota"))
+      .select("doc_id", "source", "rn", "quota")
+      .orderBy("source", "rn")
+    (result, Seq(cleanTrain))
   }
 
   val qPipelineCorpusOracle: String =
