@@ -66,4 +66,22 @@ object VectorFunctions {
 
   /** L2 norm via the same codegen'd kernel. */
   def l2Norm(v: Column): Column = sqrt(dot(v, v))
+
+  /** Spark's runtime-filter bloom sketch as an explicit aggregate:
+    * folds xxhash64'd values into one binary bloom filter
+    * (`BloomFilterAggregate` — the expression
+    * `spark.sql.optimizer.runtime.bloomFilter` injects), exposed for
+    * plans where the optimizer cannot see the opportunity itself. */
+  def bloomFilterAgg(hashed: Column, expectedItems: Long): Column =
+    GraftBridge.column(
+      new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(
+        GraftBridge.expression(hashed), expectedItems).toAggregateExpression())
+
+  /** Codegen'd bloom membership probe. `sketch` must be a constant or
+    * scalar-subquery Column (e.g. `benchAgg.scalar()`) — the engine
+    * executes the subquery once and embeds the bits in the probe. */
+  def bloomMightContain(sketch: Column, hashed: Column): Column =
+    GraftBridge.column(
+      org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+        GraftBridge.expression(sketch), GraftBridge.expression(hashed)))
 }

@@ -267,11 +267,60 @@ object SamplingOps {
       |  round(SUM(psi_term) OVER (), 6) AS psi_total
       |FROM terms ORDER BY bin""".stripMargin
 
+  /** [[qDecontaminate]] with a BLOOM-SKETCH pre-filter — the 100 TB
+    * shape of decontamination. The exact variant shuffles the FULL
+    * train shingle explode into the bench join; here the bench shingle
+    * set (the holdout slice — a fraction of the corpus) is folded
+    * map-side into one `BloomFilterAggregate` sketch (megabytes of
+    * bits regardless of corpus size), delivered to every train
+    * partition as a scalar subquery, and the train explode is
+    * pre-filtered MAP-SIDE by the codegen'd `BloomFilterMightContain`
+    * probe — Spark's own runtime-filter machinery (the same expressions
+    * `spark.sql.optimizer.runtime.bloomFilter` injects), wired
+    * explicitly where the optimizer cannot see the opportunity (the
+    * contamination join is many-to-many on an exploded relation, not a
+    * star-schema key join).
+    *
+    * A bloom filter has NO false negatives, so phase 2 — the exact
+    * join + distinct-count agg, identical to [[qDecontaminate]] — sees
+    * every true hit and returns the exact answer; false positives only
+    * add candidate rows the join then drops. Same oracle, full
+    * hash-match. At 100 TB the join input shrinks from O(corpus
+    * shingles) to O(true hits + fpp·corpus): the difference between
+    * shuffling the corpus and shuffling a rounding error. xxhash64 on
+    * BOTH the insert and probe sides — the sketch stores hashes, so
+    * the two sides must agree. */
+  def qDecontaminateBloom(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.functions.VectorFunctions.{bloomFilterAgg, bloomMightContain}
+    val sh = DedupOps.shingles(Tables.documents(spark, sfDir))
+      .withColumn("bucket", bucket100("doc_id"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val train = sh.filter(col("bucket") < 80).select("doc_id", "shingle")
+    val bench = sh.filter(col("bucket") >= 90)
+      .select(col("doc_id").as("bench_id"), col("shingle"))
+    // one-row binary sketch of the bench shingle set, sized for ~1M
+    // distinct shingles (the fixture holds far fewer; at production
+    // scale size from table stats — oversizing only costs bits)
+    val sketch = bench.agg(bloomFilterAgg(xxhash64(col("shingle")), 1000000L).as("bf"))
+    val candidates = train.filter(
+      bloomMightContain(sketch.scalar(), xxhash64(col("shingle"))))
+    DedupOps.unpersistAfterFirstAction(
+      candidates.join(bench, "shingle")
+        .groupBy(col("doc_id"))
+        .agg(
+          countDistinct(col("shingle")).as("n_shingle_hits"),
+          countDistinct(col("bench_id")).as("n_bench_docs"))
+        .withColumn("contaminated", col("n_shingle_hits") >= 5)
+        .orderBy(col("doc_id")),
+      sh)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sample_drift_psi" -> (qDriftPsi _),
     "sample_split" -> (qSampleSplit _),
     "sample_balance_classes" -> (qBalanceClasses _),
     "sample_decontaminate" -> (qDecontaminate _),
+    "sample_decontaminate_bloom" -> (qDecontaminateBloom _),
     "sample_mixture" -> (qMixtureSample _),
     "sample_importance" -> (qImportanceSample _))
 
@@ -280,6 +329,10 @@ object SamplingOps {
     "sample_split" -> qSampleSplitOracle,
     "sample_balance_classes" -> qBalanceClassesOracle,
     "sample_decontaminate" -> qDecontaminateOracle,
+    // the bloom pre-filter is exact-by-construction (no false
+    // negatives; the confirm join drops false positives), so the
+    // bloom variant shares the exact twin's oracle verbatim
+    "sample_decontaminate_bloom" -> qDecontaminateOracle,
     "sample_mixture" -> qMixtureSampleOracle,
     "sample_importance" -> qImportanceSampleOracle)
 }

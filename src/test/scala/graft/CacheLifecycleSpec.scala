@@ -43,6 +43,7 @@ class CacheLifecycleSpec extends SparkSpec with Eventually {
     assert(newPersistsAfterRunning("dedup_incremental").isEmpty)
     assert(newPersistsAfterRunning("dedup_span_coverage").isEmpty)
     assert(newPersistsAfterRunning("sample_decontaminate").isEmpty)
+    assert(newPersistsAfterRunning("sample_decontaminate_bloom").isEmpty)
     assert(newPersistsAfterRunning("text_tfidf").isEmpty)
   }
 

@@ -372,6 +372,17 @@ class PipelineOpsSpec extends SparkSpec {
     } finally spark.conf.unset(DedupOps.ShingleHashKeysConf)
   }
 
+  test("bloom decontamination equals the exact twin; map-side probe pinned in plan") {
+    // no false negatives: the sketch pre-filter + exact confirm join
+    // must return byte-identical rows to the full-shuffle variant
+    val exact = SparkEntry.queries("sample_decontaminate")(spark, sf).collect().toSeq
+    val bloom = SparkEntry.queries("sample_decontaminate_bloom")(spark, sf)
+    val plan = bloom.queryExecution.executedPlan.toString
+    assert(plan.contains("might_contain"),
+      s"bloom probe missing from the physical plan:\n$plan")
+    assert(bloom.collect().toSeq === exact)
+  }
+
   test("warm composition: cached corpus+shingles cut the pipeline to its marginal cost") {
     import graft.operators.CorpusPipeline
     def timed[A](f: => A): (A, Double) = {
