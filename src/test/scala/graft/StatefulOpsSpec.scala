@@ -440,7 +440,7 @@ class StatefulOpsSpec extends SparkSpec {
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
     try {
       val ttl = org.apache.spark.sql.streaming.TTLConfig(
-        java.time.Duration.ofSeconds(1))
+        java.time.Duration.ofSeconds(2))
       def ev(sec: Long, typ: String) = StatefulOps.FunnelEvent(42L, typ,
         new Timestamp(1700000000000L + sec * 1000))
       val in = MemoryStream[StatefulOps.FunnelEvent]
@@ -462,17 +462,16 @@ class StatefulOpsSpec extends SparkSpec {
         got
       }
       try {
-        in.addData(ev(0, "view"))
-        assert(hitsWithin(30000, 1).map(_._1).sorted === Seq(1))
-        // state alive within the TTL: the click advances to stage 2
-        // (it could not without the view's state entry)
-        in.addData(ev(1, "click"))
+        // view and click land in ONE batch: state cannot be evicted
+        // mid-batch, so the stage-2 advance shows state alive without
+        // racing the TTL clock under suite load
+        in.addData(ev(0, "view"), ev(1, "click"))
         assert(hitsWithin(30000, 2).map(_._1).sorted === Seq(1, 2))
         // past the TTL the user's state is evicted — bounded state —
         // and the next view re-enters the funnel at stage 1 (the
         // documented eviction semantics). Without eviction this view
         // would be suppressed and no third row could ever appear.
-        Thread.sleep(2500)
+        Thread.sleep(5000)
         in.addData(ev(2, "view"))
         val hits = hitsWithin(30000, 3)
         assert(hits.map(_._1).sorted === Seq(1, 1, 2),
