@@ -284,6 +284,72 @@ object StatefulOps {
         timeModeFor(ttl), OutputMode.Append())
   }
 
+  /** EVENT-TIME twin of the funnel's TTL bound: instead of a
+    * processing-time TTL, each user carries ONE armed event-time timer
+    * at (last activity + horizon); when the WATERMARK proves the user
+    * has been inactive that long, the timer fires and the state is
+    * cleared — eviction keyed to the data's own clock, deterministic
+    * under replay (a reprocessed stream evicts at the same points,
+    * which a wall-clock TTL cannot promise). State is O(users active
+    * within the horizon) plus one timer each. Trade-off vs the TTL
+    * variant: event-time mode applies Spark's late-record filtering,
+    * so events at or below the watermark never reach the processor —
+    * the right contract for an analytics funnel, stricter than the
+    * TTL twin's accept-anything behavior. */
+  final class FunnelProcessorEventTime(horizonMs: Long)
+      extends StatefulProcessor[Long, FunnelEvent, FunnelHit] {
+    @transient private var st: ValueState[FunnelState] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      st = getHandle.getValueState[FunnelState]("funnel",
+        Encoders.product[FunnelState], TTLConfig.NONE)
+    override def handleInputRows(user: Long, rows: Iterator[FunnelEvent],
+        tv: TimerValues): Iterator[FunnelHit] = {
+      var s = if (st.exists()) st.get() else FunnelState(-1L, -1L, -1L)
+      val out = scala.collection.mutable.ArrayBuffer[FunnelHit]()
+      var lastMs = Long.MinValue
+      rows.toSeq.sortBy(e => micros(e.ts)).foreach { e =>
+        lastMs = math.max(lastMs, e.ts.getTime)
+        val tus = micros(e.ts)
+        e.event_type match {
+          case "view" if s.t1 < 0 =>
+            s = s.copy(t1 = tus); out += FunnelHit(user, 1, tus)
+          case "click" if s.t1 >= 0 && s.t2 < 0 && tus > s.t1 =>
+            s = s.copy(t2 = tus); out += FunnelHit(user, 2, tus)
+          case "purchase" if s.t2 >= 0 && s.t3 < 0 && tus > s.t2 =>
+            s = s.copy(t3 = tus); out += FunnelHit(user, 3, tus)
+          case _ =>
+        }
+      }
+      st.update(s)
+      // one armed timer per user: re-arm the inactivity deadline at
+      // each batch the user appears in (delete-then-register keeps it
+      // single); clamp above the current watermark — an already-passed
+      // deadline must still fire, on the very next batch
+      getHandle.listTimers().foreach(t => getHandle.deleteTimer(t))
+      getHandle.registerTimer(
+        math.max(lastMs + horizonMs, tv.getCurrentWatermarkInMs() + 1))
+      out.iterator
+    }
+    override def handleExpiredTimer(user: Long, tv: TimerValues,
+        info: org.apache.spark.sql.streaming.ExpiredTimerInfo): Iterator[FunnelHit] = {
+      st.clear()
+      Iterator.empty
+    }
+  }
+
+  /** [[streamingFunnel]] with event-time inactivity eviction — see
+    * [[FunnelProcessorEventTime]]. RocksDB state store required. */
+  def streamingFunnelEventTime(events: Dataset[FunnelEvent],
+      watermark: String = "1 hour", horizonMs: Long = 86400000L)
+      : Dataset[FunnelHit] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", watermark)
+      .groupByKey(_.user_id)
+      .transformWithState(new FunnelProcessorEventTime(horizonMs),
+        TimeMode.EventTime(), OutputMode.Append())
+  }
+
   case class TouchEvent(event_id: Long, user_id: Long, event_type: String,
       ts: java.sql.Timestamp)
   case class AttributionHit(purchase_id: Long, touch_id: Long, latency_us: Long)

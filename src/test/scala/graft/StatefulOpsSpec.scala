@@ -485,6 +485,56 @@ class StatefulOpsSpec extends SparkSpec {
     }
   }
 
+  test("event-time timers evict idle funnel users at the watermark, deterministically") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val T0 = 1700000000000L
+      val Hour = 3600000L
+      def ev(user: Long, offMs: Long, typ: String) =
+        StatefulOps.FunnelEvent(user, typ, new Timestamp(T0 + offMs))
+      val in = MemoryStream[StatefulOps.FunnelEvent]
+      // zero watermark delay: eviction points depend only on EVENT
+      // time, so the whole test is sleep-free and replay-deterministic
+      val q = StatefulOps.streamingFunnelEventTime(in.toDS(),
+        watermark = "0 seconds", horizonMs = Hour)
+        .writeStream.format("memory").queryName("funnel_et_out")
+        .outputMode("append").start()
+      try {
+        // user 7 enters and clicks; user 9 enters
+        in.addData(ev(7, 0, "view"), ev(7, 1000, "click"), ev(9, 0, "view"))
+        q.processAllAvailable()
+        // user 9 clicks within the horizon: state alive -> stage 2.
+        // This also drives the watermark to +30min (< both deadlines).
+        in.addData(ev(9, 30 * 60000, "click"))
+        q.processAllAvailable()
+        // watermark jumps to +3h: both users' inactivity deadlines
+        // (last activity + 1h) pass -> timers fire, state cleared
+        in.addData(ev(8, 3 * Hour, "view"))
+        q.processAllAvailable()
+        // user 7 re-enters: a fresh stage-1 hit proves eviction (with
+        // state alive this view would be suppressed); the purchase
+        // cannot fire — the old click state is gone
+        in.addData(ev(7, 3 * Hour + 60000, "purchase"),
+          ev(7, 3 * Hour + 120000, "view"))
+        q.processAllAvailable()
+        val got = spark.table("funnel_et_out").collect()
+          .map(r => (r.getLong(0), r.getInt(1))).sorted.toSeq
+        assert(got === Seq((7L, 1), (7L, 1), (7L, 2), (8L, 1), (9L, 1), (9L, 2)),
+          s"unexpected hits: $got")
+      } finally q.stop()
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
+
   test("quota sampler admits first-N per source across batches, default for unmapped") {
     import spark.implicits._
     implicit val sc = spark.sqlContext
