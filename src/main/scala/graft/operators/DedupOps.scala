@@ -882,6 +882,9 @@ object DedupOps {
     * spec-bounded (≤ 2·n/2^k on the 4× fixture, ComponentsSpec). */
   def annCosinePairs(e: DataFrame, minCosine: Double = 0.4, tables: Int = 0,
       planesPerTable: Int = 0): DataFrame = {
+    // the sizing count prunes to a COUNT(*) over the parquet footers
+    // (no column data read); at scale, pass planesPerTable explicitly
+    // or reuse a cached table-stats count
     val k = if (planesPerTable > 0) planesPerTable else signLshPlanes(e.count())
     val nTables = if (tables > 0) tables else 64 / k
     require(nTables * k <= 64,

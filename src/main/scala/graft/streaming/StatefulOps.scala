@@ -243,6 +243,30 @@ object StatefulOps {
     * seen). Pass a `ttl` to bound state to the eviction horizon
     * (O(users active within TTL)): an evicted user re-entering
     * restarts at stage 1 — see [[timeModeFor]]. */
+  /** The ordered-funnel transition shared by BOTH funnel processors:
+    * advance a stage only on an event STRICTLY AFTER the previous
+    * stage's entry — the batch query's conditional min-aggregate
+    * semantics. Folds `rows` (sorted by event time) into (state',
+    * emitted hits). */
+  private def advanceFunnel(user: Long, s0: FunnelState,
+      rows: Seq[FunnelEvent]): (FunnelState, Seq[FunnelHit]) = {
+    var s = s0
+    val out = scala.collection.mutable.ArrayBuffer[FunnelHit]()
+    rows.foreach { e =>
+      val tus = micros(e.ts)
+      e.event_type match {
+        case "view" if s.t1 < 0 =>
+          s = s.copy(t1 = tus); out += FunnelHit(user, 1, tus)
+        case "click" if s.t1 >= 0 && s.t2 < 0 && tus > s.t1 =>
+          s = s.copy(t2 = tus); out += FunnelHit(user, 2, tus)
+        case "purchase" if s.t2 >= 0 && s.t3 < 0 && tus > s.t2 =>
+          s = s.copy(t3 = tus); out += FunnelHit(user, 3, tus)
+        case _ =>
+      }
+    }
+    (s, out.toSeq)
+  }
+
   final class FunnelProcessor(ttl: TTLConfig = TTLConfig.NONE)
       extends StatefulProcessor[Long, FunnelEvent, FunnelHit] {
     @transient private var st: ValueState[FunnelState] = _
@@ -251,20 +275,9 @@ object StatefulOps {
         Encoders.product[FunnelState], ttl)
     override def handleInputRows(user: Long, rows: Iterator[FunnelEvent],
         tv: TimerValues): Iterator[FunnelHit] = {
-      var s = if (st.exists()) st.get() else FunnelState(-1L, -1L, -1L)
-      val out = scala.collection.mutable.ArrayBuffer[FunnelHit]()
-      rows.toSeq.sortBy(e => micros(e.ts)).foreach { e =>
-        val tus = micros(e.ts)
-        e.event_type match {
-          case "view" if s.t1 < 0 =>
-            s = s.copy(t1 = tus); out += FunnelHit(user, 1, tus)
-          case "click" if s.t1 >= 0 && s.t2 < 0 && tus > s.t1 =>
-            s = s.copy(t2 = tus); out += FunnelHit(user, 2, tus)
-          case "purchase" if s.t2 >= 0 && s.t3 < 0 && tus > s.t2 =>
-            s = s.copy(t3 = tus); out += FunnelHit(user, 3, tus)
-          case _ =>
-        }
-      }
+      val s0 = if (st.exists()) st.get() else FunnelState(-1L, -1L, -1L)
+      val (s, out) = advanceFunnel(user, s0,
+        rows.toSeq.sortBy(e => micros(e.ts)))
       st.update(s)
       out.iterator
     }
@@ -304,22 +317,10 @@ object StatefulOps {
         Encoders.product[FunnelState], TTLConfig.NONE)
     override def handleInputRows(user: Long, rows: Iterator[FunnelEvent],
         tv: TimerValues): Iterator[FunnelHit] = {
-      var s = if (st.exists()) st.get() else FunnelState(-1L, -1L, -1L)
-      val out = scala.collection.mutable.ArrayBuffer[FunnelHit]()
-      var lastMs = Long.MinValue
-      rows.toSeq.sortBy(e => micros(e.ts)).foreach { e =>
-        lastMs = math.max(lastMs, e.ts.getTime)
-        val tus = micros(e.ts)
-        e.event_type match {
-          case "view" if s.t1 < 0 =>
-            s = s.copy(t1 = tus); out += FunnelHit(user, 1, tus)
-          case "click" if s.t1 >= 0 && s.t2 < 0 && tus > s.t1 =>
-            s = s.copy(t2 = tus); out += FunnelHit(user, 2, tus)
-          case "purchase" if s.t2 >= 0 && s.t3 < 0 && tus > s.t2 =>
-            s = s.copy(t3 = tus); out += FunnelHit(user, 3, tus)
-          case _ =>
-        }
-      }
+      val s0 = if (st.exists()) st.get() else FunnelState(-1L, -1L, -1L)
+      val sorted = rows.toSeq.sortBy(e => micros(e.ts))
+      val lastMs = sorted.map(_.ts.getTime).max
+      val (s, out) = advanceFunnel(user, s0, sorted)
       st.update(s)
       // one armed timer per user: re-arm the inactivity deadline at
       // each batch the user appears in (delete-then-register keeps it

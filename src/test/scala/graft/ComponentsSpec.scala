@@ -109,6 +109,18 @@ class ComponentsSpec extends SparkSpec {
     }
   }
 
+  test("path doubling converges in O(log d) rounds on a 2048-node path graph") {
+    // a path graph is the adversarial diameter case. With the composed
+    // map (label ← label(label)) the loop needs ~log2(2048) = 11
+    // rounds; passing maxIter = 13 makes the bound a hard gate — a
+    // regression to constant-hop propagation (e.g. composing with a
+    // fixed pre-round map) would need ~2047 rounds and throw.
+    val pairs = (1L until 2048L).map(i => (i, i + 1))
+    val labels = labelsOf(DedupOps.connectedComponents(toDf(pairs), maxIter = 13))
+    assert(labels.values.toSet === Set(1L))
+    assert(labels.keySet === (1L to 2048L).toSet)
+  }
+
   test("ANN geometry scales planes with corpus size and bounds bucket occupancy") {
     // 4× fixture (sf0.1: 2000 vectors): ceil(n/64)=32 → k=5, 12 tables.
     // This is the scale knob the fixed-width miner lacked — expected
