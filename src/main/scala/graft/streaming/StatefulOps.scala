@@ -493,6 +493,70 @@ object StatefulOps {
         timeModeFor(ttl), OutputMode.Append())
   }
 
+  case class MetricEvent(event_id: Long, event_type: String, value: Double,
+      ts: java.sql.Timestamp)
+  /** An arriving metric flagged as an outlier against the running
+    * per-type statistics AT ARRIVAL TIME (prefix stats). */
+  case class OutlierHit(event_id: Long, event_type: String, value: Double,
+      z: Double)
+
+  private case class WelfordState(n: Long, mean: Double, m2: Double)
+
+  /** The incremental twin of the batch z-score outlier scan
+    * (`EventOps.qZscoreOutliers`): per-type running (count, mean, M2)
+    * maintained by WELFORD'S update — the numerically stable one-pass
+    * recurrence (naive Σx²−(Σx)² cancels catastrophically on a long
+    * stream; the batch twin dodges that with exact decimal sums, which
+    * a per-event state cell cannot afford). Each event is scored
+    * against the statistics of everything BEFORE it (score-then-update
+    * — the only decision a live detector can make; the batch twin sees
+    * the whole distribution, so flagged sets differ by design near the
+    * threshold), after a `minN` warm-up. State is one (n, mean, m2)
+    * triple per event type — O(types) scalars. Same TTL knob as the
+    * other twins. */
+  final class ZscoreProcessor(minN: Long, threshold: Double,
+      ttl: TTLConfig = TTLConfig.NONE)
+      extends StatefulProcessor[String, MetricEvent, OutlierHit] {
+    @transient private var st: ValueState[WelfordState] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      st = getHandle.getValueState[WelfordState]("welford",
+        Encoders.product[WelfordState], ttl)
+    override def handleInputRows(eventType: String, rows: Iterator[MetricEvent],
+        tv: TimerValues): Iterator[OutlierHit] = {
+      var s = if (st.exists()) st.get() else WelfordState(0L, 0.0, 0.0)
+      val out = scala.collection.mutable.ArrayBuffer[OutlierHit]()
+      rows.toSeq.sortBy(e => (micros(e.ts), e.event_id)).foreach { e =>
+        if (s.n >= minN) {
+          val sd = math.sqrt(s.m2 / s.n)
+          if (sd > 0) {
+            val z = (e.value - s.mean) / sd
+            if (math.abs(z) >= threshold)
+              out += OutlierHit(e.event_id, eventType, e.value, z)
+          }
+        }
+        val n1 = s.n + 1
+        val d = e.value - s.mean
+        val mean1 = s.mean + d / n1
+        s = WelfordState(n1, mean1, s.m2 + d * (e.value - mean1))
+      }
+      st.update(s)
+      out.iterator
+    }
+  }
+
+  /** Streaming z-score outlier detection — see [[ZscoreProcessor]].
+    * RocksDB state store required. */
+  def streamingZscoreOutliers(events: Dataset[MetricEvent],
+      watermark: String = "1 hour", minN: Long = 30, threshold: Double = 3.0,
+      ttl: TTLConfig = TTLConfig.NONE): Dataset[OutlierHit] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", watermark)
+      .groupByKey(_.event_type)
+      .transformWithState(new ZscoreProcessor(minN, threshold, ttl),
+        timeModeFor(ttl), OutputMode.Append())
+  }
+
   case class QuotaDoc(doc_id: Long, source: String, ts: java.sql.Timestamp)
 
   /** Streaming per-source QUOTA sampler — the ingest-side counterpart

@@ -485,6 +485,62 @@ class StatefulOpsSpec extends SparkSpec {
     }
   }
 
+  test("streaming Welford z-score matches a driver-side fold of the replayed fixture") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val fixture = Tables.events(spark, sf)
+        .select(col("event_id"), col("event_type"), col("value"), col("ts"))
+        .orderBy(col("ts"), col("event_id"))
+        .as[StatefulOps.MetricEvent]
+        .collect()
+      val (first, second) = fixture.splitAt(fixture.length / 2)
+      val in = MemoryStream[StatefulOps.MetricEvent]
+      val q = StatefulOps.streamingZscoreOutliers(in.toDS(), minN = 30)
+        .writeStream.format("memory").queryName("zscore_out")
+        .outputMode("append").start()
+      try {
+        in.addData(first.toSeq)
+        q.processAllAvailable()
+        in.addData(second.toSeq)
+        q.processAllAvailable()
+        val streamed = spark.table("zscore_out").collect()
+          .map(r => (r.getLong(0), r.getDouble(3))).toMap
+        // driver-side reference: the same score-then-update Welford
+        // fold in the same (ts, event_id) order — double-for-double
+        // identical arithmetic, so equality is EXACT, not approximate
+        val ref = scala.collection.mutable.Map[Long, Double]()
+        val stats = scala.collection.mutable.Map[String, (Long, Double, Double)]()
+        fixture.foreach { e =>
+          val (n, mean, m2) = stats.getOrElse(e.event_type, (0L, 0.0, 0.0))
+          if (n >= 30) {
+            val sd = math.sqrt(m2 / n)
+            if (sd > 0) {
+              val z = (e.value - mean) / sd
+              if (math.abs(z) >= 3.0) ref(e.event_id) = z
+            }
+          }
+          val n1 = n + 1
+          val d = e.value - mean
+          val mean1 = mean + d / n1
+          stats(e.event_type) = (n1, mean1, m2 + d * (e.value - mean1))
+        }
+        assert(streamed === ref.toMap,
+          s"diff: ${(streamed.toSet diff ref.toSet).take(3)} / ${(ref.toSet diff streamed.toSet).take(3)}")
+        assert(streamed.nonEmpty) // the fixture does contain outliers
+      } finally q.stop()
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
+
   test("event-time timers evict idle funnel users at the watermark, deterministically") {
     import spark.implicits._
     implicit val sc = spark.sqlContext
