@@ -25,8 +25,11 @@ import org.apache.spark.sql.functions._
   * The media table derives deterministically from `documents` (the
   * driver ships no binary table): payload = utf-8 bytes of `text`,
   * media_type cycles image/audio/video by doc_id. The derivation is
-  * SQL-expressible, so metadata/frame queries keep full DuckDB oracles;
-  * stub-decoded features are rows-only by contract.
+  * SQL-expressible, so EVERY query here carries a full DuckDB oracle —
+  * including the stub decode, whose byte math (histogram, mean,
+  * strided resize) DuckDB reproduces over `hex(encode(text))`. When a
+  * real codec replaces the stub, that one oracle reverts to rows-only;
+  * the Spark-side plumbing it verifies is unchanged.
   */
 object MultimodalOps {
 
@@ -109,8 +112,9 @@ object MultimodalOps {
 
   /** Decode + feature-extract over partitions of binary payloads: the
     * iterator shape gives one codec per partition and streaming memory
-    * (never materializes a partition of blobs). Feature values come
-    * from the stub codec → rows-only check (no SQL oracle by design). */
+    * (never materializes a partition of blobs). The stub codec's byte
+    * math is DuckDB-reproducible (see [[qDecodeFeaturesOracle]]), so
+    * even the mapPartitions path gets a full hash-match gate. */
   def qDecodeFeatures(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val media: Dataset[MediaRow] = mediaTable(spark, sfDir)
@@ -236,6 +240,42 @@ object MultimodalOps {
        |  CAST(least($TileSize, height - tile_y * $TileSize) AS INT) AS tile_h
        |FROM txy ORDER BY doc_id, tile_x, tile_y""".stripMargin
 
+  /** The STUB codec's byte math, reproduced over DuckDB's
+    * `hex(encode(text))` (two hex chars per payload byte): histogram
+    * buckets are byte//32, the mean is an exact integer-sum ratio, and
+    * the strided thumbnail samples byte i·max(1, n/16) for
+    * i < min(16, n) — all integer arithmetic, so the stub-decode query
+    * is a full hash-match, not rows-only. A real codec would revert
+    * this to rows-only; the plumbing under test is identical. */
+  val qDecodeFeaturesOracle: String =
+    """WITH m AS (
+      |  SELECT doc_id, hex(encode(text)) AS h,
+      |         CAST(octet_length(encode(text)) AS INT) AS n
+      |  FROM documents),
+      |b AS (
+      |  SELECT doc_id, CAST('0x' || substr(h, 2*i - 1, 2) AS INT) AS byte
+      |  FROM m, unnest(generate_series(1, n)) AS u(i)),
+      |hist0 AS (
+      |  SELECT doc_id, byte // 32 AS bkt, COUNT(*) AS c FROM b GROUP BY 1, 2),
+      |kk AS (SELECT unnest(generate_series(0, 7)) AS k),
+      |scaffold AS (SELECT doc_id, k FROM m CROSS JOIN kk),
+      |hist AS (
+      |  SELECT s.doc_id, string_agg(COALESCE(h0.c, 0), ',' ORDER BY s.k) AS hist_csv
+      |  FROM scaffold s LEFT JOIN hist0 h0 ON h0.doc_id = s.doc_id AND h0.bkt = s.k
+      |  GROUP BY s.doc_id),
+      |mean AS (
+      |  SELECT doc_id, round(CAST(SUM(byte) AS DOUBLE) / COUNT(*), 4) AS mean_byte_r
+      |  FROM b GROUP BY doc_id),
+      |th AS (
+      |  SELECT m.doc_id,
+      |         string_agg(CAST('0x' || substr(m.h, 2*(i.i * GREATEST(1, m.n // 16)) + 1, 2) AS INT),
+      |                    ',' ORDER BY i.i) AS thumb_csv
+      |  FROM m, unnest(generate_series(0, LEAST(16, m.n) - 1)) AS i(i)
+      |  GROUP BY m.doc_id)
+      |SELECT m.doc_id, m.n AS n_bytes, mean.mean_byte_r, hist.hist_csv, th.thumb_csv
+      |FROM m JOIN mean USING (doc_id) JOIN hist USING (doc_id) JOIN th USING (doc_id)
+      |ORDER BY m.doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm_metadata" -> (qMetadata _),
     "mm_decode_features" -> (qDecodeFeatures _),
@@ -245,6 +285,7 @@ object MultimodalOps {
 
   val oracles: Map[String, String] = Map(
     "mm_metadata" -> qMetadataOracle,
+    "mm_decode_features" -> qDecodeFeaturesOracle,
     "mm_frame_sample" -> qFrameSampleOracle,
     "mm_audio_windows" -> qAudioWindowsOracle,
     "mm_image_tiles" -> qImageTilesOracle)
