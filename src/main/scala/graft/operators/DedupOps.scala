@@ -29,6 +29,14 @@ object DedupOps {
 
   private val cacheScopeIds = new java.util.concurrent.atomic.AtomicLong(0L)
 
+  /** Queries built but never executed would otherwise pin their cache
+    * and listener forever — a bounded registry force-releases the
+    * OLDEST pending scope once more than this many are outstanding
+    * (the same recompute-not-correctness trade as an early release). */
+  private val MaxPendingCacheScopes = 64
+  private val pendingCacheScopes =
+    new java.util.concurrent.ConcurrentLinkedQueue[() => Unit]()
+
   /** Unpersists `cached` once the first action OVER THE RETURNED
     * DataFrame completes — the "onComplete" discipline for caches that
     * a lazily-returned DataFrame still references. The query functions
@@ -39,8 +47,10 @@ object DedupOps {
     * fires only for a QueryExecution whose analyzed plan contains that
     * alias (writes and counts wrap the plan, so this is a subtree
     * check, not plan equality) — an UNRELATED action in an interactive
-    * session neither drops the cache early nor fires the listener, and
-    * listener lifetime is bounded to the query that created it.
+    * session neither drops the cache early nor fires the listener.
+    * Listener lifetime is bounded two ways: firing unregisters it, and
+    * scopes whose query is never executed (plan-only inspection) are
+    * force-released once [[MaxPendingCacheScopes]] newer scopes exist.
     * Listener delivery is async (Spark's listener bus), so release is
     * near-immediate, not synchronous. This replaces the previous
     * "caller must clearCache" contract, which leaked storage in
@@ -49,6 +59,7 @@ object DedupOps {
     val spark = result.sparkSession
     val tag = s"graft_cache_scope_${cacheScopeIds.incrementAndGet()}"
     val done = new java.util.concurrent.atomic.AtomicBoolean(false)
+    var release: () => Unit = null
     lazy val listener: org.apache.spark.sql.util.QueryExecutionListener =
       new org.apache.spark.sql.util.QueryExecutionListener {
         private def fire(qe: org.apache.spark.sql.execution.QueryExecution): Unit = {
@@ -57,10 +68,7 @@ object DedupOps {
               s.identifier.name == tag
             case _ => false
           }
-          if (relevant && done.compareAndSet(false, true)) {
-            cached.foreach(_.unpersist(false))
-            spark.listenerManager.unregister(listener)
-          }
+          if (relevant) release()
         }
         override def onSuccess(funcName: String,
             qe: org.apache.spark.sql.execution.QueryExecution,
@@ -69,7 +77,17 @@ object DedupOps {
             qe: org.apache.spark.sql.execution.QueryExecution,
             exception: Exception): Unit = fire(qe)
       }
+    release = () => if (done.compareAndSet(false, true)) {
+      cached.foreach(_.unpersist(false))
+      spark.listenerManager.unregister(listener)
+      pendingCacheScopes.remove(release)
+    }
     spark.listenerManager.register(listener)
+    pendingCacheScopes.add(release)
+    while (pendingCacheScopes.size() > MaxPendingCacheScopes) {
+      val oldest = pendingCacheScopes.poll()
+      if (oldest != null) oldest()
+    }
     result.as(tag)
   }
 
@@ -887,8 +905,9 @@ object DedupOps {
     // or reuse a cached table-stats count
     val k = if (planesPerTable > 0) planesPerTable else signLshPlanes(e.count())
     val nTables = if (tables > 0) tables else 64 / k
-    require(nTables * k <= 64,
-      s"sign-LSH geometry: $nTables tables x $k planes exceeds 64 dims")
+    require(k >= 1 && k <= 64 && nTables >= 1 && nTables * k <= 64,
+      s"sign-LSH geometry: $nTables tables x $k planes does not fit 64 dims " +
+        "(k must be in [1,64] and tables*k <= 64 with at least one table)")
     val bk = signLshBuckets(e, k, nTables)
     val cand = bk.as("a")
       .join(bk.as("b"),

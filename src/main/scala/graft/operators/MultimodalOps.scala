@@ -272,8 +272,14 @@ object MultimodalOps {
       |                    ',' ORDER BY i.i) AS thumb_csv
       |  FROM m, unnest(generate_series(0, LEAST(16, m.n) - 1)) AS i(i)
       |  GROUP BY m.doc_id)
-      |SELECT m.doc_id, m.n AS n_bytes, mean.mean_byte_r, hist.hist_csv, th.thumb_csv
-      |FROM m JOIN mean USING (doc_id) JOIN hist USING (doc_id) JOIN th USING (doc_id)
+      |SELECT m.doc_id, m.n AS n_bytes,
+      |  COALESCE(mean.mean_byte_r, 0.0) AS mean_byte_r,
+      |  hist.hist_csv,
+      |  COALESCE(th.thumb_csv, '') AS thumb_csv
+      |FROM m
+      |JOIN hist USING (doc_id)
+      |LEFT JOIN mean USING (doc_id)
+      |LEFT JOIN th USING (doc_id)
       |ORDER BY m.doc_id""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -89,27 +89,43 @@ object SamplingOps {
     * Docs with ≥5 distinct colliding shingles are `contaminated` (the
     * n-gram-overlap rule used for eval decontamination in LLM data
     * pipelines). */
-  def qDecontaminate(spark: SparkSession, sfDir: String): DataFrame = {
-    // bucket is a pure function of doc_id, so it can be re-derived
-    // after the shingle explode instead of being threaded through it.
-    // Persisted because BOTH join sides slice this relation — without
-    // it the ~40× explode runs twice; released by the
-    // unpersistAfterFirstAction wrapper like the jaccard family.
+  /** Contamination threshold: a train doc sharing at least this many
+    * distinct shingles with the bench slice is flagged. ONE constant
+    * for both decontamination variants — they share an oracle, so the
+    * threshold must never drift between them. */
+  private val DeconMinHits = 5
+
+  /** The shared decontamination scaffolding: bucketed shingle relation
+    * (persisted — both join sides slice it; without it the ~40×
+    * explode runs twice), the train slice, and the bench slice. Bucket
+    * is a pure function of doc_id, re-derived after the explode
+    * instead of threaded through it. */
+  private def deconRelations(spark: SparkSession, sfDir: String)
+      : (DataFrame, DataFrame, DataFrame) = {
     val sh = DedupOps.shingles(Tables.documents(spark, sfDir))
       .withColumn("bucket", bucket100("doc_id"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val train = sh.filter(col("bucket") < 80).select("doc_id", "shingle")
     val bench = sh.filter(col("bucket") >= 90)
       .select(col("doc_id").as("bench_id"), col("shingle"))
-    DedupOps.unpersistAfterFirstAction(
-      train.join(bench, "shingle")
-        .groupBy(col("doc_id"))
-        .agg(
-          countDistinct(col("shingle")).as("n_shingle_hits"),
-          countDistinct(col("bench_id")).as("n_bench_docs"))
-        .withColumn("contaminated", col("n_shingle_hits") >= 5)
-        .orderBy(col("doc_id")),
-      sh)
+    (sh, train, bench)
+  }
+
+  /** The shared confirm join + report: distinct shingle/bench-doc hit
+    * counts per train doc, flagged at [[DeconMinHits]]. Both variants
+    * end here, so their outputs can only agree. */
+  private def contaminationReport(train: DataFrame, bench: DataFrame): DataFrame =
+    train.join(bench, "shingle")
+      .groupBy(col("doc_id"))
+      .agg(
+        countDistinct(col("shingle")).as("n_shingle_hits"),
+        countDistinct(col("bench_id")).as("n_bench_docs"))
+      .withColumn("contaminated", col("n_shingle_hits") >= DeconMinHits)
+      .orderBy(col("doc_id"))
+
+  def qDecontaminate(spark: SparkSession, sfDir: String): DataFrame = {
+    val (sh, train, bench) = deconRelations(spark, sfDir)
+    DedupOps.unpersistAfterFirstAction(contaminationReport(train, bench), sh)
   }
 
   val qDecontaminateOracle: String =
@@ -292,27 +308,14 @@ object SamplingOps {
     * the two sides must agree. */
   def qDecontaminateBloom(spark: SparkSession, sfDir: String): DataFrame = {
     import graft.functions.VectorFunctions.{bloomFilterAgg, bloomMightContain}
-    val sh = DedupOps.shingles(Tables.documents(spark, sfDir))
-      .withColumn("bucket", bucket100("doc_id"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val train = sh.filter(col("bucket") < 80).select("doc_id", "shingle")
-    val bench = sh.filter(col("bucket") >= 90)
-      .select(col("doc_id").as("bench_id"), col("shingle"))
+    val (sh, train, bench) = deconRelations(spark, sfDir)
     // one-row binary sketch of the bench shingle set, sized for ~1M
     // distinct shingles (the fixture holds far fewer; at production
     // scale size from table stats — oversizing only costs bits)
     val sketch = bench.agg(bloomFilterAgg(xxhash64(col("shingle")), 1000000L).as("bf"))
     val candidates = train.filter(
       bloomMightContain(sketch.scalar(), xxhash64(col("shingle"))))
-    DedupOps.unpersistAfterFirstAction(
-      candidates.join(bench, "shingle")
-        .groupBy(col("doc_id"))
-        .agg(
-          countDistinct(col("shingle")).as("n_shingle_hits"),
-          countDistinct(col("bench_id")).as("n_bench_docs"))
-        .withColumn("contaminated", col("n_shingle_hits") >= 5)
-        .orderBy(col("doc_id")),
-      sh)
+    DedupOps.unpersistAfterFirstAction(contaminationReport(candidates, bench), sh)
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -225,24 +225,6 @@ object StatefulOps {
 
   private case class FunnelState(t1: Long, t2: Long, t3: Long)
 
-  /** The incremental twin of the batch ordered funnel
-    * (`EventOps.qFunnel`): per-user stage entry times as keyed
-    * `transformWithState` state (three longs — O(users), constant per
-    * key), advancing a stage only on an event STRICTLY AFTER the
-    * previous stage's entry — the same semantics as the batch
-    * conditional min-aggregates. Events are sorted by event time
-    * WITHIN each batch, so a replay of a fixture in timestamp order
-    * produces stage counts identical to the batch query (asserted in
-    * StatefulOpsSpec); out-of-order arrivals ACROSS batches cannot
-    * retro-lower an already-claimed stage time — the inherent
-    * incremental-vs-batch gap. NOTE on lateness and state: without a
-    * TTL (`TimeMode.None`) transformWithState applies NO late-record
-    * filtering and NO eviction — the upstream watermark only governs
-    * downstream operators — so the stage guards below must stay safe
-    * under arbitrarily late input, and state is O(all users ever
-    * seen). Pass a `ttl` to bound state to the eviction horizon
-    * (O(users active within TTL)): an evicted user re-entering
-    * restarts at stage 1 — see [[timeModeFor]]. */
   /** The ordered-funnel transition shared by BOTH funnel processors:
     * advance a stage only on an event STRICTLY AFTER the previous
     * stage's entry — the batch query's conditional min-aggregate
@@ -267,6 +249,23 @@ object StatefulOps {
     (s, out.toSeq)
   }
 
+  /** The incremental twin of the batch ordered funnel
+    * (`EventOps.qFunnel`): per-user stage entry times as keyed
+    * `transformWithState` state (three longs — O(users), constant per
+    * key), advancing stages via [[advanceFunnel]] — the same semantics
+    * as the batch conditional min-aggregates. Events are sorted by
+    * event time WITHIN each batch, so a replay of a fixture in
+    * timestamp order produces stage counts identical to the batch
+    * query (asserted in StatefulOpsSpec); out-of-order arrivals ACROSS
+    * batches cannot retro-lower an already-claimed stage time — the
+    * inherent incremental-vs-batch gap. NOTE on lateness and state:
+    * without a TTL (`TimeMode.None`) transformWithState applies NO
+    * late-record filtering and NO eviction — the upstream watermark
+    * only governs downstream operators — so the stage guards must stay
+    * safe under arbitrarily late input, and state is O(all users ever
+    * seen). Pass a `ttl` to bound state to the eviction horizon
+    * (O(users active within TTL)): an evicted user re-entering
+    * restarts at stage 1 — see [[timeModeFor]]. */
   final class FunnelProcessor(ttl: TTLConfig = TTLConfig.NONE)
       extends StatefulProcessor[Long, FunnelEvent, FunnelHit] {
     @transient private var st: ValueState[FunnelState] = _
@@ -312,16 +311,31 @@ object StatefulOps {
   final class FunnelProcessorEventTime(horizonMs: Long)
       extends StatefulProcessor[Long, FunnelEvent, FunnelHit] {
     @transient private var st: ValueState[FunnelState] = _
-    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    @transient private var lastSeenMs: ValueState[Long] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
       st = getHandle.getValueState[FunnelState]("funnel",
         Encoders.product[FunnelState], TTLConfig.NONE)
+      lastSeenMs = getHandle.getValueState[Long]("lastSeen",
+        Encoders.scalaLong, TTLConfig.NONE)
+    }
     override def handleInputRows(user: Long, rows: Iterator[FunnelEvent],
         tv: TimerValues): Iterator[FunnelHit] = {
+      // Spark delivers a batch's INPUT ROWS before its expired timers,
+      // and the delete-then-register below would cancel a not-yet-fired
+      // expired timer — so the eviction check must ALSO run in-band: if
+      // the current watermark already proves the inactivity horizon
+      // passed, this user re-enters as new right here, independent of
+      // timer scheduling. Keeps eviction watermark-exact under
+      // back-to-back data batches and with no-data microbatches off.
+      if (lastSeenMs.exists() &&
+          tv.getCurrentWatermarkInMs() >= lastSeenMs.get() + horizonMs)
+        st.clear()
       val s0 = if (st.exists()) st.get() else FunnelState(-1L, -1L, -1L)
       val sorted = rows.toSeq.sortBy(e => micros(e.ts))
       val lastMs = sorted.map(_.ts.getTime).max
       val (s, out) = advanceFunnel(user, s0, sorted)
       st.update(s)
+      lastSeenMs.update(lastMs)
       // one armed timer per user: re-arm the inactivity deadline at
       // each batch the user appears in (delete-then-register keeps it
       // single); clamp above the current watermark — an already-passed
@@ -334,6 +348,7 @@ object StatefulOps {
     override def handleExpiredTimer(user: Long, tv: TimerValues,
         info: org.apache.spark.sql.streaming.ExpiredTimerInfo): Iterator[FunnelHit] = {
       st.clear()
+      lastSeenMs.clear()
       Iterator.empty
     }
   }
@@ -454,6 +469,10 @@ object StatefulOps {
     override def handleInputRows(user: Long, rows: Iterator[RetentionEvent],
         tv: TimerValues): Iterator[RetentionHit] = {
       var s = if (st.exists()) st.get() else null
+      // a fresh OR TTL-evicted user must not inherit far-week cells
+      // from a previous incarnation: stale entries are keyed by offsets
+      // from the OLD cohort and would wrongly suppress new-cohort cells
+      if (s == null) farWeeks.clear()
       val out = scala.collection.mutable.ArrayBuffer[RetentionHit]()
       rows.toSeq.sortBy(e => micros(e.ts)).foreach { e =>
         val day = Math.floorDiv(micros(e.ts), DayUs)
@@ -476,6 +495,17 @@ object StatefulOps {
         }
       }
       if (s != null) st.update(s)
+      // BOTH state cells must ride ONE eviction clock: st.update above
+      // refreshes the bitmask's TTL on any activity, but MapState TTL
+      // is per-entry-from-last-write — without a matching refresh, a
+      // continuously-active user's old far-week entry could expire and
+      // the cell re-emit (emit-once broken). Rewriting the (rare)
+      // far-week keys here keeps value and map expiring together:
+      // active user keeps both, fully-idle user loses both.
+      if (ttl != TTLConfig.NONE) {
+        val ks = farWeeks.keys().toSeq
+        ks.foreach(k => farWeeks.updateValue(k, true))
+      }
       out.iterator
     }
   }

@@ -135,6 +135,11 @@ class ComponentsSpec extends SparkSpec {
     assert(DedupOps.signLshPlanes(500L) === 4)       // fixture floor
     assert(DedupOps.signLshPlanes(64L * 1024) === 10) // clamp ceiling
     assert(DedupOps.signLshPlanes(64L * 1024 * 1024) === 10)
+    // a key wider than the dims must be rejected, not silently produce
+    // zero tables (and therefore an empty edge set)
+    intercept[IllegalArgumentException] {
+      DedupOps.annCosinePairs(e, planesPerTable = 65)
+    }
     // occupancy bound: max bucket across all 12 tables ≤ 2 · n/2^k
     // (measured max 83 vs expected 62.5 on this fixture)
     val maxBucket = DedupOps.signLshBuckets(e, k, 64 / k)

@@ -554,12 +554,26 @@ class StatefulOpsSpec extends SparkSpec {
       def ev(user: Long, offMs: Long, typ: String) =
         StatefulOps.FunnelEvent(user, typ, new Timestamp(T0 + offMs))
       val in = MemoryStream[StatefulOps.FunnelEvent]
+      // no-data microbatches OFF: timers may then only fire on batches
+      // that carry data, which is exactly the adversarial interleaving
+      // for the processor's re-arm (input rows are delivered BEFORE
+      // expired timers and the re-arm deletes them) — the IN-BAND
+      // watermark eviction check must carry the semantics alone
+      val ndKey = "spark.sql.streaming.noDataMicroBatches.enabled"
+      val ndPrev = spark.conf.getOption(ndKey)
+      spark.conf.set(ndKey, "false")
       // zero watermark delay: eviction points depend only on EVENT
       // time, so the whole test is sleep-free and replay-deterministic
-      val q = StatefulOps.streamingFunnelEventTime(in.toDS(),
+      val q = try StatefulOps.streamingFunnelEventTime(in.toDS(),
         watermark = "0 seconds", horizonMs = Hour)
         .writeStream.format("memory").queryName("funnel_et_out")
         .outputMode("append").start()
+      finally {
+        ndPrev match {
+          case Some(v) => spark.conf.set(ndKey, v)
+          case None => spark.conf.unset(ndKey)
+        }
+      }
       try {
         // user 7 enters and clicks; user 9 enters
         in.addData(ev(7, 0, "view"), ev(7, 1000, "click"), ev(9, 0, "view"))
