@@ -223,14 +223,17 @@ object StatefulOps {
     * once per (user, stage), so stage counts are plain row counts. */
   case class FunnelHit(user_id: Long, stage: Int, tus: Long)
 
-  private case class FunnelState(t1: Long, t2: Long, t3: Long)
+  private[graft] case class FunnelState(t1: Long, t2: Long, t3: Long)
 
   /** The ordered-funnel transition shared by BOTH funnel processors:
     * advance a stage only on an event STRICTLY AFTER the previous
     * stage's entry — the batch query's conditional min-aggregate
     * semantics. Folds `rows` (sorted by event time) into (state',
-    * emitted hits). */
-  private def advanceFunnel(user: Long, s0: FunnelState,
+    * emitted hits). Its batch-split law — splitting a sorted sequence
+    * anywhere and threading the state yields the same hits as one
+    * pass — is ScalaCheck'd in FunnelLaws; that law IS the
+    * micro-batch-boundary correctness argument. */
+  private[graft] def advanceFunnel(user: Long, s0: FunnelState,
       rows: Seq[FunnelEvent]): (FunnelState, Seq[FunnelHit]) = {
     var s = s0
     val out = scala.collection.mutable.ArrayBuffer[FunnelHit]()
@@ -530,7 +533,17 @@ object StatefulOps {
   case class OutlierHit(event_id: Long, event_type: String, value: Double,
       z: Double)
 
-  private case class WelfordState(n: Long, mean: Double, m2: Double)
+  private[graft] case class WelfordState(n: Long, mean: Double, m2: Double)
+
+  /** One Welford update: numerically stable running (n, mean, M2).
+    * Accuracy vs the two-pass reference is ScalaCheck'd in
+    * WelfordLaws. */
+  private[graft] def welfordStep(s: WelfordState, v: Double): WelfordState = {
+    val n1 = s.n + 1
+    val d = v - s.mean
+    val mean1 = s.mean + d / n1
+    WelfordState(n1, mean1, s.m2 + d * (v - mean1))
+  }
 
   /** The incremental twin of the batch z-score outlier scan
     * (`EventOps.qZscoreOutliers`): per-type running (count, mean, M2)
@@ -564,10 +577,7 @@ object StatefulOps {
               out += OutlierHit(e.event_id, eventType, e.value, z)
           }
         }
-        val n1 = s.n + 1
-        val d = e.value - s.mean
-        val mean1 = s.mean + d / n1
-        s = WelfordState(n1, mean1, s.m2 + d * (e.value - mean1))
+        s = welfordStep(s, e.value)
       }
       st.update(s)
       out.iterator

@@ -210,3 +210,62 @@ object RouterLaws extends Properties("router") {
       m.forall { case (t, dest) => m.getOrElse(t, fb) == dest }
     }
 }
+
+/** Laws for the shared funnel transition (both streaming funnel
+  * processors fold through it). The batch-split law is the
+  * micro-batch-boundary correctness argument: Spark may cut the
+  * sorted event stream anywhere, and threading the state across the
+  * cut must not change what is emitted. */
+object FunnelLaws extends Properties("advanceFunnel") {
+  import graft.streaming.StatefulOps
+  import graft.streaming.StatefulOps.{FunnelEvent, FunnelState}
+
+  private val zero = FunnelState(-1L, -1L, -1L)
+  private val eventGen: Gen[FunnelEvent] = for {
+    t <- Gen.chooseNum(0L, 100000L)
+    typ <- Gen.oneOf("view", "click", "purchase", "scroll")
+  } yield FunnelEvent(1L, typ, new java.sql.Timestamp(t))
+  private val sortedSeq: Gen[List[FunnelEvent]] =
+    Gen.listOf(eventGen).map(_.sortBy(_.ts.getTime))
+
+  property("each stage fires at most once, in order, strictly later") =
+    forAll(sortedSeq) { evs =>
+      val hits = StatefulOps.advanceFunnel(1L, zero, evs)._2
+      val stages = hits.map(_.stage)
+      stages == stages.distinct && stages == stages.sorted &&
+        hits.map(_.tus).sliding(2).forall {
+          case Seq(a, b) => a < b
+          case _ => true
+        }
+    }
+
+  property("any batch split yields the same hits once state threads across") =
+    forAll(sortedSeq, Gen.chooseNum(0, 1000)) { (evs, cut) =>
+      val k = if (evs.isEmpty) 0 else cut % (evs.size + 1)
+      val (l, r) = evs.splitAt(k)
+      val onePass = StatefulOps.advanceFunnel(1L, zero, evs)._2
+      val (s1, h1) = StatefulOps.advanceFunnel(1L, zero, l)
+      val h2 = StatefulOps.advanceFunnel(1L, s1, r)._2
+      (h1 ++ h2) == onePass
+    }
+}
+
+/** Welford accuracy laws: the streaming z-score's running moments
+  * must track the two-pass reference — the reason the recurrence
+  * exists is that the naive one-pass sum-of-squares does NOT. */
+object WelfordLaws extends Properties("welfordStep") {
+  import graft.streaming.StatefulOps
+  import graft.streaming.StatefulOps.WelfordState
+
+  private val xs = Gen.nonEmptyListOf(Gen.chooseNum(-1e6, 1e6))
+
+  property("count, mean, and variance track the two-pass reference") =
+    forAll(xs) { vs =>
+      val s = vs.foldLeft(WelfordState(0L, 0.0, 0.0))(StatefulOps.welfordStep)
+      val em = vs.sum / vs.size
+      val ev = vs.map(x => (x - em) * (x - em)).sum / vs.size
+      s.n == vs.size &&
+        math.abs(s.mean - em) <= 1e-6 * math.max(1.0, math.abs(em)) &&
+        math.abs(s.m2 / s.n - ev) <= 1e-6 * math.max(1.0, ev)
+    }
+}
