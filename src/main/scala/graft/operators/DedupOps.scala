@@ -91,6 +91,20 @@ object DedupOps {
     result.as(tag)
   }
 
+  /** Distinct word-3-gram shingles of a pre-split token array column —
+    * THE shingle definition, shared by the batch dedup family and the
+    * streaming contamination twin so the two can never drift (and the
+    * DuckDB oracle CTE mirrors exactly one expression). The caller
+    * guards `size(toks) >= 3` (an unguarded `sequence(0, size-3)` is
+    * invalid for shorter docs). */
+  def shingleArray(toks: Column): Column =
+    array_distinct(transform(
+      sequence(lit(0), size(toks) - 3),
+      i => concat_ws(" ",
+        element_at(toks, i + 1),
+        element_at(toks, i + 2),
+        element_at(toks, i + 3))))
+
   /** Distinct word-3-gram shingles per document, one row per
     * (doc_id, shingle). `array_distinct` runs BEFORE the explode, so
     * per-doc dedup is map-side — the shuffleless way. */
@@ -99,13 +113,7 @@ object DedupOps {
     Tables.spread(docs)
       .select(col("doc_id"), ts.as("ts"))
       .filter(size(col("ts")) >= 3)
-      .select(col("doc_id"),
-        explode(array_distinct(transform(
-          sequence(lit(0), size(col("ts")) - 3),
-          i => concat_ws(" ",
-            element_at(col("ts"), i + 1),
-            element_at(col("ts"), i + 2),
-            element_at(col("ts"), i + 3))))).as("shingle"))
+      .select(col("doc_id"), explode(shingleArray(col("ts"))).as("shingle"))
   }
 
   /** Shared oracle CTE: distinct 3-gram shingles (1-indexed lists). */

@@ -642,6 +642,41 @@ object StatefulOps {
         timeModeFor(ttl), OutputMode.Append())
   }
 
+  /** Ingest-side DECONTAMINATION twin of the batch
+    * `SamplingOps.qDecontaminate`: each arriving document (doc_id,
+    * text, ts) is shingled in-stream with the SAME distinct word-3-gram
+    * expression as the batch family (`DedupOps.shingleArray` — one
+    * definition, no drift), joined stream-static against the benchmark
+    * shingle set (broadcast: the holdout slice is small, and the static
+    * side re-resolves each micro-batch so a bench refresh lands without
+    * a restart), and flagged once its distinct shared-shingle count
+    * reaches `minHits`. The watermark is applied to the RAW stream —
+    * before the shingle explode — so every arriving row advances it,
+    * including docs too short to shingle. The aggregation is a
+    * watermarked tumbling-window groupBy (each document carries ONE
+    * event time, so the window is a formality that gives the agg its
+    * completion trigger): flags emit in append mode when the watermark
+    * passes the window, and state is bounded by the window horizon.
+    * `size(collect_set(...))` stands in for COUNT DISTINCT, which
+    * streaming aggregation does not support — exact because the set is
+    * per (doc, window). Flags equal the batch twin's `contaminated`
+    * column for the same bench slice (asserted in StatefulOpsSpec). */
+  def streamingContamination(docs: DataFrame, benchShingles: DataFrame,
+      watermark: String = "10 minutes", minHits: Int = 5): DataFrame = {
+    val toks = split(col("text"), " ")
+    val sh = docs
+      .withWatermark("ts", watermark)
+      .select(col("doc_id"), col("ts"), toks.as("toks"))
+      .filter(size(col("toks")) >= 3)
+      .select(col("doc_id"), col("ts"),
+        explode(graft.operators.DedupOps.shingleArray(col("toks"))).as("shingle"))
+    sh.join(broadcast(benchShingles), "shingle")
+      .groupBy(window(col("ts"), "1 hour"), col("doc_id"))
+      .agg(size(collect_set(col("shingle"))).as("n_shingle_hits"))
+      .filter(col("n_shingle_hits") >= minHits)
+      .select(col("doc_id"), col("n_shingle_hits"))
+  }
+
   /** STREAMING near-dup filter: the incremental twin of the batch
     * simhash dedup — each arriving document is fingerprinted with the
     * per-row `DedupOps.simhashExpr` (an HOF fold: no explode, no

@@ -485,6 +485,46 @@ class StatefulOpsSpec extends SparkSpec {
     }
   }
 
+  test("streaming contamination flags equal the batch decontaminate twin") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    import graft.operators.{CorpusPipeline, SamplingOps}
+    // batch reference: the exact twin's contaminated flags at >= 5 hits
+    val expected = SamplingOps.qDecontaminate(spark, sf)
+      .filter(col("contaminated"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // same slices the batch twin uses: train docs (bucket < 80) arrive
+    // as the stream; the bench slice's distinct shingles are the static
+    // side
+    val shb = CorpusPipeline.bucketedShingles(Tables.documents(spark, sf))
+    val bench = shb.filter(col("bucket") >= 90).select("shingle").distinct()
+    val trainIds = shb.filter(col("bucket") < 80)
+      .select("doc_id").distinct()
+    val T0 = 1700000000000L
+    val trainDocs = Tables.documents(spark, sf).join(trainIds, "doc_id")
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1), new Timestamp(T0)))
+    val in = MemoryStream[(Long, String, Timestamp)]
+    val q = StatefulOps.streamingContamination(
+      in.toDF().toDF("doc_id", "text", "ts"), bench)
+      .writeStream.format("memory").queryName("contam_out")
+      .outputMode("append").start()
+    try {
+      in.addData(trainDocs.toSeq)
+      q.processAllAvailable()
+      // a far-future row advances the watermark past the window so the
+      // per-doc aggregates emit (its own doc is alone in a later window
+      // and never reaches minHits)
+      in.addData((-1L, "x y z", new Timestamp(T0 + 8 * 3600000L)))
+      q.processAllAvailable()
+      val got = spark.table("contam_out").collect()
+        .map(r => r.getLong(0) -> r.getInt(1).toLong).toMap
+      assert(got === expected,
+        s"diff: ${(got.toSet diff expected.toSet).take(3)} / ${(expected.toSet diff got.toSet).take(3)}")
+      assert(got.nonEmpty) // the fixture does contain contaminated docs
+    } finally q.stop()
+  }
+
   test("streaming Welford z-score matches a driver-side fold of the replayed fixture") {
     import spark.implicits._
     implicit val sc = spark.sqlContext
