@@ -105,16 +105,24 @@ object DedupOps {
         element_at(toks, i + 2),
         element_at(toks, i + 3))))
 
+  /** Tokenize `text` and explode its distinct 3-gram shingles,
+    * preserving every other column — the FULL shingle definition
+    * (split-on-space tokenizer + the size≥3 guard + [[shingleArray]])
+    * in one place, shared by the batch family and the streaming
+    * contamination twin so neither half can drift. */
+  def shingled(df: DataFrame): DataFrame = {
+    val toks = split(col("text"), " ")
+    df.withColumn("toks", toks)
+      .filter(size(col("toks")) >= 3)
+      .withColumn("shingle", explode(shingleArray(col("toks"))))
+      .drop("toks", "text")
+  }
+
   /** Distinct word-3-gram shingles per document, one row per
     * (doc_id, shingle). `array_distinct` runs BEFORE the explode, so
     * per-doc dedup is map-side — the shuffleless way. */
-  def shingles(docs: DataFrame): DataFrame = {
-    val ts = split(col("text"), " ")
-    Tables.spread(docs)
-      .select(col("doc_id"), ts.as("ts"))
-      .filter(size(col("ts")) >= 3)
-      .select(col("doc_id"), explode(shingleArray(col("ts"))).as("shingle"))
-  }
+  def shingles(docs: DataFrame): DataFrame =
+    shingled(Tables.spread(docs).select(col("doc_id"), col("text")))
 
   /** Shared oracle CTE: distinct 3-gram shingles (1-indexed lists). */
   private val shinglesSql =

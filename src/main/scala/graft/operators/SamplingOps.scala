@@ -91,9 +91,10 @@ object SamplingOps {
     * pipelines). */
   /** Contamination threshold: a train doc sharing at least this many
     * distinct shingles with the bench slice is flagged. ONE constant
-    * for both decontamination variants — they share an oracle, so the
-    * threshold must never drift between them. */
-  private val DeconMinHits = 5
+    * for ALL decontamination variants (exact join, bloom pre-filter,
+    * and the streaming twin's default) — they share an oracle /
+    * equality contract, so the threshold must never drift. */
+  private[graft] val DeconMinHits = 5
 
   /** The shared decontamination scaffolding: bucketed shingle relation
     * (persisted — both join sides slice it; without it the ~40×

@@ -330,12 +330,20 @@ object StatefulOps {
       // passed, this user re-enters as new right here, independent of
       // timer scheduling. Keeps eviction watermark-exact under
       // back-to-back data batches and with no-data microbatches off.
-      if (lastSeenMs.exists() &&
-          tv.getCurrentWatermarkInMs() >= lastSeenMs.get() + horizonMs)
-        st.clear()
-      val s0 = if (st.exists()) st.get() else FunnelState(-1L, -1L, -1L)
+      val prevSeen =
+        if (lastSeenMs.exists()) lastSeenMs.get() else Long.MinValue
+      val evicted = prevSeen != Long.MinValue &&
+        tv.getCurrentWatermarkInMs() >= prevSeen + horizonMs
+      if (evicted) st.clear()
+      val s0 = if (st.exists() && !evicted) st.get() else FunnelState(-1L, -1L, -1L)
       val sorted = rows.toSeq.sortBy(e => micros(e.ts))
-      val lastMs = sorted.map(_.ts.getTime).max
+      // RUNNING max of activity time, never a plain overwrite: a late
+      // (above-watermark) event from the past must not pull the
+      // inactivity deadline backwards and evict an active user early.
+      // After an eviction the clock re-anchors to this batch alone.
+      val lastMs = math.max(
+        if (evicted) Long.MinValue else prevSeen,
+        sorted.map(_.ts.getTime).max)
       val (s, out) = advanceFunnel(user, s0, sorted)
       st.update(s)
       lastSeenMs.update(lastMs)
@@ -644,8 +652,8 @@ object StatefulOps {
 
   /** Ingest-side DECONTAMINATION twin of the batch
     * `SamplingOps.qDecontaminate`: each arriving document (doc_id,
-    * text, ts) is shingled in-stream with the SAME distinct word-3-gram
-    * expression as the batch family (`DedupOps.shingleArray` — one
+    * text, ts) is shingled in-stream by the SAME tokenizer + shingle
+    * definition as the batch family (`DedupOps.shingled` — one
     * definition, no drift), joined stream-static against the benchmark
     * shingle set (broadcast: the holdout slice is small, and the static
     * side re-resolves each micro-batch so a bench refresh lands without
@@ -662,14 +670,11 @@ object StatefulOps {
     * per (doc, window). Flags equal the batch twin's `contaminated`
     * column for the same bench slice (asserted in StatefulOpsSpec). */
   def streamingContamination(docs: DataFrame, benchShingles: DataFrame,
-      watermark: String = "10 minutes", minHits: Int = 5): DataFrame = {
-    val toks = split(col("text"), " ")
-    val sh = docs
-      .withWatermark("ts", watermark)
-      .select(col("doc_id"), col("ts"), toks.as("toks"))
-      .filter(size(col("toks")) >= 3)
-      .select(col("doc_id"), col("ts"),
-        explode(graft.operators.DedupOps.shingleArray(col("toks"))).as("shingle"))
+      watermark: String = "10 minutes",
+      minHits: Int = graft.operators.SamplingOps.DeconMinHits): DataFrame = {
+    val sh = graft.operators.DedupOps.shingled(
+      docs.withWatermark("ts", watermark)
+        .select(col("doc_id"), col("ts"), col("text")))
     sh.join(broadcast(benchShingles), "shingle")
       .groupBy(window(col("ts"), "1 hour"), col("doc_id"))
       .agg(size(collect_set(col("shingle"))).as("n_shingle_hits"))

@@ -550,24 +550,24 @@ class StatefulOpsSpec extends SparkSpec {
         q.processAllAvailable()
         val streamed = spark.table("zscore_out").collect()
           .map(r => (r.getLong(0), r.getDouble(3))).toMap
-        // driver-side reference: the same score-then-update Welford
-        // fold in the same (ts, event_id) order — double-for-double
-        // identical arithmetic, so equality is EXACT, not approximate
+        // driver-side reference: fold through the REAL welfordStep
+        // kernel in the same (ts, event_id) order, so the assertion
+        // isolates the streaming plumbing (state threading, batch
+        // boundaries, emission) — double-for-double exact. The
+        // kernel's own accuracy vs a two-pass reference is WelfordLaws'
+        // job, not this test's.
         val ref = scala.collection.mutable.Map[Long, Double]()
-        val stats = scala.collection.mutable.Map[String, (Long, Double, Double)]()
+        val stats = scala.collection.mutable.Map[String, StatefulOps.WelfordState]()
         fixture.foreach { e =>
-          val (n, mean, m2) = stats.getOrElse(e.event_type, (0L, 0.0, 0.0))
-          if (n >= 30) {
-            val sd = math.sqrt(m2 / n)
+          val s = stats.getOrElse(e.event_type, StatefulOps.WelfordState(0L, 0.0, 0.0))
+          if (s.n >= 30) {
+            val sd = math.sqrt(s.m2 / s.n)
             if (sd > 0) {
-              val z = (e.value - mean) / sd
+              val z = (e.value - s.mean) / sd
               if (math.abs(z) >= 3.0) ref(e.event_id) = z
             }
           }
-          val n1 = n + 1
-          val d = e.value - mean
-          val mean1 = mean + d / n1
-          stats(e.event_type) = (n1, mean1, m2 + d * (e.value - mean1))
+          stats(e.event_type) = StatefulOps.welfordStep(s, e.value)
         }
         assert(streamed === ref.toMap,
           s"diff: ${(streamed.toSet diff ref.toSet).take(3)} / ${(ref.toSet diff streamed.toSet).take(3)}")
