@@ -381,7 +381,7 @@ object StatefulOps {
       ts: java.sql.Timestamp)
   case class AttributionHit(purchase_id: Long, touch_id: Long, latency_us: Long)
 
-  private case class TouchState(tus: Long, id: Long)
+  private[graft] case class TouchState(tus: Long, id: Long)
 
   /** Full-precision event-time µs from a java.sql.Timestamp (getTime
     * alone is ms-truncated; the nanos field carries the sub-second).
@@ -405,26 +405,44 @@ object StatefulOps {
     * struct, the smallest possible — same lateness caveat and TTL
     * bound as [[FunnelProcessor]] (an evicted user's next purchase
     * simply finds no touch to credit). */
+  private[graft] val AttributionMaxLagUs = 3600L * 1000000L
+
+  /** The last-touch transition the attribution processor folds
+    * through: clicks/views replace the remembered touch; a purchase
+    * credits the touch if it is at-or-before the purchase and within
+    * [[AttributionMaxLagUs]]. `s0` is null when no touch is known.
+    * Its batch-split law (cutting a sorted sequence anywhere and
+    * threading the touch state yields the one-pass hits) is
+    * ScalaCheck'd in AttributionLaws — the micro-batch-boundary
+    * correctness argument. */
+  private[graft] def advanceAttribution(s0: TouchState,
+      rows: Seq[TouchEvent]): (TouchState, Seq[AttributionHit]) = {
+    var s = s0
+    val out = scala.collection.mutable.ArrayBuffer[AttributionHit]()
+    rows.foreach { e =>
+      val tus = micros(e.ts)
+      e.event_type match {
+        case "click" | "view" => s = TouchState(tus, e.event_id)
+        case "purchase" if s != null && tus >= s.tus &&
+            tus - s.tus <= AttributionMaxLagUs =>
+          out += AttributionHit(e.event_id, s.id, tus - s.tus)
+        case _ =>
+      }
+    }
+    (s, out.toSeq)
+  }
+
   final class AttributionProcessor(ttl: TTLConfig = TTLConfig.NONE)
       extends StatefulProcessor[Long, TouchEvent, AttributionHit] {
-    private val MaxLagUs = 3600L * 1000000L
     @transient private var st: ValueState[TouchState] = _
     override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
       st = getHandle.getValueState[TouchState]("touch",
         Encoders.product[TouchState], ttl)
     override def handleInputRows(user: Long, rows: Iterator[TouchEvent],
         tv: TimerValues): Iterator[AttributionHit] = {
-      var s = if (st.exists()) st.get() else null
-      val out = scala.collection.mutable.ArrayBuffer[AttributionHit]()
-      rows.toSeq.sortBy(e => (micros(e.ts), e.event_id)).foreach { e =>
-        val tus = micros(e.ts)
-        e.event_type match {
-          case "click" | "view" => s = TouchState(tus, e.event_id)
-          case "purchase" if s != null && tus >= s.tus && tus - s.tus <= MaxLagUs =>
-            out += AttributionHit(e.event_id, s.id, tus - s.tus)
-          case _ =>
-        }
-      }
+      val s0 = if (st.exists()) st.get() else null
+      val (s, out) = advanceAttribution(s0,
+        rows.toSeq.sortBy(e => (micros(e.ts), e.event_id)))
       if (s != null) st.update(s)
       out.iterator
     }

@@ -269,3 +269,36 @@ object WelfordLaws extends Properties("welfordStep") {
         math.abs(s.m2 / s.n - ev) <= 1e-6 * math.max(1.0, ev)
     }
 }
+
+/** Laws for the last-touch attribution transition: the batch-split
+  * law is the same micro-batch-boundary argument as FunnelLaws, and
+  * the latency bounds pin the purchase guard (no negative latency, no
+  * credit past the window). */
+object AttributionLaws extends Properties("advanceAttribution") {
+  import graft.streaming.StatefulOps
+  import graft.streaming.StatefulOps.{AttributionMaxLagUs, TouchEvent}
+
+  private val eventGen: Gen[TouchEvent] = for {
+    id <- Gen.chooseNum(1L, 1000000L)
+    t <- Gen.chooseNum(0L, 3L * AttributionMaxLagUs / 1000)
+    typ <- Gen.oneOf("view", "click", "purchase", "scroll")
+  } yield TouchEvent(id, 1L, typ, new java.sql.Timestamp(t))
+  private val sortedSeq: Gen[List[TouchEvent]] =
+    Gen.listOf(eventGen).map(_.sortBy(e => (e.ts.getTime, e.event_id)))
+
+  property("hits have non-negative latency bounded by the window") =
+    forAll(sortedSeq) { evs =>
+      val hits = StatefulOps.advanceAttribution(null, evs)._2
+      hits.forall(h => h.latency_us >= 0 && h.latency_us <= AttributionMaxLagUs)
+    }
+
+  property("any batch split yields the same hits once state threads across") =
+    forAll(sortedSeq, Gen.chooseNum(0, 1000)) { (evs, cut) =>
+      val k = if (evs.isEmpty) 0 else cut % (evs.size + 1)
+      val (l, r) = evs.splitAt(k)
+      val onePass = StatefulOps.advanceAttribution(null, evs)._2
+      val (s1, h1) = StatefulOps.advanceAttribution(null, l)
+      val h2 = StatefulOps.advanceAttribution(s1, r)._2
+      (h1 ++ h2) == onePass
+    }
+}
