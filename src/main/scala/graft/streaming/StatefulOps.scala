@@ -466,7 +466,7 @@ object StatefulOps {
     * emitted once per cell, so cell counts are plain row counts. */
   case class RetentionHit(user_id: Long, cohort_day: Long, week_offset: Long)
 
-  private case class RetentionState(cohort: Long, weeksMask: Long)
+  private[graft] case class RetentionState(cohort: Long, weeksMask: Long)
 
   /** The incremental twin of batch cohort retention
     * (`EventOps.qRetention`): per-user state is the cohort day (day of
@@ -484,9 +484,44 @@ object StatefulOps {
     * [[FunnelProcessor]] (an evicted user re-anchors their cohort at
     * the next event); events earlier than the recorded cohort day are
     * dropped (see below). */
+  private val RetentionDayUs = 86400000000L
+
+  /** The cohort-retention transition the streaming processor folds
+    * through: the first event anchors the cohort day; each event's
+    * week offset emits once — weeks 0–63 tracked in the bitmask, far
+    * weeks in the `far` set (the MapState's pure image). Events before
+    * the cohort are dropped (the incremental cohort cannot be
+    * retro-lowered, and a negative week must never reach the shift —
+    * 1L << -1 wraps to bit 63). `s0` is null for a fresh user. Its
+    * batch-split law — including splits that land ON the week-64
+    * bitmask/map boundary — is ScalaCheck'd in RetentionLaws. */
+  private[graft] def advanceRetention(user: Long, s0: RetentionState,
+      far0: Set[Long], rows: Seq[RetentionEvent])
+      : (RetentionState, Set[Long], Seq[RetentionHit]) = {
+    var s = s0
+    var far = far0
+    val out = scala.collection.mutable.ArrayBuffer[RetentionHit]()
+    rows.foreach { e =>
+      val day = Math.floorDiv(micros(e.ts), RetentionDayUs)
+      if (s == null) s = RetentionState(day, 0L)
+      if (day >= s.cohort) {
+        val week = (day - s.cohort) / 7
+        if (week < 64) {
+          if ((s.weeksMask & (1L << week)) == 0L) {
+            s = s.copy(weeksMask = s.weeksMask | (1L << week))
+            out += RetentionHit(user, s.cohort, week)
+          }
+        } else if (!far(week)) {
+          far += week
+          out += RetentionHit(user, s.cohort, week)
+        }
+      }
+    }
+    (s, far, out.toSeq)
+  }
+
   final class RetentionProcessor(ttl: TTLConfig = TTLConfig.NONE)
       extends StatefulProcessor[Long, RetentionEvent, RetentionHit] {
-    private val DayUs = 86400000000L
     @transient private var st: ValueState[RetentionState] = _
     @transient private var farWeeks: MapState[Long, Boolean] = _
     override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
@@ -497,44 +532,25 @@ object StatefulOps {
     }
     override def handleInputRows(user: Long, rows: Iterator[RetentionEvent],
         tv: TimerValues): Iterator[RetentionHit] = {
-      var s = if (st.exists()) st.get() else null
+      val s0 = if (st.exists()) st.get() else null
       // a fresh OR TTL-evicted user must not inherit far-week cells
       // from a previous incarnation: stale entries are keyed by offsets
       // from the OLD cohort and would wrongly suppress new-cohort cells
-      if (s == null) farWeeks.clear()
-      val out = scala.collection.mutable.ArrayBuffer[RetentionHit]()
-      rows.toSeq.sortBy(e => micros(e.ts)).foreach { e =>
-        val day = Math.floorDiv(micros(e.ts), DayUs)
-        if (s == null) s = RetentionState(day, 0L)
-        // a late event from BEFORE the recorded cohort day is dropped:
-        // the incremental cohort cannot be retro-lowered (the batch
-        // twin would re-anchor it), and a negative week must never
-        // reach the shift below (1L << -1 wraps to bit 63)
-        if (day >= s.cohort) {
-          val week = (day - s.cohort) / 7
-          if (week < 64) {
-            if ((s.weeksMask & (1L << week)) == 0L) {
-              s = s.copy(weeksMask = s.weeksMask | (1L << week))
-              out += RetentionHit(user, s.cohort, week)
-            }
-          } else if (!farWeeks.containsKey(week)) {
-            farWeeks.updateValue(week, true)
-            out += RetentionHit(user, s.cohort, week)
-          }
-        }
-      }
+      if (s0 == null) farWeeks.clear()
+      val far0: Set[Long] =
+        if (s0 == null) Set.empty else farWeeks.keys().toSet
+      val (s, far, out) = advanceRetention(user, s0, far0,
+        rows.toSeq.sortBy(e => micros(e.ts)))
       if (s != null) st.update(s)
       // BOTH state cells must ride ONE eviction clock: st.update above
       // refreshes the bitmask's TTL on any activity, but MapState TTL
       // is per-entry-from-last-write — without a matching refresh, a
       // continuously-active user's old far-week entry could expire and
       // the cell re-emit (emit-once broken). Rewriting the (rare)
-      // far-week keys here keeps value and map expiring together:
-      // active user keeps both, fully-idle user loses both.
-      if (ttl != TTLConfig.NONE) {
-        val ks = farWeeks.keys().toSeq
-        ks.foreach(k => farWeeks.updateValue(k, true))
-      }
+      // far-week keys when a TTL is set keeps value and map expiring
+      // together: active user keeps both, fully-idle user loses both.
+      val toWrite = if (ttl != TTLConfig.NONE) far else far -- far0
+      toWrite.foreach(k => farWeeks.updateValue(k, true))
       out.iterator
     }
   }

@@ -302,3 +302,45 @@ object AttributionLaws extends Properties("advanceAttribution") {
       (h1 ++ h2) == onePass
     }
 }
+
+/** Laws for the cohort-retention transition — the trickiest of the
+  * three replay-twin kernels because its state spans TWO cells (a
+  * 64-week bitmask and the far-week set). The split law must hold for
+  * cuts landing exactly on the bitmask/map boundary, and emit-once
+  * must hold across it. */
+object RetentionLaws extends Properties("advanceRetention") {
+  import graft.streaming.StatefulOps
+  import graft.streaming.StatefulOps.{RetentionEvent, RetentionState}
+
+  private val WeekMs = 7L * 86400000L
+  // event times spanning ~200 weeks so sequences regularly cross the
+  // 64-week bitmask horizon
+  private val eventGen: Gen[RetentionEvent] = for {
+    t <- Gen.chooseNum(0L, 200L * WeekMs)
+  } yield RetentionEvent(1L, new java.sql.Timestamp(t))
+  private val sortedSeq: Gen[List[RetentionEvent]] =
+    Gen.listOf(eventGen).map(_.sortBy(_.ts.getTime))
+
+  private def run(s0: RetentionState, far0: Set[Long], evs: List[RetentionEvent]) =
+    StatefulOps.advanceRetention(1L, s0, far0, evs)
+
+  property("each (cohort, week) cell emits exactly once, weeks non-negative") =
+    forAll(sortedSeq) { evs =>
+      val hits = run(null, Set.empty, evs)._3
+      val cells = hits.map(h => (h.cohort_day, h.week_offset))
+      cells == cells.distinct && hits.forall(_.week_offset >= 0) &&
+        // every cell is anchored to the FIRST event's day
+        hits.forall(h => evs.nonEmpty &&
+          h.cohort_day == Math.floorDiv(evs.head.ts.getTime, 86400000L))
+    }
+
+  property("any batch split yields the same cells once state threads across") =
+    forAll(sortedSeq, Gen.chooseNum(0, 1000)) { (evs, cut) =>
+      val k = if (evs.isEmpty) 0 else cut % (evs.size + 1)
+      val (l, r) = evs.splitAt(k)
+      val onePass = run(null, Set.empty, evs)._3
+      val (s1, far1, h1) = run(null, Set.empty, l)
+      val h2 = run(s1, far1, r)._3
+      (h1 ++ h2) == onePass
+    }
+}
