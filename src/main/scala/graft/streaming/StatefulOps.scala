@@ -650,6 +650,18 @@ object StatefulOps {
     * live crawl. State is one long per source (O(domains)); admission
     * is deterministic given the input order, so a checkpoint replay of
     * the same batches re-admits the same documents. */
+  /** The quota-admission transition: admit while the running count is
+    * under quota. Split law (any batch cut + threaded count = one-pass
+    * admissions) is ScalaCheck'd in QuotaLaws — with the (time, id)
+    * sort in the processor it is the replay-determinism argument. */
+  private[graft] def advanceQuota(n0: Long, quota: Long,
+      rows: Seq[QuotaDoc]): (Long, Seq[QuotaDoc]) = {
+    var n = n0
+    val out = scala.collection.mutable.ArrayBuffer[QuotaDoc]()
+    rows.foreach { d => if (n < quota) { out += d; n += 1 } }
+    (n, out.toSeq)
+  }
+
   final class QuotaProcessor(quotas: Map[String, Long], defaultQuota: Long,
       ttl: TTLConfig = TTLConfig.NONE)
       extends StatefulProcessor[String, QuotaDoc, QuotaDoc] {
@@ -660,14 +672,12 @@ object StatefulOps {
     override def handleInputRows(source: String, rows: Iterator[QuotaDoc],
         tv: TimerValues): Iterator[QuotaDoc] = {
       val quota = quotas.getOrElse(source, defaultQuota)
-      var n = if (admitted.exists()) admitted.get() else 0L
-      val out = scala.collection.mutable.ArrayBuffer[QuotaDoc]()
+      val n0 = if (admitted.exists()) admitted.get() else 0L
       // within-batch order after the keyed shuffle is not contractual:
       // sort by (event time, id) so admission is deterministic under
       // replay, like the other processors here
-      rows.toSeq.sortBy(d => (micros(d.ts), d.doc_id)).foreach { d =>
-        if (n < quota) { out += d; n += 1 }
-      }
+      val (n, out) = advanceQuota(n0, quota,
+        rows.toSeq.sortBy(d => (micros(d.ts), d.doc_id)))
       admitted.update(n)
       out.iterator
     }

@@ -344,3 +344,35 @@ object RetentionLaws extends Properties("advanceRetention") {
       (h1 ++ h2) == onePass
     }
 }
+
+/** Laws for quota admission — the simplest kernel, but its split law
+  * is what makes the streaming sampler's checkpoint-replay admission
+  * set reproducible. */
+object QuotaLaws extends Properties("advanceQuota") {
+  import graft.streaming.StatefulOps
+  import graft.streaming.StatefulOps.QuotaDoc
+
+  private val docGen: Gen[QuotaDoc] = for {
+    id <- Gen.chooseNum(1L, 100000L)
+    t <- Gen.chooseNum(0L, 100000L)
+  } yield QuotaDoc(id, "src", new java.sql.Timestamp(t))
+  private val sortedSeq: Gen[List[QuotaDoc]] =
+    Gen.listOf(docGen).map(_.sortBy(d => (d.ts.getTime, d.doc_id)))
+  private val quotaGen = Gen.chooseNum(0L, 20L)
+
+  property("admits exactly the first min(quota, n) docs in order") =
+    forAll(sortedSeq, quotaGen) { (docs, q) =>
+      val (n, out) = StatefulOps.advanceQuota(0L, q, docs)
+      out == docs.take(q.toInt) && n == math.min(q, docs.size.toLong)
+    }
+
+  property("any batch split yields the same admissions once the count threads") =
+    forAll(sortedSeq, quotaGen, Gen.chooseNum(0, 1000)) { (docs, q, cut) =>
+      val k = if (docs.isEmpty) 0 else cut % (docs.size + 1)
+      val (l, r) = docs.splitAt(k)
+      val onePass = StatefulOps.advanceQuota(0L, q, docs)._2
+      val (n1, a1) = StatefulOps.advanceQuota(0L, q, l)
+      val a2 = StatefulOps.advanceQuota(n1, q, r)._2
+      (a1 ++ a2) == onePass
+    }
+}
