@@ -14,6 +14,17 @@ Test / fork := true
 // spark.streams state → run sequentially.
 Test / parallelExecution := false
 run / fork := true
+// The driver tail-parses the bench run's stdout for a JSON totals line.
+// Two sbt behaviors have broken that parse every round: the logger's
+// "[info] " prefix on forked-process output, and the "[success] Total
+// time…" line printed AFTER the program exits. Route the forked JVM's
+// stdout straight through (no prefix) and drop the success banner so
+// Bench's compact totals JSON is the genuine last line of stdout.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+Global / showSuccess := false
+// showSuccess is consumed by sbt's command loop, not a task — lint
+// can't see that; exclude it so project load stays warning-free.
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
