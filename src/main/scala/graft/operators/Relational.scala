@@ -417,16 +417,32 @@ object Relational {
       |  COUNT(CASE WHEN l_quantity > 25 THEN 1 END) AS n_bulk
       |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
-  /** Approximate distinct (HLL sketch) — algorithm-specific results, so
-    * no DuckDB oracle; the driver records a rows-only check. At 100 TB
-    * this replaces countDistinct wherever a ±2% answer is acceptable
-    * (no shuffle of distinct values, constant-size sketch per group). */
+  /** Approximate distinct (HLL++ sketch) as a bounded-error GATE. The
+    * sketch estimate itself is engine-private (no other engine builds
+    * identical registers), so raw output could never hash-match an
+    * oracle. What the sketch DOES promise — |approx−exact|/exact within
+    * 3·rsd (rsd 5% default; a std-dev, not a bound, hence 3σ = 15%) —
+    * is checkable: emit the exact count plus a `within_eps` boolean,
+    * and let DuckDB produce the exact side with literal TRUE. Spark's
+    * HLL++ is deterministic (hash-based registers, no RNG), so the
+    * boolean is replay-stable. At 100 TB approx_count_distinct replaces
+    * countDistinct wherever ±2% suffices: no shuffle of distinct
+    * values, constant-size mergeable sketch per group. */
   def qApproxDistinct(spark: SparkSession, sfDir: String): DataFrame =
     Tables.lineitem(spark, sfDir)
       .groupBy(col("l_returnflag"))
       .agg(approx_count_distinct(col("l_orderkey")).as("approx_orders"),
         countDistinct(col("l_orderkey")).as("exact_orders"))
+      .select(col("l_returnflag"), col("exact_orders"),
+        (abs(col("approx_orders") - col("exact_orders")).cast(DoubleType) /
+          col("exact_orders") <= lit(0.15)).as("within_eps"))
       .orderBy(col("l_returnflag"))
+
+  val qApproxDistinctOracle: String =
+    """SELECT l_returnflag,
+      |  COUNT(DISTINCT l_orderkey) AS exact_orders,
+      |  TRUE AS within_eps
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
   // ---- temporal joins (ABSENT in reference and in vanilla SQL-92) ----
 
@@ -1311,26 +1327,41 @@ object Relational {
       |  round(quantile_cont(l_quantity, 0.90), 6) AS p90
       |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
-  /** The SCALE path for quantiles: `percentile_approx` (a mergeable
-    * KLL-style sketch — bounded memory per group, one pass, partial
-    * aggregation) — what q_group_quantiles' exact sort-based twin
-    * gets replaced by at 100 TB. Rows-only (sketch output is
-    * engine-specific by design); EventOpsSpec pins it within rank
-    * tolerance of the exact answer, which is the property a sketch
-    * actually promises. */
+  /** The SCALE path for quantiles (`percentile_approx` — a mergeable
+    * KLL-style sketch: bounded memory per group, one pass, partial
+    * aggregation; what q_group_quantiles' exact sort-based twin gets
+    * replaced by at 100 TB) wrapped in a bounded-error GATE. Sketch
+    * output is engine-specific, so the query emits per-quantile
+    * booleans |approx−exact| ≤ 1 + 0.05·exact, the exact side computed
+    * by the same in-engine `percentile` that the oracled
+    * q_group_quantiles already proves equal to DuckDB's quantile_cont.
+    * The +1 slack absorbs interpolation: exact percentiles interpolate
+    * between adjacent data values while the sketch returns a member
+    * value within rank n/accuracy of the target. The DuckDB oracle
+    * emits literal TRUE per group, so a sketch regression past the
+    * bound flips a boolean and fails the round. */
   def qApproxQuantiles(spark: SparkSession, sfDir: String): DataFrame = {
     val qs = Seq(0.25, 0.5, 0.75, 0.9)
+    def within(i: Int, name: String) =
+      (abs(element_at(col("ap"), i) - element_at(col("ep"), i)) <=
+        lit(1.0) + lit(0.05) * element_at(col("ep"), i)).as(name)
     Tables.lineitem(spark, sfDir)
       .groupBy(col("l_returnflag"))
-      .agg(percentile_approx(col("l_quantity"),
-        array(qs.map(lit): _*), lit(10000)).as("p"))
+      .agg(
+        percentile_approx(col("l_quantity"),
+          array(qs.map(lit): _*), lit(10000)).as("ap"),
+        percentile(col("l_quantity"), array(qs.map(lit): _*)).as("ep"))
       .select(col("l_returnflag"),
-        element_at(col("p"), 1).as("p25"),
-        element_at(col("p"), 2).as("p50"),
-        element_at(col("p"), 3).as("p75"),
-        element_at(col("p"), 4).as("p90"))
+        within(1, "within_p25"), within(2, "within_p50"),
+        within(3, "within_p75"), within(4, "within_p90"))
       .orderBy(col("l_returnflag"))
   }
+
+  val qApproxQuantilesOracle: String =
+    """SELECT l_returnflag,
+      |  TRUE AS within_p25, TRUE AS within_p50,
+      |  TRUE AS within_p75, TRUE AS within_p90
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
   /** Distributed simple linear regression (price on quantity, per
     * returnflag) from EXACT integer moments: quantity is integral and
@@ -1629,6 +1660,10 @@ object Relational {
     "q9_profit_shape" -> q9Oracle,
     "q21_waiting_supplier" -> q21Oracle,
     "q_grouping_sets" -> qGroupingSetsOracle,
-    "q_window_ntile" -> qWindowNtileOracle)
-    // q_approx_distinct intentionally has no oracle (sketch-based).
+    "q_window_ntile" -> qWindowNtileOracle,
+    // The two sketch queries are bounded-error gates: the sketch value
+    // is engine-private, but its promised error bound is a boolean both
+    // engines agree on (DuckDB computes the exact side + literal TRUE).
+    "q_approx_distinct" -> qApproxDistinctOracle,
+    "q_approx_quantiles" -> qApproxQuantilesOracle)
 }

@@ -60,15 +60,14 @@ class RelationalSpec extends SparkSpec {
   test("approx distinct stays within 3x rsd of the exact count per group") {
     // HLL++ default rsd is 5% — a STANDARD DEVIATION, not a bound
     // (observed 5.5% on one sf0.001 group); 3σ = 15% is the practical
-    // envelope. The query emits both columns, so the error is
-    // checkable even though the sketch has no oracle.
+    // envelope. The query now emits the gate boolean itself (so the
+    // DuckDB oracle can hash-match it); the spec asserts it holds.
     val rows = Relational.qApproxDistinct(spark, sf).collect()
     assert(rows.nonEmpty)
     rows.foreach { r =>
-      val approx = r.getAs[Long]("approx_orders").toDouble
-      val exact = r.getAs[Long]("exact_orders").toDouble
-      assert(exact > 0 && math.abs(approx - exact) / exact <= 0.15,
-        s"approx $approx vs exact $exact out of bound")
+      assert(r.getAs[Long]("exact_orders") > 0)
+      assert(r.getAs[Boolean]("within_eps"),
+        s"${r.getString(0)}: approx distinct out of 3-sigma bound")
     }
   }
 }
