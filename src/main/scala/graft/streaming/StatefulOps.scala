@@ -299,68 +299,113 @@ object StatefulOps {
         timeModeFor(ttl), OutputMode.Append())
   }
 
-  /** EVENT-TIME twin of the funnel's TTL bound: instead of a
-    * processing-time TTL, each user carries ONE armed event-time timer
-    * at (last activity + horizon); when the WATERMARK proves the user
-    * has been inactive that long, the timer fires and the state is
-    * cleared — eviction keyed to the data's own clock, deterministic
-    * under replay (a reprocessed stream evicts at the same points,
-    * which a wall-clock TTL cannot promise). State is O(users active
-    * within the horizon) plus one timer each. Trade-off vs the TTL
-    * variant: event-time mode applies Spark's late-record filtering,
-    * so events at or below the watermark never reach the processor —
-    * the right contract for an analytics funnel, stricter than the
-    * TTL twin's accept-anything behavior. */
-  final class FunnelProcessorEventTime(horizonMs: Long)
-      extends StatefulProcessor[Long, FunnelEvent, FunnelHit] {
-    @transient private var st: ValueState[FunnelState] = _
+  /** EVENT-TIME eviction shell shared by the funnel / attribution /
+    * retention twins: instead of a processing-time TTL, each key
+    * carries ONE armed event-time timer at (last activity + horizon);
+    * when the WATERMARK proves the key has been inactive that long,
+    * the timer fires and the state is cleared — eviction keyed to the
+    * data's own clock, deterministic under replay (a reprocessed
+    * stream evicts at the same points, which a wall-clock TTL cannot
+    * promise). State is O(keys active within the horizon) plus one
+    * timer each. Trade-off vs the TTL variants: event-time mode
+    * applies Spark's late-record filtering, so events at or below the
+    * watermark never reach the processor — the right contract for
+    * analytics state, stricter than the TTL twins' accept-anything
+    * behavior. Subclasses own the domain state cells and the
+    * per-batch fold; the shell owns the activity clock, the in-band
+    * eviction check, timer re-arming, and the stale-timer guard. */
+  private[graft] abstract class EventTimeEvictor[K, I, O](horizonMs: Long)
+      extends StatefulProcessor[K, I, O] {
     @transient private var lastSeenMs: ValueState[Long] = _
+    /** Create the domain state cells (called from init). */
+    protected def initState(): Unit
+    /** Clear every domain state cell — eviction must drop the key's
+      * whole incarnation at once (one eviction clock for all cells). */
+    protected def clearState(): Unit
+    /** Fold this batch's rows (already sorted by [[sortKey]]) into the
+      * domain state. `fresh` means the in-band check just evicted the
+      * key — treat it as never seen even if a cleared cell still
+      * claims to exist within this batch. */
+    protected def advance(key: K, sorted: Seq[I], fresh: Boolean): Iterator[O]
+    /** Replay-deterministic within-batch order (post-shuffle order is
+      * not contractual). */
+    protected def sortKey(row: I): (Long, Long)
+    /** The row's event time in ms — feeds the inactivity clock. */
+    protected def eventMs(row: I): Long
+
     override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
-      st = getHandle.getValueState[FunnelState]("funnel",
-        Encoders.product[FunnelState], TTLConfig.NONE)
       lastSeenMs = getHandle.getValueState[Long]("lastSeen",
         Encoders.scalaLong, TTLConfig.NONE)
+      initState()
     }
-    override def handleInputRows(user: Long, rows: Iterator[FunnelEvent],
-        tv: TimerValues): Iterator[FunnelHit] = {
+    override def handleInputRows(key: K, rows: Iterator[I],
+        tv: TimerValues): Iterator[O] = {
       // Spark delivers a batch's INPUT ROWS before its expired timers,
       // and the delete-then-register below would cancel a not-yet-fired
       // expired timer — so the eviction check must ALSO run in-band: if
       // the current watermark already proves the inactivity horizon
-      // passed, this user re-enters as new right here, independent of
+      // passed, this key re-enters as new right here, independent of
       // timer scheduling. Keeps eviction watermark-exact under
       // back-to-back data batches and with no-data microbatches off.
       val prevSeen =
         if (lastSeenMs.exists()) lastSeenMs.get() else Long.MinValue
       val evicted = prevSeen != Long.MinValue &&
         tv.getCurrentWatermarkInMs() >= prevSeen + horizonMs
-      if (evicted) st.clear()
-      val s0 = if (st.exists() && !evicted) st.get() else FunnelState(-1L, -1L, -1L)
-      val sorted = rows.toSeq.sortBy(e => micros(e.ts))
+      if (evicted) clearState()
+      val sorted = rows.toSeq.sortBy(sortKey)
       // RUNNING max of activity time, never a plain overwrite: a late
       // (above-watermark) event from the past must not pull the
-      // inactivity deadline backwards and evict an active user early.
+      // inactivity deadline backwards and evict an active key early.
       // After an eviction the clock re-anchors to this batch alone.
       val lastMs = math.max(
         if (evicted) Long.MinValue else prevSeen,
-        sorted.map(_.ts.getTime).max)
-      val (s, out) = advanceFunnel(user, s0, sorted)
-      st.update(s)
+        sorted.map(eventMs).max)
+      val out = advance(key, sorted, evicted)
       lastSeenMs.update(lastMs)
-      // one armed timer per user: re-arm the inactivity deadline at
-      // each batch the user appears in (delete-then-register keeps it
+      // one armed timer per key: re-arm the inactivity deadline at
+      // each batch the key appears in (delete-then-register keeps it
       // single); clamp above the current watermark — an already-passed
       // deadline must still fire, on the very next batch
       getHandle.listTimers().foreach(t => getHandle.deleteTimer(t))
       getHandle.registerTimer(
         math.max(lastMs + horizonMs, tv.getCurrentWatermarkInMs() + 1))
-      out.iterator
+      out
     }
-    override def handleExpiredTimer(user: Long, tv: TimerValues,
-        info: org.apache.spark.sql.streaming.ExpiredTimerInfo): Iterator[FunnelHit] = {
-      st.clear()
-      lastSeenMs.clear()
+    override def handleExpiredTimer(key: K, tv: TimerValues,
+        info: org.apache.spark.sql.streaming.ExpiredTimerInfo): Iterator[O] = {
+      // STALE-TIMER GUARD: if this batch's input rows already
+      // re-anchored the key (data delivered before expired timers),
+      // the deadline implied by the CURRENT activity clock is newer
+      // than the timer that just fired — deleting an expired-but-
+      // unfired timer is not contractual across Spark versions, so a
+      // stale fire must not wipe the fresh incarnation. Evict only
+      // when the fired timer still proves the full horizon idle.
+      val seen = if (lastSeenMs.exists()) lastSeenMs.get() else Long.MinValue
+      if (seen == Long.MinValue || seen + horizonMs <= info.getExpiryTimeInMs()) {
+        clearState()
+        lastSeenMs.clear()
+      }
       Iterator.empty
+    }
+  }
+
+  /** Event-time eviction for the funnel — see [[EventTimeEvictor]].
+    * An evicted user's next view restarts the funnel at stage 1. */
+  final class FunnelProcessorEventTime(horizonMs: Long)
+      extends EventTimeEvictor[Long, FunnelEvent, FunnelHit](horizonMs) {
+    @transient private var st: ValueState[FunnelState] = _
+    override protected def initState(): Unit =
+      st = getHandle.getValueState[FunnelState]("funnel",
+        Encoders.product[FunnelState], TTLConfig.NONE)
+    override protected def clearState(): Unit = st.clear()
+    override protected def sortKey(e: FunnelEvent): (Long, Long) = (micros(e.ts), 0L)
+    override protected def eventMs(e: FunnelEvent): Long = e.ts.getTime
+    override protected def advance(user: Long, sorted: Seq[FunnelEvent],
+        fresh: Boolean): Iterator[FunnelHit] = {
+      val s0 = if (st.exists() && !fresh) st.get() else FunnelState(-1L, -1L, -1L)
+      val (s, out) = advanceFunnel(user, s0, sorted)
+      st.update(s)
+      out.iterator
     }
   }
 
@@ -459,6 +504,43 @@ object StatefulOps {
       .groupByKey(_.user_id)
       .transformWithState(new AttributionProcessor(ttl),
         timeModeFor(ttl), OutputMode.Append())
+  }
+
+  /** Event-time eviction for last-touch attribution — see
+    * [[EventTimeEvictor]]. An evicted user's next purchase finds no
+    * touch to credit (the remembered touch is forgotten at the
+    * inactivity horizon, independent of [[AttributionMaxLagUs]]). */
+  final class AttributionProcessorEventTime(horizonMs: Long)
+      extends EventTimeEvictor[Long, TouchEvent, AttributionHit](horizonMs) {
+    @transient private var st: ValueState[TouchState] = _
+    override protected def initState(): Unit =
+      st = getHandle.getValueState[TouchState]("touch",
+        Encoders.product[TouchState], TTLConfig.NONE)
+    override protected def clearState(): Unit = st.clear()
+    override protected def sortKey(e: TouchEvent): (Long, Long) =
+      (micros(e.ts), e.event_id)
+    override protected def eventMs(e: TouchEvent): Long = e.ts.getTime
+    override protected def advance(user: Long, sorted: Seq[TouchEvent],
+        fresh: Boolean): Iterator[AttributionHit] = {
+      val s0 = if (st.exists() && !fresh) st.get() else null
+      val (s, out) = advanceAttribution(s0, sorted)
+      if (s != null) st.update(s)
+      out.iterator
+    }
+  }
+
+  /** [[streamingAttribution]] with event-time inactivity eviction —
+    * see [[AttributionProcessorEventTime]]. RocksDB state store
+    * required. */
+  def streamingAttributionEventTime(events: Dataset[TouchEvent],
+      watermark: String = "1 hour", horizonMs: Long = 86400000L)
+      : Dataset[AttributionHit] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", watermark)
+      .groupByKey(_.user_id)
+      .transformWithState(new AttributionProcessorEventTime(horizonMs),
+        TimeMode.EventTime(), OutputMode.Append())
   }
 
   case class RetentionEvent(user_id: Long, ts: java.sql.Timestamp)
@@ -566,6 +648,53 @@ object StatefulOps {
       .groupByKey(_.user_id)
       .transformWithState(new RetentionProcessor(ttl),
         timeModeFor(ttl), OutputMode.Append())
+  }
+
+  /** Event-time eviction for cohort retention — see
+    * [[EventTimeEvictor]]. An evicted user re-anchors their cohort at
+    * the next event; the far-week map rides the same eviction clock
+    * as the bitmask (both cells clear together, so the emit-once
+    * contract holds per incarnation). */
+  final class RetentionProcessorEventTime(horizonMs: Long)
+      extends EventTimeEvictor[Long, RetentionEvent, RetentionHit](horizonMs) {
+    @transient private var st: ValueState[RetentionState] = _
+    @transient private var farWeeks: MapState[Long, Boolean] = _
+    override protected def initState(): Unit = {
+      st = getHandle.getValueState[RetentionState]("retention",
+        Encoders.product[RetentionState], TTLConfig.NONE)
+      farWeeks = getHandle.getMapState[Long, Boolean]("farWeeks",
+        Encoders.scalaLong, Encoders.scalaBoolean, TTLConfig.NONE)
+    }
+    override protected def clearState(): Unit = { st.clear(); farWeeks.clear() }
+    override protected def sortKey(e: RetentionEvent): (Long, Long) =
+      (micros(e.ts), 0L)
+    override protected def eventMs(e: RetentionEvent): Long = e.ts.getTime
+    override protected def advance(user: Long, sorted: Seq[RetentionEvent],
+        fresh: Boolean): Iterator[RetentionHit] = {
+      val s0 = if (st.exists() && !fresh) st.get() else null
+      // a fresh user must not inherit far-week cells from a previous
+      // incarnation (stale offsets keyed to the OLD cohort)
+      if (s0 == null) farWeeks.clear()
+      val far0: Set[Long] =
+        if (s0 == null) Set.empty else farWeeks.keys().toSet
+      val (s, far, out) = advanceRetention(user, s0, far0, sorted)
+      if (s != null) st.update(s)
+      (far -- far0).foreach(k => farWeeks.updateValue(k, true))
+      out.iterator
+    }
+  }
+
+  /** [[streamingRetention]] with event-time inactivity eviction — see
+    * [[RetentionProcessorEventTime]]. RocksDB state store required. */
+  def streamingRetentionEventTime(events: Dataset[RetentionEvent],
+      watermark: String = "1 hour", horizonMs: Long = 86400000L)
+      : Dataset[RetentionHit] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", watermark)
+      .groupByKey(_.user_id)
+      .transformWithState(new RetentionProcessorEventTime(horizonMs),
+        TimeMode.EventTime(), OutputMode.Append())
   }
 
   case class MetricEvent(event_id: Long, event_type: String, value: Double,

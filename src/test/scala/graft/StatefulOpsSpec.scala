@@ -471,7 +471,10 @@ class StatefulOpsSpec extends SparkSpec {
         // and the next view re-enters the funnel at stage 1 (the
         // documented eviction semantics). Without eviction this view
         // would be suppressed and no third row could ever appear.
-        Thread.sleep(5000)
+        // 5x the TTL (not 2.5x): wall-clock mode is inherently load-
+        // sensitive, so the margin absorbs a slow CI batch; the
+        // deterministic eviction story lives in the event-time tests.
+        Thread.sleep(10000)
         in.addData(ev(2, "view"))
         val hits = hitsWithin(30000, 3)
         assert(hits.map(_._1).sorted === Seq(1, 1, 2),
@@ -636,6 +639,175 @@ class StatefulOpsSpec extends SparkSpec {
           .map(r => (r.getLong(0), r.getInt(1))).sorted.toSeq
         assert(got === Seq((7L, 1), (7L, 1), (7L, 2), (8L, 1), (9L, 1), (9L, 2)),
           s"unexpected hits: $got")
+      } finally q.stop()
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
+
+  test("stale expired timer in the re-entry batch must not wipe the fresh funnel state") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val T0 = 1700000000000L
+      val Hour = 3600000L
+      def ev(user: Long, offMs: Long, typ: String) =
+        StatefulOps.FunnelEvent(user, typ, new Timestamp(T0 + offMs))
+      val in = MemoryStream[StatefulOps.FunnelEvent]
+      val ndKey = "spark.sql.streaming.noDataMicroBatches.enabled"
+      val ndPrev = spark.conf.getOption(ndKey)
+      spark.conf.set(ndKey, "false")
+      val q = try StatefulOps.streamingFunnelEventTime(in.toDS(),
+        watermark = "0 seconds", horizonMs = Hour)
+        .writeStream.format("memory").queryName("funnel_stale_out")
+        .outputMode("append").start()
+      finally {
+        ndPrev match {
+          case Some(v) => spark.conf.set(ndKey, v)
+          case None => spark.conf.unset(ndKey)
+        }
+      }
+      try {
+        // user 7 enters; their timer arms at +1h
+        in.addData(ev(7, 0, "view"))
+        q.processAllAvailable()
+        // watermark jumps to +3h — past user 7's deadline — WITHOUT
+        // delivering user-7 data, so their expired timer is pending
+        in.addData(ev(8, 3 * Hour, "view"))
+        q.processAllAvailable()
+        // ADVERSARIAL batch: user 7's re-entry data arrives in the very
+        // batch whose starting watermark (+3h) already exceeds their
+        // old deadline (+1h). Input rows run first (in-band eviction ->
+        // fresh stage-1 hit), then the batch's expired-timer pass may
+        // still fire the stale +1h timer — whether deleteTimer cancels
+        // an expired-but-unfired timer is not contractual. The guard
+        // must see the re-anchored activity clock and leave the fresh
+        // incarnation alive.
+        in.addData(ev(7, 3 * Hour + 60000, "view"))
+        q.processAllAvailable()
+        // if the stale timer wiped the fresh state, this click finds no
+        // stage-1 entry and is suppressed — no stage-2 row can appear
+        in.addData(ev(7, 3 * Hour + 120000, "click"))
+        q.processAllAvailable()
+        val got = spark.table("funnel_stale_out").collect()
+          .map(r => (r.getLong(0), r.getInt(1))).sorted.toSeq
+        assert(got === Seq((7L, 1), (7L, 1), (7L, 2), (8L, 1)),
+          s"stale timer wiped re-anchored state: $got")
+      } finally q.stop()
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
+
+  test("event-time timers evict idle attribution touches at the watermark") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val T0 = 1700000000000L
+      val Min = 60000L
+      def ev(id: Long, user: Long, typ: String, offMs: Long) =
+        StatefulOps.TouchEvent(id, user, typ, new Timestamp(T0 + offMs))
+      val in = MemoryStream[StatefulOps.TouchEvent]
+      val ndKey = "spark.sql.streaming.noDataMicroBatches.enabled"
+      val ndPrev = spark.conf.getOption(ndKey)
+      spark.conf.set(ndKey, "false")
+      // horizon (30 min) DELIBERATELY shorter than AttributionMaxLagUs
+      // (1 h): the eviction below removes a touch the lag window would
+      // still credit, so the test separates eviction from lag filtering
+      val q = try StatefulOps.streamingAttributionEventTime(in.toDS(),
+        watermark = "0 seconds", horizonMs = 30 * Min)
+        .writeStream.format("memory").queryName("attr_et_out")
+        .outputMode("append").start()
+      finally {
+        ndPrev match {
+          case Some(v) => spark.conf.set(ndKey, v)
+          case None => spark.conf.unset(ndKey)
+        }
+      }
+      try {
+        // touch then purchase 10 min later: credited (10 min latency)
+        in.addData(ev(1, 5, "click", 0), ev(2, 5, "purchase", 10 * Min))
+        q.processAllAvailable()
+        // watermark to +45min: user 5 idle since +10min, horizon 30min
+        // passed -> touch evicted
+        in.addData(ev(3, 6, "view", 45 * Min))
+        q.processAllAvailable()
+        // purchase at +50min: the old touch (age 50 min) is INSIDE the
+        // 1h lag window, so only eviction explains a missing credit
+        in.addData(ev(4, 5, "purchase", 50 * Min))
+        q.processAllAvailable()
+        // a fresh touch + purchase credit normally after re-entry
+        in.addData(ev(5, 5, "view", 51 * Min), ev(6, 5, "purchase", 52 * Min))
+        q.processAllAvailable()
+        val got = spark.table("attr_et_out").collect()
+          .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+        assert(got === Seq((2L, 1L), (6L, 5L)),
+          s"expected purchase 4 uncredited after eviction: $got")
+      } finally q.stop()
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
+
+  test("event-time timers re-anchor an evicted retention cohort") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val Day = 86400000L
+      def at(user: Long, day: Long) =
+        StatefulOps.RetentionEvent(user, new Timestamp(day * Day))
+      val in = MemoryStream[StatefulOps.RetentionEvent]
+      val ndKey = "spark.sql.streaming.noDataMicroBatches.enabled"
+      val ndPrev = spark.conf.getOption(ndKey)
+      spark.conf.set(ndKey, "false")
+      val q = try StatefulOps.streamingRetentionEventTime(in.toDS(),
+        watermark = "0 seconds", horizonMs = 30 * Day)
+        .writeStream.format("memory").queryName("ret_et_out")
+        .outputMode("append").start()
+      finally {
+        ndPrev match {
+          case Some(v) => spark.conf.set(ndKey, v)
+          case None => spark.conf.unset(ndKey)
+        }
+      }
+      try {
+        // cohort anchors at day 10; week 1 credited at day 17
+        in.addData(at(5, 10), at(5, 17))
+        q.processAllAvailable()
+        // watermark to day 100: user 5 idle since day 17 + 30d horizon
+        // -> evicted
+        in.addData(at(6, 100))
+        q.processAllAvailable()
+        // re-entry at day 101 anchors a NEW cohort (week 0), not week
+        // 13 of the old one
+        in.addData(at(5, 101))
+        q.processAllAvailable()
+        val got = spark.table("ret_et_out").collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted.toSeq
+        assert(got === Seq((5L, 10L, 0L), (5L, 10L, 1L), (5L, 101L, 0L),
+          (6L, 100L, 0L)),
+          s"expected re-anchored cohort after eviction: $got")
       } finally q.stop()
     } finally {
       prev match {
