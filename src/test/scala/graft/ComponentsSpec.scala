@@ -159,4 +159,26 @@ class ComponentsSpec extends SparkSpec {
     val recall = annPairs.size.toDouble / exactPairs.size
     assert(recall >= 0.7, f"ANN edge recall $recall%.2f below 0.7 floor at k=$k")
   }
+
+  test("ANN candidate volume grows ~linearly with corpus size (two-size gate)") {
+    // The r5 finding was a fixed geometry whose within-bucket join grew
+    // O(n²/2^k); the occupancy-scaled k must keep the pre-verification
+    // candidate volume ~linear in n. Gate: between the 1× (500-vector)
+    // and 4× (2000-vector) fixtures, candidates may grow at most 2× the
+    // size ratio (8×) — a quadratic regression (fixed k) grows ~16×.
+    def cands(dir: String): (Long, Long) = {
+      val e = DedupOps.normedVectors(graft.Tables.embeddings(spark, dir))
+      val n = e.count()
+      val k = DedupOps.signLshPlanes(n)
+      (n, DedupOps.annCandidatePairs(e, k, 64 / k).count())
+    }
+    val (n1, c1) = cands(sf)
+    val (n4, c4) = cands("/root/testdata/sf0.1")
+    assert(n4 === 4 * n1, s"fixtures moved: $n1 vs $n4 vectors")
+    assert(c1 > 0)
+    val growth = c4.toDouble / c1
+    assert(growth <= 2.0 * n4 / n1,
+      f"candidate growth $growth%.1fx between $n1 and $n4 vectors breaks " +
+        "the linear band — the geometry stopped scaling with n")
+  }
 }
