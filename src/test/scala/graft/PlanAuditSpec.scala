@@ -340,6 +340,45 @@ class PlanAuditSpec extends SparkSpec {
     spark.catalog.clearCache() // builds (but does not run) a persisted shingle relation
   }
 
+  test("stored-base incremental dedup never re-shingles the base corpus") {
+    // THE scale property of the materialized index: the daily job's
+    // text work (tokenize + shingle explode + minhash) is confined to
+    // the incoming slice — the base corpus rides in as stored
+    // signatures. Pinned on the ANALYZED plan (pre cache-substitution,
+    // so persisted subtrees stay visible): every Generate that
+    // tokenizes document text must have the incoming-slice filter in
+    // its subtree. The recompute twin necessarily fails this check —
+    // kept as a negative control so the pin cannot rot into a tautology.
+    import org.apache.spark.sql.catalyst.plans.logical.{Generate, LogicalPlan}
+    import org.apache.spark.sql.functions.{col, conv, md5, substring}
+    def textGenerates(lp: LogicalPlan): Seq[Generate] =
+      lp.collect { case g: Generate if g.toString.contains("split(text") => g }
+    val tmp = java.nio.file.Files.createTempDirectory("graft_sig_plan")
+    val sigDir = tmp.resolve("sig").toString
+    try {
+      val bucket = conv(substring(
+        md5(col("doc_id").cast("string").cast("binary")), 1, 4), 16, 10)
+        .cast("int") % 100
+      graft.operators.DedupOps.baseSignatures(
+        Tables.documents(spark, sf).filter(bucket < 90))
+        .write.parquet(sigDir)
+      val stored = graft.operators.DedupOps
+        .qDedupIncrementalStored(spark, sf, sigDir)
+      val gens = textGenerates(stored.queryExecution.analyzed)
+      assert(gens.nonEmpty, "expected the incoming slice's shingle explode")
+      gens.foreach(g => assert(g.toString.contains(">= 90"),
+        s"a text explode escaped the incoming-slice filter:\n$g"))
+      val rec = graft.operators.DedupOps.qDedupIncremental(spark, sf)
+      assert(textGenerates(rec.queryExecution.analyzed)
+        .exists(g => !g.toString.contains(">= 90")),
+        "recompute twin no longer shingles the full corpus — update this pin")
+    } finally {
+      spark.catalog.clearCache() // both variants build persisted shingles
+      import scala.reflect.io.Directory
+      new Directory(tmp.toFile).deleteRecursively()
+    }
+  }
+
   test("bounded-heap top-k runs partial+final aggregation and matches the window variant") {
     val df = Relational.qTopKPerGroupAgg(spark, sf)
     val p = planString(df)
