@@ -184,6 +184,26 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("q18: one lineitem shuffle, HAVING set broadcast-semi, no global sort") {
+    // Bench history (r5 0.90s -> r6 artifact 1.31s) looked like a
+    // regression but is the measured ±0.3s noise band of ~1s lineitem
+    // aggregations (isolated runs: 0.98-1.15s, twin-shaped q17 shows
+    // the same band). The PLAN is the invariant worth holding: exactly
+    // one hash exchange (the l_orderkey aggregate), the filtered key
+    // set and customer dim broadcast (never sort-merge), and top-20 as
+    // TakeOrderedAndProject, not a global sort.
+    val df = Relational.qHavingIn(spark, sf)
+    val hashed = shufflePartitionings(df).filter(_.contains("hashpartitioning("))
+    assert(hashed.size === 1 && hashed.head.contains("l_orderkey"),
+      s"expected exactly one shuffle, on l_orderkey, got: $hashed")
+    val p = planString(df)
+    assert(p.contains("BroadcastHashJoin LeftSemi"),
+      s"the IN-subquery must compile to a broadcast semi join:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"no join here should sort-merge:\n$p")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-20 must avoid a global sort:\n$p")
+  }
+
   test("substring dedup and market basket are equi-joins, never nested-loop") {
     for (df <- Seq(graft.operators.DedupOps.qDedupSubstring(spark, sf),
         graft.operators.DedupOps.qDedupSpanCoverage(spark, sf),
