@@ -319,7 +319,44 @@ object SamplingOps {
     DedupOps.unpersistAfterFirstAction(contaminationReport(candidates, bench), sh)
   }
 
+  /** Deterministic TRAINING-ORDER layout: a global pseudo-random
+    * shuffle of the corpus plus a contiguous (shard, position) address
+    * per doc — the epoch ordering a distributed dataloader consumes.
+    * The rank is md5("42:" || doc_id): stable across runs, engines and
+    * repartitioning, and an epoch reshuffle is just a seed bump. The
+    * shard is a hash bucket OF THE RANK (so each shard is itself a
+    * uniform random slice — a worker reading only shard 3 still sees
+    * an unbiased stream), and the position is rank order within the
+    * shard. ONE shuffle on the shard key, then each shard sorts
+    * independently — there is never a global sort; at 100 TB set
+    * shards ≈ dataloader workers × a small factor so a shard's sort
+    * (corpus/shards rows) fits one executor. */
+  def qTrainOrder(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val nShards = 8
+    val rk = md5(concat(lit("42:"), col("doc_id").cast("string")).cast("binary"))
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"), rk.as("rk"))
+      .withColumn("shard",
+        conv(substring(col("rk"), 1, 4), 16, 10).cast("int") % nShards)
+      .withColumn("pos", row_number().over(
+        Window.partitionBy(col("shard")).orderBy(col("rk"), col("doc_id"))))
+      .select(col("doc_id"), col("shard"), col("pos"))
+      .orderBy(col("shard"), col("pos"))
+  }
+
+  val qTrainOrderOracle: String =
+    """WITH r AS (
+      |  SELECT doc_id, md5('42:' || CAST(doc_id AS VARCHAR)) AS rk
+      |  FROM documents),
+      |s AS (SELECT doc_id, rk,
+      |  CAST('0x' || substr(rk, 1, 4) AS INT) % 8 AS shard FROM r)
+      |SELECT doc_id, shard,
+      |  ROW_NUMBER() OVER (PARTITION BY shard ORDER BY rk, doc_id) AS pos
+      |FROM s ORDER BY shard, pos""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sample_train_order" -> (qTrainOrder _),
     "sample_drift_psi" -> (qDriftPsi _),
     "sample_split" -> (qSampleSplit _),
     "sample_balance_classes" -> (qBalanceClasses _),
@@ -329,6 +366,7 @@ object SamplingOps {
     "sample_importance" -> (qImportanceSample _))
 
   val oracles: Map[String, String] = Map(
+    "sample_train_order" -> qTrainOrderOracle,
     "sample_drift_psi" -> qDriftPsiOracle,
     "sample_split" -> qSampleSplitOracle,
     "sample_balance_classes" -> qBalanceClassesOracle,

@@ -335,6 +335,47 @@ class PipelineOpsSpec extends SparkSpec {
     }
   }
 
+  test("train order: a permutation per shard with contiguous positions, stable across runs") {
+    import graft.operators.SamplingOps
+    val rows = SamplingOps.qTrainOrder(spark, sf).collect()
+    val n = Tables.documents(spark, sf).count()
+    // every doc exactly once across shards
+    assert(rows.map(_.getLong(0)).distinct.length.toLong === n)
+    // positions are contiguous 1..|shard| within each shard
+    rows.groupBy(_.getInt(1)).foreach { case (shard, rs) =>
+      val ps = rs.map(_.getInt(2)).sorted
+      assert(ps.toSeq === (1 to rs.length),
+        s"shard $shard positions not contiguous: ${ps.take(5).toSeq}…")
+    }
+    // deterministic: a second construction yields the identical layout
+    val again = SamplingOps.qTrainOrder(spark, sf).collect()
+    assert(rows.map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).toSeq ===
+      again.map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).toSeq)
+  }
+
+  test("incremental similarity classifies every incoming vector against base-slice matches only") {
+    import graft.operators.SimilarityOps
+    val bucket = conv(substring(
+      md5(col("vec_id").cast("string").cast("binary")), 1, 4), 16, 10)
+      .cast("int") % 100
+    val all = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), bucket.as("hb")).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val incoming = all.filter(_._2 >= 90).keySet
+    val r = SimilarityOps.qSimIncremental(spark, sf).collect()
+    assert(r.map(_.getLong(0)).toSet === incoming,
+      "every incoming vector classified exactly once")
+    r.foreach { row =>
+      if (row.getString(1) == "match") {
+        assert(all(row.getLong(2)) < 90,
+          s"match evidence ${row.getLong(2)} must come from the base slice")
+        assert(row.getDouble(3) >= 0.4, "a match must clear the cosine bar")
+      } else assert(row.isNullAt(2) && row.isNullAt(3))
+    }
+    assert(r.exists(_.getString(1) == "match"),
+      "fixture contains near-duplicate vectors; expected at least one match")
+  }
+
   test("span coverage: bounds hold and every substring-pair member has covered spans") {
     val cov = DedupOps.qDedupSpanCoverage(spark, sf).collect()
     assert(cov.nonEmpty)

@@ -399,6 +399,25 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("train order shuffles once on the shard key; sim index never re-buckets the base") {
+    // train order: one hash exchange (shard) + the presentation range
+    // sort — the per-shard window must not add a second wide shuffle
+    val to = graft.operators.SamplingOps.qTrainOrder(spark, sf)
+    val hashed = shufflePartitionings(to).filter(_.contains("hashpartitioning("))
+    assert(hashed.size === 1 && hashed.head.contains("shard"),
+      s"expected exactly one shuffle, on shard, got: ${shufflePartitionings(to)}")
+    // sim_incremental: the only sign-LSH bucketing explode in the plan
+    // is the incoming slice's — the base rides in as stored buckets
+    // (same analyzed-plan subtree check as the stored-dedup pin)
+    import org.apache.spark.sql.catalyst.plans.logical.Generate
+    val si = graft.operators.SimilarityOps.qSimIncremental(spark, sf)
+    val gens = si.queryExecution.analyzed.collect {
+      case g: Generate if g.toString.contains("element_at(v") => g }
+    assert(gens.nonEmpty, "expected the incoming slice's bucketing explode")
+    gens.foreach(g => assert(g.toString.contains(">= 90"),
+      s"a sign-LSH bucketing explode escaped the incoming filter:\n$g"))
+  }
+
   test("bounded-heap top-k runs partial+final aggregation and matches the window variant") {
     val df = Relational.qTopKPerGroupAgg(spark, sf)
     val p = planString(df)
