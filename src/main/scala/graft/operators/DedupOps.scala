@@ -855,6 +855,71 @@ object DedupOps {
       .orderBy(col("doc_id"))
   }
 
+  /** Quality-aware representative selection + corpus keep-list — the
+    * DELIVERABLE of a dedup run. [[qDedupClusters]]'s `is_canonical`
+    * keeps the min doc_id (deterministic but arbitrary); production
+    * pipelines keep the BEST member of each near-dup cluster (longest /
+    * highest-quality text, cf. the keep-longest policy in web-corpus
+    * dedup), and the output a trainer consumes is the keep/drop verdict
+    * for EVERY corpus document, not just the matched ones.
+    *
+    * Scale shape: the component labels + quality join + per-cluster
+    * argmax all run on the MATCHED set (graph-sized — orders of
+    * magnitude smaller than the corpus), so the ranking window is
+    * cheap; the corpus-sized step is a single broadcast left join of
+    * the verdict table into `documents` — the corpus itself never
+    * shuffles. Argmax is a row_number over (n_chars DESC, doc_id) —
+    * fully deterministic under ties, reproducible in any engine. */
+  def qDedupRepresentatives(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir).select(col("doc_id"), col("n_chars"))
+    val comp = connectedComponents(
+        cappedJaccardPairs(spark, sfDir).select("a_id", "b_id"))
+      .select(col("node").as("doc_id"), col("label").as("cluster_id"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("cluster_id"))
+      .orderBy(col("n_chars").desc, col("doc_id"))
+    val matched = comp.join(docs, "doc_id")
+      .withColumn("rn", row_number().over(w))
+      .select(col("doc_id"), col("cluster_id"), (col("rn") === 1).as("keep"))
+    docs.join(broadcast(matched), Seq("doc_id"), "left_outer")
+      .select(col("doc_id"),
+        coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"),
+        coalesce(col("keep"), lit(true)).as("keep"))
+      .orderBy("doc_id")
+  }
+
+  val qDedupRepresentativesOracle: String =
+    s"""WITH RECURSIVE $shinglesSql,
+       |rare AS (SELECT shingle FROM sh GROUP BY shingle HAVING COUNT(*) <= 20),
+       |kept AS (SELECT sh.doc_id, sh.shingle FROM sh JOIN rare USING (shingle)),
+       |sc AS (SELECT doc_id, COUNT(*) AS n FROM kept GROUP BY 1),
+       |pairs AS (
+       |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS inter
+       |  FROM kept a JOIN kept b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2),
+       |matched AS (
+       |  SELECT p.a_id, p.b_id FROM pairs p
+       |  JOIN sc sa ON sa.doc_id = p.a_id
+       |  JOIN sc sb ON sb.doc_id = p.b_id
+       |  WHERE CAST(p.inter AS DOUBLE) / (sa.n + sb.n - p.inter) >= 0.1),
+       |edges AS (SELECT a_id AS src, b_id AS dst FROM matched
+       |          UNION SELECT b_id, a_id FROM matched),
+       |reach(src, dst) AS (
+       |  SELECT DISTINCT src, src FROM edges
+       |  UNION
+       |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+       |comp AS (SELECT src AS doc_id, MIN(dst) AS cluster_id FROM reach GROUP BY 1),
+       |ranked AS (
+       |  SELECT c.doc_id, c.cluster_id,
+       |    ROW_NUMBER() OVER (PARTITION BY c.cluster_id
+       |                       ORDER BY d.n_chars DESC, c.doc_id) AS rn
+       |  FROM comp c JOIN documents d ON d.doc_id = c.doc_id)
+       |SELECT d.doc_id,
+       |  COALESCE(r.cluster_id, d.doc_id) AS cluster_id,
+       |  COALESCE(r.rn = 1, TRUE) AS keep
+       |FROM documents d LEFT JOIN ranked r ON r.doc_id = d.doc_id
+       |ORDER BY d.doc_id""".stripMargin
+
   /** SEMANTIC dedup clusters: connected components over the
     * embedding-cosine near-dup graph — "train on one doc per meaning
     * cluster". Here the edge set is the guarded exact-cosine twin (so
@@ -1461,6 +1526,7 @@ object DedupOps {
     "dedup_embedding_cosine" -> (qDedupEmbedding _),
     "dedup_clusters" -> (qDedupClusters _),
     "dedup_clusters_stars" -> (qDedupClustersStars _),
+    "dedup_representatives" -> (qDedupRepresentatives _),
     "dedup_semantic_clusters" -> (qDedupSemanticClusters _),
     "dedup_semantic_clusters_ann" -> (qDedupSemanticClustersAnn _))
 
@@ -1480,6 +1546,7 @@ object DedupOps {
     "dedup_embedding_cosine" -> qDedupEmbeddingOracle,
     "dedup_clusters" -> qDedupClustersOracle,
     "dedup_clusters_stars" -> qDedupClustersOracle,
+    "dedup_representatives" -> qDedupRepresentativesOracle,
     "dedup_semantic_clusters" -> qDedupSemanticClustersOracle,
     "dedup_semantic_clusters_ann" -> qDedupSemanticClustersAnnOracle)
 }

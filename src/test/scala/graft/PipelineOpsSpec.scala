@@ -177,6 +177,30 @@ class PipelineOpsSpec extends SparkSpec {
     }
   }
 
+  test("dedup representatives: total keep-list, one keeper per cluster, keeper is longest") {
+    val r = DedupOps.qDedupRepresentatives(spark, sf)
+    val docs = Tables.documents(spark, sf).select(col("doc_id"), col("n_chars"))
+    // totality: exactly one verdict row per corpus document
+    assert(r.count() === docs.count())
+    val joined = r.join(docs, "doc_id").collect()
+    val byCluster = joined.groupBy(_.getAs[Long]("cluster_id"))
+    assert(byCluster.exists(_._2.length >= 2), "fixture must contain real clusters")
+    byCluster.foreach { case (cid, members) =>
+      val keepers = members.filter(_.getAs[Boolean]("keep"))
+      assert(keepers.length === 1, s"cluster $cid keeps ${keepers.length} docs")
+      // keep policy: max n_chars, tie-broken by min doc_id
+      val best = members.minBy(m =>
+        (-m.getAs[Long]("n_chars"), m.getAs[Long]("doc_id")))
+      assert(keepers.head.getAs[Long]("doc_id") === best.getAs[Long]("doc_id"),
+        s"cluster $cid kept a non-best member")
+    }
+    // singletons keep themselves under their own id
+    val singles = byCluster.filter(_._2.length == 1).values.flatten
+    singles.foreach { m =>
+      assert(m.getAs[Boolean]("keep") && m.getAs[Long]("cluster_id") === m.getAs[Long]("doc_id"))
+    }
+  }
+
   test("repetition metrics are fractions; top-word mass bounds dup-word mass sanely") {
     val r = TextOps.qRepetition(spark, sf).collect()
     assert(r.nonEmpty)

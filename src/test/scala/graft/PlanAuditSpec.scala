@@ -466,7 +466,7 @@ class PlanAuditSpec extends SparkSpec {
     // iterative queries execute their loop at BUILD time — each has
     // its own targeted pin; excluded here to keep the sweep fast
     val skipIterative = Set(
-      "dedup_clusters", "dedup_clusters_stars",
+      "dedup_clusters", "dedup_clusters_stars", "dedup_representatives",
       "dedup_semantic_clusters_ann", "cdc_scd2")
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1)
       .filterNot { case (name, _) =>
