@@ -396,6 +396,88 @@ object DedupOps {
        |WHERE CAST(p.inter AS DOUBLE) / (sa.n + sb.n - p.inter) >= 0.1
        |ORDER BY c.a_id, c.b_id""".stripMargin
 
+  /** LSH recall/precision audit — the health metric a production
+    * near-dup pipeline watches. Ground truth is the exact
+    * inverted-index Jaccard pairs (≥ 0.1, uncapped — the same truth
+    * the LSH path verifies candidates against); candidates are the
+    * minhash band-collision pairs. The report is ONE row: how many
+    * true pairs exist, how many candidates the bands surfaced, how
+    * many true pairs the bands caught (recall) and what fraction of
+    * candidates were real (precision). With 12 hashes in 4 bands of
+    * 3, band-collision probability is 1-(1-j³)⁴ — near-identical
+    * docs (j→1) are caught w.h.p. while borderline j≈0.1 pairs are
+    * mostly missed; the audit makes that engineering trade VISIBLE
+    * and regression-gated instead of folklore.
+    *
+    * Scale shape: both inputs are pair relations bounded by the
+    * inverted-index / banding discipline (never O(n²)); the confusion
+    * join is a full-outer equi-join on the pair key, and the report
+    * is a single global rollup of three indicator sums — bytes, not
+    * data. The shingle relation is exploded ONCE (persisted) and
+    * feeds the truth side and the band signatures; at 100 TB the
+    * audit runs on a sampled stratum, but the plan is unchanged. */
+  def qDedupLshAudit(spark: SparkSession, sfDir: String): DataFrame = {
+    val sh = shingles(Tables.documents(spark, sfDir))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val truth = jaccardPairs(sh).filter(col("jaccard") >= 0.1)
+      .select(col("a_id"), col("b_id"), lit(true).as("is_truth"))
+    val bands = minhashBands(sh)
+    val cand = bands.as("a")
+      .join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+      .distinct()
+      .withColumn("is_cand", lit(true))
+    unpersistAfterFirstAction(
+      truth.join(cand, Seq("a_id", "b_id"), "full_outer")
+        .agg(
+          sum(when(col("is_truth"), 1L).otherwise(0L)).as("n_truth"),
+          sum(when(col("is_cand"), 1L).otherwise(0L)).as("n_candidates"),
+          sum(when(col("is_truth") && col("is_cand"), 1L).otherwise(0L)).as("n_hits"))
+        .withColumn("recall_r", round(col("n_hits") / col("n_truth"), 6))
+        .withColumn("precision_r", round(col("n_hits") / col("n_candidates"), 6)),
+      sh)
+  }
+
+  val qDedupLshAuditOracle: String =
+    s"""WITH $shinglesSql,
+       |sc AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+       |pairs AS (
+       |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS inter
+       |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2),
+       |truth AS (
+       |  SELECT p.a_id, p.b_id FROM pairs p
+       |  JOIN sc sa ON sa.doc_id = p.a_id
+       |  JOIN sc sb ON sb.doc_id = p.b_id
+       |  WHERE CAST(p.inter AS DOUBLE) / (sa.n + sb.n - p.inter) >= 0.1),
+       |mh AS (
+       |  SELECT doc_id, s.seed, min(md5(s.seed || ':' || shingle)) AS minh
+       |  FROM sh, (SELECT unnest(generate_series(0, ${NumHashes - 1})) AS seed) s
+       |  GROUP BY 1, 2),
+       |bands AS (
+       |  SELECT doc_id, seed // $BandSize AS band,
+       |         md5(string_agg(minh, ',' ORDER BY seed)) AS bkey
+       |  FROM mh GROUP BY 1, 2),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+       |  FROM bands a JOIN bands b
+       |    ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
+       |conf AS (
+       |  SELECT t.a_id IS NOT NULL AS is_truth, c.a_id IS NOT NULL AS is_cand
+       |  FROM truth t FULL OUTER JOIN cand c
+       |    ON t.a_id = c.a_id AND t.b_id = c.b_id)
+       |SELECT
+       |  CAST(SUM(CASE WHEN is_truth THEN 1 ELSE 0 END) AS BIGINT) AS n_truth,
+       |  CAST(SUM(CASE WHEN is_cand THEN 1 ELSE 0 END) AS BIGINT) AS n_candidates,
+       |  CAST(SUM(CASE WHEN is_truth AND is_cand THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
+       |  round(CAST(SUM(CASE WHEN is_truth AND is_cand THEN 1 ELSE 0 END) AS DOUBLE)
+       |        / SUM(CASE WHEN is_truth THEN 1 ELSE 0 END), 6) AS recall_r,
+       |  round(CAST(SUM(CASE WHEN is_truth AND is_cand THEN 1 ELSE 0 END) AS DOUBLE)
+       |        / SUM(CASE WHEN is_cand THEN 1 ELSE 0 END), 6) AS precision_r
+       |FROM conf""".stripMargin
+
   // ---- 4. SimHash ----
 
   /** 16-bit SimHash per document over distinct tokens: bit b of the
@@ -989,6 +1071,17 @@ object DedupOps {
     * disjoint-dims scheme is exhausted at k=10. Bucket occupancy is
     * spec-bounded (≤ 2·n/2^k on the 4× fixture, ComponentsSpec). */
   def annCosinePairs(e: DataFrame, minCosine: Double = 0.4, tables: Int = 0,
+      planesPerTable: Int = 0, knownN: Long = 0): DataFrame =
+    annScoredPairs(e, tables, planesPerTable, knownN)
+      .filter(col("cosine") >= minCosine)
+      .select(col("a_id"), col("b_id"))
+
+  /** ANN candidate pairs WITH their exact cosine — [[annCosinePairs]]
+    * before the threshold filter. Shared by the clustering miner
+    * (threshold edges) and the kNN-graph builder (per-vector rank),
+    * so both consume the identical candidate geometry and each
+    * unordered pair pays exactly one dot product. */
+  private[graft] def annScoredPairs(e: DataFrame, tables: Int = 0,
       planesPerTable: Int = 0, knownN: Long = 0): DataFrame = {
     // sizing: `knownN` (from catalog statistics or a cached count)
     // keeps construction action-free; otherwise one COUNT(*) pruned to
@@ -1006,8 +1099,7 @@ object DedupOps {
       .join(e.select(col("vec_id").as("a_id"), col("v").as("va"), col("nrm").as("na")), "a_id")
       .join(e.select(col("vec_id").as("b_id"), col("v").as("vb"), col("nrm").as("nb")), "b_id")
       .withColumn("cosine", dot(col("va"), col("vb")) / (col("na") * col("nb")))
-      .filter(col("cosine") >= minCosine)
-      .select(col("a_id"), col("b_id"))
+      .select(col("a_id"), col("b_id"), col("cosine"))
   }
 
   /** Planes per sign-LSH table for an `n`-vector corpus:
@@ -1061,9 +1153,15 @@ object DedupOps {
   private val annSizingCounts =
     new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
 
+  /** Memoized sizing count for ANN geometry, shared by every consumer
+    * of the same dataset dir (clustering miner, kNN graph) — one
+    * footer-only COUNT(*) per dataset per JVM. */
+  private[graft] def annSizingCount(key: String, n: => Long): Long =
+    annSizingCounts.computeIfAbsent(key, _ => Long.box(n)).longValue()
+
   def qDedupSemanticClustersAnn(spark: SparkSession, sfDir: String): DataFrame = {
     val e = normedVectors(Tables.embeddings(spark, sfDir))
-    val n = annSizingCounts.computeIfAbsent(sfDir, _ => Long.box(e.count())).longValue()
+    val n = annSizingCount(sfDir, e.count())
     val pairs = annCosinePairs(e, knownN = n)
     val w = org.apache.spark.sql.expressions.Window.partitionBy(col("cluster_id"))
     connectedComponents(pairs)
@@ -1527,6 +1625,7 @@ object DedupOps {
     "dedup_clusters" -> (qDedupClusters _),
     "dedup_clusters_stars" -> (qDedupClustersStars _),
     "dedup_representatives" -> (qDedupRepresentatives _),
+    "dedup_lsh_audit" -> (qDedupLshAudit _),
     "dedup_semantic_clusters" -> (qDedupSemanticClusters _),
     "dedup_semantic_clusters_ann" -> (qDedupSemanticClustersAnn _))
 
@@ -1547,6 +1646,7 @@ object DedupOps {
     "dedup_clusters" -> qDedupClustersOracle,
     "dedup_clusters_stars" -> qDedupClustersOracle,
     "dedup_representatives" -> qDedupRepresentativesOracle,
+    "dedup_lsh_audit" -> qDedupLshAuditOracle,
     "dedup_semantic_clusters" -> qDedupSemanticClustersOracle,
     "dedup_semantic_clusters_ann" -> qDedupSemanticClustersAnnOracle)
 }

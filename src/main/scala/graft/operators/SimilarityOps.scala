@@ -535,7 +535,78 @@ object SimilarityOps {
       |  ON m.vec_id = i.vec_id
       |ORDER BY i.vec_id""".stripMargin
 
+  /** Corpus-wide kNN graph — the primitive under SemDeDup-style
+    * semantic dedup, diversity sampling, and graph-based clustering:
+    * every vector's top-3 neighbors, not just a broadcast query set's.
+    * Candidates come from the SAME occupancy-scaled multi-table
+    * sign-LSH geometry as the ANN clustering miner
+    * ([[DedupOps.annScoredPairs]]), so each unordered candidate pair
+    * pays exactly ONE dot product; both directions of the pair then
+    * rank per source vector. Vectors whose buckets collide with
+    * nobody emit no rows — a production build raises the table count
+    * until coverage suffices (the recall ladder is 1-(1-p^k)^L).
+    *
+    * Scale shape: candidate volume is n·occupancy (the occupancy knob
+    * holds ~64 at any n), the rank is a per-vec_id window over ≤
+    * 2·|candidates| rows, and the corpus itself never self-joins —
+    * this is the all-pairs problem reduced to equi-joins, the only
+    * shape that survives 100 TB. */
+  def qSimKnnGraph(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = DedupOps.normedVectors(Tables.embeddings(spark, sfDir))
+    val n = DedupOps.annSizingCount(sfDir, e.count())
+    val scored = DedupOps.annScoredPairs(e, knownN = n)
+    val sym = scored
+      .select(col("a_id").as("vec_id"), col("b_id").as("n_id"), col("cosine"))
+      .union(scored
+        .select(col("b_id").as("vec_id"), col("a_id").as("n_id"), col("cosine")))
+    val w = Window.partitionBy(col("vec_id"))
+      .orderBy(col("cosine").desc, col("n_id"))
+    sym.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 3)
+      .select(col("vec_id"), col("rank"), col("n_id"),
+        round(col("cosine"), 6).as("cosine_r"))
+      .orderBy("vec_id", "rank")
+  }
+
+  val qSimKnnGraphOracle: String =
+    """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+      |kk AS (
+      |  SELECT k, 64 // k AS ntab FROM (
+      |    SELECT GREATEST(4, LEAST(10,
+      |      CASE WHEN m <= 1 THEN 0 ELSE LENGTH(bin(m - 1)) END)) AS k
+      |    FROM (SELECT (COUNT(*) + 63) // 64 AS m FROM e) mm) kx),
+      |bk AS (
+      |  SELECT vec_id, t.t AS tbl,
+      |    array_to_string([CASE WHEN v[t.t*k + i] >= 0 THEN '1' ELSE '0' END
+      |                     FOR i IN generate_series(1, k)], '') AS bucket
+      |  FROM n, kk, unnest(generate_series(0, (SELECT ntab - 1 FROM kk))) AS t(t)),
+      |cand AS (
+      |  SELECT DISTINCT a.vec_id AS a_id, b.vec_id AS b_id
+      |  FROM bk a JOIN bk b
+      |    ON a.tbl = b.tbl AND a.bucket = b.bucket AND a.vec_id < b.vec_id),
+      |scored AS (
+      |  SELECT c.a_id, c.b_id,
+      |    list_dot_product(x.v, y.v) / (x.nrm * y.nrm) AS cosine
+      |  FROM cand c
+      |  JOIN n x ON x.vec_id = c.a_id
+      |  JOIN n y ON y.vec_id = c.b_id),
+      |sym AS (
+      |  SELECT a_id AS vec_id, b_id AS n_id, cosine FROM scored
+      |  UNION ALL
+      |  SELECT b_id, a_id, cosine FROM scored),
+      |rk AS (
+      |  SELECT vec_id, n_id, cosine,
+      |    row_number() OVER (PARTITION BY vec_id
+      |                       ORDER BY cosine DESC, n_id) AS rank
+      |  FROM sym)
+      |SELECT vec_id, rank, n_id, round(cosine, 6) AS cosine_r
+      |FROM rk WHERE rank <= 3
+      |ORDER BY vec_id, rank""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sim_knn_graph" -> (qSimKnnGraph _),
     "sim_incremental" -> (qSimIncremental _),
     "sim_dim_corr" -> (qDimCorr _),
     "sim_bruteforce_topk" -> (qSimBruteForce _),
@@ -546,6 +617,7 @@ object SimilarityOps {
     "sim_quantize_int8" -> (qQuantizeInt8 _))
 
   val oracles: Map[String, String] = Map(
+    "sim_knn_graph" -> qSimKnnGraphOracle,
     "sim_incremental" -> qSimIncrementalOracle,
     "sim_dim_corr" -> qDimCorrOracle,
     "sim_bruteforce_topk" -> qSimBruteForceOracle,
