@@ -331,48 +331,50 @@ object SimilarityOps {
 
   /** Dimension-pair Pearson CORRELATION MATRIX over the embedding
     * corpus — the feature-stats pass before whitening / PCA /
-    * redundant-dimension pruning. The scalable shape: each row emits
-    * its own upper-triangle OUTER PRODUCT entries map-side
-    * (explode of a per-row pair array — never a self-join of the
-    * exploded (row, dim) relation, which would shuffle the corpus
-    * twice and join it to itself), then ONE aggregation per (d1, d2)
-    * with partial sums, plus a 64-row per-dim moment relation that
-    * broadcasts back onto the 2 080-row pair aggregate. Moments are
-    * exact: values quantize to integer millionths and accumulate as
-    * DECIMAL(38,0) (order-independent — same discipline as
+    * redundant-dimension pruning. ONE typed-aggregation pass
+    * ([[graft.functions.GramMoments]]) accumulates every per-dim sum
+    * AND every upper-triangle product sum in a flat Long array with
+    * map-side partials, so the exchange carries one ~2 144-slot
+    * buffer per partition — not the dims²/2 product rows per input
+    * row the previous explode-into-hash-aggregate shape paid
+    * (measured 3.9 s → the explode/probe work dominated). The single
+    * result row then fans out to the 2 080 (d1, d2) pairs by a
+    * one-row explode, and every moment the correlation needs is an
+    * `element_at` into the aggregated arrays — zero joins. Moments
+    * are exact: values quantize to integer millionths, products are
+    * multiplyExact'd, and near-overflow sums spill to an exact
+    * big-integer lane (order-independent — same discipline as
     * q_regression/q_zscore); correlation drops to double only in the
-    * final projection. Total shuffle: dims² rows, independent of
-    * corpus size. */
+    * final projection. Total shuffle: one buffer per partition,
+    * independent of corpus size. */
   def qDimCorr(spark: SparkSession, sfDir: String): DataFrame = {
-    val big = org.apache.spark.sql.types.DecimalType(38, 0)
-    // per-row arithmetic stays in LONGs (codegen'd primitive ops across
-    // the dims²-wide explode — decimal math there measured ~30% slower);
-    // quantized unit-scale components bound each product at ~1e14, far
-    // inside long range. Only the corpus-sized SUMs, where counts not
-    // magnitudes overflow, widen to DECIMAL(38,0).
-    val e = Tables.embeddings(spark, sfDir)
-      .select(col("vec_id"),
-        transform(col("embedding"),
-          x => floor(x.cast("double") * 1000000).cast("long")).as("q"))
+    import spark.implicits._
     val nd = 64
-    val pairsArr = flatten(transform(sequence(lit(0), lit(nd - 1)), i =>
-      transform(sequence(i, lit(nd - 1)), j => struct(
-        i.as("d1"), j.as("d2"),
-        (element_at(col("q"), i + 1) * element_at(col("q"), j + 1)).cast(big).as("xy")))))
-    val pairSums = e.select(explode(pairsArr).as("p"))
-      .groupBy(col("p.d1").as("d1"), col("p.d2").as("d2"))
-      .agg(sum(col("p.xy")).cast("double").as("sxy"))
-    val dimStats = e.select(posexplode(col("q")).as(Seq("d", "x")))
-      .groupBy(col("d"))
-      .agg(count(lit(1)).as("n"),
-        sum(col("x").cast(big)).cast("double").as("sx"),
-        sum((col("x") * col("x")).cast(big)).cast("double").as("sxx"))
-    val s1 = dimStats.select(col("d").as("d1"), col("n"),
-      col("sx").as("sx1"), col("sxx").as("sxx1"))
-    val s2 = dimStats.select(col("d").as("d2"),
-      col("sx").as("sx2"), col("sxx").as("sxx2"))
-    pairSums
-      .join(broadcast(s1), "d1").join(broadcast(s2), "d2")
+    val q = Tables.embeddings(spark, sfDir)
+      .select(transform(col("embedding"),
+        x => floor(x.cast("double") * 1000000).cast("long")).as("q"))
+    val packed = q.as[Array[Long]]
+      .select(graft.functions.GramMoments(nd).toColumn.name("g"))
+      .toDF("n", "sums")
+      // a global aggregate emits a zero row even on empty input; the
+      // legacy shape emitted nothing — keep that contract
+      .filter(col("n") > 0)
+    // 1-based flat index of Σx_i·x_j in the moments layout (i <= j);
+    // i(i-1) is even, so the double division is exact and the int cast
+    // is safe for any nd that fits the layout
+    def pairIdx(i: Column, j: Column): Column =
+      (lit(nd) + i * nd - (i * (i - lit(1))) / 2 + (j - i) + 1).cast("int")
+    def sx(i: Column): Column = element_at(col("sums"), (i + 1).cast("int"))
+    def sxx(i: Column): Column = element_at(col("sums"), pairIdx(i, i))
+    packed
+      .select(col("n"), col("sums"),
+        explode(flatten(transform(sequence(lit(0), lit(nd - 1)), i =>
+          transform(sequence(i, lit(nd - 1)), j =>
+            struct(i.as("d1"), j.as("d2")))))).as("p"))
+      .select(col("n"), col("p.d1").as("d1"), col("p.d2").as("d2"),
+        sx(col("p.d1")).as("sx1"), sx(col("p.d2")).as("sx2"),
+        sxx(col("p.d1")).as("sxx1"), sxx(col("p.d2")).as("sxx2"),
+        element_at(col("sums"), pairIdx(col("p.d1"), col("p.d2"))).as("sxy"))
       .withColumn("den",
         (col("n") * col("sxx1") - col("sx1") * col("sx1")) *
           (col("n") * col("sxx2") - col("sx2") * col("sx2")))

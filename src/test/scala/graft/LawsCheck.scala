@@ -345,6 +345,68 @@ object RetentionLaws extends Properties("advanceRetention") {
     }
 }
 
+/** Laws for the one-pass Gram/moment accumulator: exactness against a
+  * BigInt reference under ANY partition split (Spark chooses the
+  * split), including magnitudes that force the big-integer spill lane
+  * the parquet fixtures never reach. */
+object GramMomentsLaws extends Properties("GramMoments") {
+  import graft.functions.GramMoments
+
+  private val nd = 3
+  private val agg = GramMoments(nd)
+  // products of two ±3e9 values reach ~9e18: inside multiplyExact
+  // range but past the spill guard — the exact-lane trigger
+  private val bigV = Gen.chooseNum(-3000000000L, 3000000000L)
+  private val smallV = Gen.chooseNum(-10000000L, 10000000L)
+  private def vec(g: Gen[Long]): Gen[Array[Long]] = Gen.listOfN(nd, g).map(_.toArray)
+  private val anyVec = Gen.oneOf(vec(bigV), vec(smallV))
+
+  private def reference(xs: List[Array[Long]]): (Long, Seq[BigInt]) = {
+    val width = nd + nd * (nd + 1) / 2
+    val s = Array.fill(width)(BigInt(0))
+    xs.foreach { a =>
+      var base = nd
+      var i = 0
+      while (i < nd) {
+        s(i) += BigInt(a(i))
+        var j = i
+        while (j < nd) { s(base + (j - i)) += BigInt(a(i)) * BigInt(a(j)); j += 1 }
+        base += nd - i
+        i += 1
+      }
+    }
+    (xs.length.toLong, s.toSeq)
+  }
+
+  private def fold(xs: List[Array[Long]]) = xs.foldLeft(agg.zero)(agg.reduce)
+
+  private def matches(out: graft.functions.MomentsOut, xs: List[Array[Long]]): Boolean = {
+    val (n, ref) = reference(xs)
+    out.n == n && out.sums.indices.forall(i =>
+      out.sums(i) == BigDecimal(ref(i)).toDouble)
+  }
+
+  property("any split-and-merge equals the exact BigInt reference") =
+    forAll(Gen.listOf(anyVec), Gen.chooseNum(0, 100)) { (xs, cut) =>
+      val k = if (xs.isEmpty) 0 else cut % (xs.size + 1)
+      val (l, r) = xs.splitAt(k)
+      matches(agg.finish(agg.merge(fold(l), fold(r))), xs)
+    }
+
+  property("the spill lane engages on large magnitudes and stays exact") =
+    forAll(Gen.chooseNum(1, 6)) { m =>
+      val xs = List.fill(m)(Array.fill(nd)(3000000000L))
+      val b = fold(xs)
+      b.spill.nonEmpty && matches(agg.finish(b), xs)
+    }
+
+  property("merging a spilled and an unspilled buffer stays exact") =
+    forAll(Gen.nonEmptyListOf(vec(bigV)), Gen.nonEmptyListOf(vec(smallV))) { (l, r) =>
+      matches(agg.finish(agg.merge(fold(l), fold(r))), l ++ r) &&
+        matches(agg.finish(agg.merge(fold(r), fold(l))), r ++ l)
+    }
+}
+
 /** Laws for quota admission — the simplest kernel, but its split law
   * is what makes the streaming sampler's checkpoint-replay admission
   * set reproducible. */

@@ -432,15 +432,20 @@ class PlanAuditSpec extends SparkSpec {
       Relational.qTopKPerGroup(spark, sf).collect().toSeq)
   }
 
-  test("dim-corr never self-joins the exploded corpus; only broadcast joins of dim stats") {
+  test("dim-corr is one typed-aggregation pass with zero joins") {
     val p = planString(SimilarityOps.qDimCorr(spark, sf))
-    // the scalable Gram shape: per-row outer products exploded map-side
-    // and aggregated once — a vec_id self-join of the (row, dim)
-    // relation would shuffle the corpus twice and join it to itself
-    assert(!p.contains("SortMergeJoin"),
-      s"dim-corr must not shuffle-join the exploded relation:\n$p")
-    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2,
-      "the 64-row dim-stats relation joins back via broadcasts")
+    // the scalable Gram shape: every moment accumulates in ONE
+    // GramMoments pass (map-side partial + final merge), the single
+    // result row fans out to dim pairs by a one-row explode, and each
+    // pair reads its moments by element_at — no join anywhere, no
+    // corpus-sized explode feeding a hash aggregate
+    assert(!p.toLowerCase.contains("join"),
+      s"dim-corr must not join at all:\n$p")
+    val aggs = p.linesIterator.count(_.trim.matches(
+      """\(\d+\) (ObjectHashAggregate|SortAggregate|HashAggregate).*"""))
+    assert(aggs >= 2, s"expected partial+final GramMoments phases:\n$p")
+    assert(p.toLowerCase.contains("grammoments"),
+      s"expected the GramMoments aggregator in the plan:\n$p")
   }
 
   test("global sweep: no registered query plans a cartesian or nested-loop join outside documented sites") {
