@@ -607,7 +607,185 @@ object SimilarityOps {
       |FROM rk WHERE rank <= 3
       |ORDER BY vec_id, rank""".stripMargin
 
+  /** A PCA basis of the quantized embedding corpus: row count, per-dim
+    * mean, sample covariance, and the full eigensystem sorted by
+    * eigenvalue descending with canonical signs. Values are in
+    * quantized units/1e6 — the same millionth-quantization contract as
+    * [[qDimCorr]], so the basis is deterministic across runs and
+    * engines. */
+  case class PcaBasis(n: Long, mean: Array[Double], cov: Array[Array[Double]],
+      eigVals: Array[Double], eigVecs: Array[Array[Double]])
+
+  private val PcaDims = 64
+  private val pcaCache = new java.util.concurrent.ConcurrentHashMap[String, PcaBasis]()
+
+  /** Computes (once per dataset per JVM) the PCA basis: ONE
+    * [[graft.functions.GramMoments]] pass ships a single dims²-moment
+    * buffer per partition to the driver, which assembles the sample
+    * covariance and runs the local O(dims³) Jacobi eigensolve
+    * ([[graft.functions.Eigen]]) — the moment matrix is dims²-sized
+    * and corpus-INdependent, so this is the Spark-canonical split
+    * (MLlib `RowMatrix.computePrincipalComponents` works the same
+    * way). Construction runs Spark jobs; registered-query callers are
+    * in PlanAuditSpec's build-time-action list. */
+  def pcaBasis(spark: SparkSession, sfDir: String): PcaBasis =
+    pcaCache.computeIfAbsent(sfDir, _ => {
+      import spark.implicits._
+      val nd = PcaDims
+      val m = Tables.embeddings(spark, sfDir)
+        .select(transform(col("embedding"),
+          x => floor(x.cast("double") * 1000000).cast("long")).as("q"))
+        .as[Array[Long]]
+        .select(graft.functions.GramMoments(nd).toColumn)
+        .head()
+      val n = m.n
+      require(n > 1, s"PCA needs >= 2 rows, got $n")
+      val sums = m.sums.toArray
+      def pIdx(i: Int, j: Int) = nd + i * nd - i * (i - 1) / 2 + (j - i)
+      val mean = Array.tabulate(nd)(i => sums(i) / n / 1e6)
+      val cov = Array.tabulate(nd, nd) { (i, j) =>
+        val (lo, hi) = if (i <= j) (i, j) else (j, i)
+        (n.toDouble * sums(pIdx(lo, hi)) - sums(lo) * sums(hi)) /
+          (n.toDouble * (n - 1.0)) / 1e12
+      }
+      val (vals, vecs) = graft.functions.Eigen.symmetric(cov)
+      PcaBasis(n, mean, cov, vals, vecs)
+    })
+
+  /** Projection of the quantized embedding array `q` onto component
+    * `c` of `b`: the basis rides the plan as LITERALS — no join, no
+    * broadcast variable — so projection is flat codegen arithmetic, a
+    * map-only pass at any corpus size. */
+  private def projExpr(b: PcaBasis, c: Int): Column =
+    (0 until PcaDims).map(d =>
+      (element_at(col("q"), d + 1).cast("double") / 1e6 - lit(b.mean(d))) *
+        lit(b.eigVecs(c)(d))).reduce(_ + _)
+
+  /** Public projection API: every vector's coordinates in the top-`k`
+    * principal subspace (centered; quantized-unit contract). The
+    * dimensionality-reduction front door for downstream ANN /
+    * clustering at reduced cost. */
+  def pcaProject(spark: SparkSession, sfDir: String, k: Int): DataFrame = {
+    require(k >= 1 && k <= PcaDims, s"k must be in [1, $PcaDims]")
+    val b = pcaBasis(spark, sfDir)
+    Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), transform(col("embedding"),
+        x => floor(x.cast("double") * 1000000).cast("long")).as("q"))
+      .select(col("vec_id"), array((0 until k).map(c => projExpr(b, c)): _*).as("proj"))
+  }
+
+  private val PcaK = 8
+
+  /** PCA + whitening VERIFICATION gates — the oracle pattern the
+    * sketch queries established: the eigensystem is engine-private
+    * (DuckDB cannot eigensolve), but every property that makes it
+    * correct is a boolean both engines can agree on, plus one exactly
+    * cross-computable anchor. Per top-8 component:
+    *   - orth_ok / eigen_ok / nonneg_ok / sorted_ok — driver checks of
+    *     the Jacobi output against the covariance itself (orthonormal
+    *     basis, ‖Cv − λv‖∞ within tolerance, PSD spectrum, descending
+    *     order);
+    *   - proj_var_ok / white_var_ok — DISTRIBUTED checks: the actual
+    *     map-side projection's `var_samp` equals λ (and 1 after
+    *     whitening) within 1e-6 — ties the shipped projection pass,
+    *     not just the basis, to the spectrum;
+    *   - trace_match_ok + `trace_num` — Σλ (all 64) must equal the
+    *     covariance trace, whose raw numerator Σ_d(n·Σx² − (Σx)²) is
+    *     an exact INTEGER both engines compute independently in
+    *     decimal arithmetic (DECIMAL(38,0) here, HUGEINT in DuckDB) —
+    *     the cross-engine anchor that hash-fails if quantization,
+    *     moment accumulation, or the spectrum drifts.
+    * Scale shape: one GramMoments pass (basis), one 64-group partial
+    * aggregation (anchor), one map-only projection pass with an
+    * 8-slot variance aggregate — every corpus-sized step is a single
+    * scan with map-side partials. */
+  def qSimPcaWhiten(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val b = pcaBasis(spark, sfDir)
+    val nd = PcaDims
+    val trace = (0 until nd).map(i => b.cov(i)(i)).sum
+    def dotv(x: Array[Double], y: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < x.length) { s += x(i) * y(i); i += 1 }; s
+    }
+    val gates = (0 until PcaK).map { c =>
+      val vc = b.eigVecs(c)
+      val orthOk = (0 until nd).forall { c2 =>
+        math.abs(dotv(vc, b.eigVecs(c2)) - (if (c2 == c) 1.0 else 0.0)) <= 1e-9 }
+      val eigenOk = {
+        var worst = 0.0
+        var i = 0
+        while (i < nd) {
+          var s = 0.0; var j = 0
+          while (j < nd) { s += b.cov(i)(j) * vc(j); j += 1 }
+          worst = math.max(worst, math.abs(s - b.eigVals(c) * vc(i)))
+          i += 1
+        }
+        worst <= 1e-9 * math.max(trace, Double.MinPositiveValue)
+      }
+      val nonnegOk = b.eigVals(c) >= -1e-12 * trace
+      val sortedOk = c == 0 || b.eigVals(c) <= b.eigVals(c - 1) + 1e-12 * trace
+      (c, b.eigVals(c), orthOk, eigenOk, nonnegOk, sortedOk)
+    }
+    val comps = gates.toDF("comp", "lambda", "orth_ok", "eigen_ok", "nonneg_ok", "sorted_ok")
+    val q = Tables.embeddings(spark, sfDir)
+      .select(transform(col("embedding"),
+        x => floor(x.cast("double") * 1000000).cast("long")).as("q"))
+    val anchor = q.select(posexplode(col("q")).as(Seq("d", "x")))
+      .groupBy(col("d"))
+      .agg(count(lit(1)).as("cn"),
+        sum(col("x").cast(dec)).as("sx"),
+        sum((col("x") * col("x")).cast(dec)).as("sxx"))
+      .agg(sum(col("cn").cast(dec) * col("sxx") - col("sx") * col("sx"))
+          .cast(dec).as("trace_num"),
+        max(col("cn")).as("n"))
+    val vars = q
+      .select((0 until PcaK).map(c => projExpr(b, c).as(s"p$c")): _*)
+      .agg(array((0 until PcaK).map(c => var_samp(col(s"p$c"))): _*).as("pvar"))
+    val lamSumScaled = b.eigVals.sum * (b.n.toDouble * (b.n - 1.0) * 1e12)
+    comps.crossJoin(broadcast(anchor)).crossJoin(broadcast(vars))
+      .select(
+        col("comp"),
+        col("eigen_ok"), col("nonneg_ok"), col("orth_ok"),
+        (abs(element_at(col("pvar"), col("comp") + 1) - col("lambda")) <=
+          greatest(lit(1e-6) * abs(col("lambda")), lit(1e-9) * lit(trace)))
+          .as("proj_var_ok"),
+        col("sorted_ok"),
+        (abs(lit(lamSumScaled) - col("trace_num").cast("double")) <=
+          lit(1e-6) * col("trace_num").cast("double")).as("trace_match_ok"),
+        when(col("lambda") <= lit(1e-12 * trace), lit(true))
+          .otherwise(abs(element_at(col("pvar"), col("comp") + 1) / col("lambda") - 1)
+            <= lit(1e-6)).as("white_var_ok"),
+        // exact integer as STRING: wide decimals round-trip lossily
+        // through the comparer's dataframe layer; digits don't
+        col("trace_num").cast("string").as("trace_num"), col("n"))
+      .orderBy(col("comp"))
+  }
+
+  val qSimPcaWhitenOracle: String =
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |qq AS (SELECT vec_id,
+       |  list_transform(v, x -> CAST(floor(x * 1000000) AS BIGINT)) AS qv
+       |  FROM e),
+       |x AS (SELECT vec_id, u.i - 1 AS d, qv[u.i] AS xq
+       |      FROM qq, unnest(generate_series(1, len(qv))) AS u(i)),
+       |ds AS (SELECT d, COUNT(*) AS cn,
+       |  SUM(CAST(xq AS HUGEINT)) AS sx,
+       |  SUM(CAST(xq * xq AS HUGEINT)) AS sxx
+       |  FROM x GROUP BY 1),
+       |t AS (SELECT
+       |  CAST(SUM(CAST(cn AS HUGEINT) * sxx - sx * sx) AS VARCHAR) AS trace_num,
+       |  MAX(cn) AS n FROM ds)
+       |SELECT CAST(c.comp AS INT) AS comp,
+       |  TRUE AS eigen_ok, TRUE AS nonneg_ok, TRUE AS orth_ok,
+       |  TRUE AS proj_var_ok, TRUE AS sorted_ok, TRUE AS trace_match_ok,
+       |  TRUE AS white_var_ok, t.trace_num, t.n
+       |FROM generate_series(0, ${PcaK - 1}) AS c(comp), t
+       |ORDER BY comp""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sim_pca_whiten" -> (qSimPcaWhiten _),
     "sim_knn_graph" -> (qSimKnnGraph _),
     "sim_incremental" -> (qSimIncremental _),
     "sim_dim_corr" -> (qDimCorr _),
@@ -619,6 +797,7 @@ object SimilarityOps {
     "sim_quantize_int8" -> (qQuantizeInt8 _))
 
   val oracles: Map[String, String] = Map(
+    "sim_pca_whiten" -> qSimPcaWhitenOracle,
     "sim_knn_graph" -> qSimKnnGraphOracle,
     "sim_incremental" -> qSimIncrementalOracle,
     "sim_dim_corr" -> qDimCorrOracle,

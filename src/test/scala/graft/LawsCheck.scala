@@ -407,6 +407,62 @@ object GramMomentsLaws extends Properties("GramMoments") {
     }
 }
 
+/** Laws for the driver-side Jacobi eigensolve: on ANY random symmetric
+  * matrix the output must actually BE an eigensystem — orthonormal
+  * basis, residual-free eigen equation, descending order, and exact
+  * reconstruction — to tolerances far tighter than the 1e-6 gates the
+  * PCA query publishes. */
+object EigenLaws extends Properties("Eigen.symmetric") {
+  import graft.functions.Eigen
+
+  private val dim = Gen.chooseNum(1, 8)
+  private def symMatrix(n: Int): Gen[Array[Array[Double]]] =
+    Gen.listOfN(n * n, Gen.chooseNum(-100.0, 100.0)).map { xs =>
+      val raw = xs.toArray
+      Array.tabulate(n, n)((i, j) => (raw(i * n + j) + raw(j * n + i)) / 2)
+    }
+  private val genSym = dim.flatMap(symMatrix)
+
+  private def frob(a: Array[Array[Double]]): Double =
+    math.sqrt(a.map(_.map(x => x * x).sum).sum)
+
+  property("A·v = λ·v, V orthonormal, λ descending, A reconstructs") =
+    forAll(genSym) { a =>
+      val n = a.length
+      val (vals, vecs) = Eigen.symmetric(a)
+      val tol = 1e-10 * math.max(frob(a), 1.0)
+      val eigenEq = (0 until n).forall { c =>
+        (0 until n).forall { i =>
+          val av = (0 until n).map(j => a(i)(j) * vecs(c)(j)).sum
+          math.abs(av - vals(c) * vecs(c)(i)) <= tol
+        }
+      }
+      val orth = (0 until n).forall { c1 =>
+        (c1 until n).forall { c2 =>
+          val d = (0 until n).map(k => vecs(c1)(k) * vecs(c2)(k)).sum
+          math.abs(d - (if (c1 == c2) 1.0 else 0.0)) <= 1e-12
+        }
+      }
+      val sorted = (1 until n).forall(c => vals(c) <= vals(c - 1) + tol)
+      val recon = (0 until n).forall { i =>
+        (0 until n).forall { j =>
+          val s = (0 until n).map(c => vals(c) * vecs(c)(i) * vecs(c)(j)).sum
+          math.abs(s - a(i)(j)) <= tol
+        }
+      }
+      eigenEq && orth && sorted && recon
+    }
+
+  property("canonical sign: the largest-|entry| coordinate is non-negative") =
+    forAll(genSym) { a =>
+      val (_, vecs) = Eigen.symmetric(a)
+      vecs.forall { v =>
+        val best = v.indices.maxBy(i => (math.abs(v(i)), -i))
+        v(best) >= 0.0
+      }
+    }
+}
+
 /** Laws for quota admission — the simplest kernel, but its split law
   * is what makes the streaming sampler's checkpoint-replay admission
   * set reproducible. */

@@ -254,6 +254,35 @@ class PipelineOpsSpec extends SparkSpec {
     }
   }
 
+  test("pca whiten gates all hold; projection is deterministic with descending variance") {
+    val g = SimilarityOps.qSimPcaWhiten(spark, sf).collect()
+    assert(g.length === 8)
+    val boolCols = Seq("eigen_ok", "nonneg_ok", "orth_ok", "proj_var_ok",
+      "sorted_ok", "trace_match_ok", "white_var_ok")
+    g.foreach { r =>
+      boolCols.foreach(c => assert(r.getAs[Boolean](c), s"gate $c failed: $r"))
+    }
+    val p1 = SimilarityOps.pcaProject(spark, sf, 4).orderBy("vec_id").collect()
+    val p2 = SimilarityOps.pcaProject(spark, sf, 4).orderBy("vec_id").collect()
+    assert(p1.map(_.toString).toSeq === p2.map(_.toString).toSeq,
+      "projection must be bit-deterministic across invocations")
+    // coordinate variances follow the (descending) spectrum
+    val coords = p1.map(r => r.getSeq[Double](r.fieldIndex("proj")))
+    def varOf(c: Int): Double = {
+      val xs = coords.map(_(c)); val m = xs.sum / xs.length
+      xs.map(x => (x - m) * (x - m)).sum / (xs.length - 1)
+    }
+    val vs = (0 until 4).map(varOf)
+    assert(vs === vs.sortBy(-_), s"projected variances not descending: $vs")
+    // projected coordinates are (near-)uncorrelated: |corr(p0,p1)| small
+    val (a, b) = (coords.map(_(0)), coords.map(_(1)))
+    val n = a.length
+    val (ma, mb) = (a.sum / n, b.sum / n)
+    val cov = a.zip(b).map { case (x, y) => (x - ma) * (y - mb) }.sum / (n - 1)
+    val corr = cov / math.sqrt(vs(0) * vs(1))
+    assert(math.abs(corr) < 1e-6, s"principal coordinates correlate: $corr")
+  }
+
   test("repetition metrics are fractions; top-word mass bounds dup-word mass sanely") {
     val r = TextOps.qRepetition(spark, sf).collect()
     assert(r.nonEmpty)
