@@ -134,7 +134,7 @@ object DedupOps {
     shingled(Tables.spread(docs).select(col("doc_id"), col("text")))
 
   /** Shared oracle CTE: distinct 3-gram shingles (1-indexed lists). */
-  private val shinglesSql =
+  private[operators] val shinglesSql =
     """sh AS (
       |  SELECT DISTINCT doc_id, ts[g] || ' ' || ts[g+1] || ' ' || ts[g+2] AS shingle
       |  FROM (SELECT doc_id, string_split(text, ' ') AS ts FROM documents) t,

@@ -626,7 +626,94 @@ object TextOps {
       |  round(alc - ln((SELECT n FROM tot)), 6) AS avg_logp_r
       |FROM d ORDER BY doc_id""".stripMargin
 
+  /** Per-document NOVELTY: the fraction of a document's distinct
+    * 3-gram shingles whose FIRST corpus occurrence (minimum doc_id —
+    * the deterministic stand-in for ingestion order) is this document.
+    * The data-valuation / curriculum signal: a doc that only repeats
+    * earlier material scores ~0, genuinely new text scores ~1 —
+    * cheaper than pairwise dedup and complementary to it (novelty is
+    * against the WHOLE prefix corpus, not a matched pair).
+    *
+    * Scale shape: one window over the shingle key (the same inverted-
+    * index shuffle every dedup op pays — NOT a join, so a hot shingle
+    * shared by millions of docs fans out nothing; each (doc, shingle)
+    * row just reads its partition's min) and one doc_id aggregation.
+    * Shingle definition shared verbatim with the dedup family
+    * ([[DedupOps.shingles]]) so the two can never drift. */
+  def qNovelty(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sh = DedupOps.shingles(Tables.documents(spark, sfDir))
+    val w = Window.partitionBy(col("shingle"))
+    sh.withColumn("first_doc", min(col("doc_id")).over(w))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L)).as("n_novel"))
+      .select(col("doc_id"), col("n_shingles"), col("n_novel"),
+        round(col("n_novel").cast(DoubleType) / col("n_shingles"), 6).as("novelty_r"))
+      .orderBy(col("doc_id"))
+  }
+
+  val qNoveltyOracle: String =
+    s"""WITH ${DedupOps.shinglesSql},
+       |f AS (SELECT shingle, MIN(doc_id) AS first_doc FROM sh GROUP BY 1)
+       |SELECT sh.doc_id, COUNT(*) AS n_shingles,
+       |  CAST(SUM(CASE WHEN f.first_doc = sh.doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+       |  round(CAST(SUM(CASE WHEN f.first_doc = sh.doc_id THEN 1 ELSE 0 END) AS DOUBLE)
+       |    / COUNT(*), 6) AS novelty_r
+       |FROM sh JOIN f USING (shingle)
+       |GROUP BY sh.doc_id ORDER BY doc_id""".stripMargin
+
+  /** One BPE VOCABULARY-INDUCTION step: the frequency-weighted count
+    * of every adjacent character pair, ranked — exactly the merge-
+    * candidate table the BPE training loop consults each iteration
+    * (the loop itself is driver-side bookkeeping; THIS count is the
+    * corpus-scale step).
+    *
+    * Scale shape: the corpus is touched ONCE, by the word-frequency
+    * aggregation (map-side partials absorb the "the"-scale skew);
+    * the quadratic-ish pair explode then runs over the DISTINCT
+    * vocabulary — orders of magnitude smaller than the corpus and
+    * independent of duplication — with each pair weighted by `wfreq`.
+    * That vocab-not-corpus split is what makes BPE training feasible
+    * at 100 TB, and PlanAuditSpec pins it. */
+  def qBpeLearn(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val words = Tables.documents(spark, sfDir)
+      .select(explode(split(col("text"), " ")).as("word"))
+      .filter(length(col("word")) >= 2)
+      .groupBy(col("word")).agg(count(lit(1)).as("wfreq"))
+    val pairs = words
+      .select(col("wfreq"),
+        explode(transform(sequence(lit(1), length(col("word")) - 1),
+          i => concat(col("word").substr(i, lit(1)), lit("+"),
+            col("word").substr(i + 1, lit(1))))).as("pair"))
+      .groupBy(col("pair")).agg(sum(col("wfreq")).as("freq"))
+    // top-20 first (TakeOrdered — no global sort), then rank the 20
+    pairs.orderBy(col("freq").desc, col("pair")).limit(20)
+      .withColumn("rank",
+        row_number().over(Window.orderBy(col("freq").desc, col("pair"))))
+      .select(col("rank"), col("pair"), col("freq"))
+      .orderBy(col("rank"))
+  }
+
+  val qBpeLearnOracle: String =
+    """WITH w AS (
+      |  SELECT word, COUNT(*) AS wfreq FROM (
+      |    SELECT unnest(string_split(text, ' ')) AS word FROM documents) t
+      |  WHERE length(word) >= 2 GROUP BY 1),
+      |p AS (
+      |  SELECT substr(word, g, 1) || '+' || substr(word, g + 1, 1) AS pair,
+      |    CAST(SUM(wfreq) AS BIGINT) AS freq
+      |  FROM w, unnest(generate_series(1, length(word) - 1)) AS u(g)
+      |  GROUP BY 1),
+      |rk AS (SELECT pair, freq,
+      |  row_number() OVER (ORDER BY freq DESC, pair) AS rank FROM p)
+      |SELECT CAST(rank AS INT) AS rank, pair, freq FROM rk
+      |WHERE rank <= 20 ORDER BY rank""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_novelty" -> (qNovelty _),
+    "text_bpe_learn" -> (qBpeLearn _),
     "text_lm_score" -> (qLmScore _),
     "text_pack_sequences" -> (qPackSequences _),
     "text_char_entropy" -> (qCharEntropy _),
@@ -643,6 +730,8 @@ object TextOps {
     "text_tfidf" -> (qTfidf _))
 
   val oracles: Map[String, String] = Map(
+    "text_novelty" -> qNoveltyOracle,
+    "text_bpe_learn" -> qBpeLearnOracle,
     "text_lm_score" -> qLmScoreOracle,
     "text_pack_sequences" -> qPackSequencesOracle,
     "text_char_entropy" -> qCharEntropyOracle,

@@ -283,6 +283,41 @@ class PipelineOpsSpec extends SparkSpec {
     assert(math.abs(corr) < 1e-6, s"principal coordinates correlate: $corr")
   }
 
+  test("novelty: fractions in [0,1]; novel counts partition the distinct-shingle universe") {
+    val r = TextOps.qNovelty(spark, sf).collect()
+    assert(r.nonEmpty)
+    r.foreach { row =>
+      val f = row.getAs[Double]("novelty_r")
+      assert(f >= 0.0 && f <= 1.0, s"novelty out of range: $row")
+      assert(row.getAs[Long]("n_novel") <= row.getAs[Long]("n_shingles"))
+    }
+    // every distinct shingle is "novel" in exactly one document
+    val totalNovel = r.map(_.getAs[Long]("n_novel")).sum
+    val distinctShingles = graft.operators.DedupOps
+      .shingles(Tables.documents(spark, sf)).select("shingle").distinct().count()
+    assert(totalNovel === distinctShingles,
+      s"novel counts ($totalNovel) must partition the shingle universe ($distinctShingles)")
+    // the earliest document can only introduce new material
+    val firstDoc = r.minBy(_.getAs[Long]("doc_id"))
+    assert(firstDoc.getAs[Double]("novelty_r") === 1.0,
+      s"the lowest doc_id must be fully novel: $firstDoc")
+    // the near-dup fixture guarantees SOME doc repeats earlier material
+    assert(r.exists(_.getAs[Double]("novelty_r") < 1.0),
+      "fixture near-dups must yield at least one non-novel doc")
+  }
+
+  test("bpe-learn: 20 ranked char pairs with non-increasing frequency") {
+    val r = TextOps.qBpeLearn(spark, sf).collect()
+    assert(r.length === 20)
+    assert(r.map(_.getAs[Int]("rank")).toSeq === (1 to 20))
+    val freqs = r.map(_.getAs[Long]("freq")).toSeq
+    assert(freqs === freqs.sortBy(-_), s"frequencies not descending: $freqs")
+    r.foreach { row =>
+      val p = row.getAs[String]("pair")
+      assert(p.length === 3 && p(1) === '+', s"malformed pair: '$p'")
+    }
+  }
+
   test("repetition metrics are fractions; top-word mass bounds dup-word mass sanely") {
     val r = TextOps.qRepetition(spark, sf).collect()
     assert(r.nonEmpty)

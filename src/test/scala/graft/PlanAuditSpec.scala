@@ -418,6 +418,30 @@ class PlanAuditSpec extends SparkSpec {
       s"a sign-LSH bucketing explode escaped the incoming filter:\n$g"))
   }
 
+  test("novelty is join-free; bpe-learn pairs explode over the vocabulary, not the corpus") {
+    // novelty: the first-occurrence lookup is a WINDOW over the shingle
+    // key, never a join — a hot shingle shared by millions of docs
+    // must fan out nothing
+    val nv = graft.operators.TextOps.qNovelty(spark, sf)
+    assert(!planString(nv).toLowerCase.contains("join"),
+      s"novelty must not join:\n${planString(nv)}")
+    val hashed = shufflePartitionings(nv).filter(_.contains("hashpartitioning("))
+    assert(hashed.exists(_.contains("shingle")) && hashed.size <= 2,
+      s"expected the shingle window + doc agg exchanges only, got: $hashed")
+    // bpe-learn: the quadratic-ish pair explode must sit ABOVE the
+    // word-frequency aggregate — vocab-sized input, corpus touched once
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Generate}
+    val bl = graft.operators.TextOps.qBpeLearn(spark, sf)
+    val gens = bl.queryExecution.analyzed.collect {
+      case g: Generate if g.toString.contains("substr") => g }
+    assert(gens.nonEmpty, "expected the char-pair explode")
+    gens.foreach { g =>
+      assert(g.child.collectFirst {
+        case a: Aggregate if a.toString.contains("word") => a }.nonEmpty,
+        s"pair explode not fed by the vocabulary aggregate:\n$g")
+    }
+  }
+
   test("bounded-heap top-k runs partial+final aggregation and matches the window variant") {
     val df = Relational.qTopKPerGroupAgg(spark, sf)
     val p = planString(df)
