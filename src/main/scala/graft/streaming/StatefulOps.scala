@@ -823,6 +823,72 @@ object StatefulOps {
         timeModeFor(ttl), OutputMode.Append())
   }
 
+  case class DocShingle(doc_id: Long, shingle: String)
+  case class NovelFlag(doc_id: Long, shingle: String, novel: Boolean)
+
+  /** The novelty transition for ONE shingle key: given the stored
+    * first-seen doc (if any) and this batch's ascending doc ids, the
+    * novelty flag goes to the smallest doc id exactly when the shingle
+    * was never seen; the stored first-seen doc never changes once set.
+    * Split law (any batch cut of the ascending stream + threaded state
+    * = one-pass flags) is ScalaCheck'd in NoveltyLaws — the
+    * replay-determinism argument for the processor below. */
+  private[graft] def advanceNovelty(first0: Option[Long],
+      docs: Seq[Long]): (Long, Seq[(Long, Boolean)]) = {
+    val first = first0.getOrElse(docs.head)
+    (first, docs.map(d => d -> (first0.isEmpty && d == docs.head)))
+  }
+
+  final class NoveltyProcessor(ttl: TTLConfig = TTLConfig.NONE)
+      extends StatefulProcessor[String, DocShingle, NovelFlag] {
+    @transient private var firstDoc: ValueState[Long] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      firstDoc = getHandle.getValueState[Long]("firstDoc",
+        Encoders.scalaLong, ttl)
+    override def handleInputRows(shingle: String, rows: Iterator[DocShingle],
+        tv: TimerValues): Iterator[NovelFlag] = {
+      // within-batch order after the keyed shuffle is not contractual:
+      // ascending doc_id makes the flag assignment deterministic under
+      // replay, like the other processors here
+      val docs = rows.map(_.doc_id).toSeq.sorted
+      val st = if (firstDoc.exists()) Some(firstDoc.get()) else None
+      val (first, flags) = advanceNovelty(st, docs)
+      firstDoc.update(first)
+      flags.iterator.map { case (d, nv) => NovelFlag(d, shingle, nv) }
+    }
+  }
+
+  /** Ingest-side NOVELTY twin of the batch `TextOps.qNovelty`: each
+    * arriving document is shingled in-stream by the SAME definition as
+    * the batch family (`DedupOps.shingled` — no drift) and every
+    * (doc, shingle) row is flagged novel iff this shingle was never
+    * seen before on the stream. The per-doc novelty fraction is a
+    * stateless rollup of these flags (any consumer groupBy — kept out
+    * of this operator so it stays ONE stateful stage, append-mode,
+    * TimeMode.None: replay-deterministic with sleep-free tests).
+    *
+    * Semantics vs batch: batch novelty anchors first occurrence at the
+    * MINIMUM doc_id; the stream anchors at FIRST ARRIVAL (ties within
+    * a batch broken by ascending doc_id) — identical whenever ingestion
+    * follows doc_id order, which is exactly the batch query's
+    * definition of ingestion order (asserted in StatefulOpsSpec).
+    * State is one long per distinct shingle — the TTL knob bounds it
+    * to the novelty horizon in production (an evicted shingle
+    * re-entering counts as new, the documented bounded-memory
+    * semantics shared by every twin here). RocksDB state store
+    * required. */
+  def streamingNovelty(docs: DataFrame, watermark: String = "10 minutes",
+      ttl: TTLConfig = TTLConfig.NONE): Dataset[NovelFlag] = {
+    import docs.sparkSession.implicits._
+    graft.operators.DedupOps.shingled(
+        docs.withWatermark("ts", watermark)
+          .select(col("doc_id"), col("ts"), col("text")))
+      .select(col("doc_id"), col("shingle")).as[DocShingle]
+      .groupByKey(_.shingle)
+      .transformWithState(new NoveltyProcessor(ttl), timeModeFor(ttl),
+        OutputMode.Append())
+  }
+
   /** Ingest-side DECONTAMINATION twin of the batch
     * `SamplingOps.qDecontaminate`: each arriving document (doc_id,
     * text, ts) is shingled in-stream by the SAME tokenizer + shingle

@@ -466,6 +466,42 @@ object EigenLaws extends Properties("Eigen.symmetric") {
 /** Laws for quota admission — the simplest kernel, but its split law
   * is what makes the streaming sampler's checkpoint-replay admission
   * set reproducible. */
+/** Laws for the shingle-novelty transition — the replay-determinism
+  * argument of the streaming novelty twin: threading first-seen state
+  * through ANY batch cut of the ascending doc stream reproduces the
+  * one-pass flags, and exactly one doc per shingle is ever novel. */
+object NoveltyLaws extends Properties("advanceNovelty") {
+  import graft.streaming.StatefulOps
+
+  private val ascDocs: Gen[List[Long]] =
+    Gen.nonEmptyListOf(Gen.chooseNum(1L, 100000L)).map(_.distinct.sorted)
+
+  property("exactly one novel flag, on the smallest doc, iff unseen") =
+    forAll(ascDocs, Gen.option(Gen.chooseNum(1L, 100000L))) { (docs, st) =>
+      val (first, flags) = StatefulOps.advanceNovelty(st, docs)
+      val novel = flags.filter(_._2).map(_._1)
+      flags.map(_._1) == docs &&
+        (st match {
+          case Some(s) => first == s && novel.isEmpty
+          case None => first == docs.head && novel == Seq(docs.head)
+        })
+    }
+
+  property("any batch split threads to the same flags and final state") =
+    forAll(ascDocs, Gen.chooseNum(0, 1000)) { (docs, cut) =>
+      val k = cut % (docs.size + 1)
+      val (l, r) = docs.splitAt(k)
+      val (f1, a1) = StatefulOps.advanceNovelty(None, docs)
+      val (stMid, al) =
+        if (l.isEmpty) (Option.empty[Long], Seq.empty[(Long, Boolean)])
+        else { val (f, a) = StatefulOps.advanceNovelty(None, l); (Some(f), a) }
+      val (f2, a2) =
+        if (r.isEmpty) (stMid.getOrElse(f1), Seq.empty[(Long, Boolean)])
+        else StatefulOps.advanceNovelty(stMid, r)
+      (al ++ a2) == a1 && f2 == f1
+    }
+}
+
 object QuotaLaws extends Properties("advanceQuota") {
   import graft.streaming.StatefulOps
   import graft.streaming.StatefulOps.QuotaDoc

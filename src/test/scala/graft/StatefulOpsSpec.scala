@@ -528,6 +528,56 @@ class StatefulOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming novelty flags roll up to the batch novelty twin on an in-order replay") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      // batch reference: (doc_id -> (n_shingles, n_novel))
+      val expected = graft.operators.TextOps.qNovelty(spark, sf).collect()
+        .map(r => r.getAs[Long]("doc_id") ->
+          (r.getAs[Long]("n_shingles"), r.getAs[Long]("n_novel"))).toMap
+      // replay in doc_id order — the batch query's definition of
+      // ingestion order — split at an arbitrary cross-batch boundary
+      val T0 = 1700000000000L
+      val fixture = Tables.documents(spark, sf)
+        .select(col("doc_id"), col("text")).orderBy("doc_id").collect()
+        .map(r => (r.getLong(0), r.getString(1), new Timestamp(T0)))
+      val (first, second) = fixture.splitAt(fixture.length / 2)
+      val in = MemoryStream[(Long, String, Timestamp)]
+      val q = StatefulOps.streamingNovelty(
+        in.toDF().toDF("doc_id", "text", "ts"))
+        .writeStream.format("memory").queryName("novelty_out")
+        .outputMode("append").start()
+      try {
+        in.addData(first.toSeq)
+        q.processAllAvailable()
+        in.addData(second.toSeq)
+        q.processAllAvailable()
+        val flags = spark.table("novelty_out").collect()
+          .map(r => (r.getLong(0), r.getString(1), r.getBoolean(2)))
+        val got = flags.groupBy(_._1).map { case (d, fs) =>
+          d -> (fs.length.toLong, fs.count(_._3).toLong) }
+        assert(got === expected,
+          s"diff: ${(got.toSet diff expected.toSet).take(3)} / ${(expected.toSet diff got.toSet).take(3)}")
+        // cross-batch state: second-batch docs repeating first-batch
+        // shingles must NOT be re-flagged novel — every shingle is
+        // novel exactly once across the whole stream
+        val perShingle = flags.groupBy(_._2).values
+        assert(perShingle.forall(_.count(_._3) == 1),
+          "a shingle was flagged novel more than once across batches")
+      } finally q.stop()
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
+
   test("streaming Welford z-score matches a driver-side fold of the replayed fixture") {
     import spark.implicits._
     implicit val sc = spark.sqlContext
