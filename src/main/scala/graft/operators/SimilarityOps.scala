@@ -652,6 +652,30 @@ object SimilarityOps {
       PcaBasis(n, mean, cov, vals, vecs)
     })
 
+  /** Millionth-quantized embedding arrays (`q`), the shared input
+    * contract of the moments/PCA family. */
+  private def quantized(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), transform(col("embedding"),
+        x => floor(x.cast("double") * 1000000).cast("long")).as("q"))
+
+  /** The exact cross-engine anchor shared by the PCA gate queries: the
+    * covariance trace numerator Σ_d(n·Σx² − (Σx)²) over quantized
+    * values — an INTEGER both engines compute independently in wide
+    * exact arithmetic (DECIMAL(38,0) here, HUGEINT in the oracle),
+    * compared as digit strings. One 64-group partial aggregation. */
+  private def traceAnchor(spark: SparkSession, sfDir: String): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    quantized(spark, sfDir).select(posexplode(col("q")).as(Seq("d", "x")))
+      .groupBy(col("d"))
+      .agg(count(lit(1)).as("cn"),
+        sum(col("x").cast(dec)).as("sx"),
+        sum((col("x") * col("x")).cast(dec)).as("sxx"))
+      .agg(sum(col("cn").cast(dec) * col("sxx") - col("sx") * col("sx"))
+          .cast(dec).as("trace_num"),
+        max(col("cn")).as("n"))
+  }
+
   /** Projection of the quantized embedding array `q` onto component
     * `c` of `b`: the basis rides the plan as LITERALS — no join, no
     * broadcast variable — so projection is flat codegen arithmetic, a
@@ -668,9 +692,7 @@ object SimilarityOps {
   def pcaProject(spark: SparkSession, sfDir: String, k: Int): DataFrame = {
     require(k >= 1 && k <= PcaDims, s"k must be in [1, $PcaDims]")
     val b = pcaBasis(spark, sfDir)
-    Tables.embeddings(spark, sfDir)
-      .select(col("vec_id"), transform(col("embedding"),
-        x => floor(x.cast("double") * 1000000).cast("long")).as("q"))
+    quantized(spark, sfDir)
       .select(col("vec_id"), array((0 until k).map(c => projExpr(b, c)): _*).as("proj"))
   }
 
@@ -701,7 +723,6 @@ object SimilarityOps {
     * scan with map-side partials. */
   def qSimPcaWhiten(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
     val b = pcaBasis(spark, sfDir)
     val nd = PcaDims
     val trace = (0 until nd).map(i => b.cov(i)(i)).sum
@@ -729,18 +750,8 @@ object SimilarityOps {
       (c, b.eigVals(c), orthOk, eigenOk, nonnegOk, sortedOk)
     }
     val comps = gates.toDF("comp", "lambda", "orth_ok", "eigen_ok", "nonneg_ok", "sorted_ok")
-    val q = Tables.embeddings(spark, sfDir)
-      .select(transform(col("embedding"),
-        x => floor(x.cast("double") * 1000000).cast("long")).as("q"))
-    val anchor = q.select(posexplode(col("q")).as(Seq("d", "x")))
-      .groupBy(col("d"))
-      .agg(count(lit(1)).as("cn"),
-        sum(col("x").cast(dec)).as("sx"),
-        sum((col("x") * col("x")).cast(dec)).as("sxx"))
-      .agg(sum(col("cn").cast(dec) * col("sxx") - col("sx") * col("sx"))
-          .cast(dec).as("trace_num"),
-        max(col("cn")).as("n"))
-    val vars = q
+    val anchor = traceAnchor(spark, sfDir)
+    val vars = quantized(spark, sfDir)
       .select((0 until PcaK).map(c => projExpr(b, c).as(s"p$c")): _*)
       .agg(array((0 until PcaK).map(c => var_samp(col(s"p$c"))): _*).as("pvar"))
     val lamSumScaled = b.eigVals.sum * (b.n.toDouble * (b.n - 1.0) * 1e12)
@@ -784,7 +795,83 @@ object SimilarityOps {
        |FROM generate_series(0, ${PcaK - 1}) AS c(comp), t
        |ORDER BY comp""".stripMargin
 
+  /** Per-vector PCA outlier scores — the embedding-space quality
+    * filter (PCA anomaly detection's classic pair): `t2` is Hotelling's
+    * T², the Mahalanobis energy INSIDE the top-`k` principal subspace
+    * (Σ proj_c²/λ_c), and `q` is the residual energy OUTSIDE it
+    * (‖x−μ‖² − Σ proj_c², the SPE/Q statistic). High `t2` = extreme
+    * along directions the corpus does vary; high `q` = off-manifold
+    * (corrupt embeddings, wrong-model vectors, adversarial junk).
+    * Map-only once the basis exists — the basis rides as literals. */
+  def pcaOutlierScores(spark: SparkSession, sfDir: String, k: Int): DataFrame = {
+    require(k >= 1 && k <= PcaDims, s"k must be in [1, $PcaDims]")
+    val b = pcaBasis(spark, sfDir)
+    val cn2 = (0 until PcaDims).map { d =>
+      val c = element_at(col("q"), d + 1).cast("double") / 1e6 - lit(b.mean(d))
+      c * c
+    }.reduce(_ + _)
+    quantized(spark, sfDir)
+      .select(Seq(col("vec_id"), cn2.as("cn2")) ++
+        (0 until k).map(c => projExpr(b, c).as(s"p$c")): _*)
+      .select(col("vec_id"),
+        (0 until k).map(c => (col(s"p$c") * col(s"p$c") / lit(b.eigVals(c)))
+          .as(s"t$c")).reduce(_ + _).as("t2"),
+        (col("cn2") - (0 until k).map(c => col(s"p$c") * col(s"p$c"))
+          .reduce(_ + _)).as("q"))
+  }
+
+  /** PCA outlier-score VERIFICATION gates (one row), same oracle
+    * pattern as [[qSimPcaWhiten]]: the scores are engine-private (they
+    * need the eigensystem), but their corpus-level identities are not —
+    * for exact moments, Σ T² = k·(n−1) and Σ Q = (n−1)·(trace − Σ top
+    * λ), and both statistics are non-negative by construction. The
+    * distributed sum of the actual per-row scores must reproduce the
+    * algebra within 1e-6, tying the shipped scoring pass to the
+    * spectrum; the cross-engine anchor is the same exact trace
+    * numerator integer. One map-only scoring pass + the 64-group
+    * anchor aggregation. */
+  def qSimPcaOutliers(spark: SparkSession, sfDir: String): DataFrame = {
+    val b = pcaBasis(spark, sfDir)
+    val trace = (0 until PcaDims).map(i => b.cov(i)(i)).sum
+    val lamTop = b.eigVals.take(PcaK).sum
+    val agg = pcaOutlierScores(spark, sfDir, PcaK).agg(
+      count(lit(1)).as("n_rows"),
+      sum(col("t2")).as("st2"),
+      sum(col("q")).as("sq"),
+      min(col("t2")).as("mint2"),
+      min(col("q")).as("minq"))
+    agg.crossJoin(broadcast(traceAnchor(spark, sfDir)))
+      .select(
+        (abs(col("st2") / (col("n_rows") - 1) - lit(PcaK.toDouble)) <=
+          lit(1e-6 * PcaK)).as("t2_mean_ok"),
+        (abs(col("sq") / (col("n_rows") - 1) - lit(trace - lamTop)) <=
+          lit(1e-6) * lit(trace)).as("q_mean_ok"),
+        (col("mint2") >= 0).as("t2_nonneg_ok"),
+        (col("minq") >= lit(-1e-9) * lit(trace)).as("q_nonneg_ok"),
+        (col("n_rows") === col("n")).as("count_match_ok"),
+        col("trace_num").cast("string").as("trace_num"), col("n"))
+  }
+
+  val qSimPcaOutliersOracle: String =
+    """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      |qq AS (SELECT vec_id,
+      |  list_transform(v, x -> CAST(floor(x * 1000000) AS BIGINT)) AS qv
+      |  FROM e),
+      |x AS (SELECT vec_id, u.i - 1 AS d, qv[u.i] AS xq
+      |      FROM qq, unnest(generate_series(1, len(qv))) AS u(i)),
+      |ds AS (SELECT d, COUNT(*) AS cn,
+      |  SUM(CAST(xq AS HUGEINT)) AS sx,
+      |  SUM(CAST(xq * xq AS HUGEINT)) AS sxx
+      |  FROM x GROUP BY 1),
+      |t AS (SELECT
+      |  CAST(SUM(CAST(cn AS HUGEINT) * sxx - sx * sx) AS VARCHAR) AS trace_num,
+      |  MAX(cn) AS n FROM ds)
+      |SELECT TRUE AS t2_mean_ok, TRUE AS q_mean_ok, TRUE AS t2_nonneg_ok,
+      |  TRUE AS q_nonneg_ok, TRUE AS count_match_ok, t.trace_num, t.n
+      |FROM t""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sim_pca_outliers" -> (qSimPcaOutliers _),
     "sim_pca_whiten" -> (qSimPcaWhiten _),
     "sim_knn_graph" -> (qSimKnnGraph _),
     "sim_incremental" -> (qSimIncremental _),
@@ -797,6 +884,7 @@ object SimilarityOps {
     "sim_quantize_int8" -> (qQuantizeInt8 _))
 
   val oracles: Map[String, String] = Map(
+    "sim_pca_outliers" -> qSimPcaOutliersOracle,
     "sim_pca_whiten" -> qSimPcaWhitenOracle,
     "sim_knn_graph" -> qSimKnnGraphOracle,
     "sim_incremental" -> qSimIncrementalOracle,

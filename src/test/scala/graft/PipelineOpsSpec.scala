@@ -318,6 +318,23 @@ class PipelineOpsSpec extends SparkSpec {
     }
   }
 
+  test("pca outlier gates hold; T2/Q scores are non-negative and deterministic") {
+    val g = SimilarityOps.qSimPcaOutliers(spark, sf).collect()
+    assert(g.length === 1)
+    Seq("t2_mean_ok", "q_mean_ok", "t2_nonneg_ok", "q_nonneg_ok",
+      "count_match_ok").foreach(c =>
+      assert(g.head.getAs[Boolean](c), s"gate $c failed: ${g.head}"))
+    val s1 = SimilarityOps.pcaOutlierScores(spark, sf, 8).orderBy("vec_id").collect()
+    assert(s1.nonEmpty)
+    s1.foreach { r =>
+      assert(r.getAs[Double]("t2") >= 0.0, s"negative T2: $r")
+      assert(r.getAs[Double]("q") >= -1e-9, s"negative residual: $r")
+    }
+    val s2 = SimilarityOps.pcaOutlierScores(spark, sf, 8).orderBy("vec_id").collect()
+    assert(s1.map(_.toString).toSeq === s2.map(_.toString).toSeq,
+      "outlier scores must be bit-deterministic across invocations")
+  }
+
   test("repetition metrics are fractions; top-word mass bounds dup-word mass sanely") {
     val r = TextOps.qRepetition(spark, sf).collect()
     assert(r.nonEmpty)

@@ -496,7 +496,8 @@ class PlanAuditSpec extends SparkSpec {
     // its own targeted pin; excluded here to keep the sweep fast
     val skipIterative = Set(
       "dedup_clusters", "dedup_clusters_stars", "dedup_representatives",
-      "dedup_semantic_clusters_ann", "cdc_scd2", "sim_pca_whiten")
+      "dedup_semantic_clusters_ann", "cdc_scd2", "sim_pca_whiten",
+      "sim_pca_outliers")
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1)
       .filterNot { case (name, _) =>
         skipIterative.contains(name) || allowNested.contains(name) }
