@@ -870,7 +870,113 @@ object SimilarityOps {
       |  TRUE AS q_nonneg_ok, TRUE AS count_match_ok, t.trace_num, t.n
       |FROM t""".stripMargin
 
+  /** PAGERANK centrality over the ANN semantic graph — importance
+    * weights for sampling/curation: a document whose neighborhood is
+    * dense and well-connected (a topic hub) outranks peripheral
+    * near-isolates. Edges are the SAME mined set as the semantic
+    * clustering family (`DedupOps.annScoredPairs`, cosine ≥ 0.4, both
+    * directions), so the graph layer composes with components/kNN at
+    * zero extra mining cost.
+    *
+    * Exactness across engines: ranks are INTEGER fixed-point
+    * (micro-units of a 10¹² total mass) and every step is integer
+    * floor arithmetic — r' = tele + ⌊85·⌊Σ ⌊r/deg⌋⌋/100⌋ — so three
+    * unrolled iterations hash-match DuckDB bit-for-bit with no
+    * float-summation order hazard. The floor-div here is double
+    * division + cast: quotients stay < 2⁵³, so the 0.5-ulp division
+    * error (≤ q·2⁻⁵³) is always smaller than the minimum fractional
+    * gap (1/deg) — the cast can never cross an integer boundary.
+    * Sink leakage (vertices without out-edges drop their mass) is the
+    * documented semantics; both engines implement the same recurrence.
+    *
+    * Scale shape: the textbook distributed PageRank — per iteration
+    * ONE equi-join of the edge list with the rank vector and ONE
+    * aggregation by destination; the edge relation is persisted once
+    * (query-scoped, listener-released) because four consumers
+    * (out-degree + three iterations) would otherwise re-mine it. The
+    * iteration count is static, so the plan is a fixed pipeline — no
+    * driver loop, no lineage growth. */
+  def qSimPagerank(spark: SparkSession, sfDir: String): DataFrame = {
+    val S0 = 1000000000000L
+    val iters = 3
+    val e = DedupOps.normedVectors(Tables.embeddings(spark, sfDir))
+    val nV = DedupOps.annSizingCount(sfDir, e.count())
+    val base = S0 / nV
+    val tele = 15L * base / 100L
+    val matched = DedupOps.annScoredPairs(e, knownN = nV)
+      .filter(col("cosine") >= 0.4)
+      .select(col("a_id"), col("b_id"))
+    val edges = matched.select(col("a_id").as("src"), col("b_id").as("dst"))
+      .union(matched.select(col("b_id").as("src"), col("a_id").as("dst")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val outdeg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    val verts = e.select(col("vec_id"))
+    def idiv(a: Column, b: Column): Column = (a / b).cast("long")
+    var ranks = verts.withColumn("rank", lit(base))
+    (1 to iters).foreach { _ =>
+      val inflow = edges
+        .join(ranks.withColumnRenamed("vec_id", "src"), "src")
+        .join(outdeg, "src")
+        .select(col("dst"), idiv(col("rank"), col("deg")).as("c"))
+        .groupBy(col("dst")).agg(sum(col("c")).as("inflow"))
+      ranks = verts
+        .join(inflow, col("vec_id") === col("dst"), "left_outer")
+        .select(col("vec_id"),
+          (lit(tele) + idiv(lit(85L) * coalesce(col("inflow"), lit(0L)),
+            lit(100L))).as("rank"))
+    }
+    DedupOps.unpersistAfterFirstAction(ranks.orderBy(col("vec_id")), edges)
+  }
+
+  val qSimPagerankOracle: String = {
+    val annCte =
+      """e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+        |kk AS (
+        |  SELECT k, 64 // k AS ntab FROM (
+        |    SELECT GREATEST(4, LEAST(10,
+        |      CASE WHEN m <= 1 THEN 0 ELSE LENGTH(bin(m - 1)) END)) AS k
+        |    FROM (SELECT (COUNT(*) + 63) // 64 AS m FROM e) mm) kx),
+        |bk AS (
+        |  SELECT vec_id, t.t AS tbl,
+        |    array_to_string([CASE WHEN v[t.t*k + i] >= 0 THEN '1' ELSE '0' END
+        |                     FOR i IN generate_series(1, k)], '') AS bucket
+        |  FROM n, kk, unnest(generate_series(0, (SELECT ntab - 1 FROM kk))) AS t(t)),
+        |cand AS (
+        |  SELECT DISTINCT a.vec_id AS a_id, b.vec_id AS b_id
+        |  FROM bk a JOIN bk b
+        |    ON a.tbl = b.tbl AND a.bucket = b.bucket AND a.vec_id < b.vec_id),
+        |matched AS (
+        |  SELECT c.a_id, c.b_id
+        |  FROM cand c
+        |  JOIN n x ON x.vec_id = c.a_id
+        |  JOIN n y ON y.vec_id = c.b_id
+        |  WHERE list_dot_product(x.v, y.v) / (x.nrm * y.nrm) >= 0.4),
+        |edges AS (SELECT a_id AS src, b_id AS dst FROM matched
+        |          UNION SELECT b_id, a_id FROM matched)""".stripMargin
+    val iter = (i: Int) =>
+      s"""i$i AS (SELECT ed.dst, CAST(SUM(r.rank // d.deg) AS BIGINT) AS inflow
+         |  FROM edges ed
+         |  JOIN r${i - 1} r ON r.vec_id = ed.src
+         |  JOIN deg d ON d.src = ed.src
+         |  GROUP BY 1),
+         |r$i AS (SELECT v.vec_id,
+         |  CAST((SELECT tele FROM pr) + (85 * COALESCE(i.inflow, 0)) // 100 AS BIGINT) AS rank
+         |  FROM e v LEFT JOIN i$i i ON i.dst = v.vec_id)""".stripMargin
+    s"""WITH $annCte,
+       |deg AS (SELECT src, COUNT(*) AS deg FROM edges GROUP BY 1),
+       |nv AS (SELECT COUNT(*) AS nv FROM e),
+       |pr AS (SELECT 1000000000000 // nv AS base,
+       |              (15 * (1000000000000 // nv)) // 100 AS tele FROM nv),
+       |r0 AS (SELECT vec_id, CAST((SELECT base FROM pr) AS BIGINT) AS rank FROM e),
+       |${iter(1)},
+       |${iter(2)},
+       |${iter(3)}
+       |SELECT vec_id, rank FROM r3 ORDER BY vec_id""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sim_pagerank" -> (qSimPagerank _),
     "sim_pca_outliers" -> (qSimPcaOutliers _),
     "sim_pca_whiten" -> (qSimPcaWhiten _),
     "sim_knn_graph" -> (qSimKnnGraph _),
@@ -884,6 +990,7 @@ object SimilarityOps {
     "sim_quantize_int8" -> (qQuantizeInt8 _))
 
   val oracles: Map[String, String] = Map(
+    "sim_pagerank" -> qSimPagerankOracle,
     "sim_pca_outliers" -> qSimPcaOutliersOracle,
     "sim_pca_whiten" -> qSimPcaWhitenOracle,
     "sim_knn_graph" -> qSimKnnGraphOracle,

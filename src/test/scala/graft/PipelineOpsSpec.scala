@@ -335,6 +335,24 @@ class PipelineOpsSpec extends SparkSpec {
       "outlier scores must be bit-deterministic across invocations")
   }
 
+  test("pagerank: rank for every vector, mass bounded, hubs beat isolates, deterministic") {
+    val r = SimilarityOps.qSimPagerank(spark, sf).collect()
+    val nV = Tables.embeddings(spark, sf).count()
+    assert(r.length === nV)
+    val S0 = 1000000000000L
+    val tele = 15L * (S0 / nV) / 100L
+    val ranks = r.map(_.getAs[Long]("rank"))
+    // every vertex keeps at least its teleport share; floors and sink
+    // leakage only ever REMOVE mass from the system
+    assert(ranks.forall(_ >= tele), s"rank below teleport floor: ${ranks.min}")
+    assert(ranks.map(BigInt(_)).sum <= BigInt(S0), "mass must never grow")
+    assert(ranks.contains(tele) && ranks.max > tele,
+      "expected both tele-only isolates and accumulating hubs")
+    val r2 = SimilarityOps.qSimPagerank(spark, sf).collect()
+    assert(r.map(_.toString).toSeq === r2.map(_.toString).toSeq,
+      "integer ranks must be bit-deterministic across invocations")
+  }
+
   test("repetition metrics are fractions; top-word mass bounds dup-word mass sanely") {
     val r = TextOps.qRepetition(spark, sf).collect()
     assert(r.nonEmpty)
