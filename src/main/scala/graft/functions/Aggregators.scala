@@ -126,6 +126,62 @@ final case class GramMoments(nd: Int) extends Aggregator[Array[Long], MomentsBuf
   override def outputEncoder: Encoder[MomentsOut] = Encoders.product[MomentsOut]
 }
 
+/** Count-min sketch buffer: `rows` is the flattened depth×width count
+  * matrix. */
+case class CmBuf(rows: Array[Long])
+
+/** COUNT-MIN SKETCH over a token stream — the fixed-memory frequency
+  * summary a 100 TB vocabulary pass keeps when exact per-token counts
+  * don't fit (heavy-hitter monitoring, vocab capping, drift alarms).
+  * depth×width Long matrix; each token increments one cell per row
+  * (independent hash per row), point estimate = min over rows. The
+  * merge is elementwise integer addition — commutative/associative/
+  * exact, so ANY partition split yields the identical sketch
+  * (ScalaCheck'd in CountMinLaws) and estimates are replay-stable:
+  * the hashes are pure functions of the token (MurmurHash3 with fixed
+  * per-row seeds), no RNG anywhere. Guarantees: estimate ≥ true count
+  * always (one-sided); overcount bounded by collision mass ~N/width
+  * per row, minimized over `depth` rows. */
+final case class CountMinSketch(depth: Int, width: Int)
+    extends Aggregator[String, CmBuf, CmBuf] {
+  require(depth >= 1 && width >= 1, "depth and width must be positive")
+
+  def cell(row: Int, token: String): Int = {
+    val h = scala.util.hashing.MurmurHash3.stringHash(token, 0x9747b28c + row)
+    math.floorMod(h, width)
+  }
+
+  override def zero: CmBuf = CmBuf(new Array[Long](depth * width))
+
+  override def reduce(b: CmBuf, token: String): CmBuf = {
+    var r = 0
+    while (r < depth) { b.rows(r * width + cell(r, token)) += 1L; r += 1 }
+    b
+  }
+
+  override def merge(x: CmBuf, y: CmBuf): CmBuf = {
+    var i = 0
+    while (i < x.rows.length) { x.rows(i) += y.rows(i); i += 1 }
+    x
+  }
+
+  override def finish(r: CmBuf): CmBuf = r
+
+  /** Point estimate for `token` from a finished sketch. */
+  def estimate(sketch: CmBuf, token: String): Long = {
+    var best = Long.MaxValue
+    var r = 0
+    while (r < depth) {
+      best = math.min(best, sketch.rows(r * width + cell(r, token)))
+      r += 1
+    }
+    best
+  }
+
+  override def bufferEncoder: Encoder[CmBuf] = Encoders.product[CmBuf]
+  override def outputEncoder: Encoder[CmBuf] = Encoders.product[CmBuf]
+}
+
 /** One (value, id) entry of a bounded top-k buffer. */
 case class TopKEntry(v: Double, id: Long)
 /** The bounded buffer — a case-class wrapper so both the buffer and

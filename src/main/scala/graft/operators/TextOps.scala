@@ -711,7 +711,52 @@ object TextOps {
       |SELECT CAST(rank AS INT) AS rank, pair, freq FROM rk
       |WHERE rank <= 20 ORDER BY rank""".stripMargin
 
+  /** HEAVY HITTERS via a count-min sketch ([[graft.functions
+    * .CountMinSketch]]) probed at the exact top-20 words — the
+    * fixed-memory frequency monitor a 100 TB vocab pass runs when
+    * exact per-token counts don't fit (the exact twin here IS the
+    * verification: at fixture scale both are computable, so the sketch
+    * bound is checked against truth; at scale the exact side shrinks
+    * to a sampled audit). Oracle pattern: the top-20 (word, n_exact)
+    * rows hash-match DuckDB — real cross-engine content — while the
+    * sketch gates (estimate ≥ truth always; overcount within 4·N/width
+    * collision mass) are engine-private booleans. The sketch is
+    * deterministic end-to-end: fixed MurmurHash3 seeds, elementwise-
+    * add merge (ScalaCheck'd split-invariant in CountMinLaws) — no
+    * RNG, so the gate outcome is replay-stable. Two corpus passes
+    * (sketch + exact counts), both one-shuffle shapes. */
+  def qHeavyHitters(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val cm = graft.functions.CountMinSketch(4, 1024)
+    val words = Tables.documents(spark, sfDir)
+      .select(explode(split(col("text"), " ")).as("word"))
+      .filter(length(col("word")) >= 1)
+    val sketch = words.as[String].select(cm.toColumn).head()
+    // every sketch row sums to the total token count N
+    val totalN = sketch.rows.take(cm.width).sum
+    val top = words.groupBy(col("word")).agg(count(lit(1)).as("n_exact"))
+      .orderBy(col("n_exact").desc, col("word")).limit(20).collect()
+    val rows = top.toSeq.map { r =>
+      val w = r.getString(0); val n = r.getLong(1)
+      val est = cm.estimate(sketch, w)
+      (w, n, est >= n, est <= n + 4L * totalN / cm.width)
+    }
+    rows.toDF("word", "n_exact", "lower_bound_ok", "overcount_ok")
+      .orderBy(col("n_exact").desc, col("word"))
+  }
+
+  val qHeavyHittersOracle: String =
+    """WITH w AS (
+      |  SELECT unnest(string_split(text, ' ')) AS word FROM documents),
+      |c AS (SELECT word, COUNT(*) AS n_exact FROM w
+      |      WHERE length(word) >= 1 GROUP BY 1),
+      |top AS (SELECT word, n_exact FROM c
+      |        ORDER BY n_exact DESC, word LIMIT 20)
+      |SELECT word, n_exact, TRUE AS lower_bound_ok, TRUE AS overcount_ok
+      |FROM top ORDER BY n_exact DESC, word""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_heavy_hitters" -> (qHeavyHitters _),
     "text_novelty" -> (qNovelty _),
     "text_bpe_learn" -> (qBpeLearn _),
     "text_lm_score" -> (qLmScore _),
@@ -730,6 +775,7 @@ object TextOps {
     "text_tfidf" -> (qTfidf _))
 
   val oracles: Map[String, String] = Map(
+    "text_heavy_hitters" -> qHeavyHittersOracle,
     "text_novelty" -> qNoveltyOracle,
     "text_bpe_learn" -> qBpeLearnOracle,
     "text_lm_score" -> qLmScoreOracle,

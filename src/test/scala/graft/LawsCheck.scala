@@ -463,6 +463,38 @@ object EigenLaws extends Properties("Eigen.symmetric") {
     }
 }
 
+/** Laws for the count-min sketch: split-invariant merges, one-sided
+  * error, and conserved row mass — the distributed-correctness
+  * contract of a sketch whose merge is elementwise addition. */
+object CountMinLaws extends Properties("CountMinSketch") {
+  import graft.functions.CountMinSketch
+
+  private val cm = CountMinSketch(depth = 3, width = 16)
+  private val tokens = Gen.listOf(Gen.oneOf("a", "b", "c", "dd", "ee", "f1", "g", "hhh"))
+
+  private def build(xs: List[String]) = xs.foldLeft(cm.zero)(cm.reduce)
+
+  property("any split-and-merge equals the one-pass sketch") =
+    forAll(tokens, Gen.chooseNum(0, 100)) { (xs, cut) =>
+      val k = if (xs.isEmpty) 0 else cut % (xs.size + 1)
+      val (l, r) = xs.splitAt(k)
+      cm.merge(build(l), build(r)).rows.toSeq == build(xs).rows.toSeq
+    }
+
+  property("estimate never undercounts any token") =
+    forAll(tokens) { xs =>
+      val s = cm.finish(build(xs))
+      xs.distinct.forall(t => cm.estimate(s, t) >= xs.count(_ == t).toLong)
+    }
+
+  property("every sketch row sums to the stream length") =
+    forAll(tokens) { xs =>
+      val s = cm.finish(build(xs))
+      (0 until cm.depth).forall(r =>
+        s.rows.slice(r * cm.width, (r + 1) * cm.width).sum == xs.length.toLong)
+    }
+}
+
 /** Laws for quota admission — the simplest kernel, but its split law
   * is what makes the streaming sampler's checkpoint-replay admission
   * set reproducible. */

@@ -353,6 +353,17 @@ class PipelineOpsSpec extends SparkSpec {
       "integer ranks must be bit-deterministic across invocations")
   }
 
+  test("heavy hitters: 20 exact top words descending, both sketch gates hold") {
+    val r = TextOps.qHeavyHitters(spark, sf).collect()
+    assert(r.length === 20)
+    val ns = r.map(_.getAs[Long]("n_exact")).toSeq
+    assert(ns === ns.sortBy(-_), s"counts not descending: $ns")
+    r.foreach { row =>
+      assert(row.getAs[Boolean]("lower_bound_ok"), s"sketch undercounted: $row")
+      assert(row.getAs[Boolean]("overcount_ok"), s"sketch overcount bound failed: $row")
+    }
+  }
+
   test("repetition metrics are fractions; top-word mass bounds dup-word mass sanely") {
     val r = TextOps.qRepetition(spark, sf).collect()
     assert(r.nonEmpty)

@@ -497,7 +497,7 @@ class PlanAuditSpec extends SparkSpec {
     val skipIterative = Set(
       "dedup_clusters", "dedup_clusters_stars", "dedup_representatives",
       "dedup_semantic_clusters_ann", "cdc_scd2", "sim_pca_whiten",
-      "sim_pca_outliers")
+      "sim_pca_outliers", "text_heavy_hitters")
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1)
       .filterNot { case (name, _) =>
         skipIterative.contains(name) || allowNested.contains(name) }
