@@ -20,22 +20,34 @@ object Tables {
   def part(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "part")
   def nation(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "nation")
   def region(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "region")
-  /** `events.ts` is TIMESTAMP(NANOS) parquet, which Spark's µs timestamps
-    * can't hold (PARQUET_TYPE_ILLEGAL without the legacy flag). Read the
-    * raw nanos as long and floor-divide to µs with integer arithmetic
-    * (a double division would lose low bits above 2^53). DuckDB keeps ns,
-    * so oracles must only compare ts at ≥1s granularity (date_trunc /
-    * time_bucket / unix_seconds), never raw ts. */
+  /** `events.ts` has shipped in two physical encodings across driver
+    * testdata generations: TIMESTAMP(NANOS) parquet (which Spark's µs
+    * timestamps can't hold — read as raw long nanos via the legacy flag
+    * and floor-divided to µs with integer arithmetic, since a double
+    * division would lose low bits above 2^53) and plain TIMESTAMP(µs)
+    * (isAdjustedToUTC=false, so Spark infers TIMESTAMP_NTZ). Normalize
+    * both to TimestampType: sessions pin spark.sql.session.timeZone=UTC,
+    * so the NTZ→TZ cast is instant-preserving and downstream
+    * window/extract semantics are identical across encodings. Oracles
+    * still only compare ts at ≥1s granularity (date_trunc / time_bucket /
+    * unix_seconds), never raw ts. */
   def events(spark: SparkSession, sfDir: String): DataFrame = {
     // The flag is session-level (set at session build by Bench/Verify/
     // tests). Set here ONLY if absent — a fallback for user-built
     // sessions — rather than unconditionally flipping a global legacy
-    // conf on every table load.
+    // conf on every table load. With µs parquet it is simply inert.
     if (!spark.conf.getOption("spark.sql.legacy.parquet.nanosAsLong").contains("true"))
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    table(spark, sfDir, "events")
-      .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
-        org.apache.spark.sql.functions.expr("ts DIV 1000")))
+    import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
+    import org.apache.spark.sql.types.{LongType, TimestampType}
+    val raw = table(spark, sfDir, "events")
+    raw.schema("ts").dataType match {
+      case LongType => // legacy ns-as-long testdata
+        raw.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      case TimestampType => raw
+      case _ => // TIMESTAMP_NTZ (µs, isAdjustedToUTC=false)
+        raw.withColumn("ts", col("ts").cast(TimestampType))
+    }
   }
   def documents(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "documents")
   def embeddings(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "embeddings")

@@ -928,8 +928,14 @@ object SimilarityOps {
     DedupOps.unpersistAfterFirstAction(ranks.orderBy(col("vec_id")), edges)
   }
 
-  val qSimPagerankOracle: String = {
-    val annCte =
+  /** DuckDB CTE chain reproducing the ANN-mined semantic graph
+    * bit-for-bit (`e`/`n`/`kk`/`bk`/`cand`/`matched`/`edges`): the
+    * occupancy-scaled sign-LSH bucketing, the candidate equi-join, the
+    * cosine ≥ 0.4 verification (canonical a_id < b_id in `matched`),
+    * and the symmetrized `edges`. Shared verbatim by every graph-layer
+    * oracle (PageRank, triangles) so they all grade against the exact
+    * same edge set the Spark side mines via `DedupOps.annScoredPairs`. */
+  private val annEdgesCte: String =
       """e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
         |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
         |kk AS (
@@ -954,6 +960,8 @@ object SimilarityOps {
         |  WHERE list_dot_product(x.v, y.v) / (x.nrm * y.nrm) >= 0.4),
         |edges AS (SELECT a_id AS src, b_id AS dst FROM matched
         |          UNION SELECT b_id, a_id FROM matched)""".stripMargin
+
+  val qSimPagerankOracle: String = {
     val iter = (i: Int) =>
       s"""i$i AS (SELECT ed.dst, CAST(SUM(r.rank // d.deg) AS BIGINT) AS inflow
          |  FROM edges ed
@@ -963,7 +971,7 @@ object SimilarityOps {
          |r$i AS (SELECT v.vec_id,
          |  CAST((SELECT tele FROM pr) + (85 * COALESCE(i.inflow, 0)) // 100 AS BIGINT) AS rank
          |  FROM e v LEFT JOIN i$i i ON i.dst = v.vec_id)""".stripMargin
-    s"""WITH $annCte,
+    s"""WITH $annEdgesCte,
        |deg AS (SELECT src, COUNT(*) AS deg FROM edges GROUP BY 1),
        |nv AS (SELECT COUNT(*) AS nv FROM e),
        |pr AS (SELECT 1000000000000 // nv AS base,
@@ -975,7 +983,106 @@ object SimilarityOps {
        |SELECT vec_id, rank FROM r3 ORDER BY vec_id""".stripMargin
   }
 
+  /** TRIANGLE COUNT + local clustering coefficient over the ANN
+    * semantic graph — the community-density signal that separates a
+    * tight topic cluster (neighbors of a doc are neighbors of each
+    * other) from a hub-and-spoke near-duplicate star. Consumes the
+    * SAME mined edge set as PageRank/components/kNN, so the graph
+    * layer stays one mining pass wide.
+    *
+    * Algorithm: the standard degree-oriented enumeration. Each
+    * undirected edge is oriented from its lower-(degree, id) endpoint
+    * to the higher one; that orientation is acyclic, and every
+    * triangle then has EXACTLY ONE vertex with two out-edges — so
+    * enumerating wedges (pairs of out-edges at a common source) and
+    * closing them against the canonical edge list counts each
+    * triangle once, with wedge volume Σ outdeg² bounded by the
+    * arboricity-style argument (a hub's edges all point INTO it, so
+    * hot vertices generate no wedge blow-up — the reason this shape
+    * survives skewed degree distributions at corpus scale).
+    *
+    * Everything is integer: per-vertex degree, triangle count, and
+    * the clustering coefficient in fixed-point micro-units
+    * ⌊2·tri·10⁶ / (deg·(deg−1))⌋ — bit-for-bit hash-matchable against
+    * the DuckDB oracle, which reproduces the mined edge set via
+    * [[annEdgesCte]] and the same orientation rule.
+    *
+    * Scale shape: one edge-list persist (three consumers: degree,
+    * orientation, wedge closure), equi-joins throughout, and the
+    * wedge join keys on `src` — no cartesian, no driver loop. */
+  def qSimTriangles(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = DedupOps.normedVectors(Tables.embeddings(spark, sfDir))
+    val nV = DedupOps.annSizingCount(sfDir, e.count())
+    val m = DedupOps.annScoredPairs(e, knownN = nV)
+      .filter(col("cosine") >= 0.4)
+      .select(col("a_id"), col("b_id"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val deg = m.select(col("a_id").as("id")).union(m.select(col("b_id").as("id")))
+      .groupBy(col("id")).agg(count(lit(1)).as("deg"))
+    val lowFirst = col("da") < col("db") ||
+      (col("da") === col("db") && col("a_id") < col("b_id"))
+    val oriented = m
+      .join(deg.select(col("id").as("a_id"), col("deg").as("da")), "a_id")
+      .join(deg.select(col("id").as("b_id"), col("deg").as("db")), "b_id")
+      .select(
+        when(lowFirst, col("a_id")).otherwise(col("b_id")).as("src"),
+        when(lowFirst, col("b_id")).otherwise(col("a_id")).as("dst"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val wedges = oriented.as("x").join(oriented.as("y"),
+        col("x.src") === col("y.src") && col("x.dst") < col("y.dst"))
+      .select(col("x.src").as("p"), col("x.dst").as("q"), col("y.dst").as("r"))
+    // q < r by construction, matching the canonical a_id < b_id edge key
+    val tris = wedges.join(
+      m.select(col("a_id").as("q"), col("b_id").as("r")), Seq("q", "r"), "left_semi")
+    val perNode = tris.select(col("p").as("id"))
+      .union(tris.select(col("q").as("id")))
+      .union(tris.select(col("r").as("id")))
+      .groupBy(col("id")).agg(count(lit(1)).as("tri"))
+    val out = e.select(col("vec_id"))
+      .join(deg.withColumnRenamed("id", "vec_id"), Seq("vec_id"), "left_outer")
+      .join(perNode.withColumnRenamed("id", "vec_id"), Seq("vec_id"), "left_outer")
+      .select(col("vec_id"),
+        coalesce(col("deg"), lit(0L)).as("deg"),
+        coalesce(col("tri"), lit(0L)).as("tri"),
+        when(coalesce(col("deg"), lit(0L)) >= 2,
+          expr("2 * coalesce(tri, 0) * 1000000 DIV (deg * (deg - 1))"))
+          .otherwise(lit(0L)).as("lcc_micro"))
+      .orderBy(col("vec_id"))
+    DedupOps.unpersistAfterFirstAction(out, m, oriented)
+  }
+
+  val qSimTrianglesOracle: String =
+    s"""WITH $annEdgesCte,
+       |deg AS (SELECT src AS id, COUNT(*) AS deg FROM edges GROUP BY 1),
+       |o AS (SELECT
+       |    CASE WHEN x.deg < y.deg OR (x.deg = y.deg AND m.a_id < m.b_id)
+       |      THEN m.a_id ELSE m.b_id END AS src,
+       |    CASE WHEN x.deg < y.deg OR (x.deg = y.deg AND m.a_id < m.b_id)
+       |      THEN m.b_id ELSE m.a_id END AS dst
+       |  FROM matched m
+       |  JOIN deg x ON x.id = m.a_id
+       |  JOIN deg y ON y.id = m.b_id),
+       |w AS (SELECT a.src AS p, a.dst AS q, b.dst AS r
+       |      FROM o a JOIN o b ON b.src = a.src AND a.dst < b.dst),
+       |t AS (SELECT p, q, r FROM w WHERE EXISTS
+       |        (SELECT 1 FROM matched mm WHERE mm.a_id = w.q AND mm.b_id = w.r)),
+       |pt AS (SELECT id, COUNT(*) AS tri FROM
+       |        (SELECT p AS id FROM t
+       |         UNION ALL SELECT q FROM t
+       |         UNION ALL SELECT r FROM t) u GROUP BY 1)
+       |SELECT v.vec_id,
+       |  COALESCE(d.deg, 0) AS deg,
+       |  COALESCE(pt.tri, 0) AS tri,
+       |  CASE WHEN COALESCE(d.deg, 0) >= 2
+       |    THEN (2 * COALESCE(pt.tri, 0) * 1000000) // (d.deg * (d.deg - 1))
+       |    ELSE 0 END AS lcc_micro
+       |FROM e v
+       |LEFT JOIN deg d ON d.id = v.vec_id
+       |LEFT JOIN pt ON pt.id = v.vec_id
+       |ORDER BY v.vec_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sim_triangles" -> (qSimTriangles _),
     "sim_pagerank" -> (qSimPagerank _),
     "sim_pca_outliers" -> (qSimPcaOutliers _),
     "sim_pca_whiten" -> (qSimPcaWhiten _),
@@ -990,6 +1097,7 @@ object SimilarityOps {
     "sim_quantize_int8" -> (qQuantizeInt8 _))
 
   val oracles: Map[String, String] = Map(
+    "sim_triangles" -> qSimTrianglesOracle,
     "sim_pagerank" -> qSimPagerankOracle,
     "sim_pca_outliers" -> qSimPcaOutliersOracle,
     "sim_pca_whiten" -> qSimPcaWhitenOracle,

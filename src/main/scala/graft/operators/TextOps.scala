@@ -755,7 +755,78 @@ object TextOps {
       |SELECT word, n_exact, TRUE AS lower_bound_ok, TRUE AS overcount_ok
       |FROM top ORDER BY n_exact DESC, word""".stripMargin
 
+  /** Cross-document boilerplate removal keyed by origin `source` — the
+    * CCNet/MassiveText cleanup step (drop nav bars, cookie banners,
+    * repeated templates) re-expressed at chunk granularity: a document
+    * is split into disjoint 3-word chunks, and a chunk is boilerplate
+    * when it recurs across ≥ max(2, nd/50) distinct documents OF THE
+    * SAME SOURCE (nd = the source's doc count — the threshold scales
+    * with corpus growth instead of flagging every benign 2-doc repeat
+    * at web scale). The cleaned text is the kept chunks rejoined in
+    * position order, plus kept/dropped counts for downstream quality
+    * gates.
+    *
+    * Scale shape: the chunk relation is ~|tokens|/3 rows, produced by
+    * ONE explode with the chunk list built declaratively per doc
+    * (sequence → slice → array_join, no UDF). The document-frequency
+    * table shuffles on (source, chunk) with map-side combine; the
+    * per-source doc counts are a tiny broadcast. The flagged-chunk
+    * join is an equi-join on the same (source, chunk) key, and the
+    * reassembly is one groupBy(doc_id) whose payload is the kept
+    * chunks only. No self-joins, no driver loops; every stage's key
+    * cardinality is corpus-linear with a boilerplate table that is a
+    * vanishing fraction of it. */
+  def qBoilerplate(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = 3
+    val docs = Tables.documents(spark, sfDir)
+    val chunks = docs
+      .select(col("doc_id"), col("source"), toks.as("ts"))
+      .select(col("doc_id"), col("source"),
+        posexplode(transform(
+          sequence(lit(0), floor((size(col("ts")) - 1) / w).cast("int")),
+          i => array_join(slice(col("ts"), i * w + 1, lit(w)), " ")))
+          .as(Seq("cid", "chunk")))
+    val srcn = docs.groupBy(col("source"))
+      .agg(countDistinct(col("doc_id")).as("nd"))
+    val dfreq = chunks.groupBy(col("source"), col("chunk"))
+      .agg(countDistinct(col("doc_id")).as("df"))
+    val boiler = dfreq.join(broadcast(srcn), "source")
+      .filter(col("df") >= greatest(lit(2L), expr("nd DIV 50")))
+      .select(col("source"), col("chunk"), lit(true).as("is_boiler"))
+    chunks.join(boiler, Seq("source", "chunk"), "left_outer")
+      .groupBy(col("doc_id"), col("source"))
+      .agg(
+        count(lit(1)).as("n_chunks"),
+        count(col("is_boiler")).as("n_dropped"),
+        array_join(transform(
+          array_sort(collect_list(when(col("is_boiler").isNull,
+            struct(col("cid"), col("chunk"))))),
+          s => s.getField("chunk")), " ").as("clean_text"))
+      .orderBy(col("doc_id"))
+  }
+
+  val qBoilerplateOracle: String =
+    """WITH d AS (SELECT doc_id, source, string_split(text, ' ') AS ts FROM documents),
+      |ch AS (SELECT doc_id, source, g AS cid,
+      |         array_to_string(ts[g*3 + 1 : least(g*3 + 3, len(ts))], ' ') AS chunk
+      |       FROM d, unnest(generate_series(0, CAST(floor((len(ts)-1) / 3) AS BIGINT))) AS u(g)),
+      |srcn AS (SELECT source, COUNT(DISTINCT doc_id) AS nd FROM documents GROUP BY 1),
+      |dfq AS (SELECT source, chunk, COUNT(DISTINCT doc_id) AS df FROM ch GROUP BY 1, 2),
+      |boiler AS (SELECT dfq.source, dfq.chunk FROM dfq JOIN srcn USING (source)
+      |           WHERE df >= GREATEST(2, nd // 50)),
+      |fl AS (SELECT ch.doc_id, ch.source, ch.cid, ch.chunk,
+      |         b.chunk IS NOT NULL AS is_b
+      |       FROM ch LEFT JOIN boiler b
+      |         ON b.source = ch.source AND b.chunk = ch.chunk)
+      |SELECT doc_id, source,
+      |  COUNT(*) AS n_chunks,
+      |  COUNT(*) FILTER (WHERE is_b) AS n_dropped,
+      |  COALESCE(string_agg(chunk, ' ' ORDER BY cid) FILTER (WHERE NOT is_b), '')
+      |    AS clean_text
+      |FROM fl GROUP BY 1, 2 ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_boilerplate" -> (qBoilerplate _),
     "text_heavy_hitters" -> (qHeavyHitters _),
     "text_novelty" -> (qNovelty _),
     "text_bpe_learn" -> (qBpeLearn _),
@@ -775,6 +846,7 @@ object TextOps {
     "text_tfidf" -> (qTfidf _))
 
   val oracles: Map[String, String] = Map(
+    "text_boilerplate" -> qBoilerplateOracle,
     "text_heavy_hitters" -> qHeavyHittersOracle,
     "text_novelty" -> qNoveltyOracle,
     "text_bpe_learn" -> qBpeLearnOracle,
