@@ -38,15 +38,25 @@ object Tables {
     // conf on every table load. With µs parquet it is simply inert.
     if (!spark.conf.getOption("spark.sql.legacy.parquet.nanosAsLong").contains("true"))
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // The NTZ→TZ cast below is instant-preserving ONLY under a UTC
+    // session zone. Framework entry points (Bench/Verify/tests) pin it;
+    // mirror the nanosAsLong fallback for user-built sessions so the
+    // µs-NTZ encoding can't silently shift instants by a local offset.
+    if (!spark.conf.getOption("spark.sql.session.timeZone").contains("UTC"))
+      spark.conf.set("spark.sql.session.timeZone", "UTC")
     import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
-    import org.apache.spark.sql.types.{LongType, TimestampType}
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
     val raw = table(spark, sfDir, "events")
     raw.schema("ts").dataType match {
       case LongType => // legacy ns-as-long testdata
         raw.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
       case TimestampType => raw
-      case _ => // TIMESTAMP_NTZ (µs, isAdjustedToUTC=false)
+      case TimestampNTZType => // µs, isAdjustedToUTC=false
         raw.withColumn("ts", col("ts").cast(TimestampType))
+      case other => // fail fast: a third encoding must be decided, not guessed
+        throw new IllegalStateException(
+          s"events.ts arrived as unexpected physical type $other; " +
+            "known encodings are ns-as-long, TIMESTAMP(µs), and TIMESTAMP_NTZ(µs)")
     }
   }
   def documents(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "documents")
