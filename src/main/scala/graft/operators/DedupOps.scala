@@ -948,10 +948,16 @@ object DedupOps {
     * Scale shape: the component labels + quality join + per-cluster
     * argmax all run on the MATCHED set (graph-sized — orders of
     * magnitude smaller than the corpus), so the ranking window is
-    * cheap; the corpus-sized step is a single broadcast left join of
-    * the verdict table into `documents` — the corpus itself never
-    * shuffles. Argmax is a row_number over (n_chars DESC, doc_id) —
-    * fully deterministic under ties, reproducible in any engine. */
+    * cheap. The corpus-sized step is the left join of the verdict
+    * table into `documents`, deliberately left WITHOUT a broadcast
+    * hint: at fixture/typical dup rates AQE's runtime size check turns
+    * it into a broadcast join (corpus never shuffles), but at
+    * web-scale dup rates (30–50% of docs in clusters) the matched set
+    * is corpus-order and a forced broadcast would OOM the driver —
+    * unhinted, the same plan degrades to a shuffle join and completes.
+    * Both regimes are plan-pinned in PipelineOpsSpec. Argmax is a
+    * row_number over (n_chars DESC, doc_id) — fully deterministic
+    * under ties, reproducible in any engine. */
   def qDedupRepresentatives(spark: SparkSession, sfDir: String): DataFrame = {
     val docs = Tables.documents(spark, sfDir).select(col("doc_id"), col("n_chars"))
     val comp = connectedComponents(
@@ -963,7 +969,7 @@ object DedupOps {
     val matched = comp.join(docs, "doc_id")
       .withColumn("rn", row_number().over(w))
       .select(col("doc_id"), col("cluster_id"), (col("rn") === 1).as("keep"))
-    docs.join(broadcast(matched), Seq("doc_id"), "left_outer")
+    docs.join(matched, Seq("doc_id"), "left_outer")
       .select(col("doc_id"),
         coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"),
         coalesce(col("keep"), lit(true)).as("keep"))

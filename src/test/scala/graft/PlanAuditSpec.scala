@@ -513,6 +513,37 @@ class PlanAuditSpec extends SparkSpec {
       s"unexpected nested-loop/cartesian plans: ${offenders.map(_._1)}")
   }
 
+  test("representatives verdict join: AQE broadcasts at fixture scale, degrades to shuffle when broadcast is impossible") {
+    // The corpus-sized verdict join carries NO broadcast() hint by
+    // design: a hint would OOM the driver at web-scale dup rates where
+    // the matched set is corpus-order. Pin both runtime regimes:
+    // (a) default session — AQE's runtime size check broadcasts the
+    //     graph-sized matched set, so the corpus never shuffles;
+    // (b) thresholds at -1 (standing in for "matched too big") — the
+    //     SAME code degrades to a shuffle join and returns identical
+    //     rows. A reintroduced hard hint would fail (b)'s plan assert.
+    val a = graft.operators.DedupOps.qDedupRepresentatives(spark, sf)
+    val rowsA = a.collect().toSeq
+    a.queryExecution.executedPlan // force final adaptive plan
+    val planA = a.queryExecution.executedPlan.toString
+    assert(planA.contains("BroadcastHashJoin"),
+      s"fixture-scale verdict join should broadcast under AQE:\n${planA.take(400)}")
+    val keys = Seq("spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold")
+    val saved = keys.map(k => k -> spark.conf.getOption(k))
+    try {
+      keys.foreach(spark.conf.set(_, "-1"))
+      val b = graft.operators.DedupOps.qDedupRepresentatives(spark, sf)
+      val rowsB = b.collect().toSeq
+      val planB = b.queryExecution.executedPlan.toString
+      assert(!planB.linesIterator.exists(l =>
+          l.contains("BroadcastHashJoin") && l.contains("LeftOuter")),
+        "verdict join must not broadcast when the matched side is too big")
+      assert(rowsB === rowsA, "shuffle regime changed the keep-list")
+    } finally saved.foreach { case (k, v) =>
+      v.fold(spark.conf.unset(k))(spark.conf.set(k, _)) }
+  }
+
   test("codegen'd dot product appears inside a WholeStageCodegen span") {
     val df = SimilarityOps.qSimBruteForce(spark, sf)
     df.collect() // finalize this DataFrame's own AQE plan
