@@ -493,11 +493,14 @@ class PlanAuditSpec extends SparkSpec {
       "q17_correlated_avg", "q_approx_distinct", "q_approx_quantiles",
       "q_median_exact", "q_group_quantiles")
     // iterative queries execute their loop at BUILD time — each has
-    // its own targeted pin; excluded here to keep the sweep fast
+    // its own targeted pin; excluded here to keep the sweep fast. The
+    // stored-edge graph variants run a one-off mine+write at BUILD
+    // time and get the same three asserts in their dedicated pin.
     val skipIterative = Set(
       "dedup_clusters", "dedup_clusters_stars", "dedup_representatives",
       "dedup_semantic_clusters_ann", "cdc_scd2", "sim_pca_whiten",
-      "sim_pca_outliers", "text_heavy_hitters")
+      "sim_pca_outliers", "text_heavy_hitters",
+      "sim_pagerank_stored", "sim_triangles_stored", "sim_knn_graph_stored")
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1)
       .filterNot { case (name, _) =>
         skipIterative.contains(name) || allowNested.contains(name) }
@@ -511,6 +514,34 @@ class PlanAuditSpec extends SparkSpec {
     spark.catalog.clearCache()
     assert(offenders.isEmpty,
       s"unexpected nested-loop/cartesian plans: ${offenders.map(_._1)}")
+  }
+
+  test("stored-edge graph queries read the edge artifact and never re-bucket embeddings") {
+    // The stored variants' whole point is amortizing the LSH mining
+    // pass: their plans must scan the materialized (a_id,b_id,cosine)
+    // parquet and contain NO bucketing explode (the miner's signature
+    // Generate/posexplode node). Embeddings may appear only as the
+    // bare vertex-id list (PageRank/triangles' left joins).
+    val stored = Seq(
+      "sim_pagerank_stored" -> SimilarityOps.qSimPagerankStored(spark, sf),
+      "sim_triangles_stored" -> SimilarityOps.qSimTrianglesStored(spark, sf),
+      "sim_knn_graph_stored" -> SimilarityOps.qSimKnnGraphStored(spark, sf))
+    stored.foreach { case (name, df) =>
+      val p = planString(df)
+      assert(p.contains("graft_ann_edges"),
+        s"$name must scan the stored edge artifact")
+      assert(!p.contains("Generate"),
+        s"$name re-buckets embeddings (explode in plan)")
+      assert(!p.contains("CartesianProduct") &&
+          !p.contains("BroadcastNestedLoopJoin"),
+        s"$name plans a nested-loop join")
+    }
+    // contract equality: the stored path is the same miner
+    // materialized, so results match the self-contained query exactly
+    val live = SimilarityOps.qSimPagerank(spark, sf).collect().toSeq
+    val mat = SimilarityOps.qSimPagerankStored(spark, sf).collect().toSeq
+    assert(mat === live, "stored PageRank diverged from self-contained")
+    spark.catalog.clearCache()
   }
 
   test("representatives verdict join: AQE broadcasts at fixture scale, degrades to shuffle when broadcast is impossible") {
