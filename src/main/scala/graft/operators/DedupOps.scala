@@ -414,11 +414,24 @@ object DedupOps {
     * join is a full-outer equi-join on the pair key, and the report
     * is a single global rollup of three indicator sums — bytes, not
     * data. The shingle relation is exploded ONCE (persisted) and
-    * feeds the truth side and the band signatures; at 100 TB the
-    * audit runs on a sampled stratum, but the plan is unchanged. */
+    * feeds the truth side and the band signatures.
+    *
+    * SCALE CAVEAT: the truth side is the UNCAPPED inverted-index
+    * Jaccard join — one viral shingle makes it quadratic in that
+    * shingle's document frequency. This exact audit is therefore the
+    * FIXTURE-SCALE oracle query; the production citizen is
+    * [[qDedupLshAuditStratum]], whose truth relation is bounded by a
+    * deterministic document stratum IN CODE. */
   def qDedupLshAudit(spark: SparkSession, sfDir: String): DataFrame = {
     val sh = shingles(Tables.documents(spark, sfDir))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    unpersistAfterFirstAction(lshAuditOn(sh), sh)
+  }
+
+  /** Audit body over a (doc_id, shingle) relation — shared by the
+    * exact audit and the stratum audit so both report the identical
+    * confusion rollup. */
+  private def lshAuditOn(sh: DataFrame): DataFrame = {
     val truth = jaccardPairs(sh).filter(col("jaccard") >= 0.1)
       .select(col("a_id"), col("b_id"), lit(true).as("is_truth"))
     val bands = minhashBands(sh)
@@ -429,15 +442,46 @@ object DedupOps {
       .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
       .distinct()
       .withColumn("is_cand", lit(true))
-    unpersistAfterFirstAction(
-      truth.join(cand, Seq("a_id", "b_id"), "full_outer")
-        .agg(
-          sum(when(col("is_truth"), 1L).otherwise(0L)).as("n_truth"),
-          sum(when(col("is_cand"), 1L).otherwise(0L)).as("n_candidates"),
-          sum(when(col("is_truth") && col("is_cand"), 1L).otherwise(0L)).as("n_hits"))
-        .withColumn("recall_r", round(col("n_hits") / col("n_truth"), 6))
-        .withColumn("precision_r", round(col("n_hits") / col("n_candidates"), 6)),
-      sh)
+    truth.join(cand, Seq("a_id", "b_id"), "full_outer")
+      .agg(
+        sum(when(col("is_truth"), 1L).otherwise(0L)).as("n_truth"),
+        sum(when(col("is_cand"), 1L).otherwise(0L)).as("n_candidates"),
+        sum(when(col("is_truth") && col("is_cand"), 1L).otherwise(0L)).as("n_hits"))
+      .withColumn("recall_r", round(col("n_hits") / col("n_truth"), 6))
+      .withColumn("precision_r", round(col("n_hits") / col("n_candidates"), 6))
+  }
+
+  /** Default stratum width for [[qDedupLshAuditStratum]]: a quarter of
+    * the md5 doc-id space. On the fixture this leaves enough true
+    * pairs for a stable estimate; at 100 TB the knob goes as low as
+    * the corpus allows (1% of docs ≈ 0.01% of pairs). */
+  val LshAuditStratumPct = 25
+
+  /** The LSH audit a 100 TB corpus actually runs: the SAME confusion
+    * rollup as [[qDedupLshAudit]], restricted to a deterministic
+    * md5-bucket document stratum (the `sample_split` discipline) —
+    * the bound is code, not prose. Shingling, the truth join, and the
+    * band join all run on the stratum only, so the truth relation's
+    * worst case is quadratic in a shingle's WITHIN-STRATUM document
+    * frequency (expected pct/100 of corpus DF), and total audit cost
+    * scales with (pct/100)² of the exact audit's.
+    *
+    * Estimator note, documented not hidden: doc-sampling observes a
+    * pair only when BOTH endpoints land in the stratum (probability
+    * (pct/100)²), and recall/precision are RATIO estimators over the
+    * surviving pairs — consistent, with no systematic bias from the
+    * sampling being independent of the banding, but noisier than the
+    * full audit (the spec pins the fixture-scale agreement). */
+  def qDedupLshAuditStratum(spark: SparkSession, sfDir: String): DataFrame =
+    lshAuditStratum(spark, sfDir, LshAuditStratumPct)
+
+  def lshAuditStratum(spark: SparkSession, sfDir: String, pctDocs: Int): DataFrame = {
+    require(pctDocs >= 1 && pctDocs <= 100, s"stratum pct $pctDocs not in [1,100]")
+    val docs = Tables.documents(spark, sfDir)
+      .filter(SamplingOps.bucket100("doc_id") < pctDocs)
+    val sh = shingles(docs)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    unpersistAfterFirstAction(lshAuditOn(sh), sh)
   }
 
   val qDedupLshAuditOracle: String =
@@ -477,6 +521,20 @@ object DedupOps {
        |  round(CAST(SUM(CASE WHEN is_truth AND is_cand THEN 1 ELSE 0 END) AS DOUBLE)
        |        / SUM(CASE WHEN is_cand THEN 1 ELSE 0 END), 6) AS precision_r
        |FROM conf""".stripMargin
+
+  /** Stratum-audit oracle: the exact-audit SQL with the shingle CTE's
+    * document source restricted to the same md5 bucket stratum the
+    * Spark side filters on (the `sample_split` bucket formulation,
+    * bit-for-bit). Derived by substitution so the two audits can never
+    * drift in any other clause. */
+  val qDedupLshAuditStratumOracle: String = {
+    val filtered = "FROM documents WHERE " +
+      "CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS INT) % 100" +
+      s" < $LshAuditStratumPct)"
+    require(qDedupLshAuditOracle.contains("FROM documents)"),
+      "exact-audit oracle no longer sources `documents` directly; fix the stratum substitution")
+    qDedupLshAuditOracle.replace("FROM documents)", filtered)
+  }
 
   // ---- 4. SimHash ----
 
@@ -1632,6 +1690,7 @@ object DedupOps {
     "dedup_clusters_stars" -> (qDedupClustersStars _),
     "dedup_representatives" -> (qDedupRepresentatives _),
     "dedup_lsh_audit" -> (qDedupLshAudit _),
+    "dedup_lsh_audit_stratum" -> (qDedupLshAuditStratum _),
     "dedup_semantic_clusters" -> (qDedupSemanticClusters _),
     "dedup_semantic_clusters_ann" -> (qDedupSemanticClustersAnn _))
 
@@ -1653,6 +1712,7 @@ object DedupOps {
     "dedup_clusters_stars" -> qDedupClustersOracle,
     "dedup_representatives" -> qDedupRepresentativesOracle,
     "dedup_lsh_audit" -> qDedupLshAuditOracle,
+    "dedup_lsh_audit_stratum" -> qDedupLshAuditStratumOracle,
     "dedup_semantic_clusters" -> qDedupSemanticClustersOracle,
     "dedup_semantic_clusters_ann" -> qDedupSemanticClustersAnnOracle)
 }

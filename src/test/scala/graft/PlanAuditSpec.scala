@@ -544,6 +544,41 @@ class PlanAuditSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("LSH audit stratum: shingling confined to the stratum, estimate agrees with the full audit") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Generate, LogicalPlan}
+    def textGenerates(lp: LogicalPlan): Seq[Generate] =
+      lp.collect { case g: Generate if g.toString.contains("split(text") => g }
+    // the truth-side bound must be CODE: every shingle explode in the
+    // stratum audit carries the md5-bucket filter in its subtree, so
+    // no clause ever shingles (or joins) the full corpus
+    val strat = graft.operators.DedupOps.qDedupLshAuditStratum(spark, sf)
+    val gens = textGenerates(strat.queryExecution.analyzed)
+    assert(gens.nonEmpty, "expected the stratum's shingle explode")
+    gens.foreach(g => assert(
+      g.toString.contains(s"< ${graft.operators.DedupOps.LshAuditStratumPct}"),
+      s"a shingle explode escaped the stratum filter:\n$g"))
+    // the exact audit is the negative control — it must keep shingling
+    // the full corpus, or this pin has rotted into a tautology
+    val full = graft.operators.DedupOps.qDedupLshAudit(spark, sf)
+    assert(textGenerates(full.queryExecution.analyzed)
+      .exists(g => !g.toString.contains("< ")),
+      "exact audit no longer shingles the full corpus — update this pin")
+    // estimator sanity on the fixture: the stratum observes a subset
+    // of the pair universe and its ratio estimates stay in the
+    // neighborhood of the full audit's (doc sampling is independent
+    // of the banding, so there is no systematic bias — only variance)
+    val fr = full.head()
+    val sr = strat.head()
+    assert(sr.getAs[Long]("n_truth") > 0, "stratum lost all true pairs")
+    assert(sr.getAs[Long]("n_truth") < fr.getAs[Long]("n_truth"))
+    assert(sr.getAs[Long]("n_candidates") < fr.getAs[Long]("n_candidates"))
+    assert(math.abs(sr.getAs[Double]("recall_r") - fr.getAs[Double]("recall_r")) <= 0.25,
+      s"stratum recall ${sr.getAs[Double]("recall_r")} far from full ${fr.getAs[Double]("recall_r")}")
+    assert(math.abs(sr.getAs[Double]("precision_r") - fr.getAs[Double]("precision_r")) <= 0.25,
+      s"stratum precision ${sr.getAs[Double]("precision_r")} far from full ${fr.getAs[Double]("precision_r")}")
+    spark.catalog.clearCache()
+  }
+
   test("representatives verdict join: AQE broadcasts at fixture scale, degrades to shuffle when broadcast is impossible") {
     // The corpus-sized verdict join carries NO broadcast() hint by
     // design: a hint would OOM the driver at web-scale dup rates where
