@@ -637,6 +637,122 @@ class PipelineOpsSpec extends SparkSpec {
     assert(bloom.collect().toSeq === exact)
   }
 
+  test("triangles: counts and clustering coefficients match a driver-side brute force") {
+    // Independent verification of the degree-oriented wedge
+    // enumeration: collect the mined edge set (fixture-sized) and
+    // brute-force count per-node triangles in plain Scala, then
+    // compare degree, triangle count, and the fixed-point LCC row by
+    // row. Catches orientation mistakes (double/zero counting) the
+    // oracle could only catch if DuckDB made the same mistake.
+    // sf0.001's mined graph is triangle-free, so this one runs on
+    // sf0.01 (5k vectors — still a fixture-sized driver collect).
+    val sf01 = "/root/testdata/sf0.01"
+    val e = DedupOps.normedVectors(Tables.embeddings(spark, sf01))
+    val edges = DedupOps.annCosinePairs(e).collect()
+      .map(r => (r.getAs[Long]("a_id"), r.getAs[Long]("b_id"))).toSet
+    val adj = edges.toSeq.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    def canon(u: Long, w: Long) = if (u < w) (u, w) else (w, u)
+    val bruteTri = adj.map { case (v, ns) =>
+      val nsSorted = ns.toSeq.sorted
+      v -> nsSorted.combinations(2).count { case Seq(u, w) => edges(canon(u, w)) }
+    }
+    val rows = SimilarityOps.qSimTriangles(spark, sf01).collect()
+    assert(rows.map(_.getAs[Long]("tri")).sum / 3 ===
+      bruteTri.values.map(_.toLong).sum / 3, "global triangle count mismatch")
+    rows.foreach { r =>
+      val v = r.getAs[Long]("vec_id")
+      val deg = r.getAs[Long]("deg")
+      val tri = r.getAs[Long]("tri")
+      assert(deg === adj.get(v).map(_.size.toLong).getOrElse(0L), s"deg($v)")
+      assert(tri === bruteTri.get(v).map(_.toLong).getOrElse(0L), s"tri($v)")
+      val expLcc = if (deg >= 2) 2L * tri * 1000000L / (deg * (deg - 1)) else 0L
+      assert(r.getAs[Long]("lcc_micro") === expLcc, s"lcc($v)")
+    }
+    assert(rows.exists(_.getAs[Long]("tri") > 0), "fixture must contain triangles")
+    spark.catalog.clearCache()
+  }
+
+  test("boilerplate: nd/50 threshold boundary and the max(2,_) floor are exact") {
+    // Synthetic corpus with engineered document frequencies AT the
+    // threshold: source `big` has nd=150 docs (threshold = 150/50 = 3)
+    // with one chunk in exactly 3 docs (must drop) and one in exactly
+    // 2 (must keep); source `small` has nd=5 (floor threshold = 2)
+    // with a chunk in exactly 2 docs (must drop). Every doc also has
+    // a unique df=1 chunk that must always survive.
+    import spark.implicits._
+    val big = (1 to 150).map { i =>
+      val extra =
+        if (i <= 3) " A1 A2 A3"        // df=3 == threshold -> boilerplate
+        else if (i <= 5) " B1 B2 B3"   // df=2 <  threshold -> kept
+        else ""
+      (i.toLong, "big", s"u${i}a u${i}b u${i}c$extra")
+    }
+    val small = (1 to 5).map { i =>
+      val extra = if (i <= 2) " C1 C2 C3" else "" // df=2 == floor -> drop
+      (1000L + i, "small", s"v${i}a v${i}b v${i}c$extra")
+    }
+    val tmp = java.nio.file.Files.createTempDirectory("graft_boiler")
+    try {
+      (big ++ small).toDF("doc_id", "source", "text")
+        .write.parquet(tmp.resolve("documents.parquet").toString)
+      val out = TextOps.qBoilerplate(spark, tmp.toString).collect()
+        .map(r => r.getAs[Long]("doc_id") ->
+          (r.getAs[Long]("n_chunks"), r.getAs[Long]("n_dropped"),
+            r.getAs[String]("clean_text"))).toMap
+      assert(out.size === 155)
+      (1 to 150).foreach { i =>
+        val (nc, nd, clean) = out(i.toLong)
+        if (i <= 3) { // the df=3 chunk is dropped, unique chunk kept
+          assert((nc, nd) === (2L, 1L), s"doc $i")
+          assert(clean === s"u${i}a u${i}b u${i}c")
+        } else if (i <= 5) { // df=2 chunk survives below threshold 3
+          assert((nc, nd) === (2L, 0L), s"doc $i")
+          assert(clean === s"u${i}a u${i}b u${i}c B1 B2 B3")
+        } else assert((nc, nd) === (1L, 0L), s"doc $i")
+      }
+      (1 to 5).foreach { i =>
+        val (nc, nd, clean) = out(1000L + i)
+        if (i <= 2) { // df=2 hits the max(2,_) floor in the small source
+          assert((nc, nd) === (2L, 1L), s"small doc $i")
+          assert(clean === s"v${i}a v${i}b v${i}c")
+        } else assert((nc, nd) === (1L, 0L), s"small doc $i")
+      }
+    } finally {
+      import scala.reflect.io.Directory
+      new Directory(tmp.toFile).deleteRecursively()
+    }
+  }
+
+  test("boilerplate on the fixture matches a driver-side reimplementation") {
+    // Full independent recompute in plain Scala over the collected
+    // fixture: chunking, per-(source,chunk) distinct-doc frequency,
+    // the scaled threshold, and position-ordered reassembly.
+    val docs = Tables.documents(spark, sf)
+      .select("doc_id", "source", "text").collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("source"), r.getAs[String]("text")))
+    def chunksOf(text: String): Seq[String] = {
+      val ts = text.split(" ", -1)
+      (0 to (ts.length - 1) / 3).map(g => ts.slice(g * 3, g * 3 + 3).mkString(" "))
+    }
+    val chunked = docs.map { case (id, src, text) => (id, src, chunksOf(text)) }
+    val nd = docs.groupBy(_._2).view.mapValues(_.map(_._1).distinct.size.toLong).toMap
+    val df = chunked.flatMap { case (id, src, cs) => cs.distinct.map(c => (src, c) -> id) }
+      .groupBy(_._1).view.mapValues(_.map(_._2).distinct.size.toLong).toMap
+    val rows = TextOps.qBoilerplate(spark, sf).collect()
+    assert(rows.length === docs.length)
+    rows.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      val src = r.getAs[String]("source")
+      val cs = chunked.find(_._1 == id).get._3
+      val thr = math.max(2L, nd(src) / 50L)
+      val kept = cs.filter(c => df((src, c)) < thr)
+      assert(r.getAs[Long]("n_chunks") === cs.size.toLong, s"n_chunks($id)")
+      assert(r.getAs[Long]("n_dropped") === (cs.size - kept.size).toLong, s"n_dropped($id)")
+      assert(r.getAs[String]("clean_text") === kept.mkString(" "), s"clean_text($id)")
+    }
+  }
+
   test("warm composition: cached corpus+shingles cut the pipeline to its marginal cost") {
     import graft.operators.CorpusPipeline
     def timed[A](f: => A): (A, Double) = {
