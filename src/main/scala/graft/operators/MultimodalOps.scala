@@ -282,7 +282,104 @@ object MultimodalOps {
       |LEFT JOIN th USING (doc_id)
       |ORDER BY m.doc_id""".stripMargin
 
+  // ---- 5. perceptual image near-dup (aHash over the stub thumbnail) ----
+
+  // public: Spark's generated encoder code must reach this
+  case class ThumbRow(doc_id: Long, thumb: Array[Int])
+
+  /** 16-bit average-hash perceptual fingerprint per IMAGE: bit i is
+    * set when thumbnail sample i exceeds the thumbnail mean. The
+    * compare is pure integer (`s·n > Σs` ⟺ `s > mean`), so the
+    * fingerprint is deterministic and engine-exact — no float mean.
+    * The thumbnail is the stub codec's strided 16-sample "resize" via
+    * the same mapPartitions decode plumbing as [[qDecodeFeatures]]; a
+    * real pHash (DCT of an 8×8 grayscale downsample) slots into the
+    * codec without touching the hashing or join shape. */
+  private def phashes(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val media: Dataset[MediaRow] = mediaTable(spark, sfDir)
+      .filter(col("media_type") === "image")
+      .select(col("doc_id"), col("payload")).as[MediaRow]
+    media.mapPartitions { rows =>
+      rows.map(m => ThumbRow(m.doc_id, StubCodec.resize(m.payload, 16)))
+    }.toDF()
+      .withColumn("n", size(col("thumb")))
+      .filter(col("n") > 0)
+      .withColumn("s", aggregate(col("thumb"), lit(0L), (a, x) => a + x))
+      .select(col("doc_id"),
+        aggregate(
+          zip_with(col("thumb"), sequence(lit(0), col("n") - 1), (x, i) =>
+            when(x * col("n") > col("s"),
+              pow(lit(2.0), i).cast("long")).otherwise(lit(0L))),
+          lit(0L), _ + _).as("phash"))
+  }
+
+  /** Image NEAR-dup pairs by perceptual hash: the multimodal member of
+    * the dedup family (web-scale image corpora are full of re-encoded
+    * or lightly-retouched copies an exact checksum misses). Candidates
+    * come from the SimHash pigeonhole discipline — any two 16-bit
+    * hashes within Hamming distance ≤ 1 agree exactly on one of their
+    * two 8-bit chunks, so the candidate set is an EQUI-join on
+    * (chunk_idx, chunk_value) and only candidates pay the exact
+    * `bit_count(xor)` verification. Never a quadratic scan; candidate
+    * volume scales with n²/2^width per chunk, the width being the
+    * recall/cost knob exactly as in `DedupOps.qDedupSimhashHamming`.
+    * Hamming 0 (identical fingerprint) is INCLUDED — for perceptual
+    * hashes equality is the strongest near-dup signal, not an exact
+    * dup already handled elsewhere. */
+  def qPhashNearDup(spark: SparkSession, sfDir: String): DataFrame = {
+    val maxHamming = 1
+    val ph = phashes(spark, sfDir)
+    val chunks = ph.select(col("doc_id"), col("phash"),
+        explode(sequence(lit(0), lit(1))).as("c"))
+      .withColumn("cv", expr("(phash >> (c * 8)) & 255"))
+    val cand = chunks.as("a")
+      .join(chunks.as("b"),
+        col("a.c") === col("b.c") && col("a.cv") === col("b.cv") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("a_id"), col("a.phash").as("ha"),
+        col("b.doc_id").as("b_id"), col("b.phash").as("hb"))
+      .distinct()
+    cand
+      .withColumn("hamming", bit_count(expr("ha ^ hb")).cast("int"))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("a_id"), col("b_id"), col("hamming"))
+      .orderBy("a_id", "b_id")
+  }
+
+  /** The aHash + pigeonhole join reproduced byte-for-byte in DuckDB
+    * over `hex(encode(text))` — the same strided-thumbnail math as
+    * [[qDecodeFeaturesOracle]], the integer mean compare, and the
+    * chunk equi-join. */
+  val qPhashNearDupOracle: String =
+    """WITH m AS (
+      |  SELECT doc_id, hex(encode(text)) AS h,
+      |         CAST(octet_length(encode(text)) AS INT) AS nb
+      |  FROM documents WHERE doc_id % 3 = 0),
+      |t AS (
+      |  SELECT m.doc_id, i.i AS i,
+      |         CAST('0x' || substr(m.h, 2*(i.i * GREATEST(1, m.nb // 16)) + 1, 2) AS INT) AS s
+      |  FROM m, unnest(generate_series(0, LEAST(16, m.nb) - 1)) AS i(i)),
+      |agg AS (SELECT doc_id, COUNT(*) AS n, SUM(s) AS sm FROM t GROUP BY 1),
+      |ph AS (
+      |  SELECT t.doc_id,
+      |         CAST(SUM(CASE WHEN t.s * a.n > a.sm
+      |                       THEN CAST(1 AS BIGINT) << t.i ELSE 0 END) AS BIGINT) AS phash
+      |  FROM t JOIN agg a USING (doc_id) GROUP BY 1),
+      |ch AS (
+      |  SELECT doc_id, phash, c.c AS c, (phash >> (c.c * 8)) & 255 AS cv
+      |  FROM ph, (SELECT unnest(generate_series(0, 1)) AS c) c),
+      |cand AS (
+      |  SELECT DISTINCT a.doc_id AS a_id, a.phash AS ha,
+      |                  b.doc_id AS b_id, b.phash AS hb
+      |  FROM ch a JOIN ch b
+      |    ON a.c = b.c AND a.cv = b.cv AND a.doc_id < b.doc_id)
+      |SELECT a_id, b_id, CAST(bit_count(xor(ha, hb)) AS INT) AS hamming
+      |FROM cand WHERE bit_count(xor(ha, hb)) <= 1
+      |ORDER BY a_id, b_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mm_phash_neardup" -> (qPhashNearDup _),
     "mm_metadata" -> (qMetadata _),
     "mm_decode_features" -> (qDecodeFeatures _),
     "mm_frame_sample" -> (qFrameSample _),
@@ -290,6 +387,7 @@ object MultimodalOps {
     "mm_image_tiles" -> (qImageTiles _))
 
   val oracles: Map[String, String] = Map(
+    "mm_phash_neardup" -> qPhashNearDupOracle,
     "mm_metadata" -> qMetadataOracle,
     "mm_decode_features" -> qDecodeFeaturesOracle,
     "mm_frame_sample" -> qFrameSampleOracle,
