@@ -1419,6 +1419,12 @@ object DedupOps {
         col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey"))
       .select(col("a.doc_id").as("doc_id"), col("b.doc_id").as("base_id"))
       .distinct()
+    // (r8 note: semi-joining `sets` down to candidate participants was
+    // tried and measured SLOWER at sf0.1 — 3.2-4.3 s vs 2.5-2.8 s —
+    // the persist barrier + extra exchange outweigh the collect_list
+    // savings; the twin's dominant cost is the full-corpus re-shingle,
+    // which is inherent to recompute-everything. The stored-index
+    // variant below is the production answer to that cost.)
     val sets = sh.groupBy(col("doc_id"))
       .agg(collect_list(col("shingle")).as("ss"), count(lit(1)).as("n"))
     val near = cand

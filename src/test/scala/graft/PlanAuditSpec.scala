@@ -360,6 +360,21 @@ class PlanAuditSpec extends SparkSpec {
     spark.catalog.clearCache() // builds (but does not run) a persisted shingle relation
   }
 
+  test("incremental dedup stays within its 8-exchange shuffle budget") {
+    // r6→r7 artifact drift on this query (1.21→2.81 s) turned out to
+    // be measurement noise, not a plan regression (r8 isolated runs
+    // sit at 2.5-2.8 s steady). Pin the shuffle count so a REAL
+    // regression — an extra exchange sneaking into the band join or
+    // verification — fails loudly instead of reading as noise.
+    val p = planString(graft.operators.DedupOps.qDedupIncremental(spark, sf))
+    val exchanges = p.linesIterator
+      .flatMap("""\((\d+)\) Exchange""".r.findFirstMatchIn(_).map(_.group(1)))
+      .toSet
+    assert(exchanges.size <= 8,
+      s"incremental dedup grew to ${exchanges.size} exchanges (budget 8)")
+    spark.catalog.clearCache()
+  }
+
   test("stored-base incremental dedup never re-shingles the base corpus") {
     // THE scale property of the materialized index: the daily job's
     // text work (tokenize + shingle explode + minhash) is confined to
