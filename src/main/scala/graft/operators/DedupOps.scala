@@ -1226,7 +1226,13 @@ object DedupOps {
   def qDedupSemanticClustersAnn(spark: SparkSession, sfDir: String): DataFrame = {
     val e = normedVectors(Tables.embeddings(spark, sfDir))
     val n = annSizingCount(sfDir, e.count())
-    val pairs = annCosinePairs(e, knownN = n)
+    semanticClustersOn(annCosinePairs(e, knownN = n))
+  }
+
+  /** Components body over an already-mined pair relation — shared by
+    * the self-contained ANN miner above and the stored-edges variant
+    * (`SimilarityOps.qDedupSemanticClustersAnnStored`). */
+  private[graft] def semanticClustersOn(pairs: DataFrame): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window.partitionBy(col("cluster_id"))
     connectedComponents(pairs)
       .select(col("node").as("vec_id"), col("label").as("cluster_id"))

@@ -1149,10 +1149,21 @@ object SimilarityOps {
   def qSimKnnGraphStored(spark: SparkSession, sfDir: String): DataFrame =
     knnGraphOn(annEdgesStored(spark, sfDir))
 
+  /** `DedupOps.qDedupSemanticClustersAnn` served from the STORED edge
+    * artifact — the fourth graph-family consumer; with this, every
+    * downstream analytic of the mined semantic graph (components,
+    * kNN, PageRank, triangles) has a mining-free production path. */
+  def qDedupSemanticClustersAnnStored(spark: SparkSession, sfDir: String): DataFrame =
+    DedupOps.semanticClustersOn(
+      annEdgesStored(spark, sfDir)
+        .filter(col("cosine") >= 0.4)
+        .select(col("a_id"), col("b_id")))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sim_pagerank_stored" -> (qSimPagerankStored _),
     "sim_triangles_stored" -> (qSimTrianglesStored _),
     "sim_knn_graph_stored" -> (qSimKnnGraphStored _),
+    "dedup_semantic_clusters_stored" -> (qDedupSemanticClustersAnnStored _),
     "sim_triangles" -> (qSimTriangles _),
     "sim_pagerank" -> (qSimPagerank _),
     "sim_pca_outliers" -> (qSimPcaOutliers _),
@@ -1174,6 +1185,7 @@ object SimilarityOps {
     "sim_pagerank_stored" -> qSimPagerankOracle,
     "sim_triangles_stored" -> qSimTrianglesOracle,
     "sim_knn_graph_stored" -> qSimKnnGraphOracle,
+    "dedup_semantic_clusters_stored" -> DedupOps.qDedupSemanticClustersAnnOracle,
     "sim_triangles" -> qSimTrianglesOracle,
     "sim_pagerank" -> qSimPagerankOracle,
     "sim_pca_outliers" -> qSimPcaOutliersOracle,

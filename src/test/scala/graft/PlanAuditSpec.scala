@@ -515,7 +515,8 @@ class PlanAuditSpec extends SparkSpec {
       "dedup_clusters", "dedup_clusters_stars", "dedup_representatives",
       "dedup_semantic_clusters_ann", "cdc_scd2", "sim_pca_whiten",
       "sim_pca_outliers", "text_heavy_hitters",
-      "sim_pagerank_stored", "sim_triangles_stored", "sim_knn_graph_stored")
+      "sim_pagerank_stored", "sim_triangles_stored", "sim_knn_graph_stored",
+      "dedup_semantic_clusters_stored")
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1)
       .filterNot { case (name, _) =>
         skipIterative.contains(name) || allowNested.contains(name) }
@@ -551,6 +552,18 @@ class PlanAuditSpec extends SparkSpec {
           !p.contains("BroadcastNestedLoopJoin"),
         s"$name plans a nested-loop join")
     }
+    // the components variant localCheckpoints its iterative loop, so
+    // its FINAL plan is an ExistingRDD scan — pin its INPUT relation
+    // instead (artifact scan, no bucketing explode) plus full result
+    // equality against the live miner below
+    val pairs = SimilarityOps.annEdgesStored(spark, sf)
+      .filter(org.apache.spark.sql.functions.col("cosine") >= 0.4)
+    val pp = planString(pairs)
+    assert(pp.contains("graft_ann_edges") && !pp.contains("Generate"),
+      "stored components input must be the artifact scan, un-bucketed")
+    val liveC = graft.operators.DedupOps.qDedupSemanticClustersAnn(spark, sf).collect().toSeq
+    val matC = SimilarityOps.qDedupSemanticClustersAnnStored(spark, sf).collect().toSeq
+    assert(matC === liveC, "stored components diverged from self-contained")
     // contract equality: the stored path is the same miner
     // materialized, so results match the self-contained query exactly
     val live = SimilarityOps.qSimPagerank(spark, sf).collect().toSeq
