@@ -946,8 +946,13 @@ object DedupOps {
     * match variant): every matched doc gets its component's canonical id,
     * the component size, and a keep/drop flag (`is_canonical` = the one
     * survivor per cluster — min doc_id, deterministic). */
-  def qDedupClusters(spark: SparkSession, sfDir: String): DataFrame = {
-    val pairs = cappedJaccardPairs(spark, sfDir).select("a_id", "b_id")
+  def qDedupClusters(spark: SparkSession, sfDir: String): DataFrame =
+    clustersOn(cappedJaccardPairs(spark, sfDir).select("a_id", "b_id"))
+
+  /** Cluster-report body over an already-mined pair relation — shared
+    * by the self-contained miner above and the stored-edges variant
+    * ([[qDedupClustersStored]]). */
+  private def clustersOn(pairs: DataFrame): DataFrame = {
     val comp = connectedComponents(pairs)
     val w = org.apache.spark.sql.expressions.Window.partitionBy(col("cluster_id"))
     comp.select(col("node").as("doc_id"), col("label").as("cluster_id"))
@@ -955,6 +960,37 @@ object DedupOps {
       .withColumn("is_canonical", col("doc_id") === col("cluster_id"))
       .orderBy(col("doc_id"))
   }
+
+  /** Stored TEXT near-dup edge parquet locations, per dataset — the
+    * text mirror of `SimilarityOps.annEdgesStored`. Three queries
+    * (clusters, star-clusters, representatives) consume the SAME
+    * capped-Jaccard pair graph and each re-mined it per invocation
+    * (shingle explode + inverted-index join + verification, ~half of
+    * each query's cost at sf0.1; at 100 TB, three full mining passes).
+    * A production dedup pipeline mines ONCE, writes
+    * (a_id, b_id, jaccard) to the lake, and runs every downstream
+    * report against the stored relation. */
+  private val textEdgeDirs =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private[graft] def textEdgesStored(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = textEdgeDirs.computeIfAbsent(sfDir, _ => {
+      val d = java.nio.file.Files.createTempDirectory("graft_text_edges")
+        .resolve("edges").toString
+      cappedJaccardPairs(spark, sfDir)
+        .select(col("a_id"), col("b_id"), col("jaccard"))
+        .write.parquet(d)
+      d
+    })
+    spark.read.parquet(dir)
+  }
+
+  /** [[qDedupClusters]] served from the STORED edge artifact —
+    * identical contract and oracle; the plan never tokenizes a
+    * document (plan-pinned). Marginal cost is the component
+    * iterations only. */
+  def qDedupClustersStored(spark: SparkSession, sfDir: String): DataFrame =
+    clustersOn(textEdgesStored(spark, sfDir).select("a_id", "b_id"))
 
   val qDedupClustersOracle: String =
     s"""WITH RECURSIVE $shinglesSql,
@@ -1016,10 +1052,21 @@ object DedupOps {
     * Both regimes are plan-pinned in PipelineOpsSpec. Argmax is a
     * row_number over (n_chars DESC, doc_id) — fully deterministic
     * under ties, reproducible in any engine. */
-  def qDedupRepresentatives(spark: SparkSession, sfDir: String): DataFrame = {
+  def qDedupRepresentatives(spark: SparkSession, sfDir: String): DataFrame =
+    representativesOn(spark, sfDir,
+      cappedJaccardPairs(spark, sfDir).select("a_id", "b_id"))
+
+  /** [[qDedupRepresentatives]] served from the STORED edge artifact. */
+  def qDedupRepresentativesStored(spark: SparkSession, sfDir: String): DataFrame =
+    representativesOn(spark, sfDir,
+      textEdgesStored(spark, sfDir).select("a_id", "b_id"))
+
+  /** Keep-list body over an already-mined pair relation — shared by
+    * the self-contained miner and the stored-edges variant. */
+  private def representativesOn(spark: SparkSession, sfDir: String,
+      pairs: DataFrame): DataFrame = {
     val docs = Tables.documents(spark, sfDir).select(col("doc_id"), col("n_chars"))
-    val comp = connectedComponents(
-        cappedJaccardPairs(spark, sfDir).select("a_id", "b_id"))
+    val comp = connectedComponents(pairs)
       .select(col("node").as("doc_id"), col("label").as("cluster_id"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("cluster_id"))
@@ -1699,8 +1746,10 @@ object DedupOps {
     "dedup_simhash_hamming" -> (qDedupSimhashHamming _),
     "dedup_embedding_cosine" -> (qDedupEmbedding _),
     "dedup_clusters" -> (qDedupClusters _),
+    "dedup_clusters_stored" -> (qDedupClustersStored _),
     "dedup_clusters_stars" -> (qDedupClustersStars _),
     "dedup_representatives" -> (qDedupRepresentatives _),
+    "dedup_representatives_stored" -> (qDedupRepresentativesStored _),
     "dedup_lsh_audit" -> (qDedupLshAudit _),
     "dedup_lsh_audit_stratum" -> (qDedupLshAuditStratum _),
     "dedup_semantic_clusters" -> (qDedupSemanticClusters _),
@@ -1721,8 +1770,12 @@ object DedupOps {
     "dedup_simhash_hamming" -> qDedupSimhashHammingOracle,
     "dedup_embedding_cosine" -> qDedupEmbeddingOracle,
     "dedup_clusters" -> qDedupClustersOracle,
+    // the stored variants are the same miner materialized — oracles
+    // shared verbatim, exactly like the ANN graph family
+    "dedup_clusters_stored" -> qDedupClustersOracle,
     "dedup_clusters_stars" -> qDedupClustersOracle,
     "dedup_representatives" -> qDedupRepresentativesOracle,
+    "dedup_representatives_stored" -> qDedupRepresentativesOracle,
     "dedup_lsh_audit" -> qDedupLshAuditOracle,
     "dedup_lsh_audit_stratum" -> qDedupLshAuditStratumOracle,
     "dedup_semantic_clusters" -> qDedupSemanticClustersOracle,

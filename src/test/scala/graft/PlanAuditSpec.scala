@@ -516,7 +516,8 @@ class PlanAuditSpec extends SparkSpec {
       "dedup_semantic_clusters_ann", "cdc_scd2", "sim_pca_whiten",
       "sim_pca_outliers", "text_heavy_hitters",
       "sim_pagerank_stored", "sim_triangles_stored", "sim_knn_graph_stored",
-      "dedup_semantic_clusters_stored")
+      "dedup_semantic_clusters_stored",
+      "dedup_clusters_stored", "dedup_representatives_stored")
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1)
       .filterNot { case (name, _) =>
         skipIterative.contains(name) || allowNested.contains(name) }
@@ -604,6 +605,40 @@ class PlanAuditSpec extends SparkSpec {
       s"stratum recall ${sr.getAs[Double]("recall_r")} far from full ${fr.getAs[Double]("recall_r")}")
     assert(math.abs(sr.getAs[Double]("precision_r") - fr.getAs[Double]("precision_r")) <= 0.25,
       s"stratum precision ${sr.getAs[Double]("precision_r")} far from full ${fr.getAs[Double]("precision_r")}")
+    spark.catalog.clearCache()
+  }
+
+  test("stored text-edge cluster queries never re-shingle the corpus") {
+    // The text mirror of the stored ANN graph pin: clusters and
+    // representatives served from the materialized capped-Jaccard
+    // edges must not tokenize a single document (documents may be
+    // read for doc_id/n_chars only — never split). The components
+    // loop localCheckpoints its lineage, so the pin is on the
+    // ANALYZED plan of each stored query plus the input relation,
+    // with full row equality against the live miners.
+    // NOTE: the components loop runs (and localCheckpoints) at
+    // CONSTRUCTION time for live and stored alike, so the RESULT
+    // plans cannot distinguish them — the pin lives on the two INPUT
+    // relations: the stored input is the artifact scan with no
+    // shingle explode, while the live miner's input provably
+    // tokenizes (the negative control keeping this pin honest).
+    import org.apache.spark.sql.catalyst.plans.logical.{Generate, LogicalPlan}
+    def textGenerates(lp: LogicalPlan): Seq[Generate] =
+      lp.collect { case g: Generate if g.toString.contains("split(text") => g }
+    val pp = planString(graft.operators.DedupOps.textEdgesStored(spark, sf))
+    assert(pp.contains("graft_text_edges") && !pp.contains("Generate"),
+      "stored text-edge input must be the artifact scan, un-shingled")
+    assert(textGenerates(graft.operators.DedupOps
+      .cappedJaccardPairs(spark, sf).queryExecution.analyzed).nonEmpty,
+      "live miner input no longer shingles — update this pin")
+    val storedC = graft.operators.DedupOps.qDedupClustersStored(spark, sf)
+    val storedR = graft.operators.DedupOps.qDedupRepresentativesStored(spark, sf)
+    assert(storedC.collect().toSeq ===
+      graft.operators.DedupOps.qDedupClusters(spark, sf).collect().toSeq,
+      "stored clusters diverged from self-contained")
+    assert(storedR.collect().toSeq ===
+      graft.operators.DedupOps.qDedupRepresentatives(spark, sf).collect().toSeq,
+      "stored representatives diverged from self-contained")
     spark.catalog.clearCache()
   }
 
