@@ -1021,8 +1021,15 @@ object DedupOps {
   /** [[qDedupClusters]] computed by the large-star/small-star scheme —
     * same contract, same oracle; registered separately so the driver
     * gate covers BOTH component algorithms end-to-end. */
-  def qDedupClustersStars(spark: SparkSession, sfDir: String): DataFrame = {
-    val pairs = cappedJaccardPairs(spark, sfDir).select("a_id", "b_id")
+  def qDedupClustersStars(spark: SparkSession, sfDir: String): DataFrame =
+    starsOn(cappedJaccardPairs(spark, sfDir).select("a_id", "b_id"))
+
+  /** [[qDedupClustersStars]] served from the STORED edge artifact —
+    * both component algorithms get the mining-free path. */
+  def qDedupClustersStarsStored(spark: SparkSession, sfDir: String): DataFrame =
+    starsOn(textEdgesStored(spark, sfDir).select("a_id", "b_id"))
+
+  private def starsOn(pairs: DataFrame): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window.partitionBy(col("cluster_id"))
     connectedComponentsStars(pairs)
       .select(col("node").as("doc_id"), col("label").as("cluster_id"))
@@ -1748,6 +1755,7 @@ object DedupOps {
     "dedup_clusters" -> (qDedupClusters _),
     "dedup_clusters_stored" -> (qDedupClustersStored _),
     "dedup_clusters_stars" -> (qDedupClustersStars _),
+    "dedup_clusters_stars_stored" -> (qDedupClustersStarsStored _),
     "dedup_representatives" -> (qDedupRepresentatives _),
     "dedup_representatives_stored" -> (qDedupRepresentativesStored _),
     "dedup_lsh_audit" -> (qDedupLshAudit _),
@@ -1774,6 +1782,7 @@ object DedupOps {
     // shared verbatim, exactly like the ANN graph family
     "dedup_clusters_stored" -> qDedupClustersOracle,
     "dedup_clusters_stars" -> qDedupClustersOracle,
+    "dedup_clusters_stars_stored" -> qDedupClustersOracle,
     "dedup_representatives" -> qDedupRepresentativesOracle,
     "dedup_representatives_stored" -> qDedupRepresentativesOracle,
     "dedup_lsh_audit" -> qDedupLshAuditOracle,

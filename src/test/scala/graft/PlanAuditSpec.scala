@@ -517,7 +517,8 @@ class PlanAuditSpec extends SparkSpec {
       "sim_pca_outliers", "text_heavy_hitters",
       "sim_pagerank_stored", "sim_triangles_stored", "sim_knn_graph_stored",
       "dedup_semantic_clusters_stored",
-      "dedup_clusters_stored", "dedup_representatives_stored")
+      "dedup_clusters_stored", "dedup_representatives_stored",
+      "dedup_clusters_stars_stored")
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1)
       .filterNot { case (name, _) =>
         skipIterative.contains(name) || allowNested.contains(name) }
@@ -639,6 +640,9 @@ class PlanAuditSpec extends SparkSpec {
     assert(storedR.collect().toSeq ===
       graft.operators.DedupOps.qDedupRepresentatives(spark, sf).collect().toSeq,
       "stored representatives diverged from self-contained")
+    assert(graft.operators.DedupOps.qDedupClustersStarsStored(spark, sf).collect().toSeq ===
+      graft.operators.DedupOps.qDedupClustersStars(spark, sf).collect().toSeq,
+      "stored star-clusters diverged from self-contained")
     spark.catalog.clearCache()
   }
 
