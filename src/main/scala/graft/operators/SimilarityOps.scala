@@ -1159,7 +1159,206 @@ object SimilarityOps {
         .filter(col("cosine") >= 0.4)
         .select(col("a_id"), col("b_id")))
 
+  // ---- Product quantization (PQ encode + IVF-ADC search) ----
+
+  private val PqM = 8    // subspaces over the 64 dims
+  private val PqSub = 8  // dims per subspace
+  private val PqK = 8    // centroids per subspace (vectors 0..7's slices)
+
+  private val pqCbCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Seq[Seq[Seq[Long]]]]()
+
+  /** PQ codebook in quantized-millionth units, memoized per dataset:
+    * centroid j of subspace m is the m-th 8-dim slice of vector j
+    * (j < [[PqK]]) — the same deterministic-quantizer convention as
+    * the IVF coarse centroids; a production build k-means-trains each
+    * subspace codebook and emits exactly this M×K×subdim table. The
+    * codebook is dims-sized, not corpus-sized, so the driver fetch is
+    * K rows (the pcaBasis discipline) and encode plans carry it as
+    * literals. */
+  def pqCodebook(spark: SparkSession, sfDir: String): Seq[Seq[Seq[Long]]] =
+    pqCbCache.computeIfAbsent(sfDir, _ => {
+      val rows = Tables.embeddings(spark, sfDir)
+        .filter(col("vec_id") < PqK)
+        .select(col("vec_id"), pqQuant(col("embedding")).as("qv"))
+        .collect()
+        .map(r => r.getLong(0) -> r.getSeq[Long](1))
+        .sortBy(_._1)
+      (0 until PqM).map(m =>
+        rows.toSeq.map { case (_, qv) =>
+          qv.slice(m * PqSub, (m + 1) * PqSub).toSeq })
+    })
+
+  /** Millionth-quantization of a float/double vector column — the
+    * repo-wide integer fixed-point contract (see qDimCorr). */
+  private def pqQuant(v: Column): Column =
+    transform(v, x => floor(x.cast("double") * 1000000).cast("long"))
+
+  /** dists[m][j]: EXACT integer squared-L2 distance between the row's
+    * quantized subvector m and codebook centroid (m, j). For corpus
+    * rows this is the encode table (argmin per m = the code); for
+    * query rows it is the ADC lookup table. All-Long arithmetic
+    * (|q| ≤ 6·10⁵ ⇒ per-subspace sums ≤ ~3·10¹², corpus total ≤
+    * ~3·10¹³ — far inside Long), so ranks are order-independent and
+    * engine-exact: no float-sum ranking hazard anywhere in the PQ
+    * family. */
+  private def pqDists(cb: Column): Column =
+    transform(sequence(lit(0), lit(PqM - 1)), m =>
+      transform(sequence(lit(0), lit(PqK - 1)), j =>
+        aggregate(
+          zip_with(
+            slice(col("qv"), m * PqSub + lit(1), lit(PqSub)),
+            element_at(element_at(cb, m + lit(1)), j + lit(1)),
+            (a, b) => (a - b) * (a - b)),
+          lit(0L), (acc, x) => acc + x)))
+
+  /** Code per subspace: argmin over the centroid distances, lowest j
+    * on ties (array_position returns the FIRST index of the min). */
+  private def pqCodes: Column =
+    transform(col("dists"), d =>
+      (array_position(d, array_min(d)) - 1).cast("int"))
+
+  /** PQ ENCODE: every vector compressed to [[PqM]] one-byte codes plus
+    * its exact reconstruction error in quantized units. Map-only — the
+    * codebook rides in the plan as literals, so at 100 TB this is a
+    * pure scan→project pass with ZERO data exchanges (plan-pinned),
+    * the same scale class as sim_quantize_int8 but with 32× smaller
+    * output (8 bytes vs 256 per vector) — the compression that makes
+    * corpus-resident ANN serving (IVFADC / DiskANN-style) possible. */
+  def qSimPqEncode(spark: SparkSession, sfDir: String): DataFrame = {
+    val cb = typedlit(pqCodebook(spark, sfDir))
+    Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), pqQuant(col("embedding")).as("qv"))
+      .withColumn("dists", pqDists(cb))
+      .select(col("vec_id"),
+        array_join(transform(pqCodes, _.cast("string")), ",").as("codes_csv"),
+        aggregate(transform(col("dists"), d => array_min(d)),
+          lit(0L), (acc, x) => acc + x).as("sqerr"))
+      .orderBy("vec_id")
+  }
+
+  /** The encode reproduced in DuckDB: same quantization, same
+    * slice-of-first-K codebook, same exact integer distances, same
+    * first-min tie-break (row_number ORDER BY d, j). */
+  val qSimPqEncodeOracle: String =
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |q AS (SELECT vec_id,
+       |  list_transform(v, x -> CAST(floor(x * 1000000) AS BIGINT)) AS qv FROM e),
+       |ms AS (SELECT unnest(generate_series(0, ${PqM - 1})) AS m),
+       |cb AS (
+       |  SELECT m, vec_id AS j,
+       |    list_transform(generate_series(1, $PqSub), i -> qv[m*$PqSub + i]) AS cvec
+       |  FROM q, ms WHERE vec_id < $PqK),
+       |sub AS (
+       |  SELECT vec_id, m,
+       |    list_transform(generate_series(1, $PqSub), i -> qv[m*$PqSub + i]) AS sv
+       |  FROM q, ms),
+       |dist AS (
+       |  SELECT s.vec_id, s.m, c.j,
+       |    list_sum(list_transform(generate_series(1, $PqSub),
+       |      i -> (s.sv[i] - c.cvec[i]) * (s.sv[i] - c.cvec[i]))) AS d
+       |  FROM sub s JOIN cb c ON s.m = c.m),
+       |code AS (
+       |  SELECT vec_id, m, j, d,
+       |    row_number() OVER (PARTITION BY vec_id, m ORDER BY d, j) AS rn
+       |  FROM dist)
+       |SELECT vec_id,
+       |  string_agg(CAST(j AS VARCHAR), ',' ORDER BY m) AS codes_csv,
+       |  CAST(SUM(d) AS BIGINT) AS sqerr
+       |FROM code WHERE rn = 1
+       |GROUP BY vec_id ORDER BY vec_id""".stripMargin
+
+  /** IVF-ADC search (the FAISS IVFPQ shape): corpus vectors live in
+    * their IVF cell as 8-byte PQ codes; each query precomputes its
+    * M×K ADC lookup table ONCE, probes its own cell via a (cid)
+    * EQUI-join, and scores every candidate with M table lookups
+    * instead of a 64-dim float dot product. Ranks are exact integers.
+    *
+    * Scale story: the scan side is nprobe/K of the corpus — at 32×
+    * less IO than raw vectors (codes vs floats) — and the per-pair
+    * cost is M integer adds; this is the only ANN shape where a
+    * 100 TB corpus serves queries without ever materializing its
+    * float vectors. The K-row centroid cross for cell assignment is
+    * the documented IVF quantizer broadcast (allowlisted); the
+    * search itself is equi-join + per-query window top-k. */
+  def qSimIvfPqTopk(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cb = typedlit(pqCodebook(spark, sfDir))
+    val e = DedupOps.normedVectors(Tables.embeddings(spark, sfDir))
+    val assigned = cellAssignments(e, centroids(e), nprobe = 1)
+    val cand = assigned
+      .withColumn("qv", pqQuant(col("v")))
+      .withColumn("dists", pqDists(cb))
+      .select(col("vec_id").as("n_id"), col("cid"), pqCodes.as("codes"))
+    val q = broadcast(assigned.filter(col("vec_id") < NumQueries)
+      .withColumn("qv", pqQuant(col("v")))
+      .withColumn("lut", pqDists(cb))
+      .select(col("vec_id").as("q_id"), col("cid"), col("lut")))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("adc_dist"), col("n_id"))
+    cand.join(q, Seq("cid"))
+      .filter(col("q_id") =!= col("n_id"))
+      .withColumn("adc_dist",
+        aggregate(zip_with(col("lut"), col("codes"),
+          (lutm, c) => element_at(lutm, c + 1)),
+          lit(0L), (acc, x) => acc + x))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 3)
+      .select(col("q_id"), col("rank"), col("n_id"), col("adc_dist"))
+      .orderBy("q_id", "rank")
+  }
+
+  /** IVF assignment (shared with qSimIvfOracle) + the encode CTEs +
+    * the ADC sum: candidate codes join the QUERY's distance table on
+    * (m, code) — the lookup-table semantics verbatim. */
+  val qSimIvfPqTopkOracle: String =
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm,
+       |  list_transform(v, x -> CAST(floor(x * 1000000) AS BIGINT)) AS qv FROM e),
+       |cent AS (SELECT vec_id AS cid, v AS cv, nrm AS cn FROM n WHERE vec_id < $NumCentroids),
+       |asg AS (
+       |  SELECT vec_id, qv, cid,
+       |    row_number() OVER (PARTITION BY vec_id
+       |      ORDER BY list_dot_product(v, cv) / (nrm * cn) DESC, cid) AS rn
+       |  FROM n CROSS JOIN cent),
+       |a AS (SELECT vec_id, qv, cid FROM asg WHERE rn = 1),
+       |ms AS (SELECT unnest(generate_series(0, ${PqM - 1})) AS m),
+       |cb AS (
+       |  SELECT m, vec_id AS j,
+       |    list_transform(generate_series(1, $PqSub), i -> qv[m*$PqSub + i]) AS cvec
+       |  FROM n, ms WHERE vec_id < $PqK),
+       |sub AS (
+       |  SELECT vec_id, m,
+       |    list_transform(generate_series(1, $PqSub), i -> qv[m*$PqSub + i]) AS sv
+       |  FROM a, ms),
+       |dist AS (
+       |  SELECT s.vec_id, s.m, c.j,
+       |    list_sum(list_transform(generate_series(1, $PqSub),
+       |      i -> (s.sv[i] - c.cvec[i]) * (s.sv[i] - c.cvec[i]))) AS d
+       |  FROM sub s JOIN cb c ON s.m = c.m),
+       |code AS (
+       |  SELECT vec_id, m, j, d,
+       |    row_number() OVER (PARTITION BY vec_id, m ORDER BY d, j) AS rn
+       |  FROM dist),
+       |best AS (SELECT vec_id, m, j FROM code WHERE rn = 1),
+       |adc AS (
+       |  SELECT q.vec_id AS q_id, c.vec_id AS n_id, CAST(SUM(d.d) AS BIGINT) AS adc_dist
+       |  FROM a q JOIN a c ON c.cid = q.cid AND c.vec_id != q.vec_id
+       |    AND q.vec_id < $NumQueries
+       |  JOIN best bc ON bc.vec_id = c.vec_id
+       |  JOIN dist d ON d.vec_id = q.vec_id AND d.m = bc.m AND d.j = bc.j
+       |  GROUP BY 1, 2),
+       |rk AS (
+       |  SELECT q_id, n_id, adc_dist,
+       |    row_number() OVER (PARTITION BY q_id ORDER BY adc_dist, n_id) AS rank
+       |  FROM adc)
+       |SELECT q_id, rank, n_id, adc_dist
+       |FROM rk WHERE rank <= 3
+       |ORDER BY q_id, rank""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sim_pq_encode" -> (qSimPqEncode _),
+    "sim_ivfpq_topk" -> (qSimIvfPqTopk _),
     "sim_pagerank_stored" -> (qSimPagerankStored _),
     "sim_triangles_stored" -> (qSimTrianglesStored _),
     "sim_knn_graph_stored" -> (qSimKnnGraphStored _),
@@ -1179,6 +1378,8 @@ object SimilarityOps {
     "sim_quantize_int8" -> (qQuantizeInt8 _))
 
   val oracles: Map[String, String] = Map(
+    "sim_pq_encode" -> qSimPqEncodeOracle,
+    "sim_ivfpq_topk" -> qSimIvfPqTopkOracle,
     // the stored variants share the self-contained oracles VERBATIM:
     // the artifact is the same miner materialized, so the DuckDB
     // re-derivation grades both paths against one edge set

@@ -223,6 +223,26 @@ class PlanAuditSpec extends SparkSpec {
       s"quantization must not shuffle data, got: $parts")
   }
 
+  test("pq encode is map-only: codebook as plan literals, zero exchanges before the output sort") {
+    val parts = shufflePartitionings(SimilarityOps.qSimPqEncode(spark, sf))
+      .filter(_.contains("partitioning("))
+    // exactly one shuffle: the rangepartitioning for the final orderBy
+    assert(parts.size === 1 && parts.head.contains("rangepartitioning"),
+      s"pq encode must not shuffle data, got: $parts")
+    val p = planString(SimilarityOps.qSimPqEncode(spark, sf))
+    assert(!p.contains("Join"),
+      s"the codebook must ride as literals, never a join:\n$p")
+  }
+
+  test("ivfpq search joins candidates to queries on the cell key") {
+    // the candidate→query pairing must be the (cid) equi-join — the
+    // only nested loop allowed is the documented K-row IVF quantizer
+    // cross (cell assignment), same as sim_ivf_probe
+    val p = planString(SimilarityOps.qSimIvfPqTopk(spark, sf))
+    assert(p.contains("BroadcastHashJoin"),
+      s"query probe must be a broadcast hash join on cid:\n$p")
+  }
+
   test("decontamination is a shingle equi-join, not a cross join") {
     val p = planString(graft.operators.SamplingOps.qDecontaminate(spark, sf))
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"))
@@ -501,6 +521,7 @@ class PlanAuditSpec extends SparkSpec {
     val allowNested = Set(
       "sim_bruteforce_topk", "dedup_embedding_cosine",
       "sim_ivf_probe", "sim_ivf_multiprobe", "sim_kmeans_step",
+      "sim_ivfpq_topk",
       "dedup_semantic_clusters", "sample_mixture", "pipeline_corpus",
       "text_tfidf", "text_lm_score", "q_rolling_active_users",
       "q22_idle_balances", "q_profile_stats", "sample_drift_psi",

@@ -1,0 +1,109 @@
+package graft
+
+import graft.operators.SimilarityOps
+import org.apache.spark.sql.functions._
+
+/** Product-quantization specs: the encode and the IVF-ADC search are
+  * verified against a full driver-side reimplementation from the raw
+  * parquet (codebook construction, integer distances, first-min
+  * tie-break, ADC lookup-table sums) — every number is exact Long
+  * arithmetic, so equality is bit-for-bit, no tolerance anywhere. */
+class PqSpec extends SparkSpec {
+
+  private val M = 8
+  private val Sub = 8
+  private val K = 8
+
+  /** Quantized vectors straight from parquet, bypassing the operators. */
+  private lazy val vecs: Map[Long, Array[Long]] =
+    spark.read.parquet(s"$sf/embeddings.parquet")
+      .select(col("vec_id"), transform(col("embedding"),
+        x => floor(x.cast("double") * 1000000).cast("long")).as("qv"))
+      .collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1).toArray).toMap
+
+  /** Codebook rebuilt independently: slice m of vectors 0..K-1. */
+  private lazy val cb: Array[Array[Array[Long]]] =
+    Array.tabulate(M, K)((m, j) => vecs(j.toLong).slice(m * Sub, (m + 1) * Sub))
+
+  private def subDist(qv: Array[Long], m: Int, c: Array[Long]): Long = {
+    var d = 0L
+    var i = 0
+    while (i < Sub) { val t = qv(m * Sub + i) - c(i); d += t * t; i += 1 }
+    d
+  }
+
+  private def encode(qv: Array[Long]): (Array[Int], Long) = {
+    var err = 0L
+    val codes = Array.tabulate(M) { m =>
+      var bestJ = 0
+      var bestD = Long.MaxValue
+      var j = 0
+      while (j < K) {
+        val d = subDist(qv, m, cb(m)(j))
+        if (d < bestD) { bestD = d; bestJ = j } // strict < = first-min tie-break
+        j += 1
+      }
+      err += bestD
+      bestJ
+    }
+    (codes, err)
+  }
+
+  test("pq encode equals the driver-side reimplementation on every vector") {
+    val got = SimilarityOps.qSimPqEncode(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(got.length === vecs.size)
+    got.foreach { case (id, csv, sqerr) =>
+      val (codes, err) = encode(vecs(id))
+      assert(csv === codes.mkString(","), s"codes mismatch for vec $id")
+      assert(sqerr === err, s"sqerr mismatch for vec $id")
+    }
+  }
+
+  test("pq codebook vectors self-encode with zero reconstruction error") {
+    val own = SimilarityOps.qSimPqEncode(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+      .filter(_._1 < K)
+    assert(own.length === K)
+    own.foreach { case (id, _, sqerr) =>
+      assert(sqerr === 0L, s"codebook vector $id must reconstruct exactly")
+    }
+  }
+
+  test("pq codes are total, 8 per vector, all in [0, K)") {
+    val r = SimilarityOps.qSimPqEncode(spark, sf)
+      .withColumn("codes", transform(split(col("codes_csv"), ","), _.cast("int")))
+    assert(r.count() === vecs.size)
+    assert(r.filter(size(col("codes")) =!= M).count() === 0)
+    assert(r.filter(exists(col("codes"), c => c < 0 || c >= K)).count() === 0)
+    assert(r.filter(col("sqerr") < 0).count() === 0)
+  }
+
+  test("pq codebook is memoized per dataset and deterministic") {
+    val a = SimilarityOps.pqCodebook(spark, sf)
+    val b = SimilarityOps.pqCodebook(spark, sf)
+    assert(a eq b) // same cached instance — one driver fetch per JVM
+    assert(a.length === M && a.forall(t => t.length === K &&
+      t.forall(_.length === Sub)))
+  }
+
+  test("ivfpq: reported ADC distances equal the lookup-table math; ranks contiguous") {
+    val out = SimilarityOps.qSimIvfPqTopk(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+    assert(out.nonEmpty)
+    out.foreach { case (qid, _, nid, adc) =>
+      val (codes, _) = encode(vecs(nid))
+      val qv = vecs(qid)
+      var want = 0L
+      for (m <- 0 until M) want += subDist(qv, m, cb(m)(codes(m)))
+      assert(adc === want, s"adc mismatch for ($qid,$nid)")
+      assert(adc >= 0L)
+    }
+    out.groupBy(_._1).foreach { case (qid, rows) =>
+      assert(rows.map(_._2).sorted.toSeq === (1 to rows.length),
+        s"ranks not contiguous for query $qid")
+      assert(rows.length <= 3)
+    }
+  }
+}
