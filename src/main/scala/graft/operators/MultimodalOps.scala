@@ -103,6 +103,26 @@ object MultimodalOps {
       while (i < n) { out(i) = payload(i * stride) & 0xff; i += 1 }
       out
     }
+
+    /** STUB segment energies: the payload split into `nSeg` equal
+      * stride-sized segments (tail remainder dropped), each reduced to
+      * its unsigned byte sum — the plumbing twin of a real framed
+      * energy/spectral reduction (fbank, chroma). Returns empty when
+      * the payload is shorter than `nSeg`. */
+    def segEnergies(payload: Array[Byte], nSeg: Int): Array[Long] = {
+      if (payload.length < nSeg) return Array.emptyLongArray
+      val stride = payload.length / nSeg
+      val out = new Array[Long](nSeg)
+      var s = 0
+      while (s < nSeg) {
+        var e = 0L
+        var j = 0
+        while (j < stride) { e += payload(s * stride + j) & 0xff; j += 1 }
+        out(s) = e
+        s += 1
+      }
+      out
+    }
   }
 
   // public: Spark's generated encoder code must reach these
@@ -327,18 +347,27 @@ object MultimodalOps {
     * Hamming 0 (identical fingerprint) is INCLUDED — for perceptual
     * hashes equality is the strongest near-dup signal, not an exact
     * dup already handled elsewhere. */
-  def qPhashNearDup(spark: SparkSession, sfDir: String): DataFrame = {
+  def qPhashNearDup(spark: SparkSession, sfDir: String): DataFrame =
+    hamming1Pairs(phashes(spark, sfDir).withColumnRenamed("phash", "fp"))
+
+  /** Hamming ≤ 1 pairs over a 16-bit fingerprint column `fp` via the
+    * SimHash pigeonhole discipline: two hashes within distance 1 agree
+    * exactly on one of their two 8-bit chunks, so candidates are an
+    * EQUI-join on (chunk_idx, chunk_value) and only candidates pay the
+    * exact `bit_count(xor)` verification — never a quadratic scan.
+    * Shared verbatim by the image (aHash) and audio (energy-delta)
+    * near-dup members of the multimodal dedup family. */
+  private def hamming1Pairs(fps: DataFrame): DataFrame = {
     val maxHamming = 1
-    val ph = phashes(spark, sfDir)
-    val chunks = ph.select(col("doc_id"), col("phash"),
+    val chunks = fps.select(col("doc_id"), col("fp"),
         explode(sequence(lit(0), lit(1))).as("c"))
-      .withColumn("cv", expr("(phash >> (c * 8)) & 255"))
+      .withColumn("cv", expr("(fp >> (c * 8)) & 255"))
     val cand = chunks.as("a")
       .join(chunks.as("b"),
         col("a.c") === col("b.c") && col("a.cv") === col("b.cv") &&
           col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("a_id"), col("a.phash").as("ha"),
-        col("b.doc_id").as("b_id"), col("b.phash").as("hb"))
+      .select(col("a.doc_id").as("a_id"), col("a.fp").as("ha"),
+        col("b.doc_id").as("b_id"), col("b.fp").as("hb"))
       .distinct()
     cand
       .withColumn("hamming", bit_count(expr("ha ^ hb")).cast("int"))
@@ -346,6 +375,43 @@ object MultimodalOps {
       .select(col("a_id"), col("b_id"), col("hamming"))
       .orderBy("a_id", "b_id")
   }
+
+  // public: Spark's generated encoder code must reach this
+  case class EnergyRow(doc_id: Long, en: Array[Long])
+
+  /** 16-bit acoustic fingerprint per AUDIO doc: the payload framed
+    * into 17 equal segments by the stub codec, each reduced to its
+    * energy (unsigned byte sum); bit i is set when energy rises from
+    * segment i to i+1. Temporal DELTA-SIGN coding — the shape of real
+    * acoustic fingerprints (chromaprint's filter signs, Shazam's band
+    * deltas), deliberately different from the image aHash's spatial
+    * mean threshold: robust to gain (a constant offset cancels in the
+    * delta) rather than to brightness. Pure integer compares — engine
+    * exact. Docs shorter than 17 bytes have no fingerprint. */
+  private def audioFingerprints(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val media: Dataset[MediaRow] = mediaTable(spark, sfDir)
+      .filter(col("media_type") === "audio")
+      .select(col("doc_id"), col("payload")).as[MediaRow]
+    media.mapPartitions { rows =>
+      rows.map(m => EnergyRow(m.doc_id, StubCodec.segEnergies(m.payload, 17)))
+    }.toDF()
+      .filter(size(col("en")) === 17)
+      .select(col("doc_id"),
+        aggregate(
+          transform(sequence(lit(0), lit(15)), i =>
+            when(element_at(col("en"), i + 2) > element_at(col("en"), i + 1),
+              pow(lit(2.0), i).cast("long")).otherwise(lit(0L))),
+          lit(0L), (acc, x) => acc + x).as("fp"))
+  }
+
+  /** Audio NEAR-dup pairs by acoustic fingerprint — the audio member
+    * of the dedup family (re-encoded/re-gained copies of the same
+    * recording collide here, not on a checksum). Same pigeonhole
+    * candidate join + exact verification as the image path; Hamming 0
+    * included for the same reason. */
+  def qAudioFingerprintNearDup(spark: SparkSession, sfDir: String): DataFrame =
+    hamming1Pairs(audioFingerprints(spark, sfDir))
 
   /** The aHash + pigeonhole join reproduced byte-for-byte in DuckDB
     * over `hex(encode(text))` — the same strided-thumbnail math as
@@ -378,7 +444,44 @@ object MultimodalOps {
       |FROM cand WHERE bit_count(xor(ha, hb)) <= 1
       |ORDER BY a_id, b_id""".stripMargin
 
+  /** The segment-energy fingerprint + pigeonhole join reproduced in
+    * DuckDB over `hex(encode(text))`: same stride = n/17 framing, same
+    * unsigned byte sums, same rising-delta bit coding, same chunk
+    * equi-join. */
+  val qAudioFingerprintNearDupOracle: String =
+    """WITH m AS (
+      |  SELECT doc_id, hex(encode(text)) AS h,
+      |         CAST(octet_length(encode(text)) AS INT) AS nb
+      |  FROM documents WHERE doc_id % 3 = 1),
+      |f AS (SELECT doc_id, h, nb, nb // 17 AS stride FROM m WHERE nb >= 17),
+      |en AS (
+      |  SELECT f.doc_id, s.s AS s,
+      |         SUM(CAST('0x' || substr(f.h, 2*(s.s * f.stride + j.j) + 1, 2) AS INT)) AS e
+      |  FROM f,
+      |       unnest(generate_series(0, 16)) AS s(s),
+      |       unnest(generate_series(0, f.stride - 1)) AS j(j)
+      |  GROUP BY 1, 2),
+      |fp AS (
+      |  SELECT a.doc_id,
+      |         CAST(SUM(CASE WHEN b.e > a.e THEN CAST(1 AS BIGINT) << a.s
+      |                       ELSE 0 END) AS BIGINT) AS fp
+      |  FROM en a JOIN en b ON b.doc_id = a.doc_id AND b.s = a.s + 1
+      |  WHERE a.s < 16
+      |  GROUP BY 1),
+      |ch AS (
+      |  SELECT doc_id, fp, c.c AS c, (fp >> (c.c * 8)) & 255 AS cv
+      |  FROM fp, (SELECT unnest(generate_series(0, 1)) AS c) c),
+      |cand AS (
+      |  SELECT DISTINCT a.doc_id AS a_id, a.fp AS ha,
+      |                  b.doc_id AS b_id, b.fp AS hb
+      |  FROM ch a JOIN ch b
+      |    ON a.c = b.c AND a.cv = b.cv AND a.doc_id < b.doc_id)
+      |SELECT a_id, b_id, CAST(bit_count(xor(ha, hb)) AS INT) AS hamming
+      |FROM cand WHERE bit_count(xor(ha, hb)) <= 1
+      |ORDER BY a_id, b_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mm_audio_fingerprint_neardup" -> (qAudioFingerprintNearDup _),
     "mm_phash_neardup" -> (qPhashNearDup _),
     "mm_metadata" -> (qMetadata _),
     "mm_decode_features" -> (qDecodeFeatures _),
@@ -387,6 +490,7 @@ object MultimodalOps {
     "mm_image_tiles" -> (qImageTiles _))
 
   val oracles: Map[String, String] = Map(
+    "mm_audio_fingerprint_neardup" -> qAudioFingerprintNearDupOracle,
     "mm_phash_neardup" -> qPhashNearDupOracle,
     "mm_metadata" -> qMetadataOracle,
     "mm_decode_features" -> qDecodeFeaturesOracle,

@@ -95,4 +95,43 @@ class MultimodalSpec extends SparkSpec {
       s"missed=${(brute -- got).take(5)} phantom=${(got -- brute).take(5)}")
     assert(brute.nonEmpty, "fixture must contain near-dup images")
   }
+
+  test("audio fingerprint near-dup: pigeonhole join equals a driver-side brute force over all audio pairs") {
+    // Same exactness argument as the phash test, for the audio member:
+    // recompute every audio doc's 16-bit energy-delta fingerprint in
+    // plain Scala, brute-force ALL pairs at Hamming <= 1, demand set
+    // equality with the equi-join path.
+    val docs = MultimodalOps.mediaTable(spark, sf)
+      .filter(col("media_type") === "audio")
+      .select("doc_id", "payload").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Array[Byte]]("payload"))
+    def afp(payload: Array[Byte]): Option[Long] = {
+      val en = MultimodalOps.StubCodec.segEnergies(payload, 17)
+      if (en.length != 17) None
+      else Some((0 until 16).map(i => if (en(i + 1) > en(i)) 1L << i else 0L).sum)
+    }
+    val hashes = docs.flatMap { case (id, p) => afp(p).map(id -> _) }
+    hashes.foreach { case (id, h) =>
+      assert(h >= 0L && h < 65536L, s"afp($id) out of 16-bit range: $h") }
+    // gain-invariance: a constant byte offset cancels in the deltas
+    val sample = docs.collectFirst {
+      case (_, p) if p.length >= 17 && p.forall(b => (b & 0xff) < 250) => p }
+    sample.foreach { p =>
+      val gained = p.map(b => (b + 5).toByte)
+      assert(afp(p) === afp(gained), "fingerprint must be gain-invariant")
+    }
+    val brute = (for {
+      i <- hashes.indices; j <- (i + 1) until hashes.length
+      (ida, ha) = hashes(i); (idb, hb) = hashes(j)
+      if java.lang.Long.bitCount(ha ^ hb) <= 1
+    } yield {
+      val (a, b) = if (ida < idb) (ida, idb) else (idb, ida)
+      (a, b, java.lang.Long.bitCount(ha ^ hb))
+    }).toSet
+    val got = MultimodalOps.qAudioFingerprintNearDup(spark, sf).collect()
+      .map(r => (r.getAs[Long]("a_id"), r.getAs[Long]("b_id"),
+        r.getAs[Int]("hamming"))).toSet
+    assert(got === brute,
+      s"missed=${(brute -- got).take(5)} phantom=${(got -- brute).take(5)}")
+  }
 }
