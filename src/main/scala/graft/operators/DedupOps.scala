@@ -1248,11 +1248,19 @@ object DedupOps {
   /** (vec_id, tbl, bucket) sign-LSH bucket assignments: table t keyed
     * by the sign pattern of dimensions [kt, kt+k) of `v` (1-indexed
     * element_at). Shared by [[annCosinePairs]] and the occupancy spec. */
-  private[graft] def signLshBuckets(e: DataFrame, k: Int, nTables: Int): DataFrame = {
+  private[graft] def signLshBuckets(e: DataFrame, k: Int, nTables: Int): DataFrame =
+    signLshBucketsWith(e, k, nTables)
+
+  /** [[signLshBuckets]] carrying extra columns through the explode —
+    * the streaming serving path needs the vector and norm next to its
+    * bucket keys (a stream cannot join back to itself to re-fetch
+    * them). Same geometry, same map-side-only shape. */
+  private[graft] def signLshBucketsWith(e: DataFrame, k: Int, nTables: Int,
+      keep: Column*): DataFrame = {
     def tblKey(t: Int): Column = concat((1 to k).map(i =>
       when(element_at(col("v"), t * k + i) >= 0, "1").otherwise("0")): _*)
-    e.select(col("vec_id"),
-      posexplode(array((0 until nTables).map(tblKey): _*)).as(Seq("tbl", "bucket")))
+    e.select((col("vec_id") +: keep) :+
+      posexplode(array((0 until nTables).map(tblKey): _*)).as(Seq("tbl", "bucket")): _*)
   }
 
   /** [[qDedupSemanticClusters]] with the edge set mined by the

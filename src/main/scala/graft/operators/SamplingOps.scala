@@ -22,7 +22,7 @@ import org.apache.spark.sql.types.DoubleType
 object SamplingOps {
 
   /** Deterministic bucket in [0,100): first 4 md5 hex chars of the id. */
-  private[operators] def bucket100(idCol: String) =
+  private[graft] def bucket100(idCol: String) =
     conv(substring(md5(col(idCol).cast("string").cast("binary")), 1, 4), 16, 10)
       .cast("int") % 100
 

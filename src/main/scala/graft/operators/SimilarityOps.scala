@@ -482,7 +482,17 @@ object SimilarityOps {
     * reproduces geometry, buckets, cosines, and tie-breaks
     * bit-for-bit. */
   def qSimIncremental(spark: SparkSession, sfDir: String): DataFrame = {
-    val (dir, k) = simIndexDirs.computeIfAbsent(sfDir, _ => {
+    val (dir, k) = incrementalIndexDir(spark, sfDir)
+    qSimIncrementalStored(spark, sfDir, dir, k)
+  }
+
+  /** The memoized stored-index location + its frozen plane count for a
+    * dataset's base slice — shared by the batch incremental query and
+    * the STREAMING serving twin
+    * (`StatefulOps.streamingSimIncremental`), so both classify against
+    * the same artifact. */
+  def incrementalIndexDir(spark: SparkSession, sfDir: String): (String, Int) =
+    simIndexDirs.computeIfAbsent(sfDir, _ => {
       val base = DedupOps.normedVectors(Tables.embeddings(spark, sfDir))
         .withColumn("hb", SamplingOps.bucket100("vec_id"))
         .filter(col("hb") < 90).drop("hb", "label")
@@ -492,8 +502,6 @@ object SimilarityOps {
       simIndex(base, kk).write.parquet(d)
       (d, kk)
     })
-    qSimIncrementalStored(spark, sfDir, dir, k)
-  }
 
   val qSimIncrementalOracle: String =
     """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),

@@ -937,4 +937,48 @@ object StatefulOps {
       .withColumn("simhash", graft.operators.DedupOps.simhashExpr(col("text")))
       .withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark("simhash")
+
+  /** STREAMING incremental similarity — the serving path of the stored
+    * ANN index ([[graft.operators.SimilarityOps.simIndex]]) as a
+    * stream-static classification, the streaming twin of the batch
+    * `sim_incremental` query. Each arriving vector (`vec_id`, `v`,
+    * `nrm`) buckets at the index's FROZEN geometry map-side, candidates
+    * come from the (tbl, bucket) LEFT-OUTER equi-join against the
+    * static exploded index (left-outer so collision-free arrivals
+    * still classify as `new`), and the per-arrival argmax is a
+    * `max(struct(cosine, -base_id))` aggregate — the same
+    * (cosine DESC, base_id ASC) tie-break as the batch twin without a
+    * window function (streams cannot rank). Run with
+    * OutputMode.Update: each arrival's verdict emits in its batch.
+    *
+    * Scale: the index side is static and hash-partitioned by bucket;
+    * per-batch cost tracks the ARRIVAL rate × bucket occupancy, never
+    * the corpus. State is one aggregation row per arrival key, which
+    * is what makes re-delivered arrivals idempotent (same verdict
+    * re-emitted, no duplicates downstream with an upsert sink); a
+    * production deployment bounds it with the state-store TTL knob
+    * exactly like the other twins. */
+  def streamingSimIncremental(arrivals: DataFrame, index: DataFrame,
+      k: Int): DataFrame = {
+    import graft.operators.DedupOps
+    val idxb = index
+      .select(col("vec_id").as("base_id"), col("v").as("bv"),
+        col("nrm").as("bn"), explode(col("buckets")).as("bb"))
+      .select(col("base_id"), col("bv"), col("bn"),
+        col("bb.tbl").as("tbl"), col("bb.bucket").as("bucket"))
+    val arb = DedupOps.signLshBucketsWith(arrivals, k, 64 / k,
+      col("v").as("qv"), col("nrm").as("qn"))
+    arb.join(idxb, Seq("tbl", "bucket"), "left_outer")
+      .withColumn("cosine",
+        DedupOps.dot(col("qv"), col("bv")) / (col("qn") * col("bn")))
+      .withColumn("best0",
+        when(col("cosine").isNotNull && col("cosine") >= 0.4,
+          struct(col("cosine").as("c"), (-col("base_id")).as("nb"))))
+      .groupBy(col("vec_id"))
+      .agg(max(col("best0")).as("best"))
+      .select(col("vec_id"),
+        when(col("best").isNotNull, "match").otherwise("new").as("status"),
+        when(col("best").isNotNull, -col("best.nb")).as("match_id"),
+        when(col("best").isNotNull, round(col("best.c"), 6)).as("cosine_r"))
+  }
 }

@@ -488,6 +488,49 @@ class StatefulOpsSpec extends SparkSpec {
     }
   }
 
+  test("streaming incremental similarity verdicts equal the batch stored-index twin") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    import graft.operators.{DedupOps, SamplingOps, SimilarityOps}
+    def key(r: org.apache.spark.sql.Row) = r.getLong(0) -> ((r.getString(1),
+      if (r.isNullAt(2)) None else Some(r.getLong(2)),
+      if (r.isNullAt(3)) None else Some(r.getDouble(3))))
+    // batch reference — also builds + memoizes the stored index
+    val expected = SimilarityOps.qSimIncremental(spark, sf).collect().map(key).toMap
+    assert(expected.values.exists(_._1 == "match") &&
+      expected.values.exists(_._1 == "new"), "fixture must exercise both verdicts")
+    val (dir, k) = SimilarityOps.incrementalIndexDir(spark, sf)
+    val index = spark.read.parquet(dir)
+    // the same arrival slice the batch twin classifies
+    val arrivals = DedupOps.normedVectors(Tables.embeddings(spark, sf))
+      .withColumn("hb", SamplingOps.bucket100("vec_id"))
+      .filter(col("hb") >= 90)
+      .select("vec_id", "v").collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1)))
+    val (first, second) = arrivals.splitAt(arrivals.length / 2)
+    val in = MemoryStream[(Long, Seq[Double])]
+    val stream = in.toDF().toDF("vec_id", "v")
+      .withColumn("nrm", graft.functions.VectorFunctions.l2Norm(col("v")))
+    val q = StatefulOps.streamingSimIncremental(stream, index, k)
+      .writeStream.format("memory").queryName("siminc_out")
+      .outputMode("update").start()
+    try {
+      in.addData(first.toSeq)
+      q.processAllAvailable()
+      in.addData(second.toSeq)
+      q.processAllAvailable()
+      val got = spark.table("siminc_out").collect().map(key).toMap
+      assert(got === expected,
+        s"diff: ${(got.toSet diff expected.toSet).take(3)} / ${(expected.toSet diff got.toSet).take(3)}")
+      // re-delivery is idempotent: the same verdicts re-emit, nothing new
+      in.addData(first.toSeq)
+      q.processAllAvailable()
+      val again = spark.table("siminc_out").collect().map(key)
+      assert(again.toSet.map((kv: (Long, (String, Option[Long], Option[Double]))) => kv) ===
+        expected.toSet, "re-delivered arrivals must re-emit identical verdicts")
+    } finally q.stop()
+  }
+
   test("streaming contamination flags equal the batch decontaminate twin") {
     import spark.implicits._
     implicit val sc = spark.sqlContext
