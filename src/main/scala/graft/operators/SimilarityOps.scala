@@ -1364,7 +1364,183 @@ object SimilarityOps {
        |FROM rk WHERE rank <= 3
        |ORDER BY q_id, rank""".stripMargin
 
+  // ---- Label-aware curation: noise detection + hard-negative mining ----
+
+  private val labelCentCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Seq[(Int, Seq[Long])]]()
+
+  /** Per-label centroids of the quantized embedding corpus, memoized
+    * per dataset: ONE (label, dim) aggregation pass over the
+    * posexploded corpus (640 result rows at 10 labels × 64 dims —
+    * map-side partials, one tiny shuffle), then a labels×dims driver
+    * fetch carried as plan literals by the scorers below (the
+    * pcaBasis/pqCodebook discipline: model-sized state is literals,
+    * corpus-sized state never leaves the cluster). Centroids are
+    * RE-quantized to integer millionths — floor(Σq/n), one identical
+    * IEEE division in both engines — so every downstream distance is
+    * exact Long arithmetic: a 64-term float fold would differ by an
+    * ULP between engines and flip 18-significant-digit roundings
+    * (observed at sf0.01); integers cannot. */
+  def labelCentroids(spark: SparkSession, sfDir: String): Seq[(Int, Seq[Long])] =
+    labelCentCache.computeIfAbsent(sfDir, _ => {
+      Tables.embeddings(spark, sfDir)
+        .select(col("label"), posexplode(pqQuant(col("embedding"))).as(Seq("dim", "q")))
+        .groupBy(col("label"), col("dim"))
+        .agg(floor(sum(col("q")).cast("double") / count(lit(1))).cast("long").as("m"))
+        .groupBy(col("label"))
+        .agg(sort_array(collect_list(struct(col("dim"), col("m")))).as("ms"))
+        .select(col("label"), col("ms.m").as("cv"))
+        .collect()
+        .map(r => r.getInt(0) -> r.getSeq[Long](1))
+        .sortBy(_._1).toSeq
+    })
+
+  /** LABEL-NOISE detection (the confident-learning signal for a
+    * labeled training set): each vector's squared L2 distance to its
+    * OWN label centroid vs the nearest OTHER label's centroid; a
+    * vector strictly closer to another class is flagged suspect —
+    * the rows a curation pipeline routes to re-annotation. Map-only
+    * over the corpus once the centroid literals exist (zero joins,
+    * plan-pinned); every distance is exact Long arithmetic against
+    * the integer-quantized centroids, so the argmin, the flag, and
+    * the emitted distances are all engine-exact — no rounding
+    * columns, no float-fold hazard. */
+  def qSimLabelOutliers(spark: SparkSession, sfDir: String): DataFrame = {
+    val cents = labelCentroids(spark, sfDir)
+    def dist(cv: Seq[Long]): Column =
+      aggregate(
+        zip_with(col("qv"), typedlit(cv), (a, b) => (a - b) * (a - b)),
+        lit(0L), (acc, x) => acc + x)
+    val darr = array(cents.map { case (l, cv) =>
+      struct(dist(cv).as("d"), lit(l).as("l")) }: _*)
+    Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("label"), pqQuant(col("embedding")).as("qv"))
+      .withColumn("darr", darr)
+      .withColumn("own",
+        element_at(filter(col("darr"), s => s.getField("l") === col("label")), 1))
+      .withColumn("oth",
+        array_min(filter(col("darr"), s => s.getField("l") =!= col("label"))))
+      .select(col("vec_id"), col("label"),
+        col("own.d").as("d_own"),
+        col("oth.l").as("nearest_other"),
+        col("oth.d").as("d_other"),
+        (col("own.d") > col("oth.d")).as("suspect"))
+      .orderBy("vec_id")
+  }
+
+  /** Same centroids, distances, argmin, and strict-inequality flag in
+    * DuckDB; the cross join is per-vector × LABELS (10 rows), the
+    * model side, not a corpus self-join. */
+  val qSimLabelOutliersOracle: String =
+    """WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+      |x AS (SELECT vec_id, label,
+      |  list_transform(v, y -> CAST(floor(y * 1000000) AS BIGINT)) AS qv
+      |  FROM e),
+      |xd AS (SELECT vec_id, label, u.i - 1 AS dim, qv[u.i] AS q
+      |       FROM x, unnest(generate_series(1, len(qv))) AS u(i)),
+      |cm AS (SELECT label AS cl, dim,
+      |         CAST(floor(CAST(SUM(q) AS DOUBLE) / COUNT(*)) AS BIGINT) AS m
+      |       FROM xd GROUP BY 1, 2),
+      |cent AS (SELECT cl, array_agg(m ORDER BY dim) AS cv FROM cm GROUP BY 1),
+      |d AS (
+      |  SELECT x.vec_id, x.label, c.cl,
+      |    CAST(list_sum(list_transform(generate_series(1, len(x.qv)),
+      |      i -> (x.qv[i] - c.cv[i]) * (x.qv[i] - c.cv[i]))) AS BIGINT) AS d
+      |  FROM x CROSS JOIN cent c),
+      |own AS (SELECT vec_id, d AS d_own FROM d WHERE label = cl),
+      |oth AS (SELECT vec_id, cl, d,
+      |  row_number() OVER (PARTITION BY vec_id ORDER BY d, cl) AS rn
+      |  FROM d WHERE label != cl)
+      |SELECT x.vec_id, x.label,
+      |  own.d_own,
+      |  oth.cl AS nearest_other,
+      |  oth.d AS d_other,
+      |  own.d_own > oth.d AS suspect
+      |FROM x
+      |JOIN own ON own.vec_id = x.vec_id
+      |JOIN oth ON oth.vec_id = x.vec_id AND oth.rn = 1
+      |ORDER BY x.vec_id""".stripMargin
+
+  /** HARD-NEGATIVE mining (metric-learning / contrastive training
+    * prep): for every vector, its highest-cosine neighbor with a
+    * DIFFERENT label among the ANN-mined candidates — the pairs a
+    * triplet/contrastive loss learns most from. Shares the
+    * occupancy-scaled sign-LSH miner with the clustering/kNN family
+    * (one dot product per unordered candidate pair); label lookup is
+    * an id equi-join against the bare (vec_id, label) projection.
+    * Vectors whose candidates are all same-label emit nothing —
+    * production raises the table count exactly as for kNN coverage. */
+  def qSimHardNegatives(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = DedupOps.normedVectors(Tables.embeddings(spark, sfDir))
+    val n = DedupOps.annSizingCount(sfDir, e.count())
+    val scored = DedupOps.annScoredPairs(e, knownN = n)
+    val labels = Tables.embeddings(spark, sfDir).select(col("vec_id"), col("label"))
+    val sym = scored
+      .select(col("a_id").as("vec_id"), col("b_id").as("n_id"), col("cosine"))
+      .union(scored
+        .select(col("b_id").as("vec_id"), col("a_id").as("n_id"), col("cosine")))
+    val w = Window.partitionBy(col("vec_id"))
+      .orderBy(col("cosine").desc, col("n_id"))
+    sym
+      .join(labels, Seq("vec_id"))
+      .join(labels.select(col("vec_id").as("n_id"), col("label").as("neg_label")),
+        Seq("n_id"))
+      .filter(col("label") =!= col("neg_label"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") === 1)
+      .select(col("vec_id"), col("label"), col("n_id").as("neg_id"),
+        col("neg_label"), round(col("cosine"), 6).as("cosine_r"))
+      .orderBy("vec_id")
+  }
+
+  /** The kNN-graph oracle's mining CTEs + the label filter + rank 1. */
+  val qSimHardNegativesOracle: String =
+    """WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+      |n AS (SELECT vec_id, label, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+      |kk AS (
+      |  SELECT k, 64 // k AS ntab FROM (
+      |    SELECT GREATEST(4, LEAST(10,
+      |      CASE WHEN m <= 1 THEN 0 ELSE LENGTH(bin(m - 1)) END)) AS k
+      |    FROM (SELECT (COUNT(*) + 63) // 64 AS m FROM e) mm) kx),
+      |bk AS (
+      |  SELECT vec_id, t.t AS tbl,
+      |    array_to_string([CASE WHEN v[t.t*k + i] >= 0 THEN '1' ELSE '0' END
+      |                     FOR i IN generate_series(1, k)], '') AS bucket
+      |  FROM n, kk, unnest(generate_series(0, (SELECT ntab - 1 FROM kk))) AS t(t)),
+      |cand AS (
+      |  SELECT DISTINCT a.vec_id AS a_id, b.vec_id AS b_id
+      |  FROM bk a JOIN bk b
+      |    ON a.tbl = b.tbl AND a.bucket = b.bucket AND a.vec_id < b.vec_id),
+      |scored AS (
+      |  SELECT c.a_id, c.b_id,
+      |    list_dot_product(x.v, y.v) / (x.nrm * y.nrm) AS cosine
+      |  FROM cand c
+      |  JOIN n x ON x.vec_id = c.a_id
+      |  JOIN n y ON y.vec_id = c.b_id),
+      |sym AS (
+      |  SELECT a_id AS vec_id, b_id AS n_id, cosine FROM scored
+      |  UNION ALL
+      |  SELECT b_id, a_id, cosine FROM scored),
+      |lab AS (
+      |  SELECT s.vec_id, a.label, s.n_id, b.label AS neg_label, s.cosine
+      |  FROM sym s
+      |  JOIN n a ON a.vec_id = s.vec_id
+      |  JOIN n b ON b.vec_id = s.n_id
+      |  WHERE a.label != b.label),
+      |rk AS (
+      |  SELECT vec_id, label, n_id, neg_label, cosine,
+      |    row_number() OVER (PARTITION BY vec_id
+      |                       ORDER BY cosine DESC, n_id) AS rank
+      |  FROM lab)
+      |SELECT vec_id, label, n_id AS neg_id, neg_label,
+      |  round(cosine, 6) AS cosine_r
+      |FROM rk WHERE rank = 1
+      |ORDER BY vec_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sim_label_outliers" -> (qSimLabelOutliers _),
+    "sim_hard_negatives" -> (qSimHardNegatives _),
     "sim_pq_encode" -> (qSimPqEncode _),
     "sim_ivfpq_topk" -> (qSimIvfPqTopk _),
     "sim_pagerank_stored" -> (qSimPagerankStored _),
@@ -1386,6 +1562,8 @@ object SimilarityOps {
     "sim_quantize_int8" -> (qQuantizeInt8 _))
 
   val oracles: Map[String, String] = Map(
+    "sim_label_outliers" -> qSimLabelOutliersOracle,
+    "sim_hard_negatives" -> qSimHardNegativesOracle,
     "sim_pq_encode" -> qSimPqEncodeOracle,
     "sim_ivfpq_topk" -> qSimIvfPqTopkOracle,
     // the stored variants share the self-contained oracles VERBATIM:

@@ -234,6 +234,16 @@ class PlanAuditSpec extends SparkSpec {
       s"the codebook must ride as literals, never a join:\n$p")
   }
 
+  test("label outliers is map-only: centroids as plan literals, zero exchanges before the output sort") {
+    val parts = shufflePartitionings(SimilarityOps.qSimLabelOutliers(spark, sf))
+      .filter(_.contains("partitioning("))
+    assert(parts.size === 1 && parts.head.contains("rangepartitioning"),
+      s"label scoring must not shuffle data, got: $parts")
+    val p = planString(SimilarityOps.qSimLabelOutliers(spark, sf))
+    assert(!p.contains("Join"),
+      s"the centroid table must ride as literals, never a join:\n$p")
+  }
+
   test("ivfpq search joins candidates to queries on the cell key") {
     // the candidate→query pairing must be the (cid) equi-join — the
     // only nested loop allowed is the documented K-row IVF quantizer
