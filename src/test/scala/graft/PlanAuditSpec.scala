@@ -253,6 +253,26 @@ class PlanAuditSpec extends SparkSpec {
       s"query probe must be a broadcast hash join on cid:\n$p")
   }
 
+  test("stored ivfpq serves from the code artifact and never scans the full float corpus") {
+    val df = SimilarityOps.qSimIvfPqTopkStored(spark, sf)
+    val p = planString(df)
+    assert(p.contains("graft_pq_index"),
+      s"stored search must scan the materialized code artifact:\n$p")
+    // the only embeddings scans left are the pushed-filter prefixes
+    // (10 query vectors + K centroids) — every one must carry a
+    // vec_id pushdown, so the corpus floats are never re-read
+    val embScans = df.queryExecution.sparkPlan.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec
+        if s.relation.location.inputFiles.exists(_.contains("embeddings")) => s }
+    assert(embScans.nonEmpty, s"expected pushed-filter embeddings scans:\n$p")
+    embScans.foreach(s =>
+      assert(s.toString.contains("LessThan(vec_id"),
+        s"an embeddings scan lost its vec_id pushdown: $s"))
+    // stored ≡ live, row for row
+    val live = SimilarityOps.qSimIvfPqTopk(spark, sf).collect().toSeq
+    assert(df.collect().toSeq === live, "stored path must equal the live query")
+  }
+
   test("decontamination is a shingle equi-join, not a cross join") {
     val p = planString(graft.operators.SamplingOps.qDecontaminate(spark, sf))
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"))
@@ -547,7 +567,7 @@ class PlanAuditSpec extends SparkSpec {
       "dedup_semantic_clusters_ann", "cdc_scd2", "sim_pca_whiten",
       "sim_pca_outliers", "text_heavy_hitters",
       "sim_pagerank_stored", "sim_triangles_stored", "sim_knn_graph_stored",
-      "dedup_semantic_clusters_stored",
+      "dedup_semantic_clusters_stored", "sim_ivfpq_stored",
       "dedup_clusters_stored", "dedup_representatives_stored",
       "dedup_clusters_stars_stored")
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1)
