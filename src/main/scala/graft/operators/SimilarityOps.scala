@@ -267,6 +267,96 @@ object SimilarityOps {
        |  CAST(SUM(q) AS DOUBLE) / COUNT(*) / 1000000.0 AS mean_q
        |FROM dims GROUP BY cid, dim ORDER BY cid, dim""".stripMargin
 
+  private val cellCentCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Seq[(Int, Seq[Long])]]()
+
+  /** The IVF cells' M-step centroids, re-quantized to integer
+    * millionths (floor(Σq/n) — one identical IEEE division per value
+    * in both engines) and memoized per dataset. Same aggregation pass
+    * as [[qKmeansStep]], same literal-carrying discipline as
+    * [[labelCentroids]]. */
+  private def ivfCellCentroids(spark: SparkSession, sfDir: String): Seq[(Int, Seq[Long])] =
+    cellCentCache.computeIfAbsent(sfDir, _ => {
+      val e = DedupOps.normedVectors(Tables.embeddings(spark, sfDir))
+      cellAssignments(e, centroids(e), nprobe = 1)
+        .select(col("cid"), posexplode(pqQuant(col("v"))).as(Seq("dim", "q")))
+        .groupBy(col("cid"), col("dim"))
+        .agg(floor(sum(col("q")).cast("double") / count(lit(1))).cast("long").as("m"))
+        .groupBy(col("cid"))
+        .agg(sort_array(collect_list(struct(col("dim"), col("m")))).as("ms"))
+        .select(col("cid"), col("ms.m").as("cv"))
+        .collect()
+        .map(r => r.getLong(0).toInt -> r.getSeq[Long](1))
+        .sortBy(_._1).toSeq
+    })
+
+  /** One FULL Lloyd iteration over the IVF cells: the M-step means
+    * (integer-quantized, carried as plan literals) re-assign every
+    * vector by EXACT integer squared-L2 argmin, and the query emits
+    * the convergence telemetry a distributed k-means loop monitors —
+    * per new cell: its size, how many members arrived from a
+    * different seed cell, and the exact inertia (Σ d² to the assigned
+    * centroid). The E-step is the same map-only literal-scoring shape
+    * as label outliers (zero joins); the only shuffles are the seed
+    * assignment's window and the final per-cell aggregate. At 100 TB
+    * each Lloyd round is: tiny M-step agg → broadcast K×dims literals
+    * → map-only re-score → one K-row aggregate — the canonical
+    * distributed k-means with no corpus join anywhere. */
+  def qKmeansIter(spark: SparkSession, sfDir: String): DataFrame = {
+    val cents = ivfCellCentroids(spark, sfDir)
+    def dist(cv: Seq[Long]): Column =
+      aggregate(
+        zip_with(col("qv"), typedlit(cv), (a, b) => (a - b) * (a - b)),
+        lit(0L), (acc, x) => acc + x)
+    val darr = array(cents.map { case (c, cv) =>
+      struct(dist(cv).as("d"), lit(c).as("c")) }: _*)
+    val e = DedupOps.normedVectors(Tables.embeddings(spark, sfDir))
+    cellAssignments(e, centroids(e), nprobe = 1)
+      .withColumnRenamed("cid", "seed_cid")
+      .withColumn("qv", pqQuant(col("v")))
+      .withColumn("best", array_min(darr))
+      .groupBy(col("best.c").as("cid"))
+      .agg(count(lit(1)).as("n_new"),
+        sum(when(col("seed_cid") =!= col("best.c"), 1L).otherwise(0L)).as("n_moved"),
+        sum(col("best.d")).as("inertia"))
+      .orderBy("cid")
+  }
+
+  /** The IVF seed assignment + integer M-step + exact-L2 E-step in
+    * DuckDB; the cross join is corpus × K centroids (the model side),
+    * argmin tie-break lowest cid, all distances exact integers. */
+  val qKmeansIterOracle: String =
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm,
+       |  list_transform(v, x -> CAST(floor(x * 1000000) AS BIGINT)) AS qv FROM e),
+       |cent0 AS (SELECT vec_id AS cid, v AS cv, nrm AS cn FROM n WHERE vec_id < $NumCentroids),
+       |asg AS (
+       |  SELECT vec_id, qv, cid,
+       |    row_number() OVER (PARTITION BY vec_id
+       |      ORDER BY list_dot_product(v, cv) / (nrm * cn) DESC, cid) AS rn
+       |  FROM n CROSS JOIN cent0),
+       |a AS (SELECT vec_id, qv, cid FROM asg WHERE rn = 1),
+       |xd AS (SELECT cid, u.i - 1 AS dim, qv[u.i] AS q
+       |       FROM a, unnest(generate_series(1, len(qv))) AS u(i)),
+       |cm AS (SELECT cid AS cl, dim,
+       |         CAST(floor(CAST(SUM(q) AS DOUBLE) / COUNT(*)) AS BIGINT) AS m
+       |       FROM xd GROUP BY 1, 2),
+       |cent AS (SELECT cl, array_agg(m ORDER BY dim) AS cv FROM cm GROUP BY 1),
+       |d AS (
+       |  SELECT a.vec_id, a.cid, c.cl,
+       |    CAST(list_sum(list_transform(generate_series(1, len(a.qv)),
+       |      i -> (a.qv[i] - c.cv[i]) * (a.qv[i] - c.cv[i]))) AS BIGINT) AS d
+       |  FROM a CROSS JOIN cent c),
+       |best AS (
+       |  SELECT vec_id, cid, cl, d,
+       |    row_number() OVER (PARTITION BY vec_id ORDER BY d, cl) AS rn
+       |  FROM d)
+       |SELECT CAST(cl AS INT) AS cid, COUNT(*) AS n_new,
+       |  CAST(SUM(CASE WHEN cid != cl THEN 1 ELSE 0 END) AS BIGINT) AS n_moved,
+       |  CAST(SUM(d) AS BIGINT) AS inertia
+       |FROM best WHERE rn = 1
+       |GROUP BY cl ORDER BY cid""".stripMargin
+
   /** Scalar int8 quantization per vector (the compression step before
     * an ANN index ships to serving): per-vector min/max affine map to
     * [0,255], dequantize, and report reconstruction error. Pure
@@ -1606,6 +1696,7 @@ object SimilarityOps {
     "sim_ivf_probe" -> (qSimIvf _),
     "sim_ivf_multiprobe" -> (qSimIvfMultiprobe _),
     "sim_kmeans_step" -> (qKmeansStep _),
+    "sim_kmeans_iter" -> (qKmeansIter _),
     "sim_quantize_int8" -> (qQuantizeInt8 _))
 
   val oracles: Map[String, String] = Map(
@@ -1635,5 +1726,6 @@ object SimilarityOps {
     "sim_ivf_probe" -> qSimIvfOracle,
     "sim_ivf_multiprobe" -> qSimIvfMultiprobeOracle,
     "sim_kmeans_step" -> qKmeansStepOracle,
+    "sim_kmeans_iter" -> qKmeansIterOracle,
     "sim_quantize_int8" -> qQuantizeInt8Oracle)
 }

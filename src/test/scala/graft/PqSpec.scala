@@ -88,6 +88,62 @@ class PqSpec extends SparkSpec {
       t.forall(_.length === Sub)))
   }
 
+  test("kmeans full iteration equals a driver-side Lloyd reimplementation") {
+    // doubles for the cosine seed assignment (same sequential fold
+    // order as the engine), exact Longs for everything after
+    val dv: Map[Long, Array[Double]] =
+      spark.read.parquet(s"$sf/embeddings.parquet")
+        .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("v"))
+        .collect()
+        .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    def dot(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0
+      var i = 0
+      while (i < a.length) { s += a(i) * b(i); i += 1 }
+      s
+    }
+    def nrm(a: Array[Double]): Double = math.sqrt(dot(a, a))
+    val seeds = (0L until K.toLong).map(j => j -> dv(j)).toMap
+    val seedOf: Map[Long, Int] = dv.map { case (id, v) =>
+      id -> seeds.map { case (j, c) =>
+        (j.toInt, dot(v, c) / (nrm(v) * nrm(c))) }
+        .minBy { case (j, cos) => (-cos, j) }._1
+    }
+    // integer M-step means per seed cell, then the exact-L2 E-step
+    val byCell = vecs.toSeq.groupBy { case (id, _) => seedOf(id) }
+    val cents2: Map[Int, Array[Long]] = byCell.map { case (c, rows) =>
+      c -> Array.tabulate(64)(d =>
+        math.floor(rows.map(_._2(d)).sum.toDouble / rows.length).toLong)
+    }
+    def dL(a: Array[Long], c: Array[Long]): Long = {
+      var s = 0L
+      var i = 0
+      while (i < a.length) { val t = a(i) - c(i); s += t * t; i += 1 }
+      s
+    }
+    val reassigned = vecs.toSeq.map { case (id, qv) =>
+      val (c, d) = cents2.map { case (cl, cv) => (cl, dL(qv, cv)) }
+        .minBy { case (cl, d) => (d, cl) }
+      (id, seedOf(id), c, d)
+    }
+    val want = reassigned.groupBy(_._3).map { case (c, rows) =>
+      c -> ((rows.length.toLong,
+        rows.count { case (_, s, nc, _) => s != nc }.toLong,
+        rows.map(_._4).sum))
+    }
+    val got = SimilarityOps.qKmeansIter(spark, sf).collect()
+      .map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got === want)
+    // partition totality + the fixture actually moves some vectors
+    assert(got.values.map(_._1).sum === vecs.size.toLong)
+    assert(got.values.map(_._2).sum > 0L, "fixture must exercise reassignment")
+    // E-step optimality: new inertia never exceeds inertia at the old
+    // assignment measured against the same new centroids
+    val oldInertia = vecs.toSeq.map { case (id, qv) =>
+      dL(qv, cents2(seedOf(id))) }.sum
+    assert(got.values.map(_._3).sum <= oldInertia)
+  }
+
   test("ivfpq: reported ADC distances equal the lookup-table math; ranks contiguous") {
     val out = SimilarityOps.qSimIvfPqTopk(spark, sf).collect()
       .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3)))
