@@ -104,6 +104,20 @@ object MultimodalOps {
       out
     }
 
+    /** STUB frame energies: fixed-size frames (tail remainder
+      * dropped), each reduced to its unsigned byte sum — the plumbing
+      * twin of a per-frame luma/histogram reduction in a real video
+      * decoder. */
+    def frameEnergies(payload: Array[Byte], frameBytes: Int): Array[Long] = {
+      val nf = payload.length / frameBytes
+      Array.tabulate(nf) { f =>
+        var e = 0L
+        var j = 0
+        while (j < frameBytes) { e += payload(f * frameBytes + j) & 0xff; j += 1 }
+        e
+      }
+    }
+
     /** STUB segment energies: the payload split into `nSeg` equal
       * stride-sized segments (tail remainder dropped), each reduced to
       * its unsigned byte sum — the plumbing twin of a real framed
@@ -413,6 +427,66 @@ object MultimodalOps {
   def qAudioFingerprintNearDup(spark: SparkSession, sfDir: String): DataFrame =
     hamming1Pairs(audioFingerprints(spark, sfDir))
 
+  private val SceneFrameBytes = 64
+  private val SceneCutFactor = 32 // cut when |Δe| > e_prev / 32 (~3%)
+
+  /** VIDEO scene-cut detection: per-frame energies from the stub
+    * codec (64-byte frames standing in for decoded luma planes), a
+    * boundary is a CUT when the energy jumps by more than 1/32 of the
+    * previous frame's — the integer form of the luma-delta threshold
+    * every shot-boundary detector starts from. Emits every boundary
+    * with its flag (the downstream sampler picks cut-aligned clips).
+    * The per-frame fan-out is `transform`+`explode` over the energy
+    * array — declarative cardinality, MAP-ONLY end to end (no window
+    * function, no shuffle before the output sort): the previous
+    * frame's energy is already adjacent in the array, so a 100 TB
+    * video corpus scene-segments in a single scan. All integer
+    * compares — engine-exact. */
+  def qSceneCuts(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val media: Dataset[MediaRow] = mediaTable(spark, sfDir)
+      .filter(col("media_type") === "video")
+      .select(col("doc_id"), col("payload")).as[MediaRow]
+    media.mapPartitions { rows =>
+      rows.map(m => EnergyRow(m.doc_id,
+        StubCodec.frameEnergies(m.payload, SceneFrameBytes)))
+    }.toDF()
+      .filter(size(col("en")) >= 2)
+      .select(col("doc_id"),
+        explode(transform(sequence(lit(1), size(col("en")) - 1), f =>
+          struct(f.as("frame_idx"),
+            element_at(col("en"), f).as("e_prev"),
+            element_at(col("en"), f + 1).as("e_cur")))).as("b"))
+      .select(col("doc_id"),
+        col("b.frame_idx").cast("int").as("frame_idx"),
+        col("b.e_prev").as("e_prev"),
+        col("b.e_cur").as("e_cur"),
+        (abs(col("b.e_cur") - col("b.e_prev")) * SceneCutFactor >
+          col("b.e_prev")).as("is_cut"))
+      .orderBy("doc_id", "frame_idx")
+  }
+
+  /** Frame energies + boundary deltas over `hex(encode(text))`. */
+  val qSceneCutsOracle: String =
+    s"""WITH m AS (
+       |  SELECT doc_id, hex(encode(text)) AS h,
+       |         CAST(octet_length(encode(text)) AS INT) AS nb
+       |  FROM documents WHERE doc_id % 3 = 2),
+       |v AS (SELECT doc_id, h, nb, nb // $SceneFrameBytes AS nf FROM m
+       |      WHERE nb // $SceneFrameBytes >= 2),
+       |en AS (
+       |  SELECT v.doc_id, f.f AS f,
+       |    SUM(CAST('0x' || substr(v.h, 2*(f.f*$SceneFrameBytes + j.j) + 1, 2) AS INT)) AS e
+       |  FROM v,
+       |       unnest(generate_series(0, v.nf - 1)) AS f(f),
+       |       unnest(generate_series(0, ${SceneFrameBytes - 1})) AS j(j)
+       |  GROUP BY 1, 2)
+       |SELECT a.doc_id, CAST(b.f AS INT) AS frame_idx,
+       |  CAST(a.e AS BIGINT) AS e_prev, CAST(b.e AS BIGINT) AS e_cur,
+       |  abs(b.e - a.e) * $SceneCutFactor > a.e AS is_cut
+       |FROM en a JOIN en b ON b.doc_id = a.doc_id AND b.f = a.f + 1
+       |ORDER BY a.doc_id, frame_idx""".stripMargin
+
   /** The aHash + pigeonhole join reproduced byte-for-byte in DuckDB
     * over `hex(encode(text))` — the same strided-thumbnail math as
     * [[qDecodeFeaturesOracle]], the integer mean compare, and the
@@ -481,6 +555,7 @@ object MultimodalOps {
       |ORDER BY a_id, b_id""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mm_scene_cuts" -> (qSceneCuts _),
     "mm_audio_fingerprint_neardup" -> (qAudioFingerprintNearDup _),
     "mm_phash_neardup" -> (qPhashNearDup _),
     "mm_metadata" -> (qMetadata _),
@@ -490,6 +565,7 @@ object MultimodalOps {
     "mm_image_tiles" -> (qImageTiles _))
 
   val oracles: Map[String, String] = Map(
+    "mm_scene_cuts" -> qSceneCutsOracle,
     "mm_audio_fingerprint_neardup" -> qAudioFingerprintNearDupOracle,
     "mm_phash_neardup" -> qPhashNearDupOracle,
     "mm_metadata" -> qMetadataOracle,

@@ -96,6 +96,33 @@ class MultimodalSpec extends SparkSpec {
     assert(brute.nonEmpty, "fixture must contain near-dup images")
   }
 
+  test("scene cuts equal a driver-side reimplementation; boundaries are per-doc complete") {
+    val docs = MultimodalOps.mediaTable(spark, sf)
+      .filter(col("media_type") === "video")
+      .select("doc_id", "payload").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Array[Byte]]("payload"))
+    val want = docs.flatMap { case (id, p) =>
+      val en = MultimodalOps.StubCodec.frameEnergies(p, 64)
+      (1 until en.length).map(f =>
+        (id, f, en(f - 1), en(f),
+          math.abs(en(f) - en(f - 1)) * 32 > en(f - 1)))
+    }.toSet
+    val got = MultimodalOps.qSceneCuts(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3),
+        r.getBoolean(4))).toSet
+    assert(got === want,
+      s"missed=${(want -- got).take(3)} phantom=${(got -- want).take(3)}")
+    // the fixture exercises both cut and non-cut boundaries
+    assert(got.exists(_._5) && got.exists(!_._5))
+    // every multi-frame video contributes exactly n_frames-1 boundaries
+    val perDoc = got.groupBy(_._1).view.mapValues(_.size).toMap
+    docs.foreach { case (id, p) =>
+      val nf = p.length / 64
+      if (nf >= 2) assert(perDoc(id) === nf - 1, s"boundary gap for $id")
+      else assert(!perDoc.contains(id))
+    }
+  }
+
   test("audio fingerprint near-dup: pigeonhole join equals a driver-side brute force over all audio pairs") {
     // Same exactness argument as the phash test, for the audio member:
     // recompute every audio doc's 16-bit energy-delta fingerprint in
