@@ -1747,7 +1747,82 @@ object DedupOps {
        |FROM n LEFT JOIN cc ON cc.doc_id = n.doc_id
        |ORDER BY n.doc_id""".stripMargin
 
+  // ---- SemDeDup: cell-partitioned semantic dedup ----
+
+  /** Cosine threshold above which two same-cell vectors count as
+    * semantic duplicates (matches the ANN graph family's mining
+    * threshold, so the two families agree on what "near" means). */
+  private val SemDeDupTheta = 0.4
+
+  /** SEMDEDUP-style semantic deduplication (Abbas et al. 2023,
+    * arXiv:2303.09540 — public method): partition the embedding
+    * corpus into k-means cells, compare pairs ONLY within a cell,
+    * and keep one representative per near-duplicate chain. The cell
+    * restriction is the whole algorithm — it turns the O(n²) cosine
+    * dedup into K independent O((n/K)²) problems, and at 100 TB K
+    * scales with the corpus so the per-cell quadratic stays bounded
+    * (cells are the parallel unit; a production run k-means-trains
+    * ~√n centroids, here the deterministic IVF seeds).
+    *
+    * Keep rule: a vector is DROPPED iff some same-cell vector with a
+    * SMALLER id sits at cosine ≥ θ — the deterministic greedy
+    * "keep lowest id" variant of the paper's keep-one-per-group
+    * (the paper keeps a random/farthest member; any single-member
+    * choice dedups the same mass).
+    *
+    * Plan: centroid assignment is a broadcast join + argmax window
+    * (corpus never shuffles for it); the pair join is an EQUI-join on
+    * cell id; the verdict is a left join of the corpus against the
+    * (graph-sized) dropped set. Reference analogue: the handler stage
+    * dropping already-seen payloads (handler/passthrough.go) — here
+    * "seen" is semantic, not byte-equal. */
+  def qSemDeDup(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = normedVectors(Tables.embeddings(spark, sfDir))
+    val assigned = SimilarityOps.cellAssignments(
+      e, SimilarityOps.centroids(e), nprobe = 1)
+    val a = assigned.select(col("cid"), col("vec_id").as("a_id"),
+      col("v").as("av"), col("nrm").as("an"))
+    val b = assigned.select(col("cid"), col("vec_id").as("b_id"),
+      col("v").as("bv"), col("nrm").as("bn"))
+    val dropped = a.join(b, Seq("cid"))
+      .filter(col("a_id") < col("b_id"))
+      .withColumn("cosine", dot(col("av"), col("bv")) / (col("an") * col("bn")))
+      .filter(col("cosine") >= SemDeDupTheta)
+      .groupBy(col("b_id").as("vec_id"))
+      .agg(count(lit(1)).as("n_close_earlier"))
+    assigned.select(col("vec_id"), col("cid"))
+      .join(dropped, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cid").cast("int").as("cid"),
+        col("n_close_earlier").isNull.as("keep"),
+        coalesce(col("n_close_earlier"), lit(0L)).as("n_close_earlier"))
+      .orderBy("vec_id")
+  }
+
+  /** Self-contained oracle: same IVF seed assignment CTE as the
+    * k-means family, within-cell pair join, greedy keep-lowest-id. */
+  val qSemDeDupOracle: String =
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+       |cent AS (SELECT vec_id AS cid, v AS cv, nrm AS cn FROM n WHERE vec_id < 8),
+       |asg AS (
+       |  SELECT vec_id, v, nrm, cid,
+       |    row_number() OVER (PARTITION BY vec_id
+       |      ORDER BY list_dot_product(v, cv) / (nrm * cn) DESC, cid) AS rn
+       |  FROM n CROSS JOIN cent),
+       |a AS (SELECT vec_id, v, nrm, cid FROM asg WHERE rn = 1),
+       |dropped AS (
+       |  SELECT y.vec_id, COUNT(*) AS n_close_earlier
+       |  FROM a x JOIN a y ON x.cid = y.cid AND x.vec_id < y.vec_id
+       |   AND list_dot_product(x.v, y.v) / (x.nrm * y.nrm) >= $SemDeDupTheta
+       |  GROUP BY y.vec_id)
+       |SELECT a.vec_id, CAST(a.cid AS INT) AS cid,
+       |  d.vec_id IS NULL AS keep,
+       |  COALESCE(d.n_close_earlier, 0) AS n_close_earlier
+       |FROM a LEFT JOIN dropped d ON a.vec_id = d.vec_id
+       |ORDER BY a.vec_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_semdedup" -> (qSemDeDup _),
     "dedup_span_coverage" -> (qDedupSpanCoverage _),
     "dedup_incremental" -> (qDedupIncremental _),
     "dedup_incremental_stored" -> (qDedupIncrementalFromIndex _),
@@ -1772,6 +1847,7 @@ object DedupOps {
     "dedup_semantic_clusters_ann" -> (qDedupSemanticClustersAnn _))
 
   val oracles: Map[String, String] = Map(
+    "dedup_semdedup" -> qSemDeDupOracle,
     "dedup_span_coverage" -> qDedupSpanCoverageOracle,
     "dedup_incremental" -> qDedupIncrementalOracle,
     // the stored-index variant classifies identically by construction

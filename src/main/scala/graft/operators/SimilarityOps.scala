@@ -123,7 +123,7 @@ object SimilarityOps {
     * K centroids + an argmax window — no shuffle of the corpus. */
   /** Top-`nprobe` centroid assignments per vector (broadcast join
     * against K centroids + argmax window — the corpus never shuffles). */
-  private def cellAssignments(e: DataFrame, cent: DataFrame, nprobe: Int): DataFrame = {
+  private[operators] def cellAssignments(e: DataFrame, cent: DataFrame, nprobe: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col("vec_id")).orderBy(col("ccos").desc, col("cid"))
     e.join(cent)
@@ -133,7 +133,7 @@ object SimilarityOps {
       .select(col("vec_id"), col("v"), col("nrm"), col("cid"))
   }
 
-  private def centroids(e: DataFrame): DataFrame = broadcast(
+  private[operators] def centroids(e: DataFrame): DataFrame = broadcast(
     e.filter(col("vec_id") < NumCentroids)
       .select(col("vec_id").as("cid"), col("v").as("cv"), col("nrm").as("cn")))
 
@@ -418,6 +418,147 @@ object SimilarityOps {
       |  round(list_max(list_transform(generate_series(1, len(v)),
       |    i -> abs(v[i] - d[i]))), 6) AS max_abs_err_r
       |FROM dq ORDER BY vec_id""".stripMargin
+
+  // ---- Random projection (Johnson–Lindenstrauss) ----
+
+  private val RpOut = 8
+
+  /** The deterministic ±1 sign matrix (RpOut × 64): sign(k,j) = +1
+    * iff the first hex char of md5("rp_k_j") is in 0..7 (i.e. the
+    * top bit of the digest is 0) — the md5-derived coin the repo uses
+    * everywhere a hash must reproduce bit-for-bit in DuckDB. Achlioptas
+    * (2003) showed ±1 entries satisfy the JL lemma; the matrix is a
+    * pure function of (k,j), so every executor AND the oracle derive
+    * the identical matrix with no shipped state. */
+  private lazy val rpSigns: Array[Array[Long]] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    Array.tabulate(RpOut, 64) { (k, j) =>
+      val hex = md.digest(s"rp_${k}_$j".getBytes("UTF-8"))
+      md.reset()
+      if (((hex(0) >> 4) & 0xf) <= 7) 1L else -1L
+    }
+  }
+
+  /** Johnson–Lindenstrauss random projection: every embedding mapped
+    * to [[RpOut]] dimensions by a deterministic ±1 sign matrix riding
+    * as PLAN LITERALS — the cheap dimensionality reduction in front
+    * of LSH tables, coarse quantizers, and drift monitors when 64
+    * (or 4096) dims are too wide to hash. Map-only: project, explode
+    * to (vec_id, k, p), no join, no shuffle before the output sort;
+    * at 100 TB this rides the corpus partitioning untouched, and the
+    * 8-dim output is what later stages shuffle INSTEAD of the full
+    * vector (an 8× shuffle-byte reduction is the whole point).
+    * Components are millionth-quantized before the signed sum so the
+    * projection is exact integer arithmetic in any fold order. */
+  def qSimRandomProjection(spark: SparkSession, sfDir: String): DataFrame = {
+    val proj = array(rpSigns.zipWithIndex.map { case (row, k) =>
+      aggregate(
+        zip_with(col("qv"), typedlit(row.toSeq), (a, b) => a * b),
+        lit(0L), (acc, x) => acc + x)
+    }: _*)
+    Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), pqQuant(col("embedding")).as("qv"))
+      .select(col("vec_id"), posexplode(proj).as(Seq("k", "p")))
+      .select(col("vec_id"), col("k").cast("int").as("k"), col("p"))
+      .orderBy("vec_id", "k")
+  }
+
+  /** Oracle re-derives the sign matrix from md5 in SQL — same
+    * definition, zero shared state with the Scala side. */
+  val qSimRandomProjectionOracle: String =
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |q AS (SELECT vec_id,
+       |  list_transform(v, x -> CAST(floor(x * 1000000) AS BIGINT)) AS qv FROM e),
+       |sj AS (
+       |  SELECT k.k, j.j,
+       |    CASE WHEN substr(md5('rp_' || k.k || '_' || (j.j - 1)), 1, 1) <= '7'
+       |         THEN 1 ELSE -1 END AS s
+       |  FROM (SELECT unnest(generate_series(0, ${RpOut - 1})) AS k) k,
+       |       (SELECT unnest(generate_series(1, 64)) AS j) j)
+       |SELECT q.vec_id, CAST(sj.k AS INT) AS k,
+       |  CAST(SUM(sj.s * q.qv[sj.j]) AS BIGINT) AS p
+       |FROM q, sj
+       |GROUP BY q.vec_id, sj.k
+       |ORDER BY q.vec_id, k""".stripMargin
+
+  // ---- Embedding truncation recall (Matryoshka-style eval) ----
+
+  private val TruncDims = 32
+
+  /** Top-[[TopK]] neighbor ids per query, at either full width or a
+    * [[TruncDims]]-prefix: the shared body under the truncation eval
+    * (broadcast query side, window top-k — the brute-force shape). */
+  private def topIdsAt(e: DataFrame, dims: Option[Int]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = dims match {
+      case Some(d) => e.select(col("vec_id"), slice(col("v"), 1, d).as("v"))
+      case None    => e
+    }
+    val n = base.withColumn("nrm",
+      graft.functions.VectorFunctions.l2Norm(col("v")))
+    val q = broadcast(n.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn")))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cosine").desc, col("n_id"))
+    n.select(col("vec_id").as("n_id"), col("v").as("nv"), col("nrm").as("nn"))
+      .join(q, col("q_id") =!= col("n_id"))
+      .withColumn("cosine", DedupOps.dot(col("qv"), col("nv")) / (col("qn") * col("nn")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= TopK)
+      .select(col("q_id"), col("n_id"))
+  }
+
+  /** Matryoshka-style TRUNCATION EVAL (Kusupati et al. 2022,
+    * arXiv:2205.13147 — public method): recall@k of searching only
+    * the first [[TruncDims]] of 64 dimensions against the full-width
+    * ground truth, per query. This is the measurement behind the
+    * production decision "can the ANN tier read a prefix and cut
+    * index IO 2×?" — at 100 TB the eval itself stays cheap because
+    * both sides use the broadcast-query brute-force shape over a
+    * BOUNDED query sample (the corpus is scanned, never self-joined),
+    * and the verdict join is (q_id, n_id) equi. */
+  def qSimTruncationRecall(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = DedupOps.normedVectors(Tables.embeddings(spark, sfDir))
+      .select(col("vec_id"), col("v"))
+    val full = topIdsAt(e, None)
+    val trunc = topIdsAt(e, Some(TruncDims))
+    val overlap = trunc.join(full, Seq("q_id", "n_id"), "left_semi")
+      .groupBy(col("q_id")).agg(count(lit(1)).as("overlap"))
+    full.select(col("q_id")).distinct()
+      .join(overlap, Seq("q_id"), "left")
+      .select(col("q_id"), coalesce(col("overlap"), lit(0L)).as("overlap"),
+        round(coalesce(col("overlap"), lit(0L)) / lit(TopK.toDouble), 6)
+          .as("recall_r"))
+      .orderBy("q_id")
+  }
+
+  val qSimTruncationRecallOracle: String =
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |nf AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+       |nt AS (SELECT vec_id, v[1:$TruncDims] AS tv,
+       |  sqrt(list_dot_product(v[1:$TruncDims], v[1:$TruncDims])) AS tnrm FROM e),
+       |rkf AS (
+       |  SELECT q.vec_id AS q_id, c.vec_id AS n_id,
+       |    row_number() OVER (PARTITION BY q.vec_id
+       |      ORDER BY list_dot_product(q.v, c.v) / (q.nrm * c.nrm) DESC,
+       |               c.vec_id) AS rk
+       |  FROM nf q JOIN nf c ON q.vec_id < $NumQueries AND q.vec_id != c.vec_id),
+       |rkt AS (
+       |  SELECT q.vec_id AS q_id, c.vec_id AS n_id,
+       |    row_number() OVER (PARTITION BY q.vec_id
+       |      ORDER BY list_dot_product(q.tv, c.tv) / (q.tnrm * c.tnrm) DESC,
+       |               c.vec_id) AS rk
+       |  FROM nt q JOIN nt c ON q.vec_id < $NumQueries AND q.vec_id != c.vec_id),
+       |ov AS (
+       |  SELECT t.q_id, COUNT(*) AS c
+       |  FROM rkt t JOIN rkf f
+       |    ON t.q_id = f.q_id AND t.n_id = f.n_id AND t.rk <= $TopK AND f.rk <= $TopK
+       |  WHERE t.rk <= $TopK
+       |  GROUP BY t.q_id)
+       |SELECT q.q_id, COALESCE(ov.c, 0) AS overlap,
+       |  round(COALESCE(ov.c, 0) / ${TopK}.0, 6) AS recall_r
+       |FROM (SELECT DISTINCT q_id FROM rkf) q LEFT JOIN ov USING (q_id)
+       |ORDER BY q_id""".stripMargin
 
   /** Dimension-pair Pearson CORRELATION MATRIX over the embedding
     * corpus — the feature-stats pass before whitening / PCA /
@@ -1697,6 +1838,8 @@ object SimilarityOps {
     "sim_ivf_multiprobe" -> (qSimIvfMultiprobe _),
     "sim_kmeans_step" -> (qKmeansStep _),
     "sim_kmeans_iter" -> (qKmeansIter _),
+    "sim_random_projection" -> (qSimRandomProjection _),
+    "sim_truncation_recall" -> (qSimTruncationRecall _),
     "sim_quantize_int8" -> (qQuantizeInt8 _))
 
   val oracles: Map[String, String] = Map(
@@ -1727,5 +1870,7 @@ object SimilarityOps {
     "sim_ivf_multiprobe" -> qSimIvfMultiprobeOracle,
     "sim_kmeans_step" -> qKmeansStepOracle,
     "sim_kmeans_iter" -> qKmeansIterOracle,
+    "sim_random_projection" -> qSimRandomProjectionOracle,
+    "sim_truncation_recall" -> qSimTruncationRecallOracle,
     "sim_quantize_int8" -> qQuantizeInt8Oracle)
 }

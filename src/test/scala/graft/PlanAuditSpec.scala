@@ -550,8 +550,9 @@ class PlanAuditSpec extends SparkSpec {
     //     broadcast centroid set — a deliberate broadcast cross)
     val allowNested = Set(
       "sim_bruteforce_topk", "dedup_embedding_cosine",
+      "sim_truncation_recall",
       "sim_ivf_probe", "sim_ivf_multiprobe", "sim_kmeans_step",
-      "sim_ivfpq_topk", "sim_kmeans_iter",
+      "sim_ivfpq_topk", "sim_kmeans_iter", "dedup_semdedup",
       "dedup_semantic_clusters", "sample_mixture", "pipeline_corpus",
       "text_tfidf", "text_lm_score", "q_rolling_active_users",
       "q22_idle_balances", "q_profile_stats", "sample_drift_psi",
