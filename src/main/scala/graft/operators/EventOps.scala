@@ -258,7 +258,64 @@ object EventOps {
       |FROM x WHERE report_day <= (SELECT max_day FROM mx)
       |GROUP BY 1 ORDER BY report_day""".stripMargin
 
+  // ---- EWMA metric smoothing with gap fill ----
+
+  /** Daily per-type event counts GAP-FILLED onto a dense date spine
+    * (missing days count 0 — without the spine a quiet day silently
+    * vanishes and every rolling metric shifts), then smoothed with an
+    * exponentially-weighted moving average — the metric-smoothing /
+    * anomaly-baseline pass every monitoring layer runs over its event
+    * stream. α = 1/2 with a 20-day horizon, computed in FIXED-POINT:
+    * weight(lag i) = 2^(19−i), so `ewma_scaled` = Σ cnt·2^(19−i) is
+    * exact Long arithmetic (a float EWMA recursion is order-sensitive
+    * and would never hash-match across engines); `ewma_r` divides by
+    * the full-horizon weight sum 2^20−1 once, identically both sides.
+    * Scale: one tiny (type,day) aggregate, a broadcast 1-row bounds
+    * join to build the spine, then ONE shuffle on event_type for the
+    * lag window — per-partition state is one type's 20-day tail. */
+  def qEwmaDaily(spark: SparkSession, sfDir: String): DataFrame = {
+    val daily = ev(spark, sfDir)
+      .select(col("event_type"), expr("tus DIV 86400000000").as("day"))
+      .groupBy(col("event_type"), col("day"))
+      .agg(count(lit(1)).as("cnt"))
+    val bounds = daily.agg(min(col("day")).as("mind"), max(col("day")).as("maxd"))
+    val spine = daily.select(col("event_type")).distinct()
+      .crossJoin(broadcast(bounds))
+      .select(col("event_type"),
+        explode(sequence(col("mind"), col("maxd"))).as("day"))
+    val filled = spine.join(daily, Seq("event_type", "day"), "left")
+      .select(col("event_type"), col("day"),
+        coalesce(col("cnt"), lit(0L)).as("cnt"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+    val scaled = (col("cnt") * lit(1L << 19)) +: (1 until 20).map(i =>
+      coalesce(lag(col("cnt"), i).over(w), lit(0L)) * lit(1L << (19 - i)))
+    filled.withColumn("ewma_scaled", scaled.reduce(_ + _))
+      .withColumn("ewma_r", round(col("ewma_scaled") / 1048575.0, 6))
+      .orderBy("event_type", "day")
+  }
+
+  val qEwmaDailyOracle: String = {
+    val terms = s"cnt * ${1L << 19}" + (1 until 20).map(i =>
+      s" + COALESCE(lag(cnt, $i) OVER w, 0) * ${1L << (19 - i)}").mkString
+    s"""WITH d AS (
+       |  SELECT event_type, epoch_us(ts) // 86400000000 AS day FROM events),
+       |c AS (SELECT event_type, day, COUNT(*) AS cnt FROM d GROUP BY 1, 2),
+       |b AS (SELECT MIN(day) AS mind, MAX(day) AS maxd FROM d),
+       |t AS (SELECT DISTINCT event_type FROM d),
+       |sp AS (SELECT t.event_type, u.day
+       |       FROM t, b, unnest(generate_series(b.mind, b.maxd)) AS u(day)),
+       |f AS (SELECT sp.event_type, CAST(sp.day AS BIGINT) AS day,
+       |        COALESCE(c.cnt, 0) AS cnt
+       |      FROM sp LEFT JOIN c ON c.event_type = sp.event_type AND c.day = sp.day)
+       |SELECT event_type, day, cnt,
+       |  CAST($terms AS BIGINT) AS ewma_scaled,
+       |  round(($terms) / 1048575.0, 6) AS ewma_r
+       |FROM f WINDOW w AS (PARTITION BY event_type ORDER BY day)
+       |ORDER BY event_type, day""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_ewma_daily" -> (qEwmaDaily _),
     "q_rolling_active_users" -> (qRollingActiveUsers _),
     "q_funnel" -> (qFunnel _),
     "q_retention" -> (qRetention _),
@@ -266,6 +323,7 @@ object EventOps {
     "q_zscore_outliers" -> (qZscoreOutliers _))
 
   val oracles: Map[String, String] = Map(
+    "q_ewma_daily" -> qEwmaDailyOracle,
     "q_rolling_active_users" -> qRollingActiveUsersOracle,
     "q_funnel" -> qFunnelOracle,
     "q_retention" -> qRetentionOracle,

@@ -555,6 +555,7 @@ class PlanAuditSpec extends SparkSpec {
       "sim_ivfpq_topk", "sim_kmeans_iter", "dedup_semdedup",
       "dedup_semantic_clusters", "sample_mixture", "pipeline_corpus",
       "text_tfidf", "text_lm_score", "q_rolling_active_users",
+      "q_ewma_daily",
       "q22_idle_balances", "q_profile_stats", "sample_drift_psi",
       "q15_top_supplier", "q14_promo_effect", "q8_market_share",
       "q17_correlated_avg", "q_approx_distinct", "q_approx_quantiles",
