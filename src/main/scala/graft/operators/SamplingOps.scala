@@ -406,7 +406,75 @@ object SamplingOps {
        |FROM z GROUP BY shard ORDER BY shard""".stripMargin
   }
 
+  // ---- Token-budget data selection ----
+
+  /** QUALITY-RANKED SELECTION UNDER A TOKEN BUDGET — the curation
+    * step that turns "we scored every document" into "this is the
+    * training set": take the highest-quality documents until half the
+    * corpus tokens are spent (rank = quality level desc, doc_id asc).
+    *
+    * The DEFINITION is a global running sum over the quality-sorted
+    * corpus — a total sort, unthinkable at 100 TB. The PLAN is the
+    * histogram/threshold decomposition: (1) one tiny aggregate of
+    * token mass per integer quality level (≤101 rows), (2) a
+    * cumulative over those levels to classify each level whole-in /
+    * whole-out / boundary, (3) a map-only verdict for every document
+    * EXCEPT the single boundary level, which alone pays a within-level
+    * running-sum window. The oracle IS the naive global-sort
+    * definition, so the hash-match proves the decomposition exact —
+    * the same twin discipline as the bloom decontamination pair.
+    * Quality level = floor(100 × the repo's TTR×(1−stop-ratio) score
+    * (TextOps.qQuality) — identical double expression both engines. */
+  def qTokenBudget(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ts = split(col("text"), " ")
+    val stop = filter(ts, x => x.isin("the", "a", "of", "and", "to"))
+    val docs = Tables.documents(spark, sfDir).select(
+      col("doc_id"),
+      floor((size(array_distinct(ts)).cast(DoubleType) / size(ts)) *
+        (lit(1.0) - size(stop).cast(DoubleType) / size(ts)) * 100)
+        .cast("int").as("q"),
+      size(ts).cast("long").as("n_tokens"))
+    // tokens per quality level + tokens in strictly better levels
+    // (≤101 rows — the single-partition window is model-sized)
+    val wl = Window.orderBy(col("q").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val lv = docs.groupBy(col("q"))
+      .agg(sum(col("n_tokens")).as("lvl_tokens"))
+      .withColumn("cum_before", coalesce(sum(col("lvl_tokens")).over(wl), lit(0L)))
+    val budget = docs.agg(expr("sum(n_tokens) DIV 2").as("budget"))
+    val d = docs.join(broadcast(lv), Seq("q")).crossJoin(broadcast(budget))
+    val allIn = d.filter(col("cum_before") + col("lvl_tokens") <= col("budget"))
+      .select(col("doc_id"), col("q"), col("n_tokens"), lit(true).as("selected"))
+    val allOut = d.filter(col("cum_before") >= col("budget"))
+      .select(col("doc_id"), col("q"), col("n_tokens"), lit(false).as("selected"))
+    val wb = Window.partitionBy(col("q")).orderBy(col("doc_id"))
+    val boundary = d
+      .filter(col("cum_before") < col("budget") &&
+        col("cum_before") + col("lvl_tokens") > col("budget"))
+      .withColumn("run", sum(col("n_tokens")).over(wb))
+      .select(col("doc_id"), col("q"), col("n_tokens"),
+        (col("cum_before") + col("run") <= col("budget")).as("selected"))
+    allIn.union(allOut).union(boundary).orderBy("doc_id")
+  }
+
+  /** The NAIVE definition: one global running sum over the sorted
+    * corpus — correct, and exactly what the plan must reproduce. */
+  val qTokenBudgetOracle: String =
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+      |d AS (SELECT doc_id,
+      |  CAST(floor(((CAST(len(list_distinct(ts)) AS DOUBLE) / len(ts)) *
+      |    (1.0 - CAST(len(list_filter(ts, x -> x IN ('the','a','of','and','to'))) AS DOUBLE)
+      |      / len(ts))) * 100) AS INT) AS q,
+      |  CAST(len(ts) AS BIGINT) AS n_tokens FROM t),
+      |b AS (SELECT SUM(n_tokens) // 2 AS budget FROM d),
+      |r AS (SELECT doc_id, q, n_tokens,
+      |  SUM(n_tokens) OVER (ORDER BY q DESC, doc_id) AS cum FROM d)
+      |SELECT r.doc_id, r.q, r.n_tokens, r.cum <= b.budget AS selected
+      |FROM r, b ORDER BY r.doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sample_token_budget" -> (qTokenBudget _),
     "sample_zorder_layout" -> (qZorderLayout _),
     "sample_train_order" -> (qTrainOrder _),
     "sample_drift_psi" -> (qDriftPsi _),
@@ -418,6 +486,7 @@ object SamplingOps {
     "sample_importance" -> (qImportanceSample _))
 
   val oracles: Map[String, String] = Map(
+    "sample_token_budget" -> qTokenBudgetOracle,
     "sample_zorder_layout" -> qZorderLayoutOracle,
     "sample_train_order" -> qTrainOrderOracle,
     "sample_drift_psi" -> qDriftPsiOracle,

@@ -554,6 +554,7 @@ class PlanAuditSpec extends SparkSpec {
       "sim_ivf_probe", "sim_ivf_multiprobe", "sim_kmeans_step",
       "sim_ivfpq_topk", "sim_kmeans_iter", "dedup_semdedup",
       "dedup_semantic_clusters", "sample_mixture", "pipeline_corpus",
+      "sample_token_budget",
       "text_tfidf", "text_lm_score", "q_rolling_active_users",
       "q_ewma_daily",
       "q22_idle_balances", "q_profile_stats", "sample_drift_psi",
