@@ -768,6 +768,78 @@ object StatefulOps {
         timeModeFor(ttl), OutputMode.Append())
   }
 
+  case class DailyCount(event_type: String, day: Long, cnt: Long)
+  case class EwmaPoint(event_type: String, day: Long, cnt: Long,
+    ewma_scaled: Long)
+  /** Last ≤20 daily counts, most-recent-first; `lastDay` = counts.head's day. */
+  case class EwmaState(lastDay: Long, counts: Seq[Long])
+
+  private[graft] val EwmaHorizon = 20
+
+  /** The EWMA transition for ONE event type: given the stored tail and
+    * this batch's ascending (day, cnt) rows, reconstruct the zero-count
+    * GAP DAYS since the last seen day by shifting the tail (the
+    * streaming gap fill — a quiet day must decay the average exactly
+    * like the batch spine's zero row), emit the fixed-point smoothed
+    * value (weight of lag i = 2^(19−i), exact Long — identical to the
+    * batch `EventOps.qEwmaDaily` formula), and advance the tail.
+    * Re-delivered days (day ≤ lastDay) are dropped — replay-idempotent.
+    * Split law (any batch cut + threaded state = one-pass) is
+    * ScalaCheck'd in EwmaLaws. */
+  private[graft] def advanceEwma(st0: Option[EwmaState],
+      rows: Seq[(Long, Long)]): (Option[EwmaState], Seq[(Long, Long, Long)]) = {
+    var st = st0
+    val out = scala.collection.mutable.ArrayBuffer[(Long, Long, Long)]()
+    rows.sortBy(_._1).foreach { case (day, cnt) =>
+      if (!st.exists(_.lastDay >= day)) {
+        val tail: Seq[Long] = st match {
+          case None => Seq.empty
+          case Some(EwmaState(last, counts)) =>
+            val gap = math.min(day - last - 1, EwmaHorizon.toLong).toInt
+            (Seq.fill(gap)(0L) ++ counts).take(EwmaHorizon - 1)
+        }
+        val window = (cnt +: tail).padTo(EwmaHorizon, 0L)
+        val scaled = window.zipWithIndex.map {
+          case (c, i) => c * (1L << (EwmaHorizon - 1 - i)) }.sum
+        out += ((day, cnt, scaled))
+        st = Some(EwmaState(day, cnt +: tail))
+      }
+    }
+    (st, out.toSeq)
+  }
+
+  final class EwmaProcessor(ttl: TTLConfig = TTLConfig.NONE)
+      extends StatefulProcessor[String, DailyCount, EwmaPoint] {
+    @transient private var st: ValueState[EwmaState] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      st = getHandle.getValueState[EwmaState]("ewmaTail",
+        Encoders.product[EwmaState], ttl)
+    override def handleInputRows(eventType: String, rows: Iterator[DailyCount],
+        tv: TimerValues): Iterator[EwmaPoint] = {
+      val st0 = if (st.exists()) Some(st.get()) else None
+      val (st1, out) = advanceEwma(st0, rows.map(r => (r.day, r.cnt)).toSeq)
+      st1.foreach(st.update)
+      out.iterator.map { case (d, c, s) => EwmaPoint(eventType, d, c, s) }
+    }
+  }
+
+  /** STREAMING EWMA twin of the batch `EventOps.qEwmaDaily`: the input
+    * is the daily per-type count stream (what a windowed upstream agg
+    * emits — zero-count days never arrive, which is exactly why the
+    * processor's gap shift exists), state is one ≤20-long tail per
+    * event type (O(types × horizon) — TTL-boundable like every twin
+    * here), and each arriving day emits the same exact fixed-point
+    * smoothed value as the batch spine query at that (type, day) —
+    * asserted row-for-row in StatefulOpsSpec. RocksDB state store
+    * required. */
+  def streamingEwma(counts: Dataset[DailyCount],
+      ttl: TTLConfig = TTLConfig.NONE): Dataset[EwmaPoint] = {
+    import counts.sparkSession.implicits._
+    counts.groupByKey(_.event_type)
+      .transformWithState(new EwmaProcessor(ttl), timeModeFor(ttl),
+        OutputMode.Append())
+  }
+
   case class QuotaDoc(doc_id: Long, source: String, ts: java.sql.Timestamp)
 
   /** Streaming per-source QUOTA sampler — the ingest-side counterpart

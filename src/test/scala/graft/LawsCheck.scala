@@ -562,3 +562,45 @@ object QuotaLaws extends Properties("advanceQuota") {
       (a1 ++ a2) == onePass
     }
 }
+
+object EwmaLaws extends Properties("advanceEwma") {
+  import graft.streaming.StatefulOps
+
+  /** Ascending, distinct (day, cnt) series — what a windowed daily
+    * rollup emits per event type. */
+  private val series: Gen[List[(Long, Long)]] = for {
+    n <- Gen.choose(0, 40)
+    days <- Gen.listOfN(n, Gen.choose(0L, 80L)).map(_.distinct.sorted)
+    cnts <- Gen.listOfN(days.length, Gen.choose(1L, 1000L))
+  } yield days.zip(cnts)
+
+  property("any batch cut + threaded state = one pass") =
+    forAll(series, Gen.choose(0, 40)) { (s, cutRaw) =>
+      val cut = math.min(cutRaw, s.length)
+      val (a, b) = s.splitAt(cut)
+      val (st1, o1) = StatefulOps.advanceEwma(None, a)
+      val (_, o2) = StatefulOps.advanceEwma(st1, b)
+      val (_, all) = StatefulOps.advanceEwma(None, s)
+      (o1 ++ o2) == all
+    }
+
+  property("smoothed value equals the direct 20-day fixed-point formula") =
+    forAll(series) { s =>
+      val m = s.toMap
+      val (_, out) = StatefulOps.advanceEwma(None, s)
+      out.size == s.size && out.forall { case (day, cnt, scaled) =>
+        val direct = (0 until StatefulOps.EwmaHorizon).map { i =>
+          m.getOrElse(day - i, 0L) *
+            (1L << (StatefulOps.EwmaHorizon - 1 - i))
+        }.sum
+        cnt == m(day) && scaled == direct
+      }
+    }
+
+  property("re-delivered days emit nothing and leave state unchanged") =
+    forAll(series) { s =>
+      val (st1, _) = StatefulOps.advanceEwma(None, s)
+      val (st2, replay) = StatefulOps.advanceEwma(st1, s)
+      replay.isEmpty && st2 == st1
+    }
+}

@@ -971,4 +971,58 @@ class StatefulOpsSpec extends SparkSpec {
       assert(latest("orders").getAs[Long]("inserts") === 1)
     } finally q.stop()
   }
+
+  test("streaming ewma emits the batch twin's exact fixed-point value per arriving day") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      // batch reference: the gap-filled spine query
+      val batch = graft.operators.EventOps.qEwmaDaily(spark, sf).collect()
+        .map(r => (r.getString(0), r.getLong(1)) ->
+          ((r.getLong(2), r.getLong(3)))).toMap
+      // the natural stream: NON-ZERO daily counts only (a windowed
+      // rollup emits nothing for a quiet day — the processor's gap
+      // shift must reconstruct those zeros)
+      val daily = Tables.events(spark, sf)
+        .select(col("event_type"),
+          expr("unix_micros(ts) DIV 86400000000").as("day"))
+        .groupBy("event_type", "day").count()
+        .collect()
+        .map(r => StatefulOps.DailyCount(r.getString(0), r.getLong(1),
+          r.getLong(2)))
+        .sortBy(d => (d.day, d.event_type))
+      // split at a day boundary so per-type order survives the cut
+      val midDay = daily(daily.length / 2).day
+      val (first, second) = daily.partition(_.day < midDay)
+      val in = MemoryStream[StatefulOps.DailyCount]
+      val q = StatefulOps.streamingEwma(in.toDS())
+        .writeStream.format("memory").queryName("ewma_out")
+        .outputMode("append").start()
+      try {
+        in.addData(first.toSeq)
+        q.processAllAvailable()
+        in.addData(second.toSeq)
+        q.processAllAvailable()
+        val got = spark.table("ewma_out").collect()
+          .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        // one emission per arriving (type, day), equal to the batch row
+        assert(got.length === daily.length)
+        got.foreach { case (t, d, cnt, scaled) =>
+          assert(batch((t, d)) === ((cnt, scaled)),
+            s"mismatch at ($t, $d)")
+        }
+        // the cut exercised the cross-batch gap shift
+        assert(second.nonEmpty && first.nonEmpty)
+      } finally q.stop()
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
 }
