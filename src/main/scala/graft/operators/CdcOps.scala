@@ -399,7 +399,73 @@ object CdcOps {
       |ORDER BY user_id, version""".stripMargin
 
   /** All CDC queries + oracles, for SparkEntry registration. */
+  /** SNAPSHOT RECONCILIATION → CDC derivation: diff two table
+    * snapshots into the insert/update/delete stream that connects
+    * them — what a pipeline runs to BACKFILL a change stream when no
+    * WAL was captured (the snapshot-vs-resnapshot reconcile of every
+    * CDC deployment; the inverse of [[qSnapshot]], which APPLIES a
+    * stream to get a snapshot). Reference analogue: the initial
+    * table COPY the source performs before streaming
+    * (source/postgres/postgres.go — snapshot then WAL).
+    *
+    * The two states are derived deterministically from `documents`
+    * so the oracle rebuilds them bit-for-bit: the base snapshot is
+    * missing every doc_id ≡ 3 (mod 11) (→ inserts), carries a stale
+    * half-length text for doc_id ≡ 5 (mod 13) (→ updates), and the
+    * next snapshot dropped doc_id ≡ 2 (mod 17) (→ deletes).
+    *
+    * Scale shape: each side reduces to (key, md5 fingerprint)
+    * MAP-SIDE — the join ships 16-byte digests, never the payload —
+    * then ONE full-outer hash join on the key classifies every row;
+    * unchanged keys (the overwhelming mass of a daily diff) drop in
+    * the post-join filter. Column pruning keeps the scans at
+    * (doc_id, text, n_chars); lang/source never leave the parquet
+    * (pinned in CdcOpsSpec). */
+  def qSnapshotDiff(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    val base = docs.filter(col("doc_id") % 11 =!= 3)
+      .select(col("doc_id"), md5(
+        when(col("doc_id") % 13 === 5,
+          expr("substr(text, 1, CAST(n_chars DIV 2 AS INT))"))
+          .otherwise(col("text")).cast("binary")).as("base_fp"))
+    val next = docs.filter(col("doc_id") % 17 =!= 2)
+      .select(col("doc_id"), md5(col("text").cast("binary")).as("next_fp"))
+    base.join(next, Seq("doc_id"), "full_outer")
+      .withColumn("op",
+        when(col("base_fp").isNull, "insert")
+          .when(col("next_fp").isNull, "delete")
+          .when(col("base_fp") =!= col("next_fp"), "update"))
+      .filter(col("op").isNotNull)
+      .select(col("doc_id"), col("op"),
+        coalesce(col("base_fp"), lit("")).as("base_fp"),
+        coalesce(col("next_fp"), lit("")).as("next_fp"))
+      .orderBy("doc_id")
+  }
+
+  val qSnapshotDiffOracle: String =
+    """WITH base AS (
+      |  SELECT doc_id, md5(CASE WHEN doc_id % 13 = 5
+      |      THEN substr(text, 1, CAST(n_chars // 2 AS INT))
+      |      ELSE text END) AS base_fp
+      |  FROM documents WHERE doc_id % 11 != 3),
+      |nxt AS (
+      |  SELECT doc_id, md5(text) AS next_fp
+      |  FROM documents WHERE doc_id % 17 != 2),
+      |j AS (
+      |  SELECT COALESCE(b.doc_id, n.doc_id) AS doc_id, b.base_fp, n.next_fp
+      |  FROM base b FULL OUTER JOIN nxt n ON b.doc_id = n.doc_id)
+      |SELECT doc_id,
+      |  CASE WHEN base_fp IS NULL THEN 'insert'
+      |       WHEN next_fp IS NULL THEN 'delete'
+      |       ELSE 'update' END AS op,
+      |  COALESCE(base_fp, '') AS base_fp,
+      |  COALESCE(next_fp, '') AS next_fp
+      |FROM j
+      |WHERE base_fp IS NULL OR next_fp IS NULL OR base_fp != next_fp
+      |ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "cdc_snapshot_diff" -> (qSnapshotDiff _),
     "cdc_envelope" -> (qEnvelope _),
     "cdc_validity_filter" -> (qValidity _),
     "cdc_route_fallback" -> (qRouteFallback _),
@@ -413,6 +479,7 @@ object CdcOps {
     "cdc_scd2" -> (qScd2 _))
 
   val oracles: Map[String, String] = Map(
+    "cdc_snapshot_diff" -> qSnapshotDiffOracle,
     "cdc_envelope" -> qEnvelopeOracle,
     "cdc_validity_filter" -> qValidityOracle,
     "cdc_route_fallback" -> qRouteFallbackOracle,

@@ -81,4 +81,40 @@ class CdcOpsSpec extends SparkSpec {
     val replayed = events.withColumn("uuid", CdcOps.deterministicUuid(col("event_id")))
     assert(replayed.unionAll(replayed).dropDuplicates("uuid").count() === n)
   }
+
+  test("snapshot diff derives exactly the insert/update/delete set between the two states") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"), col("text"), col("n_chars")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val inBase = docs.filter(_._1 % 11 != 3).map { case (id, t, nc) =>
+      id -> (if (id % 13 == 5) t.substring(0, math.min(t.length, (nc / 2).toInt)) else t)
+    }.toMap
+    val inNext = docs.filter(_._1 % 17 != 2).map(d => d._1 -> d._2).toMap
+    val want = (inBase.keySet ++ inNext.keySet).toSeq.sorted.flatMap { id =>
+      (inBase.get(id), inNext.get(id)) match {
+        case (None, Some(_))              => Some(id -> "insert")
+        case (Some(_), None)              => Some(id -> "delete")
+        case (Some(b), Some(n)) if b != n => Some(id -> "update")
+        case _                            => None
+      }
+    }
+    val got = CdcOps.qSnapshotDiff(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    assert(got.toSeq === want)
+    // all three change kinds are exercised by the derived states
+    assert(Set("insert", "update", "delete").subsetOf(got.map(_._2).toSet))
+  }
+
+  test("snapshot diff plan: digest-only full-outer equi-join, pruned scans") {
+    val df = CdcOps.qSnapshotDiff(spark, sf)
+    val p = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(p.contains("FullOuter"), "reconciliation must be a full outer join")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), "must join on the key")
+    // the payload never leaves the scan: fingerprints are computed
+    // map-side and lang/source are pruned out of the parquet read
+    assert(!p.contains("lang") && !p.contains("source#"),
+      "scans must prune to (doc_id, text, n_chars)")
+  }
 }
