@@ -464,7 +464,110 @@ object CdcOps {
       |WHERE base_fp IS NULL OR next_fp IS NULL OR base_fp != next_fp
       |ORDER BY doc_id""".stripMargin
 
+  /** MERGE / upsert apply — the INCREMENTAL consumer of the change
+    * stream: apply one change BATCH onto an existing BASE state and
+    * emit the new state, without ever replaying the full log (the
+    * `MERGE INTO` a warehouse runs per micro-batch on the reference's
+    * topics; completes the triangle with [[qSnapshot]], which replays
+    * everything, and [[qSnapshotDiff]], which derives the stream).
+    *
+    * The WAL splits at the midpoint W = max(wal)/2 (a driver-side
+    * scalar off a column-pruned scan): base = per-key state of the
+    * prefix (tombstones dropped, as a materialized table stores no
+    * deletes), batch = the suffix collapsed to latest-per-key WITH
+    * delete markers kept. Merge semantics: a batch delete removes the
+    * key; any other batch row upserts (an update on a key the base
+    * never had — e.g. deleted in the prefix — inserts, the standard
+    * `WHEN NOT MATCHED` arm); untouched base rows pass through. Each
+    * row reports which arm fired (`op` ∈ insert/update/keep).
+    *
+    * The algebraic gate: merge(state(prefix), batch(suffix)) must
+    * equal state(full log) — the oracle computes the split-and-merge
+    * dataflow in DuckDB and the spec asserts equality against
+    * [[qSnapshot]] row-for-row, so the merge law is checked from two
+    * independent directions.
+    *
+    * Scale shape: both sides collapse with ONE map-side-combining
+    * groupBy each (the batch's is tiny), then ONE full-outer hash
+    * join on the key. At 100 TB the base is a stored table
+    * partitioned/bucketed on the key: the join co-locates without a
+    * base shuffle, and with partition-level change pruning only the
+    * partitions the batch touches rewrite — the plan here is that
+    * shape minus the storage layout. */
+  def qApplyMerge(spark: SparkSession, sfDir: String): DataFrame = {
+    val env = filterActions(toEnvelope(Tables.events(spark, sfDir)))
+      .select(
+        element_at(col("columns"), "user_id").as("user_id"),
+        col("wal_position"), col("action"),
+        element_at(col("columns"), "props").as("props"))
+    val maxWal = Tables.events(spark, sfDir)
+      .agg(max(col("event_id"))).head.getLong(0)
+    val w = maxWal / 2
+    def collapsed(df: DataFrame) = df.groupBy(col("user_id")).agg(
+      max(col("wal_position")).as("wal"),
+      max_by(col("action"), col("wal_position")).as("act"),
+      max_by(col("props"), col("wal_position")).as("props"))
+    val base = collapsed(env.filter(col("wal_position") <= w))
+      .filter(col("act") =!= ChangeEvent.Delete)
+      .select(col("user_id"), col("wal").as("b_wal"),
+        col("act").as("b_act"), col("props").as("b_props"))
+    val batch = collapsed(env.filter(col("wal_position") > w))
+      .select(col("user_id"), col("wal").as("c_wal"),
+        col("act").as("c_act"), col("props").as("c_props"))
+    mergeStates(base, batch).orderBy(col("user_id"))
+  }
+
+  /** The merge arm proper: base (b_wal/b_act/b_props, no tombstones)
+    * ⟗ batch (c_wal/c_act/c_props, deletes kept as markers) on
+    * user_id; batch deletes remove, other batch rows upsert, untouched
+    * base rows pass through. Exposed so the three arms are unit-
+    * testable on synthetic states (the fixture's dense stream never
+    * produces a `keep`). */
+  private[graft] def mergeStates(base: DataFrame, batch: DataFrame): DataFrame =
+    base.join(batch, Seq("user_id"), "full_outer")
+      .filter(coalesce(col("c_act"), col("b_act")) =!= ChangeEvent.Delete)
+      .select(col("user_id"),
+        coalesce(col("c_wal"), col("b_wal")).as("last_wal"),
+        coalesce(col("c_act"), col("b_act")).as("last_action"),
+        coalesce(col("c_props"), col("b_props")).as("props"),
+        when(col("c_act").isNull, "keep")
+          .when(col("b_act").isNull, "insert")
+          .otherwise("update").as("op"))
+
+  /** The same split-collapse-merge dataflow in DuckDB (W as a scalar
+    * subquery); equality with [[qSnapshotOracle]]'s state is what the
+    * spec checks on the Spark side. */
+  val qApplyMergeOracle: String =
+    """WITH env AS (
+      |  SELECT CAST(user_id AS VARCHAR) AS user_id, event_id AS wal, props,
+      |    CASE event_type WHEN 'signup' THEN 'insert'
+      |         WHEN 'purchase' THEN 'update'
+      |         WHEN 'error' THEN 'delete' END AS action
+      |  FROM events
+      |  WHERE event_type IN ('signup', 'purchase', 'error')),
+      |w AS (SELECT MAX(event_id) // 2 AS w FROM events),
+      |base AS (
+      |  SELECT user_id, MAX(wal) AS b_wal, arg_max(action, wal) AS b_act,
+      |    arg_max(props, wal) AS b_props
+      |  FROM env WHERE wal <= (SELECT w FROM w) GROUP BY 1
+      |  HAVING arg_max(action, wal) <> 'delete'),
+      |batch AS (
+      |  SELECT user_id, MAX(wal) AS c_wal, arg_max(action, wal) AS c_act,
+      |    arg_max(props, wal) AS c_props
+      |  FROM env WHERE wal > (SELECT w FROM w) GROUP BY 1)
+      |SELECT COALESCE(b.user_id, c.user_id) AS user_id,
+      |  COALESCE(c_wal, b_wal) AS last_wal,
+      |  COALESCE(c_act, b_act) AS last_action,
+      |  COALESCE(c_props, b_props) AS props,
+      |  CASE WHEN c_act IS NULL THEN 'keep'
+      |       WHEN b_act IS NULL THEN 'insert'
+      |       ELSE 'update' END AS op
+      |FROM base b FULL OUTER JOIN batch c ON b.user_id = c.user_id
+      |WHERE COALESCE(c_act, b_act) <> 'delete'
+      |ORDER BY user_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "cdc_apply_merge" -> (qApplyMerge _),
     "cdc_snapshot_diff" -> (qSnapshotDiff _),
     "cdc_envelope" -> (qEnvelope _),
     "cdc_validity_filter" -> (qValidity _),
@@ -479,6 +582,7 @@ object CdcOps {
     "cdc_scd2" -> (qScd2 _))
 
   val oracles: Map[String, String] = Map(
+    "cdc_apply_merge" -> qApplyMergeOracle,
     "cdc_snapshot_diff" -> qSnapshotDiffOracle,
     "cdc_envelope" -> qEnvelopeOracle,
     "cdc_validity_filter" -> qValidityOracle,

@@ -105,6 +105,49 @@ class CdcOpsSpec extends SparkSpec {
     assert(Set("insert", "update", "delete").subsetOf(got.map(_._2).toSet))
   }
 
+  test("apply-merge law: merge(state(prefix), batch(suffix)) equals state(full log)") {
+    val merged = CdcOps.qApplyMerge(spark, sf)
+    val full = CdcOps.qSnapshot(spark, sf)
+      .select("user_id", "last_wal", "last_action", "props")
+    assert(merged.select("user_id", "last_wal", "last_action", "props")
+      .collect().toSeq === full.collect().toSeq)
+    // the dense fixture stream touches every key in the suffix, so the
+    // fixture exercises the upsert arms; `keep` is pinned synthetically
+    val ops = merged.select("op").collect().map(_.getString(0)).toSet
+    assert(Set("insert", "update").subsetOf(ops))
+  }
+
+  test("merge arms: keep / update / insert / delete each fire on a synthetic state") {
+    import spark.implicits._
+    val base = Seq(
+      ("u1", 10L, "insert", "p1"), ("u2", 11L, "insert", "p2"),
+      ("u3", 12L, "update", "p3"))
+      .toDF("user_id", "b_wal", "b_act", "b_props")
+    val batch = Seq(
+      ("u2", 20L, "update", "p2b"), ("u3", 21L, "delete", null),
+      ("u4", 22L, "update", "p4"))
+      .toDF("user_id", "c_wal", "c_act", "c_props")
+    val got = CdcOps.mergeStates(base, batch).orderBy("user_id").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2),
+        r.getString(3), r.getString(4)))
+    assert(got.toSeq === Seq(
+      ("u1", 10L, "insert", "p1", "keep"),     // untouched base row
+      ("u2", 20L, "update", "p2b", "update"),  // matched upsert
+      ("u4", 22L, "update", "p4", "insert")))  // unmatched upsert
+    // u3 deleted; a batch delete of an absent key is also a no-op
+    val delOnly = batch.filter(col("user_id") === "u3")
+      .withColumn("user_id", lit("u9"))
+    assert(CdcOps.mergeStates(base.limit(0), delOnly).count() === 0)
+  }
+
+  test("apply-merge plan: one full-outer equi-join on the key, no nested loop") {
+    val p = CdcOps.qApplyMerge(spark, sf).queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(p.contains("FullOuter"), "merge must be a full outer join")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), "must join on the key")
+  }
+
   test("snapshot diff plan: digest-only full-outer equi-join, pruned scans") {
     val df = CdcOps.qSnapshotDiff(spark, sf)
     val p = df.queryExecution.explainString(
