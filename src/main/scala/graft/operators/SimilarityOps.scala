@@ -1815,7 +1815,85 @@ object SimilarityOps {
       |FROM rk WHERE rank = 1
       |ORDER BY vec_id""".stripMargin
 
+  /** LINEAR-SVM subgradient step (Pegasos, Shalev-Shwartz et al. 2007
+    * — public): one distributed pass of hinge-loss subgradient
+    * computation for a binary quality/domain classifier over the
+    * embedding corpus (y = +1 for labels 0–4, −1 for 5–9). This is
+    * the training half the curation loop runs in-engine: the driver
+    * applies the step + regularization; the CLUSTER computes the
+    * gradient — the only part that touches 100 TB.
+    *
+    * Exactness: everything is fixed-point Long. Weights are the
+    * deterministic integer vector w_d = (d·2654435761) mod 2001 −
+    * 1000 (a Knuth-hash spread, rebuilt identically by both engines —
+    * no shipped state, same discipline as the JL sign matrix); inputs
+    * are the millionth-quantized embeddings, so the margin y·⟨w,q⟩
+    * is exact (|z| ≤ 64·10³·10⁶ ≈ 6·10¹⁰) and "functional margin
+    * < 1.0" is the integer compare y·z < 10⁹ (w scaled 10³ × q scaled
+    * 10⁶). Per-dim subgradient Σ−y·q_d and loss Σ(10⁹−y·z) are Long
+    * sums — order-independent, bit-exact in DuckDB.
+    *
+    * Scale shape: margins are map-only (the weight vector is a plan
+    * literal); ONLY violator rows explode to (dim, −y·q) — at a
+    * converged model that is a vanishing slice of the corpus — and
+    * the per-dim aggregation shuffles 64 keys with map-side combine.
+    * One corpus scan, one tiny shuffle, no joins. */
+  def qSimSvmStep(spark: SparkSession, sfDir: String): DataFrame = {
+    val nd = 64
+    val wLit = typedlit((0 until nd).map(d => (d * 2654435761L) % 2001L - 1000L))
+    val margins = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("label"),
+        transform(col("embedding"),
+          x => floor(x.cast("double") * 1000000).cast("long")).as("q"))
+      .withColumn("y", when(col("label") < 5, 1L).otherwise(-1L))
+      .withColumn("z", aggregate(
+        zip_with(col("q"), wLit, (a, b) => a * b), lit(0L), (acc, x) => acc + x))
+      .withColumn("viol", col("y") * col("z") < lit(1000000000L))
+    val viol = margins.filter(col("viol"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nViol = viol.count()
+    val lossSum = viol.agg(sum(lit(1000000000L) - col("y") * col("z")))
+      .head.getLong(0)
+    viol
+      .select(col("y"), posexplode(col("q")).as(Seq("dim", "qd")))
+      .groupBy(col("dim"))
+      .agg(sum(-col("y") * col("qd")).as("grad_d"))
+      .select(col("dim"),
+        (element_at(wLit, col("dim") + 1)).as("w_d"),
+        col("grad_d"),
+        lit(nViol).as("n_violators"),
+        lit(lossSum).as("hinge_loss_sum"))
+      .orderBy(col("dim"))
+  }
+
+  /** Same weight derivation, quantization, margin compare, and Long
+    * sums; violator slice via a WHERE on the exact integer margin. */
+  val qSimSvmStepOracle: String =
+    """WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+      |q AS (SELECT vec_id, label,
+      |    CASE WHEN label < 5 THEN 1 ELSE -1 END AS y,
+      |    list_transform(v, x -> CAST(floor(x * 1000000) AS BIGINT)) AS qv
+      |  FROM e),
+      |w AS (SELECT d, (d * 2654435761) % 2001 - 1000 AS w_d
+      |      FROM unnest(generate_series(0, 63)) AS u(d)),
+      |m AS (SELECT vec_id, y, qv,
+      |    CAST(list_sum(list_transform(generate_series(1, len(qv)),
+      |      i -> qv[i] * ((CAST(i - 1 AS BIGINT) * 2654435761) % 2001 - 1000)))
+      |      AS BIGINT) AS z
+      |  FROM q),
+      |viol AS (SELECT * FROM m WHERE y * z < 1000000000),
+      |tot AS (SELECT COUNT(*) AS n_violators,
+      |    CAST(SUM(1000000000 - y * z) AS BIGINT) AS hinge_loss_sum
+      |  FROM viol),
+      |g AS (SELECT u.i - 1 AS dim, CAST(SUM(-y * qv[u.i]) AS BIGINT) AS grad_d
+      |  FROM viol, unnest(generate_series(1, len(qv))) AS u(i)
+      |  GROUP BY 1)
+      |SELECT g.dim, w.w_d, g.grad_d, tot.n_violators, tot.hinge_loss_sum
+      |FROM g JOIN w ON w.d = g.dim CROSS JOIN tot
+      |ORDER BY g.dim""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sim_svm_step" -> (qSimSvmStep _),
     "sim_label_outliers" -> (qSimLabelOutliers _),
     "sim_hard_negatives" -> (qSimHardNegatives _),
     "sim_pq_encode" -> (qSimPqEncode _),
@@ -1843,6 +1921,7 @@ object SimilarityOps {
     "sim_quantize_int8" -> (qQuantizeInt8 _))
 
   val oracles: Map[String, String] = Map(
+    "sim_svm_step" -> qSimSvmStepOracle,
     "sim_label_outliers" -> qSimLabelOutliersOracle,
     "sim_hard_negatives" -> qSimHardNegativesOracle,
     "sim_pq_encode" -> qSimPqEncodeOracle,

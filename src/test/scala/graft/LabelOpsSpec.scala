@@ -77,4 +77,28 @@ class LabelOpsSpec extends SparkSpec {
     assert(got.map(_._1).toSet === best.keySet,
       "exactly one row per vector that has a crossing candidate")
   }
+
+  test("svm step equals a driver-side exact-integer hinge-subgradient pass") {
+    val w = Array.tabulate(64)(d => (d * 2654435761L) % 2001L - 1000L)
+    val viol = raw.map { case (_, l, qv) =>
+      val y = if (l < 5) 1L else -1L
+      val z = qv.zip(w).map { case (a, b) => a * b }.sum
+      (y, z, qv)
+    }.filter { case (y, z, _) => y * z < 1000000000L }
+    val wantGrad = Array.tabulate(64)(d =>
+      viol.map { case (y, _, qv) => -y * qv(d) }.sum)
+    val wantLoss = viol.map { case (y, z, _) => 1000000000L - y * z }.sum
+    val got = SimilarityOps.qSimSvmStep(spark, sf).collect()
+    assert(got.length === 64)
+    got.foreach { r =>
+      val d = r.getAs[Int]("dim")
+      assert(r.getAs[Long]("w_d") === w(d))
+      assert(r.getAs[Long]("grad_d") === wantGrad(d))
+      assert(r.getAs[Long]("n_violators") === viol.length.toLong)
+      assert(r.getAs[Long]("hinge_loss_sum") === wantLoss)
+    }
+    // the margin separates: the fixture must exercise BOTH arms, or
+    // the violator filter proves nothing
+    assert(viol.length > 0 && viol.length < raw.length)
+  }
 }
