@@ -473,7 +473,71 @@ object SamplingOps {
       |SELECT r.doc_id, r.q, r.n_tokens, r.cum <= b.budget AS selected
       |FROM r, b ORDER BY r.doc_id""".stripMargin
 
+  /** SMALL-FILE COMPACTION planner — the table-maintenance pass every
+    * partitioned 100 TB table needs (the public `OPTIMIZE` /
+    * RewriteDataFiles shape of Delta/Iceberg): given a file manifest,
+    * pack each partition's files IN ORDER into target-sized output
+    * bins, so the rewrite step that follows is an embarrassingly
+    * parallel per-bin concat. The fixture manifest derives one "file"
+    * per (epoch-day, hour) of `events` (bytes = Σ length(props)); real
+    * deployments read the table metadata instead — same columns, same
+    * plan.
+    *
+    * Packing rule: within a partition (day), ordered by hour, a file
+    * lands in bin floor(cum_bytes_before / target) — the streaming
+    * first-fit that metadata compactors use (a bin overshoots by at
+    * most one file; no global optimization, fully deterministic).
+    *
+    * Scale shape: the MANIFEST is metadata — millions of rows at
+    * 100 TB, not terabytes — so one shuffle on the partition key and
+    * a per-partition ordered window is trivially cheap; nothing here
+    * ever touches file CONTENTS. The emitted plan (day, bin → files,
+    * bytes, hour range, small-file count) is exactly what the rewrite
+    * executor fans out on. */
+  def qCompactionPlan(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val target = 1000L
+    val manifest = Tables.events(spark, sfDir)
+      .groupBy(expr("unix_micros(ts) DIV 86400000000").as("day"),
+        hour(col("ts")).as("hr"))
+      .agg(count(lit(1)).as("f_rows"),
+        sum(length(col("props"))).as("f_bytes"))
+    val w = Window.partitionBy(col("day")).orderBy(col("hr"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    manifest
+      .withColumn("cum_before", coalesce(sum(col("f_bytes")).over(w), lit(0L)))
+      .withColumn("bin", expr(s"cum_before DIV $target"))
+      .groupBy(col("day"), col("bin"))
+      .agg(count(lit(1)).as("n_files"),
+        sum(col("f_bytes")).as("bin_bytes"),
+        sum(col("f_rows")).as("bin_rows"),
+        min(col("hr")).as("hr_from"),
+        max(col("hr")).as("hr_to"),
+        sum((col("f_bytes") < target / 4).cast("long")).as("n_small_files"))
+      .orderBy(col("day"), col("bin"))
+  }
+
+  /** Same manifest, running sum, and bin arithmetic in DuckDB. */
+  val qCompactionPlanOracle: String =
+    """WITH manifest AS (
+      |  SELECT epoch_us(ts) // 86400000000 AS day, CAST(extract(hour FROM ts) AS INT) AS hr,
+      |    COUNT(*) AS f_rows, CAST(SUM(length(props)) AS BIGINT) AS f_bytes
+      |  FROM events GROUP BY 1, 2),
+      |packed AS (
+      |  SELECT day, hr, f_rows, f_bytes,
+      |    COALESCE(SUM(f_bytes) OVER (PARTITION BY day ORDER BY hr
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+      |  FROM manifest)
+      |SELECT CAST(day AS BIGINT) AS day, CAST(cum_before // 1000 AS BIGINT) AS bin,
+      |  COUNT(*) AS n_files,
+      |  CAST(SUM(f_bytes) AS BIGINT) AS bin_bytes,
+      |  CAST(SUM(f_rows) AS BIGINT) AS bin_rows,
+      |  MIN(hr) AS hr_from, MAX(hr) AS hr_to,
+      |  CAST(SUM(CASE WHEN f_bytes < 250 THEN 1 ELSE 0 END) AS BIGINT) AS n_small_files
+      |FROM packed GROUP BY 1, 2 ORDER BY day, bin""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sample_compaction_plan" -> (qCompactionPlan _),
     "sample_token_budget" -> (qTokenBudget _),
     "sample_zorder_layout" -> (qZorderLayout _),
     "sample_train_order" -> (qTrainOrder _),
@@ -486,6 +550,7 @@ object SamplingOps {
     "sample_importance" -> (qImportanceSample _))
 
   val oracles: Map[String, String] = Map(
+    "sample_compaction_plan" -> qCompactionPlanOracle,
     "sample_token_budget" -> qTokenBudgetOracle,
     "sample_zorder_layout" -> qZorderLayoutOracle,
     "sample_train_order" -> qTrainOrderOracle,

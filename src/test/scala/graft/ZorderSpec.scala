@@ -59,4 +59,45 @@ class ZorderSpec extends SparkSpec {
       parts.forall(_.contains("shard")),
       s"all shuffles must key on shard, got: $parts")
   }
+
+  test("compaction plan equals a driver-side first-fit packing pass; rows conserved") {
+    val events = Tables.events(spark, sf)
+      .select(expr("unix_micros(ts) DIV 86400000000").as("day"),
+        hour(col("ts")).as("hr"), length(col("props")).as("pb"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2).toLong))
+    val manifest = events.groupBy(t => (t._1, t._2)).map { case ((d, h), v) =>
+      (d, h, v.size.toLong, v.map(_._3).sum)
+    }.toSeq.sortBy(t => (t._1, t._2))
+    val packed = manifest.groupBy(_._1).flatMap { case (d, fs) =>
+      var cum = 0L
+      fs.sortBy(_._2).map { case (_, h, rows, bytes) =>
+        val bin = cum / 1000L; cum += bytes; (d, bin, h, rows, bytes)
+      }
+    }
+    val want = packed.groupBy(t => (t._1, t._2)).map { case ((d, b), v) =>
+      (d, b, v.size.toLong, v.map(_._5).sum, v.map(_._4).sum,
+        v.map(_._3).min, v.map(_._3).max,
+        v.count(_._5 < 250).toLong)
+    }.toSet
+    val got = SamplingOps.qCompactionPlan(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getInt(5), r.getInt(6), r.getLong(7)))
+      .toSet
+    assert(got === want)
+    // conservation: every event lands in exactly one bin
+    assert(got.toSeq.map(_._5).sum === events.length.toLong)
+    // sf0.001's days each fit one bin; the multi-bin splitting is
+    // exercised by the sf0.01 oracle run (93 bins over 30 days)
+    assert(got.forall(_._2 >= 0L))
+  }
+
+  test("compaction plan: metadata-scale shuffles only, join-free") {
+    val p = SamplingOps.qCompactionPlan(spark, sf).queryExecution
+      .explainString(org.apache.spark.sql.execution.FormattedMode)
+    assert(!p.contains("Join"), s"planner must be join-free:\n$p")
+    val exchanges = p.linesIterator.count(_.trim.matches("""\(\d+\) Exchange.*"""))
+    // manifest agg (day,hr) + window (day, reused by the bin rollup) +
+    // output sort — the window partitioning must satisfy the rollup
+    assert(exchanges <= 3, s"expected <=3 shuffles, got $exchanges:\n$p")
+  }
 }
