@@ -270,6 +270,80 @@ object DedupOps {
       jaccardPairs(kept).filter(col("jaccard") >= 0.1), sh)
   }
 
+  /** ASYMMETRIC CONTAINMENT near-dup (Broder 1997's containment
+    * coefficient — the quote/excerpt detector): C(a→b) =
+    * |S_a ∩ S_b| / |S_a| flags a document MOSTLY CONTAINED in another
+    * even when Jaccard is tiny (a 100-word quote inside a 10k-word
+    * page: C ≈ 1, J ≈ 0.01 — symmetric dedup never sees it). Emits
+    * ordered (src → dst) pairs with C(src→dst) ≥ 0.6 and ≥ 5 src
+    * shingles of evidence; `is_mutual` marks pairs contained in both
+    * directions (≈ the exact-dup cores).
+    *
+    * Scale shape: IDENTICAL machinery to the capped Jaccard path —
+    * DF-capped shingles (the skew guard), ONE inverted-index
+    * equi-join producing each unordered pair once, then both ordered
+    * directions emitted from the same row (an in-row explode, not a
+    * second join). The 0.6 gate is the integer compare 5·inter ≥
+    * 3·n_src; the emitted ratio is one IEEE division of two small
+    * ints — deterministic in both engines. */
+  def qDedupContainment(spark: SparkSession, sfDir: String): DataFrame = {
+    val maxDf = 20
+    val sh = shingles(Tables.documents(spark, sfDir))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val rare = sh.groupBy(col("shingle"))
+      .agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxDf)
+      .select("shingle")
+    val kept = sh.join(rare, "shingle")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val counts = kept.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val pairs = kept.as("a")
+      .join(kept.as("b"),
+        col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+      .agg(count(lit(1)).as("inter"))
+      .join(counts.withColumnRenamed("doc_id", "a_id").withColumnRenamed("n", "na"), "a_id")
+      .join(counts.withColumnRenamed("doc_id", "b_id").withColumnRenamed("n", "nb"), "b_id")
+    val directed = pairs.select(explode(array(
+        struct(col("a_id").as("src_id"), col("b_id").as("dst_id"),
+          col("na").as("n_src"), col("nb").as("n_dst"), col("inter")),
+        struct(col("b_id").as("src_id"), col("a_id").as("dst_id"),
+          col("nb").as("n_src"), col("na").as("n_dst"), col("inter"))))
+        .as("p"))
+      .select(col("p.*"))
+      .filter(col("n_src") >= 5 && lit(5L) * col("inter") >= lit(3L) * col("n_src"))
+      .withColumn("containment", col("inter").cast(DoubleType) / col("n_src"))
+      .withColumn("is_mutual",
+        col("n_dst") >= 5 && lit(5L) * col("inter") >= lit(3L) * col("n_dst"))
+      .orderBy("src_id", "dst_id")
+    unpersistAfterFirstAction(directed, sh, kept)
+  }
+
+  val qDedupContainmentOracle: String =
+    s"""WITH $shinglesSql,
+       |rare AS (SELECT shingle FROM sh GROUP BY shingle HAVING COUNT(*) <= 20),
+       |kept AS (SELECT sh.doc_id, sh.shingle FROM sh JOIN rare USING (shingle)),
+       |sc AS (SELECT doc_id, COUNT(*) AS n FROM kept GROUP BY 1),
+       |pairs AS (
+       |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS inter
+       |  FROM kept a JOIN kept b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2),
+       |wide AS (
+       |  SELECT p.a_id, p.b_id, p.inter, sa.n AS na, sb.n AS nb
+       |  FROM pairs p
+       |  JOIN sc sa ON sa.doc_id = p.a_id
+       |  JOIN sc sb ON sb.doc_id = p.b_id),
+       |directed AS (
+       |  SELECT a_id AS src_id, b_id AS dst_id, na AS n_src, nb AS n_dst, inter FROM wide
+       |  UNION ALL
+       |  SELECT b_id, a_id, nb, na, inter FROM wide)
+       |SELECT src_id, dst_id, n_src, n_dst, inter,
+       |  CAST(inter AS DOUBLE) / n_src AS containment,
+       |  (n_dst >= 5 AND 5 * inter >= 3 * n_dst) AS is_mutual
+       |FROM directed
+       |WHERE n_src >= 5 AND 5 * inter >= 3 * n_src
+       |ORDER BY src_id, dst_id""".stripMargin
+
   val qDedupJaccardCappedOracle: String =
     s"""WITH $shinglesSql,
        |rare AS (SELECT shingle FROM sh GROUP BY shingle HAVING COUNT(*) <= 20),
@@ -1831,6 +1905,7 @@ object DedupOps {
     "dedup_exact" -> (qDedupExact _),
     "dedup_ngram_jaccard" -> (qDedupJaccard _),
     "dedup_jaccard_capped" -> (qDedupJaccardCapped _),
+    "dedup_containment" -> (qDedupContainment _),
     "dedup_minhash_lsh" -> (qDedupMinhashLsh _),
     "dedup_simhash" -> (qDedupSimhash _),
     "dedup_simhash_hamming" -> (qDedupSimhashHamming _),
@@ -1857,6 +1932,7 @@ object DedupOps {
     "dedup_exact" -> qDedupExactOracle,
     "dedup_ngram_jaccard" -> qDedupJaccardOracle,
     "dedup_jaccard_capped" -> qDedupJaccardCappedOracle,
+    "dedup_containment" -> qDedupContainmentOracle,
     "dedup_minhash_lsh" -> qDedupMinhashLshOracle,
     "dedup_simhash" -> qDedupSimhashOracle,
     "dedup_simhash_hamming" -> qDedupSimhashHammingOracle,
