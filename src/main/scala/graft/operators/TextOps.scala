@@ -825,7 +825,70 @@ object TextOps {
       |    AS clean_text
       |FROM fl GROUP BY 1, 2 ORDER BY doc_id""".stripMargin
 
+  /** COLLOCATION / phrase mining (word2vec-phrases, Mikolov et al.
+    * 2013 §4 — public): adjacent word pairs whose co-occurrence beats
+    * independence by a lift threshold become multi-word tokens for
+    * downstream tokenization. PMI is log(c_xy·P / (cl_x·cr_y)) with
+    * marginals over the PAIR relation (P = total adjacent pairs,
+    * cl_x = pairs with left word x, cr_y = pairs with right word y);
+    * the gate "PMI ≥ log 3" is evaluated as the INTEGER
+    * cross-multiplication c_xy·P > 3·cl_x·cr_y — no log, no float,
+    * bit-exact in both engines. Long bounds: c_xy ≤ P and the gate
+    * terms stay < 9·10¹⁸ up to P ≈ 10⁹ pairs per partition-of-
+    * accounting; beyond that, widen the gate lane to DECIMAL(38,0) —
+    * the plan shape is unchanged.
+    *
+    * Scale shape: ONE corpus scan explodes each doc into its
+    * (size-1) adjacent pairs; pair counts shuffle once on (x, y)
+    * with map-side combine and PERSIST — every downstream consumer
+    * (both marginals, the total, the final join) reads the cached
+    * vocabulary²-bounded relation, never the corpus. Marginals join
+    * back on their own word key — plain equi-joins that AQE
+    * broadcasts when the vocabulary is small; the total-pairs scalar
+    * folds in as a plan literal (no 1-row join, same discipline as
+    * the ANN sizing count). Support floor c_xy ≥ 3 keeps the output
+    * noise-free and the result set tiny. Caller clears the cache
+    * (the repo-wide Verify/Bench contract). */
+  def qCollocations(spark: SparkSession, sfDir: String): DataFrame = {
+    val pairs = Tables.documents(spark, sfDir)
+      .select(toks.as("ts"))
+      .filter(size(col("ts")) >= 2)
+      .select(explode(transform(sequence(lit(1), size(col("ts")) - 1),
+        i => struct(element_at(col("ts"), i).as("x"),
+          element_at(col("ts"), i + 1).as("y")))).as("p"))
+      .select(col("p.x"), col("p.y"))
+    val pc = pairs.groupBy(col("x"), col("y")).agg(count(lit(1)).as("c_xy"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nPairs = pc.agg(sum(col("c_xy"))).head.getLong(0)
+    val left = pc.groupBy(col("x")).agg(sum(col("c_xy")).as("cl_x"))
+    val right = pc.groupBy(col("y")).agg(sum(col("c_xy")).as("cr_y"))
+    pc.join(left, "x").join(right, "y")
+      .filter(col("c_xy") >= 3 &&
+        col("c_xy") * lit(nPairs) > lit(3L) * col("cl_x") * col("cr_y"))
+      .select(col("x"), col("y"), col("c_xy"), col("cl_x"), col("cr_y"),
+        lit(nPairs).as("n_pairs"))
+      .orderBy(col("c_xy").desc, col("x"), col("y"))
+  }
+
+  /** Same pair relation, marginals, and integer cross-multiplied gate. */
+  val qCollocationsOracle: String =
+    """WITH d AS (SELECT string_split(text, ' ') AS ts FROM documents
+      |           WHERE len(string_split(text, ' ')) >= 2),
+      |p AS (SELECT ts[i] AS x, ts[i + 1] AS y
+      |      FROM d, unnest(generate_series(1, len(ts) - 1)) AS u(i)),
+      |pc AS (SELECT x, y, COUNT(*) AS c_xy FROM p GROUP BY 1, 2),
+      |l AS (SELECT x, SUM(c_xy) AS cl_x FROM pc GROUP BY 1),
+      |r AS (SELECT y, SUM(c_xy) AS cr_y FROM pc GROUP BY 1),
+      |t AS (SELECT SUM(c_xy) AS n_pairs FROM pc)
+      |SELECT pc.x, pc.y, c_xy,
+      |  CAST(cl_x AS BIGINT) AS cl_x, CAST(cr_y AS BIGINT) AS cr_y,
+      |  CAST(n_pairs AS BIGINT) AS n_pairs
+      |FROM pc JOIN l USING (x) JOIN r USING (y) CROSS JOIN t
+      |WHERE c_xy >= 3 AND c_xy * n_pairs > 3 * cl_x * cr_y
+      |ORDER BY c_xy DESC, x, y""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_collocations" -> (qCollocations _),
     "text_boilerplate" -> (qBoilerplate _),
     "text_heavy_hitters" -> (qHeavyHitters _),
     "text_novelty" -> (qNovelty _),
@@ -846,6 +909,7 @@ object TextOps {
     "text_tfidf" -> (qTfidf _))
 
   val oracles: Map[String, String] = Map(
+    "text_collocations" -> qCollocationsOracle,
     "text_boilerplate" -> qBoilerplateOracle,
     "text_heavy_hitters" -> qHeavyHittersOracle,
     "text_novelty" -> qNoveltyOracle,

@@ -782,4 +782,55 @@ class PipelineOpsSpec extends SparkSpec {
     assert(warm < cold * 2,
       f"warm composition $warm%.2f s should not grossly exceed the cold pipeline $cold%.2f s")
   }
+
+  test("containment equals a driver-side recompute; exact dups are mutual at 1.0") {
+    val docs = Tables.documents(spark, sf).select("doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val shAll = docs.map { case (id, t) =>
+      val ts = t.split(" ", -1)
+      id -> ts.sliding(3).filter(_.length == 3).map(_.mkString(" ")).toSet
+    }.filter(_._2.nonEmpty)
+    val df = shAll.flatMap(_._2.map(_ -> 1)).groupBy(_._1).map { case (s, v) => s -> v.size }
+    val kept = shAll.map { case (id, s) => id -> s.filter(df(_) <= 20) }
+      .filter(_._2.nonEmpty).toMap
+    val want = (for {
+      (a, sa) <- kept.toSeq; (b, sb) <- kept.toSeq if a != b
+      inter = (sa & sb).size.toLong if inter > 0
+      if sa.size >= 5 && 5 * inter >= 3 * sa.size
+    } yield (a, b, sa.size.toLong, sb.size.toLong, inter,
+      inter.toDouble / sa.size,
+      sb.size >= 5 && 5 * inter >= 3 * sb.size)).toSet
+    val got = DedupOps.qDedupContainment(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5), r.getBoolean(6))).toSet
+    assert(got === want)
+    // the re-crawled exact dups must surface as mutual containment 1.0
+    assert(got.exists { case (_, _, _, _, _, c, m) => c == 1.0 && m })
+  }
+
+  test("collocations match a driver-side brute-force PMI pass on the fixture") {
+    val got = TextOps.qCollocations(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5))).toSet
+    // brute-force reimplementation: adjacent pairs, marginals over the
+    // pair relation, integer cross-multiplied lift-3 gate
+    val texts = Tables.documents(spark, sf).select("text")
+      .collect().map(_.getString(0))
+    val pairs = texts.flatMap { t =>
+      val ts = t.split(" ", -1); ts.zip(ts.drop(1))
+    }
+    val cxy = pairs.groupBy(identity).map { case (p, v) => p -> v.length.toLong }
+    val cl = pairs.groupBy(_._1).map { case (x, v) => x -> v.length.toLong }
+    val cr = pairs.groupBy(_._2).map { case (y, v) => y -> v.length.toLong }
+    val n = pairs.length.toLong
+    val want = cxy.collect {
+      case ((x, y), c) if c >= 3 && c * n > 3L * cl(x) * cr(y) =>
+        (x, y, c, cl(x), cr(y), n)
+    }.toSet
+    assert(got === want)
+    // marginal sanity on every emitted row
+    got.foreach { case (_, _, c, clx, cry, np) =>
+      assert(c <= clx && c <= cry && clx <= np && cry <= np)
+    }
+  }
 }

@@ -77,6 +77,24 @@ class PlanAuditSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("collocations: pair counts cached for all consumers; one corpus scan; equi-joins only") {
+    val df = graft.operators.TextOps.qCollocations(spark, sf)
+    val p = planString(df)
+    // the persist must be engaged: pc + both marginal re-aggregations
+    // read InMemoryTableScan; without it each re-explodes the corpus
+    val cacheScans = p.linesIterator.count(_.trim.matches("""\(\d+\) InMemoryTableScan.*"""))
+    assert(cacheScans >= 3, s"expected >=3 cache scans, got $cacheScans:\n$p")
+    // every parquet mention sits INSIDE the cached relation's stored
+    // subtree (one distinct node id): the corpus is scanned once at
+    // cache fill, never by the marginal/join consumers — and the
+    // total-pairs scalar folds in as a literal, not a 1-row join
+    val scanIds = p.linesIterator.filter(_.contains("Scan parquet"))
+      .flatMap("""\((\d+)\)""".r.findFirstMatchIn(_)).map(_.group(1)).toSet
+    assert(scanIds.size <= 1, s"expected one distinct corpus scan node, got $scanIds:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"))
+    spark.catalog.clearCache()
+  }
+
   test("simhash is a single aggregation pass (no 16x bit-explode shuffle)") {
     val p = planString(
       graft.operators.DedupOps.simhashes(Tables.documents(spark, sf)))
@@ -242,6 +260,19 @@ class PlanAuditSpec extends SparkSpec {
     val p = planString(SimilarityOps.qSimLabelOutliers(spark, sf))
     assert(!p.contains("Join"),
       s"the centroid table must ride as literals, never a join:\n$p")
+  }
+
+  test("svm step: violators from cache, join-free, one 64-key shuffle plus the output sort") {
+    val p = planString(SimilarityOps.qSimSvmStep(spark, sf))
+    // margins are map-only (weights are plan literals) and the violator
+    // slice is cached: the gradient plan reads InMemoryTableScan, has
+    // no join of any kind, and shuffles only for the dim agg + sort
+    assert(p.linesIterator.exists(_.trim.matches("""\(\d+\) InMemoryTableScan.*""")),
+      s"violator cache not engaged:\n$p")
+    assert(!p.contains("Join"), s"svm step must be join-free:\n$p")
+    val exchanges = p.linesIterator.count(_.trim.matches("""\(\d+\) Exchange.*"""))
+    assert(exchanges <= 2, s"expected <=2 shuffles, got $exchanges:\n$p")
+    spark.catalog.clearCache()
   }
 
   test("ivfpq search joins candidates to queries on the cell key") {
