@@ -314,7 +314,80 @@ object EventOps {
        |ORDER BY event_type, day""".stripMargin
   }
 
+  /** ROBUST anomaly detection on the daily event-volume series:
+    * median/MAD instead of mean/σ (Leys et al. 2013's standard
+    * robust-z) — the monitor that does NOT let one spike inflate its
+    * own threshold, which is exactly how the z-score twin
+    * ([[qZscoreOutliers]]) goes blind during incidents. A day is
+    * anomalous when |count − med| > 3·1.4826·MAD.
+    *
+    * Exactness: medians are the repo's LOWER-median convention
+    * (row_number = (n+1) DIV 2 over a deterministic (value, day)
+    * order — pure integers, same as q_median_exact), so med, MAD and
+    * the deviation are exact Longs, and the 3·1.4826 scale folds into
+    * the integer cross-multiplication 10⁴·dev > 44478·MAD. No floats
+    * anywhere.
+    *
+    * Scale shape: the daily rollup is ONE map-side-combining shuffle
+    * of the event stream; everything after runs on the (type, day)
+    * relation — days × types rows, metadata-sized forever. Both
+    * median picks are windows over that tiny relation sharing the
+    * event_type partitioning. */
+  def qAnomalyMad(spark: SparkSession, sfDir: String): DataFrame = {
+    val wt = Window.partitionBy(col("event_type"))
+    val daily = ev(spark, sfDir)
+      .groupBy(col("event_type"), expr("tus DIV 86400000000").as("day"))
+      .agg(count(lit(1)).as("cnt"))
+    daily
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("event_type")).orderBy(col("cnt"), col("day"))))
+      .withColumn("n", count(lit(1)).over(wt))
+      .withColumn("med", max(when(col("rn") === expr("(n + 1) DIV 2"),
+        col("cnt"))).over(wt))
+      .withColumn("dev", abs(col("cnt") - col("med")))
+      .withColumn("rn2", row_number().over(
+        Window.partitionBy(col("event_type")).orderBy(col("dev"), col("day"))))
+      .withColumn("mad", max(when(col("rn2") === expr("(n + 1) DIV 2"),
+        col("dev"))).over(wt))
+      .select(col("event_type"), col("day"), col("cnt"), col("med"),
+        col("mad"), col("dev"),
+        (col("dev") * 10000 > col("mad") * 44478).as("is_anomaly"))
+      .orderBy(col("event_type"), col("day"))
+  }
+
+  val qAnomalyMadOracle: String =
+    """WITH daily AS (
+      |  SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+      |    COUNT(*) AS cnt
+      |  FROM events GROUP BY 1, 2),
+      |m1 AS (
+      |  SELECT event_type, day, cnt,
+      |    row_number() OVER (PARTITION BY event_type ORDER BY cnt, day) AS rn,
+      |    COUNT(*) OVER (PARTITION BY event_type) AS n
+      |  FROM daily),
+      |m2 AS (
+      |  SELECT event_type, day, cnt, n,
+      |    MAX(CASE WHEN rn = (n + 1) // 2 THEN cnt END)
+      |      OVER (PARTITION BY event_type) AS med
+      |  FROM m1),
+      |m3 AS (
+      |  SELECT event_type, day, cnt, n, med, abs(cnt - med) AS dev,
+      |    row_number() OVER (PARTITION BY event_type
+      |      ORDER BY abs(cnt - med), day) AS rn2
+      |  FROM m2),
+      |m4 AS (
+      |  SELECT event_type, day, cnt, med, dev,
+      |    MAX(CASE WHEN rn2 = (n + 1) // 2 THEN dev END)
+      |      OVER (PARTITION BY event_type) AS mad
+      |  FROM m3)
+      |SELECT event_type, CAST(day AS BIGINT) AS day, cnt,
+      |  CAST(med AS BIGINT) AS med, CAST(mad AS BIGINT) AS mad,
+      |  CAST(dev AS BIGINT) AS dev,
+      |  dev * 10000 > mad * 44478 AS is_anomaly
+      |FROM m4 ORDER BY event_type, day""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_anomaly_mad" -> (qAnomalyMad _),
     "q_ewma_daily" -> (qEwmaDaily _),
     "q_rolling_active_users" -> (qRollingActiveUsers _),
     "q_funnel" -> (qFunnel _),
@@ -323,6 +396,7 @@ object EventOps {
     "q_zscore_outliers" -> (qZscoreOutliers _))
 
   val oracles: Map[String, String] = Map(
+    "q_anomaly_mad" -> qAnomalyMadOracle,
     "q_ewma_daily" -> qEwmaDailyOracle,
     "q_rolling_active_users" -> qRollingActiveUsersOracle,
     "q_funnel" -> qFunnelOracle,

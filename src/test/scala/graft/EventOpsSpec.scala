@@ -145,4 +145,25 @@ class EventOpsSpec extends SparkSpec {
       assert(row.getAs[Double]("mse_r") <= maxErr * maxErr + 1e-12)
     }
   }
+
+  test("MAD anomalies equal a driver-side lower-median recompute") {
+    val daily = Tables.events(spark, sf)
+      .groupBy(col("event_type"), expr("unix_micros(ts) DIV 86400000000").as("day"))
+      .agg(count(lit(1)).as("cnt"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    def lowerMedian(xs: Seq[Long]): Long = xs.sorted.apply((xs.size + 1) / 2 - 1)
+    val want = daily.groupBy(_._1).flatMap { case (t, rows) =>
+      val med = lowerMedian(rows.map(_._3).toSeq)
+      val devs = rows.map(r => math.abs(r._3 - med))
+      val mad = lowerMedian(devs.toSeq)
+      rows.toSeq.map(r => (t, r._2, r._3, med, mad, math.abs(r._3 - med),
+        math.abs(r._3 - med) * 10000 > mad * 44478))
+    }.toSet
+    val got = graft.operators.EventOps.qAnomalyMad(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getBoolean(6))).toSet
+    assert(got === want)
+    // totality: every (type, day) of the rollup is scored exactly once
+    assert(got.map(t => (t._1, t._2)) === daily.map(t => (t._1, t._2)).toSet)
+  }
 }
