@@ -1815,6 +1815,111 @@ object SimilarityOps {
       |FROM rk WHERE rank = 1
       |ORDER BY vec_id""".stripMargin
 
+  /** Top-3 in-bucket cosine ranks for ONE sign-LSH table whose 4
+    * hyperplanes are dims off+1..off+4 — the shared ranker body under
+    * the multi-table fusion (same shape as [[qSimLshBucketed]]). */
+  private def lshTableRanks(e: DataFrame, off: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val b = concat((1 to 4).map(i =>
+      when(element_at(col("v"), off + i) >= 0, "1").otherwise("0")): _*)
+    val t = e.withColumn("bucket", b)
+    val q = broadcast(t.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"),
+        col("nrm").as("qn"), col("bucket")))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cosine").desc, col("n_id"))
+    t.select(col("vec_id").as("n_id"), col("v").as("nv"),
+        col("nrm").as("nn"), col("bucket"))
+      .join(q, Seq("bucket"))
+      .filter(col("q_id") =!= col("n_id"))
+      .withColumn("cosine", DedupOps.dot(col("qv"), col("nv")) / (col("qn") * col("nn")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 3)
+      .select(col("q_id"), col("n_id"), col("rank"))
+  }
+
+  /** RECIPROCAL-RANK FUSION over two independent sign-LSH tables
+    * (Cormack et al. 2009's RRF — the standard way production
+    * retrieval unions multiple approximate indexes): table 1 hashes
+    * on dims 1–4, table 2 on dims 5–8; each returns its in-bucket
+    * top-3, and a candidate's fused score is Σ 1/(60+rank) over the
+    * tables that surfaced it. Multi-table LSH exists precisely
+    * because one table's bucketing misses neighbors another finds —
+    * the fusion step is where the union becomes a single ranking.
+    *
+    * Exactness: the RRF term is the INTEGER 10⁹ DIV (60+rank) — a
+    * parts-per-billion fixed-point that both engines compute
+    * identically (no float reciprocal), summed over ≤2 small terms.
+    *
+    * Scale shape: each ranker is the bucket equi-join (queries
+    * broadcast, candidates only from the matching bucket — ~1/16 of
+    * the corpus per table); the fusion is a (q_id, n_id) full-outer
+    * equi-join of two ≤ 3·|Q| relations — index-output-sized, not
+    * corpus-sized. No nested loops anywhere. */
+  def qSimRankFusion(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = DedupOps.normedVectors(Tables.embeddings(spark, sfDir))
+      .select(col("vec_id"), col("v"), col("nrm"))
+    val r1 = lshTableRanks(e, 0).withColumnRenamed("rank", "rank_t1")
+    val r2 = lshTableRanks(e, 4).withColumnRenamed("rank", "rank_t2")
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("rrf_ppb").desc, col("n_id"))
+    r1.join(r2, Seq("q_id", "n_id"), "full_outer")
+      .withColumn("rrf_ppb",
+        coalesce(expr("1000000000 DIV (60 + rank_t1)"), lit(0L)) +
+          coalesce(expr("1000000000 DIV (60 + rank_t2)"), lit(0L)))
+      .withColumn("fused_rank", row_number().over(w))
+      .select(col("q_id"), col("fused_rank"), col("n_id"), col("rrf_ppb"),
+        coalesce(col("rank_t1"), lit(0)).as("rank_t1"),
+        coalesce(col("rank_t2"), lit(0)).as("rank_t2"))
+      .orderBy("q_id", "fused_rank")
+  }
+
+  /** Both tables' scored CTEs + the same integer RRF arithmetic. */
+  val qSimRankFusionOracle: String =
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm,
+       |  (CASE WHEN v[1] >= 0 THEN '1' ELSE '0' END ||
+       |   CASE WHEN v[2] >= 0 THEN '1' ELSE '0' END ||
+       |   CASE WHEN v[3] >= 0 THEN '1' ELSE '0' END ||
+       |   CASE WHEN v[4] >= 0 THEN '1' ELSE '0' END) AS b1,
+       |  (CASE WHEN v[5] >= 0 THEN '1' ELSE '0' END ||
+       |   CASE WHEN v[6] >= 0 THEN '1' ELSE '0' END ||
+       |   CASE WHEN v[7] >= 0 THEN '1' ELSE '0' END ||
+       |   CASE WHEN v[8] >= 0 THEN '1' ELSE '0' END) AS b2 FROM e),
+       |r1 AS (
+       |  SELECT q_id, n_id, rk AS rank_t1 FROM (
+       |    SELECT q.vec_id AS q_id, c.vec_id AS n_id,
+       |      row_number() OVER (PARTITION BY q.vec_id
+       |        ORDER BY list_dot_product(q.v, c.v) / (q.nrm * c.nrm) DESC,
+       |                 c.vec_id) AS rk
+       |    FROM n q JOIN n c ON q.b1 = c.b1
+       |      AND q.vec_id < $NumQueries AND q.vec_id != c.vec_id) t
+       |  WHERE rk <= 3),
+       |r2 AS (
+       |  SELECT q_id, n_id, rk AS rank_t2 FROM (
+       |    SELECT q.vec_id AS q_id, c.vec_id AS n_id,
+       |      row_number() OVER (PARTITION BY q.vec_id
+       |        ORDER BY list_dot_product(q.v, c.v) / (q.nrm * c.nrm) DESC,
+       |                 c.vec_id) AS rk
+       |    FROM n q JOIN n c ON q.b2 = c.b2
+       |      AND q.vec_id < $NumQueries AND q.vec_id != c.vec_id) t
+       |  WHERE rk <= 3),
+       |fused AS (
+       |  SELECT COALESCE(r1.q_id, r2.q_id) AS q_id,
+       |    COALESCE(r1.n_id, r2.n_id) AS n_id,
+       |    COALESCE(1000000000 // (60 + rank_t1), 0) +
+       |      COALESCE(1000000000 // (60 + rank_t2), 0) AS rrf_ppb,
+       |    COALESCE(rank_t1, 0) AS rank_t1, COALESCE(rank_t2, 0) AS rank_t2
+       |  FROM r1 FULL OUTER JOIN r2
+       |    ON r1.q_id = r2.q_id AND r1.n_id = r2.n_id)
+       |SELECT q_id,
+       |  CAST(row_number() OVER (PARTITION BY q_id
+       |    ORDER BY rrf_ppb DESC, n_id) AS INT) AS fused_rank,
+       |  n_id, CAST(rrf_ppb AS BIGINT) AS rrf_ppb,
+       |  CAST(rank_t1 AS INT) AS rank_t1, CAST(rank_t2 AS INT) AS rank_t2
+       |FROM fused ORDER BY q_id, fused_rank""".stripMargin
+
   /** LINEAR-SVM subgradient step (Pegasos, Shalev-Shwartz et al. 2007
     * — public): one distributed pass of hinge-loss subgradient
     * computation for a binary quality/domain classifier over the
@@ -1894,6 +1999,7 @@ object SimilarityOps {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sim_svm_step" -> (qSimSvmStep _),
+    "sim_rank_fusion" -> (qSimRankFusion _),
     "sim_label_outliers" -> (qSimLabelOutliers _),
     "sim_hard_negatives" -> (qSimHardNegatives _),
     "sim_pq_encode" -> (qSimPqEncode _),
@@ -1922,6 +2028,7 @@ object SimilarityOps {
 
   val oracles: Map[String, String] = Map(
     "sim_svm_step" -> qSimSvmStepOracle,
+    "sim_rank_fusion" -> qSimRankFusionOracle,
     "sim_label_outliers" -> qSimLabelOutliersOracle,
     "sim_hard_negatives" -> qSimHardNegativesOracle,
     "sim_pq_encode" -> qSimPqEncodeOracle,
