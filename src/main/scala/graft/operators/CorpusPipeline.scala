@@ -199,9 +199,97 @@ object CorpusPipeline {
        |FROM rk JOIN q USING (source) WHERE rn <= quota
        |ORDER BY source, rn""".stripMargin
 
+  /** DATASET CARD — the per-source summary table every corpus release
+    * ships (Gebru et al. 2021 "Datasheets for Datasets" made the
+    * practice standard; HF dataset cards are its web form): document /
+    * token / char volumes, language spread, exact-duplicate mass, and
+    * each source's share of the corpus — the numbers a consumer reads
+    * BEFORE training, and the regression surface a pipeline diffs
+    * between crawls.
+    *
+    * Exactness: counts are Longs; the two ratio columns are single
+    * IEEE divisions of exact integers (the repo's ratio convention).
+    * Duplicate mass = docs whose md5(text) is shared corpus-WIDE
+    * (cross-source copies count in every source holding one), minus
+    * each group's one canonical — i.e. the docs exact dedup would
+    * drop, sliced by source.
+    *
+    * Scale shape: ONE scan computes per-doc fingerprint + token count
+    * map-side; the fingerprint groupBy and the source rollup are the
+    * only corpus-sized shuffles, both with map-side combine. The
+    * grand-total row share is a 1-row literal folded in driver-side
+    * (no 1-row join; ANN-sizing-count discipline). */
+  def qDatasetCard(spark: SparkSession, sfDir: String): DataFrame = {
+    val perDoc = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("source"), col("lang"),
+        col("n_chars"),
+        size(split(col("text"), " ")).as("n_tokens"),
+        md5(col("text").cast("binary")).as("fp"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val totalDocs = perDoc.count()
+    val dupMass = perDoc
+      .withColumn("grp", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("fp"))))
+      .withColumn("keeper", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("fp"))
+          .orderBy(col("doc_id"))) === 1)
+      .filter(col("grp") > 1 && !col("keeper"))
+      .groupBy(col("source")).agg(count(lit(1)).as("n_dup_docs"))
+    perDoc.groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("n_tokens"),
+        sum(col("n_chars")).as("n_chars"),
+        countDistinct(col("lang")).as("n_langs"),
+        min(col("doc_id")).as("min_doc_id"),
+        max(col("doc_id")).as("max_doc_id"))
+      .join(dupMass, Seq("source"), "left_outer")
+      .select(col("source"), col("n_docs"), col("n_tokens"),
+        col("n_chars"), col("n_langs"),
+        col("min_doc_id"), col("max_doc_id"),
+        coalesce(col("n_dup_docs"), lit(0L)).as("n_dup_docs"),
+        round(coalesce(col("n_dup_docs"), lit(0L)) / col("n_docs")
+          .cast("double"), 6).as("dup_rate_r"),
+        round(col("n_docs") / lit(totalDocs.toDouble), 6).as("corpus_share_r"))
+      .orderBy(col("source"))
+  }
+
+  val qDatasetCardOracle: String =
+    """WITH d AS (
+      |  SELECT doc_id, source, lang, n_chars,
+      |    len(string_split(text, ' ')) AS n_tokens, md5(text) AS fp
+      |  FROM documents),
+      |g AS (
+      |  SELECT doc_id, source,
+      |    COUNT(*) OVER (PARTITION BY fp) AS grp,
+      |    row_number() OVER (PARTITION BY fp ORDER BY doc_id) = 1 AS keeper
+      |  FROM d),
+      |dup AS (
+      |  SELECT source, COUNT(*) AS n_dup_docs FROM g
+      |  WHERE grp > 1 AND NOT keeper GROUP BY 1),
+      |tot AS (SELECT COUNT(*) AS n FROM d),
+      |agg AS (
+      |  SELECT source, COUNT(*) AS n_docs,
+      |    CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+      |    CAST(SUM(n_chars) AS BIGINT) AS n_chars,
+      |    COUNT(DISTINCT lang) AS n_langs,
+      |    MIN(doc_id) AS min_doc_id, MAX(doc_id) AS max_doc_id
+      |  FROM d GROUP BY 1)
+      |SELECT a.source, a.n_docs, a.n_tokens, a.n_chars, a.n_langs,
+      |  a.min_doc_id, a.max_doc_id,
+      |  COALESCE(dup.n_dup_docs, 0) AS n_dup_docs,
+      |  round(COALESCE(dup.n_dup_docs, 0) / CAST(a.n_docs AS DOUBLE), 6)
+      |    AS dup_rate_r,
+      |  round(a.n_docs / CAST((SELECT n FROM tot) AS DOUBLE), 6)
+      |    AS corpus_share_r
+      |FROM agg a LEFT JOIN dup USING (source)
+      |ORDER BY a.source""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "pipeline_dataset_card" -> (qDatasetCard _),
     "pipeline_corpus" -> (qPipelineCorpus _))
 
   val oracles: Map[String, String] = Map(
+    "pipeline_dataset_card" -> qDatasetCardOracle,
     "pipeline_corpus" -> qPipelineCorpusOracle)
 }

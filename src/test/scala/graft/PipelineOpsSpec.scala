@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.{DedupOps, SimilarityOps, TextOps}
+import graft.operators.{CorpusPipeline, DedupOps, SimilarityOps, TextOps}
 import org.apache.spark.sql.functions._
 
 /** Invariant specs for the training-data pipeline operators (dedup,
@@ -781,6 +781,76 @@ class PipelineOpsSpec extends SparkSpec {
     // live in the info line and NOTES_r6)
     assert(warm < cold * 2,
       f"warm composition $warm%.2f s should not grossly exceed the cold pipeline $cold%.2f s")
+  }
+
+  test("rank fusion equals a driver-side two-table RRF recompute") {
+    val vecs = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+      .collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray)
+      .toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      def dot(x: Array[Double], y: Array[Double]) =
+        x.zip(y).map { case (p, q) => p * q }.sum
+      dot(a, b) / (math.sqrt(dot(a, a)) * math.sqrt(dot(b, b)))
+    }
+    def bucket(v: Array[Double], off: Int): String =
+      (0 until 4).map(i => if (v(off + i) >= 0) '1' else '0').mkString
+    def tableRanks(off: Int): Map[(Long, Long), Int] =
+      vecs.keys.filter(_ < 10).flatMap { q =>
+        val qb = bucket(vecs(q), off)
+        vecs.toSeq
+          .filter { case (n, v) => n != q && bucket(v, off) == qb }
+          .map { case (n, v) => (n, cos(vecs(q), v)) }
+          .sortBy { case (n, c) => (-c, n) }
+          .take(3).zipWithIndex
+          .map { case ((n, _), i) => (q, n) -> (i + 1) }
+      }.toMap
+    val r1 = tableRanks(0); val r2 = tableRanks(4)
+    val want = (r1.keySet ++ r2.keySet).groupBy(_._1).flatMap { case (q, ks) =>
+      ks.toSeq.map { k =>
+        val s = r1.get(k).map(r => 1000000000L / (60 + r)).getOrElse(0L) +
+          r2.get(k).map(r => 1000000000L / (60 + r)).getOrElse(0L)
+        (k._2, s, r1.getOrElse(k, 0), r2.getOrElse(k, 0))
+      }.sortBy { case (n, s, _, _) => (-s, n) }.zipWithIndex.map {
+        case ((n, s, a, b), i) => (q, i + 1, n, s, a, b)
+      }
+    }.toSet
+    val got = SimilarityOps.qSimRankFusion(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3),
+        r.getInt(4), r.getInt(5))).toSet
+    assert(got === want)
+    // fusion is non-trivial on the fixture: some candidate is surfaced
+    // by both tables (rrf gets two terms) and some by exactly one
+    assert(got.exists(t => t._5 > 0 && t._6 > 0))
+    assert(got.exists(t => t._5 == 0 ^ t._6 == 0))
+  }
+
+  test("dataset card equals a driver-side recompute; shares sum to 1") {
+    val docs = Tables.documents(spark, sf)
+      .select("doc_id", "source", "lang", "n_chars", "text")
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getLong(3), r.getString(4)))
+    val dupLosers = docs.groupBy(_._5).values.filter(_.size > 1)
+      .flatMap(_.sortBy(_._1).drop(1)).toSeq
+    val want = docs.groupBy(_._2).map { case (src, rows) =>
+      val nd = rows.length.toLong
+      val dup = dupLosers.count(_._2 == src).toLong
+      (src, nd, rows.map(_._5.split(" ", -1).length.toLong).sum,
+        rows.map(_._4).sum, rows.map(_._3).distinct.length.toLong,
+        rows.map(_._1).min, rows.map(_._1).max, dup,
+        math.rint(dup.toDouble / nd * 1e6) / 1e6,
+        math.rint(nd.toDouble / docs.length * 1e6) / 1e6)
+    }.toSet
+    val got = CorpusPipeline.qDatasetCard(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7),
+        r.getDouble(8), r.getDouble(9))).toSet
+    assert(got === want)
+    assert(math.abs(got.toSeq.map(_._10).sum - 1.0) < 1e-4,
+      "corpus shares must sum to ~1")
+    assert(got.toSeq.map(_._2).sum === docs.length.toLong)
   }
 
   test("containment equals a driver-side recompute; exact dups are mutual at 1.0") {
