@@ -386,7 +386,101 @@ object EventOps {
       |  dev * 10000 > mad * 44478 AS is_anomaly
       |FROM m4 ORDER BY event_type, day""".stripMargin
 
+  /** KMV (k-minimum-values) SKETCH audience overlap (Beyer et al.
+    * 2007 — public): estimate |A∩B| / |A∪B| for two user segments
+    * from k = 64 hash minima per segment instead of the full
+    * distinct sets — the fixed-memory way two 10¹⁰-user audiences
+    * are intersected at 100 TB. Unlike an RNG sketch, KMV over a
+    * FIXED hash (md5, the repo-wide parity convention) is fully
+    * deterministic: both engines materialize the SAME minima, so the
+    * estimates themselves hash-match — the sketch is graded on its
+    * values, not just a bound gate. Exact counts ride along as the
+    * fixture-scale truth (at production scale they are the quantity
+    * the sketch exists to avoid).
+    *
+    * Estimator: v_k = k-th smallest 48-bit hash of A∪B ⇒ est_union =
+    * (k−1)·2⁴⁸ DIV v_k; co-members c = |K ∩ sketch(A) ∩ sketch(B)|
+    * (any union-sketch element of A is necessarily in A's sketch, so
+    * this is sketch-only — no full-set membership anywhere); est_inter
+    * = (c·est_union) DIV k. All Long (63·2⁴⁸ ≈ 1.8·10¹⁶).
+    *
+    * Scale shape: per-segment distinct + top-k-by-hash are map-side
+    * partial TakeOrdered shapes; everything downstream operates on
+    * ≤ 3k rows. The exact side is one distinct aggregation, present
+    * only as the oracle anchor. */
+  def qKmvOverlap(spark: SparkSession, sfDir: String): DataFrame = {
+    val k = 64
+    val ev0 = Tables.events(spark, sfDir)
+      .filter(col("event_type").isin("view", "purchase"))
+      .select(col("event_type"), col("user_id")).distinct()
+      .withColumn("h", conv(substring(
+        md5(col("user_id").cast("string").cast("binary")), 1, 12), 16, 10)
+        .cast("long"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val wSeg = Window.partitionBy(col("event_type")).orderBy(col("h"))
+    val sketches = ev0.withColumn("rn", row_number().over(wSeg))
+      .filter(col("rn") <= k)
+    val aSk = sketches.filter(col("event_type") === "view").select(col("h"))
+    val bSk = sketches.filter(col("event_type") === "purchase").select(col("h"))
+    // global k-minima via TakeOrdered (orderBy+limit), never a
+    // single-partition global window
+    val union = ev0.select(col("user_id"), col("h")).distinct()
+      .orderBy(col("h"), col("user_id")).limit(k)
+    val vk = union.agg(max(col("h"))).head.getLong(0)
+    val c = union.join(aSk, Seq("h"), "left_semi")
+      .join(bSk, Seq("h"), "left_semi").count()
+    val exact = ev0.groupBy(col("user_id"))
+      .agg(countDistinct(col("event_type")).as("nt"))
+      .agg(count(lit(1)).as("n_union"),
+        sum((col("nt") === 2).cast("long")).as("n_inter"))
+      .head()
+    val (nUnion, nInter) = (exact.getLong(0), exact.getLong(1))
+    val estUnion = (k - 1).toLong * (1L << 48) / vk
+    val estInter = c * estUnion / k
+    import spark.implicits._
+    Seq((k.toLong, vk, c, estUnion, estInter, nUnion, nInter,
+      // k=64 ⇒ ~12.6% rse; 3σ ≈ 38% — a loose, replay-stable gate
+      estUnion * 10 >= nUnion * 6 && estUnion * 10 <= nUnion * 16))
+      .toDF("k", "v_k", "co_members", "est_union", "est_inter",
+        "n_union", "n_inter", "union_within_3rse")
+  }
+
+  /** The same minima, estimator arithmetic, and exact anchors. */
+  val qKmvOverlapOracle: String =
+    """WITH seg AS (
+      |  SELECT DISTINCT event_type, user_id FROM events
+      |  WHERE event_type IN ('view', 'purchase')),
+      |h AS (SELECT event_type, user_id,
+      |  CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 12) AS BIGINT) AS h
+      |  FROM seg),
+      |sk AS (SELECT event_type, h,
+      |  row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn FROM h),
+      |ask AS (SELECT h FROM sk WHERE event_type = 'view' AND rn <= 64),
+      |bsk AS (SELECT h FROM sk WHERE event_type = 'purchase' AND rn <= 64),
+      |u AS (SELECT user_id, h,
+      |  row_number() OVER (ORDER BY h, user_id) AS rn
+      |  FROM (SELECT DISTINCT user_id, h FROM h) t),
+      |uk AS (SELECT h FROM u WHERE rn <= 64),
+      |vk AS (SELECT MAX(h) AS v_k FROM uk),
+      |c AS (SELECT COUNT(*) AS c FROM uk
+      |  WHERE h IN (SELECT h FROM ask) AND h IN (SELECT h FROM bsk)),
+      |ex AS (
+      |  SELECT COUNT(*) AS n_union,
+      |    CAST(SUM(CASE WHEN nt = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_inter
+      |  FROM (SELECT user_id, COUNT(DISTINCT event_type) AS nt
+      |        FROM seg GROUP BY 1) t),
+      |est AS (
+      |  SELECT 63 * 281474976710656 // v_k AS est_union FROM vk)
+      |SELECT CAST(64 AS BIGINT) AS k, vk.v_k, c.c AS co_members,
+      |  CAST(est.est_union AS BIGINT) AS est_union,
+      |  CAST(c.c * est.est_union // 64 AS BIGINT) AS est_inter,
+      |  ex.n_union, ex.n_inter,
+      |  est.est_union * 10 >= ex.n_union * 6
+      |    AND est.est_union * 10 <= ex.n_union * 16 AS union_within_3rse
+      |FROM vk, c, ex, est""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_kmv_overlap" -> (qKmvOverlap _),
     "q_anomaly_mad" -> (qAnomalyMad _),
     "q_ewma_daily" -> (qEwmaDaily _),
     "q_rolling_active_users" -> (qRollingActiveUsers _),
@@ -396,6 +490,7 @@ object EventOps {
     "q_zscore_outliers" -> (qZscoreOutliers _))
 
   val oracles: Map[String, String] = Map(
+    "q_kmv_overlap" -> qKmvOverlapOracle,
     "q_anomaly_mad" -> qAnomalyMadOracle,
     "q_ewma_daily" -> qEwmaDailyOracle,
     "q_rolling_active_users" -> qRollingActiveUsersOracle,

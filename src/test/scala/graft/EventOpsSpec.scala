@@ -166,4 +166,35 @@ class EventOpsSpec extends SparkSpec {
     // totality: every (type, day) of the rollup is scored exactly once
     assert(got.map(t => (t._1, t._2)) === daily.map(t => (t._1, t._2)).toSet)
   }
+
+  test("KMV overlap equals a driver-side sketch recompute; estimator bounds sane") {
+    def md5hex(s: String): String = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+      d.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    }
+    def h48(u: Long): Long = java.lang.Long.parseLong(md5hex(u.toString).take(12), 16)
+    val seg = Tables.events(spark, sf)
+      .filter(col("event_type").isin("view", "purchase"))
+      .select("event_type", "user_id").distinct().collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    val k = 64
+    val aU = seg.filter(_._1 == "view").map(_._2).toSet
+    val bU = seg.filter(_._1 == "purchase").map(_._2).toSet
+    val aSk = aU.toSeq.map(h48).sorted.take(k).toSet
+    val bSk = bU.toSeq.map(h48).sorted.take(k).toSet
+    val unionK = (aU ++ bU).toSeq.map(u => (h48(u), u)).sorted.take(k)
+    val vk = unionK.map(_._1).max
+    val c = unionK.count { case (h, _) => aSk.contains(h) && bSk.contains(h) }
+    val estUnion = 63L * (1L << 48) / vk
+    val estInter = c * estUnion / k
+    val r = EventOps.qKmvOverlap(spark, sf).collect().head
+    assert(r.getAs[Long]("v_k") === vk)
+    assert(r.getAs[Long]("co_members") === c.toLong)
+    assert(r.getAs[Long]("est_union") === estUnion)
+    assert(r.getAs[Long]("est_inter") === estInter)
+    assert(r.getAs[Long]("n_union") === (aU ++ bU).size.toLong)
+    assert(r.getAs[Long]("n_inter") === (aU & bU).size.toLong)
+    // intersection estimate is bounded by the union estimate
+    assert(estInter <= estUnion)
+  }
 }
