@@ -1920,6 +1920,70 @@ object SimilarityOps {
        |  CAST(rank_t1 AS INT) AS rank_t1, CAST(rank_t2 AS INT) AS rank_t2
        |FROM fused ORDER BY q_id, fused_rank""".stripMargin
 
+  /** EMBEDDING-DISTRIBUTION DRIFT between two corpus slices — the
+    * embedding-space counterpart of the PSI feature-drift monitor
+    * (`sample_drift_psi`): per-dimension mean shift between an "old
+    * crawl" and "new crawl" slice (deterministic vec_id parity stands
+    * in for the snapshot key). A retrained-embedder rollout or a
+    * crawl-mix change shows up here BEFORE it degrades the ANN index
+    * — the check a pipeline runs before pointing the index at new
+    * vectors.
+    *
+    * Exactness: millionth-quantized values, per-slice per-dim sums and
+    * counts as Longs, means by floor-division (the labelCentroids
+    * convention), drift = |Δmean| integer, flagged at 10⁴ millionths
+    * (0.01). Drift is computed in ONE aggregation pass: conditional
+    * sums per slice inside the same (dim)-keyed groupBy — the corpus
+    * is never scanned or shuffled twice, and 64 result rows make the
+    * downstream compare free at any corpus size. */
+  def qSimEmbeddingDrift(spark: SparkSession, sfDir: String): DataFrame = {
+    val slice = (col("vec_id") % 2 === 0).as("is_a")
+    Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), slice,
+        posexplode(transform(col("embedding"),
+          x => floor(x.cast("double") * 1000000).cast("long")))
+          .as(Seq("dim", "q")))
+      .groupBy(col("dim"))
+      .agg(
+        sum(when(col("is_a"), col("q"))).as("sum_a"),
+        sum(when(col("is_a"), 1L)).as("n_a"),
+        sum(when(!col("is_a"), col("q"))).as("sum_b"),
+        sum(when(!col("is_a"), 1L)).as("n_b"))
+      .select(col("dim"),
+        expr("IF(sum_a >= 0, sum_a DIV n_a, -((-sum_a + n_a - 1) DIV n_a))").as("mean_a"),
+        expr("IF(sum_b >= 0, sum_b DIV n_b, -((-sum_b + n_b - 1) DIV n_b))").as("mean_b"))
+      .withColumn("drift", abs(col("mean_a") - col("mean_b")))
+      .withColumn("is_shifted", col("drift") > 10000L)
+      .orderBy(col("dim"))
+  }
+
+  /** Same quantization, conditional sums, floor-toward-minus-infinity
+    * means, and threshold. */
+  val qSimEmbeddingDriftOracle: String =
+    """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      |x AS (SELECT vec_id, vec_id % 2 = 0 AS is_a, u.i - 1 AS dim,
+      |    CAST(floor(v[u.i] * 1000000) AS BIGINT) AS q
+      |  FROM e, unnest(generate_series(1, len(v))) AS u(i)),
+      |g AS (
+      |  SELECT dim,
+      |    CAST(SUM(CASE WHEN is_a THEN q END) AS BIGINT) AS sum_a,
+      |    CAST(SUM(CASE WHEN is_a THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+      |    CAST(SUM(CASE WHEN NOT is_a THEN q END) AS BIGINT) AS sum_b,
+      |    CAST(SUM(CASE WHEN NOT is_a THEN 1 ELSE 0 END) AS BIGINT) AS n_b
+      |  FROM x GROUP BY 1),
+      |m AS (
+      |  SELECT dim,
+      |    CASE WHEN sum_a >= 0 THEN sum_a // n_a
+      |         ELSE -((-sum_a + n_a - 1) // n_a) END AS mean_a,
+      |    CASE WHEN sum_b >= 0 THEN sum_b // n_b
+      |         ELSE -((-sum_b + n_b - 1) // n_b) END AS mean_b
+      |  FROM g)
+      |SELECT CAST(dim AS INT) AS dim,
+      |  CAST(mean_a AS BIGINT) AS mean_a, CAST(mean_b AS BIGINT) AS mean_b,
+      |  CAST(abs(mean_a - mean_b) AS BIGINT) AS drift,
+      |  abs(mean_a - mean_b) > 10000 AS is_shifted
+      |FROM m ORDER BY dim""".stripMargin
+
   /** LINEAR-SVM subgradient step (Pegasos, Shalev-Shwartz et al. 2007
     * — public): one distributed pass of hinge-loss subgradient
     * computation for a binary quality/domain classifier over the
@@ -2000,6 +2064,7 @@ object SimilarityOps {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sim_svm_step" -> (qSimSvmStep _),
     "sim_rank_fusion" -> (qSimRankFusion _),
+    "sim_embedding_drift" -> (qSimEmbeddingDrift _),
     "sim_label_outliers" -> (qSimLabelOutliers _),
     "sim_hard_negatives" -> (qSimHardNegatives _),
     "sim_pq_encode" -> (qSimPqEncode _),
@@ -2029,6 +2094,7 @@ object SimilarityOps {
   val oracles: Map[String, String] = Map(
     "sim_svm_step" -> qSimSvmStepOracle,
     "sim_rank_fusion" -> qSimRankFusionOracle,
+    "sim_embedding_drift" -> qSimEmbeddingDriftOracle,
     "sim_label_outliers" -> qSimLabelOutliersOracle,
     "sim_hard_negatives" -> qSimHardNegativesOracle,
     "sim_pq_encode" -> qSimPqEncodeOracle,

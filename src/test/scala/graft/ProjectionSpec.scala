@@ -94,4 +94,34 @@ class ProjectionSpec extends SparkSpec {
       "only the query-broadcast pairings may be nested-loop")
     assert(p.contains("LeftSemi"), "overlap must be a semi-join")
   }
+
+  test("embedding drift equals a driver-side recompute; one agg pass, join-free") {
+    val raw = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => (r.getLong(0),
+        r.getSeq[Float](1).map(x => math.floor(x.toDouble * 1e6).toLong).toArray))
+    def floorDiv(a: Long, b: Long): Long = Math.floorDiv(a, b)
+    val dims = raw.head._2.length
+    val want = (0 until dims).map { d =>
+      val (as, bs) = raw.partition(_._1 % 2 == 0)
+      val ma = floorDiv(as.map(_._2(d)).sum, as.length)
+      val mb = floorDiv(bs.map(_._2(d)).sum, bs.length)
+      (d, ma, mb, math.abs(ma - mb), math.abs(ma - mb) > 10000L)
+    }.toSet
+    val df = SimilarityOps.qSimEmbeddingDrift(spark, sf)
+    val got = df.collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getBoolean(4))).toSet
+    assert(got === want)
+    val p = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+    assert(!p.contains("Join"), "drift is a single aggregation, no joins")
+    // post-execution the adaptive explain appends the pre-AQE "Initial
+    // Plan" with its own numbering — audit the FINAL plan only
+    val finalPlan = p.split("Initial Plan").head
+    val exchanges = finalPlan.linesIterator
+      .flatMap("""\((\d+)\) Exchange""".r.findFirstMatchIn(_))
+      .map(_.group(1)).toSet
+    assert(exchanges.size <= 2, s"one dim shuffle + output sort, got $exchanges")
+  }
 }
