@@ -286,6 +286,52 @@ object Relational {
     """SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem
       |ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber LIMIT 10""".stripMargin
 
+  /** 2-D SKYLINE (Pareto frontier, Börzsönyi et al. 2001 — the classic
+    * OLAP operator Spark has no built-in for): the lineitems no other
+    * lineitem beats on BOTH price and quantity (minimize both, at
+    * least one strictly). The naive formulation is an O(n²) dominance
+    * anti-self-join; the scalable 2-D rewrite is SORT-AND-SWEEP:
+    * collapse to the min quantity per distinct price (equal-price
+    * duplicates are dominated), then one ordered window keeps a price
+    * point iff its quantity is strictly below the running minimum of
+    * every cheaper price. One (price) aggregation shuffle + one
+    * ordered window over the DISTINCT-PRICE relation (≤ |price
+    * domain| rows, far below the fact table) — no self-join at any
+    * scale. Money in exact cents (the decimal→long parity rule). */
+  def qSkyline(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val pts = Tables.lineitem(spark, sfDir)
+      .select((col("l_extendedprice") * 100).cast("long").as("price_c"),
+        col("l_quantity").cast("long").as("qty"))
+      .groupBy(col("price_c")).agg(min(col("qty")).as("qty"))
+    val before = Window.orderBy(col("price_c"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    pts
+      .withColumn("min_qty_cheaper", min(col("qty")).over(before))
+      .filter(col("min_qty_cheaper").isNull ||
+        col("qty") < col("min_qty_cheaper"))
+      .withColumn("frontier_rank", row_number().over(
+        Window.orderBy(col("price_c"))))
+      .select(col("frontier_rank"), col("price_c"), col("qty"))
+      .orderBy(col("frontier_rank"))
+  }
+
+  val qSkylineOracle: String =
+    """WITH pts AS (
+      |  SELECT CAST(l_extendedprice * 100 AS BIGINT) AS price_c,
+      |    CAST(MIN(l_quantity) AS BIGINT) AS qty
+      |  FROM lineitem GROUP BY 1),
+      |sweep AS (
+      |  SELECT price_c, qty,
+      |    MIN(qty) OVER (ORDER BY price_c
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS min_qty_cheaper
+      |  FROM pts)
+      |SELECT CAST(row_number() OVER (ORDER BY price_c) AS INT) AS frontier_rank,
+      |  price_c, qty
+      |FROM sweep
+      |WHERE min_qty_cheaper IS NULL OR qty < min_qty_cheaper
+      |ORDER BY frontier_rank""".stripMargin
+
   /** Set operations: union-distinct / intersect / except over two key
     * sets, tagged so one result covers all three operators. */
   def qSetOps(spark: SparkSession, sfDir: String): DataFrame = {
@@ -1588,6 +1634,7 @@ object Relational {
     "q_topk_per_group" -> (qTopKPerGroup _),
     "q_topk_per_group_agg" -> (qTopKPerGroupAgg _),
     "q_sort_limit" -> (qSortLimit _),
+    "q_skyline" -> (qSkyline _),
     "q_set_ops" -> (qSetOps _),
     "q_rollup" -> (qRollup _),
     "q_cube" -> (qCube _),
@@ -1638,6 +1685,7 @@ object Relational {
     "q_topk_per_group" -> qTopKPerGroupOracle,
     "q_topk_per_group_agg" -> qTopKPerGroupOracle,
     "q_sort_limit" -> qSortLimitOracle,
+    "q_skyline" -> qSkylineOracle,
     "q_set_ops" -> qSetOpsOracle,
     "q_rollup" -> qRollupOracle,
     "q_cube" -> qCubeOracle,

@@ -70,4 +70,31 @@ class RelationalSpec extends SparkSpec {
         s"${r.getString(0)}: approx distinct out of 3-sigma bound")
     }
   }
+
+  test("skyline equals the O(n^2) dominance definition; sweep plan has no self-join") {
+    val pts = Tables.lineitem(spark, sf)
+      .select((col("l_extendedprice") * 100).cast("long"),
+        col("l_quantity").cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    // definition: p is on the skyline iff no q dominates it
+    // (q <= p on both, < on at least one)
+    val want = pts.distinct.filter { case (x, y) =>
+      !pts.exists { case (a, b) =>
+        a <= x && b <= y && (a < x || b < y) }
+    }.sortBy(_._1).zipWithIndex
+      .map { case ((x, y), i) => (i + 1, x, y) }.toSet
+    val df = Relational.qSkyline(spark, sf)
+    val got = df.collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got === want)
+    // frontier is strictly monotone: price up, quantity down
+    val sorted = got.toSeq.sortBy(_._1)
+    sorted.zip(sorted.tail).foreach { case ((_, x1, y1), (_, x2, y2)) =>
+      assert(x1 < x2 && y1 > y2)
+    }
+    // sort-and-sweep shape: no join of any kind in the plan
+    val p = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+    assert(!p.contains("Join"), s"skyline must be join-free:\n${p.take(400)}")
+  }
 }
