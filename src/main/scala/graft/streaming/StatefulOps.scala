@@ -1053,4 +1053,70 @@ object StatefulOps {
         when(col("best").isNotNull, -col("best.nb")).as("match_id"),
         when(col("best").isNotNull, round(col("best.c"), 6)).as("cosine_r"))
   }
+
+  // ================= streaming KMV cardinality sketch =================
+
+  case class SegmentUser(segment: String, user_id: Long)
+  case class KmvState(minima: Seq[Long])
+  case class KmvPoint(segment: String, n_minima: Int, v_k: Long, est_card: Long)
+
+  /** The batch twin's 48-bit hash (md5 of the decimal user id, first
+    * 12 hex chars) as a plain JVM function — bit-identical to the
+    * Column expression in `EventOps.qKmvOverlap` and the DuckDB
+    * oracle, so the streamed minima are the SAME longs. */
+  private[graft] def h48(userId: Long): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+    val hex = d.digest(userId.toString.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    java.lang.Long.parseLong(hex.take(12), 16)
+  }
+
+  /** The KMV transition: fold a batch of hashes into the k minima.
+    * A SET of minima (distinct + sorted + take k) makes the merge
+    * associative, commutative, and duplicate-idempotent — the
+    * ScalaCheck'd split law in KmvLaws is exactly why any batch cut
+    * (and any replay) converges to the same sketch. */
+  private[graft] def mergeMinima(cur: Seq[Long], incoming: Seq[Long],
+      k: Int): Seq[Long] =
+    (cur ++ incoming).distinct.sorted.take(k)
+
+  /** est = n while the sketch is exact (fewer than k minima), else
+    * (k−1)·2⁴⁸ DIV v_k — the batch twin's estimator verbatim. */
+  private[graft] def kmvEstimate(minima: Seq[Long], k: Int): Long =
+    if (minima.size < k) minima.size.toLong
+    else (k - 1).toLong * (1L << 48) / minima.last
+
+  final class KmvProcessor(k: Int, ttl: TTLConfig = TTLConfig.NONE)
+      extends StatefulProcessor[String, SegmentUser, KmvPoint] {
+    @transient private var st: ValueState[KmvState] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      st = getHandle.getValueState[KmvState]("kmvMinima",
+        Encoders.product[KmvState], ttl)
+    override def handleInputRows(segment: String, rows: Iterator[SegmentUser],
+        tv: TimerValues): Iterator[KmvPoint] = {
+      val cur = if (st.exists()) st.get().minima else Seq.empty[Long]
+      val m = mergeMinima(cur, rows.map(r => h48(r.user_id)).toSeq, k)
+      st.update(KmvState(m))
+      Iterator.single(KmvPoint(segment, m.size,
+        if (m.isEmpty) 0L else m.last, kmvEstimate(m, k)))
+    }
+  }
+
+  /** STREAMING KMV twin of the batch `EventOps.qKmvOverlap`: maintain
+    * each segment's k-minimum-values sketch incrementally as users
+    * arrive — the live audience-size counter whose state is k longs
+    * per segment FOREVER, versus the batch twin's full distinct set.
+    * Each micro-batch emits the segment's current (n_minima, v_k,
+    * estimate); because KMV merge is a set union of minima, any two
+    * final segment sketches combine DOWNSTREAM into the same union
+    * sketch / overlap estimate the batch query computes — asserted
+    * against `qKmvOverlap`'s row in StatefulOpsSpec. RocksDB state
+    * store required. */
+  def streamingKmv(users: Dataset[SegmentUser], k: Int = 64,
+      ttl: TTLConfig = TTLConfig.NONE): Dataset[KmvPoint] = {
+    import users.sparkSession.implicits._
+    users.groupByKey(_.segment)
+      .transformWithState(new KmvProcessor(k, ttl), timeModeFor(ttl),
+        OutputMode.Append())
+  }
 }

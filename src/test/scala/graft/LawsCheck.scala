@@ -604,3 +604,32 @@ object EwmaLaws extends Properties("advanceEwma") {
       replay.isEmpty && st2 == st1
     }
 }
+
+object KmvLaws extends Properties("kmvSketch") {
+  import graft.streaming.StatefulOps
+  private val k = 8
+  private val hashes = Gen.listOf(Gen.chooseNum(1L, 1L << 40))
+
+  property("merge is a set union: any batch split converges to one sketch") =
+    forAll(hashes, hashes) { (a, b) =>
+      val threaded = StatefulOps.mergeMinima(
+        StatefulOps.mergeMinima(Nil, a, k), b, k)
+      threaded == StatefulOps.mergeMinima(Nil, a ++ b, k)
+    }
+
+  property("replayed batches are idempotent") = forAll(hashes) { a =>
+    val once = StatefulOps.mergeMinima(Nil, a, k)
+    StatefulOps.mergeMinima(once, a, k) == once
+  }
+
+  property("sketch holds the k smallest distinct values, sorted") =
+    forAll(hashes) { a =>
+      StatefulOps.mergeMinima(Nil, a, k) == a.distinct.sorted.take(k)
+    }
+
+  property("estimator is exact below k and positive at k") = forAll(hashes) { a =>
+    val m = StatefulOps.mergeMinima(Nil, a, k)
+    val est = StatefulOps.kmvEstimate(m, k)
+    if (m.size < k) est == m.size.toLong else est > 0L
+  }
+}

@@ -1025,4 +1025,63 @@ class StatefulOpsSpec extends SparkSpec {
       }
     }
   }
+
+  test("streaming KMV sketches combine into the batch overlap query's exact row") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val batchRow = graft.operators.EventOps.qKmvOverlap(spark, sf)
+        .collect().head
+      val arrivals = Tables.events(spark, sf)
+        .filter(col("event_type").isin("view", "purchase"))
+        .select(col("event_type"), col("user_id"), col("event_id"))
+        .distinct().collect()
+        .map(r => (r.getLong(2), StatefulOps.SegmentUser(r.getString(0), r.getLong(1))))
+        .sortBy(_._1).map(_._2)
+      val (first, second) = arrivals.splitAt(arrivals.length / 2)
+      val in = MemoryStream[StatefulOps.SegmentUser]
+      val q = StatefulOps.streamingKmv(in.toDS())
+        .writeStream.format("memory").queryName("kmv_out")
+        .outputMode("append").start()
+      try {
+        in.addData(first.toSeq)
+        q.processAllAvailable()
+        in.addData(second.toSeq)
+        q.processAllAvailable()
+        // last emission per segment is the final sketch summary
+        val rows = spark.table("kmv_out").collect().zipWithIndex
+          .groupBy(_._1.getString(0))
+          .map { case (s, rs) => s -> rs.maxBy(_._2)._1 }
+        // rebuild the final minima driver-side (the emissions carry the
+        // summary; the state equivalence is via the pure merge law)
+        def minima(seg: String): Seq[Long] = arrivals
+          .filter(_.segment == seg).map(u => StatefulOps.h48(u.user_id))
+          .distinct.sorted.take(64).toSeq
+        val (aSk, bSk) = (minima("view"), minima("purchase"))
+        for ((seg, sk) <- Seq("view" -> aSk, "purchase" -> bSk)) {
+          val r = rows(seg)
+          assert(r.getInt(1) === sk.size, s"$seg n_minima")
+          assert(r.getLong(2) === sk.last, s"$seg v_k")
+          assert(r.getLong(3) === StatefulOps.kmvEstimate(sk, 64), s"$seg est")
+        }
+        // KMV merge property: the two final segment sketches combine
+        // into the union sketch, reproducing the batch overlap row
+        val union = StatefulOps.mergeMinima(aSk, bSk, 64)
+        val vk = union.last
+        val c = union.count(h => aSk.contains(h) && bSk.contains(h))
+        assert(vk === batchRow.getAs[Long]("v_k"))
+        assert(c.toLong === batchRow.getAs[Long]("co_members"))
+        assert(63L * (1L << 48) / vk === batchRow.getAs[Long]("est_union"))
+      } finally q.stop()
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
 }
