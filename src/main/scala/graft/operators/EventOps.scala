@@ -479,7 +479,76 @@ object EventOps {
       |    AND est.est_union * 10 <= ex.n_union * 16 AS union_within_3rse
       |FROM vk, c, ex, est""".stripMargin
 
+  /** CUSUM changepoint detection (Page 1954 — the classic sequential
+    * drift detector) on the daily per-type event volume: the one-sided
+    * upper CUSUM S_i = max(0, S_{i−1} + (x_i − target − slack))
+    * crosses its threshold when volume runs persistently hot —
+    * catching slow drifts a per-day MAD flag ([[qAnomalyMad]]) never
+    * fires on. Target = the series' lower median; slack = med DIV 20
+    * (5%); threshold h = med (one full median-day of accumulated
+    * excess).
+    *
+    * The recurrence looks inherently sequential, but the classic
+    * identity S_i = C_i − min_{j≤i}(C_j) over the plain cumulative
+    * C_i = Σ(x−target−slack) turns it into TWO stacked windows
+    * (running sum + running min) — no recursion, no UDAF, pure
+    * integer Longs end-to-end.
+    *
+    * Scale shape: one map-side-combining rollup shuffle of the event
+    * stream; both windows and the median pick run per event_type on
+    * the (type, day) relation — metadata-sized forever. */
+  def qCusumDrift(spark: SparkSession, sfDir: String): DataFrame = {
+    val wt = Window.partitionBy(col("event_type"))
+    val wCum = Window.partitionBy(col("event_type")).orderBy(col("day"))
+    val daily = ev(spark, sfDir)
+      .groupBy(col("event_type"), expr("tus DIV 86400000000").as("day"))
+      .agg(count(lit(1)).as("cnt"))
+    daily
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("event_type")).orderBy(col("cnt"), col("day"))))
+      .withColumn("n", count(lit(1)).over(wt))
+      .withColumn("med", max(when(col("rn") === expr("(n + 1) DIV 2"),
+        col("cnt"))).over(wt))
+      .withColumn("cum",
+        sum(col("cnt") - col("med") - expr("med DIV 20")).over(wCum))
+      .withColumn("cum_min", least(min(col("cum")).over(wCum), lit(0L)))
+      .withColumn("cusum", col("cum") - col("cum_min"))
+      .select(col("event_type"), col("day"), col("cnt"), col("med"),
+        col("cusum"), (col("cusum") > col("med")).as("drift_alarm"))
+      .orderBy(col("event_type"), col("day"))
+  }
+
+  val qCusumDriftOracle: String =
+    """WITH daily AS (
+      |  SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+      |    COUNT(*) AS cnt
+      |  FROM events GROUP BY 1, 2),
+      |m1 AS (
+      |  SELECT event_type, day, cnt,
+      |    row_number() OVER (PARTITION BY event_type ORDER BY cnt, day) AS rn,
+      |    COUNT(*) OVER (PARTITION BY event_type) AS n
+      |  FROM daily),
+      |m2 AS (
+      |  SELECT event_type, day, cnt,
+      |    MAX(CASE WHEN rn = (n + 1) // 2 THEN cnt END)
+      |      OVER (PARTITION BY event_type) AS med
+      |  FROM m1),
+      |c AS (
+      |  SELECT event_type, day, cnt, med,
+      |    SUM(cnt - med - med // 20) OVER w AS cum
+      |  FROM m2 WINDOW w AS (PARTITION BY event_type ORDER BY day)),
+      |s AS (
+      |  SELECT event_type, day, cnt, med, cum,
+      |    LEAST(MIN(cum) OVER w, 0) AS cum_min
+      |  FROM c WINDOW w AS (PARTITION BY event_type ORDER BY day))
+      |SELECT event_type, CAST(day AS BIGINT) AS day, cnt,
+      |  CAST(med AS BIGINT) AS med,
+      |  CAST(cum - cum_min AS BIGINT) AS cusum,
+      |  cum - cum_min > med AS drift_alarm
+      |FROM s ORDER BY event_type, day""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_cusum_drift" -> (qCusumDrift _),
     "q_kmv_overlap" -> (qKmvOverlap _),
     "q_anomaly_mad" -> (qAnomalyMad _),
     "q_ewma_daily" -> (qEwmaDaily _),
@@ -490,6 +559,7 @@ object EventOps {
     "q_zscore_outliers" -> (qZscoreOutliers _))
 
   val oracles: Map[String, String] = Map(
+    "q_cusum_drift" -> qCusumDriftOracle,
     "q_kmv_overlap" -> qKmvOverlapOracle,
     "q_anomaly_mad" -> qAnomalyMadOracle,
     "q_ewma_daily" -> qEwmaDailyOracle,

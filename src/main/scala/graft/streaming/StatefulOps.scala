@@ -1054,6 +1054,71 @@ object StatefulOps {
         when(col("best").isNotNull, round(col("best.c"), 6)).as("cosine_r"))
   }
 
+  // ================= streaming CUSUM drift detector =================
+
+  case class CusumState(s: Long, lastDay: Long)
+  case class CusumPoint(event_type: String, day: Long, cnt: Long,
+    cusum: Long, drift_alarm: Boolean)
+
+  /** The CUSUM transition for one key: thread S_i = max(0, S_{i−1} +
+    * (x_i − target − slack)) across the batch's days in ascending
+    * order, ignoring re-delivered (≤ last seen) days so replays are
+    * no-ops. Pure — the split law in CusumLaws is the replay-equality
+    * argument. */
+  private[graft] def advanceCusum(st0: Option[CusumState],
+      target: Long, slack: Long,
+      days: Seq[(Long, Long)]): (Option[CusumState], Seq[(Long, Long, Long)]) = {
+    var s = st0.map(_.s).getOrElse(0L)
+    var last = st0.map(_.lastDay).getOrElse(Long.MinValue)
+    val out = scala.collection.mutable.ArrayBuffer[(Long, Long, Long)]()
+    days.sortBy(_._1).foreach { case (day, cnt) =>
+      if (day > last) {
+        s = math.max(0L, s + (cnt - target - slack))
+        last = day
+        out += ((day, cnt, s))
+      }
+    }
+    (Some(CusumState(s, last)), out.toSeq)
+  }
+
+  final class CusumProcessor(targets: Map[String, Long],
+      ttl: TTLConfig = TTLConfig.NONE)
+      extends StatefulProcessor[String, DailyCount, CusumPoint] {
+    @transient private var st: ValueState[CusumState] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      st = getHandle.getValueState[CusumState]("cusum",
+        Encoders.product[CusumState], ttl)
+    override def handleInputRows(eventType: String, rows: Iterator[DailyCount],
+        tv: TimerValues): Iterator[CusumPoint] = {
+      val target = targets.getOrElse(eventType, 0L)
+      val st0 = if (st.exists()) Some(st.get()) else None
+      val (st1, out) = advanceCusum(st0, target, target / 20,
+        rows.map(r => (r.day, r.cnt)).toSeq)
+      st1.foreach(st.update)
+      out.iterator.map { case (d, c, s) =>
+        CusumPoint(eventType, d, c, s, s > target) }
+    }
+  }
+
+  /** STREAMING CUSUM twin of the batch `EventOps.qCusumDrift`: the
+    * batch twin computes its target (the series median) from the full
+    * history — a stream cannot, so the PRODUCTION split is exactly
+    * this API: the nightly batch publishes per-type targets, the
+    * stream threads the one-Long recurrence against them and raises
+    * the alarm the moment a day's rollup arrives. State is (S, last
+    * day) per type; re-delivered days are no-ops, so checkpoint
+    * replay emits identically. Fed batch-median targets, the stream's
+    * (day, cusum, alarm) rows equal the batch query's — asserted in
+    * StatefulOpsSpec across a mid-stream cut. RocksDB state store
+    * required. */
+  def streamingCusum(counts: Dataset[DailyCount], targets: Map[String, Long],
+      ttl: TTLConfig = TTLConfig.NONE): Dataset[CusumPoint] = {
+    import counts.sparkSession.implicits._
+    counts.groupByKey(_.event_type)
+      .transformWithState(new CusumProcessor(targets, ttl), timeModeFor(ttl),
+        OutputMode.Append())
+  }
+
   // ================= streaming KMV cardinality sketch =================
 
   case class SegmentUser(segment: String, user_id: Long)

@@ -167,6 +167,28 @@ class EventOpsSpec extends SparkSpec {
     assert(got.map(t => (t._1, t._2)) === daily.map(t => (t._1, t._2)).toSet)
   }
 
+  test("CUSUM via the cumsum-minus-running-min identity equals the sequential recurrence") {
+    val daily = Tables.events(spark, sf)
+      .groupBy(col("event_type"), expr("unix_micros(ts) DIV 86400000000").as("day"))
+      .agg(count(lit(1)).as("cnt"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    def lowerMedian(xs: Seq[Long]): Long = xs.sorted.apply((xs.size + 1) / 2 - 1)
+    // driver side runs the RECURRENCE S_i = max(0, S_{i-1} + d_i);
+    // the query computes the window identity — equality proves it
+    val want = daily.groupBy(_._1).flatMap { case (t, rows) =>
+      val med = lowerMedian(rows.map(_._3).toSeq)
+      var s = 0L
+      rows.toSeq.sortBy(_._2).map { case (_, d, c) =>
+        s = math.max(0L, s + (c - med - med / 20))
+        (t, d, c, med, s, s > med)
+      }
+    }.toSet
+    val got = EventOps.qCusumDrift(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getBoolean(5))).toSet
+    assert(got === want)
+  }
+
   test("KMV overlap equals a driver-side sketch recompute; estimator bounds sane") {
     def md5hex(s: String): String = {
       val d = java.security.MessageDigest.getInstance("MD5")

@@ -633,3 +633,35 @@ object KmvLaws extends Properties("kmvSketch") {
     if (m.size < k) est == m.size.toLong else est > 0L
   }
 }
+
+object CusumLaws extends Properties("advanceCusum") {
+  import graft.streaming.StatefulOps
+  private val series: Gen[List[(Long, Long)]] = for {
+    n <- Gen.chooseNum(0, 30)
+    days = (1 to n).map(_.toLong)
+    cnts <- Gen.listOfN(n, Gen.chooseNum(0L, 50L))
+  } yield days.zip(cnts).toList
+
+  property("any batch split threads to the one-pass emissions") =
+    forAll(series, Gen.chooseNum(0, 30), Gen.chooseNum(0L, 20L)) { (s, cut0, t) =>
+      val cut = math.min(cut0, s.length)
+      val (a, b) = s.splitAt(cut)
+      val (st1, o1) = StatefulOps.advanceCusum(None, t, t / 20, a)
+      val (_, o2) = StatefulOps.advanceCusum(st1, t, t / 20, b)
+      val (_, all) = StatefulOps.advanceCusum(None, t, t / 20, s)
+      o1 ++ o2 == all
+    }
+
+  property("re-delivered days emit nothing and leave state unchanged") =
+    forAll(series, Gen.chooseNum(0L, 20L)) { (s, t) =>
+      val (st1, _) = StatefulOps.advanceCusum(None, t, t / 20, s)
+      val (st2, replay) = StatefulOps.advanceCusum(st1, t, t / 20, s)
+      replay.isEmpty && (s.isEmpty || st2 == st1)
+    }
+
+  property("cusum is never negative and resets absorb deficits") =
+    forAll(series, Gen.chooseNum(0L, 20L)) { (s, t) =>
+      val (_, out) = StatefulOps.advanceCusum(None, t, t / 20, s)
+      out.forall(_._3 >= 0L)
+    }
+}

@@ -1026,6 +1026,57 @@ class StatefulOpsSpec extends SparkSpec {
     }
   }
 
+  test("streaming CUSUM fed batch-median targets equals the batch drift query") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val batch = graft.operators.EventOps.qCusumDrift(spark, sf).collect()
+        .map(r => (r.getString(0), r.getLong(1)) ->
+          ((r.getLong(2), r.getLong(4), r.getBoolean(5)))).toMap
+      // the nightly-published targets: the batch twin's own medians
+      val targets = graft.operators.EventOps.qCusumDrift(spark, sf)
+        .select("event_type", "med").distinct().collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      val daily = Tables.events(spark, sf)
+        .select(col("event_type"),
+          expr("unix_micros(ts) DIV 86400000000").as("day"))
+        .groupBy("event_type", "day").count()
+        .collect()
+        .map(r => StatefulOps.DailyCount(r.getString(0), r.getLong(1),
+          r.getLong(2)))
+        .sortBy(d => (d.day, d.event_type))
+      val midDay = daily(daily.length / 2).day
+      val (first, second) = daily.partition(_.day < midDay)
+      val in = MemoryStream[StatefulOps.DailyCount]
+      val q = StatefulOps.streamingCusum(in.toDS(), targets)
+        .writeStream.format("memory").queryName("cusum_out")
+        .outputMode("append").start()
+      try {
+        in.addData(first.toSeq)
+        q.processAllAvailable()
+        in.addData(second.toSeq)
+        q.processAllAvailable()
+        val got = spark.table("cusum_out").collect()
+          .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+            r.getLong(3), r.getBoolean(4)))
+        assert(got.length === daily.length)
+        got.foreach { case (t, d, cnt, s, alarm) =>
+          assert(batch((t, d)) === ((cnt, s, alarm)), s"mismatch at ($t, $d)")
+        }
+        assert(first.nonEmpty && second.nonEmpty)
+      } finally q.stop()
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
+
   test("streaming KMV sketches combine into the batch overlap query's exact row") {
     import spark.implicits._
     implicit val sc = spark.sqlContext
