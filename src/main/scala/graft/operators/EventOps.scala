@@ -547,7 +547,100 @@ object EventOps {
       |  cum - cum_min > med AS drift_alarm
       |FROM s ORDER BY event_type, day""".stripMargin
 
+  /** EVENT-TRANSITION MATRIX (first-order Markov view of user
+    * journeys): per-user event streams ordered by (time, id), each
+    * consecutive pair contributes one (from → to) transition; emitted
+    * with the row-conditional probability as integer parts-per-million
+    * (n·10⁶ DIV from_total — no float division). The product-analytics
+    * "what do users do next" table, and the input a Markov-chain
+    * attribution model consumes.
+    *
+    * Scale shape: ONE shuffle on user_id for the lag window (shared
+    * with every other per-user walk in this module), then a
+    * map-side-combining count into the |types|² keyspace — the
+    * transition matrix is model-sized, never corpus-sized. */
+  def qEventTransitions(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("tus"), col("event_id"))
+    val trans = ev(spark, sfDir)
+      .withColumn("from_type", lag(col("event_type"), 1).over(w))
+      .filter(col("from_type").isNotNull)
+      .groupBy(col("from_type"), col("event_type").as("to_type"))
+      .agg(count(lit(1)).as("n"))
+    val totals = trans.groupBy(col("from_type"))
+      .agg(sum(col("n")).as("from_total"))
+    trans.join(totals, "from_type")
+      .select(col("from_type"), col("to_type"), col("n"), col("from_total"),
+        expr("n * 1000000 DIV from_total").as("p_ppm"))
+      .orderBy(col("from_type"), col("to_type"))
+  }
+
+  val qEventTransitionsOracle: String =
+    """WITH e AS (
+      |  SELECT user_id, event_type, epoch_us(ts) AS tus, event_id
+      |  FROM events),
+      |t AS (
+      |  SELECT lag(event_type) OVER (PARTITION BY user_id
+      |      ORDER BY tus, event_id) AS from_type,
+      |    event_type AS to_type
+      |  FROM e),
+      |c AS (SELECT from_type, to_type, COUNT(*) AS n FROM t
+      |      WHERE from_type IS NOT NULL GROUP BY 1, 2),
+      |tot AS (SELECT from_type, SUM(n) AS from_total FROM c GROUP BY 1)
+      |SELECT c.from_type, c.to_type, c.n,
+      |  CAST(from_total AS BIGINT) AS from_total,
+      |  CAST(c.n * 1000000 // from_total AS BIGINT) AS p_ppm
+      |FROM c JOIN tot USING (from_type)
+      |ORDER BY from_type, to_type""".stripMargin
+
+  /** PARTIAL-AGGREGATE MERGE law as a query — the algebra every
+    * incremental 100 TB rollup stands on: per-(type, day) partials
+    * (count / sum-cents / min / max) materialize once, and the
+    * per-type monthly rollup is computed FROM THE PARTIALS (merge =
+    * sum of counts/sums, min of mins, max of maxes), never from the
+    * raw stream again. The ORACLE aggregates the raw events directly
+    * — the hash match IS the proof that merge(partials) = direct, the
+    * same twin discipline as the token-budget decomposition. Money in
+    * exact cents; two map-side-combining shuffles, the second over the
+    * partials relation only. */
+  def qPartialAggMerge(spark: SparkSession, sfDir: String): DataFrame = {
+    val cents = (col("value") * 100)
+      .cast(org.apache.spark.sql.types.DecimalType(18, 0)).cast("long")
+    val partials = Tables.events(spark, sfDir)
+      .select(col("event_type"), expr("unix_micros(ts) DIV 86400000000").as("day"),
+        cents.as("cents"))
+      .groupBy(col("event_type"), col("day"))
+      .agg(count(lit(1)).as("p_n"), sum(col("cents")).as("p_sum"),
+        min(col("cents")).as("p_min"), max(col("cents")).as("p_max"))
+    partials
+      .groupBy(col("event_type"))
+      .agg(sum(col("p_n")).as("n"), sum(col("p_sum")).as("sum_cents"),
+        min(col("p_min")).as("min_cents"), max(col("p_max")).as("max_cents"),
+        count(lit(1)).as("n_partials"))
+      .orderBy(col("event_type"))
+  }
+
+  /** Aggregates the RAW stream directly — equality proves the merge. */
+  val qPartialAggMergeOracle: String =
+    """WITH e AS (
+      |  SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+      |    CAST(CAST(value * 100 AS DECIMAL(18,0)) AS BIGINT) AS cents
+      |  FROM events),
+      |direct AS (
+      |  SELECT event_type, COUNT(*) AS n,
+      |    CAST(SUM(cents) AS BIGINT) AS sum_cents,
+      |    MIN(cents) AS min_cents, MAX(cents) AS max_cents
+      |  FROM e GROUP BY 1),
+      |days AS (SELECT event_type, COUNT(DISTINCT day) AS n_partials
+      |         FROM e GROUP BY 1)
+      |SELECT d.event_type, d.n, d.sum_cents, d.min_cents, d.max_cents,
+      |  days.n_partials
+      |FROM direct d JOIN days USING (event_type)
+      |ORDER BY d.event_type""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_event_transitions" -> (qEventTransitions _),
+    "q_partial_agg_merge" -> (qPartialAggMerge _),
     "q_cusum_drift" -> (qCusumDrift _),
     "q_kmv_overlap" -> (qKmvOverlap _),
     "q_anomaly_mad" -> (qAnomalyMad _),
@@ -559,6 +652,8 @@ object EventOps {
     "q_zscore_outliers" -> (qZscoreOutliers _))
 
   val oracles: Map[String, String] = Map(
+    "q_event_transitions" -> qEventTransitionsOracle,
+    "q_partial_agg_merge" -> qPartialAggMergeOracle,
     "q_cusum_drift" -> qCusumDriftOracle,
     "q_kmv_overlap" -> qKmvOverlapOracle,
     "q_anomaly_mad" -> qAnomalyMadOracle,

@@ -189,6 +189,45 @@ class EventOpsSpec extends SparkSpec {
     assert(got === want)
   }
 
+  test("event transitions equal a driver-side lag recompute; rows-in = transitions-out") {
+    val ev = Tables.events(spark, sf)
+      .select(col("user_id"), col("event_type"),
+        expr("unix_micros(ts)").as("tus"), col("event_id"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    val trans = ev.groupBy(_._1).values.flatMap { rows =>
+      val s = rows.sortBy(r => (r._3, r._4)).map(_._2)
+      s.zip(s.drop(1))
+    }.toSeq
+    val counts = trans.groupBy(identity).map { case (p, v) => p -> v.size.toLong }
+    val fromTot = trans.groupBy(_._1).map { case (f, v) => f -> v.size.toLong }
+    val want = counts.map { case ((f, t), n) =>
+      (f, t, n, fromTot(f), n * 1000000L / fromTot(f))
+    }.toSet
+    val got = EventOps.qEventTransitions(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSet
+    assert(got === want)
+    // conservation: every user contributes (n_events - 1) transitions
+    assert(got.toSeq.map(_._3).sum ===
+      ev.groupBy(_._1).values.map(_.length - 1).sum.toLong)
+  }
+
+  test("partial-agg merge: merged daily partials equal a direct driver aggregation") {
+    val raw = Tables.events(spark, sf)
+      .select(col("event_type"), (col("value") * 100)
+        .cast(org.apache.spark.sql.types.DecimalType(18, 0)).cast("long").as("c"),
+        expr("unix_micros(ts) DIV 86400000000").as("day"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val want = raw.groupBy(_._1).map { case (t, rows) =>
+      (t, rows.length.toLong, rows.map(_._2).sum, rows.map(_._2).min,
+        rows.map(_._2).max, rows.map(_._3).distinct.length.toLong)
+    }.toSet
+    val got = EventOps.qPartialAggMerge(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toSet
+    assert(got === want)
+  }
+
   test("KMV overlap equals a driver-side sketch recompute; estimator bounds sane") {
     def md5hex(s: String): String = {
       val d = java.security.MessageDigest.getInstance("MD5")
