@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.Tables
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Multimodal-column operators (north star, BASELINE.json:6): media as
@@ -235,6 +235,94 @@ object MultimodalOps {
        |       END AS INT) AS n_windows
        |FROM documents WHERE doc_id % 3 = 1
        |ORDER BY doc_id""".stripMargin
+
+  private val TrimFrameBytes = 32
+
+  /** AUDIO SILENCE TRIM — the lead-in/lead-out removal every speech
+    * pipeline runs before transcription or training (sox/ffmpeg
+    * `silenceremove`, WebRTC VAD's coarse tier): frame the payload,
+    * score per-frame energy, and trim the silent RUN at each end.
+    * "Silent" = frame energy under half the doc's own mean frame
+    * energy, as the integer cross-multiplication 2·e·nf < Σe — the
+    * adaptive threshold a fixed constant can't give across loud and
+    * quiet recordings, with no float anywhere. The max-energy frame
+    * always clears the bar, so the kept span is never empty.
+    *
+    * Plumbing: the SAME mapPartitions batch decode as the scene-cut
+    * detector (a real VAD slots into [[StubCodec]] without touching
+    * the plan); the head/tail run lengths are HOF FOLDS over the
+    * per-doc energy array (`aggregate` with a (still-in-run, count)
+    * state) — map-only per document, embarrassingly parallel, no
+    * shuffle but the output sort. */
+  def qSilenceTrim(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val media: Dataset[MediaRow] = mediaTable(spark, sfDir)
+      .filter(col("media_type") === "audio")
+      .select(col("doc_id"), col("payload")).as[MediaRow]
+    val silent = (e: Column) =>
+      lit(2) * e * size(col("en")) < col("total_e")
+    def leadingRun(flags: Column): Column =
+      aggregate(flags,
+        struct(lit(true).as("run"), lit(0).as("n")),
+        (st, f) => struct(
+          (st.getField("run") && f).as("run"),
+          (st.getField("n") +
+            when(st.getField("run") && f, 1).otherwise(0)).as("n")),
+        st => st.getField("n"))
+    media.mapPartitions { rows =>
+      rows.map(m => EnergyRow(m.doc_id,
+        StubCodec.frameEnergies(m.payload, TrimFrameBytes)))
+    }.toDF()
+      .filter(size(col("en")) >= 1)
+      .withColumn("total_e",
+        aggregate(col("en"), lit(0L), (acc, x) => acc + x))
+      .withColumn("flags", transform(col("en"), e => silent(e)))
+      .withColumn("head_silent", leadingRun(col("flags")))
+      .withColumn("tail_silent", leadingRun(reverse(col("flags"))))
+      .select(col("doc_id"),
+        size(col("en")).as("n_frames"),
+        col("total_e"),
+        col("head_silent"), col("tail_silent"),
+        (size(col("en")) - col("head_silent") - col("tail_silent"))
+          .as("kept_frames"),
+        expr(s"(size(en) - head_silent - tail_silent) * $TrimFrameBytes * 1000 DIV 16000")
+          .cast("long").as("kept_ms"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Frame energies over `hex(encode(text))` (the scene-cut oracle's
+    * byte math at trim granularity); head/tail runs via min/max loud
+    * frame index. */
+  val qSilenceTrimOracle: String =
+    s"""WITH m AS (
+       |  SELECT doc_id, hex(encode(text)) AS h,
+       |         CAST(octet_length(encode(text)) AS INT) AS nb
+       |  FROM documents WHERE doc_id % 3 = 1),
+       |v AS (SELECT doc_id, h, nb, nb // $TrimFrameBytes AS nf FROM m
+       |      WHERE nb // $TrimFrameBytes >= 1),
+       |en AS (
+       |  SELECT v.doc_id, v.nf, f.f AS f,
+       |    SUM(CAST('0x' || substr(v.h, 2*(f.f*$TrimFrameBytes + j.j) + 1, 2) AS INT)) AS e
+       |  FROM v,
+       |       unnest(generate_series(0, v.nf - 1)) AS f(f),
+       |       unnest(generate_series(0, ${TrimFrameBytes - 1})) AS j(j)
+       |  GROUP BY 1, 2, 3),
+       |tot AS (SELECT doc_id, nf, SUM(e) AS total_e FROM en GROUP BY 1, 2),
+       |loud AS (
+       |  SELECT en.doc_id,
+       |    MIN(en.f) AS first_loud, MAX(en.f) AS max_loud
+       |  FROM en JOIN tot USING (doc_id)
+       |  WHERE 2 * en.e * tot.nf >= tot.total_e
+       |  GROUP BY 1)
+       |SELECT t.doc_id, CAST(t.nf AS INT) AS n_frames,
+       |  CAST(t.total_e AS BIGINT) AS total_e,
+       |  CAST(l.first_loud AS INT) AS head_silent,
+       |  CAST(t.nf - 1 - l.max_loud AS INT) AS tail_silent,
+       |  CAST(l.max_loud - l.first_loud + 1 AS INT) AS kept_frames,
+       |  CAST((l.max_loud - l.first_loud + 1) * $TrimFrameBytes * 1000 // 16000 AS BIGINT)
+       |    AS kept_ms
+       |FROM tot t JOIN loud l USING (doc_id)
+       |ORDER BY t.doc_id""".stripMargin
 
   private val TileSize = 64
 
@@ -556,6 +644,7 @@ object MultimodalOps {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm_scene_cuts" -> (qSceneCuts _),
+    "mm_silence_trim" -> (qSilenceTrim _),
     "mm_audio_fingerprint_neardup" -> (qAudioFingerprintNearDup _),
     "mm_phash_neardup" -> (qPhashNearDup _),
     "mm_metadata" -> (qMetadata _),
@@ -566,6 +655,7 @@ object MultimodalOps {
 
   val oracles: Map[String, String] = Map(
     "mm_scene_cuts" -> qSceneCutsOracle,
+    "mm_silence_trim" -> qSilenceTrimOracle,
     "mm_audio_fingerprint_neardup" -> qAudioFingerprintNearDupOracle,
     "mm_phash_neardup" -> qPhashNearDupOracle,
     "mm_metadata" -> qMetadataOracle,

@@ -161,4 +161,31 @@ class MultimodalSpec extends SparkSpec {
     assert(got === brute,
       s"missed=${(brute -- got).take(5)} phantom=${(got -- brute).take(5)}")
   }
+
+  test("silence trim equals a driver-side recompute; frame accounting conserves") {
+    val audio = spark.read.parquet(s"$sf/documents.parquet")
+      .filter(col("doc_id") % 3 === 1)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1).getBytes("UTF-8")))
+    val want = audio.flatMap { case (id, payload) =>
+      val en = MultimodalOps.StubCodec.frameEnergies(payload, 32)
+      if (en.isEmpty) None else {
+        val total = en.sum
+        val nf = en.length
+        def silent(e: Long) = 2 * e * nf < total
+        val head = en.takeWhile(silent).length
+        val tail = en.reverse.takeWhile(silent).length
+        Some((id, nf, total, head, tail, nf - head - tail,
+          (nf - head - tail).toLong * 32 * 1000 / 16000))
+      }
+    }.toSet
+    val got = MultimodalOps.qSilenceTrim(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getInt(3),
+        r.getInt(4), r.getInt(5), r.getLong(6))).toSet
+    assert(got === want)
+    // the adaptive threshold guarantees a non-empty keep per doc
+    got.foreach { case (id, nf, _, h, t, kept, _) =>
+      assert(kept >= 1 && h + t + kept === nf, s"doc $id accounting")
+    }
+  }
 }
