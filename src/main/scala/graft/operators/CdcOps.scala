@@ -566,7 +566,59 @@ object CdcOps {
       |WHERE COALESCE(c_act, b_act) <> 'delete'
       |ORDER BY user_id""".stripMargin
 
+  /** WAL CONTINUITY AUDIT — the replication QA check every CDC
+    * deployment runs after a failover or resnapshot: scan the change
+    * stream's WAL positions in order and report every gap, i.e. spans
+    * the consumer never saw. Position gaps are either benign (rows
+    * filtered as non-changes — here the dropped click/view markers,
+    * exactly like Begin/Commit records in a real WAL) or data loss;
+    * the audit quantifies them so the operator can reconcile against
+    * the source's retained-WAL accounting. Emits each gap with its
+    * bounds, width, and the running total of missing positions.
+    *
+    * Scale shape: one window walk over the envelope ordered by
+    * position. A single global ordering is inherent to the semantics
+    * (a WAL is one sequence); the relation being walked is the
+    * CHANGE STREAM (already collapsed from the raw feed), and a
+    * sharded deployment runs one walk per slot/partition key. */
+  def qWalGaps(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.orderBy(col("wal_position"))
+    filterActions(toEnvelope(Tables.events(spark, sfDir)))
+      .select(col("wal_position"))
+      .withColumn("prev_wal", lag(col("wal_position"), 1).over(w))
+      .filter(col("prev_wal").isNotNull &&
+        col("wal_position") - col("prev_wal") > 1)
+      .withColumn("gap_from", col("prev_wal") + 1)
+      .withColumn("gap_to", col("wal_position") - 1)
+      .withColumn("missing", col("gap_to") - col("gap_from") + 1)
+      .withColumn("cum_missing",
+        sum(col("missing")).over(
+          Window.orderBy(col("gap_from"))
+            .rowsBetween(Window.unboundedPreceding, 0)))
+      .select(col("gap_from"), col("gap_to"), col("missing"),
+        col("cum_missing"))
+      .orderBy(col("gap_from"))
+  }
+
+  val qWalGapsOracle: String =
+    """WITH env AS (
+      |  SELECT event_id AS wal FROM events
+      |  WHERE event_type IN ('signup', 'purchase', 'error')),
+      |g AS (
+      |  SELECT wal, lag(wal) OVER (ORDER BY wal) AS prev_wal FROM env),
+      |gaps AS (
+      |  SELECT prev_wal + 1 AS gap_from, wal - 1 AS gap_to,
+      |    wal - prev_wal - 1 AS missing
+      |  FROM g WHERE prev_wal IS NOT NULL AND wal - prev_wal > 1)
+      |SELECT gap_from, gap_to, CAST(missing AS BIGINT) AS missing,
+      |  CAST(SUM(missing) OVER (ORDER BY gap_from
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      |    AS cum_missing
+      |FROM gaps ORDER BY gap_from""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "cdc_wal_gaps" -> (qWalGaps _),
     "cdc_apply_merge" -> (qApplyMerge _),
     "cdc_snapshot_diff" -> (qSnapshotDiff _),
     "cdc_envelope" -> (qEnvelope _),
@@ -582,6 +634,7 @@ object CdcOps {
     "cdc_scd2" -> (qScd2 _))
 
   val oracles: Map[String, String] = Map(
+    "cdc_wal_gaps" -> qWalGapsOracle,
     "cdc_apply_merge" -> qApplyMergeOracle,
     "cdc_snapshot_diff" -> qSnapshotDiffOracle,
     "cdc_envelope" -> qEnvelopeOracle,

@@ -148,6 +148,25 @@ class CdcOpsSpec extends SparkSpec {
       !p.contains("BroadcastNestedLoopJoin"), "must join on the key")
   }
 
+  test("WAL gaps equal a driver-side recompute and reconcile to the dropped markers") {
+    val wals = events.filter(col("event_type").isin("signup", "purchase", "error"))
+      .select("event_id").collect().map(_.getLong(0)).sorted
+    val want = wals.zip(wals.drop(1))
+      .filter { case (a, b) => b - a > 1 }
+      .map { case (a, b) => (a + 1, b - 1, b - a - 1) }
+    val wantCum = want.scanLeft(0L)(_ + _._3).drop(1)
+    val got = CdcOps.qWalGaps(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.map(t => (t._1, t._2, t._3)).toSeq === want.toSeq)
+    assert(got.map(_._4).toSeq === wantCum.toSeq)
+    // reconciliation: missing INTERIOR positions = dropped markers there
+    val dropped = events.filter(!col("event_type").isin("signup", "purchase", "error"))
+      .filter(col("event_id") > wals.head && col("event_id") < wals.last)
+      .count()
+    assert(got.map(_._3).sum === dropped,
+      "every missing interior position is an intentionally dropped marker")
+  }
+
   test("snapshot diff plan: digest-only full-outer equi-join, pruned scans") {
     val df = CdcOps.qSnapshotDiff(spark, sf)
     val p = df.queryExecution.explainString(
