@@ -1092,6 +1092,87 @@ object DedupOps {
        |  doc_id = cluster_id AS is_canonical
        |FROM comp ORDER BY doc_id""".stripMargin
 
+  /** LEAKAGE-SAFE train/valid/test split — the fix for the classic
+    * evaluation bug where near-duplicate documents straddle the
+    * train/test boundary and the model "generalizes" to its own
+    * training data (the reason Lee et al. 2022 §5 deduplicate BEFORE
+    * splitting): hash-split by the near-dup CLUSTER id, not the doc
+    * id, so every member of a cluster lands in the same fold; docs
+    * outside any cluster are their own singleton cluster and split
+    * exactly as the naive `sample_split`. Emits both assignments and
+    * flags each doc where clustering AVERTED a straddle.
+    *
+    * Scale shape: components over the STORED near-dup edge artifact
+    * (the mining-free production path shared with
+    * `dedup_clusters_stored`) — graph-sized, not corpus-sized; the
+    * corpus joins the labels once on doc_id and the split itself is
+    * the usual shuffle-free md5 bucket, now keyed by cluster. */
+  def qSampleClusterSplit(spark: SparkSession, sfDir: String): DataFrame = {
+    def bucket(c: Column): Column =
+      conv(substring(md5(c.cast("string").cast("binary")), 1, 4), 16, 10)
+        .cast("int") % 100
+    def band(b: Column): Column =
+      when(b < 80, "train").when(b < 90, "valid").otherwise("test")
+    val comp = connectedComponents(
+        textEdgesStored(spark, sfDir).select("a_id", "b_id"))
+      .select(col("node").as("doc_id"), col("label").as("cl"))
+    Tables.documents(spark, sfDir).select(col("doc_id"))
+      .join(comp, Seq("doc_id"), "left_outer")
+      .withColumn("matched", col("cl").isNotNull)
+      .withColumn("cluster_id", coalesce(col("cl"), col("doc_id")))
+      .withColumn("split", band(bucket(col("cluster_id"))))
+      .withColumn("naive_split", band(bucket(col("doc_id"))))
+      .select(col("doc_id"), col("cluster_id"), col("split"),
+        col("naive_split"),
+        (col("matched") && col("split") =!= col("naive_split"))
+          .as("leak_averted"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** The clusters oracle's recursive components + the md5 bucket of
+    * [[SamplingOps.bucket100]], keyed by cluster. */
+  val qSampleClusterSplitOracle: String =
+    s"""WITH RECURSIVE $shinglesSql,
+       |rare AS (SELECT shingle FROM sh GROUP BY shingle HAVING COUNT(*) <= 20),
+       |kept AS (SELECT sh.doc_id, sh.shingle FROM sh JOIN rare USING (shingle)),
+       |sc AS (SELECT doc_id, COUNT(*) AS n FROM kept GROUP BY 1),
+       |pairs AS (
+       |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS inter
+       |  FROM kept a JOIN kept b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2),
+       |matched AS (
+       |  SELECT p.a_id, p.b_id FROM pairs p
+       |  JOIN sc sa ON sa.doc_id = p.a_id
+       |  JOIN sc sb ON sb.doc_id = p.b_id
+       |  WHERE CAST(p.inter AS DOUBLE) / (sa.n + sb.n - p.inter) >= 0.1),
+       |edges AS (SELECT a_id AS src, b_id AS dst FROM matched
+       |          UNION SELECT b_id, a_id FROM matched),
+       |reach(src, dst) AS (
+       |  SELECT DISTINCT src, src FROM edges
+       |  UNION
+       |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+       |comp AS (SELECT src AS doc_id, MIN(dst) AS cl FROM reach GROUP BY 1),
+       |f AS (
+       |  SELECT d.doc_id, c.cl IS NOT NULL AS matched,
+       |    COALESCE(c.cl, d.doc_id) AS cluster_id
+       |  FROM documents d LEFT JOIN comp c USING (doc_id)),
+       |b AS (
+       |  SELECT doc_id, matched, cluster_id,
+       |    CAST('0x' || substr(md5(CAST(cluster_id AS VARCHAR)), 1, 4) AS INT) % 100 AS cb,
+       |    CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS INT) % 100 AS nb
+       |  FROM f)
+       |SELECT doc_id, cluster_id,
+       |  CASE WHEN cb < 80 THEN 'train' WHEN cb < 90 THEN 'valid'
+       |       ELSE 'test' END AS split,
+       |  CASE WHEN nb < 80 THEN 'train' WHEN nb < 90 THEN 'valid'
+       |       ELSE 'test' END AS naive_split,
+       |  matched AND
+       |    (CASE WHEN cb < 80 THEN 'train' WHEN cb < 90 THEN 'valid'
+       |          ELSE 'test' END !=
+       |     CASE WHEN nb < 80 THEN 'train' WHEN nb < 90 THEN 'valid'
+       |          ELSE 'test' END) AS leak_averted
+       |FROM b ORDER BY doc_id""".stripMargin
+
   /** [[qDedupClusters]] computed by the large-star/small-star scheme —
     * same contract, same oracle; registered separately so the driver
     * gate covers BOTH component algorithms end-to-end. */
@@ -1906,6 +1987,7 @@ object DedupOps {
     "dedup_ngram_jaccard" -> (qDedupJaccard _),
     "dedup_jaccard_capped" -> (qDedupJaccardCapped _),
     "dedup_containment" -> (qDedupContainment _),
+    "sample_cluster_split" -> (qSampleClusterSplit _),
     "dedup_minhash_lsh" -> (qDedupMinhashLsh _),
     "dedup_simhash" -> (qDedupSimhash _),
     "dedup_simhash_hamming" -> (qDedupSimhashHamming _),
@@ -1933,6 +2015,7 @@ object DedupOps {
     "dedup_ngram_jaccard" -> qDedupJaccardOracle,
     "dedup_jaccard_capped" -> qDedupJaccardCappedOracle,
     "dedup_containment" -> qDedupContainmentOracle,
+    "sample_cluster_split" -> qSampleClusterSplitOracle,
     "dedup_minhash_lsh" -> qDedupMinhashLshOracle,
     "dedup_simhash" -> qDedupSimhashOracle,
     "dedup_simhash_hamming" -> qDedupSimhashHammingOracle,

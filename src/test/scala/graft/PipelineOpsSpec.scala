@@ -783,6 +783,29 @@ class PipelineOpsSpec extends SparkSpec {
       f"warm composition $warm%.2f s should not grossly exceed the cold pipeline $cold%.2f s")
   }
 
+  test("cluster split: one fold per cluster, singletons match naive, totality") {
+    val rows = DedupOps.qSampleClusterSplit(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getString(3),
+        r.getBoolean(4)))
+    assert(rows.length === Tables.documents(spark, sf).count())
+    // every member of a cluster lands in the same fold — the property
+    // the operator exists to provide
+    rows.groupBy(_._2).foreach { case (cl, members) =>
+      assert(members.map(_._3).distinct.length === 1,
+        s"cluster $cl straddles folds")
+    }
+    // singleton clusters reduce to the naive hash split
+    rows.filter(r => r._1 == r._2 && !r._5).foreach { r =>
+      assert(r._3 === r._4, s"singleton ${r._1} split differs from naive")
+    }
+    // the flag is exactly (in a multi-doc cluster) && (folds differ)
+    val multi = rows.groupBy(_._2).filter(_._2.length > 1).keySet
+    rows.foreach { r =>
+      val expect = multi.contains(r._2) && r._3 != r._4
+      assert(r._5 === expect, s"leak_averted wrong for doc ${r._1}")
+    }
+  }
+
   test("rank fusion equals a driver-side two-table RRF recompute") {
     val vecs = spark.read.parquet(s"$sf/embeddings.parquet")
       .select(col("vec_id"), col("embedding"))
