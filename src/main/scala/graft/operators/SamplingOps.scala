@@ -536,7 +536,56 @@ object SamplingOps {
       |  CAST(SUM(CASE WHEN f_bytes < 250 THEN 1 ELSE 0 END) AS BIGINT) AS n_small_files
       |FROM packed GROUP BY 1, 2 ORDER BY day, bin""".stripMargin
 
+  /** TEMPERATURE-SCALED mixture (the multilingual sampling rule of
+    * mBERT/XLM-R, Conneau et al. 2020: upsample tails with
+    * p_i ∝ n_i^α, here α = 1/2): per-language quotas proportional to
+    * isqrt(n_lang) instead of n_lang, flattening the head-language
+    * dominance a proportional sample reproduces. All INTEGER: the
+    * weight is the exact integer square root (floor(sqrt(n)) —
+    * correctly-rounded IEEE sqrt floors identically in both engines
+    * for any count below 2⁵³), quotas by integer cross-multiplication
+    * quota = B·w DIV Σw, and the per-language exact pick is the
+    * mixture sampler's md5-rank (append-stable, ingestion-order
+    * unbiased).
+    *
+    * Scale shape: language counts are one map-side-combining rollup;
+    * the quota table is |langs| rows and broadcasts; the pick is one
+    * shuffle on lang with a bounded per-class window. */
+  def qTemperatureMix(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val budget = 200
+    val docs = Tables.documents(spark, sfDir).select(col("doc_id"), col("lang"))
+    val counts = docs.groupBy(col("lang")).agg(count(lit(1)).as("n"))
+      .withColumn("w", floor(sqrt(col("n"))).cast("long"))
+    val totalW = counts.agg(sum(col("w"))).head.getLong(0)
+    val quotas = counts
+      .withColumn("quota", expr(s"$budget * w DIV $totalW"))
+      .select("lang", "n", "w", "quota")
+    val w = Window.partitionBy(col("lang"))
+      .orderBy(md5(col("doc_id").cast("string").cast("binary")), col("doc_id"))
+    docs.withColumn("rn", row_number().over(w))
+      .join(broadcast(quotas), "lang")
+      .filter(col("rn") <= col("quota"))
+      .select("doc_id", "lang", "rn", "n", "w", "quota")
+      .orderBy("lang", "rn")
+  }
+
+  val qTemperatureMixOracle: String =
+    """WITH c AS (SELECT lang, COUNT(*) AS n FROM documents GROUP BY 1),
+      |w AS (SELECT lang, n, CAST(floor(sqrt(n)) AS BIGINT) AS w FROM c),
+      |q AS (SELECT lang, n, w,
+      |        CAST(200 * w // (SELECT SUM(w) FROM w) AS BIGINT) AS quota
+      |      FROM w),
+      |rk AS (SELECT doc_id, lang,
+      |         ROW_NUMBER() OVER (PARTITION BY lang
+      |           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+      |       FROM documents)
+      |SELECT rk.doc_id, rk.lang, rk.rn, q.n, q.w, q.quota
+      |FROM rk JOIN q USING (lang) WHERE rn <= quota
+      |ORDER BY lang, rn""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sample_temperature_mix" -> (qTemperatureMix _),
     "sample_compaction_plan" -> (qCompactionPlan _),
     "sample_token_budget" -> (qTokenBudget _),
     "sample_zorder_layout" -> (qZorderLayout _),
@@ -550,6 +599,7 @@ object SamplingOps {
     "sample_importance" -> (qImportanceSample _))
 
   val oracles: Map[String, String] = Map(
+    "sample_temperature_mix" -> qTemperatureMixOracle,
     "sample_compaction_plan" -> qCompactionPlanOracle,
     "sample_token_budget" -> qTokenBudgetOracle,
     "sample_zorder_layout" -> qZorderLayoutOracle,

@@ -204,6 +204,65 @@ object SimilarityOps {
        |FROM rk WHERE rank <= 3
        |ORDER BY q_id, rank""".stripMargin
 
+  /** IVF INDEX-HEALTH REPORT — the occupancy audit an ANN operator
+    * reads before trusting the index: per-cell population, its share
+    * in integer ppm, the cumulative share when cells are read
+    * hottest-first (how concentrated the index is), and a balance
+    * gate per cell (a cell is `oversized` when it holds more than 2×
+    * the fair share n/K — the condition that makes nprobe=1 latency
+    * lumpy and tells the operator to re-train or split cells).
+    * Everything integer: shares by cross-multiplication, no float
+    * division anywhere.
+    *
+    * Scale shape: the assignment is the usual broadcast-centroid
+    * argmax (corpus never shuffles); the report aggregates to K rows
+    * — index-metadata-sized, free at any corpus size. */
+  def qSimIvfCellStats(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = DedupOps.normedVectors(Tables.embeddings(spark, sfDir))
+    val cells = cellAssignments(e, centroids(e), nprobe = 1)
+      .groupBy(col("cid")).agg(count(lit(1)).as("n"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val total = cells.agg(sum(col("n"))).head.getLong(0)
+    val wHot = Window.orderBy(col("n").desc, col("cid"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    cells
+      .withColumn("share_ppm", expr(s"n * 1000000 DIV $total"))
+      .withColumn("hot_rank", row_number().over(
+        Window.orderBy(col("n").desc, col("cid"))))
+      .withColumn("cum_ppm",
+        expr(s"sum(n) OVER (ORDER BY n DESC, cid ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) * 1000000 DIV $total"))
+      .withColumn("oversized",
+        col("n") * NumCentroids > lit(2L) * total)
+      .select(col("cid"), col("n"), col("share_ppm"),
+        col("hot_rank"), col("cum_ppm"), col("oversized"))
+      .orderBy(col("hot_rank"))
+  }
+
+  /** The IVF oracle's assignment CTE + the same integer arithmetic. */
+  val qSimIvfCellStatsOracle: String =
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+       |cent AS (SELECT vec_id AS cid, v AS cv, nrm AS cn FROM n WHERE vec_id < $NumCentroids),
+       |asg AS (
+       |  SELECT vec_id, cid,
+       |    row_number() OVER (PARTITION BY vec_id
+       |      ORDER BY list_dot_product(v, cv) / (nrm * cn) DESC, cid) AS rn
+       |  FROM n CROSS JOIN cent),
+       |cells AS (SELECT cid, COUNT(*) AS n FROM asg WHERE rn = 1 GROUP BY 1),
+       |tot AS (SELECT SUM(n) AS t FROM cells),
+       |r AS (
+       |  SELECT cid, n,
+       |    CAST(n * 1000000 // (SELECT t FROM tot) AS BIGINT) AS share_ppm,
+       |    CAST(row_number() OVER (ORDER BY n DESC, cid) AS INT) AS hot_rank,
+       |    CAST(SUM(n) OVER (ORDER BY n DESC, cid
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+       |      * 1000000 // (SELECT t FROM tot) AS BIGINT) AS cum_ppm,
+       |    n * $NumCentroids > 2 * (SELECT t FROM tot) AS oversized
+       |  FROM cells)
+       |SELECT cid, n, share_ppm, hot_rank, cum_ppm, oversized
+       |FROM r ORDER BY hot_rank""".stripMargin
+
   val qSimIvfMultiprobeOracle: String =
     s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
        |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
@@ -2065,6 +2124,7 @@ object SimilarityOps {
     "sim_svm_step" -> (qSimSvmStep _),
     "sim_rank_fusion" -> (qSimRankFusion _),
     "sim_embedding_drift" -> (qSimEmbeddingDrift _),
+    "sim_ivf_cell_stats" -> (qSimIvfCellStats _),
     "sim_label_outliers" -> (qSimLabelOutliers _),
     "sim_hard_negatives" -> (qSimHardNegatives _),
     "sim_pq_encode" -> (qSimPqEncode _),
@@ -2095,6 +2155,7 @@ object SimilarityOps {
     "sim_svm_step" -> qSimSvmStepOracle,
     "sim_rank_fusion" -> qSimRankFusionOracle,
     "sim_embedding_drift" -> qSimEmbeddingDriftOracle,
+    "sim_ivf_cell_stats" -> qSimIvfCellStatsOracle,
     "sim_label_outliers" -> qSimLabelOutliersOracle,
     "sim_hard_negatives" -> qSimHardNegativesOracle,
     "sim_pq_encode" -> qSimPqEncodeOracle,

@@ -783,6 +783,60 @@ class PipelineOpsSpec extends SparkSpec {
       f"warm composition $warm%.2f s should not grossly exceed the cold pipeline $cold%.2f s")
   }
 
+  test("temperature mix: isqrt quotas flatten the head language, all integer") {
+    val rows = graft.operators.SamplingOps.qTemperatureMix(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getInt(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    assert(rows.nonEmpty)
+    val perLang = rows.groupBy(_._2)
+    perLang.foreach { case (_, rs) =>
+      val (n, w, quota) = (rs.head._4, rs.head._5, rs.head._6)
+      assert(w === math.sqrt(n.toDouble).toLong)
+      assert(rs.length.toLong === math.min(quota, n))
+      assert(rs.map(_._3).sorted.sameElements(1 to rs.length))
+    }
+    // the temperature property: sampled shares are FLATTER than corpus
+    // shares — the largest language's sample share is strictly below
+    // its corpus share, the smallest's strictly above (α = 1/2 < 1)
+    val corpus = perLang.map { case (l, rs) => l -> rs.head._4 }
+    val sampled = perLang.map { case (l, rs) => l -> rs.length.toLong }
+    val (big, small) = (corpus.maxBy(_._2)._1, corpus.minBy(_._2)._1)
+    if (corpus(big) != corpus(small)) {
+      val cTot = corpus.values.sum.toDouble
+      val sTot = sampled.values.sum.toDouble
+      assert(sampled(big) / sTot < corpus(big) / cTot + 1e-9)
+      assert(sampled(small) / sTot > corpus(small) / cTot - 1e-9)
+    }
+  }
+
+  test("IVF cell stats equal a driver-side assignment recompute; shares consistent") {
+    val vecs = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray)
+    def dot(a: Array[Double], b: Array[Double]) =
+      a.zip(b).map { case (x, y) => x * y }.sum
+    val cents = vecs.filter(_._1 < 8)
+    val counts = vecs.map { case (_, v) =>
+      val nv = math.sqrt(dot(v, v))
+      cents.map { case (cid, cv) =>
+        (dot(v, cv) / (nv * math.sqrt(dot(cv, cv))), cid)
+      }.maxBy { case (c, cid) => (c, -cid) }._2
+    }.groupBy(identity).map { case (c, v) => c -> v.length.toLong }
+    val total = vecs.length.toLong
+    val rows = SimilarityOps.qSimIvfCellStats(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3),
+        r.getLong(4), r.getBoolean(5)))
+    assert(rows.map(r => r._1 -> r._2).toMap === counts)
+    rows.foreach { case (cid, n, share, _, _, over) =>
+      assert(share === n * 1000000L / total)
+      assert(over === (n * 8 > 2 * total))
+    }
+    // hottest-first cumulative share ends at ~1e6 ppm exactly
+    assert(rows.maxBy(_._4)._5 === 1000000L * total / total)
+    // population conserved
+    assert(rows.map(_._2).sum === total)
+  }
+
   test("cluster split: one fold per cluster, singletons match naive, totality") {
     val rows = DedupOps.qSampleClusterSplit(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getString(3),
