@@ -204,6 +204,82 @@ object SimilarityOps {
        |FROM rk WHERE rank <= 3
        |ORDER BY q_id, rank""".stripMargin
 
+  /** BINARY-SIGNATURE RE-RANK — the 1-bit quantization tier of a
+    * production retrieval stack (binary embeddings à la Faiss's
+    * IndexBinary / Cohere int1: 64 dims → 64 sign bits, a 32×
+    * smaller scan than the float vectors): candidates come from the
+    * sign-LSH bucket equi-join (the coarse tier), then rank by
+    * HAMMING distance over the packed signature instead of float
+    * cosine — the cheap CPU-popcount pass that decides what little
+    * gets float re-scoring. Signatures pack as two 32-bit words via
+    * exact Horner/power arithmetic (no float anywhere in the
+    * distance); Hamming = popcount(xor) per word, summed — bit-exact
+    * in both engines, rank ties broken by id.
+    *
+    * Scale shape: signature packing is map-only; the candidate join
+    * is the same bucket equi-join as `sim_lsh_bucketed` (queries
+    * broadcast); the per-query rank window runs over ~1/16 of the
+    * corpus. No nested loops. */
+  def qSimBinaryRerank(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    def word(off: Int): Column =
+      aggregate(
+        transform(sequence(lit(0), lit(31)), i =>
+          when(element_at(col("v"), i + off + 1) >= 0,
+            pow(lit(2.0), i).cast("long")).otherwise(lit(0L))),
+        lit(0L), (acc, x) => acc + x)
+    val sig = DedupOps.normedVectors(Tables.embeddings(spark, sfDir))
+      .select(col("vec_id"), col("v"))
+      .withColumn("bucket", bucketKey(col("v")))
+      .withColumn("w1", word(0)).withColumn("w2", word(32))
+    val q = broadcast(sig.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("q_id"), col("bucket"),
+        col("w1").as("qw1"), col("w2").as("qw2")))
+    val wr = Window.partitionBy(col("q_id"))
+      .orderBy(col("hamming"), col("n_id"))
+    sig.select(col("vec_id").as("n_id"), col("bucket"),
+        col("w1"), col("w2"))
+      .join(q, Seq("bucket"))
+      .filter(col("q_id") =!= col("n_id"))
+      .withColumn("hamming",
+        bit_count(col("w1").bitwiseXOR(col("qw1"))) +
+          bit_count(col("w2").bitwiseXOR(col("qw2"))))
+      .withColumn("rank", row_number().over(wr))
+      .filter(col("rank") <= 3)
+      .select(col("q_id"), col("rank"), col("n_id"), col("hamming"))
+      .orderBy("q_id", "rank")
+  }
+
+  /** Same packing (POWER is exact to 2³¹), xor+bit_count Hamming. */
+  val qSimBinaryRerankOracle: String =
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |n AS (SELECT vec_id, v,
+       |  (CASE WHEN v[1] >= 0 THEN '1' ELSE '0' END ||
+       |   CASE WHEN v[2] >= 0 THEN '1' ELSE '0' END ||
+       |   CASE WHEN v[3] >= 0 THEN '1' ELSE '0' END ||
+       |   CASE WHEN v[4] >= 0 THEN '1' ELSE '0' END) AS bucket,
+       |  CAST(list_sum(list_transform(generate_series(1, 32),
+       |    i -> CASE WHEN v[i] >= 0 THEN CAST(POWER(2, i - 1) AS BIGINT)
+       |         ELSE 0 END)) AS BIGINT) AS w1,
+       |  CAST(list_sum(list_transform(generate_series(33, 64),
+       |    i -> CASE WHEN v[i] >= 0 THEN CAST(POWER(2, i - 33) AS BIGINT)
+       |         ELSE 0 END)) AS BIGINT) AS w2
+       |  FROM e),
+       |scored AS (
+       |  SELECT q.vec_id AS q_id, c.vec_id AS n_id,
+       |    CAST(bit_count(xor(q.w1, c.w1)) + bit_count(xor(q.w2, c.w2)) AS INT)
+       |      AS hamming
+       |  FROM n q JOIN n c ON q.bucket = c.bucket
+       |    AND q.vec_id < $NumQueries AND q.vec_id != c.vec_id),
+       |rk AS (
+       |  SELECT q_id, n_id, hamming,
+       |    row_number() OVER (PARTITION BY q_id
+       |      ORDER BY hamming, n_id) AS rank
+       |  FROM scored)
+       |SELECT q_id, CAST(rank AS INT) AS rank, n_id, hamming
+       |FROM rk WHERE rank <= 3
+       |ORDER BY q_id, rank""".stripMargin
+
   /** IVF INDEX-HEALTH REPORT — the occupancy audit an ANN operator
     * reads before trusting the index: per-cell population, its share
     * in integer ppm, the cumulative share when cells are read
@@ -2125,6 +2201,7 @@ object SimilarityOps {
     "sim_rank_fusion" -> (qSimRankFusion _),
     "sim_embedding_drift" -> (qSimEmbeddingDrift _),
     "sim_ivf_cell_stats" -> (qSimIvfCellStats _),
+    "sim_binary_rerank" -> (qSimBinaryRerank _),
     "sim_label_outliers" -> (qSimLabelOutliers _),
     "sim_hard_negatives" -> (qSimHardNegatives _),
     "sim_pq_encode" -> (qSimPqEncode _),
@@ -2156,6 +2233,7 @@ object SimilarityOps {
     "sim_rank_fusion" -> qSimRankFusionOracle,
     "sim_embedding_drift" -> qSimEmbeddingDriftOracle,
     "sim_ivf_cell_stats" -> qSimIvfCellStatsOracle,
+    "sim_binary_rerank" -> qSimBinaryRerankOracle,
     "sim_label_outliers" -> qSimLabelOutliersOracle,
     "sim_hard_negatives" -> qSimHardNegativesOracle,
     "sim_pq_encode" -> qSimPqEncodeOracle,

@@ -1054,6 +1054,63 @@ object StatefulOps {
         when(col("best").isNotNull, round(col("best.c"), 6)).as("cosine_r"))
   }
 
+  // ================= streaming WAL continuity audit =================
+
+  case class WalPos(stream: String, wal: Long)
+  case class WalGap(stream: String, gap_from: Long, gap_to: Long,
+    missing: Long, cum_missing: Long)
+
+  /** The WAL-gap transition for one stream: thread (last position,
+    * cumulative missing) across the batch's positions in ascending
+    * order; positions ≤ the last seen are replays and emit nothing.
+    * Pure — split/replay laws in WalGapLaws. */
+  private[graft] def advanceWalGaps(st0: Option[(Long, Long)],
+      wals: Seq[Long]): (Option[(Long, Long)], Seq[(Long, Long, Long, Long)]) = {
+    var last = st0.map(_._1).getOrElse(Long.MinValue)
+    var cum = st0.map(_._2).getOrElse(0L)
+    val out = scala.collection.mutable.ArrayBuffer[(Long, Long, Long, Long)]()
+    wals.sorted.foreach { w =>
+      if (w > last) {
+        if (last != Long.MinValue && w - last > 1) {
+          cum += w - last - 1
+          out += ((last + 1, w - 1, w - last - 1, cum))
+        }
+        last = w
+      }
+    }
+    (Some((last, cum)), out.toSeq)
+  }
+
+  final class WalGapProcessor(ttl: TTLConfig = TTLConfig.NONE)
+      extends StatefulProcessor[String, WalPos, WalGap] {
+    @transient private var st: ValueState[(Long, Long)] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      st = getHandle.getValueState[(Long, Long)]("walGap",
+        Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong), ttl)
+    override def handleInputRows(stream: String, rows: Iterator[WalPos],
+        tv: TimerValues): Iterator[WalGap] = {
+      val st0 = if (st.exists()) Some(st.get()) else None
+      val (st1, out) = advanceWalGaps(st0, rows.map(_.wal).toSeq)
+      st1.foreach(st.update)
+      out.iterator.map { case (f, t, m, c) => WalGap(stream, f, t, m, c) }
+    }
+  }
+
+  /** STREAMING WAL continuity audit — the live twin of the batch
+    * `CdcOps.qWalGaps`: gaps surface the moment the position AFTER
+    * the hole arrives, instead of at the nightly audit. State is two
+    * Longs per stream; replayed positions are no-ops, so checkpoint
+    * recovery emits identically. Fed the same change stream it equals
+    * the batch query row-for-row (StatefulOpsSpec, mid-stream cut).
+    * RocksDB state store required. */
+  def streamingWalGaps(positions: Dataset[WalPos],
+      ttl: TTLConfig = TTLConfig.NONE): Dataset[WalGap] = {
+    import positions.sparkSession.implicits._
+    positions.groupByKey(_.stream)
+      .transformWithState(new WalGapProcessor(ttl), timeModeFor(ttl),
+        OutputMode.Append())
+  }
+
   // ================= streaming CUSUM drift detector =================
 
   case class CusumState(s: Long, lastDay: Long)

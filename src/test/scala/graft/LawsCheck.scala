@@ -665,3 +665,35 @@ object CusumLaws extends Properties("advanceCusum") {
       out.forall(_._3 >= 0L)
     }
 }
+
+object WalGapLaws extends Properties("advanceWalGaps") {
+  import graft.streaming.StatefulOps
+  private val wals: Gen[List[Long]] = for {
+    n <- Gen.chooseNum(0, 40)
+    xs <- Gen.listOfN(n, Gen.chooseNum(1L, 200L))
+  } yield xs.distinct.sorted
+
+  property("any batch split threads to the one-pass gap emissions") =
+    forAll(wals, Gen.chooseNum(0, 40)) { (s, cut0) =>
+      val cut = math.min(cut0, s.length)
+      val (a, b) = s.splitAt(cut)
+      val (st1, o1) = StatefulOps.advanceWalGaps(None, a)
+      val (_, o2) = StatefulOps.advanceWalGaps(st1, b)
+      val (_, all) = StatefulOps.advanceWalGaps(None, s)
+      o1 ++ o2 == all
+    }
+
+  property("replayed positions emit nothing and leave state unchanged") =
+    forAll(wals) { s =>
+      val (st1, _) = StatefulOps.advanceWalGaps(None, s)
+      val (st2, replay) = StatefulOps.advanceWalGaps(st1, s)
+      replay.isEmpty && (s.isEmpty || st2 == st1)
+    }
+
+  property("gap accounting: emitted widths sum to the running total") =
+    forAll(wals) { s =>
+      val (_, out) = StatefulOps.advanceWalGaps(None, s)
+      out.map(_._3).sum == out.lastOption.map(_._4).getOrElse(0L) &&
+        out.forall { case (f, t, m, _) => t - f + 1 == m && m >= 1 }
+    }
+}

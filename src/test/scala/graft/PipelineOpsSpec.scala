@@ -783,6 +783,34 @@ class PipelineOpsSpec extends SparkSpec {
       f"warm composition $warm%.2f s should not grossly exceed the cold pipeline $cold%.2f s")
   }
 
+  test("binary rerank equals a driver-side sign-packing + Hamming recompute") {
+    val vecs = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray)
+    def word(v: Array[Double], off: Int): Long =
+      (0 until 32).map(i => if (v(off + i) >= 0) 1L << i else 0L).sum
+    def bucket(v: Array[Double]): String =
+      (0 until 4).map(i => if (v(i) >= 0) '1' else '0').mkString
+    val sig = vecs.map { case (id, v) =>
+      id -> ((bucket(v), word(v, 0), word(v, 32)))
+    }.toMap
+    val want = vecs.map(_._1).filter(_ < 10).flatMap { q =>
+      val (qb, q1, q2) = sig(q)
+      sig.toSeq
+        .collect { case (n, (b, w1, w2)) if n != q && b == qb =>
+          (n, java.lang.Long.bitCount(w1 ^ q1) + java.lang.Long.bitCount(w2 ^ q2))
+        }
+        .sortBy { case (n, h) => (h, n) }.take(3).zipWithIndex
+        .map { case ((n, h), i) => (q, i + 1, n, h) }
+    }.toSet
+    val got = SimilarityOps.qSimBinaryRerank(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getInt(3))).toSet
+    assert(got === want)
+    // hamming is a true distance on the packed bits: zero only for
+    // identical signatures (the fixture's re-crawl pairs exercise it)
+    assert(got.forall(t => t._4 >= 0 && t._4 <= 64))
+  }
+
   test("temperature mix: isqrt quotas flatten the head language, all integer") {
     val rows = graft.operators.SamplingOps.qTemperatureMix(spark, sf).collect()
       .map(r => (r.getLong(0), r.getString(1), r.getInt(2), r.getLong(3),

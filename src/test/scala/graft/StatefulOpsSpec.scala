@@ -1026,6 +1026,44 @@ class StatefulOpsSpec extends SparkSpec {
     }
   }
 
+  test("streaming WAL gaps equal the batch continuity audit across a cut") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val batch = graft.operators.CdcOps.qWalGaps(spark, sf).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      val wals = Tables.events(spark, sf)
+        .filter(col("event_type").isin("signup", "purchase", "error"))
+        .select("event_id").collect().map(_.getLong(0)).sorted
+        .map(w => StatefulOps.WalPos("wal", w))
+      val (first, second) = wals.splitAt(wals.length / 2)
+      val in = MemoryStream[StatefulOps.WalPos]
+      val q = StatefulOps.streamingWalGaps(in.toDS())
+        .writeStream.format("memory").queryName("walgap_out")
+        .outputMode("append").start()
+      try {
+        in.addData(first.toSeq)
+        q.processAllAvailable()
+        in.addData(second.toSeq)
+        q.processAllAvailable()
+        val got = spark.table("walgap_out").collect()
+          .map(r => (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+          .sortBy(_._1)
+        assert(got.toSeq === batch.toSeq)
+        assert(first.nonEmpty && second.nonEmpty)
+      } finally q.stop()
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
+
   test("streaming CUSUM fed batch-median targets equals the batch drift query") {
     import spark.implicits._
     implicit val sc = spark.sqlContext
