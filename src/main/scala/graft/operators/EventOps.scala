@@ -638,7 +638,38 @@ object EventOps {
       |FROM direct d JOIN days USING (event_type)
       |ORDER BY d.event_type""".stripMargin
 
+  /** CUMULATIVE USER GROWTH — the first-seen/running-total accounting
+    * every growth dashboard is built on: each user attributes to the
+    * day of their FIRST event (one min-aggregation on user_id — the
+    * corpus-sized step), then new-users-per-day and the running total
+    * are windows over the days relation. The same first-seen shape as
+    * the vocabulary-growth curve; quiet days (zero new users) simply
+    * don't appear, matching the oracle. */
+  def qCumulativeUsers(spark: SparkSession, sfDir: String): DataFrame = {
+    val first = ev(spark, sfDir)
+      .groupBy(col("user_id"))
+      .agg(min(expr("tus DIV 3600000000")).as("hr"))
+    first.groupBy(col("hr")).agg(count(lit(1)).as("new_users"))
+      .withColumn("total_users", sum(col("new_users")).over(
+        Window.orderBy(col("hr"))
+          .rowsBetween(Window.unboundedPreceding, 0)))
+      .select(col("hr"), col("new_users"), col("total_users"))
+      .orderBy(col("hr"))
+  }
+
+  val qCumulativeUsersOracle: String =
+    """WITH f AS (
+      |  SELECT user_id, MIN(epoch_us(ts) // 3600000000) AS hr
+      |  FROM events GROUP BY 1),
+      |nd AS (SELECT hr, COUNT(*) AS new_users FROM f GROUP BY 1)
+      |SELECT CAST(hr AS BIGINT) AS hr, new_users,
+      |  CAST(SUM(new_users) OVER (ORDER BY hr
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      |    AS total_users
+      |FROM nd ORDER BY hr""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_cumulative_users" -> (qCumulativeUsers _),
     "q_event_transitions" -> (qEventTransitions _),
     "q_partial_agg_merge" -> (qPartialAggMerge _),
     "q_cusum_drift" -> (qCusumDrift _),
@@ -652,6 +683,7 @@ object EventOps {
     "q_zscore_outliers" -> (qZscoreOutliers _))
 
   val oracles: Map[String, String] = Map(
+    "q_cumulative_users" -> qCumulativeUsersOracle,
     "q_event_transitions" -> qEventTransitionsOracle,
     "q_partial_agg_merge" -> qPartialAggMergeOracle,
     "q_cusum_drift" -> qCusumDriftOracle,

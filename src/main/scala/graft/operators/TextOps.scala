@@ -887,7 +887,55 @@ object TextOps {
       |WHERE c_xy >= 3 AND c_xy * n_pairs > 3 * cl_x * cr_y
       |ORDER BY c_xy DESC, x, y""".stripMargin
 
+  /** VOCABULARY GROWTH curve (the empirical Heaps'-law table): docs
+    * arrive in batches of 50 by id (standing in for crawl batches),
+    * and each batch reports how many never-before-seen BIGRAM types
+    * it contributes plus the running vocabulary size — the diagnostic
+    * that sizes tokenizer merge tables and detects when a new crawl
+    * stops adding phrases (the unigram vocabulary saturates in the
+    * first batch on any real corpus; the bigram space is where the
+    * Heaps curve lives, and it is exactly the BPE-merge candidate
+    * space). First-seen attribution is exact: a type belongs to its
+    * MINIMUM batch.
+    *
+    * Scale shape: one explode → one (type) groupBy taking min(batch)
+    * with map-side combine (the corpus-sized step, one shuffle), then
+    * per-batch counts + a running sum over the batch-count relation —
+    * tens of rows. The cumulative window never touches the corpus. */
+  def qVocabGrowth(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val firstSeen = Tables.documents(spark, sfDir)
+      .select(expr("doc_id DIV 50").as("batch"), col("text"))
+      .select(col("batch"), toks.as("ts"))
+      .filter(size(col("ts")) >= 2)
+      .select(col("batch"),
+        explode(transform(sequence(lit(1), size(col("ts")) - 1),
+          i => concat_ws(" ", element_at(col("ts"), i),
+            element_at(col("ts"), i + 1)))).as("big"))
+      .groupBy(col("big")).agg(min(col("batch")).as("batch"))
+    firstSeen.groupBy(col("batch")).agg(count(lit(1)).as("new_tokens"))
+      .withColumn("vocab_size", sum(col("new_tokens")).over(
+        Window.orderBy(col("batch"))
+          .rowsBetween(Window.unboundedPreceding, 0)))
+      .select(col("batch"), col("new_tokens"), col("vocab_size"))
+      .orderBy(col("batch"))
+  }
+
+  val qVocabGrowthOracle: String =
+    """WITH d AS (SELECT doc_id // 50 AS batch, string_split(text, ' ') AS ts
+      |           FROM documents WHERE len(string_split(text, ' ')) >= 2),
+      |tok AS (SELECT batch, ts[i] || ' ' || ts[i + 1] AS big
+      |        FROM d, unnest(generate_series(1, len(ts) - 1)) AS u(i)),
+      |fs AS (SELECT big, MIN(batch) AS batch FROM tok GROUP BY 1),
+      |nb AS (SELECT batch, COUNT(*) AS new_tokens FROM fs GROUP BY 1)
+      |SELECT CAST(batch AS BIGINT) AS batch, new_tokens,
+      |  CAST(SUM(new_tokens) OVER (ORDER BY batch
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      |    AS vocab_size
+      |FROM nb ORDER BY batch""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_vocab_growth" -> (qVocabGrowth _),
     "text_collocations" -> (qCollocations _),
     "text_boilerplate" -> (qBoilerplate _),
     "text_heavy_hitters" -> (qHeavyHitters _),
@@ -909,6 +957,7 @@ object TextOps {
     "text_tfidf" -> (qTfidf _))
 
   val oracles: Map[String, String] = Map(
+    "text_vocab_growth" -> qVocabGrowthOracle,
     "text_collocations" -> qCollocationsOracle,
     "text_boilerplate" -> qBoilerplateOracle,
     "text_heavy_hitters" -> qHeavyHittersOracle,

@@ -167,6 +167,22 @@ class EventOpsSpec extends SparkSpec {
     assert(got.map(t => (t._1, t._2)) === daily.map(t => (t._1, t._2)).toSet)
   }
 
+  test("cumulative users: first-seen recompute, monotone total, population conserved") {
+    val first = Tables.events(spark, sf)
+      .select(col("user_id"), expr("unix_micros(ts) DIV 3600000000").as("hr"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).map { case (u, v) => u -> v.map(_._2).min }
+    val want = first.values.groupBy(identity).map { case (h, v) => h -> v.size.toLong }
+    val got = EventOps.qCumulativeUsers(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    assert(got.map(t => t._1 -> t._2).toMap === want)
+    val totals = got.map(_._3)
+    assert(totals.zip(totals.drop(1)).forall { case (a, b) => a < b } ||
+      totals.length <= 1)
+    assert(totals.lastOption.contains(first.size.toLong))
+    assert(got.map(_._2).sum === first.size.toLong)
+  }
+
   test("CUSUM via the cumsum-minus-running-min identity equals the sequential recurrence") {
     val daily = Tables.events(spark, sf)
       .groupBy(col("event_type"), expr("unix_micros(ts) DIV 86400000000").as("day"))

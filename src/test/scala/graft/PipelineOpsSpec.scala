@@ -783,6 +783,25 @@ class PipelineOpsSpec extends SparkSpec {
       f"warm composition $warm%.2f s should not grossly exceed the cold pipeline $cold%.2f s")
   }
 
+  test("vocab growth: bigram first-seen recompute; curve decays from batch 0") {
+    val docs = Tables.documents(spark, sf).select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val first = docs.flatMap { case (id, t) =>
+      val ts = t.split(" ", -1)
+      ts.zip(ts.drop(1)).map { case (a, b) => (s"$a $b", id / 50) }
+    }.groupBy(_._1).map { case (big, v) => big -> v.map(_._2).min }
+    val want = first.values.groupBy(identity)
+      .map { case (b, v) => b -> v.size.toLong }
+    val got = TextOps.qVocabGrowth(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    assert(got.map(t => t._1 -> t._2).toMap === want)
+    // running total is consistent and ends at the full bigram vocabulary
+    assert(got.map(_._2).sum === first.size.toLong)
+    assert(got.lastOption.map(_._3).contains(first.size.toLong))
+    // batch 0 dominates (the Heaps-curve shape the diagnostic exists for)
+    assert(got.headOption.exists(h => h._1 == 0L && h._2 > got.drop(1).map(_._2).sum))
+  }
+
   test("binary rerank equals a driver-side sign-packing + Hamming recompute") {
     val vecs = spark.read.parquet(s"$sf/embeddings.parquet")
       .select(col("vec_id"), col("embedding")).collect()
