@@ -332,6 +332,51 @@ object Relational {
       |WHERE min_qty_cheaper IS NULL OR qty < min_qty_cheaper
       |ORDER BY frontier_rank""".stripMargin
 
+  /** JOIN-KEY SKEW REPORT — the pre-join audit that decides HOW to
+    * join at 100 TB: per-key row counts on the fact side's join key,
+    * the top-10 heaviest keys with their integer-ppm share, and the
+    * salt factor a skew-mitigation pass would use (ceil of the
+    * hottest key over the mean key load — the replication factor that
+    * levels the hottest reducer). AQE's skew-join handles moderate
+    * skew at runtime; this report is how a pipeline DETECTS the
+    * pathological keys that need explicit salting or isolation
+    * (`q_skew_salted_agg` is the treatment; this is the diagnosis).
+    *
+    * Scale shape: one map-side-combining count per key (the only
+    * corpus-sized step), then TakeOrdered for the top-10 and two
+    * scalar literals — the report is 10 rows forever. */
+  def qSkewReport(spark: SparkSession, sfDir: String): DataFrame = {
+    val counts = Tables.lineitem(spark, sfDir)
+      .groupBy(col("l_orderkey")).agg(count(lit(1)).as("n"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val g = counts.agg(sum(col("n")).as("t"), count(lit(1)).as("k"),
+      max(col("n")).as("mx")).head()
+    val (total, nKeys, maxN) = (g.getLong(0), g.getLong(1), g.getLong(2))
+    // ceil(max / (total/keys)) computed exactly in integers
+    val salt = (maxN * nKeys + total - 1) / total
+    counts.orderBy(col("n").desc, col("l_orderkey")).limit(10)
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("n").desc, col("l_orderkey"))))
+      .select(col("rank"), col("l_orderkey"), col("n"),
+        expr(s"n * 1000000 DIV $total").as("share_ppm"),
+        lit(nKeys).as("n_keys"), lit(maxN).as("max_n"),
+        lit(salt).as("salt_factor"))
+      .orderBy(col("rank"))
+  }
+
+  val qSkewReportOracle: String =
+    """WITH c AS (SELECT l_orderkey, COUNT(*) AS n FROM lineitem GROUP BY 1),
+      |g AS (SELECT SUM(n) AS t, COUNT(*) AS k, MAX(n) AS mx FROM c),
+      |top AS (SELECT l_orderkey, n,
+      |  row_number() OVER (ORDER BY n DESC, l_orderkey) AS rank
+      |  FROM c)
+      |SELECT CAST(rank AS INT) AS rank, l_orderkey, n,
+      |  CAST(n * 1000000 // g.t AS BIGINT) AS share_ppm,
+      |  CAST(g.k AS BIGINT) AS n_keys, CAST(g.mx AS BIGINT) AS max_n,
+      |  CAST((g.mx * g.k + g.t - 1) // g.t AS BIGINT) AS salt_factor
+      |FROM top, g WHERE rank <= 10 ORDER BY rank""".stripMargin
+
   /** Set operations: union-distinct / intersect / except over two key
     * sets, tagged so one result covers all three operators. */
   def qSetOps(spark: SparkSession, sfDir: String): DataFrame = {
@@ -1635,6 +1680,7 @@ object Relational {
     "q_topk_per_group_agg" -> (qTopKPerGroupAgg _),
     "q_sort_limit" -> (qSortLimit _),
     "q_skyline" -> (qSkyline _),
+    "q_skew_report" -> (qSkewReport _),
     "q_set_ops" -> (qSetOps _),
     "q_rollup" -> (qRollup _),
     "q_cube" -> (qCube _),
@@ -1686,6 +1732,7 @@ object Relational {
     "q_topk_per_group_agg" -> qTopKPerGroupOracle,
     "q_sort_limit" -> qSortLimitOracle,
     "q_skyline" -> qSkylineOracle,
+    "q_skew_report" -> qSkewReportOracle,
     "q_set_ops" -> qSetOpsOracle,
     "q_rollup" -> qRollupOracle,
     "q_cube" -> qCubeOracle,

@@ -71,6 +71,24 @@ class RelationalSpec extends SparkSpec {
     }
   }
 
+  test("skew report equals a driver-side recompute; salt factor is the exact ceiling") {
+    val counts = Tables.lineitem(spark, sf)
+      .groupBy(col("l_orderkey")).agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val total = counts.map(_._2).sum
+    val (nKeys, maxN) = (counts.length.toLong, counts.map(_._2).max)
+    val salt = (maxN * nKeys + total - 1) / total
+    val want = counts.sortBy(t => (-t._2, t._1)).take(10).zipWithIndex
+      .map { case ((k, n), i) =>
+        (i + 1, k, n, n * 1000000L / total, nKeys, maxN, salt) }.toSeq
+    val got = Relational.qSkewReport(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6))).toSeq
+    assert(got === want)
+    // the ceiling really is a ceiling: salt ≥ max/avg and (salt−1) < max/avg
+    assert(salt * total >= maxN * nKeys && (salt - 1) * total < maxN * nKeys)
+  }
+
   test("skyline equals the O(n^2) dominance definition; sweep plan has no self-join") {
     val pts = Tables.lineitem(spark, sf)
       .select((col("l_extendedprice") * 100).cast("long"),
