@@ -1173,6 +1173,80 @@ object DedupOps {
        |          ELSE 'test' END) AS leak_averted
        |FROM b ORDER BY doc_id""".stripMargin
 
+  /** CONTRASTIVE TRAINING-PAIR construction (the SimCSE/sentence-
+    * transformers data prep): POSITIVES are the mined near-dup edges
+    * (documents known to say the same thing — served from the STORED
+    * artifact, mining-free); NEGATIVES are deterministic md5-rank
+    * pairings (rank r with rank r + N/2 — each doc in at most one
+    * negative pair, unbiased w.r.t. ingestion order, append-stable),
+    * FILTERED against the mined match set so a known near-dup can
+    * never be labeled negative (the false-negative guard contrastive
+    * losses care about), then truncated to the positive count for an
+    * exactly balanced set.
+    *
+    * Scale shape: positives are the graph-sized artifact scan; the
+    * negative pairing is one md5 rank + a self equi-join on the rank
+    * offset + a broadcast-able anti-join against the edge set; the
+    * balance truncation is a TakeOrdered over candidate negatives. */
+  def qContrastivePairs(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val edges = textEdgesStored(spark, sfDir).select("a_id", "b_id")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nPos = edges.count()
+    val n = Tables.documents(spark, sfDir).count()
+    val half = n / 2
+    val ranked = Tables.documents(spark, sfDir)
+      .select(col("doc_id"))
+      .withColumn("r", row_number().over(Window.orderBy(
+        md5(col("doc_id").cast("string").cast("binary")), col("doc_id"))))
+    val negs = ranked.as("x")
+      .join(ranked.as("y"), col("y.r") === col("x.r") + half)
+      .select(least(col("x.doc_id"), col("y.doc_id")).as("a_id"),
+        greatest(col("x.doc_id"), col("y.doc_id")).as("b_id"))
+      .join(edges, Seq("a_id", "b_id"), "left_anti")
+      .orderBy(col("a_id"), col("b_id")).limit(nPos.toInt)
+      .withColumn("label", lit("neg"))
+    unpersistAfterFirstAction(
+      edges.withColumn("label", lit("pos"))
+        .unionByName(negs)
+        .orderBy(col("label"), col("a_id"), col("b_id")), edges)
+  }
+
+  /** The capped-jaccard edge CTEs + the same rank pairing/guard. */
+  val qContrastivePairsOracle: String =
+    s"""WITH $shinglesSql,
+       |rare AS (SELECT shingle FROM sh GROUP BY shingle HAVING COUNT(*) <= 20),
+       |kept AS (SELECT sh.doc_id, sh.shingle FROM sh JOIN rare USING (shingle)),
+       |sc AS (SELECT doc_id, COUNT(*) AS n FROM kept GROUP BY 1),
+       |pairs AS (
+       |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS inter
+       |  FROM kept a JOIN kept b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2),
+       |edges AS (
+       |  SELECT p.a_id, p.b_id FROM pairs p
+       |  JOIN sc sa ON sa.doc_id = p.a_id
+       |  JOIN sc sb ON sb.doc_id = p.b_id
+       |  WHERE CAST(p.inter AS DOUBLE) / (sa.n + sb.n - p.inter) >= 0.1),
+       |np AS (SELECT COUNT(*) AS np FROM edges),
+       |tot AS (SELECT COUNT(*) AS n FROM documents),
+       |rk AS (SELECT doc_id,
+       |  row_number() OVER (ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS r
+       |  FROM documents),
+       |cand AS (
+       |  SELECT LEAST(x.doc_id, y.doc_id) AS a_id,
+       |         GREATEST(x.doc_id, y.doc_id) AS b_id
+       |  FROM rk x JOIN rk y ON y.r = x.r + (SELECT n // 2 FROM tot)),
+       |negs AS (
+       |  SELECT a_id, b_id FROM cand
+       |  WHERE NOT EXISTS (SELECT 1 FROM edges e
+       |    WHERE e.a_id = cand.a_id AND e.b_id = cand.b_id)
+       |  ORDER BY a_id, b_id LIMIT (SELECT np FROM np))
+       |SELECT a_id, b_id, label FROM (
+       |  SELECT a_id, b_id, 'pos' AS label FROM edges
+       |  UNION ALL
+       |  SELECT a_id, b_id, 'neg' AS label FROM negs)
+       |ORDER BY label, a_id, b_id""".stripMargin
+
   /** [[qDedupClusters]] computed by the large-star/small-star scheme —
     * same contract, same oracle; registered separately so the driver
     * gate covers BOTH component algorithms end-to-end. */
@@ -1988,6 +2062,7 @@ object DedupOps {
     "dedup_jaccard_capped" -> (qDedupJaccardCapped _),
     "dedup_containment" -> (qDedupContainment _),
     "sample_cluster_split" -> (qSampleClusterSplit _),
+    "sample_contrastive_pairs" -> (qContrastivePairs _),
     "dedup_minhash_lsh" -> (qDedupMinhashLsh _),
     "dedup_simhash" -> (qDedupSimhash _),
     "dedup_simhash_hamming" -> (qDedupSimhashHamming _),
@@ -2016,6 +2091,7 @@ object DedupOps {
     "dedup_jaccard_capped" -> qDedupJaccardCappedOracle,
     "dedup_containment" -> qDedupContainmentOracle,
     "sample_cluster_split" -> qSampleClusterSplitOracle,
+    "sample_contrastive_pairs" -> qContrastivePairsOracle,
     "dedup_minhash_lsh" -> qDedupMinhashLshOracle,
     "dedup_simhash" -> qDedupSimhashOracle,
     "dedup_simhash_hamming" -> qDedupSimhashHammingOracle,

@@ -783,6 +783,25 @@ class PipelineOpsSpec extends SparkSpec {
       f"warm composition $warm%.2f s should not grossly exceed the cold pipeline $cold%.2f s")
   }
 
+  test("contrastive pairs: balanced labels, no positive leaks into negatives") {
+    val rows = DedupOps.qContrastivePairs(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    val pos = rows.filter(_._3 == "pos").map(t => (t._1, t._2)).toSet
+    val neg = rows.filter(_._3 == "neg").map(t => (t._1, t._2)).toSet
+    assert(pos.nonEmpty, "fixture must mine positive pairs")
+    assert(neg.size === pos.size, "set must be exactly balanced")
+    assert((pos & neg).isEmpty, "a mined near-dup must never be a negative")
+    // pairs are id-ordered and each doc appears in at most one negative
+    rows.foreach { case (a, b, _) => assert(a < b) }
+    val negDocs = neg.toSeq.flatMap(t => Seq(t._1, t._2))
+    assert(negDocs.distinct.length === negDocs.length)
+    // positives equal the mined capped-jaccard edge set
+    val edges = DedupOps.qDedupJaccardCapped(spark, sf)
+      .select("a_id", "b_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pos === edges)
+  }
+
   test("vocab growth: bigram first-seen recompute; curve decays from batch 0") {
     val docs = Tables.documents(spark, sf).select("doc_id", "text").collect()
       .map(r => (r.getLong(0), r.getString(1)))
