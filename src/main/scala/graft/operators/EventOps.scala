@@ -668,7 +668,54 @@ object EventOps {
       |    AS total_users
       |FROM nd ORDER BY hr""".stripMargin
 
+  /** LTV DECILE REPORT — the monetization table every growth team
+    * reads: users ranked by lifetime purchase value, cut into
+    * deciles, each decile reporting population, value mass, bounds,
+    * and its integer-ppm share of total revenue (the "top decile is
+    * X% of revenue" number). Money in exact cents end-to-end; the
+    * ntile runs over the USER relation (one row per user after the
+    * rollup), not the event stream.
+    *
+    * Scale shape: one map-side-combining rollup on user_id, an
+    * ntile window over users, then a 10-row aggregate. */
+  def qLtvDeciles(spark: SparkSession, sfDir: String): DataFrame = {
+    val cents = (col("value") * 100)
+      .cast(org.apache.spark.sql.types.DecimalType(18, 0)).cast("long")
+    val ltv = Tables.events(spark, sfDir)
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"), cents.as("cents"))
+      .groupBy(col("user_id")).agg(sum(col("cents")).as("ltv"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val total = ltv.agg(sum(col("ltv"))).head.getLong(0)
+    ltv
+      .withColumn("decile", ntile(10).over(
+        Window.orderBy(col("ltv").desc, col("user_id"))))
+      .groupBy(col("decile"))
+      .agg(count(lit(1)).as("n_users"),
+        sum(col("ltv")).as("decile_cents"),
+        min(col("ltv")).as("min_ltv"),
+        max(col("ltv")).as("max_ltv"))
+      .withColumn("revenue_ppm", expr(s"decile_cents * 1000000 DIV $total"))
+      .orderBy(col("decile"))
+  }
+
+  val qLtvDecilesOracle: String =
+    """WITH l AS (
+      |  SELECT user_id,
+      |    CAST(SUM(CAST(value * 100 AS DECIMAL(18,0))) AS BIGINT) AS ltv
+      |  FROM events WHERE event_type = 'purchase' GROUP BY 1),
+      |t AS (SELECT SUM(ltv) AS total FROM l),
+      |d AS (SELECT user_id, ltv,
+      |  ntile(10) OVER (ORDER BY ltv DESC, user_id) AS decile FROM l)
+      |SELECT CAST(decile AS INT) AS decile, COUNT(*) AS n_users,
+      |  CAST(SUM(ltv) AS BIGINT) AS decile_cents,
+      |  MIN(ltv) AS min_ltv, MAX(ltv) AS max_ltv,
+      |  CAST(SUM(ltv) * 1000000 // (SELECT total FROM t) AS BIGINT)
+      |    AS revenue_ppm
+      |FROM d GROUP BY 1 ORDER BY decile""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_ltv_deciles" -> (qLtvDeciles _),
     "q_cumulative_users" -> (qCumulativeUsers _),
     "q_event_transitions" -> (qEventTransitions _),
     "q_partial_agg_merge" -> (qPartialAggMerge _),
@@ -683,6 +730,7 @@ object EventOps {
     "q_zscore_outliers" -> (qZscoreOutliers _))
 
   val oracles: Map[String, String] = Map(
+    "q_ltv_deciles" -> qLtvDecilesOracle,
     "q_cumulative_users" -> qCumulativeUsersOracle,
     "q_event_transitions" -> qEventTransitionsOracle,
     "q_partial_agg_merge" -> qPartialAggMergeOracle,

@@ -1054,6 +1054,43 @@ object StatefulOps {
         when(col("best").isNotNull, round(col("best.c"), 6)).as("cosine_r"))
   }
 
+  // ================= composed streaming ingest pipeline =================
+
+  /** The END-TO-END streaming ingest — the live twin of the batch
+    * corpus build (`CorpusPipeline.qPipelineCorpus`), composed from
+    * this module's stages in the order a crawler's firehose needs
+    * them: (1) per-document quality gate (map-only column algebra —
+    * token count + TTR-damped-by-stopwords score, the same arithmetic
+    * as `TextOps.gatedDocs`), (2) streaming near-dup drop
+    * ([[nearDupFiltered]] — simhash first-wins within the watermark),
+    * (3) per-source quota admission ([[quotaSampled]] — first-N by
+    * arrival). Stages compose as Dataset transforms, so the whole
+    * pipeline is ONE streaming query: one stateful dedup, one keyed
+    * quota state, everything else codegen'd projection.
+    *
+    * Determinism: each stage is individually replay-deterministic
+    * (map-only / first-wins / sorted admission), so the composition
+    * is too — the spec cuts the stream mid-way and still matches the
+    * three batch stages applied in the same order. */
+  def streamingIngest(docs: DataFrame, quotas: Map[String, Long],
+      minTokens: Int = 3, minQuality: Double = 0.1,
+      watermark: String = "10 minutes"): Dataset[QuotaDoc] = {
+    import docs.sparkSession.implicits._
+    val toks = split(col("text"), " ")
+    val nTok = size(toks)
+    val ttr = size(array_distinct(toks)).cast("double") / nTok
+    val stopRatio = size(filter(toks,
+      t => t.isin("the", "a", "of", "and", "to"))).cast("double") / nTok
+    val gated = docs
+      .withColumn("quality", ttr * (lit(1.0) - stopRatio))
+      .filter(nTok >= minTokens && col("quality") >= minQuality)
+      .select(col("doc_id"), col("source"), col("text"), col("ts"))
+    quotaSampled(
+      nearDupFiltered(gated, watermark)
+        .select(col("doc_id"), col("source"), col("ts")).as[QuotaDoc],
+      quotas)
+  }
+
   // ================= streaming WAL continuity audit =================
 
   case class WalPos(stream: String, wal: Long)

@@ -167,6 +167,30 @@ class EventOpsSpec extends SparkSpec {
     assert(got.map(t => (t._1, t._2)) === daily.map(t => (t._1, t._2)).toSet)
   }
 
+  test("LTV deciles: ordered bands, conserved mass, ppm shares consistent") {
+    val ltv = Tables.events(spark, sf)
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"), (col("value") * 100)
+        .cast(org.apache.spark.sql.types.DecimalType(18, 0)).cast("long").as("c"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).map { case (u, v) => u -> v.map(_._2).sum }
+    val total = ltv.values.sum
+    val rows = EventOps.qLtvDeciles(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).sortBy(_._1)
+    assert(rows.map(_._1).toSeq === (1 to rows.length))
+    assert(rows.map(_._2).sum === ltv.size.toLong)
+    assert(rows.map(_._3).sum === total)
+    // deciles are ordered bands: decile d's floor >= decile d+1's ceiling
+    rows.zip(rows.drop(1)).foreach { case (hi, lo) =>
+      assert(hi._4 >= lo._5, s"deciles ${hi._1}/${lo._1} overlap")
+    }
+    rows.foreach { r => assert(r._6 === r._3 * 1000000L / total) }
+    // truncated ppm shares sum to within 10 ppm of one million
+    val ppmSum = rows.map(_._6).sum
+    assert(ppmSum <= 1000000L && ppmSum >= 1000000L - 10)
+  }
+
   test("cumulative users: first-seen recompute, monotone total, population conserved") {
     val first = Tables.events(spark, sf)
       .select(col("user_id"), expr("unix_micros(ts) DIV 3600000000").as("hr"))

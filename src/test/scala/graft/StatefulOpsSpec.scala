@@ -1026,6 +1026,72 @@ class StatefulOpsSpec extends SparkSpec {
     }
   }
 
+  test("composed streaming ingest equals the three batch stages applied in order") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val t0 = 1700000000000L
+      val quotas = Map("src0" -> 5L, "src1" -> 4L)
+      val docs = Tables.documents(spark, sf)
+        .select("doc_id", "source", "text").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+        .sortBy(_._1)
+      // the batch twin, driver-side: gate -> simhash first-wins -> quota
+      def quality(t: String): (Int, Double) = {
+        val ts = t.split(" ", -1)
+        val ttr = ts.distinct.length.toDouble / ts.length
+        val stop = ts.count(Set("the", "a", "of", "and", "to")).toDouble / ts.length
+        (ts.length, ttr * (1.0 - stop))
+      }
+      val gated = docs.filter { case (_, _, t) =>
+        val (n, q) = quality(t); n >= 3 && q >= 0.1
+      }
+      val simhash = Tables.documents(spark, sf)
+        .select(col("doc_id"),
+          graft.operators.DedupOps.simhashExpr(col("text")).as("sh"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val seen = scala.collection.mutable.Set[Long]()
+      val deduped = gated.filter { case (id, _, _) => seen.add(simhash(id)) }
+      val admitted = scala.collection.mutable.Map[String, Long]()
+      val want = deduped.filter { case (_, src, _) =>
+        val n = admitted.getOrElse(src, 0L)
+        val ok = n < quotas.getOrElse(src, Long.MaxValue)
+        if (ok) admitted(src) = n + 1
+        ok
+      }.map(d => (d._1, d._2)).toSeq
+      val arrivals = docs.map { case (id, src, t) =>
+        (id, src, t, new java.sql.Timestamp(t0 + id * 1000)) }
+      val (first, second) = arrivals.splitAt(arrivals.length / 2)
+      val in = MemoryStream[(Long, String, String, java.sql.Timestamp)]
+      val q = StatefulOps.streamingIngest(
+          in.toDF().toDF("doc_id", "source", "text", "ts"), quotas)
+        .writeStream.format("memory").queryName("ingest_out")
+        .outputMode("append").start()
+      try {
+        in.addData(first.toSeq)
+        q.processAllAvailable()
+        in.addData(second.toSeq)
+        q.processAllAvailable()
+        val got = spark.table("ingest_out").collect()
+          .map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+        assert(got.toSeq === want.sortBy(_._1))
+        // the src0 cap binds whenever the fixture supplies enough docs
+        val src0Avail = deduped.count(_._2 == "src0").toLong
+        assert(want.count(_._2 == "src0").toLong === math.min(5L, src0Avail))
+        assert(src0Avail > 5L, "fixture must actually exercise the cap")
+      } finally q.stop()
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
+
   test("streaming WAL gaps equal the batch continuity audit across a cut") {
     import spark.implicits._
     implicit val sc = spark.sqlContext
