@@ -584,7 +584,62 @@ object SamplingOps {
       |FROM rk JOIN q USING (lang) WHERE rn <= quota
       |ORDER BY lang, rn""".stripMargin
 
+  /** QUALITY↔DUPLICATION CALIBRATION — the sanity check between the
+    * two main curation axes: bucket the corpus into quality deciles
+    * (the same TTR-damped score as the quality pipeline, tie-broken
+    * by doc_id) and measure each decile's exact-duplicate rate in
+    * integer ppm. The profile answers "does the quality score already
+    * find the duplicates?" — if dup mass concentrates in low deciles,
+    * the cheap score can pre-thin before the expensive dedup pass; if
+    * it is flat, the two filters are independent and both must run.
+    *
+    * Scale shape: quality + fingerprint are one corpus scan; the dup
+    * flag is a fingerprint-keyed window (same shuffle as exact
+    * dedup); the ntile runs over the doc relation and the report
+    * aggregates to 10 rows. */
+  def qQualityDupProfile(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = split(col("text"), " ")
+    val nTok = size(toks)
+    val ttr = size(array_distinct(toks)).cast(DoubleType) / nTok
+    val stopRatio = size(filter(toks,
+      t => t.isin("the", "a", "of", "and", "to"))).cast(DoubleType) / nTok
+    val scored = Tables.documents(spark, sfDir)
+      .select(col("doc_id"),
+        (ttr * (lit(1.0) - stopRatio)).as("quality"),
+        md5(col("text").cast("binary")).as("fp"))
+      .withColumn("grp", count(lit(1)).over(Window.partitionBy(col("fp"))))
+      .withColumn("decile", ntile(10).over(
+        Window.orderBy(col("quality").desc, col("doc_id"))))
+    scored.groupBy(col("decile"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum((col("grp") > 1).cast("long")).as("n_dup_members"))
+      .withColumn("dup_ppm", expr("n_dup_members * 1000000 DIV n_docs"))
+      .orderBy(col("decile"))
+  }
+
+  val qQualityDupProfileOracle: String =
+    """WITH s AS (
+      |  SELECT doc_id, md5(text) AS fp,
+      |    (CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+      |       / len(string_split(text, ' '))) *
+      |    (1.0 - CAST(len(list_filter(string_split(text, ' '),
+      |         x -> x IN ('the','a','of','and','to'))) AS DOUBLE)
+      |       / len(string_split(text, ' '))) AS quality
+      |  FROM documents),
+      |g AS (SELECT doc_id, quality,
+      |  COUNT(*) OVER (PARTITION BY fp) AS grp FROM s),
+      |d AS (SELECT doc_id, grp,
+      |  ntile(10) OVER (ORDER BY quality DESC, doc_id) AS decile FROM g)
+      |SELECT CAST(decile AS INT) AS decile, COUNT(*) AS n_docs,
+      |  CAST(SUM(CASE WHEN grp > 1 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_dup_members,
+      |  CAST(SUM(CASE WHEN grp > 1 THEN 1 ELSE 0 END) * 1000000 // COUNT(*)
+      |    AS BIGINT) AS dup_ppm
+      |FROM d GROUP BY 1 ORDER BY decile""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sample_quality_dup_profile" -> (qQualityDupProfile _),
     "sample_temperature_mix" -> (qTemperatureMix _),
     "sample_compaction_plan" -> (qCompactionPlan _),
     "sample_token_budget" -> (qTokenBudget _),
@@ -599,6 +654,7 @@ object SamplingOps {
     "sample_importance" -> (qImportanceSample _))
 
   val oracles: Map[String, String] = Map(
+    "sample_quality_dup_profile" -> qQualityDupProfileOracle,
     "sample_temperature_mix" -> qTemperatureMixOracle,
     "sample_compaction_plan" -> qCompactionPlanOracle,
     "sample_token_budget" -> qTokenBudgetOracle,

@@ -934,7 +934,52 @@ object TextOps {
       |    AS vocab_size
       |FROM nb ORDER BY batch""".stripMargin
 
+  /** LANGUAGE-ID CONFUSION MATRIX — the classifier eval every langid
+    * rollout gates on: labeled vs predicted counts per cell, each
+    * cell's recall within its labeled row as integer ppm, and the
+    * diagonal flag. The |langs|² rollup is model-sized; the only
+    * corpus-sized step is the same one-scan marker scoring as
+    * `text_langid` (bit-identical arithmetic — the eval can never
+    * drift from the classifier it grades). */
+  def qLangIdConfusion(spark: SparkSession, sfDir: String): DataFrame = {
+    val preds = qLangId(spark, sfDir)
+      .select(col("labeled_lang"), col("predicted_lang"))
+    val rowTotals = preds.groupBy(col("labeled_lang"))
+      .agg(count(lit(1)).as("n_labeled"))
+    preds.groupBy(col("labeled_lang"), col("predicted_lang"))
+      .agg(count(lit(1)).as("n"))
+      .join(rowTotals, "labeled_lang")
+      .select(col("labeled_lang"), col("predicted_lang"), col("n"),
+        col("n_labeled"),
+        expr("n * 1000000 DIV n_labeled").as("row_ppm"),
+        (col("labeled_lang") === col("predicted_lang")).as("is_diagonal"))
+      .orderBy(col("labeled_lang"), col("predicted_lang"))
+  }
+
+  val qLangIdConfusionOracle: String =
+    """WITH t AS (SELECT doc_id, lang, string_split(text, ' ') AS ts FROM documents),
+      |s AS (SELECT lang AS labeled_lang,
+      |  CAST(len(list_filter(ts, x -> x IN ('the','a','of','and'))) AS INT) AS score_en,
+      |  CAST(len(list_filter(ts, x -> x IN ('der','die','das','und'))) AS INT) AS score_de,
+      |  CAST(len(list_filter(ts, x -> x IN ('el','los','las','y'))) AS INT) AS score_es,
+      |  CAST(len(list_filter(ts, x -> x IN ('le','les','et','une'))) AS INT) AS score_fr
+      |FROM t),
+      |p AS (SELECT labeled_lang,
+      |  CASE WHEN score_en >= greatest(score_de, score_es, score_fr) THEN 'en'
+      |       WHEN score_de >= greatest(score_es, score_fr) THEN 'de'
+      |       WHEN score_es >= score_fr THEN 'es'
+      |       ELSE 'fr' END AS predicted_lang
+      |FROM s),
+      |rt AS (SELECT labeled_lang, COUNT(*) AS n_labeled FROM p GROUP BY 1),
+      |c AS (SELECT labeled_lang, predicted_lang, COUNT(*) AS n FROM p GROUP BY 1, 2)
+      |SELECT c.labeled_lang, c.predicted_lang, c.n, rt.n_labeled,
+      |  CAST(c.n * 1000000 // rt.n_labeled AS BIGINT) AS row_ppm,
+      |  c.labeled_lang = c.predicted_lang AS is_diagonal
+      |FROM c JOIN rt USING (labeled_lang)
+      |ORDER BY labeled_lang, predicted_lang""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_langid_confusion" -> (qLangIdConfusion _),
     "text_vocab_growth" -> (qVocabGrowth _),
     "text_collocations" -> (qCollocations _),
     "text_boilerplate" -> (qBoilerplate _),
@@ -957,6 +1002,7 @@ object TextOps {
     "text_tfidf" -> (qTfidf _))
 
   val oracles: Map[String, String] = Map(
+    "text_langid_confusion" -> qLangIdConfusionOracle,
     "text_vocab_growth" -> qVocabGrowthOracle,
     "text_collocations" -> qCollocationsOracle,
     "text_boilerplate" -> qBoilerplateOracle,

@@ -783,6 +783,43 @@ class PipelineOpsSpec extends SparkSpec {
       f"warm composition $warm%.2f s should not grossly exceed the cold pipeline $cold%.2f s")
   }
 
+  test("langid confusion matrix reconciles with the classifier's own rows") {
+    val preds = TextOps.qLangId(spark, sf).collect()
+      .map(r => (r.getAs[String]("labeled_lang"),
+        r.getAs[String]("predicted_lang")))
+    val want = preds.groupBy(identity).map { case ((l, p), v) =>
+      (l, p, v.length.toLong)
+    }.toSet
+    val rows = TextOps.qLangIdConfusion(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getBoolean(5)))
+    assert(rows.map(t => (t._1, t._2, t._3)).toSet === want)
+    // row totals and ppm arithmetic are internally consistent
+    rows.groupBy(_._1).foreach { case (l, cells) =>
+      val tot = cells.head._4
+      assert(cells.map(_._3).sum === tot)
+      cells.foreach { c =>
+        assert(c._5 === c._3 * 1000000L / tot)
+        assert(c._6 === (c._1 == c._2))
+      }
+    }
+  }
+
+  test("quality-dup profile: deciles partition the corpus; dup mass reconciles") {
+    val rows = graft.operators.SamplingOps.qQualityDupProfile(spark, sf)
+      .collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val docs = Tables.documents(spark, sf).select("text").collect()
+      .map(_.getString(0))
+    assert(rows.map(_._1).sorted.toSeq === (1 to rows.length))
+    assert(rows.map(_._2).sum === docs.length.toLong)
+    // total dup membership equals docs whose exact text recurs
+    val dupMembers = docs.groupBy(identity).values
+      .filter(_.size > 1).map(_.size).sum.toLong
+    assert(rows.map(_._3).sum === dupMembers)
+    rows.foreach { r => assert(r._4 === r._3 * 1000000L / r._2) }
+  }
+
   test("contrastive pairs: balanced labels, no positive leaks into negatives") {
     val rows = DedupOps.qContrastivePairs(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
