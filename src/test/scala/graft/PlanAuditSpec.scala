@@ -582,7 +582,8 @@ class PlanAuditSpec extends SparkSpec {
     val allowNested = Set(
       "sim_bruteforce_topk", "dedup_embedding_cosine",
       "sim_truncation_recall",
-      "sim_ivf_probe", "sim_ivf_multiprobe", "sim_kmeans_step",
+      "sim_ivf_probe", "sim_ivf_multiprobe", "sim_ivf_cell_stats",
+      "sim_kmeans_step",
       "sim_ivfpq_topk", "sim_kmeans_iter", "dedup_semdedup",
       "dedup_semantic_clusters", "sample_mixture", "pipeline_corpus",
       "sample_token_budget",
