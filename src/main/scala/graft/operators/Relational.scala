@@ -377,6 +377,79 @@ object Relational {
       |  CAST((g.mx * g.k + g.t - 1) // g.t AS BIGINT) AS salt_factor
       |FROM top, g WHERE rank <= 10 ORDER BY rank""".stripMargin
 
+  /** DATA-QUALITY RULE REPORT — the dbt-test/Deequ-style constraint
+    * audit a warehouse runs after every load, as ONE query emitting a
+    * row per rule: checked count, violation count, violation ppm, and
+    * the pass flag. Rules cover the four standard families over the
+    * lineitem/orders pair: referential integrity (orphan lineitems —
+    * an anti-join, the only two-table rule), domain bounds
+    * (non-positive quantity / price), ordering invariants (ship after
+    * receipt), and completeness (null ship instructions).
+    *
+    * Scale shape: the three single-table rules are ONE conditional
+    * aggregation pass over the fact scan (a Deequ-style shared scan —
+    * adding rules adds columns, not passes); the referential rule is
+    * a broadcast-able anti-join keyed on orderkey. The report is
+    * |rules| rows forever. */
+  def qDqReport(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val li = Tables.lineitem(spark, sfDir)
+    val nLi = li.count()
+    val scan = li.agg(
+      sum((col("l_quantity") <= 0).cast("long")).as("bad_qty"),
+      sum((col("l_extendedprice") <= 0).cast("long")).as("bad_price"),
+      sum((col("l_discount") < 0 || col("l_discount") > 1).cast("long")).as("bad_disc"),
+      sum((col("l_tax") < 0).cast("long")).as("bad_tax"),
+      sum(col("l_returnflag").isNull.cast("long")).as("null_rf")).head()
+    val ord = broadcast(Tables.orders(spark, sfDir)
+      .select(col("o_orderkey"), col("o_orderdate")))
+    val orphans = li.select(col("l_orderkey"))
+      .join(ord.select(col("o_orderkey")),
+        col("l_orderkey") === col("o_orderkey"), "left_anti")
+      .count()
+    val early = li.select(col("l_orderkey"), col("l_shipdate"))
+      .join(ord, col("l_orderkey") === col("o_orderkey"))
+      .filter(col("l_shipdate") < col("o_orderdate"))
+      .count()
+    val rules = Seq(
+      ("referential_orderkey", orphans),
+      ("domain_quantity_positive", scan.getLong(0)),
+      ("domain_price_positive", scan.getLong(1)),
+      ("domain_discount_unit_interval", scan.getLong(2)),
+      ("domain_tax_nonnegative", scan.getLong(3)),
+      ("order_ship_after_orderdate", early),
+      ("complete_returnflag", scan.getLong(4)))
+    rules.map { case (r, v) =>
+      (r, nLi, v, v * 1000000L / nLi, v == 0L)
+    }.toDF("rule", "n_checked", "n_violations", "violation_ppm", "pass")
+      .orderBy(col("rule"))
+  }
+
+  val qDqReportOracle: String =
+    """WITH n AS (SELECT COUNT(*) AS n FROM lineitem),
+      |r AS (
+      |  SELECT 'referential_orderkey' AS rule,
+      |    (SELECT COUNT(*) FROM lineitem l
+      |     WHERE NOT EXISTS (SELECT 1 FROM orders o
+      |       WHERE o.o_orderkey = l.l_orderkey)) AS v
+      |  UNION ALL SELECT 'domain_quantity_positive',
+      |    (SELECT COUNT(*) FROM lineitem WHERE l_quantity <= 0)
+      |  UNION ALL SELECT 'domain_price_positive',
+      |    (SELECT COUNT(*) FROM lineitem WHERE l_extendedprice <= 0)
+      |  UNION ALL SELECT 'domain_discount_unit_interval',
+      |    (SELECT COUNT(*) FROM lineitem WHERE l_discount < 0 OR l_discount > 1)
+      |  UNION ALL SELECT 'domain_tax_nonnegative',
+      |    (SELECT COUNT(*) FROM lineitem WHERE l_tax < 0)
+      |  UNION ALL SELECT 'order_ship_after_orderdate',
+      |    (SELECT COUNT(*) FROM lineitem l JOIN orders o
+      |     ON o.o_orderkey = l.l_orderkey WHERE l.l_shipdate < o.o_orderdate)
+      |  UNION ALL SELECT 'complete_returnflag',
+      |    (SELECT COUNT(*) FROM lineitem WHERE l_returnflag IS NULL))
+      |SELECT rule, n.n AS n_checked, CAST(v AS BIGINT) AS n_violations,
+      |  CAST(v * 1000000 // n.n AS BIGINT) AS violation_ppm,
+      |  v = 0 AS pass
+      |FROM r, n ORDER BY rule""".stripMargin
+
   /** Set operations: union-distinct / intersect / except over two key
     * sets, tagged so one result covers all three operators. */
   def qSetOps(spark: SparkSession, sfDir: String): DataFrame = {
@@ -1681,6 +1754,7 @@ object Relational {
     "q_sort_limit" -> (qSortLimit _),
     "q_skyline" -> (qSkyline _),
     "q_skew_report" -> (qSkewReport _),
+    "q_dq_report" -> (qDqReport _),
     "q_set_ops" -> (qSetOps _),
     "q_rollup" -> (qRollup _),
     "q_cube" -> (qCube _),
@@ -1733,6 +1807,7 @@ object Relational {
     "q_sort_limit" -> qSortLimitOracle,
     "q_skyline" -> qSkylineOracle,
     "q_skew_report" -> qSkewReportOracle,
+    "q_dq_report" -> qDqReportOracle,
     "q_set_ops" -> qSetOpsOracle,
     "q_rollup" -> qRollupOracle,
     "q_cube" -> qCubeOracle,

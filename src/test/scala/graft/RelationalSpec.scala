@@ -71,6 +71,35 @@ class RelationalSpec extends SparkSpec {
     }
   }
 
+  test("dq report: seven rules, consistent arithmetic, clean fixture passes") {
+    val rows = Relational.qDqReport(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getBoolean(4)))
+    assert(rows.length === 7)
+    val nLi = Tables.lineitem(spark, sf).count()
+    rows.foreach { case (rule, checked, v, ppm, pass) =>
+      assert(checked === nLi, s"$rule checked count")
+      assert(ppm === v * 1000000L / checked, s"$rule ppm")
+      assert(pass === (v == 0L), s"$rule pass flag")
+      assert(v >= 0 && v <= checked)
+    }
+    // the fixture is clean on referential/domain/completeness rules but
+    // REALLY violates the ship-after-order invariant (the generator
+    // draws dates independently) — so both arms of `pass` are exercised
+    val byRule = rows.map(r => r._1 -> r).toMap
+    for (clean <- Seq("referential_orderkey", "domain_quantity_positive",
+        "domain_price_positive", "domain_discount_unit_interval",
+        "domain_tax_nonnegative", "complete_returnflag"))
+      assert(byRule(clean)._5, s"$clean should pass on the fixture")
+    val early = Tables.lineitem(spark, sf)
+      .join(Tables.orders(spark, sf),
+        col("l_orderkey") === col("o_orderkey"))
+      .filter(col("l_shipdate") < col("o_orderdate")).count()
+    assert(early > 0, "fixture must exercise the failing arm")
+    assert(byRule("order_ship_after_orderdate")._3 === early)
+    assert(!byRule("order_ship_after_orderdate")._5)
+  }
+
   test("skew report equals a driver-side recompute; salt factor is the exact ceiling") {
     val counts = Tables.lineitem(spark, sf)
       .groupBy(col("l_orderkey")).agg(count(lit(1)).as("n"))
