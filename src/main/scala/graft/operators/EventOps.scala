@@ -714,7 +714,50 @@ object EventOps {
       |    AS revenue_ppm
       |FROM d GROUP BY 1 ORDER BY decile""".stripMargin
 
+  /** ROLLING 7-DAY MEDIAN of daily event volume — the robust rolling
+    * smoother that completes the monitoring family: EWMA smooths but
+    * chases spikes, the MAD flag is per-day, CUSUM detects persistent
+    * drift; the rolling median is the display curve a spike cannot
+    * drag. Exact LOWER median (the repo convention) over the trailing
+    * 7-row frame: the frame's values collect, sort, and index at
+    * (n+1) DIV 2 — pure integer, deterministic, identical in DuckDB.
+    * Early days use their truncated frame (n < 7), matching the
+    * oracle.
+    *
+    * Scale shape: one rollup shuffle of the stream; the windowed
+    * collect runs per event_type over the metadata-sized (type, day)
+    * relation with a constant-bounded frame — never the corpus. */
+  def qRollingMedian(spark: SparkSession, sfDir: String): DataFrame = {
+    val wf = Window.partitionBy(col("event_type")).orderBy(col("day"))
+      .rowsBetween(-6, 0)
+    ev(spark, sfDir)
+      .groupBy(col("event_type"), expr("tus DIV 86400000000").as("day"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("win", array_sort(collect_list(col("cnt")).over(wf)))
+      .select(col("event_type"), col("day"), col("cnt"),
+        size(col("win")).as("n_window"),
+        element_at(col("win"),
+          expr("CAST((size(win) + 1) DIV 2 AS INT)")).as("rolling_med"))
+      .orderBy(col("event_type"), col("day"))
+  }
+
+  val qRollingMedianOracle: String =
+    """WITH daily AS (
+      |  SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+      |    COUNT(*) AS cnt
+      |  FROM events GROUP BY 1, 2),
+      |w AS (
+      |  SELECT event_type, day, cnt,
+      |    list_sort(list(cnt) OVER (PARTITION BY event_type ORDER BY day
+      |      ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)) AS win
+      |  FROM daily)
+      |SELECT event_type, CAST(day AS BIGINT) AS day, cnt,
+      |  CAST(len(win) AS INT) AS n_window,
+      |  win[(len(win) + 1) // 2] AS rolling_med
+      |FROM w ORDER BY event_type, day""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_rolling_median" -> (qRollingMedian _),
     "q_ltv_deciles" -> (qLtvDeciles _),
     "q_cumulative_users" -> (qCumulativeUsers _),
     "q_event_transitions" -> (qEventTransitions _),
@@ -730,6 +773,7 @@ object EventOps {
     "q_zscore_outliers" -> (qZscoreOutliers _))
 
   val oracles: Map[String, String] = Map(
+    "q_rolling_median" -> qRollingMedianOracle,
     "q_ltv_deciles" -> qLtvDecilesOracle,
     "q_cumulative_users" -> qCumulativeUsersOracle,
     "q_event_transitions" -> qEventTransitionsOracle,

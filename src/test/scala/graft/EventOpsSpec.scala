@@ -167,6 +167,24 @@ class EventOpsSpec extends SparkSpec {
     assert(got.map(t => (t._1, t._2)) === daily.map(t => (t._1, t._2)).toSet)
   }
 
+  test("rolling median equals a driver-side trailing-frame recompute") {
+    val daily = Tables.events(spark, sf)
+      .groupBy(col("event_type"), expr("unix_micros(ts) DIV 86400000000").as("day"))
+      .agg(count(lit(1)).as("cnt"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val want = daily.groupBy(_._1).flatMap { case (t, rows) =>
+      val s = rows.toSeq.sortBy(_._2)
+      s.zipWithIndex.map { case ((_, d, c), i) =>
+        val win = s.slice(math.max(0, i - 6), i + 1).map(_._3).sorted
+        (t, d, c, win.length, win((win.length + 1) / 2 - 1))
+      }
+    }.toSet
+    val got = EventOps.qRollingMedian(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getInt(3),
+        r.getLong(4))).toSet
+    assert(got === want)
+  }
+
   test("LTV deciles: ordered bands, conserved mass, ppm shares consistent") {
     val ltv = Tables.events(spark, sf)
       .filter(col("event_type") === "purchase")
