@@ -393,6 +393,116 @@ object DedupOps {
       .select(col("doc_id"), col("bb.band"), col("bb.bkey"))
   }
 
+  /** Band keys for an arbitrary rows-per-band r over the SAME
+    * 12-permutation signature — the generalization [[minhashBands]]
+    * (r = [[BandSize]]) instantiates; shared by the tuning sweep. */
+  private def bandsAt(sig: DataFrame, r: Int): DataFrame = {
+    val bands = (0 until NumHashes / r).map { b =>
+      struct(lit(b).as("band"),
+        md5(concat_ws(",",
+          (0 until r).map(i => col(s"m${b * r + i}")): _*)
+          .cast("binary")).as("bkey"))
+    }
+    sig.select(col("doc_id"), explode(array(bands: _*)).as("bb"))
+      .select(col("doc_id"), col("bb.band"), col("bb.bkey"))
+  }
+
+  /** LSH BAND-TUNING SWEEP — the cost/selectivity table an index
+    * operator reads before fixing (bands × rows): for each rows-per-
+    * band r ∈ {2,3,4,6} over the SAME 12-permutation signatures,
+    * the candidate-pair count the band join generates, how many
+    * survive exact-Jaccard verification (≥ 0.1), and the precision in
+    * integer ppm. Small r → more, looser bands → more candidates
+    * (higher recall, lower precision, more verification cost); the
+    * sweep quantifies that trade on the actual corpus instead of the
+    * textbook S-curve. The production config (r = 3) is one of the
+    * rows, so the sweep also regression-guards `dedup_minhash_lsh`'s
+    * geometry.
+    *
+    * Scale shape: ONE signature pass is shared by all configs (the
+    * 12 minima are computed once and persisted); each config adds a
+    * band equi-join and a verification join BOUNDED BY ITS OWN
+    * candidate count — the sweep never joins corpus × corpus. */
+  def qDedupLshBandTuning(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val sh = shingles(Tables.documents(spark, sfDir))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val mins = (0 until NumHashes).map { j =>
+      min(md5(concat(lit(j.toString), lit(":"), col("shingle")).cast("binary"))).as(s"m$j")
+    }
+    val sig = sh.groupBy(col("doc_id")).agg(mins.head, mins.tail: _*)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sets = sh.groupBy(col("doc_id"))
+      .agg(collect_list(col("shingle")).as("ss"), count(lit(1)).as("n"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val rows = Seq(2, 3, 4, 6).map { r =>
+      val bands = bandsAt(sig, r)
+      val cand = bands.as("a")
+        .join(bands.as("b"),
+          col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+        .distinct()
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val nCand = cand.count()
+      val nVer = cand
+        .join(sets.select(col("doc_id").as("a_id"), col("ss").as("sa"), col("n").as("na")), "a_id")
+        .join(sets.select(col("doc_id").as("b_id"), col("ss").as("sb"), col("n").as("nb")), "b_id")
+        .withColumn("inter", size(array_intersect(col("sa"), col("sb"))))
+        .filter(col("inter").cast(DoubleType) /
+          (col("na") + col("nb") - col("inter")) >= 0.1)
+        .count()
+      cand.unpersist()
+      (r, NumHashes / r, nCand, nVer,
+        if (nCand == 0) 0L else nVer * 1000000L / nCand)
+    }
+    sh.unpersist(); sig.unpersist(); sets.unpersist()
+    rows.toDF("rows_per_band", "n_bands", "n_candidates", "n_verified",
+        "precision_ppm")
+      .orderBy(col("rows_per_band"))
+  }
+
+  /** The minhash oracle's signature CTE swept over the four band
+    * geometries. */
+  val qDedupLshBandTuningOracle: String = {
+    def cfg(r: Int): String =
+      s"""SELECT $r AS rows_per_band, ${NumHashes / r} AS n_bands,
+         |  (SELECT COUNT(*) FROM cand$r) AS n_candidates,
+         |  (SELECT COUNT(*) FROM ver$r) AS n_verified""".stripMargin
+    def candCte(r: Int): String =
+      s"""bk$r AS (
+         |  SELECT doc_id, seed // $r AS band,
+         |    md5(string_agg(minh, ',' ORDER BY seed)) AS bkey
+         |  FROM mh GROUP BY doc_id, seed // $r),
+         |cand$r AS (
+         |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+         |  FROM bk$r a JOIN bk$r b
+         |    ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
+         |ver$r AS (
+         |  SELECT c.a_id, c.b_id FROM cand$r c
+         |  JOIN sc sa ON sa.doc_id = c.a_id
+         |  JOIN sc sb ON sb.doc_id = c.b_id
+         |  JOIN (SELECT x.doc_id AS a_id, y.doc_id AS b_id, COUNT(*) AS inter
+         |        FROM sh x JOIN sh y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+         |        GROUP BY 1, 2) i ON i.a_id = c.a_id AND i.b_id = c.b_id
+         |  WHERE CAST(i.inter AS DOUBLE) / (sa.n + sb.n - i.inter) >= 0.1)""".stripMargin
+    s"""WITH $shinglesSql,
+       |sc AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+       |mh AS (
+       |  SELECT doc_id, s.seed, min(md5(s.seed || ':' || shingle)) AS minh
+       |  FROM sh, (SELECT unnest(generate_series(0, ${NumHashes - 1})) AS seed) s
+       |  GROUP BY 1, 2),
+       |${Seq(2, 3, 4, 6).map(candCte).mkString(",\n")}
+       |SELECT rows_per_band, n_bands,
+       |  CAST(n_candidates AS BIGINT) AS n_candidates,
+       |  CAST(n_verified AS BIGINT) AS n_verified,
+       |  CAST(CASE WHEN n_candidates = 0 THEN 0
+       |       ELSE n_verified * 1000000 // n_candidates END AS BIGINT)
+       |    AS precision_ppm
+       |FROM (${Seq(2, 3, 4, 6).map(cfg).mkString("\nUNION ALL\n")}) t
+       |ORDER BY rows_per_band""".stripMargin
+  }
+
   /** MinHash+LSH near-dup: band-bucket join → candidate pairs →
     * exact-Jaccard verification (≥ 0.1). The bucket join touches only
     * docs sharing a band key — O(n) shuffle, no quadratic blowup.
@@ -2064,6 +2174,7 @@ object DedupOps {
     "sample_cluster_split" -> (qSampleClusterSplit _),
     "sample_contrastive_pairs" -> (qContrastivePairs _),
     "dedup_minhash_lsh" -> (qDedupMinhashLsh _),
+    "dedup_lsh_band_tuning" -> (qDedupLshBandTuning _),
     "dedup_simhash" -> (qDedupSimhash _),
     "dedup_simhash_hamming" -> (qDedupSimhashHamming _),
     "dedup_embedding_cosine" -> (qDedupEmbedding _),
@@ -2093,6 +2204,7 @@ object DedupOps {
     "sample_cluster_split" -> qSampleClusterSplitOracle,
     "sample_contrastive_pairs" -> qContrastivePairsOracle,
     "dedup_minhash_lsh" -> qDedupMinhashLshOracle,
+    "dedup_lsh_band_tuning" -> qDedupLshBandTuningOracle,
     "dedup_simhash" -> qDedupSimhashOracle,
     "dedup_simhash_hamming" -> qDedupSimhashHammingOracle,
     "dedup_embedding_cosine" -> qDedupEmbeddingOracle,

@@ -793,6 +793,28 @@ class PipelineOpsSpec extends SparkSpec {
       f"warm composition $warm%.2f s should not grossly exceed the cold pipeline $cold%.2f s")
   }
 
+  test("band tuning: candidates shrink as bands tighten; r=3 row matches the production path") {
+    val rows = DedupOps.qDedupLshBandTuning(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).sortBy(_._1)
+    assert(rows.map(_._1).toSeq === Seq(2, 3, 4, 6))
+    rows.foreach { case (r, nb, cand, ver, ppm) =>
+      assert(nb === 12 / r)
+      assert(ver <= cand)
+      assert(ppm === (if (cand == 0) 0L else ver * 1000000L / cand))
+    }
+    // geometric nesting guarantees: every r-band of a LOOSER config
+    // below contains a full band of the tighter one, so a collision
+    // there implies a collision here — candidates can only grow.
+    // (r=3 vs r=4 is NOT nested either way and is left unordered.)
+    val cand = rows.map(r => r._1 -> r._3).toMap
+    assert(cand(2) >= cand(3) && cand(2) >= cand(4))
+    assert(cand(4) >= cand(6) && cand(3) >= cand(6))
+    // the r=3 row regression-guards the production minhash path
+    val prod = DedupOps.qDedupMinhashLsh(spark, sf).count()
+    assert(rows.find(_._1 == 3).get._4 === prod)
+  }
+
   test("langid confusion matrix reconciles with the classifier's own rows") {
     val preds = TextOps.qLangId(spark, sf).collect()
       .map(r => (r.getAs[String]("labeled_lang"),
