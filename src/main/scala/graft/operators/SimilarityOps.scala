@@ -204,6 +204,85 @@ object SimilarityOps {
        |FROM rk WHERE rank <= 3
        |ORDER BY q_id, rank""".stripMargin
 
+  private val KCenterRounds = 8
+
+  /** GREEDY K-CENTER CORESET (Gonzalez 1985's 2-approximation — the
+    * classic diverse-subset selector, used as coreset seeding and
+    * "maximally spread" data selection): start from vector 0, then
+    * repeatedly take the vector FARTHEST from every chosen center
+    * (maximin), 8 rounds. Unlike hash sampling (uniform) or quality
+    * ranking (redundant picks), k-center guarantees the selected set
+    * 2-approximates the best possible coverage radius — the pick for
+    * "label a spread-out subset first".
+    *
+    * Exactness: millionth-quantized vectors, exact Long squared-L2,
+    * maximin argmax tie-broken by id — fully deterministic, and the
+    * emitted radii are the exact integers both engines compute.
+    *
+    * Scale shape: each round is ONE map-only pass (the chosen centers
+    * ride as plan literals, the label-outliers discipline) + a
+    * TakeOrdered(1) — k rounds cost k corpus scans with zero
+    * shuffles beyond the top-1 reduction; the driver holds only k
+    * small vectors. The maximin radius is also the live convergence
+    * telemetry (it only shrinks). */
+  def qSimKcenterCoreset(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val q = quantized(spark, sfDir)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    def vecOf(id: Long): Seq[Long] =
+      q.filter(col("vec_id") === id).head.getSeq[Long](1)
+    def d2(cv: Seq[Long]): Column =
+      aggregate(zip_with(col("q"), typedlit(cv), (a, b) => (a - b) * (a - b)),
+        lit(0L), (acc, x) => acc + x)
+    var centers = Vector((0L, vecOf(0L), 0L))
+    for (_ <- 1 until KCenterRounds) {
+      val dmin = array_min(array(centers.map { case (_, cv, _) => d2(cv) }: _*))
+      val next = q.filter(!col("vec_id").isin(centers.map(_._1): _*))
+        .select(col("vec_id"), dmin.as("dm"))
+        .orderBy(col("dm").desc, col("vec_id")).limit(1).head()
+      centers = centers :+ ((next.getLong(0), vecOf(next.getLong(0)),
+        next.getLong(1)))
+    }
+    q.unpersist()
+    centers.zipWithIndex
+      .map { case ((id, _, r), i) => (i, id, r) }
+      .toDF("round", "center_id", "maximin_d2")
+      .orderBy(col("round"))
+  }
+
+  /** The greedy recursion unrolled: stage t picks the argmax of the
+    * running LEAST over the t chosen centers' exact distances. */
+  val qSimKcenterCoresetOracle: String = {
+    val dist = (c: String) =>
+      s"""CAST(list_sum(list_transform(generate_series(1, len(q.qv)),
+         |    i -> (q.qv[i] - $c.cq[i]) * (q.qv[i] - $c.cq[i]))) AS BIGINT)""".stripMargin
+    val stages = (1 until KCenterRounds).map { t =>
+      val prevIds = (0 until t).map(k => s"(SELECT id FROM p$k)").mkString(", ")
+      val froms = (0 until t).map(k => s"c${k}v").mkString(", ")
+      val least = (0 until t).map(k => dist(s"c${k}v")).mkString("LEAST(", ",\n  ", ")")
+      s"""c${t - 1}v AS (SELECT qv AS cq FROM q WHERE vec_id = (SELECT id FROM p${t - 1})),
+         |p$t AS (
+         |  SELECT q.vec_id AS id, $least AS dm
+         |  FROM q, $froms
+         |  WHERE q.vec_id NOT IN ($prevIds)
+         |  ORDER BY dm DESC, q.vec_id LIMIT 1)""".stripMargin
+    }
+    val rows = (0 until KCenterRounds).map { t =>
+      if (t == 0) s"SELECT 0 AS round, (SELECT id FROM p0) AS center_id, 0 AS maximin_d2"
+      else s"SELECT $t, (SELECT id FROM p$t), (SELECT dm FROM p$t)"
+    }
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |q AS (SELECT vec_id,
+       |  list_transform(v, x -> CAST(floor(x * 1000000) AS BIGINT)) AS qv
+       |  FROM e),
+       |p0 AS (SELECT 0::BIGINT AS id, 0::BIGINT AS dm),
+       |${stages.mkString(",\n")}
+       |SELECT CAST(round AS INT) AS round, CAST(center_id AS BIGINT) AS center_id,
+       |  CAST(maximin_d2 AS BIGINT) AS maximin_d2
+       |FROM (${rows.mkString("\nUNION ALL\n")}) t
+       |ORDER BY round""".stripMargin
+  }
+
   /** BINARY-SIGNATURE RE-RANK — the 1-bit quantization tier of a
     * production retrieval stack (binary embeddings à la Faiss's
     * IndexBinary / Cohere int1: 64 dims → 64 sign bits, a 32×
@@ -2202,6 +2281,7 @@ object SimilarityOps {
     "sim_embedding_drift" -> (qSimEmbeddingDrift _),
     "sim_ivf_cell_stats" -> (qSimIvfCellStats _),
     "sim_binary_rerank" -> (qSimBinaryRerank _),
+    "sim_kcenter_coreset" -> (qSimKcenterCoreset _),
     "sim_label_outliers" -> (qSimLabelOutliers _),
     "sim_hard_negatives" -> (qSimHardNegatives _),
     "sim_pq_encode" -> (qSimPqEncode _),
@@ -2234,6 +2314,7 @@ object SimilarityOps {
     "sim_embedding_drift" -> qSimEmbeddingDriftOracle,
     "sim_ivf_cell_stats" -> qSimIvfCellStatsOracle,
     "sim_binary_rerank" -> qSimBinaryRerankOracle,
+    "sim_kcenter_coreset" -> qSimKcenterCoresetOracle,
     "sim_label_outliers" -> qSimLabelOutliersOracle,
     "sim_hard_negatives" -> qSimHardNegativesOracle,
     "sim_pq_encode" -> qSimPqEncodeOracle,

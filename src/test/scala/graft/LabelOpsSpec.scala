@@ -78,6 +78,32 @@ class LabelOpsSpec extends SparkSpec {
       "exactly one row per vector that has a crossing candidate")
   }
 
+  test("k-center coreset equals the driver-side greedy maximin recursion") {
+    def d2(a: Array[Long], b: Array[Long]): Long = {
+      var s = 0L; var i = 0
+      while (i < a.length) { val t = a(i) - b(i); s += t * t; i += 1 }
+      s
+    }
+    val byId = raw.map(r => r._1 -> r._3).toMap
+    var centers = Vector((0L, 0L))
+    while (centers.length < 8) {
+      val chosen = centers.map(_._1).toSet
+      val (id, dm) = byId.toSeq.filterNot(t => chosen(t._1))
+        .map { case (v, qv) =>
+          (v, centers.map(c => d2(qv, byId(c._1))).min) }
+        .maxBy { case (v, d) => (d, -v) }
+      centers = centers :+ ((id, dm))
+    }
+    val got = SimilarityOps.qSimKcenterCoreset(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+    assert(got.map(t => (t._2, t._3)).toSeq === centers)
+    // the maximin radius is non-increasing after round 1 (adding a
+    // center can only shrink every point's nearest-center distance)
+    val radii = got.drop(1).map(_._3)
+    radii.zip(radii.drop(1)).foreach { case (a, b) => assert(a >= b) }
+    assert(got.map(_._2).distinct.length === 8, "centers are distinct")
+  }
+
   test("svm step equals a driver-side exact-integer hinge-subgradient pass") {
     val w = Array.tabulate(64)(d => (d * 2654435761L) % 2001L - 1000L)
     val viol = raw.map { case (_, l, qv) =>
