@@ -141,6 +141,7 @@ object MultimodalOps {
 
   // public: Spark's generated encoder code must reach these
   case class MediaRow(doc_id: Long, payload: Array[Byte])
+  case class ThumbStats(doc_id: Long, n: Int, sx: Long, sxx: Long)
   case class FeatureRow(doc_id: Long, n_bytes: Int,
       mean_byte: Double, hist: Array[Long], thumb: Array[Int])
 
@@ -235,6 +236,56 @@ object MultimodalOps {
        |       END AS INT) AS n_windows
        |FROM documents WHERE doc_id % 3 = 1
        |ORDER BY doc_id""".stripMargin
+
+  /** BLUR / FLATNESS screening — the cheap image-quality gate a vision
+    * corpus runs before spending decode+embed on every crawl image
+    * (the variance-of-Laplacian test's plumbing twin): a low-variance
+    * thumbnail is a flat/blurry/solid-color image and gets dropped.
+    * Score = the EXACT integer variance lane n·Σs² − (Σs)² over the
+    * 16-sample strided thumbnail (the q_zscore/GramMoments numerator
+    * convention — no division, no float), flagged when below
+    * 1000·n² (variance < 1000 in pixel² units). Same mapPartitions
+    * stub-decode plumbing as every decoder stage; a real
+    * Laplacian-of-Gaussian slots into the codec without touching the
+    * plan. Map-only per image; no shuffle but the output sort. */
+  def qBlurScores(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val media: Dataset[MediaRow] = mediaTable(spark, sfDir)
+      .filter(col("media_type") === "image")
+      .select(col("doc_id"), col("payload")).as[MediaRow]
+    media.mapPartitions { rows =>
+      rows.map { m =>
+        val t = StubCodec.resize(m.payload, 16)
+        ThumbStats(m.doc_id, t.length,
+          t.map(_.toLong).sum, t.map(x => x.toLong * x).sum)
+      }
+    }.toDF()
+      .filter(col("n") >= 2)
+      .select(col("doc_id"), col("n"),
+        (col("n") * col("sxx") - col("sx") * col("sx")).as("var_lane"),
+        ((col("n") * col("sxx") - col("sx") * col("sx")) <
+          lit(1000L) * col("n") * col("n")).as("is_flat"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** The resize oracle's strided byte math + the same variance lane. */
+  val qBlurScoresOracle: String =
+    """WITH m AS (
+      |  SELECT doc_id, hex(encode(text)) AS h,
+      |         CAST(octet_length(encode(text)) AS INT) AS nb
+      |  FROM documents WHERE doc_id % 3 = 0),
+      |t AS (
+      |  SELECT m.doc_id, LEAST(16, m.nb) AS n,
+      |    CAST('0x' || substr(m.h, 2*(i.i * GREATEST(1, m.nb // 16)) + 1, 2) AS INT) AS s
+      |  FROM m, unnest(generate_series(0, LEAST(16, m.nb) - 1)) AS i(i)),
+      |agg AS (
+      |  SELECT doc_id, CAST(MAX(n) AS INT) AS n,
+      |    CAST(SUM(s) AS BIGINT) AS sx, CAST(SUM(s * s) AS BIGINT) AS sxx
+      |  FROM t GROUP BY 1)
+      |SELECT doc_id, n,
+      |  CAST(n * sxx - sx * sx AS BIGINT) AS var_lane,
+      |  n * sxx - sx * sx < 1000 * n * n AS is_flat
+      |FROM agg WHERE n >= 2 ORDER BY doc_id""".stripMargin
 
   private val TrimFrameBytes = 32
 
@@ -645,6 +696,7 @@ object MultimodalOps {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm_scene_cuts" -> (qSceneCuts _),
     "mm_silence_trim" -> (qSilenceTrim _),
+    "mm_blur_scores" -> (qBlurScores _),
     "mm_audio_fingerprint_neardup" -> (qAudioFingerprintNearDup _),
     "mm_phash_neardup" -> (qPhashNearDup _),
     "mm_metadata" -> (qMetadata _),
@@ -656,6 +708,7 @@ object MultimodalOps {
   val oracles: Map[String, String] = Map(
     "mm_scene_cuts" -> qSceneCutsOracle,
     "mm_silence_trim" -> qSilenceTrimOracle,
+    "mm_blur_scores" -> qBlurScoresOracle,
     "mm_audio_fingerprint_neardup" -> qAudioFingerprintNearDupOracle,
     "mm_phash_neardup" -> qPhashNearDupOracle,
     "mm_metadata" -> qMetadataOracle,

@@ -162,6 +162,30 @@ class MultimodalSpec extends SparkSpec {
       s"missed=${(brute -- got).take(5)} phantom=${(got -- brute).take(5)}")
   }
 
+  test("blur scores equal a driver-side integer-variance recompute") {
+    val images = spark.read.parquet(s"$sf/documents.parquet")
+      .filter(col("doc_id") % 3 === 0)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1).getBytes("UTF-8")))
+    val want = images.flatMap { case (id, payload) =>
+      val t = MultimodalOps.StubCodec.resize(payload, 16)
+      if (t.length < 2) None else {
+        val n = t.length.toLong
+        val sx = t.map(_.toLong).sum
+        val sxx = t.map(x => x.toLong * x).sum
+        val lane = n * sxx - sx * sx
+        Some((id, t.length, lane, lane < 1000L * n * n))
+      }
+    }.toSet
+    val got = MultimodalOps.qBlurScores(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getBoolean(3)))
+      .toSet
+    assert(got === want)
+    // the 1000-pixel^2 threshold genuinely splits this corpus's
+    // thumbnails — both gate arms are live
+    assert(got.exists(_._4) && got.exists(!_._4))
+  }
+
   test("silence trim equals a driver-side recompute; frame accounting conserves") {
     val audio = spark.read.parquet(s"$sf/documents.parquet")
       .filter(col("doc_id") % 3 === 1)
