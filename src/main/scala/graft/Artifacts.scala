@@ -1,0 +1,132 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Durable, dataset-keyed artifact store for the "mine once, serve
+  * many" relations (ANN edge graph, text near-dup edge graph,
+  * incremental-dedup signature index, sign-LSH serving index, IVFPQ
+  * code table).
+  *
+  * Until r8 these were memoized per JVM in `createTempDirectory`
+  * paths, so a fresh process (every chunked-bench child, every new
+  * production session) re-paid the full mining pass the stored
+  * variants exist to amortize — the committed stored-query prices
+  * included the build they claimed to skip. This store writes each
+  * artifact ONCE to a deterministic path under the Spark warehouse:
+  *
+  * {{{ <spark.sql.warehouse.dir>/graft_artifacts/<datasetKey>/<name> }}}
+  *
+  * and existence-checks before building, so separate JVMs (bench
+  * chunks, verify, interactive sessions) all reuse one materialization
+  * — the honest lake-artifact story a production pipeline runs.
+  *
+  * Refresh story: `datasetKey` hashes the dataset directory's file
+  * listing (relative path, mtime, size — two levels deep, so both
+  * single-file and directory-shaped parquet tables are covered).
+  * Regenerated input data therefore yields a NEW key directory and the
+  * artifact rebuilds automatically; stale keys are dead weight under a
+  * gitignored warehouse and can be deleted wholesale
+  * (`rm -rf spark-warehouse/graft_artifacts`) at any time — every
+  * consumer existence-checks, nothing caches the path across datasets.
+  *
+  * Concurrent/crashed builders: the artifact is built into a
+  * pid-suffixed sibling directory and atomically renamed into place,
+  * so a half-written build is never observable at the final path; a
+  * racing builder that loses the rename discards its copy and serves
+  * the winner's.
+  */
+object Artifacts {
+  import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+
+  /** Per-JVM memo of resolved artifact paths — avoids re-hashing the
+    * dataset listing on every query; the DISK existence check below is
+    * what carries reuse across JVMs. */
+  private val memo = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def md5Hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  /** Deterministic key for a dataset directory: its absolute path plus
+    * the (relative-path, mtime, size) of every entry two levels deep.
+    * Any regeneration of the parquet inputs changes the key. */
+  private[graft] def datasetKey(sfDir: String): String = {
+    val root = Paths.get(sfDir).toAbsolutePath.normalize
+    def stats(p: Path, depth: Int): Seq[String] =
+      if (Files.isDirectory(p) && depth < 2) {
+        val s = Files.list(p)
+        try {
+          import scala.jdk.CollectionConverters._
+          s.iterator().asScala.toSeq.sortBy(_.toString).flatMap(stats(_, depth + 1))
+        } finally s.close()
+      } else {
+        val sz = if (Files.isRegularFile(p)) Files.size(p) else 0L
+        Seq(s"${root.relativize(p)}:${Files.getLastModifiedTime(p).toMillis}:$sz")
+      }
+    val listing = if (Files.exists(root)) stats(root, 0) else Seq.empty
+    md5Hex((root.toString +: listing).mkString("\n")).take(16)
+  }
+
+  /** `spark.sql.warehouse.dir` as a local path (it is a file: URI in
+    * local mode — the only mode this store supports; on a real cluster
+    * the same layout lands on the shared warehouse filesystem). */
+  private def warehouseRoot(spark: SparkSession): Path = {
+    val wh = spark.conf.get("spark.sql.warehouse.dir")
+    val uri = new java.net.URI(wh)
+    if (uri.getScheme == null) Paths.get(wh) else Paths.get(uri)
+  }
+
+  private def deleteRecursively(p: Path): Unit =
+    if (Files.exists(p)) {
+      val s = Files.walk(p)
+      try {
+        import scala.jdk.CollectionConverters._
+        s.iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
+      } finally s.close()
+    }
+
+  /** The stored location for artifact `name` of dataset `sfDir`,
+    * building it via `build(tmpPath)` only if absent on disk. `build`
+    * must write the complete artifact (e.g. `df.write.parquet(dir)`)
+    * into the directory it is handed; the rename into the final path
+    * happens only after it returns. */
+  def getOrBuild(spark: SparkSession, sfDir: String, name: String)(
+      build: String => Unit): String =
+    getOrBuildMeta(spark, sfDir, name) { d => build(d); "" }._1
+
+  /** As [[getOrBuild]], but `build` also returns a small metadata
+    * string (e.g. the frozen LSH plane count) persisted as
+    * `_graft_meta` inside the artifact directory — underscore-prefixed
+    * so Spark's parquet reader ignores it like `_SUCCESS`. Returns
+    * (path, meta), with meta re-read from disk on reuse so fresh JVMs
+    * recover it without recomputing. */
+  def getOrBuildMeta(spark: SparkSession, sfDir: String, name: String)(
+      build: String => String): (String, String) = {
+    val dir = memo.computeIfAbsent(s"$sfDir::$name", _ => {
+      val keyRoot = warehouseRoot(spark)
+        .resolve("graft_artifacts").resolve(datasetKey(sfDir))
+      val dest = keyRoot.resolve(name)
+      if (!Files.exists(dest)) {
+        Files.createDirectories(keyRoot)
+        val tmp = keyRoot.resolve(s"$name.build-${ProcessHandle.current().pid()}")
+        deleteRecursively(tmp)
+        val meta = build(tmp.toString)
+        if (meta.nonEmpty)
+          Files.write(tmp.resolve("_graft_meta"), meta.getBytes("UTF-8"))
+        try Files.move(tmp, dest, StandardCopyOption.ATOMIC_MOVE)
+        catch { case _: java.nio.file.FileAlreadyExistsException |
+                     _: java.nio.file.DirectoryNotEmptyException |
+                     _: java.nio.file.FileSystemException =>
+          // a concurrent builder won the rename race — serve its copy
+          deleteRecursively(tmp)
+        }
+      }
+      dest.toString
+    })
+    val metaFile = Paths.get(dir).resolve("_graft_meta")
+    val meta =
+      if (Files.exists(metaFile)) new String(Files.readAllBytes(metaFile), "UTF-8")
+      else ""
+    (dir, meta)
+  }
+}

@@ -235,7 +235,7 @@ object CorpusPipeline {
           .orderBy(col("doc_id"))) === 1)
       .filter(col("grp") > 1 && !col("keeper"))
       .groupBy(col("source")).agg(count(lit(1)).as("n_dup_docs"))
-    perDoc.groupBy(col("source"))
+    val result = perDoc.groupBy(col("source"))
       .agg(
         count(lit(1)).as("n_docs"),
         sum(col("n_tokens")).as("n_tokens"),
@@ -252,6 +252,7 @@ object CorpusPipeline {
           .cast("double"), 6).as("dup_rate_r"),
         round(col("n_docs") / lit(totalDocs.toDouble), 6).as("corpus_share_r"))
       .orderBy(col("source"))
+    DedupOps.unpersistAfterFirstAction(result, perDoc)
   }
 
   val qDatasetCardOracle: String =

@@ -438,11 +438,12 @@ object EventOps {
     val estUnion = (k - 1).toLong * (1L << 48) / vk
     val estInter = c * estUnion / k
     import spark.implicits._
-    Seq((k.toLong, vk, c, estUnion, estInter, nUnion, nInter,
+    val result = Seq((k.toLong, vk, c, estUnion, estInter, nUnion, nInter,
       // k=64 ⇒ ~12.6% rse; 3σ ≈ 38% — a loose, replay-stable gate
       estUnion * 10 >= nUnion * 6 && estUnion * 10 <= nUnion * 16))
       .toDF("k", "v_k", "co_members", "est_union", "est_inter",
         "n_union", "n_inter", "union_within_3rse")
+    DedupOps.unpersistAfterFirstAction(result, ev0)
   }
 
   /** The same minima, estimator arithmetic, and exact anchors. */
@@ -672,12 +673,24 @@ object EventOps {
     * reads: users ranked by lifetime purchase value, cut into
     * deciles, each decile reporting population, value mass, bounds,
     * and its integer-ppm share of total revenue (the "top decile is
-    * X% of revenue" number). Money in exact cents end-to-end; the
-    * ntile runs over the USER relation (one row per user after the
-    * rollup), not the event stream.
+    * X% of revenue" number). Money in exact cents end-to-end.
     *
-    * Scale shape: one map-side-combining rollup on user_id, an
-    * ntile window over users, then a 10-row aggregate. */
+    * Scale shape (r8 verdict fix): the DEFINITION is
+    * `ntile(10) OVER (ORDER BY ltv DESC, user_id)` over every user —
+    * an unpartitioned corpus sort, the shape this repo's token-budget
+    * decomposition exists to avoid. The PLAN decomposes it exactly:
+    * the decile AGGREGATES (count, cents mass, value bounds) depend
+    * only on the (ltv, count) HISTOGRAM, because users tied on ltv
+    * are interchangeable within their value's rank range — which
+    * specific tied user lands in which decile changes no aggregate.
+    * So: one combiner-friendly rollup to user LTV, one aggregation to
+    * the value histogram, a cumulative window over THAT value-domain
+    * relation (distinct cent amounts, ≪ users), then each value
+    * explodes into the ≤10 ntile buckets its rank range [before+1,
+    * before+c] overlaps, with the closed-form ntile geometry (first
+    * n%10 buckets get ⌈n/10⌉ ranks) as map-only literals. The oracle
+    * IS the naive ntile definition, so the hash match proves the
+    * decomposition exact — the token-budget twin discipline. */
   def qLtvDeciles(spark: SparkSession, sfDir: String): DataFrame = {
     val cents = (col("value") * 100)
       .cast(org.apache.spark.sql.types.DecimalType(18, 0)).cast("long")
@@ -686,17 +699,37 @@ object EventOps {
       .select(col("user_id"), cents.as("cents"))
       .groupBy(col("user_id")).agg(sum(col("cents")).as("ltv"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val total = ltv.agg(sum(col("ltv"))).head.getLong(0)
-    ltv
-      .withColumn("decile", ntile(10).over(
-        Window.orderBy(col("ltv").desc, col("user_id"))))
-      .groupBy(col("decile"))
-      .agg(count(lit(1)).as("n_users"),
-        sum(col("ltv")).as("decile_cents"),
+    val totals = ltv.agg(sum(col("ltv")), count(lit(1))).head
+    val total = totals.getLong(0)
+    val n = totals.getLong(1)
+    val q = n / 10  // base bucket size; first `rem` buckets get q+1
+    val rem = n % 10
+    def decOf(r: String): String = SamplingOps.ntileExpr(n, 10, r)
+    val wv = Window.orderBy(col("ltv").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val hist = ltv.groupBy(col("ltv")).agg(count(lit(1)).as("c"))
+      .withColumn("before", coalesce(sum(col("c")).over(wv), lit(0L)))
+    val result = hist
+      .withColumn("d", explode(sequence(
+        expr(decOf("(before + 1)")).cast("int"),
+        expr(decOf("(before + c)")).cast("int"))))
+      // this decile's global rank range under ntile geometry
+      .withColumn("lo", expr(s"(d - 1) * ${q}L + least(CAST(d AS BIGINT) - 1, ${rem}L) + 1"))
+      .withColumn("hi", expr(s"d * ${q}L + least(CAST(d AS BIGINT), ${rem}L)"))
+      // how many of this value's ranks fall inside the decile
+      .withColumn("cnt",
+        least(col("hi"), col("before") + col("c")) -
+          greatest(col("lo"), col("before") + lit(1L)) + lit(1L))
+      .groupBy(col("d"))
+      .agg(sum(col("cnt")).as("n_users"),
+        sum(col("cnt") * col("ltv")).as("decile_cents"),
         min(col("ltv")).as("min_ltv"),
         max(col("ltv")).as("max_ltv"))
+      .select(col("d").cast("int").as("decile"), col("n_users"),
+        col("decile_cents"), col("min_ltv"), col("max_ltv"))
       .withColumn("revenue_ppm", expr(s"decile_cents * 1000000 DIV $total"))
       .orderBy(col("decile"))
+    DedupOps.unpersistAfterFirstAction(result, ltv)
   }
 
   val qLtvDecilesOracle: String =

@@ -21,6 +21,59 @@ import org.apache.spark.sql.types.DoubleType
   */
 object SamplingOps {
 
+  /** Exact 1-based GLOBAL rank under `order` without an unpartitioned
+    * window — the scalable twin of `row_number() OVER (ORDER BY …)`.
+    * An unpartitioned WindowExec funnels the whole relation through
+    * one reducer; this decomposition is how a distributed engine
+    * actually totals-orders: (1) range-shuffle on the sort key (the
+    * same exchange a global sort plans, every shard sorts in
+    * parallel), (2) rank WITHIN each range shard, (3) one tiny
+    * shard-count aggregate → cumulative offsets (≤ shuffle-partition
+    * rows), broadcast back and added to the local rank. Exact for any
+    * shard boundaries as long as `order` is a total order (callers
+    * append a unique tiebreak column), so the sampled range boundaries
+    * never affect the answer.
+    *
+    * The sharded relation is PERSISTED — shard ids must be identical
+    * between the offset aggregate and the ranked output (range
+    * boundaries are sampled per execution). Returns (ranked, cached);
+    * the caller must release via `DedupOps.unpersistAfterFirstAction`
+    * on its final result. */
+  private[operators] def withGlobalRank(df: DataFrame, rankCol: String,
+      order: Column*): (DataFrame, DataFrame) = {
+    import org.apache.spark.sql.expressions.Window
+    val parts = df.sparkSession.conf
+      .get("spark.sql.shuffle.partitions", "32").toInt
+    val local = df.repartitionByRange(parts, order: _*)
+      .withColumn("__shard", spark_partition_id())
+      .withColumn("__lr", row_number().over(
+        Window.partitionBy(col("__shard")).orderBy(order: _*)))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val offsets = local.groupBy(col("__shard")).agg(count(lit(1)).as("__c"))
+      .withColumn("__off", coalesce(sum(col("__c")).over(
+        Window.orderBy(col("__shard"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("__shard"), col("__off"))
+    val ranked = local.join(broadcast(offsets), Seq("__shard"))
+      .withColumn(rankCol, col("__off") + col("__lr"))
+      .drop("__shard", "__lr", "__off")
+    (ranked, local)
+  }
+
+  /** Closed-form `ntile(buckets)` bucket of 1-based rank `r` over `n`
+    * total rows, as a SQL expression string — the map-only twin of the
+    * unpartitioned ntile window. ntile geometry: the first n mod b
+    * buckets hold ⌈n/b⌉ ranks, the rest ⌊n/b⌋ (q = 0 ⇒ n < b and
+    * bucket r holds exactly rank r). */
+  private[operators] def ntileExpr(n: Long, buckets: Int, r: String): String = {
+    val q = n / buckets
+    val rem = n % buckets
+    s"""CASE WHEN ${q}L = 0 THEN $r
+       | WHEN $r <= ${rem * (q + 1)}L THEN ($r + ${q}L) DIV ${q + 1}L
+       | ELSE ${rem}L + ($r - ${rem * (q + 1)}L + ${q - 1}L) DIV ${q}L
+       | END""".stripMargin.replace('\n', ' ')
+  }
+
   /** Deterministic bucket in [0,100): first 4 md5 hex chars of the id. */
   private[graft] def bucket100(idCol: String) =
     conv(substring(md5(col(idCol).cast("string").cast("binary")), 1, 4), 16, 10)
@@ -609,13 +662,23 @@ object SamplingOps {
         (ttr * (lit(1.0) - stopRatio)).as("quality"),
         md5(col("text").cast("binary")).as("fp"))
       .withColumn("grp", count(lit(1)).over(Window.partitionBy(col("fp"))))
-      .withColumn("decile", ntile(10).over(
-        Window.orderBy(col("quality").desc, col("doc_id"))))
-    scored.groupBy(col("decile"))
+    // r8 verdict fix: the DEFINITION is ntile(10) over the whole
+    // corpus by quality — the plan decomposes it as [[withGlobalRank]]
+    // (range-shuffle + per-shard rank + broadcast offsets) followed by
+    // the closed-form [[ntileExpr]] bucket assignment, both map-only
+    // after one parallel range exchange. The oracle stays the naive
+    // global ntile, so the hash match proves the decomposition exact.
+    val n = Tables.documents(spark, sfDir).count()
+    val (ranked, cached) = withGlobalRank(scored, "r",
+      col("quality").desc, col("doc_id"))
+    val result = ranked
+      .withColumn("decile", expr(ntileExpr(n, 10, "r")).cast("int"))
+      .groupBy(col("decile"))
       .agg(count(lit(1)).as("n_docs"),
         sum((col("grp") > 1).cast("long")).as("n_dup_members"))
       .withColumn("dup_ppm", expr("n_dup_members * 1000000 DIV n_docs"))
       .orderBy(col("decile"))
+    DedupOps.unpersistAfterFirstAction(result, cached)
   }
 
   val qQualityDupProfileOracle: String =

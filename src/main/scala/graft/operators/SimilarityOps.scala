@@ -1,6 +1,6 @@
 package graft.operators
 
-import graft.Tables
+import graft.{Artifacts, Tables}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -379,9 +379,7 @@ object SimilarityOps {
       .groupBy(col("cid")).agg(count(lit(1)).as("n"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val total = cells.agg(sum(col("n"))).head.getLong(0)
-    val wHot = Window.orderBy(col("n").desc, col("cid"))
-      .rowsBetween(Window.unboundedPreceding, 0)
-    cells
+    val result = cells
       .withColumn("share_ppm", expr(s"n * 1000000 DIV $total"))
       .withColumn("hot_rank", row_number().over(
         Window.orderBy(col("n").desc, col("cid"))))
@@ -392,6 +390,7 @@ object SimilarityOps {
       .select(col("cid"), col("n"), col("share_ppm"),
         col("hot_rank"), col("cum_ppm"), col("oversized"))
       .orderBy(col("hot_rank"))
+    DedupOps.unpersistAfterFirstAction(result, cells)
   }
 
   /** The IVF oracle's assignment CTE + the same integer arithmetic. */
@@ -914,39 +913,35 @@ object SimilarityOps {
       .orderBy(col("vec_id"))
   }
 
-  /** Stored-index locations (dir, k) already materialized this JVM,
-    * per dataset — first construction pays the one-off index build the
-    * production service amortizes; later runs measure serving cost. */
-  private val simIndexDirs =
-    new java.util.concurrent.ConcurrentHashMap[String, (String, Int)]()
-
   /** [[qSimIncrementalStored]] as a registered query: builds the base
-    * slice's [[simIndex]] once per dataset per JVM (geometry from the
-    * same occupancy rule as the ANN miner, sized on the BASE count),
-    * then classifies the incoming slice against it. The DuckDB oracle
-    * reproduces geometry, buckets, cosines, and tie-breaks
-    * bit-for-bit. */
+    * slice's [[simIndex]] once per DATASET — durable on disk via
+    * [[Artifacts]], with the frozen plane count persisted as artifact
+    * metadata so fresh JVMs recover the geometry without re-counting
+    * the base (geometry from the same occupancy rule as the ANN miner,
+    * sized on the BASE count) — then classifies the incoming slice
+    * against it. The DuckDB oracle reproduces geometry, buckets,
+    * cosines, and tie-breaks bit-for-bit. */
   def qSimIncremental(spark: SparkSession, sfDir: String): DataFrame = {
     val (dir, k) = incrementalIndexDir(spark, sfDir)
     qSimIncrementalStored(spark, sfDir, dir, k)
   }
 
-  /** The memoized stored-index location + its frozen plane count for a
+  /** The durable stored-index location + its frozen plane count for a
     * dataset's base slice — shared by the batch incremental query and
     * the STREAMING serving twin
     * (`StatefulOps.streamingSimIncremental`), so both classify against
     * the same artifact. */
-  def incrementalIndexDir(spark: SparkSession, sfDir: String): (String, Int) =
-    simIndexDirs.computeIfAbsent(sfDir, _ => {
+  def incrementalIndexDir(spark: SparkSession, sfDir: String): (String, Int) = {
+    val (d, meta) = Artifacts.getOrBuildMeta(spark, sfDir, "sim_index") { dir =>
       val base = DedupOps.normedVectors(Tables.embeddings(spark, sfDir))
         .withColumn("hb", SamplingOps.bucket100("vec_id"))
         .filter(col("hb") < 90).drop("hb", "label")
       val kk = DedupOps.signLshPlanes(base.count())
-      val d = java.nio.file.Files.createTempDirectory("graft_sim_index")
-        .resolve("idx").toString
-      simIndex(base, kk).write.parquet(d)
-      (d, kk)
-    })
+      simIndex(base, kk).write.parquet(dir)
+      kk.toString
+    }
+    (d, meta.trim.toInt)
+  }
 
   val qSimIncrementalOracle: String =
     """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
@@ -1567,23 +1562,20 @@ object SimilarityOps {
     * every graph query — at 100 TB, four full LSH passes), while a
     * production pipeline mines ONCE, writes (a_id, b_id, cosine) to
     * the lake, and runs every downstream analytic against the stored
-    * relation. First construction per JVM pays the one-off mine+write
-    * the pipeline amortizes; the stored queries then measure pure
+    * relation. The artifact is DURABLE and dataset-keyed
+    * ([[Artifacts]]): the first session per dataset pays the one-off
+    * mine+write the pipeline amortizes; every later session —
+    * including each fresh-JVM bench chunk — existence-checks and
+    * serves the stored relation, so the stored queries price pure
     * iteration/enumeration cost. Stored UNFILTERED (with cosine) so
     * one artifact serves both the threshold-edge consumers (≥ 0.4)
     * and the kNN ranker. */
-  private val annEdgeDirs =
-    new java.util.concurrent.ConcurrentHashMap[String, String]()
-
   private[graft] def annEdgesStored(spark: SparkSession, sfDir: String): DataFrame = {
-    val dir = annEdgeDirs.computeIfAbsent(sfDir, _ => {
+    val dir = Artifacts.getOrBuild(spark, sfDir, "ann_edges") { d =>
       val e = DedupOps.normedVectors(Tables.embeddings(spark, sfDir))
       val n = DedupOps.annSizingCount(sfDir, e.count())
-      val d = java.nio.file.Files.createTempDirectory("graft_ann_edges")
-        .resolve("edges").toString
       DedupOps.annScoredPairs(e, knownN = n).write.parquet(d)
-      d
-    })
+    }
     spark.read.parquet(dir)
   }
 
@@ -1775,12 +1767,6 @@ object SimilarityOps {
       .orderBy("q_id", "rank")
   }
 
-  /** Stored IVFPQ index locations already materialized this JVM, per
-    * dataset — the (vec_id, cid, codes) artifact a production ANN
-    * service builds once and serves every query batch from. */
-  private val pqIndexDirs =
-    new java.util.concurrent.ConcurrentHashMap[String, String]()
-
   /** [[qSimIvfPqTopk]] served from the STORED code artifact: the
     * corpus's cells + PQ codes are written to parquet once (8 bytes +
     * a cell id per vector — the only corpus-sized state an IVFADC
@@ -1791,19 +1777,16 @@ object SimilarityOps {
     * of rows. Same oracle verbatim: the artifact is the same encoder
     * materialized. */
   def qSimIvfPqTopkStored(spark: SparkSession, sfDir: String): DataFrame = {
-    val dir = pqIndexDirs.computeIfAbsent(sfDir, _ => {
+    val dir = Artifacts.getOrBuild(spark, sfDir, "pq_index") { d =>
       val cb = typedlit(pqCodebook(spark, sfDir))
       val e = DedupOps.normedVectors(Tables.embeddings(spark, sfDir))
       val assigned = cellAssignments(e, centroids(e), nprobe = 1)
-      val d = java.nio.file.Files.createTempDirectory("graft_pq_index")
-        .resolve("idx").toString
       assigned
         .withColumn("qv", pqQuant(col("v")))
         .withColumn("dists", pqDists(cb))
         .select(col("vec_id").as("n_id"), col("cid"), pqCodes.as("codes"))
         .write.parquet(d)
-      d
-    })
+    }
     ivfPqTopkOn(spark, sfDir, spark.read.parquet(dir))
   }
 
@@ -2237,7 +2220,7 @@ object SimilarityOps {
     val nViol = viol.count()
     val lossSum = viol.agg(sum(lit(1000000000L) - col("y") * col("z")))
       .head.getLong(0)
-    viol
+    val result = viol
       .select(col("y"), posexplode(col("q")).as(Seq("dim", "qd")))
       .groupBy(col("dim"))
       .agg(sum(-col("y") * col("qd")).as("grad_d"))
@@ -2247,6 +2230,7 @@ object SimilarityOps {
         lit(nViol).as("n_violators"),
         lit(lossSum).as("hinge_loss_sum"))
       .orderBy(col("dim"))
+    DedupOps.unpersistAfterFirstAction(result, viol)
   }
 
   /** Same weight derivation, quantization, margin compare, and Long

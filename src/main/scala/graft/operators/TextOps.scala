@@ -847,8 +847,9 @@ object TextOps {
     * broadcasts when the vocabulary is small; the total-pairs scalar
     * folds in as a plan literal (no 1-row join, same discipline as
     * the ANN sizing count). Support floor c_xy ≥ 3 keeps the output
-    * noise-free and the result set tiny. Caller clears the cache
-    * (the repo-wide Verify/Bench contract). */
+    * noise-free and the result set tiny. The pair-count cache is
+    * self-releasing (unpersistAfterFirstAction) — no caller
+    * clearCache contract. */
   def qCollocations(spark: SparkSession, sfDir: String): DataFrame = {
     val pairs = Tables.documents(spark, sfDir)
       .select(toks.as("ts"))
@@ -862,12 +863,13 @@ object TextOps {
     val nPairs = pc.agg(sum(col("c_xy"))).head.getLong(0)
     val left = pc.groupBy(col("x")).agg(sum(col("c_xy")).as("cl_x"))
     val right = pc.groupBy(col("y")).agg(sum(col("c_xy")).as("cr_y"))
-    pc.join(left, "x").join(right, "y")
+    val result = pc.join(left, "x").join(right, "y")
       .filter(col("c_xy") >= 3 &&
         col("c_xy") * lit(nPairs) > lit(3L) * col("cl_x") * col("cr_y"))
       .select(col("x"), col("y"), col("c_xy"), col("cl_x"), col("cr_y"),
         lit(nPairs).as("n_pairs"))
       .orderBy(col("c_xy").desc, col("x"), col("y"))
+    DedupOps.unpersistAfterFirstAction(result, pc)
   }
 
   /** Same pair relation, marginals, and integer cross-multiplied gate. */

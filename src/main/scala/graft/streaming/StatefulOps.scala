@@ -1100,6 +1100,23 @@ object StatefulOps {
   /** The WAL-gap transition for one stream: thread (last position,
     * cumulative missing) across the batch's positions in ascending
     * order; positions ≤ the last seen are replays and emit nothing.
+    *
+    * DELIVERY-ORDER CONTRACT (r8 advice): "≤ last seen ⇒ replay" is
+    * only sound when positions arrive in (micro-batch-wise) ascending
+    * order — the guarantee a WAL shipper gives, since a WAL is read
+    * sequentially from a single cursor. Under CROSS-BATCH REORDERING
+    * (a genuinely late position first delivered after a later one
+    * already advanced the cursor) the late position is treated as a
+    * replay and dropped, so a previously-reported gap is never
+    * retro-filled and the stream's audit diverges from the batch
+    * [[graft.operators.CdcOps.qWalGaps]] run over the full log. The
+    * batch-equality claim therefore holds exactly for in-order
+    * delivery, and the split law (WalGapLaws) quantifies over SORTED
+    * inputs for the same reason — both made explicit by the
+    * 'out-of-order delivery is NOT replay-safe' law in WalGapLaws. A
+    * deployment whose transport reorders across batches must either
+    * re-sequence upstream (the reference's commit-ordering stage) or
+    * track filled positions within a watermark and emit corrections.
     * Pure — split/replay laws in WalGapLaws. */
   private[graft] def advanceWalGaps(st0: Option[(Long, Long)],
       wals: Seq[Long]): (Option[(Long, Long)], Seq[(Long, Long, Long, Long)]) = {

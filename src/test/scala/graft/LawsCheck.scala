@@ -696,4 +696,21 @@ object WalGapLaws extends Properties("advanceWalGaps") {
       out.map(_._3).sum == out.lastOption.map(_._4).getOrElse(0L) &&
         out.forall { case (f, t, m, _) => t - f + 1 == m && m >= 1 }
     }
+
+  // Makes the delivery-order contract VISIBLE (r8 advice): a genuinely
+  // late position first delivered in a LATER batch — after a higher
+  // position advanced the cursor — is indistinguishable from a replay
+  // and is dropped, so the gap it should have filled stays reported.
+  // In-order delivery is a requirement of the operator, not an
+  // incidental property of the tests.
+  property("out-of-order delivery is NOT replay-safe: late fills stay gaps") =
+    forAll(Gen.chooseNum(1L, 100L), Gen.chooseNum(2L, 10L)) { (lo, w) =>
+      val late = lo + 1            // delivered one batch too late
+      val (st1, o1) = StatefulOps.advanceWalGaps(None, Seq(lo, lo + w))
+      val (st2, o2) = StatefulOps.advanceWalGaps(st1, Seq(late))
+      // batch 1 reported [lo+1, lo+w-1] missing; the late arrival of
+      // lo+1 emits no correction and leaves state untouched
+      o1.exists(g => g._1 <= late && late <= g._2) &&
+        o2.isEmpty && st2 == st1
+    }
 }

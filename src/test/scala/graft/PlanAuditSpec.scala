@@ -287,7 +287,7 @@ class PlanAuditSpec extends SparkSpec {
   test("stored ivfpq serves from the code artifact and never scans the full float corpus") {
     val df = SimilarityOps.qSimIvfPqTopkStored(spark, sf)
     val p = planString(df)
-    assert(p.contains("graft_pq_index"),
+    assert(p.contains("graft_artifacts") && p.contains("pq_index"),
       s"stored search must scan the materialized code artifact:\n$p")
     // the only embeddings scans left are the pushed-filter prefixes
     // (10 query vectors + K centroids) — every one must carry a
@@ -632,7 +632,7 @@ class PlanAuditSpec extends SparkSpec {
       "sim_knn_graph_stored" -> SimilarityOps.qSimKnnGraphStored(spark, sf))
     stored.foreach { case (name, df) =>
       val p = planString(df)
-      assert(p.contains("graft_ann_edges"),
+      assert(p.contains("graft_artifacts") && p.contains("ann_edges"),
         s"$name must scan the stored edge artifact")
       assert(!p.contains("Generate"),
         s"$name re-buckets embeddings (explode in plan)")
@@ -647,7 +647,7 @@ class PlanAuditSpec extends SparkSpec {
     val pairs = SimilarityOps.annEdgesStored(spark, sf)
       .filter(org.apache.spark.sql.functions.col("cosine") >= 0.4)
     val pp = planString(pairs)
-    assert(pp.contains("graft_ann_edges") && !pp.contains("Generate"),
+    assert(pp.contains("graft_artifacts") && pp.contains("ann_edges") && !pp.contains("Generate"),
       "stored components input must be the artifact scan, un-bucketed")
     val liveC = graft.operators.DedupOps.qDedupSemanticClustersAnn(spark, sf).collect().toSeq
     val matC = SimilarityOps.qDedupSemanticClustersAnnStored(spark, sf).collect().toSeq
@@ -713,7 +713,7 @@ class PlanAuditSpec extends SparkSpec {
     def textGenerates(lp: LogicalPlan): Seq[Generate] =
       lp.collect { case g: Generate if g.toString.contains("split(text") => g }
     val pp = planString(graft.operators.DedupOps.textEdgesStored(spark, sf))
-    assert(pp.contains("graft_text_edges") && !pp.contains("Generate"),
+    assert(pp.contains("graft_artifacts") && pp.contains("text_edges") && !pp.contains("Generate"),
       "stored text-edge input must be the artifact scan, un-shingled")
     assert(textGenerates(graft.operators.DedupOps
       .cappedJaccardPairs(spark, sf).queryExecution.analyzed).nonEmpty,
@@ -782,5 +782,81 @@ class PlanAuditSpec extends SparkSpec {
       .select(graft.functions.VectorFunctions.dot(col("a"), col("b")).as("d"))
       .head().getDouble(0)
     assert(probe === 32.0)
+  }
+
+  // ---- unpartitioned-window scale audit (r8 verdict #3/#4) ----
+
+  /** Per-row id columns: an aggregate KEYED on one of these does not
+    * reduce cardinality below the corpus, so it doesn't make a
+    * downstream single-reducer window safe. */
+  private val perRowIds = Set(
+    "user_id", "doc_id", "vec_id", "event_id",
+    "l_orderkey", "o_orderkey", "o_custkey")
+
+  /** True if `p` reaches a corpus-sized relation (file scan or cached
+    * relation) without passing through a cardinality-reducing
+    * aggregate. Grouping aggregates stop the walk UNLESS keyed on a
+    * per-row id (user-level rollups stay corpus-sized); global
+    * (keyless) aggregates are 1 row; cached relations are walked
+    * through their cached plan so a persisted corpus intermediate
+    * still counts as corpus-sized. */
+  private def reachesCorpus(p: SparkPlan): Boolean = p match {
+    case a: org.apache.spark.sql.execution.aggregate.BaseAggregateExec =>
+      if (a.groupingExpressions.isEmpty) false
+      else if (a.groupingExpressions.flatMap(_.references.toSeq)
+          .exists(att => perRowIds.contains(att.name)))
+        a.children.exists(reachesCorpus)
+      else false
+    case _: org.apache.spark.sql.execution.FileSourceScanExec => true
+    case c: org.apache.spark.sql.execution.columnar.InMemoryTableScanExec =>
+      reachesCorpus(c.relation.cachedPlan)
+    case _: org.apache.spark.sql.execution.LocalTableScanExec => false
+    case _: org.apache.spark.sql.execution.RDDScanExec => false
+    case other => other.children.exists(reachesCorpus)
+  }
+
+  /** Window nodes with NO partition spec whose input is corpus-sized
+    * — the single-reducer shape the decomposed plans must never
+    * contain. */
+  private def corpusGlobalWindows(df: DataFrame): Seq[String] =
+    df.queryExecution.sparkPlan.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec
+          if w.partitionSpec.isEmpty && reachesCorpus(w.child) =>
+        w.windowExpression.mkString(",").take(120)
+    }
+
+  test("decomposed rank queries plan no unpartitioned window over a corpus-sized input") {
+    // The r8 scale-killers, rebuilt on histogram / shard-rank
+    // decompositions: any unpartitioned WindowExec left must consume a
+    // value histogram or a shard-count relation, never the corpus.
+    val qs = Seq(
+      "q_ltv_deciles" -> graft.operators.EventOps.qLtvDeciles(spark, sf),
+      "sample_quality_dup_profile" ->
+        graft.operators.SamplingOps.qQualityDupProfile(spark, sf),
+      "sample_contrastive_pairs" ->
+        graft.operators.DedupOps.qContrastivePairs(spark, sf),
+      "q_skyline" -> Relational.qSkyline(spark, sf))
+    qs.foreach { case (name, df) =>
+      val bad = corpusGlobalWindows(df)
+      assert(bad.isEmpty, s"$name plans a global window over corpus input: $bad")
+    }
+    spark.catalog.clearCache()
+  }
+
+  test("median plans NO window over corpus input at all — every window reads the histogram") {
+    // q_median_exact's r7 shape was a 3-key partition sort of the fact
+    // table; the rewrite must aggregate FIRST, so every window (the
+    // cumulative and the total) consumes the (flag, quantity, count)
+    // relation.
+    val df = Relational.qMedian(spark, sf)
+    val bad = df.queryExecution.sparkPlan.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec
+          if reachesCorpus(w.child) =>
+        w.windowExpression.mkString(",").take(120)
+    }
+    assert(bad.isEmpty, s"median windows must read the histogram, not the corpus: $bad")
+    assert(df.queryExecution.sparkPlan.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w }.nonEmpty,
+      "median should still use (tiny) windows — shape changed, update pin")
   }
 }

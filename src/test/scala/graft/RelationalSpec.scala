@@ -120,7 +120,8 @@ class RelationalSpec extends SparkSpec {
 
   test("skyline equals the O(n^2) dominance definition; sweep plan has no self-join") {
     val pts = Tables.lineitem(spark, sf)
-      .select((col("l_extendedprice") * 100).cast("long"),
+      .select((col("l_extendedprice") * 100)
+          .cast(org.apache.spark.sql.types.DecimalType(18, 0)).cast("long"),
         col("l_quantity").cast("long"))
       .collect().map(r => (r.getLong(0), r.getLong(1)))
     // definition: p is on the skyline iff no q dominates it
@@ -139,9 +140,15 @@ class RelationalSpec extends SparkSpec {
     sorted.zip(sorted.tail).foreach { case ((_, x1, y1), (_, x2, y2)) =>
       assert(x1 < x2 && y1 > y2)
     }
-    // sort-and-sweep shape: no join of any kind in the plan
+    // parallel prefix-min shape: the ONLY join is the broadcast of the
+    // shard-count-sized prefix-minimum relation — never a self-join of
+    // the points (no sort-merge, no nested loop, no cartesian)
     val p = df.queryExecution.explainString(
       org.apache.spark.sql.execution.FormattedMode)
-    assert(!p.contains("Join"), s"skyline must be join-free:\n${p.take(400)}")
+    assert(p.contains("BroadcastHashJoin"),
+      s"sweep must broadcast the shard prefix minima:\n${p.take(400)}")
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin") &&
+      !p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"skyline must not self-join the points:\n${p.take(400)}")
   }
 }
