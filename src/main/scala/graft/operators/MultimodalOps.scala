@@ -693,7 +693,84 @@ object MultimodalOps {
       |FROM cand WHERE bit_count(xor(ha, hb)) <= 1
       |ORDER BY a_id, b_id""".stripMargin
 
+  /** CROSS-MODAL (text ↔ image) PAIR MINING — the alt-text/page-text
+    * matching that builds image–caption corpora for vision-language
+    * contrastive training (the public CLIP/LAION data-prep shape): a
+    * TEXT document pairs with an IMAGE item when the document's
+    * content overlaps the image's caption. Caption = the stub codec's
+    * decode of the image payload (with the deterministic fixture
+    * derivation, caption text IS the underlying document's text — so
+    * the candidate generation, verification, and oracle are exact;
+    * a real captioner slots into the caption projection without
+    * touching the join shape, and this one oracle reverts to
+    * rows-only).
+    *
+    * Scale shape: the same DF-capped inverted-index discipline as the
+    * text near-dup miner — ONE shingle explode over the corpus
+    * (`array_distinct` before explode, the shuffleless per-doc
+    * dedup), rare-shingle cap (DF ≤ 20, the skew guard), one
+    * equi-join on the shingle key restricted to (text-side ×
+    * image-side) rows, per-pair intersection counts, and an integer
+    * cross-multiplied Jaccard gate (10·inter ≥ union — no double
+    * compare). Never all-pairs; a modality predicate on each join
+    * side is the only delta from the unimodal miner. */
+  def qCrossmodalPairs(spark: SparkSession, sfDir: String): DataFrame = {
+    val maxDf = 20
+    val sh = DedupOps.shingles(graft.Tables.documents(spark, sfDir))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val rare = sh.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxDf).select("shingle")
+    // one kept relation serves both sides: with the stub codec the
+    // image caption's shingles equal the source document's, so a
+    // second decode+explode pass would scan the corpus twice to
+    // produce identical rows (mediaTable pins media_type = image ⇔
+    // doc_id % 3 = 0)
+    val kept = sh.join(rare, "shingle")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val counts = kept.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val pairs = kept.filter(col("doc_id") % 3 =!= 0).as("t")
+      .join(kept.filter(col("doc_id") % 3 === 0).as("i"),
+        col("t.shingle") === col("i.shingle"))
+      .groupBy(col("t.doc_id").as("text_id"), col("i.doc_id").as("img_id"))
+      .agg(count(lit(1)).as("inter"))
+    val scored = pairs
+      .join(counts.withColumnRenamed("doc_id", "text_id")
+        .withColumnRenamed("n", "nt"), "text_id")
+      .join(counts.withColumnRenamed("doc_id", "img_id")
+        .withColumnRenamed("n", "ni"), "img_id")
+      .filter(col("inter") * 10 >= col("nt") + col("ni") - col("inter"))
+      .select(col("text_id"), col("img_id"), col("inter"),
+        col("nt"), col("ni"),
+        round(col("inter").cast("double") /
+          (col("nt") + col("ni") - col("inter")), 6).as("jaccard_r"))
+      .orderBy(col("text_id"), col("img_id"))
+    DedupOps.unpersistAfterFirstAction(scored, sh, kept)
+  }
+
+  /** Same shingle CTEs as the unimodal miner + the modality split. */
+  val qCrossmodalPairsOracle: String =
+    """WITH sh AS (
+      |  SELECT DISTINCT doc_id, ts[g] || ' ' || ts[g+1] || ' ' || ts[g+2] AS shingle
+      |  FROM (SELECT doc_id, string_split(text, ' ') AS ts FROM documents) t,
+      |       unnest(generate_series(1, len(ts)-2)) AS u(g)),
+      |rare AS (SELECT shingle FROM sh GROUP BY 1 HAVING COUNT(*) <= 20),
+      |kept AS (SELECT sh.doc_id, sh.shingle FROM sh JOIN rare USING (shingle)),
+      |sc AS (SELECT doc_id, COUNT(*) AS n FROM kept GROUP BY 1),
+      |p AS (
+      |  SELECT t.doc_id AS text_id, i.doc_id AS img_id, COUNT(*) AS inter
+      |  FROM kept t JOIN kept i ON t.shingle = i.shingle
+      |  WHERE t.doc_id % 3 != 0 AND i.doc_id % 3 = 0
+      |  GROUP BY 1, 2)
+      |SELECT text_id, img_id, inter, a.n AS nt, b.n AS ni,
+      |  round(CAST(inter AS DOUBLE) / (a.n + b.n - inter), 6) AS jaccard_r
+      |FROM p
+      |JOIN sc a ON a.doc_id = text_id
+      |JOIN sc b ON b.doc_id = img_id
+      |WHERE inter * 10 >= a.n + b.n - inter
+      |ORDER BY text_id, img_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mm_crossmodal_pairs" -> (qCrossmodalPairs _),
     "mm_scene_cuts" -> (qSceneCuts _),
     "mm_silence_trim" -> (qSilenceTrim _),
     "mm_blur_scores" -> (qBlurScores _),
@@ -706,6 +783,7 @@ object MultimodalOps {
     "mm_image_tiles" -> (qImageTiles _))
 
   val oracles: Map[String, String] = Map(
+    "mm_crossmodal_pairs" -> qCrossmodalPairsOracle,
     "mm_scene_cuts" -> qSceneCutsOracle,
     "mm_silence_trim" -> qSilenceTrimOracle,
     "mm_blur_scores" -> qBlurScoresOracle,

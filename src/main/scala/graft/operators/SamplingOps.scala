@@ -701,7 +701,94 @@ object SamplingOps {
       |    AS BIGINT) AS dup_ppm
       |FROM d GROUP BY 1 ORDER BY decile""".stripMargin
 
+  /** DOMAIN-LEVEL SOURCE FILTERING — the per-site curation pass every
+    * web corpus runs before training (C4/RefinedWeb-style): a
+    * document's fate depends on its HOST's aggregate statistics, not
+    * just its own. Two rules compose: (1) QUALITY — a host whose mean
+    * quality level sits >3% below the corpus mean is dropped
+    * wholesale (boilerplate farms score uniformly low; per-doc
+    * filters miss them because individual pages pass); (2) QUOTA — an
+    * over-represented host is downsampled to ~0.8× the mean host
+    * size via a deterministic md5 hash threshold, so no single site
+    * dominates the mixture.
+    *
+    * Scale shape: one combiner-friendly rollup to the DOMAIN-sized
+    * stats relation, a 1-row global aggregate folded in driver-side
+    * (ANN-sizing-count discipline), then the verdict is a map-only
+    * expression after the stats join back (unhinted — AQE broadcasts
+    * the domain relation while it fits, degrades to shuffle at
+    * web-scale domain counts). The quota is a HASH threshold, not a
+    * per-host rank window: keep iff h·host_docs < cap·10⁶ admits
+    * ≈cap docs per host with zero sorting — the map-only twin of
+    * first-K admission, immune to hot-host reducer skew (a wikipedia-
+    * sized host never funnels through one task). All comparisons are
+    * integer cross-multiplies on mille-scaled means — no double
+    * compare to diverge across engines. */
+  def qDomainFilter(spark: SparkSession, sfDir: String): DataFrame = {
+    val toks = split(col("text"), " ")
+    val qlvl = floor((size(array_distinct(toks)).cast(DoubleType) / size(toks)) *
+      (lit(1.0) - size(filter(toks, x => x.isin("the", "a", "of", "and", "to")))
+        .cast(DoubleType) / size(toks)) * 100).cast("long")
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"),
+        concat(col("source"), lit(".example."),
+          when(length(col("source")) % 2 === 0, "com").otherwise("org"))
+          .as("host"),
+        qlvl.as("q_level"),
+        (conv(substring(md5(concat(lit("dom:"), col("doc_id").cast("string"))
+          .cast("binary")), 1, 6), 16, 10).cast("long") % 1000000L).as("h"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val hostStats = docs.groupBy(col("host"))
+      .agg(count(lit(1)).as("host_docs"), sum(col("q_level")).as("host_q_sum"))
+    val g = docs.agg(count(lit(1)), sum(col("q_level")),
+      countDistinct(col("host"))).head()
+    val (total, gq, nHosts) = (g.getLong(0), g.getLong(1), g.getLong(2))
+    val cap = total * 8 / (nHosts * 10)
+    val globalMilli = gq * 1000 / total
+    val verdict =
+      when(expr("(host_q_sum * 1000) DIV host_docs") * 100
+          < lit(globalMilli * 97), "drop_domain_quality")
+        .when(col("h") * col("host_docs") >= lit(cap * 1000000L),
+          "drop_domain_quota")
+        .otherwise("keep")
+    val result = docs.join(hostStats, "host")
+      .select(col("doc_id"), col("host"), col("host_docs"),
+        col("host_q_sum"), verdict.as("verdict"))
+      .orderBy(col("doc_id"))
+    DedupOps.unpersistAfterFirstAction(result, docs)
+  }
+
+  /** Same quality level, host stats, and integer verdict algebra. */
+  val qDomainFilterOracle: String =
+    """WITH q AS (
+      |  SELECT doc_id,
+      |    source || '.example.' ||
+      |      (CASE WHEN len(source) % 2 = 0 THEN 'com' ELSE 'org' END) AS host,
+      |    CAST(floor(((CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+      |        / len(string_split(text, ' '))) *
+      |      (1.0 - CAST(len(list_filter(string_split(text, ' '),
+      |          x -> x IN ('the','a','of','and','to'))) AS DOUBLE)
+      |        / len(string_split(text, ' ')))) * 100) AS BIGINT) AS q_level,
+      |    CAST('0x' || substr(md5('dom:' || CAST(doc_id AS VARCHAR)), 1, 6)
+      |      AS BIGINT) % 1000000 AS h
+      |  FROM documents),
+      |hs AS (SELECT host, COUNT(*) AS host_docs, SUM(q_level) AS host_q_sum
+      |       FROM q GROUP BY 1),
+      |g AS (SELECT COUNT(*) AS total, SUM(q_level) AS gq,
+      |             COUNT(DISTINCT host) AS nh FROM q)
+      |SELECT q.doc_id, q.host, hs.host_docs,
+      |  CAST(hs.host_q_sum AS BIGINT) AS host_q_sum,
+      |  CASE WHEN ((hs.host_q_sum * 1000) // hs.host_docs) * 100
+      |         < ((SELECT (gq * 1000) // total FROM g)) * 97
+      |       THEN 'drop_domain_quality'
+      |       WHEN q.h * hs.host_docs
+      |         >= (SELECT (total * 8) // (nh * 10) FROM g) * 1000000
+      |       THEN 'drop_domain_quota'
+      |       ELSE 'keep' END AS verdict
+      |FROM q JOIN hs USING (host) ORDER BY q.doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sample_domain_filter" -> (qDomainFilter _),
     "sample_quality_dup_profile" -> (qQualityDupProfile _),
     "sample_temperature_mix" -> (qTemperatureMix _),
     "sample_compaction_plan" -> (qCompactionPlan _),
@@ -717,6 +804,7 @@ object SamplingOps {
     "sample_importance" -> (qImportanceSample _))
 
   val oracles: Map[String, String] = Map(
+    "sample_domain_filter" -> qDomainFilterOracle,
     "sample_quality_dup_profile" -> qQualityDupProfileOracle,
     "sample_temperature_mix" -> qTemperatureMixOracle,
     "sample_compaction_plan" -> qCompactionPlanOracle,

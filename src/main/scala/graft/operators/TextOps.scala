@@ -980,7 +980,70 @@ object TextOps {
       |FROM c JOIN rt USING (labeled_lang)
       |ORDER BY labeled_lang, predicted_lang""".stripMargin
 
+  /** URL PARSE / NORMALIZE — the structural decomposition every
+    * web-corpus pipeline runs before domain-level curation (source
+    * filtering, per-site dedup, robots/blocklist joins all key on the
+    * parsed host or registered domain, never the raw string). The
+    * fixture ships no URL column, so one is DERIVED deterministically
+    * from (source, lang, doc_id) — scheme/tld/path-depth/query all
+    * vary — and then PARSED BACK with the same regex algebra a real
+    * crawl table would use; every extraction reads only the `url`
+    * string, so the operator drops onto a real column unchanged (the
+    * derivation CTE is the only fixture-specific line).
+    *
+    * Scale shape: pure map-side column algebra — regex extractions
+    * and a split count, no shuffle but the output sort. The regexes
+    * are anchored character-class patterns (no backtracking
+    * pathologies, identical semantics in Java and DuckDB's RE2). */
+  def qUrlParse(spark: SparkSession, sfDir: String): DataFrame = {
+    val scheme = when(col("doc_id") % 10 < 8, "https").otherwise("http")
+    val host = concat(col("source"), lit(".example."),
+      when(length(col("source")) % 2 === 0, "com").otherwise("org"))
+    val query = when(col("doc_id") % 3 === 0,
+      concat(lit("?ref="), (col("doc_id") % 5).cast("string"))).otherwise("")
+    val url = concat(scheme, lit("://"), host, lit("/"), col("lang"),
+      lit("/doc/"), col("doc_id").cast("string"), query)
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"), url.as("url"))
+      .select(col("doc_id"), col("url"),
+        regexp_extract(col("url"), "^([a-z]+)://", 1).as("scheme"),
+        regexp_extract(col("url"), "^[a-z]+://([^/]+)/", 1).as("host"),
+        regexp_extract(col("url"), "^[a-z]+://[^/]*?([^./]+\\.[^./]+)/", 1)
+          .as("domain"),
+        regexp_extract(col("url"), "\\.([a-z]+)/", 1).as("tld"),
+        (size(split(regexp_extract(col("url"),
+          "^[a-z]+://[^/]+(/[^?]*)", 1), "/")) - 1).cast("int").as("path_depth"),
+        col("url").contains("?").as("has_query"),
+        regexp_extract(col("url"), "^([a-z]+)://", 1).equalTo("https")
+          .as("is_secure"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Same derivation + the same anchored extractions in DuckDB. */
+  val qUrlParseOracle: String =
+    """WITH u AS (
+      |  SELECT doc_id,
+      |    (CASE WHEN doc_id % 10 < 8 THEN 'https' ELSE 'http' END) || '://' ||
+      |    source || '.example.' ||
+      |    (CASE WHEN len(source) % 2 = 0 THEN 'com' ELSE 'org' END) ||
+      |    '/' || lang || '/doc/' || CAST(doc_id AS VARCHAR) ||
+      |    (CASE WHEN doc_id % 3 = 0 THEN '?ref=' || CAST(doc_id % 5 AS VARCHAR)
+      |          ELSE '' END) AS url
+      |  FROM documents)
+      |SELECT doc_id, url,
+      |  regexp_extract(url, '^([a-z]+)://', 1) AS scheme,
+      |  regexp_extract(url, '^[a-z]+://([^/]+)/', 1) AS host,
+      |  regexp_extract(url, '^[a-z]+://[^/]*?([^./]+\.[^./]+)/', 1) AS domain,
+      |  regexp_extract(url, '\.([a-z]+)/', 1) AS tld,
+      |  CAST(len(string_split(
+      |    regexp_extract(url, '^[a-z]+://[^/]+(/[^?]*)', 1), '/')) - 1 AS INT)
+      |    AS path_depth,
+      |  contains(url, '?') AS has_query,
+      |  regexp_extract(url, '^([a-z]+)://', 1) = 'https' AS is_secure
+      |FROM u ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_url_parse" -> (qUrlParse _),
     "text_langid_confusion" -> (qLangIdConfusion _),
     "text_vocab_growth" -> (qVocabGrowth _),
     "text_collocations" -> (qCollocations _),
@@ -1004,6 +1067,7 @@ object TextOps {
     "text_tfidf" -> (qTfidf _))
 
   val oracles: Map[String, String] = Map(
+    "text_url_parse" -> qUrlParseOracle,
     "text_langid_confusion" -> qLangIdConfusionOracle,
     "text_vocab_growth" -> qVocabGrowthOracle,
     "text_collocations" -> qCollocationsOracle,

@@ -212,4 +212,43 @@ class MultimodalSpec extends SparkSpec {
       assert(kept >= 1 && h + t + kept === nf, s"doc $id accounting")
     }
   }
+
+  test("cross-modal pairs equal a driver-side brute force; inverted-index join, never all-pairs") {
+    val df = MultimodalOps.qCrossmodalPairs(spark, sf)
+    val got = df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+      r.getLong(3), r.getLong(4), r.getDouble(5))).toSet
+    // brute force: 3-gram shingle sets, DF<=20 cap, text (%3!=0) ×
+    // image (%3==0) Jaccard with the integer 0.1 gate
+    val docs = Tables.documents(spark, sf).select("doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1))
+    def sh(t: String): Set[String] = {
+      val ts = t.split(" ", -1)
+      (0 to ts.length - 3).map(i => s"${ts(i)} ${ts(i + 1)} ${ts(i + 2)}").toSet
+    }
+    val all = docs.map { case (id, t) => id -> sh(t) }
+    val dfCount = all.flatMap(_._2.toSeq).groupBy(identity)
+      .map { case (s, v) => s -> v.length }
+    val kept = all.map { case (id, s) => id -> s.filter(dfCount(_) <= 20) }
+    val want = (for {
+      (t, st) <- kept if t % 3 != 0
+      (i, si) <- kept if i % 3 == 0
+      inter = (st & si).size if inter > 0
+      nt = st.size; ni = si.size
+      if inter * 10 >= nt + ni - inter
+    } yield (t, i, inter.toLong, nt.toLong, ni.toLong,
+      BigDecimal(inter.toDouble / (nt + ni - inter))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)).toSet
+    assert(got === want)
+    assert(got.nonEmpty, "fixture should yield cross-modal pairs")
+    // modality split is total: a text id never appears as an image id
+    got.foreach { case (t, i, _, _, _, j) =>
+      assert(t % 3 != 0 && i % 3 == 0 && j >= 0.1 - 1e-9)
+    }
+    // candidate generation is the shingle equi-join — no all-pairs plan
+    val p = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"cross-modal mining must never plan all-pairs:\n${p.take(300)}")
+    spark.catalog.clearCache()
+  }
 }

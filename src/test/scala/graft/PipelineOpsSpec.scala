@@ -1115,4 +1115,83 @@ class PipelineOpsSpec extends SparkSpec {
       assert(c <= clx && c <= cry && clx <= np && cry <= np)
     }
   }
+
+  test("url parse: every field recomputes from (source, lang, doc_id); plan is map-only") {
+    val df = TextOps.qUrlParse(spark, sf)
+    val got = df.collect()
+    val base = Tables.documents(spark, sf).select("doc_id", "lang", "source")
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getString(2))).toMap
+    assert(got.length === base.size)
+    got.foreach { r =>
+      val id = r.getLong(0)
+      val (lang, source) = base(id)
+      val scheme = if (id % 10 < 8) "https" else "http"
+      val tld = if (source.length % 2 == 0) "com" else "org"
+      val host = s"$source.example.$tld"
+      val query = if (id % 3 == 0) s"?ref=${id % 5}" else ""
+      assert(r.getString(1) === s"$scheme://$host/$lang/doc/$id$query")
+      assert(r.getString(2) === scheme)
+      assert(r.getString(3) === host)
+      assert(r.getString(4) === s"example.$tld")
+      assert(r.getString(5) === tld)
+      assert(r.getInt(6) === 3) // /lang/doc/<id>
+      assert(r.getBoolean(7) === (id % 3 == 0))
+      assert(r.getBoolean(8) === (scheme == "https"))
+    }
+    // pure column algebra: no join, no aggregation; the output sort's
+    // range exchange is the only shuffle
+    val p = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+    assert(!p.contains("Join") && !p.contains("HashAggregate"),
+      s"url parse must be map-only:\n${p.take(300)}")
+  }
+
+  test("domain filter equals a driver-side recompute; both drop rules fire; no rank window") {
+    val got = graft.operators.SamplingOps.qDomainFilter(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getString(4))).toSet
+    val docs = Tables.documents(spark, sf).select("doc_id", "source", "text")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    def qLevel(t: String): Long = {
+      val ts = t.split(" ", -1)
+      val ttr = ts.distinct.length.toDouble / ts.length
+      val stop = ts.count(Set("the", "a", "of", "and", "to")).toDouble / ts.length
+      math.floor(ttr * (1.0 - stop) * 100).toLong
+    }
+    def h6(id: Long): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"dom:$id".getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(md.take(6), 16) % 1000000L
+    }
+    val perDoc = docs.map { case (id, src, t) =>
+      val tld = if (src.length % 2 == 0) "com" else "org"
+      (id, s"$src.example.$tld", qLevel(t), h6(id))
+    }
+    val hs = perDoc.groupBy(_._2).map { case (host, v) =>
+      host -> (v.length.toLong, v.map(_._3).sum) }
+    val total = perDoc.length.toLong
+    val gq = perDoc.map(_._3).sum
+    val nh = hs.size.toLong
+    val cap = total * 8 / (nh * 10)
+    val globalMilli = gq * 1000 / total
+    val want = perDoc.map { case (id, host, _, h) =>
+      val (hd, hq) = hs(host)
+      val verdict =
+        if (hq * 1000 / hd * 100 < globalMilli * 97) "drop_domain_quality"
+        else if (h * hd >= cap * 1000000L) "drop_domain_quota"
+        else "keep"
+      (id, host, hd, hq, verdict)
+    }.toSet
+    assert(got === want)
+    // both domain-level rules must actually fire on the fixture
+    val verdicts = got.map(_._5)
+    assert(verdicts.contains("drop_domain_quality") &&
+      verdicts.contains("drop_domain_quota") && verdicts.contains("keep"))
+    // the quota is a hash threshold, not a per-host rank: no window at all
+    val p = graft.operators.SamplingOps.qDomainFilter(spark, sf)
+      .queryExecution.sparkPlan
+    assert(p.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w }.isEmpty,
+      "domain filter must not plan a rank window")
+  }
 }
