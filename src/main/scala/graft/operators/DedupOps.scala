@@ -2155,7 +2155,77 @@ object DedupOps {
        |FROM a LEFT JOIN dropped d ON a.vec_id = d.vec_id
        |ORDER BY a.vec_id""".stripMargin
 
+  /** CROSS-SOURCE DUPLICATION MATRIX — the curation report that tells
+    * a corpus owner WHERE its duplication lives: for every (source,
+    * source) pair, how many mined near-dup edges connect them and how
+    * many distinct documents those edges touch. Within-source mass
+    * (src_x = src_y) is ordinary re-posting; CROSS-source mass is the
+    * mirror/syndication signal that drives source-level decisions
+    * (drop the scraped mirror, keep the origin) — and the
+    * contamination signal when one "source" is an eval set.
+    *
+    * Scale shape: a pure CONSUMER of the stored edge artifact (mining
+    * amortized, plan-pinned mining-free); the only corpus touch is
+    * the 2-column (doc_id, source) projection joined to the
+    * graph-sized edge relation — an id→dimension enrichment where
+    * AQE broadcasts whichever side is small (typically the edges).
+    * Output is source²-bounded — metadata-sized forever. */
+  def qDedupSourceOverlap(spark: SparkSession, sfDir: String): DataFrame = {
+    val src = Tables.documents(spark, sfDir).select(col("doc_id"), col("source"))
+    val lab = textEdgesStored(spark, sfDir).select("a_id", "b_id")
+      .join(src.withColumnRenamed("doc_id", "a_id")
+        .withColumnRenamed("source", "sa"), "a_id")
+      .join(src.withColumnRenamed("doc_id", "b_id")
+        .withColumnRenamed("source", "sb"), "b_id")
+      .select(col("a_id"), col("b_id"),
+        least(col("sa"), col("sb")).as("src_x"),
+        greatest(col("sa"), col("sb")).as("src_y"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val edges = lab.groupBy(col("src_x"), col("src_y"))
+      .agg(count(lit(1)).as("n_edges"))
+    val docs = lab.select(col("src_x"), col("src_y"), col("a_id").as("doc_id"))
+      .unionByName(lab.select(col("src_x"), col("src_y"), col("b_id").as("doc_id")))
+      .groupBy(col("src_x"), col("src_y"))
+      .agg(countDistinct(col("doc_id")).as("n_docs"))
+    val result = edges.join(docs, Seq("src_x", "src_y"))
+      .withColumn("cross_source", col("src_x") =!= col("src_y"))
+      .orderBy(col("src_x"), col("src_y"))
+    unpersistAfterFirstAction(result, lab)
+  }
+
+  /** The cluster oracle's matched-edge CTEs + the source enrichment. */
+  val qDedupSourceOverlapOracle: String =
+    s"""WITH $shinglesSql,
+       |rare AS (SELECT shingle FROM sh GROUP BY shingle HAVING COUNT(*) <= 20),
+       |kept AS (SELECT sh.doc_id, sh.shingle FROM sh JOIN rare USING (shingle)),
+       |sc AS (SELECT doc_id, COUNT(*) AS n FROM kept GROUP BY 1),
+       |pairs AS (
+       |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS inter
+       |  FROM kept a JOIN kept b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2),
+       |matched AS (
+       |  SELECT p.a_id, p.b_id FROM pairs p
+       |  JOIN sc sa ON sa.doc_id = p.a_id
+       |  JOIN sc sb ON sb.doc_id = p.b_id
+       |  WHERE CAST(p.inter AS DOUBLE) / (sa.n + sb.n - p.inter) >= 0.1),
+       |lab AS (
+       |  SELECT m.a_id, m.b_id,
+       |    LEAST(da.source, db.source) AS src_x,
+       |    GREATEST(da.source, db.source) AS src_y
+       |  FROM matched m
+       |  JOIN documents da ON da.doc_id = m.a_id
+       |  JOIN documents db ON db.doc_id = m.b_id),
+       |e AS (SELECT src_x, src_y, COUNT(*) AS n_edges FROM lab GROUP BY 1, 2),
+       |d AS (SELECT src_x, src_y, COUNT(DISTINCT doc_id) AS n_docs FROM (
+       |  SELECT src_x, src_y, a_id AS doc_id FROM lab
+       |  UNION ALL SELECT src_x, src_y, b_id FROM lab) GROUP BY 1, 2)
+       |SELECT e.src_x, e.src_y, e.n_edges, d.n_docs,
+       |  e.src_x != e.src_y AS cross_source
+       |FROM e JOIN d USING (src_x, src_y)
+       |ORDER BY e.src_x, e.src_y""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_source_overlap" -> (qDedupSourceOverlap _),
     "dedup_semdedup" -> (qSemDeDup _),
     "dedup_span_coverage" -> (qDedupSpanCoverage _),
     "dedup_incremental" -> (qDedupIncremental _),
@@ -2185,6 +2255,7 @@ object DedupOps {
     "dedup_semantic_clusters_ann" -> (qDedupSemanticClustersAnn _))
 
   val oracles: Map[String, String] = Map(
+    "dedup_source_overlap" -> qDedupSourceOverlapOracle,
     "dedup_semdedup" -> qSemDeDupOracle,
     "dedup_span_coverage" -> qDedupSpanCoverageOracle,
     "dedup_incremental" -> qDedupIncrementalOracle,

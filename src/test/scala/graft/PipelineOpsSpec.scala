@@ -1194,4 +1194,35 @@ class PipelineOpsSpec extends SparkSpec {
       case w: org.apache.spark.sql.execution.window.WindowExec => w }.isEmpty,
       "domain filter must not plan a rank window")
   }
+
+  test("source-overlap matrix recomputes from the mined edges; mining-free plan") {
+    val df = DedupOps.qDedupSourceOverlap(spark, sf)
+    val got = df.collect().map(r => (r.getString(0), r.getString(1),
+      r.getLong(2), r.getLong(3), r.getBoolean(4))).toSet
+    // recompute from the live miner's edges + the source dimension
+    val edges = DedupOps.cappedJaccardPairs(spark, sf)
+      .select("a_id", "b_id").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val srcOf = Tables.documents(spark, sf).select("doc_id", "source")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val lab = edges.map { case (a, b) =>
+      val (sa, sb) = (srcOf(a), srcOf(b))
+      (if (sa <= sb) sa else sb, if (sa <= sb) sb else sa, a, b)
+    }
+    val want = lab.groupBy(t => (t._1, t._2)).map { case ((x, y), v) =>
+      (x, y, v.length.toLong,
+        v.flatMap(t => Seq(t._3, t._4)).distinct.length.toLong, x != y)
+    }.toSet
+    assert(got === want)
+    assert(got.nonEmpty && got.exists(!_._5) ,
+      "fixture should include within-source duplication")
+    // doc counts are bounded by edge endpoints: n_docs <= 2*n_edges
+    got.foreach { case (_, _, ne, nd, _) => assert(nd <= 2 * ne && nd >= 2) }
+    // mining-free: the matrix consumes the stored artifact (no shingle
+    // explode anywhere in the analyzed plan)
+    import org.apache.spark.sql.catalyst.plans.logical.Generate
+    val gens = df.queryExecution.analyzed.collect {
+      case g: Generate if g.toString.contains("split(text") => g }
+    assert(gens.isEmpty, "source overlap must not re-shingle the corpus")
+    spark.catalog.clearCache()
+  }
 }
