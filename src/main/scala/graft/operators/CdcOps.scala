@@ -576,29 +576,64 @@ object CdcOps {
     * the source's retained-WAL accounting. Emits each gap with its
     * bounds, width, and the running total of missing positions.
     *
-    * Scale shape: one window walk over the envelope ordered by
-    * position. A single global ordering is inherent to the semantics
-    * (a WAL is one sequence); the relation being walked is the
-    * CHANGE STREAM (already collapsed from the raw feed), and a
-    * sharded deployment runs one walk per slot/partition key. */
+    * Scale shape (r9 — own-sweep fix): the DEFINITION is one ordered
+    * walk over the stream, but the r8 plan really WAS one reducer (an
+    * unpartitioned lag over every position, then an unpartitioned
+    * running sum — the exact shape the rank-query rewrites removed,
+    * caught by the same plan sweep). Adjacency parallelizes: range-
+    * shard on position, per-shard lag finds every intra-shard gap in
+    * parallel, and the only adjacencies a shard cannot see — its
+    * boundary to the previous shard — come from the shard-count-sized
+    * (min, max) relation. The running total is then the same parallel
+    * prefix-sum as the skyline sweep: per-shard partials + broadcast
+    * shard offsets. Answer-identical (the oracle keeps the naive
+    * global walk); every remaining unpartitioned window reads a
+    * ≤shard-count relation. */
   def qWalGaps(spark: SparkSession, sfDir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val w = Window.orderBy(col("wal_position"))
-    filterActions(toEnvelope(Tables.events(spark, sfDir)))
+    val parts = spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
+    val local = filterActions(toEnvelope(Tables.events(spark, sfDir)))
       .select(col("wal_position"))
-      .withColumn("prev_wal", lag(col("wal_position"), 1).over(w))
-      .filter(col("prev_wal").isNotNull &&
-        col("wal_position") - col("prev_wal") > 1)
-      .withColumn("gap_from", col("prev_wal") + 1)
-      .withColumn("gap_to", col("wal_position") - 1)
-      .withColumn("missing", col("gap_to") - col("gap_from") + 1)
-      .withColumn("cum_missing",
-        sum(col("missing")).over(
-          Window.orderBy(col("gap_from"))
-            .rowsBetween(Window.unboundedPreceding, 0)))
+      .repartitionByRange(parts, col("wal_position"))
+      .withColumn("__shard", spark_partition_id())
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val wS = Window.partitionBy(col("__shard")).orderBy(col("wal_position"))
+    val intra = local
+      .withColumn("prev_wal", lag(col("wal_position"), 1).over(wS))
+      .filter(col("prev_wal").isNotNull)
+      .select(col("__shard"), col("wal_position"), col("prev_wal"))
+    val bounds = local.groupBy(col("__shard"))
+      .agg(min(col("wal_position")).as("mn"), max(col("wal_position")).as("mx"))
+    // consecutive non-empty shards pair up by shard order (empty range
+    // shards simply have no bounds row)
+    val cross = bounds
+      .withColumn("prev_mx", lag(col("mx"), 1).over(
+        Window.orderBy(col("__shard"))))
+      .filter(col("prev_mx").isNotNull)
+      .select(col("__shard"), col("mn").as("wal_position"),
+        col("prev_mx").as("prev_wal"))
+    // shard-major ordering holds: a boundary gap's gap_from exceeds
+    // every gap_from of the previous shard and precedes this shard's
+    val gaps = intra.unionByName(cross)
+      .filter(col("wal_position") - col("prev_wal") > 1)
+      .select(col("__shard"), (col("prev_wal") + 1).as("gap_from"),
+        (col("wal_position") - 1).as("gap_to"),
+        (col("wal_position") - col("prev_wal") - 1).as("missing"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val offsets = gaps.groupBy(col("__shard")).agg(sum(col("missing")).as("__m"))
+      .withColumn("__off", coalesce(sum(col("__m")).over(
+        Window.orderBy(col("__shard"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("__shard"), col("__off"))
+    val result = gaps
+      .withColumn("__run", sum(col("missing")).over(
+        Window.partitionBy(col("__shard")).orderBy(col("gap_from"))
+          .rowsBetween(Window.unboundedPreceding, 0)))
+      .join(broadcast(offsets), Seq("__shard"))
       .select(col("gap_from"), col("gap_to"), col("missing"),
-        col("cum_missing"))
+        (col("__off") + col("__run")).as("cum_missing"))
       .orderBy(col("gap_from"))
+    DedupOps.unpersistAfterFirstAction(result, local, gaps)
   }
 
   val qWalGapsOracle: String =
