@@ -2259,7 +2259,86 @@ object SimilarityOps {
       |FROM g JOIN w ON w.d = g.dim CROSS JOIN tot
       |ORDER BY g.dim""".stripMargin
 
+  /** SEMI-SUPERVISED LABEL PROPAGATION over the ANN semantic graph
+    * (Zhu & Ghahramani 2002's LPA in its deterministic unrolled form)
+    * — the classic "label 20%, spread to the rest" bootstrap that
+    * turns a small labeled seed set plus a similarity graph into
+    * corpus-wide weak labels. Seeds (vec_id % 5 = 0) keep their true
+    * label frozen; each of 2 unrolled rounds, every non-seed vertex
+    * adopts the MAJORITY label among its currently-labeled neighbors
+    * (ties broken by smallest label — fully deterministic). Emits the
+    * eval frame: seed flag, propagated label (−1 = unreached), true
+    * label, correctness — the accuracy report that decides whether
+    * the weak labels are usable.
+    *
+    * Scale shape: the FIFTH consumer of the stored edge artifact
+    * (components, kNN, PageRank, triangles, now LPA — one mining
+    * pass serves all five). Each round is one equi-join of the edge
+    * relation to the current label frame + a per-destination majority
+    * (groupBy + a window partitioned by the high-cardinality vertex
+    * id) — the textbook per-iteration shape shared with PageRank;
+    * no broadcast of anything corpus-sized, no all-pairs. */
+  def qSimLabelPropagation(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = Tables.embeddings(spark, sfDir).select(col("vec_id"), col("label"))
+    val matched = annEdgesStored(spark, sfDir)
+      .filter(col("cosine") >= 0.4).select("a_id", "b_id")
+    val edges = matched.select(col("a_id").as("src"), col("b_id").as("dst"))
+      .union(matched.select(col("b_id").as("src"), col("a_id").as("dst")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val seeds = e.filter(col("vec_id") % 5 === 0)
+    var labels = seeds
+    (1 to 2).foreach { _ =>
+      val contrib = edges
+        .join(labels.withColumnRenamed("vec_id", "src"), "src")
+        .groupBy(col("dst"), col("label")).agg(count(lit(1)).as("c"))
+      val w = Window.partitionBy(col("dst")).orderBy(col("c").desc, col("label"))
+      val adopted = contrib
+        .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .select(col("dst").as("vec_id"), col("label"))
+        .join(seeds.select("vec_id"), Seq("vec_id"), "left_anti")
+      labels = seeds.unionByName(adopted)
+    }
+    val result = e
+      .join(labels.withColumnRenamed("label", "prop0"), Seq("vec_id"), "left_outer")
+      .select(col("vec_id"), (col("vec_id") % 5 === 0).as("is_seed"),
+        coalesce(col("prop0"), lit(-1)).as("prop_label"),
+        col("label").as("true_label"),
+        (coalesce(col("prop0"), lit(-1)) === col("label")).as("correct"))
+      .orderBy(col("vec_id"))
+    DedupOps.unpersistAfterFirstAction(result, edges)
+  }
+
+  /** The shared mined-edge CTEs + the same 2 unrolled majority rounds. */
+  val qSimLabelPropagationOracle: String = {
+    val iter = (i: Int) =>
+      s"""a$i AS (SELECT ed.dst AS vec_id, l.label, COUNT(*) AS c
+         |  FROM edges ed JOIN l${i - 1} l ON l.vec_id = ed.src
+         |  GROUP BY 1, 2),
+         |p$i AS (SELECT vec_id, label FROM (
+         |    SELECT vec_id, label,
+         |      row_number() OVER (PARTITION BY vec_id ORDER BY c DESC, label) AS rn
+         |    FROM a$i) x WHERE rn = 1),
+         |l$i AS (SELECT vec_id, label FROM seeds
+         |  UNION ALL
+         |  SELECT p.vec_id, p.label FROM p$i p
+         |  WHERE p.vec_id NOT IN (SELECT vec_id FROM seeds))""".stripMargin
+    s"""WITH $annEdgesCte,
+       |lab AS (SELECT vec_id, label FROM embeddings),
+       |seeds AS (SELECT vec_id, label FROM lab WHERE vec_id % 5 = 0),
+       |l0 AS (SELECT vec_id, label FROM seeds),
+       |${iter(1)},
+       |${iter(2)}
+       |SELECT v.vec_id, (v.vec_id % 5 = 0) AS is_seed,
+       |  CAST(COALESCE(l2.label, -1) AS INT) AS prop_label,
+       |  CAST(v.label AS INT) AS true_label,
+       |  (COALESCE(l2.label, -1) = v.label) AS correct
+       |FROM lab v LEFT JOIN l2 ON l2.vec_id = v.vec_id
+       |ORDER BY v.vec_id""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sim_label_propagation" -> (qSimLabelPropagation _),
     "sim_svm_step" -> (qSimSvmStep _),
     "sim_rank_fusion" -> (qSimRankFusion _),
     "sim_embedding_drift" -> (qSimEmbeddingDrift _),
@@ -2293,6 +2372,7 @@ object SimilarityOps {
     "sim_quantize_int8" -> (qQuantizeInt8 _))
 
   val oracles: Map[String, String] = Map(
+    "sim_label_propagation" -> qSimLabelPropagationOracle,
     "sim_svm_step" -> qSimSvmStepOracle,
     "sim_rank_fusion" -> qSimRankFusionOracle,
     "sim_embedding_drift" -> qSimEmbeddingDriftOracle,

@@ -1195,6 +1195,47 @@ class PipelineOpsSpec extends SparkSpec {
       "domain filter must not plan a rank window")
   }
 
+  test("label propagation equals a driver-side 2-round majority recompute; seeds frozen") {
+    val got = SimilarityOps.qSimLabelPropagation(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getBoolean(1), r.getInt(2), r.getInt(3),
+        r.getBoolean(4))).toSet
+    // driver-side LPA: symmetric mined edges, seeds = vec_id % 5 == 0,
+    // 2 rounds of (count desc, label asc) majority over labeled nbrs
+    val edges = SimilarityOps.annEdgesStored(spark, sf)
+      .filter(col("cosine") >= 0.4).select("a_id", "b_id")
+      .collect().flatMap(r => Seq(
+        (r.getLong(0), r.getLong(1)), (r.getLong(1), r.getLong(0))))
+    val trueLab = Tables.embeddings(spark, sf).select("vec_id", "label")
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val seeds = trueLab.filter(_._1 % 5 == 0)
+    var labels = seeds
+    for (_ <- 1 to 2) {
+      val adopted = edges.filter(e => labels.contains(e._1))
+        .groupBy(_._2).map { case (dst, es) =>
+          val byLabel = es.groupBy(e => labels(e._1))
+            .map { case (l, v) => (l, v.length) }
+          dst -> byLabel.toSeq.sortBy { case (l, c) => (-c, l) }.head._1
+        }
+      labels = seeds ++ adopted.filter(kv => !seeds.contains(kv._1))
+    }
+    val want = trueLab.map { case (v, tl) =>
+      val pl = labels.getOrElse(v, -1)
+      (v, v % 5 == 0, pl, tl, pl == tl)
+    }.toSet
+    assert(got === want)
+    // the propagation genuinely reaches beyond the seed set
+    assert(got.exists { case (v, s, pl, _, _) => !s && pl != -1 },
+      "no label ever propagated — graph or seed wiring broken")
+    // seeds are frozen at their true label
+    got.foreach { case (_, s, pl, tl, c) =>
+      if (s) assert(pl === tl && c, "seed label mutated") }
+    // mining-free: consumes the stored artifact (no shingle/bucket explode)
+    val p = SimilarityOps.qSimLabelPropagation(spark, sf)
+      .queryExecution.explainString(org.apache.spark.sql.execution.FormattedMode)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+    spark.catalog.clearCache()
+  }
+
   test("source-overlap matrix recomputes from the mined edges; mining-free plan") {
     val df = DedupOps.qDedupSourceOverlap(spark, sf)
     val got = df.collect().map(r => (r.getString(0), r.getString(1),

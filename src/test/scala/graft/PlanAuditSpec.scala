@@ -604,7 +604,8 @@ class PlanAuditSpec extends SparkSpec {
       "sim_pagerank_stored", "sim_triangles_stored", "sim_knn_graph_stored",
       "dedup_semantic_clusters_stored", "sim_ivfpq_stored",
       "dedup_clusters_stored", "dedup_representatives_stored",
-      "dedup_clusters_stars_stored", "dedup_source_overlap")
+      "dedup_clusters_stars_stored", "dedup_source_overlap",
+      "sim_label_propagation")
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1)
       .filterNot { case (name, _) =>
         skipIterative.contains(name) || allowNested.contains(name) }
@@ -855,7 +856,8 @@ class PlanAuditSpec extends SparkSpec {
       "sim_pagerank_stored", "sim_triangles_stored", "sim_knn_graph_stored",
       "dedup_semantic_clusters_stored", "sim_ivfpq_stored",
       "dedup_clusters_stored", "dedup_representatives_stored",
-      "dedup_clusters_stars_stored", "dedup_source_overlap")
+      "dedup_clusters_stars_stored", "dedup_source_overlap",
+      "sim_label_propagation")
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1)
       .filterNot { case (name, _) => skip.contains(name) }
       .flatMap { case (name, fn) =>
