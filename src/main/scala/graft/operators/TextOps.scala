@@ -1042,7 +1042,66 @@ object TextOps {
       |  regexp_extract(url, '^([a-z]+)://', 1) = 'https' AS is_secure
       |FROM u ORDER BY doc_id""".stripMargin
 
+  /** OOV / VOCABULARY-COVERAGE REPORT — the tokenizer-fit audit every
+    * pretraining corpus runs per language slice: freeze the top-K
+    * corpus vocabulary (K = 100 here; the learned-vocab stand-in, with
+    * the deterministic (freq desc, word) boundary tie-break) and
+    * report each language's token mass, out-of-vocabulary mass, and
+    * integer-ppm OOV rate. A language whose OOV rate is high is
+    * under-served by the tokenizer (fertility blows up, effective
+    * context shrinks) — this table is the evidence for re-weighting
+    * vocab training data.
+    *
+    * Scale shape: the corpus is touched ONCE, by the (lang, word)
+    * count aggregation (map-side combined; the persisted relation is
+    * VOCABULARY-sized, not corpus-sized). The top-K vocab is a
+    * TakeOrdered over the word re-aggregation, explicitly broadcast
+    * back (K rows); the per-lang rollup then runs entirely on
+    * vocab-sized inputs. No corpus-sized join anywhere. */
+  def qOovRate(spark: SparkSession, sfDir: String): DataFrame = {
+    val k = 100
+    val lw = Tables.documents(spark, sfDir)
+      .select(col("lang"), explode(split(col("text"), " ")).as("word"))
+      .groupBy(col("lang"), col("word")).agg(count(lit(1)).as("c"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val vocab = lw.groupBy(col("word")).agg(sum(col("c")).as("wf"))
+      .orderBy(col("wf").desc, col("word")).limit(k)
+      .select(col("word"), lit(1).as("in_v"))
+    val perLang = lw.join(broadcast(vocab), Seq("word"), "left_outer")
+      .groupBy(col("lang"))
+      .agg(sum(col("c")).as("n_tokens"),
+        sum(when(col("in_v").isNull, col("c")).otherwise(lit(0L))).as("n_oov"))
+    val nDocs = Tables.documents(spark, sfDir)
+      .groupBy(col("lang")).agg(count(lit(1)).as("n_docs"))
+    val result = perLang.join(nDocs, "lang")
+      .select(col("lang"), col("n_docs"), col("n_tokens"), col("n_oov"),
+        expr("n_oov * 1000000 DIV n_tokens").as("oov_ppm"))
+      .orderBy(col("lang"))
+    DedupOps.unpersistAfterFirstAction(result, lw)
+  }
+
+  /** Same top-K vocabulary (tie-broken), masses, and integer ppm. */
+  val qOovRateOracle: String =
+    """WITH t AS (
+      |  SELECT lang, unnest(string_split(text, ' ')) AS word FROM documents),
+      |lw AS (SELECT lang, word, COUNT(*) AS c FROM t GROUP BY 1, 2),
+      |v AS (SELECT word FROM (
+      |  SELECT word, SUM(c) AS wf,
+      |    row_number() OVER (ORDER BY SUM(c) DESC, word) AS rk
+      |  FROM lw GROUP BY word) x WHERE rk <= 100),
+      |a AS (
+      |  SELECT lang, SUM(c) AS n_tokens,
+      |    SUM(CASE WHEN v.word IS NULL THEN c ELSE 0 END) AS n_oov
+      |  FROM lw LEFT JOIN v ON v.word = lw.word GROUP BY 1),
+      |d AS (SELECT lang, COUNT(*) AS n_docs FROM documents GROUP BY 1)
+      |SELECT a.lang, d.n_docs,
+      |  CAST(a.n_tokens AS BIGINT) AS n_tokens,
+      |  CAST(a.n_oov AS BIGINT) AS n_oov,
+      |  CAST((a.n_oov * 1000000) // a.n_tokens AS BIGINT) AS oov_ppm
+      |FROM a JOIN d USING (lang) ORDER BY lang""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_oov_rate" -> (qOovRate _),
     "text_url_parse" -> (qUrlParse _),
     "text_langid_confusion" -> (qLangIdConfusion _),
     "text_vocab_growth" -> (qVocabGrowth _),
@@ -1067,6 +1126,7 @@ object TextOps {
     "text_tfidf" -> (qTfidf _))
 
   val oracles: Map[String, String] = Map(
+    "text_oov_rate" -> qOovRateOracle,
     "text_url_parse" -> qUrlParseOracle,
     "text_langid_confusion" -> qLangIdConfusionOracle,
     "text_vocab_growth" -> qVocabGrowthOracle,

@@ -1195,6 +1195,36 @@ class PipelineOpsSpec extends SparkSpec {
       "domain filter must not plan a rank window")
   }
 
+  test("OOV rate equals a driver-side top-100-vocab recompute; vocab broadcast, one corpus scan") {
+    val df = TextOps.qOovRate(spark, sf)
+    val got = df.collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSet
+    val docs = Tables.documents(spark, sf).select("lang", "text")
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    val toks = docs.flatMap { case (l, t) => t.split(" ", -1).map(l -> _) }
+    val vocab = toks.groupBy(_._2).map { case (w, v) => (w, v.length) }.toSeq
+      .sortBy { case (w, c) => (-c, w) }.take(100).map(_._1).toSet
+    val want = toks.groupBy(_._1).map { case (lang, ts) =>
+      val n = ts.length.toLong
+      val oov = ts.count(t => !vocab.contains(t._2)).toLong
+      (lang, docs.count(_._1 == lang).toLong, n, oov, oov * 1000000L / n)
+    }.toSet
+    assert(got === want)
+    // every language present; rates in [0, 1e6)
+    got.foreach { case (_, nd, nt, no, ppm) =>
+      assert(nd > 0 && no <= nt && ppm < 1000000L) }
+    // the K-row vocab must broadcast; the (lang, word) relation feeds
+    // vocab + rollup from cache (no second corpus explode)
+    val p = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+    assert(p.contains("BroadcastHashJoin"), s"vocab join must broadcast:\n${p.take(300)}")
+    val cacheScans = p.linesIterator.count(
+      _.trim.matches("""\(\d+\) InMemoryTableScan.*"""))
+    assert(cacheScans >= 2, s"expected >=2 cache scans of the (lang,word) counts, got $cacheScans")
+    spark.catalog.clearCache()
+  }
+
   test("label propagation equals a driver-side 2-round majority recompute; seeds frozen") {
     val got = SimilarityOps.qSimLabelPropagation(spark, sf).collect()
       .map(r => (r.getLong(0), r.getBoolean(1), r.getInt(2), r.getInt(3),
