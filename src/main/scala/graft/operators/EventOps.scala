@@ -789,7 +789,80 @@ object EventOps {
       |  win[(len(win) + 1) // 2] AS rolling_med
       |FROM w ORDER BY event_type, day""".stripMargin
 
+  /** TOP SESSION PATHS — the "what do users actually do" report that
+    * complements the funnel (a HYPOTHESIZED order checked against
+    * data) and the transition matrix (memoryless single steps): the
+    * most frequent 3-event sequences within a session, with
+    * integer-ppm support. Sessions are the same 30-minute-gap
+    * construction as `q_sessionize` (identical expressions, so the
+    * two can never drift); paths are windowed leads within each
+    * session — no self-joins, no explode.
+    *
+    * Scale shape: every window is partitioned by the high-cardinality
+    * (user, session) key; the trigram relation is corpus-sized but
+    * map-only after the session shuffle, and the report is a
+    * TakeOrdered top-20 + a 20-row rank window. One count() action
+    * folds the trigram total in as a literal (ANN-sizing-count
+    * discipline). */
+  def qEventPaths(spark: SparkSession, sfDir: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("tus"), col("event_id"))
+    val sess = Tables.events(spark, sfDir)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_micros(col("ts")).as("tus"))
+      .withColumn("prev", lag(col("tus"), 1).over(byUser))
+      .withColumn("new_s",
+        when(col("prev").isNull || col("tus") - col("prev") > 1800000000L, 1)
+          .otherwise(0))
+      .withColumn("session_id", sum(col("new_s")).over(
+        byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val bySess = Window.partitionBy(col("user_id"), col("session_id"))
+      .orderBy(col("tus"), col("event_id"))
+    val tri = sess
+      .withColumn("e2", lead(col("event_type"), 1).over(bySess))
+      .withColumn("e3", lead(col("event_type"), 2).over(bySess))
+      .filter(col("e2").isNotNull && col("e3").isNotNull)
+      .select(concat_ws(">", col("event_type"), col("e2"), col("e3")).as("path"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val total = tri.count()
+    val result = tri.groupBy(col("path")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("path")).limit(20)
+      .withColumn("rank",
+        row_number().over(Window.orderBy(col("n").desc, col("path"))))
+      .select(col("rank"), col("path"), col("n"),
+        expr(s"n * 1000000 DIV ${total}L").as("share_ppm"))
+      .orderBy(col("rank"))
+    DedupOps.unpersistAfterFirstAction(result, tri)
+  }
+
+  /** Same sessionization, windowed trigrams, and integer shares. */
+  val qEventPathsOracle: String =
+    """WITH e AS (
+      |  SELECT user_id, event_id, event_type, epoch_us(ts) AS tus FROM events),
+      |b AS (SELECT user_id, event_id, event_type, tus,
+      |  CASE WHEN lag(tus) OVER w IS NULL
+      |         OR tus - lag(tus) OVER w > 1800000000 THEN 1 ELSE 0 END AS new_s
+      |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tus, event_id)),
+      |s AS (SELECT user_id, event_id, event_type, tus,
+      |  SUM(new_s) OVER (PARTITION BY user_id ORDER BY tus, event_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+      |  FROM b),
+      |tr AS (SELECT event_type,
+      |  lead(event_type, 1) OVER w2 AS e2,
+      |  lead(event_type, 2) OVER w2 AS e3
+      |  FROM s WINDOW w2 AS (PARTITION BY user_id, sid ORDER BY tus, event_id)),
+      |t AS (SELECT event_type || '>' || e2 || '>' || e3 AS path FROM tr
+      |      WHERE e2 IS NOT NULL AND e3 IS NOT NULL),
+      |tot AS (SELECT COUNT(*) AS total FROM t),
+      |c AS (SELECT path, COUNT(*) AS n FROM t GROUP BY 1),
+      |rk AS (SELECT path, n,
+      |  row_number() OVER (ORDER BY n DESC, path) AS rank FROM c)
+      |SELECT CAST(rank AS INT) AS rank, path, n,
+      |  CAST((n * 1000000) // (SELECT total FROM tot) AS BIGINT) AS share_ppm
+      |FROM rk WHERE rank <= 20 ORDER BY rank""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_event_paths" -> (qEventPaths _),
     "q_rolling_median" -> (qRollingMedian _),
     "q_ltv_deciles" -> (qLtvDeciles _),
     "q_cumulative_users" -> (qCumulativeUsers _),
@@ -806,6 +879,7 @@ object EventOps {
     "q_zscore_outliers" -> (qZscoreOutliers _))
 
   val oracles: Map[String, String] = Map(
+    "q_event_paths" -> qEventPathsOracle,
     "q_rolling_median" -> qRollingMedianOracle,
     "q_ltv_deciles" -> qLtvDecilesOracle,
     "q_cumulative_users" -> qCumulativeUsersOracle,

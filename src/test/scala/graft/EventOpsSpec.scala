@@ -316,4 +316,34 @@ class EventOpsSpec extends SparkSpec {
     // intersection estimate is bounded by the union estimate
     assert(estInter <= estUnion)
   }
+  test("event paths equal a driver-side sessionize+trigram recompute") {
+    val got = EventOps.qEventPaths(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2), r.getLong(3))).toSeq
+    val ev = Tables.events(spark, sf)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_micros(col("ts")).as("tus"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+    // sessionize: 30-min gap within each user's (tus, event_id) order
+    val tris = ev.groupBy(_._1).toSeq.flatMap { case (_, rows) =>
+      val sorted = rows.sortBy(r => (r._4, r._2))
+      var sid = 0L
+      var prev = Long.MinValue
+      val withSid = sorted.map { r =>
+        if (prev == Long.MinValue || r._4 - prev > 1800000000L) sid += 1
+        prev = r._4
+        (sid, r._3)
+      }
+      withSid.groupBy(_._1).toSeq.flatMap { case (_, es) =>
+        es.map(_._2).sliding(3).filter(_.length == 3).map(_.mkString(">"))
+      }
+    }
+    val total = tris.length.toLong
+    val want = tris.groupBy(identity).map { case (p0, v) => (p0, v.length.toLong) }
+      .toSeq.sortBy { case (p0, n) => (-n, p0) }.take(20).zipWithIndex
+      .map { case ((p0, n), i) => (i + 1, p0, n, n * 1000000L / total) }
+    assert(got === want)
+    // support shares are monotone under the rank order
+    got.sliding(2).foreach { w => if (w.length == 2) assert(w(0)._3 >= w(1)._3) }
+  }
 }
+
