@@ -787,7 +787,53 @@ object SamplingOps {
       |       ELSE 'keep' END AS verdict
       |FROM q JOIN hs USING (host) ORDER BY q.doc_id""".stripMargin
 
+  /** MULTI-EPOCH SHUFFLE ORDER — the epoch-reshuffling contract a
+    * trainer needs from its data layer: each epoch must present the
+    * corpus in a DIFFERENT order, every epoch's order must be
+    * deterministic (resumable mid-epoch from a (shard, pos) cursor),
+    * and no epoch's order may correlate with ingestion order. Epoch e
+    * ranks by md5("e:" || doc_id), so orders across epochs are
+    * independent hash permutations of the same corpus — the
+    * `sample_train_order` construction lifted to an epoch dimension.
+    *
+    * Scale shape: the 3-epoch expansion is an in-row explode (3× rows,
+    * map-only); ranking stays per-(epoch, shard) — 3×8 bounded
+    * partitions of ~n/8 each, never a global sort. A trainer reading
+    * epoch e streams shards in (shard, pos) order. */
+  def qEpochShuffle(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val nShards = 8
+    val epochs = 3
+    val rk = md5(concat(col("epoch").cast("string"), lit(":"),
+      col("doc_id").cast("string")).cast("binary"))
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"),
+        explode(sequence(lit(1), lit(epochs))).as("epoch"))
+      .withColumn("rk", rk)
+      .withColumn("shard",
+        conv(substring(col("rk"), 1, 4), 16, 10).cast("int") % nShards)
+      .withColumn("pos", row_number().over(
+        Window.partitionBy(col("epoch"), col("shard"))
+          .orderBy(col("rk"), col("doc_id"))))
+      .select(col("doc_id"), col("epoch").cast("int").as("epoch"),
+        col("shard"), col("pos"))
+      .orderBy(col("epoch"), col("shard"), col("pos"))
+  }
+
+  /** Same per-epoch hash ranking in DuckDB. */
+  val qEpochShuffleOracle: String =
+    """WITH x AS (
+      |  SELECT doc_id, e.e AS epoch,
+      |    md5(CAST(e.e AS VARCHAR) || ':' || CAST(doc_id AS VARCHAR)) AS rk
+      |  FROM documents, unnest(generate_series(1, 3)) AS e(e)),
+      |s AS (SELECT doc_id, epoch, rk,
+      |  CAST('0x' || substr(rk, 1, 4) AS INT) % 8 AS shard FROM x)
+      |SELECT doc_id, CAST(epoch AS INT) AS epoch, shard,
+      |  ROW_NUMBER() OVER (PARTITION BY epoch, shard ORDER BY rk, doc_id) AS pos
+      |FROM s ORDER BY epoch, shard, pos""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sample_epoch_shuffle" -> (qEpochShuffle _),
     "sample_domain_filter" -> (qDomainFilter _),
     "sample_quality_dup_profile" -> (qQualityDupProfile _),
     "sample_temperature_mix" -> (qTemperatureMix _),
@@ -804,6 +850,7 @@ object SamplingOps {
     "sample_importance" -> (qImportanceSample _))
 
   val oracles: Map[String, String] = Map(
+    "sample_epoch_shuffle" -> qEpochShuffleOracle,
     "sample_domain_filter" -> qDomainFilterOracle,
     "sample_quality_dup_profile" -> qQualityDupProfileOracle,
     "sample_temperature_mix" -> qTemperatureMixOracle,

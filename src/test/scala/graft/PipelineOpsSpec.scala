@@ -1195,6 +1195,31 @@ class PipelineOpsSpec extends SparkSpec {
       "domain filter must not plan a rank window")
   }
 
+  test("epoch shuffle: each epoch is a total deterministic permutation; epochs differ") {
+    val got = graft.operators.SamplingOps.qEpochShuffle(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3)))
+    val n = Tables.documents(spark, sf).count()
+    assert(got.length === 3 * n)
+    // totality per epoch: every doc exactly once, positions contiguous
+    (1 to 3).foreach { e =>
+      val ep = got.filter(_._2 == e)
+      assert(ep.map(_._1).distinct.length === n.toInt, s"epoch $e not total")
+      ep.groupBy(_._3).foreach { case (_, rows) =>
+        assert(rows.map(_._4).sorted === (1 to rows.length).toList, "pos gap")
+      }
+    }
+    // epochs genuinely reshuffle: epoch 1's (shard, pos) assignment is
+    // not epoch 2's for the vast majority of docs
+    val e1 = got.filter(_._2 == 1).map(r => r._1 -> (r._3, r._4)).toMap
+    val e2 = got.filter(_._2 == 2).map(r => r._1 -> (r._3, r._4)).toMap
+    val same = e1.count { case (d, sp) => e2(d) == sp }
+    assert(same < n / 10, s"epochs too correlated: $same/$n identical slots")
+    // determinism: a second build is bit-identical
+    val again = graft.operators.SamplingOps.qEpochShuffle(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3)))
+    assert(again === got)
+  }
+
   test("OOV rate equals a driver-side top-100-vocab recompute; vocab broadcast, one corpus scan") {
     val df = TextOps.qOovRate(spark, sf)
     val got = df.collect()
