@@ -43,6 +43,10 @@ object Artifacts {
     * what carries reuse across JVMs. */
   private val memo = new java.util.concurrent.ConcurrentHashMap[String, String]()
 
+  /** Test hook: drop the in-JVM memo so a spec can observe the
+    * DISK-level reuse path (the one fresh JVMs take). */
+  private[graft] def clearMemoForTests(): Unit = memo.clear()
+
   private def md5Hex(s: String): String =
     java.security.MessageDigest.getInstance("MD5")
       .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
