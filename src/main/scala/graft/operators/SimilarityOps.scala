@@ -2337,7 +2337,124 @@ object SimilarityOps {
        |ORDER BY v.vec_id""".stripMargin
   }
 
+  /** IVF RECALL/COST CURVE — the nprobe tuning table, completing the
+    * ANN auditing family the LSH side already has
+    * (`dedup_lsh_band_tuning`): for nprobe ∈ {1, 2, 4}, the exact
+    * top-3 recall against brute force and the candidate volume paid
+    * for it. This is THE table an ANN deployment reads to pick its
+    * recall/latency point — recall rises with nprobe while candidate
+    * cost grows ~linearly, and the elbow is corpus-specific.
+    *
+    * Scale shape: ONE corpus assignment pass (nprobe=1 cells, the
+    * stored layout) serves all three configs — only the tiny
+    * broadcast QUERY side fans out per probe count, exactly like the
+    * production multi-probe knob; the three configs ride one plan
+    * via a probe-labeled union of the query set. Brute-force truth
+    * is the ordinary broadcast-queries pass, fixture-affordable and
+    * at scale replaced by a sampled audit (the LSH-audit stratum
+    * discipline). */
+  def qSimIvfRecallCurve(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = DedupOps.normedVectors(Tables.embeddings(spark, sfDir))
+    val cent = centroids(e)
+    val assigned = cellAssignments(e, cent, nprobe = 1)
+    val wq = Window.partitionBy(col("vec_id")).orderBy(col("ccos").desc, col("cid"))
+    val qasg = e.filter(col("vec_id") < NumQueries).join(cent)
+      .withColumn("ccos", DedupOps.dot(col("v"), col("cv")) / (col("nrm") * col("cn")))
+      .withColumn("rn", row_number().over(wq))
+    val qp = Seq(1, 2, 4).map(p =>
+        qasg.filter(col("rn") <= p).withColumn("p", lit(p)))
+      .reduce(_ unionByName _)
+      .select(col("p"), col("vec_id").as("q_id"), col("v").as("qv"),
+        col("nrm").as("qn"), col("cid"))
+    val scored = assigned
+      .select(col("vec_id").as("n_id"), col("v").as("nv"),
+        col("nrm").as("nn"), col("cid"))
+      .join(broadcast(qp), Seq("cid"))
+      .filter(col("q_id") =!= col("n_id"))
+      .withColumn("cosine",
+        DedupOps.dot(col("qv"), col("nv")) / (col("qn") * col("nn")))
+      .select(col("p"), col("q_id"), col("n_id"), col("cosine"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val wr = Window.partitionBy(col("p"), col("q_id"))
+      .orderBy(col("cosine").desc, col("n_id"))
+    val ivf = scored.withColumn("rank", row_number().over(wr))
+      .filter(col("rank") <= 3).select(col("p"), col("q_id"), col("n_id"))
+    val wb = Window.partitionBy(col("q_id"))
+      .orderBy(col("cosine").desc, col("n_id"))
+    val bf = e.select(col("vec_id").as("n_id"), col("v").as("nv"),
+        col("nrm").as("nn"))
+      .join(broadcast(e.filter(col("vec_id") < NumQueries)
+        .select(col("vec_id").as("q_id"), col("v").as("qv"),
+          col("nrm").as("qn"))), col("q_id") =!= col("n_id"))
+      .withColumn("cosine",
+        DedupOps.dot(col("qv"), col("nv")) / (col("qn") * col("nn")))
+      .withColumn("rank", row_number().over(wb))
+      .filter(col("rank") <= 3).select(col("q_id"), col("n_id"))
+    val cands = scored.groupBy(col("p")).agg(count(lit(1)).as("n_candidates"))
+    val hits = ivf.join(bf, Seq("q_id", "n_id"))
+      .groupBy(col("p")).agg(count(lit(1)).as("n_hits"))
+    val result = cands.join(hits, Seq("p"), "left_outer")
+      .select(col("p").cast("int").as("nprobe"),
+        lit(NumQueries.toLong).as("n_queries"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        expr(s"coalesce(n_hits, 0L) * 1000000 DIV ${NumQueries * 3}L")
+          .as("recall_ppm"),
+        col("n_candidates"))
+      .orderBy(col("nprobe"))
+    DedupOps.unpersistAfterFirstAction(result, scored)
+  }
+
+  /** The IVF assignment CTEs with the probe count as data + the
+    * brute-force truth + the integer recall arithmetic. */
+  val qSimIvfRecallCurveOracle: String =
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+       |cent AS (SELECT vec_id AS cid, v AS cv, nrm AS cn FROM n WHERE vec_id < $NumCentroids),
+       |asg AS (
+       |  SELECT vec_id, v, nrm, cid,
+       |    row_number() OVER (PARTITION BY vec_id
+       |      ORDER BY list_dot_product(v, cv) / (nrm * cn) DESC, cid) AS rn
+       |  FROM n CROSS JOIN cent),
+       |a AS (SELECT vec_id, v, nrm, cid FROM asg WHERE rn = 1),
+       |probes AS (SELECT unnest([1, 2, 4]) AS p),
+       |qp AS (
+       |  SELECT pr.p, q.vec_id AS q_id, q.v AS qv, q.nrm AS qn, q.cid
+       |  FROM asg q, probes pr
+       |  WHERE q.vec_id < $NumQueries AND q.rn <= pr.p),
+       |scored AS (
+       |  SELECT qp.p, qp.q_id, c.vec_id AS n_id,
+       |    list_dot_product(qp.qv, c.v) / (qp.qn * c.nrm) AS cosine
+       |  FROM a c JOIN qp ON c.cid = qp.cid AND qp.q_id != c.vec_id),
+       |rk AS (
+       |  SELECT p, q_id, n_id,
+       |    row_number() OVER (PARTITION BY p, q_id
+       |      ORDER BY cosine DESC, n_id) AS rank
+       |  FROM scored),
+       |ivf AS (SELECT p, q_id, n_id FROM rk WHERE rank <= 3),
+       |bs AS (
+       |  SELECT q.vec_id AS q_id, c.vec_id AS n_id,
+       |    list_dot_product(q.v, c.v) / (q.nrm * c.nrm) AS cosine
+       |  FROM n q JOIN n c ON q.vec_id < $NumQueries AND q.vec_id != c.vec_id),
+       |brk AS (
+       |  SELECT q_id, n_id,
+       |    row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, n_id) AS rank
+       |  FROM bs),
+       |bf AS (SELECT q_id, n_id FROM brk WHERE rank <= 3),
+       |hits AS (SELECT p, COUNT(*) AS n_hits
+       |         FROM ivf JOIN bf USING (q_id, n_id) GROUP BY 1),
+       |cands AS (SELECT p, COUNT(*) AS n_candidates FROM scored GROUP BY 1)
+       |SELECT CAST(c.p AS INT) AS nprobe,
+       |  CAST($NumQueries AS BIGINT) AS n_queries,
+       |  CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits,
+       |  CAST((COALESCE(h.n_hits, 0) * 1000000) // ${NumQueries * 3} AS BIGINT)
+       |    AS recall_ppm,
+       |  CAST(c.n_candidates AS BIGINT) AS n_candidates
+       |FROM cands c LEFT JOIN hits h ON h.p = c.p
+       |ORDER BY nprobe""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sim_ivf_recall_curve" -> (qSimIvfRecallCurve _),
     "sim_label_propagation" -> (qSimLabelPropagation _),
     "sim_svm_step" -> (qSimSvmStep _),
     "sim_rank_fusion" -> (qSimRankFusion _),
@@ -2372,6 +2489,7 @@ object SimilarityOps {
     "sim_quantize_int8" -> (qQuantizeInt8 _))
 
   val oracles: Map[String, String] = Map(
+    "sim_ivf_recall_curve" -> qSimIvfRecallCurveOracle,
     "sim_label_propagation" -> qSimLabelPropagationOracle,
     "sim_svm_step" -> qSimSvmStepOracle,
     "sim_rank_fusion" -> qSimRankFusionOracle,

@@ -1195,6 +1195,53 @@ class PipelineOpsSpec extends SparkSpec {
       "domain filter must not plan a rank window")
   }
 
+  test("IVF recall curve equals a driver-side recompute; recall monotone in nprobe") {
+    val got = SimilarityOps.qSimIvfRecallCurve(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSeq.sortBy(_._1)
+    // driver-side: same quantization-free doubles, same index-order dot
+    val vecs = Tables.embeddings(spark, sf)
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray)
+      .sortBy(_._1)
+    def dot(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i) * b(i); i += 1 }; s
+    }
+    val nrm = vecs.map { case (id, v) => id -> math.sqrt(dot(v, v)) }.toMap
+    val vm = vecs.toMap
+    def cos(a: Long, b: Long): Double = dot(vm(a), vm(b)) / (nrm(a) * nrm(b))
+    val cents = vecs.filter(_._1 < 8).map(_._1)
+    // per-vector centroid ranking (cos desc, cid asc)
+    def cellRank(v: Long): Seq[Long] =
+      cents.sortBy(c => (-cos(v, c), c)).toSeq
+    val cellOf = vecs.map { case (id, _) => id -> cellRank(id).head }.toMap
+    val queries = vecs.map(_._1).filter(_ < 10)
+    val bf = queries.map { q =>
+      q -> vecs.map(_._1).filter(_ != q)
+        .sortBy(n => (-cos(q, n), n)).take(3).toSet
+    }.toMap
+    val want = Seq(1, 2, 4).map { p =>
+      val hits = queries.map { q =>
+        val probed = cellRank(q).take(p).toSet
+        val cand = vecs.map(_._1).filter(n => n != q && probed(cellOf(n)))
+        val top = cand.sortBy(n => (-cos(q, n), n)).take(3).toSet
+        (top & bf(q)).size
+      }.sum.toLong
+      val nCand = queries.map { q =>
+        val probed = cellRank(q).take(p).toSet
+        vecs.map(_._1).count(n => n != q && probed(cellOf(n))).toLong
+      }.sum
+      (p, 10L, hits, hits * 1000000L / 30L, nCand)
+    }
+    assert(got === want)
+    // recall and candidate volume both monotone in nprobe
+    got.sliding(2).foreach { w =>
+      if (w.length == 2) assert(w(0)._3 <= w(1)._3 && w(0)._5 <= w(1)._5)
+    }
+    spark.catalog.clearCache()
+  }
+
   test("epoch shuffle: each epoch is a total deterministic permutation; epochs differ") {
     val got = graft.operators.SamplingOps.qEpochShuffle(spark, sf).collect()
       .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3)))

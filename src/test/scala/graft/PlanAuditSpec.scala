@@ -582,6 +582,10 @@ class PlanAuditSpec extends SparkSpec {
     val allowNested = Set(
       "sim_bruteforce_topk", "dedup_embedding_cosine",
       "sim_truncation_recall",
+      // r9: the recall curve's TRUTH side is the brute-force pass — the
+      // same documented verification-twin category as the two above
+      // (the IVF candidate side itself is an equi-join on the cell key)
+      "sim_ivf_recall_curve",
       "sim_ivf_probe", "sim_ivf_multiprobe", "sim_ivf_cell_stats",
       "sim_kmeans_step",
       "sim_ivfpq_topk", "sim_kmeans_iter", "dedup_semdedup",
