@@ -804,7 +804,10 @@ object EventOps {
     * TakeOrdered top-20 + a 20-row rank window. One count() action
     * folds the trigram total in as a literal (ANN-sizing-count
     * discipline). */
-  def qEventPaths(spark: SparkSession, sfDir: String): DataFrame = {
+  /** The (user_id, session_id, path) trigram relation shared by the
+    * batch report and the STREAMING twin's cut-equality spec
+    * (`StatefulOps.streamingEventPaths` emits exactly these rows). */
+  private[graft] def sessionTrigrams(spark: SparkSession, sfDir: String): DataFrame = {
     val byUser = Window.partitionBy(col("user_id"))
       .orderBy(col("tus"), col("event_id"))
     val sess = Tables.events(spark, sfDir)
@@ -818,11 +821,17 @@ object EventOps {
         byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
     val bySess = Window.partitionBy(col("user_id"), col("session_id"))
       .orderBy(col("tus"), col("event_id"))
-    val tri = sess
+    sess
       .withColumn("e2", lead(col("event_type"), 1).over(bySess))
       .withColumn("e3", lead(col("event_type"), 2).over(bySess))
       .filter(col("e2").isNotNull && col("e3").isNotNull)
-      .select(concat_ws(">", col("event_type"), col("e2"), col("e3")).as("path"))
+      .select(col("user_id"), col("session_id"),
+        concat_ws(">", col("event_type"), col("e2"), col("e3")).as("path"))
+  }
+
+  def qEventPaths(spark: SparkSession, sfDir: String): DataFrame = {
+    val tri = sessionTrigrams(spark, sfDir)
+      .select(col("path"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val total = tri.count()
     val result = tri.groupBy(col("path")).agg(count(lit(1)).as("n"))

@@ -422,6 +422,79 @@ object StatefulOps {
         TimeMode.EventTime(), OutputMode.Append())
   }
 
+  case class PathEvent(user_id: Long, event_id: Long, event_type: String,
+      ts: java.sql.Timestamp)
+  case class PathHit(user_id: Long, session_id: Long, path: String)
+
+  /** (session counter, last event micros, last-two event types of the
+    * open session — empty strings when fewer than 2 events yet). */
+  private[graft] case class PathState(sid: Long, lastTus: Long,
+      e1: String, e2: String)
+
+  /** The session-trigram transition shared by the streaming processor
+    * and PathLaws: fold `rows` (sorted by (tus, event_id)) into
+    * (state', emitted (session_id, path) trigrams). A >30-minute gap
+    * opens a new session (trigram windows never span it — the batch
+    * `EventOps.sessionTrigrams` semantics); within a session each
+    * event completes one trigram once two predecessors exist.
+    * Split law (PathLaws): cutting the sorted sequence anywhere and
+    * threading the state emits exactly the one-pass trigrams — the
+    * micro-batch-boundary correctness argument. In-order delivery per
+    * user is the contract, as for the funnel twin. */
+  private[graft] def advancePaths(st0: Option[PathState],
+      rows: Seq[(Long, Long, String)]): (PathState, Seq[(Long, String)]) = {
+    var st = st0.getOrElse(PathState(0L, Long.MinValue, "", ""))
+    val out = scala.collection.mutable.ArrayBuffer[(Long, String)]()
+    rows.foreach { case (tus, _, et) =>
+      if (st.lastTus == Long.MinValue || tus - st.lastTus > 1800000000L)
+        st = PathState(st.sid + 1, tus, "", et)
+      else {
+        if (st.e1.nonEmpty) out += ((st.sid, s"${st.e1}>${st.e2}>$et"))
+        st = PathState(st.sid, tus, st.e2, et)
+      }
+    }
+    (st, out.toSeq)
+  }
+
+  /** The incremental twin of the batch session-path relation
+    * (`EventOps.sessionTrigrams`, whose top-20 rollup is
+    * `q_event_paths`): per-user (session counter, last-2 events) as
+    * keyed `transformWithState` state — O(users), constant bytes per
+    * key — emitting each completed trigram exactly once. Replayed
+    * over a fixture in (ts, event_id) order the emissions equal the
+    * batch relation row-for-row (StatefulOpsSpec); the downstream
+    * top-k is an ordinary streaming aggregation over the emitted
+    * paths. Same lateness/TTL contract as [[FunnelProcessor]]. */
+  final class PathsProcessor(ttl: TTLConfig = TTLConfig.NONE)
+      extends StatefulProcessor[Long, PathEvent, PathHit] {
+    @transient private var st: ValueState[PathState] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      st = getHandle.getValueState[PathState]("paths",
+        Encoders.product[PathState], ttl)
+    override def handleInputRows(user: Long, rows: Iterator[PathEvent],
+        tv: TimerValues): Iterator[PathHit] = {
+      val s0 = if (st.exists()) Some(st.get()) else None
+      val sorted = rows.toSeq.sortBy(e => (micros(e.ts), e.event_id))
+        .map(e => (micros(e.ts), e.event_id, e.event_type))
+      val (s, out) = advancePaths(s0, sorted)
+      st.update(s)
+      out.iterator.map { case (sid, p) => PathHit(user, sid, p) }
+    }
+  }
+
+  /** Watermarked streaming session-path miner — see [[PathsProcessor]].
+    * Requires the RocksDB state store provider. */
+  def streamingEventPaths(events: Dataset[PathEvent],
+      watermark: String = "1 hour",
+      ttl: TTLConfig = TTLConfig.NONE): Dataset[PathHit] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", watermark)
+      .groupByKey(_.user_id)
+      .transformWithState(new PathsProcessor(ttl),
+        timeModeFor(ttl), OutputMode.Append())
+  }
+
   case class TouchEvent(event_id: Long, user_id: Long, event_type: String,
       ts: java.sql.Timestamp)
   case class AttributionHit(purchase_id: Long, touch_id: Long, latency_us: Long)

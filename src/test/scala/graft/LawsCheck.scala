@@ -666,6 +666,47 @@ object CusumLaws extends Properties("advanceCusum") {
     }
 }
 
+object PathLaws extends Properties("advancePaths") {
+  import graft.streaming.StatefulOps
+  // sorted per-user event sequences: small time domain so both
+  // within-session steps and >30-min session breaks are generated
+  private val events: Gen[List[(Long, Long, String)]] = for {
+    n <- Gen.chooseNum(0, 30)
+    ts <- Gen.listOfN(n, Gen.chooseNum(0L, 10L))
+    et <- Gen.listOfN(n, Gen.oneOf("view", "click", "purchase"))
+  } yield ts.sorted.map(_ * 1200000000L) // 20-min steps: gaps straddle 30 min
+    .zipWithIndex.zip(et).map { case ((t, i), e) => (t, i.toLong, e) }
+
+  property("any batch split threads to the one-pass trigram emissions") =
+    forAll(events, Gen.chooseNum(0, 30)) { (s, cut0) =>
+      val cut = math.min(cut0, s.length)
+      val (a, b) = s.splitAt(cut)
+      val (st1, o1) = StatefulOps.advancePaths(None, a)
+      val (_, o2) = StatefulOps.advancePaths(Some(st1), b)
+      val (_, all) = StatefulOps.advancePaths(None, s)
+      o1 ++ o2 == all
+    }
+
+  property("no trigram spans a session break; sids increase monotonically") =
+    forAll(events) { s =>
+      val (_, out) = StatefulOps.advancePaths(None, s)
+      // recompute sessions naively
+      var sid = 0L; var last = Long.MinValue
+      val sessions = s.map { case (t, _, e) =>
+        if (last == Long.MinValue || t - last > 1800000000L) sid += 1
+        last = t
+        (sid, e)
+      }
+      val bySession = sessions.groupBy(_._1).view
+        .mapValues(_.map(_._2).sliding(3).filter(_.length == 3)
+          .map(_.mkString(">")).toList).toMap
+      val want = bySession.toList.flatMap { case (k, v) => v.map(k -> _) }
+      out.sorted == want.sorted &&
+        out.map(_._1).foldLeft((true, 0L)) { case ((ok, m), x) =>
+          (ok && x >= m, math.max(m, x)) }._1
+    }
+}
+
 object WalGapLaws extends Properties("advanceWalGaps") {
   import graft.streaming.StatefulOps
   private val wals: Gen[List[Long]] = for {

@@ -259,6 +259,45 @@ class StatefulOpsSpec extends SparkSpec {
     }
   }
 
+  test("streaming session paths replayed over the fixture equal the batch trigram relation") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val fixture = Tables.events(spark, sf)
+        .select(col("user_id"), col("event_id"), col("event_type"), col("ts"))
+        .orderBy(col("ts"), col("event_id"))
+        .as[StatefulOps.PathEvent]
+        .collect()
+      val (first, second) = fixture.splitAt(fixture.length / 2)
+      val in = MemoryStream[StatefulOps.PathEvent]
+      val q = StatefulOps.streamingEventPaths(in.toDS())
+        .writeStream.format("memory").queryName("paths_out")
+        .outputMode("append").start()
+      try {
+        in.addData(first.toSeq)
+        q.processAllAvailable()
+        in.addData(second.toSeq)
+        q.processAllAvailable()
+        val streamed = spark.table("paths_out").collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).sorted.toSeq
+        val batch = graft.operators.EventOps.sessionTrigrams(spark, sf).collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).sorted.toSeq
+        assert(streamed === batch,
+          s"streaming trigrams diverged: ${streamed.length} vs ${batch.length}")
+        assert(streamed.nonEmpty, "fixture should produce trigrams")
+      } finally q.stop()
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
+
   test("streaming attribution replayed over the events fixture matches the batch rows") {
     import spark.implicits._
     implicit val sc = spark.sqlContext
