@@ -645,17 +645,27 @@ object EventOps {
     * corpus-sized step), then new-users-per-day and the running total
     * are windows over the days relation. The same first-seen shape as
     * the vocabulary-growth curve; quiet days (zero new users) simply
-    * don't appear, matching the oracle. */
+    * don't appear, matching the oracle.
+    *
+    * The running total uses [[SamplingOps.withGlobalCumSum]] (r10):
+    * the hours relation is usually calendar-bounded, but `hr` is an
+    * aggregate-derived key (per-user MIN), and for long-horizon or
+    * fine-granularity variants its cardinality tracks the time domain
+    * — the sharded prefix sum costs one extra tiny exchange and never
+    * funnels it through one reducer (inclusive total = exclusive
+    * prefix + the row's own new_users). */
   def qCumulativeUsers(spark: SparkSession, sfDir: String): DataFrame = {
     val first = ev(spark, sfDir)
       .groupBy(col("user_id"))
       .agg(min(expr("tus DIV 3600000000")).as("hr"))
-    first.groupBy(col("hr")).agg(count(lit(1)).as("new_users"))
-      .withColumn("total_users", sum(col("new_users")).over(
-        Window.orderBy(col("hr"))
-          .rowsBetween(Window.unboundedPreceding, 0)))
+    val (cum, sharded) = SamplingOps.withGlobalCumSum(
+      first.groupBy(col("hr")).agg(count(lit(1)).as("new_users")),
+      "new_users", "__before", col("hr"))
+    val result = cum
+      .withColumn("total_users", col("__before") + col("new_users"))
       .select(col("hr"), col("new_users"), col("total_users"))
       .orderBy(col("hr"))
+    DedupOps.unpersistAfterFirstAction(result, sharded)
   }
 
   val qCumulativeUsersOracle: String =
@@ -690,7 +700,16 @@ object EventOps {
     * before+c] overlaps, with the closed-form ntile geometry (first
     * n%10 buckets get ⌈n/10⌉ ranks) as map-only literals. The oracle
     * IS the naive ntile definition, so the hash match proves the
-    * decomposition exact — the token-budget twin discipline. */
+    * decomposition exact — the token-budget twin discipline.
+    *
+    * r9 residual closed: the histogram itself is NOT safely small —
+    * for per-user lifetime sums in exact cents, distinct values ≈
+    * users (10⁸ rows at 100× scale), so cumulating it through one
+    * global window just moved the single reducer one aggregate
+    * downstream. The `before` column now comes from
+    * [[SamplingOps.withGlobalCumSum]] (range-sharded parallel prefix
+    * sum; only a shard-count relation crosses a global window),
+    * exact because ltv is unique within its own histogram. */
   def qLtvDeciles(spark: SparkSession, sfDir: String): DataFrame = {
     val cents = (col("value") * 100)
       .cast(org.apache.spark.sql.types.DecimalType(18, 0)).cast("long")
@@ -705,10 +724,9 @@ object EventOps {
     val q = n / 10  // base bucket size; first `rem` buckets get q+1
     val rem = n % 10
     def decOf(r: String): String = SamplingOps.ntileExpr(n, 10, r)
-    val wv = Window.orderBy(col("ltv").desc)
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val hist = ltv.groupBy(col("ltv")).agg(count(lit(1)).as("c"))
-      .withColumn("before", coalesce(sum(col("c")).over(wv), lit(0L)))
+    val (hist, histSharded) = SamplingOps.withGlobalCumSum(
+      ltv.groupBy(col("ltv")).agg(count(lit(1)).as("c")),
+      "c", "before", col("ltv").desc)
     val result = hist
       .withColumn("d", explode(sequence(
         expr(decOf("(before + 1)")).cast("int"),
@@ -729,7 +747,7 @@ object EventOps {
         col("decile_cents"), col("min_ltv"), col("max_ltv"))
       .withColumn("revenue_ppm", expr(s"decile_cents * 1000000 DIV $total"))
       .orderBy(col("decile"))
-    DedupOps.unpersistAfterFirstAction(result, ltv)
+    DedupOps.unpersistAfterFirstAction(result, ltv, histSharded)
   }
 
   val qLtvDecilesOracle: String =

@@ -38,7 +38,20 @@ object SamplingOps {
     * between the offset aggregate and the ranked output (range
     * boundaries are sampled per execution). Returns (ranked, cached);
     * the caller must release via `DedupOps.unpersistAfterFirstAction`
-    * on its final result. */
+    * on its final result.
+    *
+    * Recomputation-safety note (cluster semantics, not just
+    * local[32]): the range boundaries live in the exchange's
+    * `RangePartitioner`, sampled ONCE when the shuffle map stage
+    * runs; a lost cached partition recomputes by re-FETCHING the
+    * already-materialized shuffle output under those same
+    * boundaries, so shard ids cannot drift between the offset
+    * aggregate and the ranked output as long as the shuffle files
+    * survive. The failure mode that CAN resample is losing the
+    * shuffle files themselves (executor death with no external
+    * shuffle service / migration), which re-runs the whole stage —
+    * on such clusters, `df.checkpoint()` the sharded relation
+    * instead of relying on this persist. */
   private[operators] def withGlobalRank(df: DataFrame, rankCol: String,
       order: Column*): (DataFrame, DataFrame) = {
     import org.apache.spark.sql.expressions.Window
@@ -58,6 +71,45 @@ object SamplingOps {
       .withColumn(rankCol, col("__off") + col("__lr"))
       .drop("__shard", "__lr", "__off")
     (ranked, local)
+  }
+
+  /** Exact EXCLUSIVE global prefix sum of `valCol` under `order`
+    * without an unpartitioned window — the cumulative-sum twin of
+    * [[withGlobalRank]] (same decomposition as the skyline /
+    * wal-gaps sweeps, factored once): (1) range-shuffle on the sort
+    * key, (2) per-shard exclusive running sum in parallel, (3) one
+    * shard-count aggregate of shard totals → cumulative shard
+    * offsets (≤ shuffle-partition rows through the only remaining
+    * global window), broadcast back and added to the local running
+    * sum. Exact when `order` is a TOTAL order of `df` (callers pass
+    * a key-unique relation or append a tiebreak column) — with ties
+    * straddling a shard boundary the split between "before" and
+    * "current" would be boundary-dependent, exactly as a naive
+    * `ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING` window is
+    * tie-order-dependent. Same persist + recomputation-safety
+    * contract as [[withGlobalRank]]; returns (result, cached) for
+    * `DedupOps.unpersistAfterFirstAction`. */
+  private[operators] def withGlobalCumSum(df: DataFrame, valCol: String,
+      outCol: String, order: Column*): (DataFrame, DataFrame) = {
+    import org.apache.spark.sql.expressions.Window
+    val parts = df.sparkSession.conf
+      .get("spark.sql.shuffle.partitions", "32").toInt
+    val local = df.repartitionByRange(parts, order: _*)
+      .withColumn("__shard", spark_partition_id())
+      .withColumn("__lc", coalesce(sum(col(valCol)).over(
+        Window.partitionBy(col("__shard")).orderBy(order: _*)
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val offsets = local.groupBy(col("__shard"))
+      .agg(sum(col(valCol)).as("__t"))
+      .withColumn("__off", coalesce(sum(col("__t")).over(
+        Window.orderBy(col("__shard"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("__shard"), col("__off"))
+    val out = local.join(broadcast(offsets), Seq("__shard"))
+      .withColumn(outCol, col("__off") + col("__lc"))
+      .drop("__shard", "__lc", "__off")
+    (out, local)
   }
 
   /** Closed-form `ntile(buckets)` bucket of 1-based rank `r` over `n`

@@ -798,26 +798,82 @@ class PlanAuditSpec extends SparkSpec {
     "user_id", "doc_id", "vec_id", "event_id",
     "l_orderkey", "o_orderkey", "o_custkey")
 
+  /** ExprIds of attributes DERIVED from an aggregate-function output
+    * anywhere in `p` (transitively through Project aliases and cache
+    * boundaries). A value rollup keyed on such an attribute — e.g.
+    * `groupBy(ltv)` where ltv = per-user SUM in exact cents — is NOT
+    * cardinality-reducing in general: distinct aggregate values can
+    * approach the id cardinality (the r9 `q_ltv_deciles` residual),
+    * so the sweep must keep walking through it. */
+  private def aggDerivedIds(p: SparkPlan): Set[Long] = {
+    var derived = Set.empty[Long]
+    def fromDerived(e: org.apache.spark.sql.catalyst.expressions.Expression) =
+      e.exists {
+        case ae: org.apache.spark.sql.catalyst.expressions.aggregate.AggregateExpression => ae ne null
+        case att: org.apache.spark.sql.catalyst.expressions.Attribute =>
+          derived.contains(att.exprId.id)
+        case _ => false
+      }
+    def mark(nes: Seq[org.apache.spark.sql.catalyst.expressions.NamedExpression]): Unit =
+      nes.foreach {
+        case al: org.apache.spark.sql.catalyst.expressions.Alias
+            if fromDerived(al.child) => derived += al.exprId.id
+        case _ => ()
+      }
+    def walk(n: SparkPlan): Unit = {
+      n match {
+        case c: org.apache.spark.sql.execution.columnar.InMemoryTableScanExec =>
+          val inner = c.relation.cachedPlan
+          walk(inner)
+          // cache boundary: relation output mirrors cachedPlan output
+          // positionally (exprIds usually identical; map both ways)
+          c.relation.output.zip(inner.output).foreach { case (o, i) =>
+            if (derived.contains(i.exprId.id)) derived += o.exprId.id }
+        case _ => n.children.foreach(walk)
+      }
+      n match {
+        case a: org.apache.spark.sql.execution.aggregate.BaseAggregateExec =>
+          // the agg function outputs themselves (final-mode result
+          // expressions reference these buffer attributes, they don't
+          // inline the AggregateExpression)
+          derived ++= a.aggregateExpressions.map(_.resultAttribute.exprId.id)
+          mark(a.resultExpressions)
+        case pr: org.apache.spark.sql.execution.ProjectExec =>
+          mark(pr.projectList)
+        case _ => ()
+      }
+    }
+    walk(p)
+    derived
+  }
+
   /** True if `p` reaches a corpus-sized relation (file scan or cached
     * relation) without passing through a cardinality-reducing
     * aggregate. Grouping aggregates stop the walk UNLESS keyed on a
-    * per-row id (user-level rollups stay corpus-sized); global
-    * (keyless) aggregates are 1 row; cached relations are walked
-    * through their cached plan so a persisted corpus intermediate
-    * still counts as corpus-sized. */
-  private def reachesCorpus(p: SparkPlan): Boolean = p match {
+    * per-row id (user-level rollups stay corpus-sized) OR on a value
+    * derived from an upstream aggregate output (near-id-cardinality
+    * histograms — see [[aggDerivedIds]]); global (keyless) aggregates
+    * are 1 row; cached relations are walked through their cached plan
+    * so a persisted corpus intermediate still counts as corpus-sized. */
+  private def reachesCorpus(p: SparkPlan): Boolean =
+    reachesCorpus(p, aggDerivedIds(p))
+
+  private def reachesCorpus(p: SparkPlan, derived: Set[Long]): Boolean = p match {
     case a: org.apache.spark.sql.execution.aggregate.BaseAggregateExec =>
       if (a.groupingExpressions.isEmpty) false
-      else if (a.groupingExpressions.flatMap(_.references.toSeq)
-          .exists(att => perRowIds.contains(att.name)))
-        a.children.exists(reachesCorpus)
-      else false
+      else {
+        val refs = a.groupingExpressions.flatMap(_.references.toSeq)
+        if (refs.exists(att => perRowIds.contains(att.name)) ||
+            refs.exists(att => derived.contains(att.exprId.id)))
+          a.children.exists(reachesCorpus(_, derived))
+        else false
+      }
     case _: org.apache.spark.sql.execution.FileSourceScanExec => true
     case c: org.apache.spark.sql.execution.columnar.InMemoryTableScanExec =>
-      reachesCorpus(c.relation.cachedPlan)
+      reachesCorpus(c.relation.cachedPlan, derived)
     case _: org.apache.spark.sql.execution.LocalTableScanExec => false
     case _: org.apache.spark.sql.execution.RDDScanExec => false
-    case other => other.children.exists(reachesCorpus)
+    case other => other.children.exists(reachesCorpus(_, derived))
   }
 
   /** Window nodes with NO partition spec whose input is corpus-sized
@@ -829,6 +885,30 @@ class PlanAuditSpec extends SparkSpec {
           if w.partitionSpec.isEmpty && reachesCorpus(w.child) =>
         w.windowExpression.mkString(",").take(120)
     }
+
+  test("sweep walker: a value rollup keyed on an aggregate output is NOT cardinality-reducing") {
+    // Detector self-test (r10): the r9 q_ltv_deciles residual — a
+    // global window over groupBy(ltv) where ltv is a per-user SUM —
+    // must be flagged (distinct aggregate values ≈ id cardinality),
+    // while a histogram keyed on a RAW bounded column stays reducing.
+    // Without this pin, a regression in aggDerivedIds silently turns
+    // the whole global sweep into a no-op for this class.
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    val naive = graft.Tables.events(spark, sf)
+      .groupBy(col("user_id")).agg(sum(col("value")).as("ltv"))
+      .groupBy(col("ltv")).agg(count(lit(1)).as("c"))
+      .withColumn("before", coalesce(sum(col("c")).over(
+        Window.orderBy(col("ltv").desc)
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+    assert(corpusGlobalWindows(naive).nonEmpty,
+      "the r9 q_ltv_deciles residual shape must be flagged by the sweep")
+    val bounded = graft.Tables.events(spark, sf)
+      .groupBy(col("event_type")).agg(count(lit(1)).as("c"))
+      .withColumn("r", row_number().over(Window.orderBy(col("event_type"))))
+    assert(corpusGlobalWindows(bounded).isEmpty,
+      "raw bounded-column histograms must stay classified as reducing")
+  }
 
   test("decomposed rank queries plan no unpartitioned window over a corpus-sized input") {
     // The r8 scale-killers, rebuilt on histogram / shard-rank
