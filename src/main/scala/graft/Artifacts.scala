@@ -21,8 +21,9 @@ import org.apache.spark.sql.SparkSession
   * — the honest lake-artifact story a production pipeline runs.
   *
   * Refresh story: `datasetKey` hashes the dataset directory's file
-  * listing (relative path, mtime, size — two levels deep, so both
-  * single-file and directory-shaped parquet tables are covered).
+  * listing (relative path, mtime, size of every regular file at any
+  * depth, so single-file, directory-shaped, and deeply partitioned
+  * parquet tables are all covered).
   * Regenerated input data therefore yields a NEW key directory and the
   * artifact rebuilds automatically; stale keys are dead weight under a
   * gitignored warehouse and can be deleted wholesale
@@ -52,22 +53,25 @@ object Artifacts {
       .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
 
   /** Deterministic key for a dataset directory: its absolute path plus
-    * the (relative-path, mtime, size) of every entry two levels deep.
-    * Any regeneration of the parquet inputs changes the key. */
+    * the (relative-path, mtime, size) of every file at ANY depth
+    * (ADVICE r9: a depth-capped listing missed in-place rewrites deep
+    * inside multi-column-partitioned layouts that keep filename and
+    * directory mtimes — `Files.walk` sees every leaf, so any
+    * regeneration of the parquet inputs changes the key). */
   private[graft] def datasetKey(sfDir: String): String = {
     val root = Paths.get(sfDir).toAbsolutePath.normalize
-    def stats(p: Path, depth: Int): Seq[String] =
-      if (Files.isDirectory(p) && depth < 2) {
-        val s = Files.list(p)
+    val listing: Seq[String] =
+      if (!Files.exists(root)) Seq.empty
+      else {
+        val s = Files.walk(root)
         try {
           import scala.jdk.CollectionConverters._
-          s.iterator().asScala.toSeq.sortBy(_.toString).flatMap(stats(_, depth + 1))
+          s.iterator().asScala
+            .filter(p => Files.isRegularFile(p))
+            .map(p => s"${root.relativize(p)}:${Files.getLastModifiedTime(p).toMillis}:${Files.size(p)}")
+            .toSeq.sorted
         } finally s.close()
-      } else {
-        val sz = if (Files.isRegularFile(p)) Files.size(p) else 0L
-        Seq(s"${root.relativize(p)}:${Files.getLastModifiedTime(p).toMillis}:$sz")
       }
-    val listing = if (Files.exists(root)) stats(root, 0) else Seq.empty
     md5Hex((root.toString +: listing).mkString("\n")).take(16)
   }
 
@@ -118,11 +122,15 @@ object Artifacts {
         if (meta.nonEmpty)
           Files.write(tmp.resolve("_graft_meta"), meta.getBytes("UTF-8"))
         try Files.move(tmp, dest, StandardCopyOption.ATOMIC_MOVE)
-        catch { case _: java.nio.file.FileAlreadyExistsException |
-                     _: java.nio.file.DirectoryNotEmptyException |
-                     _: java.nio.file.FileSystemException =>
-          // a concurrent builder won the rename race — serve its copy
+        catch { case e: java.nio.file.FileSystemException =>
+          // Either a concurrent builder won the rename race (dest now
+          // exists — serve its copy) or the move failed for a real
+          // reason (permissions, I/O). ADVICE r9: only the former may
+          // be swallowed — treating an I/O failure as a lost race
+          // would memoize a path that never materializes and every
+          // downstream read would fail obscurely for the JVM lifetime.
           deleteRecursively(tmp)
+          if (!Files.exists(dest)) throw e
         }
       }
       dest.toString

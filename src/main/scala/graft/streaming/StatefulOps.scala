@@ -427,9 +427,13 @@ object StatefulOps {
   case class PathHit(user_id: Long, session_id: Long, path: String)
 
   /** (session counter, last event micros, last-two event types of the
-    * open session — empty strings when fewer than 2 events yet). */
+    * open session, events seen in the open session saturated at 3).
+    * The warm-up is counted EXPLICITLY (ADVICE r9): the old
+    * `e1.isEmpty` sentinel made a genuinely-empty `event_type`
+    * suppress trigram emission, silently diverging from the batch
+    * twin whose `concat_ws` happily emits empty segments. */
   private[graft] case class PathState(sid: Long, lastTus: Long,
-      e1: String, e2: String)
+      e1: String, e2: String, nSeen: Int)
 
   /** The session-trigram transition shared by the streaming processor
     * and PathLaws: fold `rows` (sorted by (tus, event_id)) into
@@ -443,14 +447,14 @@ object StatefulOps {
     * user is the contract, as for the funnel twin. */
   private[graft] def advancePaths(st0: Option[PathState],
       rows: Seq[(Long, Long, String)]): (PathState, Seq[(Long, String)]) = {
-    var st = st0.getOrElse(PathState(0L, Long.MinValue, "", ""))
+    var st = st0.getOrElse(PathState(0L, Long.MinValue, "", "", 0))
     val out = scala.collection.mutable.ArrayBuffer[(Long, String)]()
     rows.foreach { case (tus, _, et) =>
       if (st.lastTus == Long.MinValue || tus - st.lastTus > 1800000000L)
-        st = PathState(st.sid + 1, tus, "", et)
+        st = PathState(st.sid + 1, tus, "", et, 1)
       else {
-        if (st.e1.nonEmpty) out += ((st.sid, s"${st.e1}>${st.e2}>$et"))
-        st = PathState(st.sid, tus, st.e2, et)
+        if (st.nSeen >= 2) out += ((st.sid, s"${st.e1}>${st.e2}>$et"))
+        st = PathState(st.sid, tus, st.e2, et, math.min(st.nSeen + 1, 3))
       }
     }
     (st, out.toSeq)

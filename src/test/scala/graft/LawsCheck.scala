@@ -673,7 +673,11 @@ object PathLaws extends Properties("advancePaths") {
   private val events: Gen[List[(Long, Long, String)]] = for {
     n <- Gen.chooseNum(0, 30)
     ts <- Gen.listOfN(n, Gen.chooseNum(0L, 10L))
-    et <- Gen.listOfN(n, Gen.oneOf("view", "click", "purchase"))
+    // "" included deliberately (ADVICE r9): an empty event_type must
+    // flow through trigram emission like any other value — the naive
+    // sliding(3).mkString recompute below IS the batch concat_ws
+    // semantics, so the old empty-string warm-up sentinel fails here
+    et <- Gen.listOfN(n, Gen.oneOf("view", "click", "purchase", ""))
   } yield ts.sorted.map(_ * 1200000000L) // 20-min steps: gaps straddle 30 min
     .zipWithIndex.zip(et).map { case ((t, i), e) => (t, i.toLong, e) }
 
