@@ -202,6 +202,7 @@ object Bench {
       graft.operators.SimilarityOps.incrementalIndexDir(spark, sfDir)
       graft.operators.DedupOps.qDedupIncrementalFromIndex(spark, sfDir)
       graft.operators.SimilarityOps.qSimIvfPqTopkStored(spark, sfDir)
+      graft.operators.CorpusPipeline.benchHitsStored(spark, sfDir)
       "ok"
     } catch { case e: Throwable =>
       System.err.println(s"[bench] artifact prebuild: $e")

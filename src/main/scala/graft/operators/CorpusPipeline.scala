@@ -59,20 +59,46 @@ object CorpusPipeline {
     * measurable separately from the cold scan+explode
     * (CorpusPipelineSpec times both; NOTES_r6 records the split).
     * Returns (result, internal persists the caller must release). */
-  private[graft] def stages(docs: DataFrame, sh: DataFrame): (DataFrame, Seq[DataFrame]) = {
-    import org.apache.spark.sql.expressions.Window
-
-    // stage 1+2: quality/language gate + exact dedup (min doc_id per
-    // content fingerprint, computed over ALL docs as in qQualityPipeline)
+  /** Stage 1+2 (quality/language gate + exact-dedup canonical filter)
+    * — shared verbatim by the live pipeline and the stored variant so
+    * their admission semantics cannot drift. */
+  private def cleanDocs(docs: DataFrame): DataFrame = {
     val gated = TextOps.gatedDocs(docs, col("source"),
       SamplingOps.bucket100("doc_id").as("bucket"))
     val canonical = gated.groupBy(col("fp_content"))
       .agg(min(col("doc_id")).as("keep_id"))
-    val clean = gated
+    gated
       .filter(col("quality_score") >= 0.2 && col("n_tokens") >= 10 &&
         col("predicted_lang") === col("lang"))
       .join(canonical, col("doc_id") === col("keep_id"))
       .select(col("doc_id"), col("source"), col("bucket"))
+  }
+
+  /** Stage 5 (deterministic mixture sampling over the survivor set) —
+    * shared by both pipeline variants: source-weighted quotas off a
+    * broadcast 1-row total, md5-ordered pick within each source. */
+  private def mixtureSample(survivors: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val weight = when(col("source") === "src0", 3.0)
+      .when(col("source") === "src1", 2.0).otherwise(1.0)
+    val srcW = survivors.select("source").distinct().withColumn("w", weight)
+    val total = srcW.agg(sum(col("w")).as("tw"))
+    val quotas = srcW.crossJoin(broadcast(total))
+      .withColumn("quota", floor(lit(Budget) * col("w") / col("tw")))
+      .select("source", "quota")
+    val w = Window.partitionBy(col("source"))
+      .orderBy(md5(col("doc_id").cast("string").cast("binary")), col("doc_id"))
+    survivors.withColumn("rn", row_number().over(w))
+      .join(broadcast(quotas), "source")
+      .filter(col("rn") <= col("quota"))
+      .select("doc_id", "source", "rn", "quota")
+      .orderBy("source", "rn")
+  }
+
+  private[graft] def stages(docs: DataFrame, sh: DataFrame): (DataFrame, Seq[DataFrame]) = {
+    // stage 1+2: quality/language gate + exact dedup (min doc_id per
+    // content fingerprint, computed over ALL docs as in qQualityPipeline)
+    val clean = cleanDocs(docs)
 
     // stage 3: near-dup removal among the clean TRAIN docs — df-capped
     // jaccard (same cap and threshold as dedup_jaccard_capped), drop
@@ -111,21 +137,69 @@ object CorpusPipeline {
 
     // stage 5: mixture sampling over the survivors (same weights and
     // hash-order pick as sample_mixture, budget scaled to the pipeline)
-    val weight = when(col("source") === "src0", 3.0)
-      .when(col("source") === "src1", 2.0).otherwise(1.0)
-    val srcW = survivors.select("source").distinct().withColumn("w", weight)
-    val total = srcW.agg(sum(col("w")).as("tw"))
-    val quotas = srcW.crossJoin(broadcast(total))
-      .withColumn("quota", floor(lit(Budget) * col("w") / col("tw")))
-      .select("source", "quota")
-    val w = Window.partitionBy(col("source"))
-      .orderBy(md5(col("doc_id").cast("string").cast("binary")), col("doc_id"))
-    val result = survivors.withColumn("rn", row_number().over(w))
-      .join(broadcast(quotas), "source")
-      .filter(col("rn") <= col("quota"))
-      .select("doc_id", "source", "rn", "quota")
-      .orderBy("source", "rn")
-    (result, Seq(cleanTrain))
+    (mixtureSample(survivors), Seq(cleanTrain))
+  }
+
+  /** Stored DECONTAMINATION artifact: for every train-bucket document
+    * (bucket < 80), the number of its distinct shingles shared with
+    * any bench-slice document (bucket >= 90). GATE-INDEPENDENT — a
+    * doc's bench-overlap count doesn't depend on which other docs
+    * pass quality gates — so it can be mined once per dataset and
+    * served to any pipeline configuration. The expensive part of
+    * stage 4 (the corpus shingle explode + collision join) moves
+    * into this one-time build; serving is a filter + anti-join. */
+  private[graft] def benchHitsStored(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = graft.Artifacts.getOrBuild(spark, sfDir, "bench_hits") { d =>
+      val sh = bucketedShingles(Tables.documents(spark, sfDir))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try sh.filter(col("bucket") < 80).select("doc_id", "shingle")
+        .join(sh.filter(col("bucket") >= 90).select("shingle").distinct(), "shingle")
+        .groupBy(col("doc_id")).agg(count_distinct(col("shingle")).as("hits"))
+        .write.parquet(d)
+      finally sh.unpersist()
+    }
+    spark.read.parquet(dir)
+  }
+
+  /** [[qPipelineCorpus]] SERVED FROM STORED ARTIFACTS — the production
+    * shape (r9 verdict #3): the live pipeline re-mines its near-dup
+    * edges and decontamination hits on every run, which at sf0.1 is
+    * ~3/4 of its price and at 100 TB is two full corpus explode+join
+    * passes per invocation. This variant consumes the durable
+    * mine-once relations instead:
+    *   - near-dup: the GLOBAL capped-Jaccard edge artifact
+    *     ([[DedupOps.textEdgesStored]] — the same relation the
+    *     clusters/representatives family serves), filtered to pairs
+    *     with both ends in the clean train set, dropping the larger
+    *     id (same greedy keep-first policy);
+    *   - decontamination: the [[benchHitsStored]] hit counts,
+    *     thresholded and anti-joined.
+    * The plan touches `documents` only for the gate columns — NO
+    * shingle explode anywhere (plan-pinned in PlanAuditSpec).
+    *
+    * Semantics note (why this is its own query + oracle rather than a
+    * swap-in): the live stage 3 computes its DF cap over the
+    * clean-train shingle slice; the artifact's cap is corpus-global —
+    * the mine-once discipline fixes the edge definition at mining
+    * time. The oracle below reproduces the artifact definitions
+    * exactly, so the hash gate still proves end-to-end equivalence. */
+  def qPipelineCorpusStored(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    val cleanTrain = cleanDocs(docs).filter(col("bucket") < 80)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val ids = cleanTrain.select("doc_id")
+    val nearDups = DedupOps.textEdgesStored(spark, sfDir)
+      .select("a_id", "b_id")
+      .join(ids, col("a_id") === col("doc_id"), "left_semi")
+      .join(ids, col("b_id") === col("doc_id"), "left_semi")
+      .select(col("b_id").as("doc_id")).distinct()
+    val contaminated = benchHitsStored(spark, sfDir)
+      .filter(col("hits") >= MinShingleHits)
+      .select("doc_id")
+    val survivors = cleanTrain.select("doc_id", "source")
+      .join(nearDups, Seq("doc_id"), "left_anti")
+      .join(contaminated, Seq("doc_id"), "left_anti")
+    DedupOps.unpersistAfterFirstAction(mixtureSample(survivors), cleanTrain)
   }
 
   val qPipelineCorpusOracle: String =
@@ -183,6 +257,86 @@ object CorpusPipeline {
        |  SELECT c.doc_id, c.source FROM clean c
        |  WHERE c.bucket < 80
        |    AND c.doc_id NOT IN (SELECT doc_id FROM nd)
+       |    AND c.doc_id NOT IN (SELECT doc_id FROM cont)),
+       |sw AS (SELECT DISTINCT source FROM surv),
+       |wt AS (SELECT source,
+       |  CASE WHEN source = 'src0' THEN 3.0
+       |       WHEN source = 'src1' THEN 2.0 ELSE 1.0 END AS w FROM sw),
+       |q AS (SELECT source,
+       |  CAST(floor($Budget * w / (SELECT SUM(w) FROM wt)) AS BIGINT) AS quota
+       |  FROM wt),
+       |rk AS (SELECT doc_id, source,
+       |  ROW_NUMBER() OVER (PARTITION BY source
+       |    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+       |  FROM surv)
+       |SELECT rk.doc_id, rk.source, rk.rn, q.quota
+       |FROM rk JOIN q USING (source) WHERE rn <= quota
+       |ORDER BY source, rn""".stripMargin
+
+  /** Oracle for the STORED variant: identical gate/canonical/mixture
+    * CTEs; the near-dup CTEs reproduce the GLOBAL capped-Jaccard
+    * artifact definition (df cap and pair counts over the whole
+    * corpus — verbatim the `dedup_jaccard_capped` edge SQL), and the
+    * contamination CTE counts bench-shared shingles for every train
+    * doc (the bench_hits artifact definition). */
+  val qPipelineCorpusStoredOracle: String =
+    s"""WITH t AS (
+       |  SELECT doc_id, lang, source, string_split(text, ' ') AS ts FROM documents),
+       |gate AS (SELECT doc_id, lang, source,
+       |  CAST(len(ts) AS INT) AS n_tokens,
+       |  (CAST(len(list_distinct(ts)) AS DOUBLE) / len(ts)) *
+       |    (1.0 - CAST(len(list_filter(ts, x -> x IN ('the','a','of','and','to'))) AS DOUBLE) / len(ts))
+       |    AS quality_score,
+       |  CAST(len(list_filter(ts, x -> x IN ('the','a','of','and'))) AS INT) AS s_en,
+       |  CAST(len(list_filter(ts, x -> x IN ('der','die','das','und'))) AS INT) AS s_de,
+       |  CAST(len(list_filter(ts, x -> x IN ('el','los','las','y'))) AS INT) AS s_es,
+       |  CAST(len(list_filter(ts, x -> x IN ('le','les','et','une'))) AS INT) AS s_fr,
+       |  md5(array_to_string(list_sort(list_distinct(ts)), ' ')) AS fp_content,
+       |  CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS INT) % 100 AS bucket
+       |  FROM t),
+       |pred AS (SELECT *,
+       |  CASE WHEN s_en >= greatest(s_de, s_es, s_fr) THEN 'en'
+       |       WHEN s_de >= greatest(s_es, s_fr) THEN 'de'
+       |       WHEN s_es >= s_fr THEN 'es'
+       |       ELSE 'fr' END AS predicted_lang
+       |  FROM gate),
+       |canon AS (SELECT fp_content, min(doc_id) AS keep_id FROM gate GROUP BY 1),
+       |clean AS (
+       |  SELECT p.doc_id, p.source, p.bucket
+       |  FROM pred p JOIN canon c ON c.keep_id = p.doc_id
+       |  WHERE p.quality_score >= 0.2 AND p.n_tokens >= 10
+       |    AND p.predicted_lang = p.lang),
+       |ct AS (SELECT doc_id, source FROM clean WHERE bucket < 80),
+       |sh AS (
+       |  SELECT DISTINCT doc_id, ts[g] || ' ' || ts[g+1] || ' ' || ts[g+2] AS shingle
+       |  FROM t, unnest(generate_series(1, len(ts)-2)) AS u(g)),
+       |shb AS (SELECT doc_id, shingle,
+       |  CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS INT) % 100 AS bucket
+       |  FROM sh),
+       |rare AS (SELECT shingle FROM sh GROUP BY shingle HAVING COUNT(*) <= 20),
+       |kept AS (SELECT sh.doc_id, sh.shingle FROM sh JOIN rare USING (shingle)),
+       |sc AS (SELECT doc_id, COUNT(*) AS n FROM kept GROUP BY 1),
+       |pairs AS (
+       |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS inter
+       |  FROM kept a JOIN kept b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2),
+       |edges AS (
+       |  SELECT p.a_id, p.b_id FROM pairs p
+       |  JOIN sc sa ON sa.doc_id = p.a_id
+       |  JOIN sc sb ON sb.doc_id = p.b_id
+       |  WHERE CAST(p.inter AS DOUBLE) / (sa.n + sb.n - p.inter) >= 0.1),
+       |nd AS (
+       |  SELECT DISTINCT e.b_id AS doc_id FROM edges e
+       |  JOIN ct a ON a.doc_id = e.a_id
+       |  JOIN ct b ON b.doc_id = e.b_id),
+       |cont AS (
+       |  SELECT s.doc_id FROM shb s
+       |  JOIN shb b2 ON s.shingle = b2.shingle AND b2.bucket >= 90
+       |  WHERE s.bucket < 80
+       |  GROUP BY s.doc_id HAVING COUNT(DISTINCT s.shingle) >= $MinShingleHits),
+       |surv AS (
+       |  SELECT c.doc_id, c.source FROM ct c
+       |  WHERE c.doc_id NOT IN (SELECT doc_id FROM nd)
        |    AND c.doc_id NOT IN (SELECT doc_id FROM cont)),
        |sw AS (SELECT DISTINCT source FROM surv),
        |wt AS (SELECT source,
@@ -288,9 +442,11 @@ object CorpusPipeline {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "pipeline_dataset_card" -> (qDatasetCard _),
-    "pipeline_corpus" -> (qPipelineCorpus _))
+    "pipeline_corpus" -> (qPipelineCorpus _),
+    "pipeline_corpus_stored" -> (qPipelineCorpusStored _))
 
   val oracles: Map[String, String] = Map(
     "pipeline_dataset_card" -> qDatasetCardOracle,
-    "pipeline_corpus" -> qPipelineCorpusOracle)
+    "pipeline_corpus" -> qPipelineCorpusOracle,
+    "pipeline_corpus_stored" -> qPipelineCorpusStoredOracle)
 }

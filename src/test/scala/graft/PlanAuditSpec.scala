@@ -590,7 +590,7 @@ class PlanAuditSpec extends SparkSpec {
       "sim_kmeans_step",
       "sim_ivfpq_topk", "sim_kmeans_iter", "dedup_semdedup",
       "dedup_semantic_clusters", "sample_mixture", "pipeline_corpus",
-      "sample_token_budget",
+      "pipeline_corpus_stored", "sample_token_budget",
       "text_tfidf", "text_lm_score", "q_rolling_active_users",
       "q_ewma_daily",
       "q22_idle_balances", "q_profile_stats", "sample_drift_psi",
@@ -734,6 +734,30 @@ class PlanAuditSpec extends SparkSpec {
     assert(graft.operators.DedupOps.qDedupClustersStarsStored(spark, sf).collect().toSeq ===
       graft.operators.DedupOps.qDedupClustersStars(spark, sf).collect().toSeq,
       "stored star-clusters diverged from self-contained")
+    spark.catalog.clearCache()
+  }
+
+  test("pipeline_corpus_stored: artifact scans, zero shingle explodes in the whole plan") {
+    // The stored pipeline's entire point (r9 verdict #3): the live
+    // pipeline's near-dup and decontamination stages each explode the
+    // corpus into shingles per run; the stored variant must plan NO
+    // Generate over split(text) ANYWHERE — documents are scanned for
+    // gate columns only — and must read BOTH durable artifacts
+    // (global text edges + bench_hits).
+    import org.apache.spark.sql.catalyst.plans.logical.{Generate, LogicalPlan}
+    def textGenerates(lp: LogicalPlan): Seq[Generate] =
+      lp.collect { case g: Generate if g.toString.contains("split(text") => g }
+    val df = graft.operators.CorpusPipeline.qPipelineCorpusStored(spark, sf)
+    assert(textGenerates(df.queryExecution.analyzed).isEmpty,
+      "stored pipeline plan re-shingles the corpus")
+    val p = planString(df)
+    assert(p.contains("graft_artifacts") && p.contains("text_edges")
+        && p.contains("bench_hits"),
+      "stored pipeline must scan the text_edges and bench_hits artifacts")
+    // the live twin provably shingles — the negative control
+    val live = graft.operators.CorpusPipeline.qPipelineCorpus(spark, sf)
+    assert(textGenerates(live.queryExecution.analyzed).nonEmpty,
+      "live pipeline no longer shingles — update this pin")
     spark.catalog.clearCache()
   }
 
