@@ -776,12 +776,15 @@ object SamplingOps {
     * sized host never funnels through one task). All comparisons are
     * integer cross-multiplies on mille-scaled means — no double
     * compare to diverge across engines. */
-  def qDomainFilter(spark: SparkSession, sfDir: String): DataFrame = {
+  /** The per-doc (doc_id, host, q_level, h) projection — split out so
+    * the streaming twin's spec replays EXACTLY this relation (one
+    * definition, no drift). */
+  private[graft] def domainDocs(spark: SparkSession, sfDir: String): DataFrame = {
     val toks = split(col("text"), " ")
     val qlvl = floor((size(array_distinct(toks)).cast(DoubleType) / size(toks)) *
       (lit(1.0) - size(filter(toks, x => x.isin("the", "a", "of", "and", "to")))
         .cast(DoubleType) / size(toks)) * 100).cast("long")
-    val docs = Tables.documents(spark, sfDir)
+    Tables.documents(spark, sfDir)
       .select(col("doc_id"),
         concat(col("source"), lit(".example."),
           when(length(col("source")) % 2 === 0, "com").otherwise("org"))
@@ -789,6 +792,10 @@ object SamplingOps {
         qlvl.as("q_level"),
         (conv(substring(md5(concat(lit("dom:"), col("doc_id").cast("string"))
           .cast("binary")), 1, 6), 16, 10).cast("long") % 1000000L).as("h"))
+  }
+
+  def qDomainFilter(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = domainDocs(spark, sfDir)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val hostStats = docs.groupBy(col("host"))
       .agg(count(lit(1)).as("host_docs"), sum(col("q_level")).as("host_q_sum"))

@@ -972,6 +972,90 @@ object StatefulOps {
         timeModeFor(ttl), OutputMode.Append())
   }
 
+  case class DomainDoc(doc_id: Long, host: String, q_level: Long, h: Long,
+      ts: java.sql.Timestamp)
+  case class DomainVerdict(doc_id: Long, host: String, host_docs: Long,
+      host_q_sum: Long, verdict: String)
+
+  /** Per-host running (document count, quality-level sum) — the two
+    * longs that decide a host's fate in the batch
+    * `SamplingOps.qDomainFilter`. */
+  private[graft] case class DomainState(nDocs: Long, qSum: Long)
+
+  /** The batch verdict algebra, shared by the streaming transition and
+    * the StatefulOpsSpec batch-parity assert: integer cross-multiplies
+    * on mille-scaled means (no double compare), hash-threshold quota —
+    * verbatim `qDomainFilter`'s SQL expressions in Scala. `globalMilli`
+    * (corpus mean quality ×1000) and `cap` (per-host admission target)
+    * are FROZEN REFERENCES: a live curation pass takes them from the
+    * last corpus snapshot, exactly as C4-style recrawl pipelines pin
+    * thresholds per release. */
+  private[graft] def domainVerdict(nDocs: Long, qSum: Long, h: Long,
+      globalMilli: Long, cap: Long): String =
+    if ((qSum * 1000 / nDocs) * 100 < globalMilli * 97) "drop_domain_quality"
+    else if (h * nDocs >= cap * 1000000L) "drop_domain_quota"
+    else "keep"
+
+  /** The per-host domain-stats transition: fold (doc_id, q_level, h)
+    * arrivals into the running two-long state, emitting each document
+    * with its host's stats AT ARRIVAL TIME and the provisional verdict
+    * under the frozen global references (the prefix-stats shape of the
+    * monitoring twins: batch assigns every doc its host's FINAL
+    * verdict; the stream's verdict at a host's last arrival equals the
+    * batch verdict for that host — asserted in StatefulOpsSpec). Split
+    * law ScalaCheck'd in DomainLaws. */
+  private[graft] def advanceDomainStats(st0: Option[DomainState],
+      globalMilli: Long, cap: Long, rows: Seq[(Long, Long, Long)])
+      : (DomainState, Seq[(Long, Long, Long, String)]) = {
+    var st = st0.getOrElse(DomainState(0L, 0L))
+    val out = scala.collection.mutable.ArrayBuffer[(Long, Long, Long, String)]()
+    rows.foreach { case (docId, q, h) =>
+      st = DomainState(st.nDocs + 1, st.qSum + q)
+      out += ((docId, st.nDocs, st.qSum,
+        domainVerdict(st.nDocs, st.qSum, h, globalMilli, cap)))
+    }
+    (st, out.toSeq)
+  }
+
+  final class DomainFilterProcessor(globalMilli: Long, cap: Long,
+      ttl: TTLConfig = TTLConfig.NONE)
+      extends StatefulProcessor[String, DomainDoc, DomainVerdict] {
+    @transient private var st: ValueState[DomainState] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      st = getHandle.getValueState[DomainState]("domain",
+        Encoders.product[DomainState], ttl)
+    override def handleInputRows(host: String, rows: Iterator[DomainDoc],
+        tv: TimerValues): Iterator[DomainVerdict] = {
+      // ascending doc_id within the batch — replay-deterministic like
+      // every processor here
+      val sorted = rows.toSeq.sortBy(_.doc_id)
+        .map(d => (d.doc_id, d.q_level, d.h))
+      val s0 = if (st.exists()) Some(st.get()) else None
+      val (s1, out) = advanceDomainStats(s0, globalMilli, cap, sorted)
+      st.update(s1)
+      out.iterator.map { case (id, n, q, v) => DomainVerdict(id, host, n, q, v) }
+    }
+  }
+
+  /** Ingest-side DOMAIN FILTER twin of the batch
+    * `SamplingOps.qDomainFilter`: per-host state is exactly two longs
+    * (count, quality sum — O(hosts) total), each arriving document
+    * emits its host's running stats and the provisional keep/drop
+    * verdict against the frozen corpus references. The semantics
+    * difference from batch is the one every prefix twin here carries:
+    * batch judges with final host stats, the stream judges with
+    * stats-so-far — they agree at each host's last arrival, and the
+    * stream needs no second pass. RocksDB state store required. */
+  def streamingDomainFilter(docs: Dataset[DomainDoc], globalMilli: Long,
+      cap: Long, watermark: String = "1 hour",
+      ttl: TTLConfig = TTLConfig.NONE): Dataset[DomainVerdict] = {
+    import docs.sparkSession.implicits._
+    docs.withWatermark("ts", watermark)
+      .groupByKey(_.host)
+      .transformWithState(new DomainFilterProcessor(globalMilli, cap, ttl),
+        timeModeFor(ttl), OutputMode.Append())
+  }
+
   case class DocShingle(doc_id: Long, shingle: String)
   case class NovelFlag(doc_id: Long, shingle: String, novel: Boolean)
 

@@ -711,6 +711,39 @@ object PathLaws extends Properties("advancePaths") {
     }
 }
 
+object DomainLaws extends Properties("advanceDomainStats") {
+  import graft.streaming.StatefulOps
+  // per-host arrival sequences: (doc_id ascending, q_level, hash)
+  private val rows: Gen[List[(Long, Long, Long)]] = for {
+    n  <- Gen.chooseNum(0, 40)
+    qs <- Gen.listOfN(n, Gen.chooseNum(0L, 100L))
+    hs <- Gen.listOfN(n, Gen.chooseNum(0L, 999999L))
+  } yield qs.zip(hs).zipWithIndex.map { case ((q, h), i) => (i.toLong, q, h) }
+  private val refs: Gen[(Long, Long)] =
+    for { gm <- Gen.chooseNum(1L, 100000L); cap <- Gen.chooseNum(1L, 50L) }
+      yield (gm, cap)
+
+  property("any batch split threads to the one-pass emissions") =
+    forAll(rows, Gen.chooseNum(0, 40), refs) { case (s, cut0, (gm, cap)) =>
+      val cut = math.min(cut0, s.length)
+      val (a, b) = s.splitAt(cut)
+      val (st1, o1) = StatefulOps.advanceDomainStats(None, gm, cap, a)
+      val (_, o2) = StatefulOps.advanceDomainStats(Some(st1), gm, cap, b)
+      val (_, all) = StatefulOps.advanceDomainStats(None, gm, cap, s)
+      o1 ++ o2 == all
+    }
+
+  property("state is the exact fold; emitted stats are the running prefixes") =
+    forAll(rows, refs) { case (s, (gm, cap)) =>
+      val (st, out) = StatefulOps.advanceDomainStats(None, gm, cap, s)
+      st.nDocs == s.length.toLong && st.qSum == s.map(_._2).sum &&
+        out.map(_._2) == (1L to s.length.toLong).toList &&
+        out.map(_._3) == s.map(_._2).scanLeft(0L)(_ + _).tail &&
+        out.zip(s).forall { case ((_, n, q, v), (_, _, h)) =>
+          v == StatefulOps.domainVerdict(n, q, h, gm, cap) }
+    }
+}
+
 object WalGapLaws extends Properties("advanceWalGaps") {
   import graft.streaming.StatefulOps
   private val wals: Gen[List[Long]] = for {

@@ -986,6 +986,64 @@ class StatefulOpsSpec extends SparkSpec {
     }
   }
 
+  test("streaming domain filter replayed over the fixture matches batch stats and verdicts") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      // batch truth + the frozen references derived from it
+      val batch = graft.operators.SamplingOps.qDomainFilter(spark, sf)
+        .collect().map(r => r.getLong(0) ->
+          (r.getString(1), r.getLong(2), r.getLong(3), r.getString(4))).toMap
+      val hostStats = batch.values.map { case (h, n, q, _) => (h, n, q) }.toSet
+      val total = hostStats.toSeq.map(_._2).sum
+      val gq = hostStats.toSeq.map(_._3).sum
+      val nHosts = hostStats.size.toLong
+      val cap = total * 8 / (nHosts * 10)
+      val globalMilli = gq * 1000 / total
+      // the EXACT batch per-doc projection, replayed in doc_id order
+      val docs = graft.operators.SamplingOps.domainDocs(spark, sf)
+        .orderBy("doc_id").collect()
+        .map(r => StatefulOps.DomainDoc(r.getLong(0), r.getString(1),
+          r.getLong(2), r.getLong(3), new Timestamp(T0 + r.getLong(0))))
+      val in = MemoryStream[StatefulOps.DomainDoc]
+      val q = StatefulOps.streamingDomainFilter(in.toDS(), globalMilli, cap)
+        .writeStream.format("memory").queryName("domain_out")
+        .outputMode("append").start()
+      try {
+        val (c1, c2) = docs.splitAt(docs.length / 2)
+        in.addData(c1.toIndexedSeq); q.processAllAvailable()
+        in.addData(c2.toIndexedSeq); q.processAllAvailable()
+        val got = spark.table("domain_out").collect()
+          .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+        assert(got.length === docs.length)
+        // each host's LAST arrival carries the batch host stats exactly
+        val lastByHost = got.groupBy(_._2).view
+          .mapValues(_.maxBy(_._3)).toMap
+        hostStats.foreach { case (h, n, qs) =>
+          val (_, _, gn, gqs) = lastByHost(h)
+          assert((gn, gqs) === ((n, qs)), s"host $h final stats diverged")
+        }
+        // the shared verdict algebra at FINAL stats reproduces every
+        // batch verdict (h comes from the replayed projection)
+        docs.foreach { d =>
+          val (_, n, qs, v) = batch(d.doc_id)
+          assert(StatefulOps.domainVerdict(n, qs, d.h, globalMilli, cap) === v,
+            s"doc ${d.doc_id}: scala verdict algebra diverged from batch SQL")
+        }
+      } finally q.stop()
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+      spark.catalog.clearCache()
+    }
+  }
+
   test("mapGroupsWithState accumulates per-table counts across batches") {
     import spark.implicits._
     implicit val sc = spark.sqlContext
