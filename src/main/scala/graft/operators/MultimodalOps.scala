@@ -118,6 +118,58 @@ object MultimodalOps {
       }
     }
 
+    /** Integer DCT-II basis, u ∈ [0,4): T(x)(u) =
+      * round(128·cos((2x+1)uπ/16)) — the rounded-integer cosine
+      * table every production codec ships (JPEG/H.264 use integer
+      * DCT approximations for exactly this reason: float cosines and
+      * summation order vary across libm builds; a shared integer
+      * table makes the transform bit-exact everywhere). The SAME 32
+      * literals appear in the DuckDB oracle. */
+    private[MultimodalOps] val DctT: Array[Array[Long]] = Array(
+      Array(128L, 126L, 118L, 106L), Array(128L, 106L, 49L, -25L),
+      Array(128L, 71L, -49L, -126L), Array(128L, 25L, -118L, -71L),
+      Array(128L, -25L, -118L, 71L), Array(128L, -71L, -49L, 126L),
+      Array(128L, -106L, 49L, 25L), Array(128L, -126L, 118L, -106L))
+
+    /** REAL pHash (r10, r9 verdict #6): 2-D integer DCT-II over the
+      * 8×8 strided downsample, 4×4 low-frequency block, bit i = 4u+v
+      * set when coefficient (u,v) exceeds the mean of the 15 AC
+      * coefficients (integer cross-multiply — no division). This IS
+      * the published pHash construction (downsample → DCT → low-band
+      * threshold against the AC average), at 16-bit width; only the
+      * DECODE to grayscale remains stubbed (raw payload bytes stand
+      * in for pixels). Requires ≥ 64 payload bytes. */
+    def dctHash(payload: Array[Byte]): Long = {
+      val px = resize(payload, 64) // 8×8 strided "grayscale"
+      val c = new Array[Long](16)
+      var u = 0
+      while (u < 4) {
+        var v = 0
+        while (v < 4) {
+          var acc = 0L
+          var x = 0
+          while (x < 8) {
+            var y = 0
+            while (y < 8) {
+              acc += px(8 * x + y).toLong * DctT(x)(u) * DctT(y)(v)
+              y += 1
+            }
+            x += 1
+          }
+          c(4 * u + v) = acc
+          v += 1
+        }
+        u += 1
+      }
+      var sac = 0L
+      var i = 1
+      while (i < 16) { sac += c(i); i += 1 }
+      var h = 0L
+      i = 0
+      while (i < 16) { if (c(i) * 15L > sac) h |= 1L << i; i += 1 }
+      h
+    }
+
     /** STUB segment energies: the payload split into `nSeg` equal
       * stride-sized segments (tail remainder dropped), each reduced to
       * its unsigned byte sum — the plumbing twin of a real framed
@@ -460,31 +512,27 @@ object MultimodalOps {
   // public: Spark's generated encoder code must reach this
   case class ThumbRow(doc_id: Long, thumb: Array[Int])
 
-  /** 16-bit average-hash perceptual fingerprint per IMAGE: bit i is
-    * set when thumbnail sample i exceeds the thumbnail mean. The
-    * compare is pure integer (`s·n > Σs` ⟺ `s > mean`), so the
-    * fingerprint is deterministic and engine-exact — no float mean.
-    * The thumbnail is the stub codec's strided 16-sample "resize" via
-    * the same mapPartitions decode plumbing as [[qDecodeFeatures]]; a
-    * real pHash (DCT of an 8×8 grayscale downsample) slots into the
-    * codec without touching the hashing or join shape. */
+  // public: Spark's generated encoder code must reach this
+  case class HashRow(doc_id: Long, phash: Long)
+
+  /** 16-bit PERCEPTUAL fingerprint per IMAGE — a real DCT pHash
+    * (r10): 8×8 strided downsample → 2-D integer DCT-II → 4×4
+    * low-frequency block thresholded against the AC mean
+    * ([[StubCodec.dctHash]] — the published pHash construction with
+    * a shared integer cosine table, so both engines produce the
+    * identical hash). Runs through the same mapPartitions decode
+    * plumbing as [[qDecodeFeatures]]; only pixel DECODE stays
+    * stubbed (payload bytes as grayscale). Images shorter than the
+    * 64-sample window carry no hash (none exist in the fixture;
+    * matches the oracle's n >= 64 filter). */
   private def phashes(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val media: Dataset[MediaRow] = mediaTable(spark, sfDir)
-      .filter(col("media_type") === "image")
+      .filter(col("media_type") === "image" && length(col("payload")) >= 64)
       .select(col("doc_id"), col("payload")).as[MediaRow]
     media.mapPartitions { rows =>
-      rows.map(m => ThumbRow(m.doc_id, StubCodec.resize(m.payload, 16)))
+      rows.map(m => HashRow(m.doc_id, StubCodec.dctHash(m.payload)))
     }.toDF()
-      .withColumn("n", size(col("thumb")))
-      .filter(col("n") > 0)
-      .withColumn("s", aggregate(col("thumb"), lit(0L), (a, x) => a + x))
-      .select(col("doc_id"),
-        aggregate(
-          zip_with(col("thumb"), sequence(lit(0), col("n") - 1), (x, i) =>
-            when(x * col("n") > col("s"),
-              pow(lit(2.0), i).cast("long")).otherwise(lit(0L))),
-          lit(0L), _ + _).as("phash"))
   }
 
   /** Image NEAR-dup pairs by perceptual hash: the multimodal member of
@@ -626,25 +674,45 @@ object MultimodalOps {
        |FROM en a JOIN en b ON b.doc_id = a.doc_id AND b.f = a.f + 1
        |ORDER BY a.doc_id, frame_idx""".stripMargin
 
-  /** The aHash + pigeonhole join reproduced byte-for-byte in DuckDB
-    * over `hex(encode(text))` — the same strided-thumbnail math as
-    * [[qDecodeFeaturesOracle]], the integer mean compare, and the
-    * chunk equi-join. */
+  /** The DCT pHash + pigeonhole join reproduced byte-for-byte in
+    * DuckDB over `hex(encode(text))`: same 8×8 strided downsample,
+    * same 32-literal integer cosine table, same AC-mean
+    * cross-multiply threshold, same chunk equi-join. */
   val qPhashNearDupOracle: String =
     """WITH m AS (
       |  SELECT doc_id, hex(encode(text)) AS h,
       |         CAST(octet_length(encode(text)) AS INT) AS nb
-      |  FROM documents WHERE doc_id % 3 = 0),
+      |  FROM documents WHERE doc_id % 3 = 0 AND octet_length(encode(text)) >= 64),
+      |dct(x, u, t) AS (VALUES
+      |  (0,0,128), (0,1,126), (0,2,118), (0,3,106),
+      |  (1,0,128), (1,1,106), (1,2,49), (1,3,-25),
+      |  (2,0,128), (2,1,71), (2,2,-49), (2,3,-126),
+      |  (3,0,128), (3,1,25), (3,2,-118), (3,3,-71),
+      |  (4,0,128), (4,1,-25), (4,2,-118), (4,3,71),
+      |  (5,0,128), (5,1,-71), (5,2,-49), (5,3,126),
+      |  (6,0,128), (6,1,-106), (6,2,49), (6,3,25),
+      |  (7,0,128), (7,1,-126), (7,2,118), (7,3,-106)),
       |t AS (
       |  SELECT m.doc_id, i.i AS i,
-      |         CAST('0x' || substr(m.h, 2*(i.i * GREATEST(1, m.nb // 16)) + 1, 2) AS INT) AS s
-      |  FROM m, unnest(generate_series(0, LEAST(16, m.nb) - 1)) AS i(i)),
-      |agg AS (SELECT doc_id, COUNT(*) AS n, SUM(s) AS sm FROM t GROUP BY 1),
+      |         CAST('0x' || substr(m.h, 2*(i.i * (m.nb // 64)) + 1, 2) AS INT) AS s
+      |  FROM m, unnest(generate_series(0, 63)) AS i(i)),
+      |co AS (
+      |  SELECT t.doc_id, tu.u AS u, tv.u AS v,
+      |         SUM(CAST(t.s AS BIGINT) * tu.t * tv.t) AS c
+      |  FROM t
+      |  JOIN dct tu ON tu.x = t.i // 8
+      |  JOIN dct tv ON tv.x = t.i % 8
+      |  GROUP BY 1, 2, 3),
+      |ac AS (
+      |  SELECT doc_id,
+      |         SUM(CASE WHEN u = 0 AND v = 0 THEN 0 ELSE c END) AS sac
+      |  FROM co GROUP BY 1),
       |ph AS (
-      |  SELECT t.doc_id,
-      |         CAST(SUM(CASE WHEN t.s * a.n > a.sm
-      |                       THEN CAST(1 AS BIGINT) << t.i ELSE 0 END) AS BIGINT) AS phash
-      |  FROM t JOIN agg a USING (doc_id) GROUP BY 1),
+      |  SELECT co.doc_id,
+      |         CAST(SUM(CASE WHEN co.c * 15 > ac.sac
+      |                       THEN CAST(1 AS BIGINT) << (co.u * 4 + co.v)
+      |                       ELSE 0 END) AS BIGINT) AS phash
+      |  FROM co JOIN ac USING (doc_id) GROUP BY 1),
       |ch AS (
       |  SELECT doc_id, phash, c.c AS c, (phash >> (c.c * 8)) & 255 AS cv
       |  FROM ph, (SELECT unnest(generate_series(0, 1)) AS c) c),
@@ -714,6 +782,25 @@ object MultimodalOps {
     * cross-multiplied Jaccard gate (10·inter ≥ union — no double
     * compare). Never all-pairs; a modality predicate on each join
     * side is the only delta from the unimodal miner. */
+  /** The gated text×image pair body over an already-prepared
+    * (doc_id, shingle) relation — shared by the miner and the recall
+    * eval so the candidate definition cannot drift between them.
+    * Returns (text_id, img_id, inter, nt, ni) rows passing the
+    * integer-cross-multiplied Jaccard gate. */
+  private def crossmodalGated(rel: DataFrame): DataFrame = {
+    val counts = rel.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    rel.filter(col("doc_id") % 3 =!= 0).as("t")
+      .join(rel.filter(col("doc_id") % 3 === 0).as("i"),
+        col("t.shingle") === col("i.shingle"))
+      .groupBy(col("t.doc_id").as("text_id"), col("i.doc_id").as("img_id"))
+      .agg(count(lit(1)).as("inter"))
+      .join(counts.withColumnRenamed("doc_id", "text_id")
+        .withColumnRenamed("n", "nt"), "text_id")
+      .join(counts.withColumnRenamed("doc_id", "img_id")
+        .withColumnRenamed("n", "ni"), "img_id")
+      .filter(col("inter") * 10 >= col("nt") + col("ni") - col("inter"))
+  }
+
   def qCrossmodalPairs(spark: SparkSession, sfDir: String): DataFrame = {
     val maxDf = 20
     val sh = DedupOps.shingles(graft.Tables.documents(spark, sfDir))
@@ -727,18 +814,7 @@ object MultimodalOps {
     // doc_id % 3 = 0)
     val kept = sh.join(rare, "shingle")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val counts = kept.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-    val pairs = kept.filter(col("doc_id") % 3 =!= 0).as("t")
-      .join(kept.filter(col("doc_id") % 3 === 0).as("i"),
-        col("t.shingle") === col("i.shingle"))
-      .groupBy(col("t.doc_id").as("text_id"), col("i.doc_id").as("img_id"))
-      .agg(count(lit(1)).as("inter"))
-    val scored = pairs
-      .join(counts.withColumnRenamed("doc_id", "text_id")
-        .withColumnRenamed("n", "nt"), "text_id")
-      .join(counts.withColumnRenamed("doc_id", "img_id")
-        .withColumnRenamed("n", "ni"), "img_id")
-      .filter(col("inter") * 10 >= col("nt") + col("ni") - col("inter"))
+    val scored = crossmodalGated(kept)
       .select(col("text_id"), col("img_id"), col("inter"),
         col("nt"), col("ni"),
         round(col("inter").cast("double") /
@@ -746,6 +822,108 @@ object MultimodalOps {
       .orderBy(col("text_id"), col("img_id"))
     DedupOps.unpersistAfterFirstAction(scored, sh, kept)
   }
+
+  /** Bounded image sample for the recall eval's brute-force truth —
+    * the multimodal mirror of [[SimilarityOps]]' `NumQueries`: at
+    * 100 TB the exact side runs over this fixed sample only. */
+  private val RecallImgCap = 900L
+
+  /** CROSS-MODAL RECALL@K — the eval that closes the mining loop
+    * (mirror of `sim_truncation_recall`): for each image in a BOUNDED
+    * sample, the TRUE top-[[RecallK]] caption matches are ranked by
+    * exact UNCAPPED shingle-Jaccard (brute-force truth: every text
+    * sharing at least one shingle competes, no DF cap, no gate), and
+    * recall measures how many of them the production miner
+    * ([[qCrossmodalPairs]]'s DF-capped + gated candidate set, built
+    * by the SHARED [[crossmodalGated]] body) actually surfaced. This
+    * is the number that justifies the DF-cap/threshold choices the
+    * way `dedup_lsh_band_tuning` justifies band geometry.
+    *
+    * Scale shape: the truth side is the expensive exact citizen,
+    * bounded by the image sample ([[RecallImgCap]]) — shared-shingle
+    * equi-join only, never all-pairs; the candidate side is the
+    * production miner's own plan. Ranking divides exact integers in
+    * IEEE doubles (correctly-rounded in both engines, text_id
+    * tiebreak). */
+  def qCrossmodalRecall(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val k = 3
+    val sh = DedupOps.shingles(graft.Tables.documents(spark, sfDir))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val counts = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val truth = sh.filter(col("doc_id") % 3 =!= 0).as("t")
+      .join(sh.filter(col("doc_id") % 3 === 0 &&
+          col("doc_id") < RecallImgCap).as("i"),
+        col("t.shingle") === col("i.shingle"))
+      .groupBy(col("t.doc_id").as("text_id"), col("i.doc_id").as("img_id"))
+      .agg(count(lit(1)).as("inter"))
+      .join(counts.withColumnRenamed("doc_id", "text_id")
+        .withColumnRenamed("n", "nt"), "text_id")
+      .join(counts.withColumnRenamed("doc_id", "img_id")
+        .withColumnRenamed("n", "ni"), "img_id")
+      .withColumn("j", col("inter").cast("double") /
+        (col("nt") + col("ni") - col("inter")))
+      .withColumn("rk", row_number().over(Window.partitionBy(col("img_id"))
+        .orderBy(col("j").desc, col("text_id"))))
+      .filter(col("rk") <= k)
+      .select(col("img_id"), col("text_id"))
+    val rare = sh.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+      .filter(col("df") <= 20).select("shingle")
+    val mined = crossmodalGated(sh.join(rare, "shingle"))
+      .select("text_id", "img_id")
+    val overlap = truth.join(mined, Seq("text_id", "img_id"), "left_semi")
+      .groupBy(col("img_id")).agg(count(lit(1)).as("overlap"))
+    val result = truth.groupBy(col("img_id")).agg(count(lit(1)).as("n_true"))
+      .join(overlap, Seq("img_id"), "left")
+      .select(col("img_id"), col("n_true"),
+        coalesce(col("overlap"), lit(0L)).as("overlap"),
+        round(coalesce(col("overlap"), lit(0L)) /
+          col("n_true").cast("double"), 6).as("recall_r"))
+      .orderBy(col("img_id"))
+    DedupOps.unpersistAfterFirstAction(result, sh)
+  }
+
+  val qCrossmodalRecallOracle: String =
+    """WITH sh AS (
+      |  SELECT DISTINCT doc_id, ts[g] || ' ' || ts[g+1] || ' ' || ts[g+2] AS shingle
+      |  FROM (SELECT doc_id, string_split(text, ' ') AS ts FROM documents) t,
+      |       unnest(generate_series(1, len(ts)-2)) AS u(g)),
+      |sc AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+      |tp AS (
+      |  SELECT t.doc_id AS text_id, i.doc_id AS img_id, COUNT(*) AS inter
+      |  FROM sh t JOIN sh i ON t.shingle = i.shingle
+      |  WHERE t.doc_id % 3 != 0 AND i.doc_id % 3 = 0 AND i.doc_id < 900
+      |  GROUP BY 1, 2),
+      |tr AS (
+      |  SELECT img_id, text_id,
+      |    row_number() OVER (PARTITION BY img_id
+      |      ORDER BY CAST(inter AS DOUBLE) / (a.n + b.n - inter) DESC,
+      |               text_id) AS rk
+      |  FROM tp JOIN sc a ON a.doc_id = text_id JOIN sc b ON b.doc_id = img_id),
+      |truth AS (SELECT img_id, text_id FROM tr WHERE rk <= 3),
+      |rare AS (SELECT shingle FROM sh GROUP BY 1 HAVING COUNT(*) <= 20),
+      |kept AS (SELECT sh.doc_id, sh.shingle FROM sh JOIN rare USING (shingle)),
+      |kc AS (SELECT doc_id, COUNT(*) AS n FROM kept GROUP BY 1),
+      |mp AS (
+      |  SELECT t.doc_id AS text_id, i.doc_id AS img_id, COUNT(*) AS inter
+      |  FROM kept t JOIN kept i ON t.shingle = i.shingle
+      |  WHERE t.doc_id % 3 != 0 AND i.doc_id % 3 = 0
+      |  GROUP BY 1, 2),
+      |mined AS (
+      |  SELECT text_id, img_id FROM mp
+      |  JOIN kc a ON a.doc_id = text_id
+      |  JOIN kc b ON b.doc_id = img_id
+      |  WHERE inter * 10 >= a.n + b.n - inter),
+      |ov AS (
+      |  SELECT t.img_id, COUNT(*) AS c
+      |  FROM truth t JOIN mined m
+      |    ON m.text_id = t.text_id AND m.img_id = t.img_id
+      |  GROUP BY 1),
+      |nt AS (SELECT img_id, COUNT(*) AS n_true FROM truth GROUP BY 1)
+      |SELECT nt.img_id, nt.n_true, COALESCE(ov.c, 0) AS overlap,
+      |  round(COALESCE(ov.c, 0) / CAST(nt.n_true AS DOUBLE), 6) AS recall_r
+      |FROM nt LEFT JOIN ov USING (img_id)
+      |ORDER BY img_id""".stripMargin
 
   /** Same shingle CTEs as the unimodal miner + the modality split. */
   val qCrossmodalPairsOracle: String =
@@ -771,6 +949,7 @@ object MultimodalOps {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm_crossmodal_pairs" -> (qCrossmodalPairs _),
+    "mm_crossmodal_recall" -> (qCrossmodalRecall _),
     "mm_scene_cuts" -> (qSceneCuts _),
     "mm_silence_trim" -> (qSilenceTrim _),
     "mm_blur_scores" -> (qBlurScores _),
@@ -784,6 +963,7 @@ object MultimodalOps {
 
   val oracles: Map[String, String] = Map(
     "mm_crossmodal_pairs" -> qCrossmodalPairsOracle,
+    "mm_crossmodal_recall" -> qCrossmodalRecallOracle,
     "mm_scene_cuts" -> qSceneCutsOracle,
     "mm_silence_trim" -> qSilenceTrimOracle,
     "mm_blur_scores" -> qBlurScoresOracle,

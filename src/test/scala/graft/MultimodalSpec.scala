@@ -62,22 +62,17 @@ class MultimodalSpec extends SparkSpec {
 
   test("phash near-dup: pigeonhole join equals a driver-side brute force over all image pairs") {
     // The pigeonhole guarantee is exact for d <= 1 with two 8-bit
-    // chunks: recompute every image's aHash from raw payloads in plain
-    // Scala, brute-force ALL pairs at Hamming <= 1, and demand the
-    // equi-join candidate path found exactly that set — completeness
-    // (no missed pair) AND soundness (no phantom pair), stronger than
-    // the oracle's agreement-on-the-same-algorithm.
+    // chunks: recompute every image's DCT pHash from raw payloads in
+    // plain Scala, brute-force ALL pairs at Hamming <= 1, and demand
+    // the equi-join candidate path found exactly that set —
+    // completeness (no missed pair) AND soundness (no phantom pair),
+    // stronger than the oracle's agreement-on-the-same-algorithm.
     val docs = MultimodalOps.mediaTable(spark, sf)
       .filter(col("media_type") === "image")
       .select("doc_id", "payload").collect()
       .map(r => r.getAs[Long]("doc_id") -> r.getAs[Array[Byte]]("payload"))
-    def ahash(payload: Array[Byte]): Long = {
-      val t = MultimodalOps.StubCodec.resize(payload, 16)
-      val n = t.length
-      val s = t.map(_.toLong).sum
-      (0 until n).map(i => if (t(i) * n > s) 1L << i else 0L).sum
-    }
-    val hashes = docs.filter(_._2.nonEmpty).map { case (id, p) => id -> ahash(p) }
+    val hashes = docs.filter(_._2.length >= 64)
+      .map { case (id, p) => id -> MultimodalOps.StubCodec.dctHash(p) }
     hashes.foreach { case (id, h) =>
       assert(h >= 0L && h < 65536L, s"phash($id) out of 16-bit range: $h") }
     val brute = (for {
