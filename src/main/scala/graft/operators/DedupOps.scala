@@ -214,6 +214,93 @@ object DedupOps {
       |  CAST(doc_id != min(doc_id) OVER (PARTITION BY fingerprint) AS INT) AS is_dup
       |FROM fp ORDER BY doc_id""".stripMargin
 
+  /** CRAWL DELTA — the corpus-versioning report every recrawl
+    * pipeline publishes (and the input to incremental reprocessing
+    * decisions: only `added`+`changed` docs re-enter the dedup/
+    * tokenize stages): a full-outer fingerprint join of two crawl
+    * snapshots classifies every doc_id as added / removed / changed /
+    * unchanged, rolled up per source with an integer churn ppm.
+    *
+    * Snapshot simulation (the driver ships one `documents` table):
+    * the PREVIOUS crawl misses ids ≡ 9 (mod 10) (those are this
+    * crawl's additions), the CURRENT crawl misses ids ≡ 0 (mod 10)
+    * (removals), and ids ≡ 3 (mod 7) lost their final token between
+    * crawls (edits) — all SQL-expressible so the oracle is exact. In
+    * production the two sides are separate snapshot tables; the plan
+    * shape is the honest one for that: two map-side fingerprint
+    * projections, ONE equi-join shuffle on doc_id (no windows, no
+    * content comparison beyond the 128-bit fp), then a source-sized
+    * rollup. Churn compares fingerprints WITHIN each engine, so no
+    * cross-engine md5 parity is even required — only the text
+    * derivations must agree (token-slice formula, identical both
+    * sides). */
+  def qCrawlDelta(spark: SparkSession, sfDir: String): DataFrame = {
+    val base = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("source"), col("text"))
+    val prevText = when(col("doc_id") % 7 === 3,
+        array_join(slice(split(col("text"), " "), lit(1),
+          size(split(col("text"), " ")) - 1), " "))
+      .otherwise(col("text"))
+    val prev = base.filter(col("doc_id") % 10 =!= 9)
+      .select(col("doc_id"), col("source").as("p_source"),
+        md5(prevText.cast("binary")).as("p_fp"))
+    val cur = base.filter(col("doc_id") % 10 =!= 0)
+      .select(col("doc_id"), col("source").as("c_source"),
+        md5(col("text").cast("binary")).as("c_fp"))
+    prev.join(cur, Seq("doc_id"), "full_outer")
+      .select(coalesce(col("c_source"), col("p_source")).as("source"),
+        when(col("p_fp").isNull, "added")
+          .when(col("c_fp").isNull, "removed")
+          .when(col("p_fp") =!= col("c_fp"), "changed")
+          .otherwise("unchanged").as("status"))
+      .groupBy(col("source"))
+      .agg(
+        sum((col("status") === "added").cast("long")).as("n_added"),
+        sum((col("status") === "removed").cast("long")).as("n_removed"),
+        sum((col("status") === "changed").cast("long")).as("n_changed"),
+        sum((col("status") === "unchanged").cast("long")).as("n_unchanged"))
+      .withColumn("churn_ppm", expr(
+        "(n_added + n_removed + n_changed) * 1000000 DIV " +
+          "(n_added + n_removed + n_changed + n_unchanged)"))
+      .orderBy(col("source"))
+  }
+
+  val qCrawlDeltaOracle: String =
+    """WITH d AS (
+      |  SELECT doc_id, source, text, string_split(text, ' ') AS ts
+      |  FROM documents),
+      |p AS (
+      |  SELECT doc_id, source,
+      |    md5(CASE WHEN doc_id % 7 = 3
+      |             THEN array_to_string(ts[1:len(ts)-1], ' ')
+      |             ELSE text END) AS fp
+      |  FROM d WHERE doc_id % 10 != 9),
+      |c AS (
+      |  SELECT doc_id, source, md5(text) AS fp
+      |  FROM d WHERE doc_id % 10 != 0),
+      |j AS (
+      |  SELECT COALESCE(c.source, p.source) AS source,
+      |    CASE WHEN p.fp IS NULL THEN 'added'
+      |         WHEN c.fp IS NULL THEN 'removed'
+      |         WHEN p.fp != c.fp THEN 'changed'
+      |         ELSE 'unchanged' END AS status
+      |  FROM p FULL OUTER JOIN c USING (doc_id)),
+      |a AS (
+      |  SELECT source,
+      |    SUM(CASE WHEN status = 'added' THEN 1 ELSE 0 END) AS n_added,
+      |    SUM(CASE WHEN status = 'removed' THEN 1 ELSE 0 END) AS n_removed,
+      |    SUM(CASE WHEN status = 'changed' THEN 1 ELSE 0 END) AS n_changed,
+      |    SUM(CASE WHEN status = 'unchanged' THEN 1 ELSE 0 END) AS n_unchanged
+      |  FROM j GROUP BY 1)
+      |SELECT source, CAST(n_added AS BIGINT) AS n_added,
+      |  CAST(n_removed AS BIGINT) AS n_removed,
+      |  CAST(n_changed AS BIGINT) AS n_changed,
+      |  CAST(n_unchanged AS BIGINT) AS n_unchanged,
+      |  CAST((n_added + n_removed + n_changed) * 1000000 //
+      |    (n_added + n_removed + n_changed + n_unchanged) AS BIGINT)
+      |    AS churn_ppm
+      |FROM a ORDER BY source""".stripMargin
+
   // ---- 2. n-gram Jaccard near-dup ----
 
   /** All document pairs with word-3-gram Jaccard ≥ 0.1, via the
@@ -2233,6 +2320,7 @@ object DedupOps {
     "dedup_substring" -> (qDedupSubstring _),
     "dedup_levenshtein" -> (qDedupLevenshtein _),
     "dedup_exact" -> (qDedupExact _),
+    "dedup_crawl_delta" -> (qCrawlDelta _),
     "dedup_ngram_jaccard" -> (qDedupJaccard _),
     "dedup_jaccard_capped" -> (qDedupJaccardCapped _),
     "dedup_containment" -> (qDedupContainment _),
@@ -2264,6 +2352,7 @@ object DedupOps {
     "dedup_substring" -> qDedupSubstringOracle,
     "dedup_levenshtein" -> qDedupLevenshteinOracle,
     "dedup_exact" -> qDedupExactOracle,
+    "dedup_crawl_delta" -> qCrawlDeltaOracle,
     "dedup_ngram_jaccard" -> qDedupJaccardOracle,
     "dedup_jaccard_capped" -> qDedupJaccardCappedOracle,
     "dedup_containment" -> qDedupContainmentOracle,

@@ -20,6 +20,40 @@ class PipelineOpsSpec extends SparkSpec {
     assert(dupCanon.join(canon, dupCanon("canonical_id") === canon("doc_id"), "left_anti").count() === 0)
   }
 
+  test("crawl delta equals a driver-side recompute; snapshot join is equi, never nested-loop") {
+    val docs = graft.Tables.documents(spark, sf)
+      .select("doc_id", "source", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    val want = docs.flatMap { case (id, src, t) =>
+      val inPrev = id % 10 != 9
+      val inCur = id % 10 != 0
+      if (!inPrev && !inCur) None
+      else {
+        val pt = if (id % 7 == 3) t.split(" ", -1).dropRight(1).mkString(" ") else t
+        val status =
+          if (!inPrev) "added"
+          else if (!inCur) "removed"
+          else if (pt != t) "changed"
+          else "unchanged"
+        Some((src, status))
+      }
+    }.groupBy(_._1).map { case (src, xs) =>
+      val c = xs.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+        .withDefaultValue(0L)
+      val (add, rem, ch, un) =
+        (c("added"), c("removed"), c("changed"), c("unchanged"))
+      (src, add, rem, ch, un, (add + rem + ch) * 1000000L / (add + rem + ch + un))
+    }.toSet
+    val df = DedupOps.qCrawlDelta(spark, sf)
+    val got = df.collect().map(r => (r.getString(0), r.getLong(1),
+      r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toSet
+    assert(got === want,
+      s"missed=${(want -- got).take(3)} phantom=${(got -- want).take(3)}")
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "snapshot diff must join on doc_id, never nested-loop")
+  }
+
   test("jaccard pairs are id-ordered with jaccard in (0,1]") {
     val r = DedupOps.qDedupJaccard(spark, sf).collect()
     r.foreach { row =>
