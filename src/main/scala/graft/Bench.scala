@@ -203,6 +203,7 @@ object Bench {
       graft.operators.DedupOps.qDedupIncrementalFromIndex(spark, sfDir)
       graft.operators.SimilarityOps.qSimIvfPqTopkStored(spark, sfDir)
       graft.operators.CorpusPipeline.benchHitsStored(spark, sfDir)
+      graft.operators.TextOps.idfStored(spark, sfDir)
       "ok"
     } catch { case e: Throwable =>
       System.err.println(s"[bench] artifact prebuild: $e")

@@ -481,6 +481,48 @@ object TextOps {
       tf)
   }
 
+  /** Stored (term, df) IDF table + corpus doc count (as `_graft_meta`)
+    * — the mine-once IDF model a production ranker ships: the
+    * corpus-wide document-frequency aggregation runs ONCE per dataset
+    * and lands in the durable artifact store; scoring any document
+    * (including new ones that postdate the mine) is then a map-side
+    * tf pass + one vocabulary-keyed join, never a second corpus
+    * aggregation. */
+  private[graft] def idfStored(spark: SparkSession, sfDir: String): (DataFrame, Long) = {
+    val (dir, meta) = graft.Artifacts.getOrBuildMeta(spark, sfDir, "idf_table") { d =>
+      val docs = Tables.documents(spark, sfDir)
+      val n = docs.count()
+      docs.select(col("doc_id"), explode(toks).as("term"))
+        .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+        .groupBy(col("term")).agg(count(lit(1)).as("df"))
+        .write.parquet(d)
+      n.toString
+    }
+    (spark.read.parquet(dir), meta.trim.toLong)
+  }
+
+  /** [[qTfidf]] SERVED from the stored IDF artifact — identical
+    * contract and oracle (verbatim-shared, the graph-family
+    * discipline): the per-doc tf explode is the unavoidable map work
+    * over whatever documents are being scored; the df side is the
+    * artifact scan and the doc count N is a meta literal folded into
+    * the scoring expression (no 1-row cross join at all). */
+  def qTfidfStored(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val (df, n) = idfStored(spark, sfDir)
+    val tf = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), explode(toks).as("term"))
+      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("score_1000").desc, col("term"))
+    tf.join(df, "term")
+      .withColumn("score_1000", expr(s"tf * ${n}L * 1000 DIV df"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 5)
+      .select(col("doc_id"), col("term"), col("tf"), col("df"), col("score_1000"))
+      .orderBy(col("doc_id"), col("term"))
+  }
+
   val qTfidfOracle: String =
     """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
       |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
@@ -1123,7 +1165,8 @@ object TextOps {
     "text_repetition" -> (qRepetition _),
     "text_pii_redact" -> (qPiiRedact _),
     "text_chunking" -> (qChunking _),
-    "text_tfidf" -> (qTfidf _))
+    "text_tfidf" -> (qTfidf _),
+    "text_tfidf_stored" -> (qTfidfStored _))
 
   val oracles: Map[String, String] = Map(
     "text_oov_rate" -> qOovRateOracle,
@@ -1148,5 +1191,6 @@ object TextOps {
     "text_repetition" -> qRepetitionOracle,
     "text_pii_redact" -> qPiiRedactOracle,
     "text_chunking" -> qChunkingOracle,
-    "text_tfidf" -> qTfidfOracle)
+    "text_tfidf" -> qTfidfOracle,
+    "text_tfidf_stored" -> qTfidfOracle)
 }

@@ -737,6 +737,17 @@ class PlanAuditSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("stored tf-idf serves the idf artifact and equals the live ranking row-for-row") {
+    val stored = graft.operators.TextOps.qTfidfStored(spark, sf)
+    val p = planString(stored)
+    assert(p.contains("graft_artifacts") && p.contains("idf_table"),
+      "stored tf-idf must scan the idf_table artifact")
+    assert(stored.collect().toSeq ===
+      graft.operators.TextOps.qTfidf(spark, sf).collect().toSeq,
+      "stored tf-idf diverged from the live twin")
+    spark.catalog.clearCache()
+  }
+
   test("pipeline_corpus_stored: artifact scans, zero shingle explodes in the whole plan") {
     // The stored pipeline's entire point (r9 verdict #3): the live
     // pipeline's near-dup and decontamination stages each explode the
