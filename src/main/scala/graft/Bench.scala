@@ -204,6 +204,7 @@ object Bench {
       graft.operators.SimilarityOps.qSimIvfPqTopkStored(spark, sfDir)
       graft.operators.CorpusPipeline.benchHitsStored(spark, sfDir)
       graft.operators.TextOps.idfStored(spark, sfDir)
+      graft.operators.TextOps.lmStored(spark, sfDir)
       "ok"
     } catch { case e: Throwable =>
       System.err.println(s"[bench] artifact prebuild: $e")

@@ -653,6 +653,48 @@ object TextOps {
       .orderBy(col("doc_id"))
   }
 
+  /** Stored UNIGRAM LM (token, count) table + total token mass N as
+    * `_graft_meta` — the KenLM-style stored language model: the
+    * corpus frequency pass mines once per dataset; scoring any
+    * document stream against the frozen model is then a map-side
+    * explode + one vocabulary join. The second member of the
+    * stored-model family ([[idfStored]]). */
+  private[graft] def lmStored(spark: SparkSession, sfDir: String): (DataFrame, Long) = {
+    val (dir, meta) = graft.Artifacts.getOrBuildMeta(spark, sfDir, "unigram_lm") { d =>
+      val tf = Tables.documents(spark, sfDir)
+        .select(explode(split(col("text"), " ")).as("tk"))
+        .groupBy(col("tk")).agg(count(lit(1)).as("c"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        tf.write.parquet(d)
+        tf.agg(sum(col("c"))).head.getLong(0).toString
+      } finally tf.unpersist()
+    }
+    (spark.read.parquet(dir), meta.trim.toLong)
+  }
+
+  /** [[qLmScore]] SERVED from the stored unigram model — identical
+    * contract and oracle (verbatim-shared): the per-doc term counts
+    * are the unavoidable map pass over whatever is being scored; the
+    * frequency side is the artifact scan and the total mass N is a
+    * meta literal (no 1-row cross join). This is how a perplexity
+    * filter actually deploys: the model is trained once on a
+    * reference corpus and scores every incoming shard unchanged. */
+  def qLmScoreStored(spark: SparkSession, sfDir: String): DataFrame = {
+    val (tf, n) = lmStored(spark, sfDir)
+    val dtf = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tk"))
+      .groupBy(col("doc_id"), col("tk"))
+      .agg(count(lit(1)).as("cnt"))
+    dtf.join(tf, "tk")
+      .groupBy(col("doc_id"))
+      .agg(sum(col("cnt")).as("n_tokens"),
+        (sum(col("cnt") * log(col("c"))) / sum(col("cnt"))).as("alc"))
+      .select(col("doc_id"), col("n_tokens"),
+        round(col("alc") - log(lit(n.toDouble)), 6).as("avg_logp_r"))
+      .orderBy(col("doc_id"))
+  }
+
   val qLmScoreOracle: String =
     """WITH tok AS (
       |  SELECT doc_id, unnest(string_split(text, ' ')) AS tk FROM documents),
@@ -1166,7 +1208,8 @@ object TextOps {
     "text_pii_redact" -> (qPiiRedact _),
     "text_chunking" -> (qChunking _),
     "text_tfidf" -> (qTfidf _),
-    "text_tfidf_stored" -> (qTfidfStored _))
+    "text_tfidf_stored" -> (qTfidfStored _),
+    "text_lm_score_stored" -> (qLmScoreStored _))
 
   val oracles: Map[String, String] = Map(
     "text_oov_rate" -> qOovRateOracle,
@@ -1192,5 +1235,6 @@ object TextOps {
     "text_pii_redact" -> qPiiRedactOracle,
     "text_chunking" -> qChunkingOracle,
     "text_tfidf" -> qTfidfOracle,
-    "text_tfidf_stored" -> qTfidfOracle)
+    "text_tfidf_stored" -> qTfidfOracle,
+    "text_lm_score_stored" -> qLmScoreOracle)
 }

@@ -748,6 +748,17 @@ class PlanAuditSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("stored unigram LM serves the model artifact and equals the live scores row-for-row") {
+    val stored = graft.operators.TextOps.qLmScoreStored(spark, sf)
+    val p = planString(stored)
+    assert(p.contains("graft_artifacts") && p.contains("unigram_lm"),
+      "stored LM score must scan the unigram_lm artifact")
+    assert(stored.collect().toSeq ===
+      graft.operators.TextOps.qLmScore(spark, sf).collect().toSeq,
+      "stored LM score diverged from the live twin")
+    spark.catalog.clearCache()
+  }
+
   test("pipeline_corpus_stored: artifact scans, zero shingle explodes in the whole plan") {
     // The stored pipeline's entire point (r9 verdict #3): the live
     // pipeline's near-dup and decontamination stages each explode the
