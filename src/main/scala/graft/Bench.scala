@@ -205,6 +205,7 @@ object Bench {
       graft.operators.CorpusPipeline.benchHitsStored(spark, sfDir)
       graft.operators.TextOps.idfStored(spark, sfDir)
       graft.operators.TextOps.lmStored(spark, sfDir)
+      graft.operators.TextOps.lmBigramStored(spark, sfDir)
       "ok"
     } catch { case e: Throwable =>
       System.err.println(s"[bench] artifact prebuild: $e")

@@ -710,6 +710,96 @@ object TextOps {
       |  round(alc - ln((SELECT n FROM tot)), 6) AS avg_logp_r
       |FROM d ORDER BY doc_id""".stripMargin
 
+  /** Map-side bigram extraction: zip the token array with its own
+    * tail — zero shuffles until the aggregate, vs the posexplode +
+    * self-join-on-(doc, pos+1) shape which shuffles the whole token
+    * stream twice. Docs with fewer than 2 tokens contribute no rows
+    * (both engines: an empty slice / empty `range`). */
+  private def bigrams(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"), split(col("text"), " ").as("l"))
+      .select(col("doc_id"),
+        slice(col("l"), lit(1), size(col("l")) - 1).as("a"),
+        slice(col("l"), lit(2), size(col("l")) - 1).as("b"))
+      .select(col("doc_id"), explode(arrays_zip(col("a"), col("b"))).as("bg"))
+      .select(col("doc_id"), col("bg.a").as("w1"), col("bg.b").as("w2"))
+
+  /** Per-document BIGRAM conditional log-likelihood: avg over a doc's
+    * bigram occurrences of ln(c2(w1,w2) / c1(w1)), the maximum-
+    * likelihood 2-gram model score — the next rung of the perplexity-
+    * filter ladder above [[qLmScore]]'s unigram surprise (KenLM-style
+    * count models; cf. reference's per-message scoring loop shape at
+    * source/postgres/postgres.go:242-296 applied per-token here).
+    * c1 is derived FROM the bigram relation (sum of c2 over w1), so
+    * conditional probabilities sum to exactly 1 per context by
+    * construction. Scale: the doc→bigram pass is map-side
+    * ([[bigrams]]); everything downstream aggregates on (w1,w2) /
+    * (w1) keys — bigram-vocabulary-sized, never corpus-sized. */
+  def qLmBigram(spark: SparkSession, sfDir: String): DataFrame = {
+    val dbg = bigrams(spark, sfDir)
+      .groupBy(col("doc_id"), col("w1"), col("w2"))
+      .agg(count(lit(1)).as("cnt"))
+    val c2 = dbg.groupBy(col("w1"), col("w2")).agg(sum(col("cnt")).as("c2"))
+    val c1 = c2.groupBy(col("w1")).agg(sum(col("c2")).as("c1"))
+    dbg.join(c2, Seq("w1", "w2")).join(c1, Seq("w1"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("cnt")).as("n_bigrams"),
+        round(sum(col("cnt") * (log(col("c2")) - log(col("c1")))) /
+          sum(col("cnt")), 6).as("avg_logp"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Stored BIGRAM LM: the (w1, w2, c2) count table as a durable
+    * artifact — third member of the stored-model family
+    * ([[idfStored]], [[lmStored]]). The context totals c1 are NOT
+    * stored: they re-derive from the artifact itself at serve time
+    * (a bigram-vocabulary-sized rollup), so the artifact stays a
+    * single normalized relation with no denormalized column to drift. */
+  private[graft] def lmBigramStored(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = graft.Artifacts.getOrBuild(spark, sfDir, "bigram_lm") { d =>
+      bigrams(spark, sfDir)
+        .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c2"))
+        .write.parquet(d)
+    }
+    spark.read.parquet(dir)
+  }
+
+  /** [[qLmBigram]] SERVED from the stored model (oracle shared
+    * verbatim): per-doc bigram counts are the unavoidable map pass
+    * over the text being scored; both model sides — c2 and its c1
+    * rollup — come off the artifact scan. */
+  def qLmBigramStored(spark: SparkSession, sfDir: String): DataFrame = {
+    val c2 = lmBigramStored(spark, sfDir)
+    val c1 = c2.groupBy(col("w1")).agg(sum(col("c2")).as("c1"))
+    bigrams(spark, sfDir)
+      .groupBy(col("doc_id"), col("w1"), col("w2"))
+      .agg(count(lit(1)).as("cnt"))
+      .join(c2, Seq("w1", "w2")).join(c1, Seq("w1"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("cnt")).as("n_bigrams"),
+        round(sum(col("cnt") * (log(col("c2")) - log(col("c1")))) /
+          sum(col("cnt")), 6).as("avg_logp"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Bigrams via 1-based list indexing over a lateral index range —
+    * the same pairs as the Spark tail-zip. */
+  val qLmBigramOracle: String =
+    """WITH l AS (
+      |  SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+      |bg AS (
+      |  SELECT doc_id, l[i] AS w1, l[i + 1] AS w2
+      |  FROM l, LATERAL (SELECT unnest(range(1, len(l))) AS i) r),
+      |dbg AS (SELECT doc_id, w1, w2, COUNT(*) AS cnt FROM bg GROUP BY 1, 2, 3),
+      |c2 AS (SELECT w1, w2, SUM(cnt) AS c2 FROM dbg GROUP BY 1, 2),
+      |c1 AS (SELECT w1, SUM(c2) AS c1 FROM c2 GROUP BY 1)
+      |SELECT dbg.doc_id,
+      |  CAST(SUM(dbg.cnt) AS BIGINT) AS n_bigrams,
+      |  round(SUM(dbg.cnt * (ln(c2.c2) - ln(c1.c1))) / SUM(dbg.cnt), 6)
+      |    AS avg_logp
+      |FROM dbg JOIN c2 USING (w1, w2) JOIN c1 USING (w1)
+      |GROUP BY 1 ORDER BY doc_id""".stripMargin
+
   /** Per-document NOVELTY: the fraction of a document's distinct
     * 3-gram shingles whose FIRST corpus occurrence (minimum doc_id —
     * the deterministic stand-in for ingestion order) is this document.
@@ -1209,7 +1299,9 @@ object TextOps {
     "text_chunking" -> (qChunking _),
     "text_tfidf" -> (qTfidf _),
     "text_tfidf_stored" -> (qTfidfStored _),
-    "text_lm_score_stored" -> (qLmScoreStored _))
+    "text_lm_score_stored" -> (qLmScoreStored _),
+    "text_lm_bigram" -> (qLmBigram _),
+    "text_lm_bigram_stored" -> (qLmBigramStored _))
 
   val oracles: Map[String, String] = Map(
     "text_oov_rate" -> qOovRateOracle,
@@ -1236,5 +1328,7 @@ object TextOps {
     "text_chunking" -> qChunkingOracle,
     "text_tfidf" -> qTfidfOracle,
     "text_tfidf_stored" -> qTfidfOracle,
-    "text_lm_score_stored" -> qLmScoreOracle)
+    "text_lm_score_stored" -> qLmScoreOracle,
+    "text_lm_bigram" -> qLmBigramOracle,
+    "text_lm_bigram_stored" -> qLmBigramOracle)
 }

@@ -1402,4 +1402,34 @@ class PipelineOpsSpec extends SparkSpec {
     assert(gens.isEmpty, "source overlap must not re-shingle the corpus")
     spark.catalog.clearCache()
   }
+
+  test("bigram LM equals a driver-side ML-count recompute; per-context probs sum to 1") {
+    val got = TextOps.qLmBigram(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    val docs = Tables.documents(spark, sf).select("doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val bgs = docs.flatMap { case (d, t) =>
+      val l = t.split(" ", -1); l.zip(l.drop(1)).map(d -> _) }
+    val c2 = bgs.groupBy(_._2).map { case (bg, v) => bg -> v.length.toLong }
+    val c1 = c2.groupBy(_._1._1).map { case (w1, m) => w1 -> m.values.sum }
+    val want = bgs.groupBy(_._1).map { case (d, v) =>
+      val lp = v.map { case (_, bg) =>
+        math.log(c2(bg).toDouble) - math.log(c1(bg._1).toDouble) }
+      d -> (v.length.toLong,
+        BigDecimal(lp.sum / v.length).setScale(6,
+          BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }
+    assert(got.keySet === want.keySet)
+    got.foreach { case (d, (n, alp)) =>
+      assert(n === want(d)._1, s"doc $d bigram count")
+      assert(math.abs(alp - want(d)._2) < 1e-6, s"doc $d avg_logp")
+      assert(alp <= 0.0, s"doc $d: a log-probability must be <= 0")
+    }
+    // the ML model normalizes: sum over w2 of c2/c1 is exactly 1 per context
+    c1.keys.take(50).foreach { w1 =>
+      val s = c2.collect { case ((a, _), c) if a == w1 => c }.sum
+      assert(s === c1(w1), s"context '$w1' counts inconsistent")
+    }
+    spark.catalog.clearCache()
+  }
 }

@@ -759,6 +759,21 @@ class PlanAuditSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("stored bigram LM serves the model artifact and equals the live scores row-for-row") {
+    val stored = graft.operators.TextOps.qLmBigramStored(spark, sf)
+    val p = planString(stored)
+    assert(p.contains("graft_artifacts") && p.contains("bigram_lm"),
+      "stored bigram LM must scan the bigram_lm artifact")
+    // the serving plan tokenizes only the text being scored: exactly
+    // one Generate (the doc-side bigram explode), none for the model
+    val gens = p.linesIterator.count(_.trim.matches("""\(\d+\) Generate.*"""))
+    assert(gens === 1, s"expected exactly 1 doc-side explode, got $gens")
+    assert(stored.collect().toSeq ===
+      graft.operators.TextOps.qLmBigram(spark, sf).collect().toSeq,
+      "stored bigram LM diverged from the live twin")
+    spark.catalog.clearCache()
+  }
+
   test("pipeline_corpus_stored: artifact scans, zero shingle explodes in the whole plan") {
     // The stored pipeline's entire point (r9 verdict #3): the live
     // pipeline's near-dup and decontamination stages each explode the
