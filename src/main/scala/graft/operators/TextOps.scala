@@ -929,6 +929,67 @@ object TextOps {
       |SELECT word, n_exact, TRUE AS lower_bound_ok, TRUE AS overcount_ok
       |FROM top ORDER BY n_exact DESC, word""".stripMargin
 
+  /** ZIPF HEAD FIT — the corpus-health diagnostic that catches
+    * template/spam floods and mojibake at a glance: natural-language
+    * corpora follow count ∝ rank^s with s ≈ −1 over the frequency
+    * head, and a slope far from −1 (or a collapsing r²) means the
+    * token distribution is degenerate (machine-generated repetition
+    * → flatter; boilerplate floods → steeper head). OLS of ln(count)
+    * on ln(rank) over the TOP-K (K = 1000) tokens — the published
+    * practice fits the head, where the power law actually holds.
+    * Scale: the corpus collapses to the vocabulary histogram in one
+    * shuffle; top-K is the bounded-heap TakeOrderedAndProject; the
+    * rank window runs over K rows (the sweep walker recognizes a
+    * global limit as bounded). One output row. */
+  def qZipfFit(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val k = 1000
+    val top = Tables.documents(spark, sfDir)
+      .select(explode(split(col("text"), " ")).as("tk"))
+      .groupBy(col("tk")).agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("tk")).limit(k)
+    top
+      .withColumn("rank",
+        row_number().over(Window.orderBy(col("c").desc, col("tk"))))
+      .select(log(col("rank").cast(DoubleType)).as("x"),
+        log(col("c").cast(DoubleType)).as("y"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("y") * col("y")).as("syy"),
+        sum(col("x") * col("y")).as("sxy"))
+      .withColumn("slope_c",
+        (col("n") * col("sxy") - col("sx") * col("sy")) /
+          (col("n") * col("sxx") - col("sx") * col("sx")))
+      .select(col("n").as("k"),
+        round(col("slope_c"), 6).as("slope"),
+        round((col("sy") - col("slope_c") * col("sx")) / col("n"), 6)
+          .as("intercept"),
+        round(pow(col("n") * col("sxy") - col("sx") * col("sy"), 2) /
+          ((col("n") * col("sxx") - col("sx") * col("sx")) *
+            (col("n") * col("syy") - col("sy") * col("sy"))), 6).as("r2"))
+  }
+
+  val qZipfFitOracle: String =
+    """WITH w AS (
+      |  SELECT unnest(string_split(text, ' ')) AS tk FROM documents),
+      |c AS (SELECT tk, COUNT(*) AS c FROM w GROUP BY 1),
+      |top AS (SELECT tk, c FROM c ORDER BY c DESC, tk LIMIT 1000),
+      |rk AS (SELECT c, row_number() OVER (ORDER BY c DESC, tk) AS rank
+      |       FROM top),
+      |m AS (SELECT COUNT(*) AS n,
+      |    SUM(ln(rank)) AS sx, SUM(ln(c)) AS sy,
+      |    SUM(ln(rank) * ln(rank)) AS sxx, SUM(ln(c) * ln(c)) AS syy,
+      |    SUM(ln(rank) * ln(c)) AS sxy
+      |  FROM rk),
+      |s AS (SELECT *,
+      |    (n * sxy - sx * sy) / (n * sxx - sx * sx) AS slope_c FROM m)
+      |SELECT n AS k, round(slope_c, 6) AS slope,
+      |  round((sy - slope_c * sx) / n, 6) AS intercept,
+      |  round(pow(n * sxy - sx * sy, 2) /
+      |        ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS r2
+      |FROM s""".stripMargin
+
   /** Cross-document boilerplate removal keyed by origin `source` — the
     * CCNet/MassiveText cleanup step (drop nav bars, cookie banners,
     * repeated templates) re-expressed at chunk granularity: a document
@@ -1301,7 +1362,8 @@ object TextOps {
     "text_tfidf_stored" -> (qTfidfStored _),
     "text_lm_score_stored" -> (qLmScoreStored _),
     "text_lm_bigram" -> (qLmBigram _),
-    "text_lm_bigram_stored" -> (qLmBigramStored _))
+    "text_lm_bigram_stored" -> (qLmBigramStored _),
+    "text_zipf_fit" -> (qZipfFit _))
 
   val oracles: Map[String, String] = Map(
     "text_oov_rate" -> qOovRateOracle,
@@ -1330,5 +1392,6 @@ object TextOps {
     "text_tfidf_stored" -> qTfidfOracle,
     "text_lm_score_stored" -> qLmScoreOracle,
     "text_lm_bigram" -> qLmBigramOracle,
-    "text_lm_bigram_stored" -> qLmBigramOracle)
+    "text_lm_bigram_stored" -> qLmBigramOracle,
+    "text_zipf_fit" -> qZipfFitOracle)
 }

@@ -1403,6 +1403,34 @@ class PipelineOpsSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("zipf fit equals a driver-side OLS recompute; slope negative, r2 in (0,1]") {
+    val r = TextOps.qZipfFit(spark, sf).collect().head
+    val (k, slope, intercept, r2) =
+      (r.getLong(0), r.getDouble(1), r.getDouble(2), r.getDouble(3))
+    val toks = Tables.documents(spark, sf).select("text").collect()
+      .flatMap(_.getString(0).split(" ", -1))
+    val top = toks.groupBy(identity).map { case (w, v) => (w, v.length) }
+      .toSeq.sortBy { case (w, c) => (-c, w) }.take(1000)
+    val xy = top.zipWithIndex.map { case ((_, c), i) =>
+      (math.log(i + 1.0), math.log(c.toDouble)) }
+    val n = xy.length.toDouble
+    val (sx, sy) = (xy.map(_._1).sum, xy.map(_._2).sum)
+    val (sxx, syy) = (xy.map(p => p._1 * p._1).sum, xy.map(p => p._2 * p._2).sum)
+    val sxy = xy.map(p => p._1 * p._2).sum
+    val wSlope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    assert(k === xy.length.toLong)
+    assert(math.abs(slope - wSlope) < 1e-5, s"slope $slope vs $wSlope")
+    assert(math.abs(intercept - (sy - wSlope * sx) / n) < 1e-5)
+    val wR2 = math.pow(n * sxy - sx * sy, 2) /
+      ((n * sxx - sx * sx) * (n * syy - sy * sy))
+    assert(math.abs(r2 - wR2) < 1e-5)
+    // the power-law shape itself: frequency falls with rank, and the
+    // head is genuinely log-log linear enough to be a usable signal
+    assert(slope < 0.0, s"zipf slope must be negative, got $slope")
+    assert(r2 > 0.0 && r2 <= 1.0, s"r2 out of range: $r2")
+    spark.catalog.clearCache()
+  }
+
   test("bigram LM equals a driver-side ML-count recompute; per-context probs sum to 1") {
     val got = TextOps.qLmBigram(spark, sf).collect()
       .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap

@@ -930,6 +930,13 @@ class PlanAuditSpec extends SparkSpec {
         else false
       }
     case _: org.apache.spark.sql.execution.FileSourceScanExec => true
+    // a GLOBAL limit (incl. the top-K heap operator) bounds output
+    // cardinality by a constant regardless of what it scans; a
+    // LocalLimit alone does NOT (it is per-partition) and is still
+    // walked through via the default case
+    case _: org.apache.spark.sql.execution.GlobalLimitExec => false
+    case _: org.apache.spark.sql.execution.TakeOrderedAndProjectExec => false
+    case _: org.apache.spark.sql.execution.CollectLimitExec => false
     case c: org.apache.spark.sql.execution.columnar.InMemoryTableScanExec =>
       reachesCorpus(c.relation.cachedPlan, derived)
     case _: org.apache.spark.sql.execution.LocalTableScanExec => false
@@ -969,6 +976,16 @@ class PlanAuditSpec extends SparkSpec {
       .withColumn("r", row_number().over(Window.orderBy(col("event_type"))))
     assert(corpusGlobalWindows(bounded).isEmpty,
       "raw bounded-column histograms must stay classified as reducing")
+    // third direction: a global top-K limit bounds cardinality even
+    // when keyed on a per-row id — a window over it is NOT a corpus
+    // window (the text_zipf_fit head-ranking shape)
+    val limited = graft.Tables.events(spark, sf)
+      .groupBy(col("user_id")).agg(sum(col("value")).as("ltv"))
+      .orderBy(col("ltv").desc, col("user_id")).limit(100)
+      .withColumn("r", row_number().over(
+        Window.orderBy(col("ltv").desc, col("user_id"))))
+    assert(corpusGlobalWindows(limited).isEmpty,
+      "a window over a global top-K limit must stay quiet")
   }
 
   test("decomposed rank queries plan no unpartitioned window over a corpus-sized input") {
