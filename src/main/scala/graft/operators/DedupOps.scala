@@ -214,6 +214,87 @@ object DedupOps {
       |  CAST(doc_id != min(doc_id) OVER (PARTITION BY fingerprint) AS INT) AS is_dup
       |FROM fp ORDER BY doc_id""".stripMargin
 
+  /** URL CANONICALIZATION DEDUP — the crawl-frontier dedup that runs
+    * BEFORE any content fetch: the same page arrives under http/https,
+    * with/without `www.`, mixed host case, a trailing slash, tracking
+    * params (`utm_*`), and fragments. The canonicalizer folds all six
+    * (lowercase → drop fragment → drop tracking query → drop scheme →
+    * drop `www.` → drop trailing slash; every regex is RE2-safe and
+    * anchored/single-match so both engines replace identically), then
+    * elects min-doc_id per canonical key. URLs are synthesized
+    * deterministically from (doc_id, source) — same discipline as
+    * [[graft.operators.TextOps.qUrlParse]] — with page id
+    * `doc_id % 50` so genuine collisions exist under every noise
+    * combination. Scale: the derivation and canonicalization are pure
+    * map-side; the only shuffle is the hash partition on the
+    * canonical key (two scalar window aggregates over it — a
+    * mega-duplicated URL makes a hot partition, at which point the
+    * same stats come from a groupBy + broadcast join instead; the
+    * per-key state is two longs either way). */
+  def qUrlCanonical(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d = col("doc_id")
+    val hostRaw = concat(
+      when(d % 7 === 0, "WWW.").when(d % 5 === 0, "www.").otherwise(""),
+      col("source"), lit(".example."),
+      when(length(col("source")) % 2 === 0, "com").otherwise("org"))
+    val host = when(d % 11 === 0, upper(hostRaw)).otherwise(hostRaw)
+    val url = concat(
+      when(d % 10 < 8, "https").otherwise("http"), lit("://"), host,
+      lit("/p/"), (d % 50).cast("string"),
+      when(d % 2 === 0, "/").otherwise(""),
+      when(d % 3 === 0,
+        concat(lit("?utm_source="), (d % 4).cast("string"))).otherwise(""),
+      when(d % 6 === 0,
+        concat(lit("#s"), (d % 5).cast("string"))).otherwise(""))
+    val canonical = Seq[Column => Column](
+      lower(_),
+      regexp_replace(_, "#.*$", ""),
+      regexp_replace(_, "\\?utm_[a-z_]+=[^#]*", ""),
+      regexp_replace(_, "^https?://", ""),
+      regexp_replace(_, "^www\\.", ""),
+      regexp_replace(_, "/$", ""))
+      .foldLeft(col("url"))((c, f) => f(c))
+    val byCanon = Window.partitionBy(col("canonical"))
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"), url.as("url"))
+      .withColumn("canonical", canonical)
+      .withColumn("group_size", count(lit(1)).over(byCanon))
+      .withColumn("is_keeper", d === min(d).over(byCanon))
+      .orderBy(col("doc_id"))
+  }
+
+  val qUrlCanonicalOracle: String =
+    """WITH h0 AS (
+      |  SELECT doc_id,
+      |    (CASE WHEN doc_id % 7 = 0 THEN 'WWW.'
+      |          WHEN doc_id % 5 = 0 THEN 'www.' ELSE '' END) ||
+      |    source || '.example.' ||
+      |    (CASE WHEN len(source) % 2 = 0 THEN 'com' ELSE 'org' END) AS hraw
+      |  FROM documents),
+      |u AS (
+      |  SELECT doc_id,
+      |    (CASE WHEN doc_id % 10 < 8 THEN 'https' ELSE 'http' END) || '://' ||
+      |    (CASE WHEN doc_id % 11 = 0 THEN upper(hraw) ELSE hraw END) ||
+      |    '/p/' || CAST(doc_id % 50 AS VARCHAR) ||
+      |    (CASE WHEN doc_id % 2 = 0 THEN '/' ELSE '' END) ||
+      |    (CASE WHEN doc_id % 3 = 0
+      |          THEN '?utm_source=' || CAST(doc_id % 4 AS VARCHAR) ELSE '' END) ||
+      |    (CASE WHEN doc_id % 6 = 0
+      |          THEN '#s' || CAST(doc_id % 5 AS VARCHAR) ELSE '' END) AS url
+      |  FROM h0),
+      |c AS (
+      |  SELECT doc_id, url,
+      |    regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+      |      regexp_replace(lower(url), '#.*$', ''),
+      |      '\?utm_[a-z_]+=[^#]*', ''), '^https?://', ''),
+      |      '^www\.', ''), '/$', '') AS canonical
+      |  FROM u)
+      |SELECT doc_id, url, canonical,
+      |  COUNT(*) OVER (PARTITION BY canonical) AS group_size,
+      |  doc_id = MIN(doc_id) OVER (PARTITION BY canonical) AS is_keeper
+      |FROM c ORDER BY doc_id""".stripMargin
+
   /** CRAWL DELTA — the corpus-versioning report every recrawl
     * pipeline publishes (and the input to incremental reprocessing
     * decisions: only `added`+`changed` docs re-enter the dedup/
@@ -2320,6 +2401,7 @@ object DedupOps {
     "dedup_substring" -> (qDedupSubstring _),
     "dedup_levenshtein" -> (qDedupLevenshtein _),
     "dedup_exact" -> (qDedupExact _),
+    "dedup_url_canonical" -> (qUrlCanonical _),
     "dedup_crawl_delta" -> (qCrawlDelta _),
     "dedup_ngram_jaccard" -> (qDedupJaccard _),
     "dedup_jaccard_capped" -> (qDedupJaccardCapped _),
@@ -2352,6 +2434,7 @@ object DedupOps {
     "dedup_substring" -> qDedupSubstringOracle,
     "dedup_levenshtein" -> qDedupLevenshteinOracle,
     "dedup_exact" -> qDedupExactOracle,
+    "dedup_url_canonical" -> qUrlCanonicalOracle,
     "dedup_crawl_delta" -> qCrawlDeltaOracle,
     "dedup_ngram_jaccard" -> qDedupJaccardOracle,
     "dedup_jaccard_capped" -> qDedupJaccardCappedOracle,

@@ -1403,6 +1403,46 @@ class PipelineOpsSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("url canonical dedup equals a driver-side recompute; one keeper per group; map-only derivation") {
+    val df = DedupOps.qUrlCanonical(spark, sf)
+    val got = df.collect().map(r => (r.getLong(0), r.getString(1),
+      r.getString(2), r.getLong(3), r.getBoolean(4)))
+    val src = Tables.documents(spark, sf).select("doc_id", "source")
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    def canon(u: String): String = u.toLowerCase
+      .replaceFirst("#.*$", "").replaceFirst("\\?utm_[a-z_]+=[^#]*", "")
+      .replaceFirst("^https?://", "").replaceFirst("^www\\.", "")
+      .replaceFirst("/$", "")
+    val wantUrl = src.map { case (d, s) =>
+      val h0 = (if (d % 7 == 0) "WWW." else if (d % 5 == 0) "www." else "") +
+        s + ".example." + (if (s.length % 2 == 0) "com" else "org")
+      val h = if (d % 11 == 0) h0.toUpperCase else h0
+      d -> ((if (d % 10 < 8) "https" else "http") + "://" + h +
+        "/p/" + (d % 50) + (if (d % 2 == 0) "/" else "") +
+        (if (d % 3 == 0) "?utm_source=" + (d % 4) else "") +
+        (if (d % 6 == 0) "#s" + (d % 5) else ""))
+    }.toMap
+    val wantCanon = wantUrl.map { case (d, u) => d -> canon(u) }
+    val groups = wantCanon.groupBy(_._2)
+    got.foreach { case (d, u, c, gs, keep) =>
+      assert(u === wantUrl(d), s"doc $d url")
+      assert(c === wantCanon(d), s"doc $d canonical")
+      assert(gs === groups(c).size.toLong, s"doc $d group size")
+      assert(keep === (d == groups(c).keys.min), s"doc $d keeper")
+    }
+    // canonical variants genuinely collapse, and exactly one keeper
+    // survives per canonical group
+    assert(groups.exists(_._2.size > 1), "fixture must contain URL dups")
+    assert(got.count(_._5) === groups.size)
+    // plan: pure map-side derivation — no join, no Generate; the only
+    // exchanges are for the canonical-key window (+ output sort)
+    val p = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+    assert(!p.contains("Join") && !p.contains("Generate"),
+      "url canonical dedup must be join- and explode-free")
+    spark.catalog.clearCache()
+  }
+
   test("zipf fit equals a driver-side OLS recompute; slope negative, r2 in (0,1]") {
     val r = TextOps.qZipfFit(spark, sf).collect().head
     val (k, slope, intercept, r2) =
