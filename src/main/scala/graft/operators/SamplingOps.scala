@@ -891,7 +891,63 @@ object SamplingOps {
       |  ROW_NUMBER() OVER (PARTITION BY epoch, shard ORDER BY rk, doc_id) AS pos
       |FROM s ORDER BY epoch, shard, pos""".stripMargin
 
+  /** CCNet-STYLE PERPLEXITY BUCKETS — the published web-corpus
+    * curation step: score every document against a frozen reference
+    * language model, split each language slice into head / middle /
+    * tail terciles by model score, keep head+middle and drop the
+    * tail (high-perplexity ≈ noise under the reference model). The
+    * model is the durable stored unigram LM
+    * ([[TextOps.lmStored]]) — scoring is artifact-served, so this
+    * sampler never re-aggregates corpus frequencies. Scale: the
+    * scoring pass is the one-explode + vocabulary-join shape; the
+    * tercile window partitions BY LANGUAGE (ntile over each slice;
+    * the CCNet bucketing is per-language by definition, and language
+    * slices are the natural parallel unit); output is a
+    * (lang × 3)-sized rollup. Ties break on doc_id so bucket
+    * boundaries are replay-stable. */
+  def qPerplexityBuckets(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("lang"))
+      .orderBy(col("avg_logp_r").desc, col("doc_id"))
+    TextOps.lmScoredDocs(spark, sfDir)
+      .withColumn("bucket", ntile(3).over(w))
+      .groupBy(col("lang"), col("bucket"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("n_tokens"),
+        round(avg(col("avg_logp_r")), 6).as("avg_logp"))
+      .withColumn("kept", col("bucket") <= 2)
+      .orderBy(col("lang"), col("bucket"))
+  }
+
+  val qPerplexityBucketsOracle: String =
+    """WITH tok AS (
+      |  SELECT doc_id, lang, unnest(string_split(text, ' ')) AS tk
+      |  FROM documents),
+      |dtf AS (SELECT doc_id, lang, tk, COUNT(*) AS cnt
+      |        FROM tok GROUP BY 1, 2, 3),
+      |tf AS (SELECT tk, SUM(cnt) AS c FROM dtf GROUP BY 1),
+      |tot AS (SELECT CAST(SUM(c) AS DOUBLE) AS n FROM tf),
+      |d AS (
+      |  SELECT dtf.doc_id, dtf.lang,
+      |    CAST(SUM(dtf.cnt) AS BIGINT) AS n_tokens,
+      |    SUM(dtf.cnt * ln(tf.c)) / SUM(dtf.cnt) AS alc
+      |  FROM dtf JOIN tf USING (tk) GROUP BY 1, 2),
+      |s AS (
+      |  SELECT doc_id, lang, n_tokens,
+      |    round(alc - ln((SELECT n FROM tot)), 6) AS score FROM d),
+      |b AS (
+      |  SELECT lang, n_tokens, score,
+      |    ntile(3) OVER (PARTITION BY lang ORDER BY score DESC, doc_id)
+      |      AS bucket
+      |  FROM s)
+      |SELECT lang, bucket, COUNT(*) AS n_docs,
+      |  CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+      |  round(AVG(score), 6) AS avg_logp,
+      |  bucket <= 2 AS kept
+      |FROM b GROUP BY 1, 2 ORDER BY lang, bucket""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sample_perplexity_buckets" -> (qPerplexityBuckets _),
     "sample_epoch_shuffle" -> (qEpochShuffle _),
     "sample_domain_filter" -> (qDomainFilter _),
     "sample_quality_dup_profile" -> (qQualityDupProfile _),
@@ -909,6 +965,7 @@ object SamplingOps {
     "sample_importance" -> (qImportanceSample _))
 
   val oracles: Map[String, String] = Map(
+    "sample_perplexity_buckets" -> qPerplexityBucketsOracle,
     "sample_epoch_shuffle" -> qEpochShuffleOracle,
     "sample_domain_filter" -> qDomainFilterOracle,
     "sample_quality_dup_profile" -> qQualityDupProfileOracle,

@@ -185,6 +185,48 @@ object TextOps {
       |  CAST(len(pieces) AS DOUBLE) / len(ts) AS pieces_per_word
       |FROM p ORDER BY doc_id""".stripMargin
 
+  /** TOKENIZER FERTILITY per language slice — the tokenizer-eval
+    * metric that decides whether a vocabulary is fit for a corpus:
+    * fertility = subword pieces per whitespace word (≈1 for a
+    * well-fit vocab, blows up on unseen scripts), plus chars-per-
+    * piece (compression). Uses the same BPE-ish piece regex as
+    * [[qBpeTokens]] so the two reports agree by construction. Scale:
+    * one codegen'd map pass collapses the corpus to a language-sized
+    * rollup; each output ratio is ONE division of two exact long
+    * sums (not an average of per-doc doubles), so engines agree
+    * bit-for-bit before rounding. */
+  def qFertility(spark: SparkSession, sfDir: String): DataFrame = {
+    val pieces = regexp_extract_all(col("text"), lit(BpePattern), lit(0))
+    Tables.documents(spark, sfDir)
+      .select(col("lang"),
+        length(col("text")).cast("long").as("chars"),
+        size(pieces).cast("long").as("pieces"),
+        size(split(col("text"), " ")).cast("long").as("words"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("chars")).as("n_chars"),
+        sum(col("pieces")).as("n_pieces"),
+        sum(col("words")).as("n_words"),
+        round(sum(col("pieces")).cast(DoubleType) / sum(col("words")), 6)
+          .as("fertility"),
+        round(sum(col("chars")).cast(DoubleType) / sum(col("pieces")), 6)
+          .as("chars_per_piece"))
+      .orderBy(col("lang"))
+  }
+
+  val qFertilityOracle: String =
+    """WITH p AS (SELECT lang,
+      |  length(text) AS chars,
+      |  len(regexp_extract_all(text, '''[a-z]+| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 ]+')) AS pieces,
+      |  len(string_split(text, ' ')) AS words FROM documents)
+      |SELECT lang, COUNT(*) AS n_docs,
+      |  CAST(SUM(chars) AS BIGINT) AS n_chars,
+      |  CAST(SUM(pieces) AS BIGINT) AS n_pieces,
+      |  CAST(SUM(words) AS BIGINT) AS n_words,
+      |  round(CAST(SUM(pieces) AS DOUBLE) / SUM(words), 6) AS fertility,
+      |  round(CAST(SUM(chars) AS DOUBLE) / SUM(pieces), 6) AS chars_per_piece
+      |FROM p GROUP BY lang ORDER BY lang""".stripMargin
+
   /** Rolling (Rabin-Karp polynomial) document fingerprint: per-token
     * values folded left-to-right as h = (h·B + v) mod M, plus the
     * minimum 3-token-window hash (winnowing's selection step — the
@@ -680,19 +722,28 @@ object TextOps {
     * meta literal (no 1-row cross join). This is how a perplexity
     * filter actually deploys: the model is trained once on a
     * reference corpus and scores every incoming shard unchanged. */
-  def qLmScoreStored(spark: SparkSession, sfDir: String): DataFrame = {
+  def qLmScoreStored(spark: SparkSession, sfDir: String): DataFrame =
+    lmScoredDocs(spark, sfDir)
+      .select(col("doc_id"), col("n_tokens"), col("avg_logp_r"))
+      .orderBy(col("doc_id"))
+
+  /** The stored-model scoring pass with the language slice kept:
+    * (doc_id, lang, n_tokens, avg_logp_r). Shared by
+    * [[qLmScoreStored]] and the CCNet-style perplexity-bucket
+    * sampler in [[SamplingOps]]. */
+  private[graft] def lmScoredDocs(spark: SparkSession, sfDir: String): DataFrame = {
     val (tf, n) = lmStored(spark, sfDir)
     val dtf = Tables.documents(spark, sfDir)
-      .select(col("doc_id"), explode(split(col("text"), " ")).as("tk"))
-      .groupBy(col("doc_id"), col("tk"))
+      .select(col("doc_id"), col("lang"),
+        explode(split(col("text"), " ")).as("tk"))
+      .groupBy(col("doc_id"), col("lang"), col("tk"))
       .agg(count(lit(1)).as("cnt"))
     dtf.join(tf, "tk")
-      .groupBy(col("doc_id"))
+      .groupBy(col("doc_id"), col("lang"))
       .agg(sum(col("cnt")).as("n_tokens"),
         (sum(col("cnt") * log(col("c"))) / sum(col("cnt"))).as("alc"))
-      .select(col("doc_id"), col("n_tokens"),
+      .select(col("doc_id"), col("lang"), col("n_tokens"),
         round(col("alc") - log(lit(n.toDouble)), 6).as("avg_logp_r"))
-      .orderBy(col("doc_id"))
   }
 
   val qLmScoreOracle: String =
@@ -1363,7 +1414,8 @@ object TextOps {
     "text_lm_score_stored" -> (qLmScoreStored _),
     "text_lm_bigram" -> (qLmBigram _),
     "text_lm_bigram_stored" -> (qLmBigramStored _),
-    "text_zipf_fit" -> (qZipfFit _))
+    "text_zipf_fit" -> (qZipfFit _),
+    "text_fertility" -> (qFertility _))
 
   val oracles: Map[String, String] = Map(
     "text_oov_rate" -> qOovRateOracle,
@@ -1393,5 +1445,6 @@ object TextOps {
     "text_lm_score_stored" -> qLmScoreOracle,
     "text_lm_bigram" -> qLmBigramOracle,
     "text_lm_bigram_stored" -> qLmBigramOracle,
-    "text_zipf_fit" -> qZipfFitOracle)
+    "text_zipf_fit" -> qZipfFitOracle,
+    "text_fertility" -> qFertilityOracle)
 }

@@ -1443,6 +1443,72 @@ class PipelineOpsSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("fertility equals a driver-side recompute and agrees with the per-doc BPE report") {
+    val got = TextOps.qFertility(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5), r.getDouble(6))).toSet
+    val re = "'[a-z]+| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 ]+".r
+    val docs = Tables.documents(spark, sf).select("lang", "text").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val want = docs.groupBy(_._1).map { case (lang, v) =>
+      val chars = v.map(_._2.length.toLong).sum
+      val pieces = v.map(d => re.findAllIn(d._2).size.toLong).sum
+      val words = v.map(_._2.split(" ", -1).length.toLong).sum
+      def r6(x: Double) = BigDecimal(x).setScale(6,
+        BigDecimal.RoundingMode.HALF_UP).toDouble
+      (lang, v.size.toLong, chars, pieces, words,
+        r6(pieces.toDouble / words), r6(chars.toDouble / pieces))
+    }.toSet
+    assert(got === want)
+    // a fit Latin-script vocab: fertility stays near 1, never below
+    got.foreach { case (l, _, _, _, _, fert, cpp) =>
+      assert(fert >= 1.0 && fert < 3.0, s"$l fertility $fert")
+      assert(cpp > 1.0, s"$l chars/piece $cpp") }
+    spark.catalog.clearCache()
+  }
+
+  test("perplexity buckets: terciles balanced per lang, tail dropped, artifact-served scoring") {
+    val df = graft.operators.SamplingOps.qPerplexityBuckets(spark, sf)
+    val got = df.collect().map(r => (r.getString(0), r.getInt(1),
+      r.getLong(2), r.getLong(3), r.getDouble(4), r.getBoolean(5)))
+    // recompute the bucketing from the (already oracle-checked)
+    // stored-LM scores: ntile(3) per lang by (score desc, doc_id)
+    val scored = TextOps.lmScoredDocs(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+    val want = scored.groupBy(_._2).flatMap { case (lang, v) =>
+      val ord = v.sortBy(d => (-d._4, d._1))
+      val n = ord.length
+      val base = n / 3; val extra = n % 3
+      val sizes = (1 to 3).map(b => base + (if (b <= extra) 1 else 0))
+      val bounds = sizes.scanLeft(0)(_ + _)
+      (1 to 3).map { b =>
+        val slice = ord.slice(bounds(b - 1), bounds(b))
+        val avg = BigDecimal(slice.map(_._4).sum / slice.length)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+        (lang, b, slice.length.toLong, slice.map(_._3).sum, avg, b <= 2)
+      }
+    }.toSet
+    got.foreach { case row @ (lang, b, nd, _, avg, _) =>
+      val w = want.find(x => x._1 == lang && x._2 == b).get
+      assert(row._3 === w._3 && row._4 === w._4, s"$lang/$b counts")
+      assert(math.abs(avg - w._5) < 2e-6, s"$lang/$b avg: $avg vs ${w._5}")
+    }
+    // tercile sizes within a lang differ by at most 1; head score >= tail
+    got.groupBy(_._1).foreach { case (lang, rows) =>
+      val sizes = rows.sortBy(_._2).map(_._3)
+      assert(sizes.max - sizes.min <= 1, s"$lang terciles unbalanced")
+      val avgs = rows.sortBy(_._2).map(_._5)
+      assert(avgs.head >= avgs.last, s"$lang head not above tail")
+      assert(rows.count(_._6) === 2, s"$lang must keep exactly 2 buckets")
+    }
+    // scoring must be served from the stored model artifact
+    val p = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+    assert(p.contains("graft_artifacts") && p.contains("unigram_lm"),
+      "bucket scoring must scan the unigram_lm artifact")
+    spark.catalog.clearCache()
+  }
+
   test("zipf fit equals a driver-side OLS recompute; slope negative, r2 in (0,1]") {
     val r = TextOps.qZipfFit(spark, sf).collect().head
     val (k, slope, intercept, r2) =
