@@ -315,19 +315,36 @@ object DedupOps {
     * cross-engine md5 parity is even required — only the text
     * derivations must agree (token-slice formula, identical both
     * sides). */
-  def qCrawlDelta(spark: SparkSession, sfDir: String): DataFrame = {
-    val base = Tables.documents(spark, sfDir)
-      .select(col("doc_id"), col("source"), col("text"))
+  /** The simulated PREVIOUS-crawl snapshot projection
+    * (doc_id, source, fp) — shared by [[qCrawlDelta]] and the
+    * streaming crawl-delta twin's replay spec so the two can never
+    * drift on the text derivation. */
+  private[graft] def crawlPrev(spark: SparkSession, sfDir: String): DataFrame = {
     val prevText = when(col("doc_id") % 7 === 3,
         array_join(slice(split(col("text"), " "), lit(1),
           size(split(col("text"), " ")) - 1), " "))
       .otherwise(col("text"))
-    val prev = base.filter(col("doc_id") % 10 =!= 9)
+    Tables.documents(spark, sfDir)
+      .filter(col("doc_id") % 10 =!= 9)
+      .select(col("doc_id"), col("source"),
+        md5(prevText.cast("binary")).as("fp"))
+  }
+
+  /** The simulated CURRENT-crawl snapshot projection — see
+    * [[crawlPrev]]. */
+  private[graft] def crawlCur(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .filter(col("doc_id") % 10 =!= 0)
+      .select(col("doc_id"), col("source"),
+        md5(col("text").cast("binary")).as("fp"))
+
+  def qCrawlDelta(spark: SparkSession, sfDir: String): DataFrame = {
+    val prev = crawlPrev(spark, sfDir)
       .select(col("doc_id"), col("source").as("p_source"),
-        md5(prevText.cast("binary")).as("p_fp"))
-    val cur = base.filter(col("doc_id") % 10 =!= 0)
+        col("fp").as("p_fp"))
+    val cur = crawlCur(spark, sfDir)
       .select(col("doc_id"), col("source").as("c_source"),
-        md5(col("text").cast("binary")).as("c_fp"))
+        col("fp").as("c_fp"))
     prev.join(cur, Seq("doc_id"), "full_outer")
       .select(coalesce(col("c_source"), col("p_source")).as("source"),
         when(col("p_fp").isNull, "added")

@@ -1122,6 +1122,75 @@ object StatefulOps {
         OutputMode.Append())
   }
 
+  case class CrawlDoc(doc_id: Long, source: String, fp: String,
+      ts: java.sql.Timestamp)
+  case class CrawlStatus(doc_id: Long, source: String, status: String)
+
+  /** The crawl-delta transition for ONE doc_id: fold fingerprint
+    * observations (in arrival order) over the stored last-seen
+    * fingerprint — "added" on first sight, "changed" when the
+    * fingerprint moved, "unchanged" otherwise. Split law (any batch
+    * cut of the observation sequence with threaded state = one-pass
+    * statuses) is ScalaCheck'd in CrawlLaws. */
+  private[graft] def advanceCrawl(st0: Option[String], fps: Seq[String])
+      : (Option[String], Seq[String]) = {
+    var prev = st0
+    val out = fps.map { fp =>
+      val s = prev match {
+        case None => "added"
+        case Some(p) if p != fp => "changed"
+        case _ => "unchanged"
+      }
+      prev = Some(fp)
+      s
+    }
+    (prev, out)
+  }
+
+  final class CrawlDeltaProcessor(ttl: TTLConfig = TTLConfig.NONE)
+      extends StatefulProcessor[Long, CrawlDoc, CrawlStatus] {
+    @transient private var lastFp: ValueState[String] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      lastFp = getHandle.getValueState[String]("lastFp",
+        Encoders.STRING, ttl)
+    override def handleInputRows(docId: Long, rows: Iterator[CrawlDoc],
+        tv: TimerValues): Iterator[CrawlStatus] = {
+      // ascending (ts, fp) — replay-deterministic like every
+      // processor here (one observation per crawl per doc in
+      // practice; the tie-break matters only for same-instant dupes)
+      val sorted = rows.toSeq.sortBy(d => (d.ts.getTime, d.fp))
+      val st = if (lastFp.exists()) Some(lastFp.get()) else None
+      val (fp1, statuses) = advanceCrawl(st, sorted.map(_.fp))
+      fp1.foreach(lastFp.update)
+      sorted.zip(statuses).iterator
+        .map { case (d, s) => CrawlStatus(d.doc_id, d.source, s) }
+    }
+  }
+
+  /** Ingest-side CRAWL-DELTA twin of the batch
+    * `DedupOps.qCrawlDelta`: the recrawl stream carries (doc_id,
+    * source, fingerprint) observations; per-doc state is the last-
+    * seen fingerprint, and each arrival classifies itself as added /
+    * changed / unchanged on the spot — so `added`+`changed` docs can
+    * re-enter the dedup/tokenize stages incrementally, without
+    * waiting for the end-of-crawl snapshot join. `removed` is the one
+    * class an arrival stream cannot emit (absence is not an event):
+    * that sweep stays the batch query's full-outer join, exactly the
+    * division of labor real recrawl pipelines use. State is one
+    * fingerprint string per crawled doc — O(corpus), the honest cost
+    * of incremental change detection (same argument as the novelty
+    * twin's O(shingles)); the TTL knob bounds it to the recrawl
+    * horizon. RocksDB state store required. */
+  def streamingCrawlDelta(docs: Dataset[CrawlDoc],
+      watermark: String = "1 hour",
+      ttl: TTLConfig = TTLConfig.NONE): Dataset[CrawlStatus] = {
+    import docs.sparkSession.implicits._
+    docs.withWatermark("ts", watermark)
+      .groupByKey(_.doc_id)
+      .transformWithState(new CrawlDeltaProcessor(ttl), timeModeFor(ttl),
+        OutputMode.Append())
+  }
+
   /** Ingest-side DECONTAMINATION twin of the batch
     * `SamplingOps.qDecontaminate`: each arriving document (doc_id,
     * text, ts) is shingled in-stream by the SAME tokenizer + shingle

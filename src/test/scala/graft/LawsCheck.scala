@@ -744,6 +744,47 @@ object DomainLaws extends Properties("advanceDomainStats") {
     }
 }
 
+object CrawlLaws extends Properties("advanceCrawl") {
+  import graft.streaming.StatefulOps
+  private val fps: Gen[List[String]] = for {
+    n  <- Gen.chooseNum(0, 40)
+    xs <- Gen.listOfN(n, Gen.oneOf("a", "b", "c", "d"))
+  } yield xs
+  private val st0: Gen[Option[String]] =
+    Gen.option(Gen.oneOf("a", "b", "c", "d"))
+
+  property("any batch split threads to the one-pass statuses") =
+    forAll(st0, fps, Gen.chooseNum(0, 40)) { (s0, s, cut0) =>
+      val cut = math.min(cut0, s.length)
+      val (a, b) = s.splitAt(cut)
+      val (st1, o1) = StatefulOps.advanceCrawl(s0, a)
+      val (st2, o2) = StatefulOps.advanceCrawl(st1, b)
+      val (stAll, all) = StatefulOps.advanceCrawl(s0, s)
+      o1 ++ o2 == all && st2 == stAll
+    }
+
+  property("each status names exactly the relation to its predecessor") =
+    forAll(st0, fps) { (s0, s) =>
+      val (st, out) = StatefulOps.advanceCrawl(s0, s)
+      val preds = s0 +: s.map(Some(_)).dropRight(1)
+      st == (if (s.isEmpty) s0 else Some(s.last)) &&
+        out.zip(preds.zip(s)).forall { case (status, (p, fp)) =>
+          status == (p match {
+            case None => "added"
+            case Some(x) if x != fp => "changed"
+            case _ => "unchanged"
+          })
+        }
+    }
+
+  property("an exact replay of the last observation is all-unchanged") =
+    forAll(fps.suchThat(_.nonEmpty)) { s =>
+      val (st1, _) = StatefulOps.advanceCrawl(None, s)
+      val (st2, replay) = StatefulOps.advanceCrawl(st1, Seq(s.last))
+      replay == Seq("unchanged") && st2 == st1
+    }
+}
+
 object WalGapLaws extends Properties("advanceWalGaps") {
   import graft.streaming.StatefulOps
   private val wals: Gen[List[Long]] = for {

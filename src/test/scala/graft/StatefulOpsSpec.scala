@@ -1044,6 +1044,63 @@ class StatefulOpsSpec extends SparkSpec {
     }
   }
 
+  test("streaming crawl delta over two snapshot batches matches the batch report minus removals") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      // the EXACT snapshot projections the batch query joins
+      def snap(df: org.apache.spark.sql.DataFrame, t: Long) =
+        df.collect().map(r => StatefulOps.CrawlDoc(r.getLong(0),
+          r.getString(1), r.getString(2), new Timestamp(T0 + t)))
+      val prevSnap = snap(graft.operators.DedupOps.crawlPrev(spark, sf), 0L)
+      val curSnap = snap(graft.operators.DedupOps.crawlCur(spark, sf), 1000L)
+      val in = MemoryStream[StatefulOps.CrawlDoc]
+      val q = StatefulOps.streamingCrawlDelta(in.toDS())
+        .writeStream.format("memory").queryName("crawl_out")
+        .outputMode("append").start()
+      try {
+        in.addData(prevSnap.toIndexedSeq); q.processAllAvailable()
+        val c1 = spark.table("crawl_out").collect()
+          .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+        assert(c1.length === prevSnap.length)
+        assert(c1.forall(_._3 == "added"), "first crawl must be all added")
+        in.addData(curSnap.toIndexedSeq); q.processAllAvailable()
+        val all = spark.table("crawl_out").collect()
+          .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+        // batch-2 rows = multiset difference (sink order is not
+        // contractual across batches)
+        val c1Count = c1.groupBy(identity).view.mapValues(_.length).toMap
+        val b2 = all.groupBy(identity).toSeq.flatMap { case (t, v) =>
+          Seq.fill(v.length - c1Count.getOrElse(t, 0))(t) }
+        assert(b2.length === curSnap.length)
+        // per-source status counts equal the oracled batch report's
+        // added/changed/unchanged columns (removed is the batch
+        // full-outer sweep's job — absence is not an event)
+        val got = b2.groupBy(t => (t._2, t._3)).view.mapValues(_.size.toLong)
+        val batch = graft.operators.DedupOps.qCrawlDelta(spark, sf)
+          .collect().map(r => r.getString(0) ->
+            (r.getLong(1), r.getLong(3), r.getLong(4)))
+        batch.foreach { case (src, (nAdd, nChg, nUnchg)) =>
+          assert(got.getOrElse((src, "added"), 0L) === nAdd, s"$src added")
+          assert(got.getOrElse((src, "changed"), 0L) === nChg, s"$src changed")
+          assert(got.getOrElse((src, "unchanged"), 0L) === nUnchg,
+            s"$src unchanged")
+        }
+        assert(batch.map(_._2._2).sum > 0, "fixture must contain edits")
+      } finally q.stop()
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+      spark.catalog.clearCache()
+    }
+  }
+
   test("mapGroupsWithState accumulates per-table counts across batches") {
     import spark.implicits._
     implicit val sc = spark.sqlContext
