@@ -206,6 +206,7 @@ object Bench {
       graft.operators.TextOps.idfStored(spark, sfDir)
       graft.operators.TextOps.lmStored(spark, sfDir)
       graft.operators.TextOps.lmBigramStored(spark, sfDir)
+      graft.operators.TextOps.lmBackoffStored(spark, sfDir)
       "ok"
     } catch { case e: Throwable =>
       System.err.println(s"[bench] artifact prebuild: $e")

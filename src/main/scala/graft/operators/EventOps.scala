@@ -314,6 +314,160 @@ object EventOps {
        |ORDER BY event_type, day""".stripMargin
   }
 
+  /** A/B TEST REPORT — the experiment read-out every event pipeline
+    * ends in: users split into two arms by the SAME md5 bucket
+    * assignment the sampling family uses ([[SamplingOps.bucket100]] —
+    * one hashing discipline everywhere), the per-user metric is the
+    * exact purchase cents sum, and the arms compare by Welch's
+    * unequal-variance t statistic against the 1.96 two-sided normal
+    * threshold (n ≈ users/2 per arm, where the normal approximation
+    * is the standard practice). Exactness: counts, sums and sums of
+    * squares are integer/decimal all the way — the only doubles are
+    * the final mean/variance divisions, one per output cell, so both
+    * engines compute identical IEEE results before rounding. Scale:
+    * user-keyed rollup (one shuffle), then a 1-row conditional
+    * aggregate; nothing here grows with event volume except the
+    * first rollup. */
+  def qAbTest(spark: SparkSession, sfDir: String): DataFrame = {
+    val big = org.apache.spark.sql.types.DecimalType(38, 0)
+    val cents = (col("value") * 100)
+      .cast(org.apache.spark.sql.types.DecimalType(18, 0))
+    val users = Tables.events(spark, sfDir)
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"), cents.as("c"))
+      .groupBy(col("user_id"))
+      .agg(sum(col("c").cast(big)).as("m"))
+      .withColumn("arm", SamplingOps.bucket100("user_id") % 2)
+    def side(a: Int, e: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      sum(when(col("arm") === a, e).otherwise(lit(0).cast(big)))
+    val agg = users.agg(
+      sum(when(col("arm") === 0, 1L).otherwise(0L)).as("n_a"),
+      sum(when(col("arm") === 1, 1L).otherwise(0L)).as("n_b"),
+      side(0, col("m")).cast(DoubleType).as("sa"),
+      side(1, col("m")).cast(DoubleType).as("sb"),
+      side(0, (col("m") * col("m")).cast(big)).cast(DoubleType).as("ssa"),
+      side(1, (col("m") * col("m")).cast(big)).cast(DoubleType).as("ssb"))
+    agg
+      .withColumn("mean_a", col("sa") / col("n_a"))
+      .withColumn("mean_b", col("sb") / col("n_b"))
+      .withColumn("var_a", (col("n_a") * col("ssa") - col("sa") * col("sa")) /
+        (col("n_a") * (col("n_a") - 1)))
+      .withColumn("var_b", (col("n_b") * col("ssb") - col("sb") * col("sb")) /
+        (col("n_b") * (col("n_b") - 1)))
+      .withColumn("t", (col("mean_a") - col("mean_b")) /
+        sqrt(col("var_a") / col("n_a") + col("var_b") / col("n_b")))
+      .select(col("n_a"), col("n_b"),
+        round(col("mean_a") / 100, 6).as("mean_a_r"),
+        round(col("mean_b") / 100, 6).as("mean_b_r"),
+        round(col("t"), 6).as("t_r"),
+        (abs(col("t")) > 1.96).as("significant"))
+  }
+
+  val qAbTestOracle: String =
+    """WITH u AS (
+      |  SELECT user_id,
+      |    CAST(SUM(CAST(CAST(value * 100 AS DECIMAL(18,0)) AS DECIMAL(38,0)))
+      |      AS DECIMAL(38,0)) AS m,
+      |    CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 4) AS INT)
+      |      % 100 % 2 AS arm
+      |  FROM events WHERE event_type = 'purchase' GROUP BY user_id),
+      |a AS (
+      |  SELECT
+      |    SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS n_a,
+      |    SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS n_b,
+      |    CAST(SUM(CASE WHEN arm = 0 THEN m ELSE 0 END) AS DOUBLE) AS sa,
+      |    CAST(SUM(CASE WHEN arm = 1 THEN m ELSE 0 END) AS DOUBLE) AS sb,
+      |    CAST(SUM(CASE WHEN arm = 0 THEN CAST(m * m AS DECIMAL(38,0))
+      |      ELSE 0 END) AS DOUBLE) AS ssa,
+      |    CAST(SUM(CASE WHEN arm = 1 THEN CAST(m * m AS DECIMAL(38,0))
+      |      ELSE 0 END) AS DOUBLE) AS ssb
+      |  FROM u),
+      |s AS (
+      |  SELECT CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+      |    sa / n_a AS mean_a, sb / n_b AS mean_b,
+      |    (n_a * ssa - sa * sa) / (n_a * (n_a - 1)) AS var_a,
+      |    (n_b * ssb - sb * sb) / (n_b * (n_b - 1)) AS var_b
+      |  FROM a),
+      |t AS (
+      |  SELECT *, (mean_a - mean_b) /
+      |    sqrt(var_a / n_a + var_b / n_b) AS t FROM s)
+      |SELECT n_a, n_b, round(mean_a / 100, 6) AS mean_a_r,
+      |  round(mean_b / 100, 6) AS mean_b_r, round(t, 6) AS t_r,
+      |  abs(t) > 1.96 AS significant
+      |FROM t""".stripMargin
+
+  /** SEASONAL residual anomalies — the weekly-pattern-aware monitor:
+    * a Monday-shaped traffic dip is normal on Mondays, so the plain
+    * z-score ([[qZscoreOutliers]]) and even the MAD variant false-
+    * alarm on every weekend; the classical fix (the additive seasonal
+    * decomposition, STL's first step) subtracts the per-(type,
+    * day-of-week) mean from each gap-filled daily count and z-scores
+    * the RESIDUALS per type. `dow = day % 7` on epoch-days is
+    * calendar-free and identical in both engines. Every window here
+    * is partitioned (by (type, dow) then by type) over the
+    * spine-sized daily relation — the corpus collapsed to
+    * types × days in one shuffle. */
+  def qSeasonalResiduals(spark: SparkSession, sfDir: String): DataFrame = {
+    val daily = ev(spark, sfDir)
+      .select(col("event_type"), expr("tus DIV 86400000000").as("day"))
+      .groupBy(col("event_type"), col("day"))
+      .agg(count(lit(1)).as("cnt"))
+    val bounds = daily.agg(min(col("day")).as("mind"), max(col("day")).as("maxd"))
+    val spine = daily.select(col("event_type")).distinct()
+      .crossJoin(broadcast(bounds))
+      .select(col("event_type"),
+        explode(sequence(col("mind"), col("maxd"))).as("day"))
+    val filled = spine.join(daily, Seq("event_type", "day"), "left")
+      .select(col("event_type"), col("day"),
+        coalesce(col("cnt"), lit(0L)).as("cnt"))
+    val wd = Window.partitionBy(col("event_type"), col("dow"))
+    val wt = Window.partitionBy(col("event_type"))
+    filled
+      .withColumn("dow", col("day") % 7)
+      .withColumn("nd", count(lit(1)).over(wd))
+      .withColumn("sd", sum(col("cnt")).over(wd))
+      .withColumn("resid", col("cnt").cast(DoubleType) -
+        col("sd").cast(DoubleType) / col("nd"))
+      .withColumn("n2", count(lit(1)).over(wt))
+      .withColumn("sr", sum(col("resid")).over(wt))
+      .withColumn("srr", sum(col("resid") * col("resid")).over(wt))
+      .withColumn("z", (col("resid") - col("sr") / col("n2")) /
+        sqrt((col("n2") * col("srr") - col("sr") * col("sr")) /
+          (col("n2") * col("n2"))))
+      .filter(abs(col("z")) >= 2.0)
+      .select(col("event_type"), col("day"), col("cnt"),
+        round(col("resid"), 6).as("resid_r"), round(col("z"), 6).as("z_r"))
+      .orderBy(col("event_type"), col("day"))
+  }
+
+  val qSeasonalResidualsOracle: String =
+    """WITH d AS (
+      |  SELECT event_type, epoch_us(ts) // 86400000000 AS day FROM events),
+      |c AS (SELECT event_type, day, COUNT(*) AS cnt FROM d GROUP BY 1, 2),
+      |b AS (SELECT MIN(day) AS mind, MAX(day) AS maxd FROM d),
+      |t AS (SELECT DISTINCT event_type FROM d),
+      |sp AS (SELECT t.event_type, u.day
+      |       FROM t, b, unnest(generate_series(b.mind, b.maxd)) AS u(day)),
+      |f AS (SELECT sp.event_type, CAST(sp.day AS BIGINT) AS day,
+      |        COALESCE(c.cnt, 0) AS cnt
+      |      FROM sp LEFT JOIN c ON c.event_type = sp.event_type AND c.day = sp.day),
+      |r AS (
+      |  SELECT event_type, day, cnt,
+      |    CAST(cnt AS DOUBLE) -
+      |      CAST(SUM(cnt) OVER wd AS DOUBLE) / COUNT(*) OVER wd AS resid
+      |  FROM (SELECT *, day % 7 AS dow FROM f)
+      |  WINDOW wd AS (PARTITION BY event_type, dow)),
+      |z AS (
+      |  SELECT event_type, day, cnt, resid,
+      |    (resid - SUM(resid) OVER wt / COUNT(*) OVER wt) /
+      |    sqrt((COUNT(*) OVER wt * SUM(resid * resid) OVER wt -
+      |          SUM(resid) OVER wt * SUM(resid) OVER wt) /
+      |         (COUNT(*) OVER wt * COUNT(*) OVER wt)) AS z
+      |  FROM r WINDOW wt AS (PARTITION BY event_type))
+      |SELECT event_type, day, cnt, round(resid, 6) AS resid_r,
+      |  round(z, 6) AS z_r
+      |FROM z WHERE abs(z) >= 2.0 ORDER BY event_type, day""".stripMargin
+
   /** ROBUST anomaly detection on the daily event-volume series:
     * median/MAD instead of mean/σ (Leys et al. 2013's standard
     * robust-z) — the monitor that does NOT let one spike inflate its
@@ -899,6 +1053,8 @@ object EventOps {
     "q_kmv_overlap" -> (qKmvOverlap _),
     "q_anomaly_mad" -> (qAnomalyMad _),
     "q_ewma_daily" -> (qEwmaDaily _),
+    "q_seasonal_residuals" -> (qSeasonalResiduals _),
+    "q_ab_test" -> (qAbTest _),
     "q_rolling_active_users" -> (qRollingActiveUsers _),
     "q_funnel" -> (qFunnel _),
     "q_retention" -> (qRetention _),
@@ -916,6 +1072,8 @@ object EventOps {
     "q_kmv_overlap" -> qKmvOverlapOracle,
     "q_anomaly_mad" -> qAnomalyMadOracle,
     "q_ewma_daily" -> qEwmaDailyOracle,
+    "q_seasonal_residuals" -> qSeasonalResidualsOracle,
+    "q_ab_test" -> qAbTestOracle,
     "q_rolling_active_users" -> qRollingActiveUsersOracle,
     "q_funnel" -> qFunnelOracle,
     "q_retention" -> qRetentionOracle,

@@ -766,14 +766,17 @@ object TextOps {
     * self-join-on-(doc, pos+1) shape which shuffles the whole token
     * stream twice. Docs with fewer than 2 tokens contribute no rows
     * (both engines: an empty slice / empty `range`). */
-  private def bigrams(spark: SparkSession, sfDir: String): DataFrame =
-    Tables.documents(spark, sfDir)
+  private def bigramsOf(docs: DataFrame): DataFrame =
+    docs
       .select(col("doc_id"), split(col("text"), " ").as("l"))
       .select(col("doc_id"),
         slice(col("l"), lit(1), size(col("l")) - 1).as("a"),
         slice(col("l"), lit(2), size(col("l")) - 1).as("b"))
       .select(col("doc_id"), explode(arrays_zip(col("a"), col("b"))).as("bg"))
       .select(col("doc_id"), col("bg.a").as("w1"), col("bg.b").as("w2"))
+
+  private def bigrams(spark: SparkSession, sfDir: String): DataFrame =
+    bigramsOf(Tables.documents(spark, sfDir))
 
   /** Per-document BIGRAM conditional log-likelihood: avg over a doc's
     * bigram occurrences of ln(c2(w1,w2) / c1(w1)), the maximum-
@@ -832,6 +835,104 @@ object TextOps {
           sum(col("cnt")), 6).as("avg_logp"))
       .orderBy(col("doc_id"))
   }
+
+  /** STUPID BACKOFF (Brants et al. 2007, "Large Language Models in
+    * Machine Translation") — the web-scale n-gram smoothing: score
+    * S(w2|w1) = c2(w1,w2)/c1(w1) when the bigram was seen in the
+    * REFERENCE corpus, else α·c(w2)/N with α = 0.4 (and an add-one
+    * floor ln(1/N) for tokens the reference never saw at all). The
+    * reference model is trained on the curated `doc_id % 10 == 0`
+    * slice and persisted as TWO durable artifacts (bigram counts +
+    * unigram counts with total mass as meta); every document —
+    * including the held-out `% 10 != 0` majority, where backoff
+    * genuinely fires — is scored against the frozen model (CCNet's
+    * arrangement: the reference LM comes from a small trusted corpus,
+    * the scored stream is everything else). This is the train/serve split
+    * the stored-model family exists for, now with the fallback chain
+    * a production perplexity filter actually uses. Scale: doc-side
+    * bigram pass is map-side; all three model joins are vocabulary-
+    * keyed LEFT equi-joins; N is a meta literal. */
+  private[graft] def lmBackoffStored(spark: SparkSession, sfDir: String)
+      : (DataFrame, DataFrame, Long) = {
+    val refDocs = (s: SparkSession, d: String) =>
+      Tables.documents(s, d).filter(col("doc_id") % 10 === 0)
+    val bigDir = graft.Artifacts.getOrBuild(spark, sfDir, "bigram_lm_ref") { d =>
+      bigramsOf(refDocs(spark, sfDir))
+        .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c2"))
+        .write.parquet(d)
+    }
+    val (uniDir, meta) = graft.Artifacts.getOrBuildMeta(
+        spark, sfDir, "unigram_lm_ref") { d =>
+      val tf = refDocs(spark, sfDir)
+        .select(explode(split(col("text"), " ")).as("tk"))
+        .groupBy(col("tk")).agg(count(lit(1)).as("cu"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        tf.write.parquet(d)
+        tf.agg(sum(col("cu"))).head.getLong(0).toString
+      } finally tf.unpersist()
+    }
+    (spark.read.parquet(bigDir), spark.read.parquet(uniDir),
+      meta.trim.toLong)
+  }
+
+  def qLmBackoff(spark: SparkSession, sfDir: String): DataFrame = {
+    val (c2, uni, n) = lmBackoffStored(spark, sfDir)
+    val c1 = c2.groupBy(col("w1")).agg(sum(col("c2")).as("c1"))
+    val logS = when(col("c2").isNotNull, log(col("c2")) - log(col("c1")))
+      .otherwise(log(lit(0.4)) +
+        log(coalesce(col("cu"), lit(1L)).cast(DoubleType)) -
+        log(lit(n.toDouble)))
+    bigramsOf(Tables.documents(spark, sfDir))
+      .groupBy(col("doc_id"), col("w1"), col("w2"))
+      .agg(count(lit(1)).as("cnt"))
+      .join(c2, Seq("w1", "w2"), "left")
+      .join(c1, Seq("w1"), "left")
+      .join(uni.withColumnRenamed("tk", "w2"), Seq("w2"), "left")
+      .withColumn("logs", logS)
+      .groupBy(col("doc_id"))
+      .agg(sum(col("cnt")).as("n_bigrams"),
+        sum(when(col("c2").isNull, col("cnt")).otherwise(lit(0L)))
+          .as("n_backoff"),
+        round(sum(col("cnt") * col("logs")) / sum(col("cnt")), 6)
+          .as("avg_logs"))
+      .withColumn("held_out", col("doc_id") % 10 =!= 0)
+      .orderBy(col("doc_id"))
+  }
+
+  val qLmBackoffOracle: String =
+    """WITH ref AS (SELECT text FROM documents WHERE doc_id % 10 = 0),
+      |rl AS (SELECT string_split(text, ' ') AS l FROM ref),
+      |c2 AS (
+      |  SELECT l[i] AS w1, l[i + 1] AS w2, COUNT(*) AS c2
+      |  FROM rl, LATERAL (SELECT unnest(range(1, len(l))) AS i) r
+      |  GROUP BY 1, 2),
+      |c1 AS (SELECT w1, SUM(c2) AS c1 FROM c2 GROUP BY 1),
+      |cu AS (
+      |  SELECT unnest(string_split(text, ' ')) AS tk FROM ref),
+      |cuc AS (SELECT tk, COUNT(*) AS cu FROM cu GROUP BY 1),
+      |tot AS (SELECT CAST(SUM(cu) AS DOUBLE) AS n FROM cuc),
+      |dl AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+      |dbg AS (
+      |  SELECT doc_id, l[i] AS w1, l[i + 1] AS w2, COUNT(*) AS cnt
+      |  FROM dl, LATERAL (SELECT unnest(range(1, len(l))) AS i) r
+      |  GROUP BY 1, 2, 3),
+      |j AS (
+      |  SELECT dbg.doc_id, dbg.cnt, c2.c2, c1.c1, cuc.cu
+      |  FROM dbg LEFT JOIN c2 USING (w1, w2) LEFT JOIN c1 USING (w1)
+      |  LEFT JOIN cuc ON cuc.tk = dbg.w2),
+      |s AS (
+      |  SELECT doc_id,
+      |    CAST(SUM(cnt) AS BIGINT) AS n_bigrams,
+      |    CAST(SUM(CASE WHEN c2 IS NULL THEN cnt ELSE 0 END) AS BIGINT)
+      |      AS n_backoff,
+      |    SUM(cnt * CASE WHEN c2 IS NOT NULL THEN ln(c2) - ln(c1)
+      |      ELSE ln(0.4) + ln(COALESCE(cu, 1)) - ln((SELECT n FROM tot))
+      |      END) / SUM(cnt) AS a
+      |  FROM j GROUP BY 1)
+      |SELECT doc_id, n_bigrams, n_backoff, round(a, 6) AS avg_logs,
+      |  doc_id % 10 != 0 AS held_out
+      |FROM s ORDER BY doc_id""".stripMargin
 
   /** Bigrams via 1-based list indexing over a lateral index range —
     * the same pairs as the Spark tail-zip. */
@@ -1415,7 +1516,8 @@ object TextOps {
     "text_lm_bigram" -> (qLmBigram _),
     "text_lm_bigram_stored" -> (qLmBigramStored _),
     "text_zipf_fit" -> (qZipfFit _),
-    "text_fertility" -> (qFertility _))
+    "text_fertility" -> (qFertility _),
+    "text_lm_backoff" -> (qLmBackoff _))
 
   val oracles: Map[String, String] = Map(
     "text_oov_rate" -> qOovRateOracle,
@@ -1446,5 +1548,6 @@ object TextOps {
     "text_lm_bigram" -> qLmBigramOracle,
     "text_lm_bigram_stored" -> qLmBigramOracle,
     "text_zipf_fit" -> qZipfFitOracle,
-    "text_fertility" -> qFertilityOracle)
+    "text_fertility" -> qFertilityOracle,
+    "text_lm_backoff" -> qLmBackoffOracle)
 }

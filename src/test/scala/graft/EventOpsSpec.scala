@@ -316,6 +316,78 @@ class EventOpsSpec extends SparkSpec {
     // intersection estimate is bounded by the union estimate
     assert(estInter <= estUnion)
   }
+  test("A/B report equals a driver-side Welch recompute; arms partition the purchasers") {
+    val r = EventOps.qAbTest(spark, sf).collect().head
+    val got = (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3),
+      r.getDouble(4), r.getBoolean(5))
+    val perUser = Tables.events(spark, sf)
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("value")).collect()
+      .map(x => (x.getLong(0), math.round(x.getDouble(1) * 100)))
+      .groupBy(_._1).map { case (u, v) => u -> v.map(_._2).sum }
+    def arm(u: Long): Int = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(u.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(4)
+      Integer.parseInt(hex, 16) % 100 % 2
+    }
+    val (a, b) = perUser.partition(kv => arm(kv._1) == 0)
+    def stats(xs: Iterable[Long]): (Long, Double, Double) = {
+      val n = xs.size.toDouble
+      val s = xs.map(_.toDouble).sum; val ss = xs.map(x => x.toDouble * x).sum
+      (xs.size.toLong, s / n, (n * ss - s * s) / (n * (n - 1)))
+    }
+    val (na, ma, va) = stats(a.values); val (nb, mb, vb) = stats(b.values)
+    val t = (ma - mb) / math.sqrt(va / na + vb / nb)
+    assert(got._1 === na && got._2 === nb)
+    assert(na + nb === perUser.size.toLong, "arms must partition purchasers")
+    assert(math.abs(got._3 - ma / 100) < 1e-4, s"mean_a ${got._3} vs ${ma / 100}")
+    assert(math.abs(got._4 - mb / 100) < 1e-4)
+    assert(math.abs(got._5 - t) < 1e-4, s"t ${got._5} vs $t")
+    assert(got._6 === (math.abs(t) > 1.96))
+  }
+
+  test("seasonal residuals equal a driver-side decomposition recompute; dow means removed exactly") {
+    val got = EventOps.qSeasonalResiduals(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4)))
+    val days = Tables.events(spark, sf)
+      .select(col("event_type"), unix_micros(col("ts")).as("tus"))
+      .collect().map(r => (r.getString(0), r.getLong(1) / 86400000000L))
+    val (mind, maxd) = (days.map(_._2).min, days.map(_._2).max)
+    val cnts = days.groupBy(identity).map { case (k, v) => k -> v.length.toLong }
+    val types = days.map(_._1).distinct
+    val filled = for { t <- types; d <- mind to maxd }
+      yield (t, d, cnts.getOrElse((t, d), 0L))
+    val dowMean = filled.groupBy(r => (r._1, r._2 % 7)).map { case (k, v) =>
+      k -> v.map(_._3).sum.toDouble / v.length }
+    val resid = filled.map { case (t, d, c) =>
+      (t, d, c, c.toDouble - dowMean((t, d % 7))) }
+    def r6(x: Double) = BigDecimal(x).setScale(6,
+      BigDecimal.RoundingMode.HALF_UP).toDouble
+    val want = resid.groupBy(_._1).toSeq.flatMap { case (_, v) =>
+      val n = v.length.toDouble
+      val sr = v.map(_._4).sum; val srr = v.map(r => r._4 * r._4).sum
+      val sd = math.sqrt((n * srr - sr * sr) / (n * n))
+      v.flatMap { case (t, d, c, r) =>
+        val z = (r - sr / n) / sd
+        if (math.abs(z) >= 2.0) Some((t, d, c, r6(r), r6(z))) else None
+      }
+    }.toSet
+    assert(got.length === want.size)
+    got.foreach { case (t, d, c, rr, zr) =>
+      val w = want.find(x => x._1 == t && x._2 == d).get
+      assert(c === w._3, s"$t/$d cnt")
+      assert(math.abs(rr - w._4) < 2e-6, s"$t/$d resid")
+      assert(math.abs(zr - w._5) < 2e-6, s"$t/$d z")
+    }
+    // per (type, dow) the residuals sum to ~0 — the mean removal is
+    // exact by construction
+    resid.groupBy(r => (r._1, r._2 % 7)).foreach { case (k, v) =>
+      assert(math.abs(v.map(_._4).sum) < 1e-6, s"dow mean not removed at $k") }
+    assert(got.nonEmpty, "fixture should flag at least one seasonal outlier")
+  }
+
   test("event paths equal a driver-side sessionize+trigram recompute") {
     val got = EventOps.qEventPaths(spark, sf).collect()
       .map(r => (r.getInt(0), r.getString(1), r.getLong(2), r.getLong(3))).toSeq

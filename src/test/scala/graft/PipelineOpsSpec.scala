@@ -1443,6 +1443,52 @@ class PipelineOpsSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("stupid backoff equals a driver-side recompute; backoff fires exactly on unseen bigrams") {
+    val df = TextOps.qLmBackoff(spark, sf)
+    val got = df.collect().map(r => (r.getLong(0), r.getLong(1),
+      r.getLong(2), r.getDouble(3), r.getBoolean(4)))
+    val docs = Tables.documents(spark, sf).select("doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val refBgs = docs.filter(_._1 % 10 == 0).flatMap { case (_, t) =>
+      val l = t.split(" ", -1); l.zip(l.drop(1)) }
+    val c2 = refBgs.groupBy(identity).map { case (bg, v) => bg -> v.length.toLong }
+    val c1 = c2.groupBy(_._1._1).map { case (w, m) => w -> m.values.sum }
+    val cu = docs.filter(_._1 % 10 == 0)
+      .flatMap(_._2.split(" ", -1)).groupBy(identity)
+      .map { case (w, v) => w -> v.length.toLong }
+    val n = cu.values.sum.toDouble
+    got.foreach { case (d, nb, nbo, avg, held) =>
+      assert(held === (d % 10 != 0), s"doc $d held_out flag")
+      val l = docs.find(_._1 == d).get._2.split(" ", -1)
+      val bgs = l.zip(l.drop(1))
+      assert(nb === bgs.length.toLong, s"doc $d n_bigrams")
+      val lps = bgs.map { bg =>
+        c2.get(bg) match {
+          case Some(c) => math.log(c.toDouble) - math.log(c1(bg._1).toDouble)
+          case None => math.log(0.4) +
+            math.log(cu.getOrElse(bg._2, 1L).toDouble) - math.log(n)
+        }
+      }
+      assert(nbo === bgs.count(bg => !c2.contains(bg)).toLong,
+        s"doc $d n_backoff")
+      val want = BigDecimal(lps.sum / lps.length)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(math.abs(avg - want) < 2e-6, s"doc $d avg_logs $avg vs $want")
+    }
+    // the fallback chain is exercised: held-out docs back off, the
+    // reference slice scores itself fully in-model
+    assert(got.filter(_._5).map(_._3).sum > 0,
+      "held-out docs must hit the backoff path")
+    assert(got.filter(!_._5).forall(_._3 == 0L),
+      "reference docs must never back off against their own model")
+    // both frozen model artifacts serve the plan
+    val p = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+    assert(p.contains("bigram_lm_ref") && p.contains("unigram_lm_ref"),
+      "backoff scoring must scan both reference-model artifacts")
+    spark.catalog.clearCache()
+  }
+
   test("fertility equals a driver-side recompute and agrees with the per-doc BPE report") {
     val got = TextOps.qFertility(spark, sf).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),

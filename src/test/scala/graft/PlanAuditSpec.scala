@@ -592,7 +592,10 @@ class PlanAuditSpec extends SparkSpec {
       "dedup_semantic_clusters", "sample_mixture", "pipeline_corpus",
       "pipeline_corpus_stored", "sample_token_budget",
       "text_tfidf", "text_lm_score", "q_rolling_active_users",
-      "q_ewma_daily",
+      // r10: same gap-fill spine shape as q_ewma_daily — the 1-row
+      // (mind, maxd) bounds aggregate broadcast-crossed into the
+      // per-type day spine
+      "q_ewma_daily", "q_seasonal_residuals",
       "q22_idle_balances", "q_profile_stats", "sample_drift_psi",
       "q15_top_supplier", "q14_promo_effect", "q8_market_share",
       "q17_correlated_avg", "q_approx_distinct", "q_approx_quantiles",
