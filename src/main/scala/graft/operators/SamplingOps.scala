@@ -126,6 +126,19 @@ object SamplingOps {
        | END""".stripMargin.replace('\n', ' ')
   }
 
+  /** [[ntileExpr]] with the group size as a COLUMN (`nCol`) instead
+    * of a literal — the per-group form for decomposed partitioned
+    * ntiles (same bucket geometry; all integer). */
+  private[operators] def ntileColExpr(nCol: String, buckets: Int,
+      r: String): String = {
+    val q = s"($nCol DIV $buckets)"
+    val rem = s"($nCol % $buckets)"
+    s"""CASE WHEN $q = 0 THEN $r
+       | WHEN $r <= $rem * ($q + 1) THEN ($r + $q) DIV ($q + 1)
+       | ELSE $rem + ($r - $rem * ($q + 1) + $q - 1) DIV $q
+       | END""".stripMargin.replace('\n', ' ')
+  }
+
   /** Deterministic bucket in [0,100): first 4 md5 hex chars of the id. */
   private[graft] def bucket100(idCol: String) =
     conv(substring(md5(col(idCol).cast("string").cast("binary")), 1, 4), 16, 10)
@@ -899,24 +912,36 @@ object SamplingOps {
     * model is the durable stored unigram LM
     * ([[TextOps.lmStored]]) — scoring is artifact-served, so this
     * sampler never re-aggregates corpus frequencies. Scale: the
-    * scoring pass is the one-explode + vocabulary-join shape; the
-    * tercile window partitions BY LANGUAGE (ntile over each slice;
-    * the CCNet bucketing is per-language by definition, and language
-    * slices are the natural parallel unit); output is a
-    * (lang × 3)-sized rollup. Ties break on doc_id so bucket
+    * scoring pass is the one-explode + vocabulary-join shape. The
+    * DEFINITION is ntile(3) per language — but language is a
+    * LOW-CARDINALITY key, so a `partitionBy(lang)` ntile window
+    * funnels the dominant language's whole slice through one
+    * reducer at 100×; the plan instead decomposes it as ONE
+    * [[withGlobalRank]] pass under (lang, score desc, doc_id) —
+    * every shard sorts in parallel across language boundaries —
+    * followed by a languages-sized min-rank/count rollup broadcast
+    * back and the closed-form [[ntileColExpr]] bucket assignment.
+    * The oracle stays the naive partitioned ntile, so the hash match
+    * proves the decomposition exact. Ties break on doc_id so bucket
     * boundaries are replay-stable. */
   def qPerplexityBuckets(spark: SparkSession, sfDir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy(col("lang"))
-      .orderBy(col("avg_logp_r").desc, col("doc_id"))
-    TextOps.lmScoredDocs(spark, sfDir)
-      .withColumn("bucket", ntile(3).over(w))
+    val (ranked, cached) = withGlobalRank(
+      TextOps.lmScoredDocs(spark, sfDir), "grk",
+      col("lang"), col("avg_logp_r").desc, col("doc_id"))
+    val langSizes = ranked.groupBy(col("lang"))
+      .agg(min(col("grk")).as("__loff"), count(lit(1)).as("__nl"))
+    val result = ranked
+      .join(broadcast(langSizes), Seq("lang"))
+      .withColumn("r", col("grk") - col("__loff") + 1)
+      .withColumn("bucket",
+        expr(ntileColExpr("__nl", 3, "r")).cast("int"))
       .groupBy(col("lang"), col("bucket"))
       .agg(count(lit(1)).as("n_docs"),
         sum(col("n_tokens")).as("n_tokens"),
         round(avg(col("avg_logp_r")), 6).as("avg_logp"))
       .withColumn("kept", col("bucket") <= 2)
       .orderBy(col("lang"), col("bucket"))
+    graft.operators.DedupOps.unpersistAfterFirstAction(result, cached)
   }
 
   val qPerplexityBucketsOracle: String =

@@ -1547,11 +1547,16 @@ class PipelineOpsSpec extends SparkSpec {
       assert(avgs.head >= avgs.last, s"$lang head not above tail")
       assert(rows.count(_._6) === 2, s"$lang must keep exactly 2 buckets")
     }
-    // scoring must be served from the stored model artifact
+    // scoring must be served from the stored model artifact, and the
+    // per-language ntile must be the sharded-rank decomposition — a
+    // partitionBy(lang) window would funnel the dominant language
+    // through one reducer at scale (language is low-cardinality)
     val p = df.queryExecution.explainString(
       org.apache.spark.sql.execution.FormattedMode)
     assert(p.contains("graft_artifacts") && p.contains("unigram_lm"),
       "bucket scoring must scan the unigram_lm artifact")
+    assert(!p.contains("ntile("),
+      "terciles must come from the closed-form rank bucket, not an ntile window")
     spark.catalog.clearCache()
   }
 
