@@ -207,6 +207,8 @@ object Bench {
       graft.operators.TextOps.lmStored(spark, sfDir)
       graft.operators.TextOps.lmBigramStored(spark, sfDir)
       graft.operators.TextOps.lmBackoffStored(spark, sfDir)
+      graft.operators.TextOps.lmCuratedStored(spark, sfDir)
+      graft.operators.TextOps.nbStored(spark, sfDir)
       "ok"
     } catch { case e: Throwable =>
       System.err.println(s"[bench] artifact prebuild: $e")

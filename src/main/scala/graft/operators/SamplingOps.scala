@@ -971,7 +971,80 @@ object SamplingOps {
       |  bucket <= 2 AS kept
       |FROM b GROUP BY 1, 2 ORDER BY lang, bucket""".stripMargin
 
+  /** DSIR — Data Selection via Importance Resampling (Xie et al.
+    * 2023): score every document by its unigram log importance ratio
+    * ln p_target/p_raw (target LM trained on the curated sources,
+    * raw LM on the whole corpus — both served from the DURABLE
+    * stored-model artifacts, [[TextOps.lmCuratedStored]] /
+    * [[TextOps.lmStored]]), then resample the k documents winning
+    * the Gumbel-top-k race (weight + Gumbel noise), which is exactly
+    * sampling-without-replacement ∝ exp(weight). The published
+    * recipe for "make raw crawl look like the trusted corpus".
+    *
+    * Determinism discipline: the Gumbel noise is a per-doc md5 hash
+    * coin (−ln(−ln(u)), u uniform from the first 8 hex chars — no
+    * RNG, reproducible across engines/partitionings/appends); the
+    * weight and the ranking key are rounded to the repo's 6-decimal
+    * float-parity convention BEFORE the top-k, and ties break on
+    * doc_id, so the selected set is engine-exact. Scale: both model
+    * joins are vocabulary-keyed; smoothing totals are meta literals;
+    * the top-k is a TakeOrdered (per-partition heads, one k-row
+    * merge), never a global sort. */
+  def qDsir(spark: SparkSession, sfDir: String): DataFrame = {
+    val k = 100
+    val (raw, nRaw) = TextOps.lmStored(spark, sfDir)
+    val (tgt, nTgt, v) = TextOps.lmCuratedStored(spark, sfDir)
+    val kk = math.log((nTgt + v).toDouble) - math.log((nRaw + v).toDouble)
+    val u = (conv(substring(md5(col("doc_id").cast("string").cast("binary")),
+        1, 8), 16, 10).cast("long").cast("double") + 0.5) / lit(4294967296.0)
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("source"),
+        explode(split(col("text"), " ")).as("tk"))
+      .groupBy(col("doc_id"), col("source"), col("tk"))
+      .agg(count(lit(1)).as("cnt"))
+      .join(raw, "tk")
+      .join(tgt, Seq("tk"), "left")
+      .groupBy(col("doc_id"), col("source"))
+      .agg((sum(col("cnt") *
+          (log(coalesce(col("ct"), lit(0L)) + 1) - log(col("c") + 1))) /
+        sum(col("cnt"))).as("lr"))
+      .withColumn("w_r", round(col("lr") - lit(kk), 6))
+      .withColumn("key_r", round(col("w_r") + (-log(-log(u))), 6))
+      .orderBy(col("key_r").desc, col("doc_id"))
+      .limit(k)
+      .select(col("doc_id"), col("source"), col("w_r"), col("key_r"))
+  }
+
+  val qDsirOracle: String =
+    """WITH tok AS (
+      |  SELECT doc_id, source, unnest(string_split(text, ' ')) AS tk
+      |  FROM documents),
+      |dtf AS (
+      |  SELECT doc_id, source, tk, COUNT(*) AS cnt FROM tok GROUP BY 1, 2, 3),
+      |raw AS (SELECT tk, SUM(cnt) AS c FROM dtf GROUP BY 1),
+      |tgt AS (
+      |  SELECT tk, SUM(cnt) AS ct FROM dtf
+      |  WHERE source IN ('src0','src1','src2') GROUP BY 1),
+      |w AS (
+      |  SELECT dtf.doc_id, dtf.source,
+      |    round(SUM(dtf.cnt * (ln(COALESCE(tgt.ct, 0) + 1) - ln(raw.c + 1)))
+      |        / SUM(dtf.cnt)
+      |      - (ln((SELECT SUM(ct) FROM tgt) + (SELECT COUNT(*) FROM raw))
+      |         - ln((SELECT SUM(c) FROM raw) + (SELECT COUNT(*) FROM raw))),
+      |      6) AS w_r
+      |  FROM dtf JOIN raw USING (tk) LEFT JOIN tgt USING (tk)
+      |  GROUP BY 1, 2),
+      |g AS (
+      |  SELECT doc_id, source, w_r,
+      |    round(w_r + (-ln(-ln(
+      |      (CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT)
+      |        + 0.5) / 4294967296.0))), 6) AS key_r
+      |  FROM w)
+      |SELECT doc_id, source, w_r, key_r FROM g
+      |ORDER BY key_r DESC, doc_id LIMIT 100""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sample_dsir" -> (qDsir _),
     "sample_perplexity_buckets" -> (qPerplexityBuckets _),
     "sample_epoch_shuffle" -> (qEpochShuffle _),
     "sample_domain_filter" -> (qDomainFilter _),
@@ -990,6 +1063,7 @@ object SamplingOps {
     "sample_importance" -> (qImportanceSample _))
 
   val oracles: Map[String, String] = Map(
+    "sample_dsir" -> qDsirOracle,
     "sample_perplexity_buckets" -> qPerplexityBucketsOracle,
     "sample_epoch_shuffle" -> qEpochShuffleOracle,
     "sample_domain_filter" -> qDomainFilterOracle,

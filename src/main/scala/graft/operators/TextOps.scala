@@ -1487,6 +1487,176 @@ object TextOps {
       |  CAST((a.n_oov * 1000000) // a.n_tokens AS BIGINT) AS oov_ppm
       |FROM a JOIN d USING (lang) ORDER BY lang""".stripMargin
 
+  /** The "curated reference" slice for trained text models: documents
+    * from the first three sources. Stands in for the trusted corpus
+    * (Wikipedia/books vs general crawl) that quality classifiers and
+    * importance samplers are trained against in the published
+    * pipelines (GPT-3 appendix A, CCNet, DSIR). Shared by the NB
+    * classifier below and [[SamplingOps.qDsir]]'s target LM. */
+  private[graft] val curatedSources = Seq("src0", "src1", "src2")
+  private[graft] def curatedPred: Column = col("source").isin(curatedSources: _*)
+
+  /** Per-(doc, token) counts with the doc's source kept — the shared
+    * map pass of the trained-classifier family. */
+  private def docSourceTf(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("source"),
+        explode(split(col("text"), " ")).as("tk"))
+      .groupBy(col("doc_id"), col("source"), col("tk"))
+      .agg(count(lit(1)).as("cnt"))
+
+  /** MULTINOMIAL NAIVE BAYES quality classifier — the GPT-3-style
+    * "does this look like the curated corpus?" filter: positive class
+    * = the curated sources, negative = everything else; add-one
+    * smoothing over the shared vocabulary; per-doc score = class
+    * prior + Σ cnt·(ln(cp+1) − ln(cq+1)) − n·(ln(Np+V) − ln(Nq+V)),
+    * predicted positive when the (rounded) score clears 0.
+    *
+    * Why NB and not logistic regression here: it trains in ONE
+    * distributed counting pass (the same explode+agg every text op
+    * pays), the model is a vocabulary-sized relation (broadcastable
+    * at 100 TB), and scoring is integer-count arithmetic plus ln of
+    * integer ratios — bit-reproducible across engines, where an
+    * iterative GD fit would compound float-sum nondeterminism per
+    * step. Scale: token rows shuffle once; the model join is
+    * vocabulary-keyed; the five scalars ride the documented 1-row
+    * broadcast pattern. */
+  def qNbQuality(spark: SparkSession, sfDir: String): DataFrame = {
+    val dtf = docSourceTf(spark, sfDir)
+    val model = dtf.groupBy(col("tk")).agg(
+      sum(when(curatedPred, col("cnt")).otherwise(lit(0L))).as("cp"),
+      sum(when(curatedPred, lit(0L)).otherwise(col("cnt"))).as("cq"))
+    val scal = model.agg(
+      sum(col("cp")).as("np"), sum(col("cq")).as("nq"),
+      count(lit(1)).as("v"))
+    val dc = Tables.documents(spark, sfDir).agg(
+      sum(when(curatedPred, 1L).otherwise(0L)).as("dp"),
+      sum(when(curatedPred, 0L).otherwise(1L)).as("dq"))
+    dtf.join(model, "tk")
+      .groupBy(col("doc_id"), col("source"))
+      .agg(sum(col("cnt")).as("n_tokens"),
+        sum(col("cnt") * (log(col("cp") + 1) - log(col("cq") + 1))).as("a"))
+      .crossJoin(broadcast(scal)).crossJoin(broadcast(dc))
+      .select(col("doc_id"), col("source"), col("n_tokens"),
+        round(log(col("dp")) - log(col("dq")) + col("a") -
+          col("n_tokens").cast(DoubleType) *
+            (log(col("np") + col("v")) - log(col("nq") + col("v"))), 6)
+          .as("nb_score_r"))
+      .withColumn("pred_pos", col("nb_score_r") > 0)
+      .orderBy(col("doc_id"))
+  }
+
+  /** The NB model as a DURABLE artifact — (tk, cp, cq) counts plus the
+    * five scalars (Np, Nq, V, docsP, docsQ) as meta. Counts, not
+    * log-ratios, are stored so the serve-time arithmetic is the exact
+    * expression the live twin evaluates (same ln of the same integer
+    * args — the oracle is shared verbatim). */
+  private[graft] def nbStored(spark: SparkSession, sfDir: String)
+      : (DataFrame, Array[Long]) = {
+    val (dir, meta) = graft.Artifacts.getOrBuildMeta(
+        spark, sfDir, "nb_quality_model") { d =>
+      val model = docSourceTf(spark, sfDir).groupBy(col("tk")).agg(
+        sum(when(curatedPred, col("cnt")).otherwise(lit(0L))).as("cp"),
+        sum(when(curatedPred, lit(0L)).otherwise(col("cnt"))).as("cq"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        model.write.parquet(d)
+        val s = model.agg(sum(col("cp")), sum(col("cq")), count(lit(1))).head
+        val dcr = Tables.documents(spark, sfDir).agg(
+          sum(when(curatedPred, 1L).otherwise(0L)),
+          sum(when(curatedPred, 0L).otherwise(1L))).head
+        Seq(s.getLong(0), s.getLong(1), s.getLong(2),
+          dcr.getLong(0), dcr.getLong(1)).mkString(",")
+      } finally model.unpersist()
+    }
+    (spark.read.parquet(dir), meta.trim.split(",").map(_.toLong))
+  }
+
+  /** [[qNbQuality]] SERVED from the stored model: the per-doc token
+    * counts are the unavoidable map pass over whatever is being
+    * scored; the model side is the artifact scan and the scalars are
+    * meta literals (no 1-row cross joins). This is how a quality
+    * classifier deploys: trained once on a labeled snapshot, scoring
+    * every incoming shard against frozen counts. Oracle shared
+    * verbatim with the live twin. */
+  def qNbQualityStored(spark: SparkSession, sfDir: String): DataFrame = {
+    val (model, m) = nbStored(spark, sfDir)
+    val Array(np, nq, v, dp, dq) = m
+    val prior = math.log(dp.toDouble) - math.log(dq.toDouble)
+    val kk = math.log((np + v).toDouble) - math.log((nq + v).toDouble)
+    docSourceTf(spark, sfDir)
+      .join(model, "tk")
+      .groupBy(col("doc_id"), col("source"))
+      .agg(sum(col("cnt")).as("n_tokens"),
+        sum(col("cnt") * (log(col("cp") + 1) - log(col("cq") + 1))).as("a"))
+      .select(col("doc_id"), col("source"), col("n_tokens"),
+        round(lit(prior) + col("a") -
+          col("n_tokens").cast(DoubleType) * lit(kk), 6).as("nb_score_r"))
+      .withColumn("pred_pos", col("nb_score_r") > 0)
+      .orderBy(col("doc_id"))
+  }
+
+  val qNbQualityOracle: String =
+    """WITH tok AS (
+      |  SELECT doc_id, source, unnest(string_split(text, ' ')) AS tk
+      |  FROM documents),
+      |dtf AS (
+      |  SELECT doc_id, source, tk, COUNT(*) AS cnt FROM tok GROUP BY 1, 2, 3),
+      |model AS (
+      |  SELECT tk,
+      |    SUM(CASE WHEN source IN ('src0','src1','src2') THEN cnt ELSE 0 END)
+      |      AS cp,
+      |    SUM(CASE WHEN source IN ('src0','src1','src2') THEN 0 ELSE cnt END)
+      |      AS cq
+      |  FROM dtf GROUP BY 1),
+      |sc AS (
+      |  SELECT CAST(SUM(cp) AS DOUBLE) AS np, CAST(SUM(cq) AS DOUBLE) AS nq,
+      |    CAST(COUNT(*) AS DOUBLE) AS v FROM model),
+      |dc AS (
+      |  SELECT
+      |    CAST(SUM(CASE WHEN source IN ('src0','src1','src2') THEN 1 ELSE 0 END)
+      |      AS DOUBLE) AS dp,
+      |    CAST(SUM(CASE WHEN source IN ('src0','src1','src2') THEN 0 ELSE 1 END)
+      |      AS DOUBLE) AS dq
+      |  FROM documents),
+      |s AS (
+      |  SELECT doc_id, source, CAST(SUM(cnt) AS BIGINT) AS n_tokens,
+      |    SUM(cnt * (ln(cp + 1) - ln(cq + 1))) AS a
+      |  FROM dtf JOIN model USING (tk) GROUP BY 1, 2),
+      |r AS (
+      |  SELECT doc_id, source, n_tokens,
+      |    round(ln(dc.dp) - ln(dc.dq) + a -
+      |      n_tokens * (ln(sc.np + sc.v) - ln(sc.nq + sc.v)), 6) AS nb_score_r
+      |  FROM s, sc, dc)
+      |SELECT doc_id, source, n_tokens, nb_score_r, nb_score_r > 0 AS pred_pos
+      |FROM r ORDER BY doc_id""".stripMargin
+
+  /** TARGET unigram LM for importance resampling: trained on the
+    * curated sources only, stored durably next to the raw corpus LM
+    * ([[lmStored]]); meta carries the target mass and the RAW
+    * vocabulary size (the smoothing denominator both models share).
+    * Mirrors CCNet/DSIR's arrangement: the target model comes from a
+    * small trusted corpus, the raw model from everything. */
+  private[graft] def lmCuratedStored(spark: SparkSession, sfDir: String)
+      : (DataFrame, Long, Long) = {
+    val (dir, meta) = graft.Artifacts.getOrBuildMeta(
+        spark, sfDir, "unigram_lm_curated") { d =>
+      val tf = Tables.documents(spark, sfDir)
+        .filter(curatedPred)
+        .select(explode(split(col("text"), " ")).as("tk"))
+        .groupBy(col("tk")).agg(count(lit(1)).as("ct"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        tf.write.parquet(d)
+        val n = tf.agg(sum(col("ct"))).head.getLong(0)
+        val v = lmStored(spark, sfDir)._1.count()
+        s"$n,$v"
+      } finally tf.unpersist()
+    }
+    val Array(n, v) = meta.trim.split(",").map(_.toLong)
+    (spark.read.parquet(dir), n, v)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_oov_rate" -> (qOovRate _),
     "text_url_parse" -> (qUrlParse _),
@@ -1517,7 +1687,9 @@ object TextOps {
     "text_lm_bigram_stored" -> (qLmBigramStored _),
     "text_zipf_fit" -> (qZipfFit _),
     "text_fertility" -> (qFertility _),
-    "text_lm_backoff" -> (qLmBackoff _))
+    "text_lm_backoff" -> (qLmBackoff _),
+    "text_nb_quality" -> (qNbQuality _),
+    "text_nb_quality_stored" -> (qNbQualityStored _))
 
   val oracles: Map[String, String] = Map(
     "text_oov_rate" -> qOovRateOracle,
@@ -1549,5 +1721,7 @@ object TextOps {
     "text_lm_bigram_stored" -> qLmBigramOracle,
     "text_zipf_fit" -> qZipfFitOracle,
     "text_fertility" -> qFertilityOracle,
-    "text_lm_backoff" -> qLmBackoffOracle)
+    "text_lm_backoff" -> qLmBackoffOracle,
+    "text_nb_quality" -> qNbQualityOracle,
+    "text_nb_quality_stored" -> qNbQualityOracle)
 }

@@ -1617,4 +1617,114 @@ class PipelineOpsSpec extends SparkSpec {
     }
     spark.catalog.clearCache()
   }
+
+  test("NB quality classifier equals a driver-side recompute; stored twin identical; model separates classes") {
+    val docs = Tables.documents(spark, sf)
+      .select("doc_id", "source", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    val pos = Set("src0", "src1", "src2")
+    val dtf = docs.flatMap { case (d, s, t) =>
+      t.split(" ", -1).groupBy(identity).map { case (tk, v) =>
+        (d, s, tk, v.length.toLong) } }
+    val cp = dtf.filter(x => pos(x._2)).groupBy(_._3)
+      .map { case (tk, v) => tk -> v.map(_._4).sum }.withDefaultValue(0L)
+    val cq = dtf.filter(x => !pos(x._2)).groupBy(_._3)
+      .map { case (tk, v) => tk -> v.map(_._4).sum }.withDefaultValue(0L)
+    val vocab = dtf.map(_._3).distinct
+    val (np, nq, v) = (cp.values.sum, cq.values.sum, vocab.size.toLong)
+    val (dp, dq) = (docs.count(d => pos(d._2)), docs.count(d => !pos(d._2)))
+    val prior = math.log(dp.toDouble) - math.log(dq.toDouble)
+    val kk = math.log((np + v).toDouble) - math.log((nq + v).toDouble)
+    val want = docs.map { case (d, s, t) =>
+      val tks = t.split(" ", -1)
+      val a = tks.groupBy(identity).map { case (tk, xs) =>
+        xs.length * (math.log((cp(tk) + 1).toDouble) -
+          math.log((cq(tk) + 1).toDouble)) }.sum
+      d -> (s, tks.length.toLong, prior + a - tks.length * kk)
+    }.toMap
+    val live = TextOps.qNbQuality(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getDouble(3), r.getBoolean(4)))
+    live.foreach { case (d, s, n, score, pred) =>
+      val (ws, wn, wscore) = want(d)
+      assert(s === ws && n === wn, s"doc $d meta")
+      assert(math.abs(score - wscore) < 2e-6, s"doc $d: $score vs $wscore")
+      assert(pred === (score > 0), s"doc $d pred from rounded score")
+    }
+    // stored twin is row-for-row identical (same ln of the same
+    // integer counts — the verbatim-shared-oracle contract)
+    val storedDf = TextOps.qNbQualityStored(spark, sf)
+    val stored = storedDf.collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getDouble(3), r.getBoolean(4)))
+    assert(stored.toSeq === live.toSeq, "stored twin must match live exactly")
+    // a trained classifier must actually separate: curated docs score
+    // higher on average than the rest
+    val (posScores, negScores) = live.partition(x => pos(x._2))
+    val (mp, mn) = (posScores.map(_._4).sum / posScores.length,
+      negScores.map(_._4).sum / negScores.length)
+    assert(mp > mn, s"NB must separate classes: pos avg $mp <= neg avg $mn")
+    // serving plan scans the durable model artifact
+    val p = storedDf.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+    assert(p.contains("graft_artifacts") && p.contains("nb_quality_model"),
+      "stored NB must serve from the model artifact")
+    spark.catalog.clearCache()
+  }
+
+  test("DSIR equals a driver-side recompute; selection upweights curated-like docs; TakeOrdered top-k") {
+    val docs = Tables.documents(spark, sf)
+      .select("doc_id", "source", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    val pos = Set("src0", "src1", "src2")
+    val raw = docs.flatMap(_._3.split(" ", -1)).groupBy(identity)
+      .map { case (tk, v) => tk -> v.length.toLong }
+    val tgt = docs.filter(d => pos(d._2)).flatMap(_._3.split(" ", -1))
+      .groupBy(identity).map { case (tk, v) => tk -> v.length.toLong }
+      .withDefaultValue(0L)
+    val (nRaw, nTgt, v) =
+      (raw.values.sum, tgt.values.sum, raw.size.toLong)
+    val kk = math.log((nTgt + v).toDouble) - math.log((nRaw + v).toDouble)
+    def round6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val want = docs.map { case (d, s, t) =>
+      val tks = t.split(" ", -1)
+      val lr = tks.groupBy(identity).map { case (tk, xs) =>
+        xs.length * (math.log((tgt(tk) + 1).toDouble) -
+          math.log((raw(tk) + 1).toDouble)) }.sum / tks.length
+      val w = round6(lr - kk)
+      val u = (java.lang.Long.parseLong(md5hex(d.toString).take(8), 16) + 0.5) /
+        4294967296.0
+      (d, s, w, round6(w + (-math.log(-math.log(u)))))
+    }
+    val wantTop = want.sortBy(x => (-x._4, x._1)).take(100)
+    val df = graft.operators.SamplingOps.qDsir(spark, sf)
+    val got = df.collect().map(r => (r.getLong(0), r.getString(1),
+      r.getDouble(2), r.getDouble(3)))
+    assert(got.map(_._1).toSet === wantTop.map(_._1).toSet,
+      "selected set must match the recompute")
+    got.sortBy(_._1).zip(wantTop.sortBy(_._1)).foreach { case (g, w) =>
+      assert(g._2 === w._2, s"doc ${g._1} source")
+      assert(math.abs(g._3 - w._3) < 2e-6, s"doc ${g._1} weight")
+      assert(math.abs(g._4 - w._4) < 2e-6, s"doc ${g._1} key")
+    }
+    // importance resampling must shift the sample toward the target:
+    // the selected docs' mean weight exceeds the corpus mean
+    val corpusMean = want.map(_._3).sum / want.length
+    val selMean = got.map(_._3).sum / got.length
+    assert(selMean > corpusMean,
+      s"DSIR selection must upweight target-like docs: $selMean <= $corpusMean")
+    // plan: top-k is a TakeOrdered (per-partition heads), both LM
+    // artifacts are scanned, no unpartitioned row_number window
+    val p = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+    assert(p.contains("TakeOrderedAndProject"),
+      "DSIR top-k must plan as TakeOrdered, not a global sort")
+    assert(p.contains("unigram_lm_curated") && p.split("unigram_lm").length >= 3,
+      "DSIR must serve from BOTH stored LM artifacts")
+    spark.catalog.clearCache()
+  }
 }

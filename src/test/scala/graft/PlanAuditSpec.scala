@@ -592,6 +592,10 @@ class PlanAuditSpec extends SparkSpec {
       "dedup_semantic_clusters", "sample_mixture", "pipeline_corpus",
       "pipeline_corpus_stored", "sample_token_budget",
       "text_tfidf", "text_lm_score", "q_rolling_active_users",
+      // r10: NB classifier's five scalars (Np, Nq, V, docsP, docsQ)
+      // ride the same documented 1-row broadcast pattern; the stored
+      // twin replaces them with meta literals and is swept normally
+      "text_nb_quality",
       // r10: same gap-fill spine shape as q_ewma_daily — the 1-row
       // (mind, maxd) bounds aggregate broadcast-crossed into the
       // per-type day spine
