@@ -396,6 +396,160 @@ object EventOps {
       |  abs(t) > 1.96 AS significant
       |FROM t""".stripMargin
 
+  /** CUPED variance-reduced A/B read-out (Deng et al. 2013, "Improving
+    * the Sensitivity of Online Controlled Experiments") — the
+    * industry-standard upgrade to [[qAbTest]]: each user's PRE-period
+    * spend is the control covariate; the adjusted metric
+    * Y − θ(X − E[X]) has variance (1 − ρ²)·var(Y), so the same
+    * experiment detects smaller effects. θ = cov(X,Y)/var(X) pooled
+    * across both arms (pre-period data is assignment-independent, so
+    * pooling is unbiased).
+    *
+    * Every moment (ΣX, ΣY, ΣX², ΣY², ΣXY per arm) is an EXACT
+    * integer-cent decimal accumulated in the single user-level
+    * aggregate, cast to double only once — so θ, both t statistics
+    * and the variance-reduction figure are closed-form scalar
+    * arithmetic over exact sums: no float accumulation order anywhere
+    * (the repo's exact-moment discipline, [[qAbTest]]). Scale: one
+    * shuffle on user_id, then a 1-row global aggregate. */
+  def qAbCuped(spark: SparkSession, sfDir: String): DataFrame = {
+    val big = org.apache.spark.sql.types.DecimalType(38, 0)
+    val cents = (col("value") * 100)
+      .cast(org.apache.spark.sql.types.DecimalType(18, 0))
+    val cutoff = lit("2024-01-16 00:00:00").cast("timestamp")
+    val users = Tables.events(spark, sfDir)
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), cents.as("c"))
+      .groupBy(col("user_id"))
+      .agg(
+        sum(when(col("ts") < cutoff, col("c")).otherwise(lit(0)).cast(big))
+          .as("x"),
+        sum(when(col("ts") >= cutoff, col("c")).otherwise(lit(0)).cast(big))
+          .as("y"))
+      .withColumn("arm", SamplingOps.bucket100("user_id") % 2)
+    def side(a: Int, e: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      sum(when(col("arm") === a, e).otherwise(lit(0).cast(big)))
+        .cast(DoubleType)
+    val agg = users.agg(
+      sum(when(col("arm") === 0, 1L).otherwise(0L)).as("n_a"),
+      sum(when(col("arm") === 1, 1L).otherwise(0L)).as("n_b"),
+      side(0, col("x")).as("sxa"), side(0, col("y")).as("sya"),
+      side(1, col("x")).as("sxb"), side(1, col("y")).as("syb"),
+      side(0, (col("x") * col("x")).cast(big)).as("sxxa"),
+      side(0, (col("y") * col("y")).cast(big)).as("syya"),
+      side(0, (col("x") * col("y")).cast(big)).as("sxya"),
+      side(1, (col("x") * col("x")).cast(big)).as("sxxb"),
+      side(1, (col("y") * col("y")).cast(big)).as("syyb"),
+      side(1, (col("x") * col("y")).cast(big)).as("sxyb"))
+    agg
+      .withColumn("n", col("n_a") + col("n_b"))
+      .withColumn("sx", col("sxa") + col("sxb"))
+      .withColumn("sy", col("sya") + col("syb"))
+      .withColumn("sxx", col("sxxa") + col("sxxb"))
+      .withColumn("sxy", col("sxya") + col("sxyb"))
+      .withColumn("theta", (col("n") * col("sxy") - col("sx") * col("sy")) /
+        (col("n") * col("sxx") - col("sx") * col("sx")))
+      .withColumn("vya", (col("n_a") * col("syya") - col("sya") * col("sya")) /
+        (col("n_a") * (col("n_a") - 1)))
+      .withColumn("vyb", (col("n_b") * col("syyb") - col("syb") * col("syb")) /
+        (col("n_b") * (col("n_b") - 1)))
+      .withColumn("vxa", (col("n_a") * col("sxxa") - col("sxa") * col("sxa")) /
+        (col("n_a") * (col("n_a") - 1)))
+      .withColumn("vxb", (col("n_b") * col("sxxb") - col("sxb") * col("sxb")) /
+        (col("n_b") * (col("n_b") - 1)))
+      .withColumn("cva", (col("n_a") * col("sxya") - col("sxa") * col("sya")) /
+        (col("n_a") * (col("n_a") - 1)))
+      .withColumn("cvb", (col("n_b") * col("sxyb") - col("sxb") * col("syb")) /
+        (col("n_b") * (col("n_b") - 1)))
+      .withColumn("vyca", col("vya") - lit(2) * col("theta") * col("cva") +
+        col("theta") * col("theta") * col("vxa"))
+      .withColumn("vycb", col("vyb") - lit(2) * col("theta") * col("cvb") +
+        col("theta") * col("theta") * col("vxb"))
+      .withColumn("myca", col("sya") / col("n_a") -
+        col("theta") * (col("sxa") / col("n_a") - col("sx") / col("n")))
+      .withColumn("mycb", col("syb") / col("n_b") -
+        col("theta") * (col("sxb") / col("n_b") - col("sx") / col("n")))
+      .select(col("n_a"), col("n_b"),
+        round(col("theta"), 6).as("theta_r"),
+        round((col("syb") / col("n_b") - col("sya") / col("n_a")) / 100, 6)
+          .as("diff_raw_r"),
+        round((col("mycb") - col("myca")) / 100, 6).as("diff_cuped_r"),
+        round((col("syb") / col("n_b") - col("sya") / col("n_a")) /
+          sqrt(col("vya") / col("n_a") + col("vyb") / col("n_b")), 6)
+          .as("t_raw_r"),
+        round((col("mycb") - col("myca")) /
+          sqrt(col("vyca") / col("n_a") + col("vycb") / col("n_b")), 6)
+          .as("t_cuped_r"),
+        round(lit(1.0) - (col("vyca") + col("vycb")) /
+          (col("vya") + col("vyb")), 6).as("var_red_r"))
+  }
+
+  val qAbCupedOracle: String =
+    """WITH u AS (
+      |  SELECT user_id,
+      |    CAST(SUM(CASE WHEN ts < TIMESTAMP '2024-01-16 00:00:00'
+      |      THEN CAST(value * 100 AS DECIMAL(18,0)) ELSE 0 END)
+      |      AS DECIMAL(38,0)) AS x,
+      |    CAST(SUM(CASE WHEN ts >= TIMESTAMP '2024-01-16 00:00:00'
+      |      THEN CAST(value * 100 AS DECIMAL(18,0)) ELSE 0 END)
+      |      AS DECIMAL(38,0)) AS y,
+      |    CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 4) AS INT)
+      |      % 100 % 2 AS arm
+      |  FROM events WHERE event_type = 'purchase' GROUP BY user_id),
+      |a AS (
+      |  SELECT
+      |    CAST(SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+      |    CAST(SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+      |    CAST(SUM(CASE WHEN arm = 0 THEN x ELSE 0 END) AS DOUBLE) AS sxa,
+      |    CAST(SUM(CASE WHEN arm = 0 THEN y ELSE 0 END) AS DOUBLE) AS sya,
+      |    CAST(SUM(CASE WHEN arm = 1 THEN x ELSE 0 END) AS DOUBLE) AS sxb,
+      |    CAST(SUM(CASE WHEN arm = 1 THEN y ELSE 0 END) AS DOUBLE) AS syb,
+      |    CAST(SUM(CASE WHEN arm = 0 THEN CAST(x * x AS DECIMAL(38,0))
+      |      ELSE 0 END) AS DOUBLE) AS sxxa,
+      |    CAST(SUM(CASE WHEN arm = 0 THEN CAST(y * y AS DECIMAL(38,0))
+      |      ELSE 0 END) AS DOUBLE) AS syya,
+      |    CAST(SUM(CASE WHEN arm = 0 THEN CAST(x * y AS DECIMAL(38,0))
+      |      ELSE 0 END) AS DOUBLE) AS sxya,
+      |    CAST(SUM(CASE WHEN arm = 1 THEN CAST(x * x AS DECIMAL(38,0))
+      |      ELSE 0 END) AS DOUBLE) AS sxxb,
+      |    CAST(SUM(CASE WHEN arm = 1 THEN CAST(y * y AS DECIMAL(38,0))
+      |      ELSE 0 END) AS DOUBLE) AS syyb,
+      |    CAST(SUM(CASE WHEN arm = 1 THEN CAST(x * y AS DECIMAL(38,0))
+      |      ELSE 0 END) AS DOUBLE) AS sxyb
+      |  FROM u),
+      |d AS (
+      |  SELECT *,
+      |    n_a + n_b AS n, sxa + sxb AS sx, sya + syb AS sy,
+      |    sxxa + sxxb AS sxx, sxya + sxyb AS sxy
+      |  FROM a),
+      |t AS (
+      |  SELECT *,
+      |    (n * sxy - sx * sy) / (n * sxx - sx * sx) AS theta,
+      |    (n_a * syya - sya * sya) / (n_a * (n_a - 1)) AS vya,
+      |    (n_b * syyb - syb * syb) / (n_b * (n_b - 1)) AS vyb,
+      |    (n_a * sxxa - sxa * sxa) / (n_a * (n_a - 1)) AS vxa,
+      |    (n_b * sxxb - sxb * sxb) / (n_b * (n_b - 1)) AS vxb,
+      |    (n_a * sxya - sxa * sya) / (n_a * (n_a - 1)) AS cva,
+      |    (n_b * sxyb - sxb * syb) / (n_b * (n_b - 1)) AS cvb
+      |  FROM d),
+      |c AS (
+      |  SELECT *,
+      |    vya - 2 * theta * cva + theta * theta * vxa AS vyca,
+      |    vyb - 2 * theta * cvb + theta * theta * vxb AS vycb,
+      |    sya / n_a - theta * (sxa / n_a - sx / n) AS myca,
+      |    syb / n_b - theta * (sxb / n_b - sx / n) AS mycb
+      |  FROM t)
+      |SELECT n_a, n_b,
+      |  round(theta, 6) AS theta_r,
+      |  round((syb / n_b - sya / n_a) / 100, 6) AS diff_raw_r,
+      |  round((mycb - myca) / 100, 6) AS diff_cuped_r,
+      |  round((syb / n_b - sya / n_a) /
+      |    sqrt(vya / n_a + vyb / n_b), 6) AS t_raw_r,
+      |  round((mycb - myca) /
+      |    sqrt(vyca / n_a + vycb / n_b), 6) AS t_cuped_r,
+      |  round(1.0 - (vyca + vycb) / (vya + vyb), 6) AS var_red_r
+      |FROM c""".stripMargin
+
   /** SEASONAL residual anomalies — the weekly-pattern-aware monitor:
     * a Monday-shaped traffic dip is normal on Mondays, so the plain
     * z-score ([[qZscoreOutliers]]) and even the MAD variant false-
@@ -1055,6 +1209,7 @@ object EventOps {
     "q_ewma_daily" -> (qEwmaDaily _),
     "q_seasonal_residuals" -> (qSeasonalResiduals _),
     "q_ab_test" -> (qAbTest _),
+    "q_ab_cuped" -> (qAbCuped _),
     "q_rolling_active_users" -> (qRollingActiveUsers _),
     "q_funnel" -> (qFunnel _),
     "q_retention" -> (qRetention _),
@@ -1074,6 +1229,7 @@ object EventOps {
     "q_ewma_daily" -> qEwmaDailyOracle,
     "q_seasonal_residuals" -> qSeasonalResidualsOracle,
     "q_ab_test" -> qAbTestOracle,
+    "q_ab_cuped" -> qAbCupedOracle,
     "q_rolling_active_users" -> qRollingActiveUsersOracle,
     "q_funnel" -> qFunnelOracle,
     "q_retention" -> qRetentionOracle,

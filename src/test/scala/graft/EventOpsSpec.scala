@@ -347,6 +347,69 @@ class EventOpsSpec extends SparkSpec {
     assert(got._6 === (math.abs(t) > 1.96))
   }
 
+  test("CUPED equals a driver-side exact-moment recompute; adjustment centers and tightens") {
+    val r = EventOps.qAbCuped(spark, sf).collect().head
+    val got = (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3),
+      r.getDouble(4), r.getDouble(5), r.getDouble(6), r.getDouble(7))
+    val cutoff = java.time.Instant.parse("2024-01-16T00:00:00Z")
+      .toEpochMilli * 1000L
+    val perUser = Tables.events(spark, sf)
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("value"), unix_micros(col("ts")).as("us"))
+      .collect()
+      .map(x => (x.getLong(0), math.round(x.getDouble(1) * 100), x.getLong(2)))
+      .groupBy(_._1).map { case (u, v) =>
+        u -> (v.filter(_._3 < cutoff).map(_._2).sum,
+          v.filter(_._3 >= cutoff).map(_._2).sum)
+      }
+    def arm(u: Long): Int = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(u.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(4)
+      Integer.parseInt(hex, 16) % 100 % 2
+    }
+    val (ua, ub) = perUser.partition(kv => arm(kv._1) == 0)
+    // exact long moments per arm, double arithmetic only at the end —
+    // the same discipline the query encodes in decimals
+    def mom(m: Iterable[(Long, Long)]) = {
+      val n = m.size.toLong
+      (n, m.map(_._1).sum.toDouble, m.map(_._2).sum.toDouble,
+        m.map(p => p._1 * p._1).sum.toDouble,
+        m.map(p => p._2 * p._2).sum.toDouble,
+        m.map(p => p._1 * p._2).sum.toDouble)
+    }
+    val (na, sxa, sya, sxxa, syya, sxya) = mom(ua.values)
+    val (nb, sxb, syb, sxxb, syyb, sxyb) = mom(ub.values)
+    val (n, sx, sy, sxx, sxy) =
+      (na + nb, sxa + sxb, sya + syb, sxxa + sxxb, sxya + sxyb)
+    val theta = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    def v(ni: Long, s1: Double, s2: Double, s12: Double) =
+      (ni * s12 - s1 * s2) / (ni.toDouble * (ni - 1))
+    val (vya, vyb) = (v(na, sya, sya, syya), v(nb, syb, syb, syyb))
+    val (vxa, vxb) = (v(na, sxa, sxa, sxxa), v(nb, sxb, sxb, sxxb))
+    val (cva, cvb) = (v(na, sxa, sya, sxya), v(nb, sxb, syb, sxyb))
+    val vyca = vya - 2 * theta * cva + theta * theta * vxa
+    val vycb = vyb - 2 * theta * cvb + theta * theta * vxb
+    val myca = sya / na - theta * (sxa / na - sx / n)
+    val mycb = syb / nb - theta * (sxb / nb - sx / n)
+    assert(got._1 === na && got._2 === nb)
+    assert(math.abs(got._3 - theta) < 1e-6, s"theta ${got._3} vs $theta")
+    assert(math.abs(got._4 - (syb / nb - sya / na) / 100) < 1e-6)
+    assert(math.abs(got._5 - (mycb - myca) / 100) < 1e-6)
+    val tRaw = (syb / nb - sya / na) / math.sqrt(vya / na + vyb / nb)
+    val tCuped = (mycb - myca) / math.sqrt(vyca / na + vycb / nb)
+    assert(math.abs(got._6 - tRaw) < 1e-6, s"t_raw ${got._6} vs $tRaw")
+    assert(math.abs(got._7 - tCuped) < 1e-6, s"t_cuped ${got._7} vs $tCuped")
+    val vr = 1.0 - (vyca + vycb) / (vya + vyb)
+    assert(math.abs(got._8 - vr) < 1e-6, s"var_red ${got._8} vs $vr")
+    // the CUPED identity: with theta the pooled OLS slope, the
+    // adjusted variance can never exceed the raw variance by more
+    // than per-arm/pooled slope mismatch — in this fixture pre and
+    // post spend correlate positively, so the reduction is real
+    assert(got._8 > 0.0 && got._8 < 1.0,
+      s"variance reduction out of range: ${got._8}")
+  }
+
   test("seasonal residuals equal a driver-side decomposition recompute; dow means removed exactly") {
     val got = EventOps.qSeasonalResiduals(spark, sf).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
