@@ -725,6 +725,119 @@ object MultimodalOps {
       |FROM cand WHERE bit_count(xor(ha, hb)) <= 1
       |ORDER BY a_id, b_id""".stripMargin
 
+  // public: Spark's generated encoder code must reach this
+  case class FrameHashRow(doc_id: Long, frame: Int, phash: Long)
+
+  /** Per-FRAME perceptual hashes of the video docs: the payload cut
+    * into fixed 128-byte frames (the stub stand-in for decoded video
+    * frames), each hashed with the SAME integer-DCT pHash the image
+    * family uses ([[StubCodec.dctHash]]). 128 bytes → the 8×8
+    * downsample strides every 2nd byte. */
+  private def framePhashes(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val fb = 128
+    val media: Dataset[MediaRow] = mediaTable(spark, sfDir)
+      .filter(col("media_type") === "video" && length(col("payload")) >= fb)
+      .select(col("doc_id"), col("payload")).as[MediaRow]
+    media.mapPartitions { rows =>
+      rows.flatMap { m =>
+        val nf = m.payload.length / fb
+        (0 until nf).iterator.map { f =>
+          FrameHashRow(m.doc_id, f, StubCodec.dctHash(
+            java.util.Arrays.copyOfRange(m.payload, f * fb, (f + 1) * fb)))
+        }
+      }
+    }.toDF()
+  }
+
+  /** VIDEO near-dup mining at FRAME granularity — the cross-video
+    * shared-footage detector (re-uploads, intros, stock clips):
+    * near-identical frames BETWEEN different videos, found by the
+    * same 16-bit pHash + pigeonhole equi-join as the image family,
+    * with the key widened to (video, frame). Within-video pairs are
+    * excluded (`a.doc_id < b.doc_id` — self-similarity is
+    * [[qSceneCuts]]' job); candidate volume stays n²/2^width per
+    * 8-bit chunk, never a quadratic frame scan. At 100 TB of video
+    * this is the shape that matters: frames explode 10³× over docs,
+    * so anything not an equi-join on a hash prefix is unrunnable. */
+  def qFramePhashNearDup(spark: SparkSession, sfDir: String): DataFrame = {
+    val fps = framePhashes(spark, sfDir)
+    val chunks = fps.select(col("doc_id"), col("frame"), col("phash"),
+        explode(sequence(lit(0), lit(1))).as("c"))
+      .withColumn("cv", expr("(phash >> (c * 8)) & 255"))
+    val cand = chunks.as("a")
+      .join(chunks.as("b"),
+        col("a.c") === col("b.c") && col("a.cv") === col("b.cv") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("a_id"), col("a.frame").as("a_frame"),
+        col("a.phash").as("ha"),
+        col("b.doc_id").as("b_id"), col("b.frame").as("b_frame"),
+        col("b.phash").as("hb"))
+      .distinct()
+    cand
+      .withColumn("hamming", bit_count(expr("ha ^ hb")).cast("int"))
+      .filter(col("hamming") <= 1)
+      .select(col("a_id"), col("a_frame"), col("b_id"), col("b_frame"),
+        col("hamming"))
+      .orderBy("a_id", "a_frame", "b_id", "b_frame")
+  }
+
+  /** The frame slicing + integer-DCT pHash + pigeonhole join
+    * reproduced in DuckDB over `hex(encode(text))`: frame f's 8×8
+    * downsample reads bytes f·128 + 2i, i ∈ [0, 64). */
+  val qFramePhashNearDupOracle: String =
+    """WITH m AS (
+      |  SELECT doc_id, hex(encode(text)) AS h,
+      |         CAST(octet_length(encode(text)) AS INT) AS nb
+      |  FROM documents
+      |  WHERE doc_id % 3 = 2 AND octet_length(encode(text)) >= 128),
+      |dct(x, u, t) AS (VALUES
+      |  (0,0,128), (0,1,126), (0,2,118), (0,3,106),
+      |  (1,0,128), (1,1,106), (1,2,49), (1,3,-25),
+      |  (2,0,128), (2,1,71), (2,2,-49), (2,3,-126),
+      |  (3,0,128), (3,1,25), (3,2,-118), (3,3,-71),
+      |  (4,0,128), (4,1,-25), (4,2,-118), (4,3,71),
+      |  (5,0,128), (5,1,-71), (5,2,-49), (5,3,126),
+      |  (6,0,128), (6,1,-106), (6,2,49), (6,3,25),
+      |  (7,0,128), (7,1,-126), (7,2,118), (7,3,-106)),
+      |fr AS (
+      |  SELECT doc_id, h, CAST(f.f AS INT) AS frame
+      |  FROM m, unnest(generate_series(0, nb // 128 - 1)) AS f(f)),
+      |t AS (
+      |  SELECT fr.doc_id, fr.frame, i.i AS i,
+      |         CAST('0x' || substr(fr.h, 2 * (fr.frame * 128 + i.i * 2) + 1, 2)
+      |           AS INT) AS s
+      |  FROM fr, unnest(generate_series(0, 63)) AS i(i)),
+      |co AS (
+      |  SELECT t.doc_id, t.frame, tu.u AS u, tv.u AS v,
+      |         SUM(CAST(t.s AS BIGINT) * tu.t * tv.t) AS c
+      |  FROM t
+      |  JOIN dct tu ON tu.x = t.i // 8
+      |  JOIN dct tv ON tv.x = t.i % 8
+      |  GROUP BY 1, 2, 3, 4),
+      |ac AS (
+      |  SELECT doc_id, frame,
+      |         SUM(CASE WHEN u = 0 AND v = 0 THEN 0 ELSE c END) AS sac
+      |  FROM co GROUP BY 1, 2),
+      |ph AS (
+      |  SELECT co.doc_id, co.frame,
+      |         CAST(SUM(CASE WHEN co.c * 15 > ac.sac
+      |                       THEN CAST(1 AS BIGINT) << (co.u * 4 + co.v)
+      |                       ELSE 0 END) AS BIGINT) AS phash
+      |  FROM co JOIN ac USING (doc_id, frame) GROUP BY 1, 2),
+      |ch AS (
+      |  SELECT doc_id, frame, phash, c.c AS c, (phash >> (c.c * 8)) & 255 AS cv
+      |  FROM ph, (SELECT unnest(generate_series(0, 1)) AS c) c),
+      |cand AS (
+      |  SELECT DISTINCT a.doc_id AS a_id, a.frame AS a_frame, a.phash AS ha,
+      |                  b.doc_id AS b_id, b.frame AS b_frame, b.phash AS hb
+      |  FROM ch a JOIN ch b
+      |    ON a.c = b.c AND a.cv = b.cv AND a.doc_id < b.doc_id)
+      |SELECT a_id, a_frame, b_id, b_frame,
+      |  CAST(bit_count(xor(ha, hb)) AS INT) AS hamming
+      |FROM cand WHERE bit_count(xor(ha, hb)) <= 1
+      |ORDER BY a_id, a_frame, b_id, b_frame""".stripMargin
+
   /** The segment-energy fingerprint + pigeonhole join reproduced in
     * DuckDB over `hex(encode(text))`: same stride = n/17 framing, same
     * unsigned byte sums, same rising-delta bit coding, same chunk
@@ -955,6 +1068,7 @@ object MultimodalOps {
     "mm_blur_scores" -> (qBlurScores _),
     "mm_audio_fingerprint_neardup" -> (qAudioFingerprintNearDup _),
     "mm_phash_neardup" -> (qPhashNearDup _),
+    "mm_frame_phash_neardup" -> (qFramePhashNearDup _),
     "mm_metadata" -> (qMetadata _),
     "mm_decode_features" -> (qDecodeFeatures _),
     "mm_frame_sample" -> (qFrameSample _),
@@ -969,6 +1083,7 @@ object MultimodalOps {
     "mm_blur_scores" -> qBlurScoresOracle,
     "mm_audio_fingerprint_neardup" -> qAudioFingerprintNearDupOracle,
     "mm_phash_neardup" -> qPhashNearDupOracle,
+    "mm_frame_phash_neardup" -> qFramePhashNearDupOracle,
     "mm_metadata" -> qMetadataOracle,
     "mm_decode_features" -> qDecodeFeaturesOracle,
     "mm_frame_sample" -> qFrameSampleOracle,

@@ -246,4 +246,41 @@ class MultimodalSpec extends SparkSpec {
       s"cross-modal mining must never plan all-pairs:\n${p.take(300)}")
     spark.catalog.clearCache()
   }
+
+  test("frame-level phash near-dup: pigeonhole join equals a driver-side brute force over all cross-video frame pairs") {
+    // same completeness+soundness discipline as the image pHash spec,
+    // with the key widened to (video, frame): recompute every frame's
+    // DCT hash from raw payload slices, brute-force all CROSS-video
+    // frame pairs at Hamming <= 1, and demand set equality.
+    val fb = 128
+    val docs = MultimodalOps.mediaTable(spark, sf)
+      .filter(col("media_type") === "video")
+      .select("doc_id", "payload").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Array[Byte]]("payload"))
+    val frames = docs.flatMap { case (id, p) =>
+      (0 until p.length / fb).map { f =>
+        (id, f, MultimodalOps.StubCodec.dctHash(
+          java.util.Arrays.copyOfRange(p, f * fb, (f + 1) * fb)))
+      }
+    }
+    val brute = (for {
+      i <- frames.indices; j <- frames.indices
+      (ida, fa, ha) = frames(i); (idb, fbx, hb) = frames(j)
+      if ida < idb && java.lang.Long.bitCount(ha ^ hb) <= 1
+    } yield (ida, fa, idb, fbx, java.lang.Long.bitCount(ha ^ hb))).toSet
+    val df = MultimodalOps.qFramePhashNearDup(spark, sf)
+    val got = df.collect().map(r => (r.getLong(0), r.getInt(1),
+      r.getLong(2), r.getInt(3), r.getInt(4))).toSet
+    assert(got === brute,
+      s"missed=${(brute -- got).take(5)} phantom=${(got -- brute).take(5)}")
+    assert(brute.nonEmpty, "fixture must contain cross-video near-dup frames")
+    // no within-video pair ever leaks through
+    assert(got.forall(p => p._1 < p._3), "pairs must be cross-video, ordered")
+    // candidates come from the chunk equi-join, never an all-pairs scan
+    val p = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"frame near-dup must never plan all-pairs:\n${p.take(300)}")
+    spark.catalog.clearCache()
+  }
 }
