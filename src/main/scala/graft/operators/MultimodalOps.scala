@@ -782,6 +782,35 @@ object MultimodalOps {
       .orderBy("a_id", "a_frame", "b_id", "b_frame")
   }
 
+  /** VIDEO-level near-dup verdicts rolled up from the frame matches:
+    * for each video pair with at least one matched frame, how many of
+    * the smaller video's frames found a near-identical partner —
+    * containment in permille (the re-upload / clip-embedding score;
+    * 1000 = every frame of the shorter video appears in the longer).
+    * Distinct matched frames are counted on the SMALLER side so a
+    * single hot frame matching many partners can't inflate the score.
+    * Pure rollup of the (already equi-join-mined) frame pair
+    * relation plus a frames-per-video count join — metadata-sized
+    * inputs at any corpus scale, integer permille (no float). */
+  def qVideoDedup(spark: SparkSession, sfDir: String): DataFrame = {
+    val pairs = qFramePhashNearDup(spark, sfDir)
+    val counts = framePhashes(spark, sfDir)
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("nf"))
+    pairs
+      .groupBy(col("a_id"), col("b_id"))
+      .agg(countDistinct(col("a_frame")).as("ma"),
+        countDistinct(col("b_frame")).as("mb"))
+      .join(counts.select(col("doc_id").as("a_id"), col("nf").as("nfa")), "a_id")
+      .join(counts.select(col("doc_id").as("b_id"), col("nf").as("nfb")), "b_id")
+      .select(col("a_id"), col("b_id"), col("nfa"), col("nfb"),
+        when(col("nfa") <= col("nfb"), col("ma")).otherwise(col("mb"))
+          .as("matched_min_side"),
+        expr("(CASE WHEN nfa <= nfb THEN ma ELSE mb END) * 1000 DIV " +
+          "(CASE WHEN nfa <= nfb THEN nfa ELSE nfb END)")
+          .as("containment_pm"))
+      .orderBy(col("a_id"), col("b_id"))
+  }
+
   /** The frame slicing + integer-DCT pHash + pigeonhole join
     * reproduced in DuckDB over `hex(encode(text))`: frame f's 8×8
     * downsample reads bytes f·128 + 2i, i ∈ [0, 64). */
@@ -837,6 +866,38 @@ object MultimodalOps {
       |  CAST(bit_count(xor(ha, hb)) AS INT) AS hamming
       |FROM cand WHERE bit_count(xor(ha, hb)) <= 1
       |ORDER BY a_id, a_frame, b_id, b_frame""".stripMargin
+
+  /** Same CTE chain as [[qFramePhashNearDupOracle]] with the final
+    * rollup: matched-frame counts per video pair, frames-per-video
+    * from the same 128-byte framing, containment in permille. */
+  val qVideoDedupOracle: String = {
+    val prefix = qFramePhashNearDupOracle
+      .stripSuffix("""
+SELECT a_id, a_frame, b_id, b_frame,
+  CAST(bit_count(xor(ha, hb)) AS INT) AS hamming
+FROM cand WHERE bit_count(xor(ha, hb)) <= 1
+ORDER BY a_id, a_frame, b_id, b_frame""")
+    prefix + """,
+      |pairs AS (
+      |  SELECT a_id, a_frame, b_id, b_frame
+      |  FROM cand WHERE bit_count(xor(ha, hb)) <= 1),
+      |pm AS (
+      |  SELECT a_id, b_id,
+      |    CAST(COUNT(DISTINCT a_frame) AS BIGINT) AS ma,
+      |    CAST(COUNT(DISTINCT b_frame) AS BIGINT) AS mb
+      |  FROM pairs GROUP BY 1, 2),
+      |nf AS (
+      |  SELECT doc_id, CAST(nb // 128 AS BIGINT) AS nf FROM m)
+      |SELECT pm.a_id, pm.b_id, fa.nf AS nfa, fb.nf AS nfb,
+      |  CASE WHEN fa.nf <= fb.nf THEN ma ELSE mb END AS matched_min_side,
+      |  (CASE WHEN fa.nf <= fb.nf THEN ma ELSE mb END) * 1000 //
+      |    (CASE WHEN fa.nf <= fb.nf THEN fa.nf ELSE fb.nf END)
+      |    AS containment_pm
+      |FROM pm
+      |JOIN nf fa ON fa.doc_id = pm.a_id
+      |JOIN nf fb ON fb.doc_id = pm.b_id
+      |ORDER BY a_id, b_id""".stripMargin
+  }
 
   /** The segment-energy fingerprint + pigeonhole join reproduced in
     * DuckDB over `hex(encode(text))`: same stride = n/17 framing, same
@@ -1069,6 +1130,7 @@ object MultimodalOps {
     "mm_audio_fingerprint_neardup" -> (qAudioFingerprintNearDup _),
     "mm_phash_neardup" -> (qPhashNearDup _),
     "mm_frame_phash_neardup" -> (qFramePhashNearDup _),
+    "mm_video_dedup" -> (qVideoDedup _),
     "mm_metadata" -> (qMetadata _),
     "mm_decode_features" -> (qDecodeFeatures _),
     "mm_frame_sample" -> (qFrameSample _),
@@ -1084,6 +1146,7 @@ object MultimodalOps {
     "mm_audio_fingerprint_neardup" -> qAudioFingerprintNearDupOracle,
     "mm_phash_neardup" -> qPhashNearDupOracle,
     "mm_frame_phash_neardup" -> qFramePhashNearDupOracle,
+    "mm_video_dedup" -> qVideoDedupOracle,
     "mm_metadata" -> qMetadataOracle,
     "mm_decode_features" -> qDecodeFeaturesOracle,
     "mm_frame_sample" -> qFrameSampleOracle,

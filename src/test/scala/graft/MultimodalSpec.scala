@@ -283,4 +283,34 @@ class MultimodalSpec extends SparkSpec {
       s"frame near-dup must never plan all-pairs:\n${p.take(300)}")
     spark.catalog.clearCache()
   }
+
+  test("video dedup rolls up the frame matches exactly; containment bounded by the shorter side") {
+    val fb = 128
+    val docs = MultimodalOps.mediaTable(spark, sf)
+      .filter(col("media_type") === "video")
+      .select("doc_id", "payload").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Array[Byte]]("payload"))
+    val nf = docs.map { case (id, p) => id -> (p.length / fb).toLong }
+      .filter(_._2 > 0).toMap
+    val pairs = MultimodalOps.qFramePhashNearDup(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getInt(3)))
+    val want = pairs.groupBy(p => (p._1, p._3)).map { case ((a, b), v) =>
+      val ma = v.map(_._2).distinct.length.toLong
+      val mb = v.map(_._4).distinct.length.toLong
+      val m = if (nf(a) <= nf(b)) ma else mb
+      (a, b, nf(a), nf(b), m, m * 1000 / math.min(nf(a), nf(b)))
+    }.toSet
+    val got = MultimodalOps.qVideoDedup(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toSet
+    assert(got === want,
+      s"missed=${(want -- got).take(3)} phantom=${(got -- want).take(3)}")
+    assert(got.nonEmpty, "fixture must contain matched video pairs")
+    // containment: counted on the shorter side, bounded by its length
+    got.foreach { case (a, b, nfa, nfb, m, pm) =>
+      assert(m <= math.min(nfa, nfb), s"($a,$b) matched > frames")
+      assert(pm > 0 && pm <= 1000, s"($a,$b) containment $pm out of range")
+    }
+    spark.catalog.clearCache()
+  }
 }
