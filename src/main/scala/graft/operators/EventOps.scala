@@ -550,6 +550,46 @@ object EventOps {
       |  round(1.0 - (vyca + vycb) / (vya + vyb), 6) AS var_red_r
       |FROM c""".stripMargin
 
+  /** SAMPLE-RATIO MISMATCH check — the experimentation-hygiene gate
+    * that must pass before any A/B readout is believed: under the
+    * 50/50 md5 assignment the arm sizes are binomial, and the 1-dof
+    * chi-square statistic (n_a − n_b)²/(n_a + n_b) flags a broken
+    * assignment (bot filtering, logging loss, redirect bias) at
+    * χ² > 3.84 (p < 0.05). Counts over ALL users who emitted any
+    * event — assignment precedes behavior, so the denominator is the
+    * assigned population, not the purchasers. Exact integers until
+    * the single division; one distinct-user aggregate. */
+  def qAbSrm(spark: SparkSession, sfDir: String): DataFrame = {
+    val users = Tables.events(spark, sfDir)
+      .select(col("user_id")).distinct()
+      .withColumn("arm", SamplingOps.bucket100("user_id") % 2)
+    users.agg(
+        sum(when(col("arm") === 0, 1L).otherwise(0L)).as("n_a"),
+        sum(when(col("arm") === 1, 1L).otherwise(0L)).as("n_b"))
+      .select(col("n_a"), col("n_b"),
+        round((col("n_a") - col("n_b")).cast(DoubleType) *
+          (col("n_a") - col("n_b")) / (col("n_a") + col("n_b")), 6)
+          .as("chi2_r"))
+      .withColumn("srm", col("chi2_r") > 3.84)
+  }
+
+  val qAbSrmOracle: String =
+    """WITH u AS (
+      |  SELECT DISTINCT user_id FROM events),
+      |a AS (
+      |  SELECT
+      |    CAST(SUM(CASE WHEN CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 4)
+      |      AS INT) % 100 % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+      |    CAST(SUM(CASE WHEN CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 4)
+      |      AS INT) % 100 % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b
+      |  FROM u)
+      |SELECT n_a, n_b,
+      |  round(CAST(n_a - n_b AS DOUBLE) * (n_a - n_b) / (n_a + n_b), 6)
+      |    AS chi2_r,
+      |  round(CAST(n_a - n_b AS DOUBLE) * (n_a - n_b) / (n_a + n_b), 6) > 3.84
+      |    AS srm
+      |FROM a""".stripMargin
+
   /** SEASONAL residual anomalies — the weekly-pattern-aware monitor:
     * a Monday-shaped traffic dip is normal on Mondays, so the plain
     * z-score ([[qZscoreOutliers]]) and even the MAD variant false-
@@ -1210,6 +1250,7 @@ object EventOps {
     "q_seasonal_residuals" -> (qSeasonalResiduals _),
     "q_ab_test" -> (qAbTest _),
     "q_ab_cuped" -> (qAbCuped _),
+    "q_ab_srm" -> (qAbSrm _),
     "q_rolling_active_users" -> (qRollingActiveUsers _),
     "q_funnel" -> (qFunnel _),
     "q_retention" -> (qRetention _),
@@ -1230,6 +1271,7 @@ object EventOps {
     "q_seasonal_residuals" -> qSeasonalResidualsOracle,
     "q_ab_test" -> qAbTestOracle,
     "q_ab_cuped" -> qAbCupedOracle,
+    "q_ab_srm" -> qAbSrmOracle,
     "q_rolling_active_users" -> qRollingActiveUsersOracle,
     "q_funnel" -> qFunnelOracle,
     "q_retention" -> qRetentionOracle,

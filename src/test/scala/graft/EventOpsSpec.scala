@@ -410,6 +410,26 @@ class EventOpsSpec extends SparkSpec {
       s"variance reduction out of range: ${got._8}")
   }
 
+  test("SRM check equals a driver-side chi-square recompute; arms partition all users") {
+    val r = EventOps.qAbSrm(spark, sf).collect().head
+    val got = (r.getLong(0), r.getLong(1), r.getDouble(2), r.getBoolean(3))
+    val users = Tables.events(spark, sf).select("user_id").collect()
+      .map(_.getLong(0)).distinct
+    def arm(u: Long): Int = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(u.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(4)
+      Integer.parseInt(hex, 16) % 100 % 2
+    }
+    val na = users.count(arm(_) == 0).toLong
+    val nb = users.count(arm(_) == 1).toLong
+    val chi2 = (na - nb).toDouble * (na - nb) / (na + nb)
+    assert(got._1 === na && got._2 === nb)
+    assert(got._1 + got._2 === users.length.toLong, "arms must partition users")
+    assert(math.abs(got._3 - chi2) < 1e-6, s"chi2 ${got._3} vs $chi2")
+    assert(got._4 === (got._3 > 3.84), "srm flag from the rounded statistic")
+  }
+
   test("seasonal residuals equal a driver-side decomposition recompute; dow means removed exactly") {
     val got = EventOps.qSeasonalResiduals(spark, sf).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
