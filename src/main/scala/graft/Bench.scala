@@ -209,6 +209,7 @@ object Bench {
       graft.operators.TextOps.lmBackoffStored(spark, sfDir)
       graft.operators.TextOps.lmCuratedStored(spark, sfDir)
       graft.operators.TextOps.nbStored(spark, sfDir)
+      graft.operators.DedupOps.qDedupDeltaClassify(spark, sfDir)
       "ok"
     } catch { case e: Throwable =>
       System.err.println(s"[bench] artifact prebuild: $e")

@@ -319,16 +319,28 @@ object DedupOps {
     * (doc_id, source, fp) — shared by [[qCrawlDelta]] and the
     * streaming crawl-delta twin's replay spec so the two can never
     * drift on the text derivation. */
-  private[graft] def crawlPrev(spark: SparkSession, sfDir: String): DataFrame = {
-    val prevText = when(col("doc_id") % 7 === 3,
+  /** The PREVIOUS snapshot's text projection: docs `% 7 == 3` lose
+    * their last token (the simulated content drift), the rest are
+    * verbatim. Shared by the fingerprint projection ([[crawlPrev]])
+    * and the previous-snapshot signature index
+    * ([[qDedupDeltaClassify]]). */
+  private def prevTextExpr: Column =
+    when(col("doc_id") % 7 === 3,
         array_join(slice(split(col("text"), " "), lit(1),
           size(split(col("text"), " ")) - 1), " "))
       .otherwise(col("text"))
+
+  /** The previous snapshot as a (doc_id, text) doc slice. */
+  private[graft] def prevSnapshotDocs(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .filter(col("doc_id") % 10 =!= 9)
+      .select(col("doc_id"), prevTextExpr.as("text"))
+
+  private[graft] def crawlPrev(spark: SparkSession, sfDir: String): DataFrame =
     Tables.documents(spark, sfDir)
       .filter(col("doc_id") % 10 =!= 9)
       .select(col("doc_id"), col("source"),
-        md5(prevText.cast("binary")).as("fp"))
-  }
+        md5(prevTextExpr.cast("binary")).as("fp"))
 
   /** The simulated CURRENT-crawl snapshot projection — see
     * [[crawlPrev]]. */
@@ -2083,7 +2095,20 @@ object DedupOps {
     val incoming = Tables.documents(spark, sfDir)
       .withColumn("bucket", SamplingOps.bucket100("doc_id"))
       .filter(col("bucket") >= 90)
-    val base = spark.read.parquet(baseDir)
+    classifyAgainstIndex(incoming, spark.read.parquet(baseDir))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Classify an arbitrary INCOMING doc slice (doc_id, text) against a
+    * materialized [[baseSignatures]] index — 'exact' | 'near' | 'new'
+    * with the smallest matching base id as evidence. The shared body
+    * of [[qDedupIncrementalStored]] (incoming = the id-hash crawl
+    * slice) and [[qDedupDeltaClassify]] (incoming = the crawl delta's
+    * added/changed docs): the only shingle explode is over the
+    * incoming slice; every base-side touch is an equi-join against
+    * the stored index. */
+  private[graft] def classifyAgainstIndex(incoming: DataFrame,
+      base: DataFrame): DataFrame = {
     val exact = incoming
       .select(col("doc_id"), md5(col("text").cast("binary")).as("fp"))
       .join(base.select(col("doc_id").as("base_id"), col("fp")), "fp")
@@ -2114,8 +2139,7 @@ object DedupOps {
           when(col("exact_match_id").isNotNull, "exact")
             .when(col("near_match_id").isNotNull, "near")
             .otherwise("new").as("status"),
-          coalesce(col("exact_match_id"), col("near_match_id")).as("match_id"))
-        .orderBy(col("doc_id")),
+          coalesce(col("exact_match_id"), col("near_match_id")).as("match_id")),
       sh)
   }
 
@@ -2138,6 +2162,210 @@ object DedupOps {
     }
     qDedupIncrementalStored(spark, sfDir, dir)
   }
+
+  /** CRAWL-DELTA × STORED-INDEX composition — the nightly recrawl
+    * flow end-to-end: [[qCrawlDelta]] tells you WHICH docs re-enter
+    * processing (added + changed); this query runs them through
+    * incremental dedup against the PREVIOUS snapshot's signature
+    * index ([[baseSignatures]] over the prev text projection, mined
+    * once per dataset as the durable `prev_sig` artifact). Output:
+    * one row per delta doc with its delta status and its duplicate
+    * verdict ('exact' | 'near' | 'new', smallest matching prev doc as
+    * evidence — a changed doc typically lands 'near' its own previous
+    * version, which is exactly the signal an index-refresh uses to
+    * decide re-cluster vs no-op).
+    *
+    * Scale: the delta slice is the churn fraction of the corpus (the
+    * whole point of incremental reprocessing); the only shingle
+    * explode is over that slice; the prev corpus appears ONLY through
+    * the stored index's equi-joins. */
+  def qDedupDeltaClassify(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = Artifacts.getOrBuild(spark, sfDir, "prev_sig") { d =>
+      baseSignatures(prevSnapshotDocs(spark, sfDir)).write.parquet(d)
+    }
+    val prevFp = crawlPrev(spark, sfDir)
+      .select(col("doc_id"), col("fp").as("p_fp"))
+    val delta = Tables.documents(spark, sfDir)
+      .filter(col("doc_id") % 10 =!= 0)
+      .join(prevFp, Seq("doc_id"), "left_outer")
+      .withColumn("delta_status",
+        when(col("p_fp").isNull, "added")
+          .when(col("p_fp") =!= md5(col("text").cast("binary")), "changed"))
+      .filter(col("delta_status").isNotNull)
+    val cls = classifyAgainstIndex(
+      delta.select(col("doc_id"), col("text")), spark.read.parquet(dir))
+    delta.select(col("doc_id"), col("source"), col("delta_status"))
+      .join(cls, "doc_id")
+      .select(col("doc_id"), col("source"), col("delta_status"),
+        col("status").as("dup_status"), col("match_id"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** The PATCHED next-snapshot signature index — the artifact
+    * MAINTENANCE op the stored-index story needs at 100 TB: instead
+    * of rebuilding [[baseSignatures]] over the whole current crawl,
+    * reuse the previous index's rows for every unchanged doc
+    * (fingerprint equality proves the text, hence the signatures,
+    * are identical), re-derive signatures ONLY for added/changed
+    * docs, and drop removed ones. Tagged with provenance so the
+    * summary query can account for every row. The only text work is
+    * over the churn slice; PipelineOpsSpec asserts the patched index
+    * is row-for-row identical to a from-scratch rebuild. */
+  private[graft] def refreshedSignatures(spark: SparkSession, sfDir: String)
+      : DataFrame = {
+    val dir = Artifacts.getOrBuild(spark, sfDir, "prev_sig") { d =>
+      baseSignatures(prevSnapshotDocs(spark, sfDir)).write.parquet(d)
+    }
+    val prevIdx = spark.read.parquet(dir)
+    val prevFp = crawlPrev(spark, sfDir)
+      .select(col("doc_id"), col("fp").as("p_fp"))
+    val cur = Tables.documents(spark, sfDir)
+      .filter(col("doc_id") % 10 =!= 0)
+      .select(col("doc_id"), col("text"),
+        md5(col("text").cast("binary")).as("c_fp"))
+      .join(prevFp, Seq("doc_id"), "left_outer")
+    val kept = prevIdx
+      .join(cur.filter(col("p_fp") === col("c_fp")).select("doc_id"), "doc_id")
+      .withColumn("prov", lit("kept"))
+    val rebuilt = baseSignatures(
+        cur.filter(col("p_fp").isNull || col("p_fp") =!= col("c_fp"))
+          .select(col("doc_id"), col("text")))
+      .withColumn("prov", lit("rebuilt"))
+    kept.unionByName(rebuilt)
+  }
+
+  /** Index-refresh SUMMARY as a registered query: per source, how
+    * many index rows were kept (unchanged — zero text work), rebuilt
+    * (the churn slice), and dropped (removed docs), plus the
+    * refreshed index's row count. Counts derive FROM the patched
+    * index relation, so a patch defect (a removed doc surviving, a
+    * changed doc served stale) surfaces in the oracle comparison,
+    * not just the spec. */
+  def qDedupIndexRefresh(spark: SparkSession, sfDir: String): DataFrame = {
+    val idx = refreshedSignatures(spark, sfDir)
+    val src = Tables.documents(spark, sfDir).select(col("doc_id"), col("source"))
+    val bySrc = idx.join(src, "doc_id")
+      .groupBy(col("source"))
+      .agg(sum((col("prov") === "kept").cast("long")).as("n_kept"),
+        sum((col("prov") === "rebuilt").cast("long")).as("n_rebuilt"),
+        count(lit(1)).as("n_index_rows"))
+    val dropped = crawlPrev(spark, sfDir).select(col("doc_id"))
+      .join(Tables.documents(spark, sfDir)
+        .filter(col("doc_id") % 10 =!= 0).select("doc_id"),
+        Seq("doc_id"), "left_anti")
+      .join(src, "doc_id")
+      .groupBy(col("source")).agg(count(lit(1)).as("n_dropped"))
+    bySrc.join(dropped, Seq("source"), "left_outer")
+      .select(col("source"), col("n_kept"), col("n_rebuilt"),
+        coalesce(col("n_dropped"), lit(0L)).as("n_dropped"),
+        col("n_index_rows"))
+      .orderBy(col("source"))
+  }
+
+  val qDedupIndexRefreshOracle: String =
+    """WITH pd AS (
+      |  SELECT doc_id, source,
+      |    CASE WHEN doc_id % 7 = 3
+      |         THEN array_to_string(
+      |           (string_split(text, ' '))[1:len(string_split(text, ' ')) - 1],
+      |           ' ')
+      |         ELSE text END AS text
+      |  FROM documents WHERE doc_id % 10 != 9),
+      |pfp AS (SELECT doc_id, md5(text) AS p_fp FROM pd),
+      |cur AS (
+      |  SELECT d.doc_id, d.source, md5(d.text) AS c_fp, pfp.p_fp
+      |  FROM documents d LEFT JOIN pfp USING (doc_id)
+      |  WHERE d.doc_id % 10 != 0),
+      |agg AS (
+      |  SELECT source,
+      |    CAST(SUM(CASE WHEN p_fp = c_fp THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS n_kept,
+      |    CAST(SUM(CASE WHEN p_fp IS NULL OR p_fp != c_fp THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS n_rebuilt,
+      |    CAST(COUNT(*) AS BIGINT) AS n_index_rows
+      |  FROM cur GROUP BY 1),
+      |drp AS (
+      |  SELECT pd.source, CAST(COUNT(*) AS BIGINT) AS n_dropped
+      |  FROM pd
+      |  WHERE pd.doc_id % 10 = 0
+      |  GROUP BY 1)
+      |SELECT agg.source, n_kept, n_rebuilt,
+      |  COALESCE(drp.n_dropped, 0) AS n_dropped, n_index_rows
+      |FROM agg LEFT JOIN drp USING (source)
+      |ORDER BY source""".stripMargin
+
+  val qDedupDeltaClassifyOracle: String =
+    s"""WITH pd AS (
+       |  SELECT doc_id, source,
+       |    CASE WHEN doc_id % 7 = 3
+       |         THEN array_to_string(
+       |           (string_split(text, ' '))[1:len(string_split(text, ' ')) - 1],
+       |           ' ')
+       |         ELSE text END AS text
+       |  FROM documents WHERE doc_id % 10 != 9),
+       |pfp AS (SELECT doc_id, md5(text) AS fp FROM pd),
+       |delta AS (
+       |  SELECT d.doc_id, d.source, d.text,
+       |    CASE WHEN pfp.fp IS NULL THEN 'added' ELSE 'changed' END
+       |      AS delta_status
+       |  FROM documents d LEFT JOIN pfp USING (doc_id)
+       |  WHERE d.doc_id % 10 != 0
+       |    AND (pfp.fp IS NULL OR pfp.fp != md5(d.text))),
+       |psh AS (
+       |  SELECT DISTINCT doc_id, ts[g] || ' ' || ts[g+1] || ' ' || ts[g+2] AS shingle
+       |  FROM (SELECT doc_id, string_split(text, ' ') AS ts FROM pd) t,
+       |       unnest(generate_series(1, len(ts)-2)) AS u(g)),
+       |dsh AS (
+       |  SELECT DISTINCT doc_id, ts[g] || ' ' || ts[g+1] || ' ' || ts[g+2] AS shingle
+       |  FROM (SELECT doc_id, string_split(text, ' ') AS ts FROM delta) t,
+       |       unnest(generate_series(1, len(ts)-2)) AS u(g)),
+       |pmh AS (
+       |  SELECT doc_id, s.seed, min(md5(s.seed || ':' || shingle)) AS minh
+       |  FROM psh, (SELECT unnest(generate_series(0, ${NumHashes - 1})) AS seed) s
+       |  GROUP BY 1, 2),
+       |pbands AS (
+       |  SELECT doc_id, seed // $BandSize AS band,
+       |         md5(string_agg(minh, ',' ORDER BY seed)) AS bkey
+       |  FROM pmh GROUP BY 1, 2),
+       |dmh AS (
+       |  SELECT doc_id, s.seed, min(md5(s.seed || ':' || shingle)) AS minh
+       |  FROM dsh, (SELECT unnest(generate_series(0, ${NumHashes - 1})) AS seed) s
+       |  GROUP BY 1, 2),
+       |dbands AS (
+       |  SELECT doc_id, seed // $BandSize AS band,
+       |         md5(string_agg(minh, ',' ORDER BY seed)) AS bkey
+       |  FROM dmh GROUP BY 1, 2),
+       |ex AS (
+       |  SELECT delta.doc_id, MIN(pfp.doc_id) AS exact_match_id
+       |  FROM delta JOIN pfp ON pfp.fp = md5(delta.text)
+       |  GROUP BY 1),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS doc_id, b.doc_id AS base_id
+       |  FROM dbands a JOIN pbands b ON a.band = b.band AND a.bkey = b.bkey),
+       |dsc AS (SELECT doc_id, COUNT(*) AS n FROM dsh GROUP BY 1),
+       |psc AS (SELECT doc_id, COUNT(*) AS n FROM psh GROUP BY 1),
+       |iv AS (
+       |  SELECT c.doc_id, c.base_id, COUNT(*) AS inter
+       |  FROM cand c
+       |  JOIN dsh x ON x.doc_id = c.doc_id
+       |  JOIN psh y ON y.doc_id = c.base_id AND y.shingle = x.shingle
+       |  GROUP BY 1, 2),
+       |nr AS (
+       |  SELECT iv.doc_id, MIN(iv.base_id) AS near_match_id
+       |  FROM iv
+       |  JOIN dsc sa ON sa.doc_id = iv.doc_id
+       |  JOIN psc sb ON sb.doc_id = iv.base_id
+       |  WHERE CAST(iv.inter AS DOUBLE) / (sa.n + sb.n - iv.inter) >= 0.1
+       |  GROUP BY 1)
+       |SELECT delta.doc_id, delta.source, delta.delta_status,
+       |  CASE WHEN e.exact_match_id IS NOT NULL THEN 'exact'
+       |       WHEN n2.near_match_id IS NOT NULL THEN 'near'
+       |       ELSE 'new' END AS dup_status,
+       |  COALESCE(e.exact_match_id, n2.near_match_id) AS match_id
+       |FROM delta
+       |LEFT JOIN ex e ON e.doc_id = delta.doc_id
+       |LEFT JOIN nr n2 ON n2.doc_id = delta.doc_id
+       |ORDER BY delta.doc_id""".stripMargin
 
   val qDedupIncrementalOracle: String =
     s"""WITH $shinglesSql,
@@ -2420,6 +2648,8 @@ object DedupOps {
     "dedup_exact" -> (qDedupExact _),
     "dedup_url_canonical" -> (qUrlCanonical _),
     "dedup_crawl_delta" -> (qCrawlDelta _),
+    "dedup_delta_classify" -> (qDedupDeltaClassify _),
+    "dedup_index_refresh" -> (qDedupIndexRefresh _),
     "dedup_ngram_jaccard" -> (qDedupJaccard _),
     "dedup_jaccard_capped" -> (qDedupJaccardCapped _),
     "dedup_containment" -> (qDedupContainment _),
@@ -2453,6 +2683,8 @@ object DedupOps {
     "dedup_exact" -> qDedupExactOracle,
     "dedup_url_canonical" -> qUrlCanonicalOracle,
     "dedup_crawl_delta" -> qCrawlDeltaOracle,
+    "dedup_delta_classify" -> qDedupDeltaClassifyOracle,
+    "dedup_index_refresh" -> qDedupIndexRefreshOracle,
     "dedup_ngram_jaccard" -> qDedupJaccardOracle,
     "dedup_jaccard_capped" -> qDedupJaccardCappedOracle,
     "dedup_containment" -> qDedupContainmentOracle,

@@ -1727,4 +1727,89 @@ class PipelineOpsSpec extends SparkSpec {
       "DSIR must serve from BOTH stored LM artifacts")
     spark.catalog.clearCache()
   }
+
+  test("delta classify: delta slice matches the snapshot recompute; changed docs never classify 'new'; one explode, index-served") {
+    val df = DedupOps.qDedupDeltaClassify(spark, sf)
+    val got = df.collect().map(r => (r.getLong(0), r.getString(1),
+      r.getString(2), r.getString(3),
+      if (r.isNullAt(4)) -1L else r.getLong(4)))
+    // the delta slice: exactly the added (% 10 == 9) and changed
+    // (% 7 == 3, present in both snapshots) docs of the current crawl
+    val docs = Tables.documents(spark, sf)
+      .select("doc_id", "source").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val wantDelta = docs.collect {
+      case (id, src) if id % 10 != 0 && id % 10 == 9 => (id, src, "added")
+      case (id, src) if id % 10 != 0 && id % 10 != 9 && id % 7 == 3 =>
+        (id, src, "changed")
+    }.toSet
+    assert(got.map(t => (t._1, t._2, t._3)).toSet === wantDelta,
+      "delta slice must be exactly added + changed")
+    got.foreach { case (id, _, dstatus, dup, matchId) =>
+      // a changed doc differs from its own previous version by one
+      // trailing token — the index MUST find it (exact via a twin or
+      // near via its own prev signature); 'new' would mean the
+      // refresh path lost the doc's history
+      if (dstatus == "changed")
+        assert(dup === "exact" || dup === "near", s"changed doc $id is '$dup'")
+      // evidence ids point into the previous snapshot
+      if (matchId >= 0)
+        assert(matchId % 10 != 9, s"doc $id evidence $matchId not in prev")
+      if (dup == "new") assert(matchId === -1L, s"new doc $id has evidence")
+    }
+    // the fixture exercises all three verdicts across the two statuses
+    assert(got.exists(_._4 == "near") && got.exists(_._4 == "new"))
+    // plan: the prev corpus appears ONLY through the stored index —
+    // exactly one shingle explode (the delta slice's own)
+    val p = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+    assert(p.contains("prev_sig"), "must serve from the prev_sig artifact")
+    val gens = df.queryExecution.analyzed.collect {
+      case g: org.apache.spark.sql.catalyst.plans.logical.Generate
+        if g.toString.contains("split(text") => g }
+    assert(gens.nonEmpty, "expected the delta slice's shingle explode")
+    gens.foreach(g => assert(g.toString.contains("delta_status"),
+      s"a text explode escaped the delta-slice filter:\n${g.toString.take(400)}"))
+    spark.catalog.clearCache()
+  }
+
+  test("index refresh: patched index identical to a from-scratch rebuild; only the churn slice re-shingled") {
+    import org.apache.spark.sql.Row
+    val patched = DedupOps.refreshedSignatures(spark, sf)
+    val rebuilt = DedupOps.baseSignatures(
+      Tables.documents(spark, sf).filter(col("doc_id") % 10 =!= 0)
+        .select(col("doc_id"), col("text")))
+    // signature rows compare as sets (collect_list order is
+    // partitioning-dependent; the signatures themselves are not)
+    def key(df: org.apache.spark.sql.DataFrame) = df.collect().map { r =>
+      val bands = Option(r.getAs[scala.collection.Seq[Row]]("bands"))
+        .map(_.map(b => (b.getAs[Int]("band"), b.getAs[String]("bkey"))).toSet)
+      val ss = Option(r.getAs[scala.collection.Seq[String]]("ss")).map(_.toSet)
+      val n = if (r.isNullAt(r.fieldIndex("n_shingles"))) -1L
+        else r.getAs[Long]("n_shingles")
+      r.getAs[Long]("doc_id") -> ((r.getAs[String]("fp"), bands, ss, n))
+    }.toMap
+    val (pk, rk) = (key(patched.drop("prov")), key(rebuilt))
+    assert(pk.keySet === rk.keySet,
+      s"missing=${(rk.keySet -- pk.keySet).take(5)} extra=${(pk.keySet -- rk.keySet).take(5)}")
+    pk.foreach { case (id, v) =>
+      assert(v === rk(id), s"doc $id: patched != rebuilt") }
+    // the patch's whole point: zero text work outside the churn slice
+    // (kept rows ride in from the stored prev_sig artifact)
+    val gens = patched.queryExecution.analyzed.collect {
+      case g: org.apache.spark.sql.catalyst.plans.logical.Generate
+        if g.toString.contains("split(text") => g }
+    assert(gens.nonEmpty, "expected the churn slice's shingle explode")
+    gens.foreach(g => assert(g.toString.contains("p_fp"),
+      s"a text explode escaped the churn filter:\n${g.toString.take(400)}"))
+    val p = patched.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+    assert(p.contains("prev_sig"), "kept rows must come from the stored index")
+    // provenance partitions the index: kept + rebuilt == all rows
+    val provs = patched.groupBy(col("prov")).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(provs.keySet === Set("kept", "rebuilt"))
+    assert(provs.values.sum === rk.size.toLong)
+    spark.catalog.clearCache()
+  }
 }
