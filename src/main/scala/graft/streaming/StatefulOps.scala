@@ -1284,6 +1284,81 @@ object StatefulOps {
         when(col("best").isNotNull, round(col("best.c"), 6)).as("cosine_r"))
   }
 
+  /** STREAMING text dedup classification — the serving path of the
+    * stored SIGNATURE index ([[graft.operators.DedupOps.baseSignatures]])
+    * as a stream-static classification: each arriving document gets
+    * the batch family's verdict ('exact' | 'near' | 'new', smallest
+    * matching base doc as evidence) the moment it lands, against the
+    * frozen index. The streaming half of the recrawl flow whose batch
+    * half is `dedup_delta_classify`.
+    *
+    * The batch twin derives the 12-permutation minhash signature by
+    * explode + groupBy-min; a stream computes the IDENTICAL md5
+    * strings MAP-SIDE as `array_min` over the doc's distinct shingle
+    * array (a per-doc min is order-free), so the arrival pays zero
+    * stateful shuffle before the two stream-static equi-joins
+    * (fingerprint equality for 'exact'; (band, bkey) collision +
+    * jaccard ≥ 0.1 verification against the stored shingle set for
+    * 'near'). The only aggregation is the per-doc verdict rollup —
+    * one state row per arrival key, so re-delivery is idempotent.
+    * Run with OutputMode.Update. Scale: index side static,
+    * hash-partitioned on the join keys; per-batch cost tracks arrival
+    * rate × band occupancy, never corpus size. */
+  def streamingTextClassify(docs: DataFrame, index: DataFrame): DataFrame = {
+    import graft.operators.DedupOps
+    val toks = split(col("text"), " ")
+    val withSig = docs
+      .withColumn("fp", md5(col("text").cast("binary")))
+      .withColumn("sh", when(size(toks) >= 3, DedupOps.shingleArray(toks))
+        .otherwise(expr("CAST(array() AS ARRAY<STRING>)")))
+    val ms = (0 until 12).map { j =>
+      array_min(transform(col("sh"),
+        s => md5(concat(lit(s"$j:"), s).cast("binary")))).as(s"m$j")
+    }
+    val sig = withSig.select(
+      Seq(col("doc_id"), col("fp"), col("sh")) ++ ms: _*)
+    val bandStructs = (0 until 4).map { b =>
+      struct(lit(b).as("band"),
+        md5(concat_ws(",",
+          (0 until 3).map(i => col(s"m${b * 3 + i}")): _*)
+          .cast("binary")).as("bkey"))
+    }
+    val streamBands = sig
+      .filter(size(col("sh")) > 0)
+      .select(col("doc_id"), col("sh"),
+        explode(array(bandStructs: _*)).as("bb"))
+      .select(col("doc_id"), col("sh"),
+        col("bb.band").as("band"), col("bb.bkey").as("bkey"))
+    val idxFp = index.select(col("doc_id").as("base_id"), col("fp"))
+    val idxBands = index
+      .select(col("doc_id").as("base_id"), explode(col("bands")).as("bb"))
+      .select(col("base_id"),
+        col("bb.band").as("band"), col("bb.bkey").as("bkey"))
+    val idxSets = index.select(col("doc_id").as("base_id"),
+      col("ss"), col("n_shingles"))
+    // left-outer so collision-free arrivals still reach the rollup
+    val exactArm = withSig.select(col("doc_id"), col("fp"))
+      .join(idxFp, Seq("fp"), "left_outer")
+      .select(col("doc_id"), lit("exact").as("kind"), col("base_id"))
+    val nearArm = streamBands
+      .join(idxBands, Seq("band", "bkey"))
+      .join(idxSets, "base_id")
+      .withColumn("inter", size(array_intersect(col("sh"), col("ss"))))
+      .filter(col("inter").cast("double") /
+        (size(col("sh")) + col("n_shingles") - col("inter")) >= 0.1)
+      .select(col("doc_id"), lit("near").as("kind"), col("base_id"))
+    exactArm.unionByName(nearArm)
+      .groupBy(col("doc_id"))
+      .agg(
+        min(when(col("kind") === "exact", col("base_id"))).as("exact_match_id"),
+        min(when(col("kind") === "near", col("base_id"))).as("near_match_id"))
+      .select(col("doc_id"),
+        when(col("exact_match_id").isNotNull, "exact")
+          .when(col("near_match_id").isNotNull, "near")
+          .otherwise("new").as("status"),
+        coalesce(col("exact_match_id"), col("near_match_id")).as("match_id"))
+  }
+
   // ================= composed streaming ingest pipeline =================
 
   /** The END-TO-END streaming ingest — the live twin of the batch

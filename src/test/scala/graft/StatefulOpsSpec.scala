@@ -570,6 +570,52 @@ class StatefulOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming text-classify verdicts equal the batch delta-classify twin") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    import graft.operators.DedupOps
+    // batch reference — also builds + memoizes the prev_sig artifact
+    val expected = DedupOps.qDedupDeltaClassify(spark, sf).collect()
+      .map(r => r.getLong(0) -> ((r.getString(3),
+        if (r.isNullAt(4)) None else Some(r.getLong(4))))).toMap
+    assert(expected.values.exists(_._1 == "near") &&
+      expected.values.exists(_._1 == "new"), "fixture must exercise verdicts")
+    val dir = graft.Artifacts.getOrBuild(spark, sf, "prev_sig") { d =>
+      DedupOps.baseSignatures(DedupOps.prevSnapshotDocs(spark, sf))
+        .write.parquet(d)
+    }
+    val index = spark.read.parquet(dir)
+    // the same arrival slice the batch twin classifies
+    val arrivals = Tables.documents(spark, sf)
+      .filter(col("doc_id") % 10 =!= 0 &&
+        (col("doc_id") % 10 === 9 || col("doc_id") % 7 === 3))
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val (first, second) = arrivals.splitAt(arrivals.length / 2)
+    val in = MemoryStream[(Long, String)]
+    val stream = in.toDF().toDF("doc_id", "text")
+    val q = StatefulOps.streamingTextClassify(stream, index)
+      .writeStream.format("memory").queryName("txtcls_out")
+      .outputMode("update").start()
+    def snapshot() = spark.table("txtcls_out").collect()
+      .map(r => r.getLong(0) -> ((r.getString(1),
+        if (r.isNullAt(2)) None else Some(r.getLong(2))))).toMap
+    try {
+      in.addData(first.toSeq)
+      q.processAllAvailable()
+      in.addData(second.toSeq)
+      q.processAllAvailable()
+      assert(snapshot() === expected,
+        s"diff: ${(snapshot().toSet diff expected.toSet).take(3)} / " +
+          s"${(expected.toSet diff snapshot().toSet).take(3)}")
+      // re-delivery is idempotent: same verdicts re-emit, nothing new
+      in.addData(first.toSeq)
+      q.processAllAvailable()
+      assert(snapshot() === expected,
+        "re-delivered arrivals must re-emit identical verdicts")
+    } finally q.stop()
+  }
+
   test("streaming contamination flags equal the batch decontaminate twin") {
     import spark.implicits._
     implicit val sc = spark.sqlContext
