@@ -832,6 +832,100 @@ object DedupOps {
       .withColumn("precision_r", round(col("n_hits") / col("n_candidates"), 6))
   }
 
+  /** MINHASH-ESTIMATOR CALIBRATION — the eval that justifies the
+    * 12-permutation signature the whole LSH family rides on: for
+    * every band-collision candidate pair, the estimated jaccard
+    * (fraction of agreeing minhashes — the textbook unbiased
+    * estimator) against the EXACT jaccard, rolled up per agreement
+    * count. The text-side mirror of `sim_ivf_recall_curve`: one pass
+    * tells an operator whether 12 permutations give the resolution
+    * their dedup threshold needs, or the signature must widen.
+    *
+    * Scale: candidates are the band equi-join (never all pairs); the
+    * signature join is doc-keyed; the truth side reuses the standard
+    * inverted-index jaccard (a band collision implies a shared
+    * min-shingle, so the inner truth join loses nothing); the output
+    * is 13 rows. */
+  def qDedupLshCalibration(spark: SparkSession, sfDir: String): DataFrame = {
+    val sh = shingles(Tables.documents(spark, sfDir))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val mins = (0 until NumHashes).map { j =>
+      min(md5(concat(lit(j.toString), lit(":"), col("shingle"))
+        .cast("binary"))).as(s"m$j")
+    }
+    val sig = sh.groupBy(col("doc_id")).agg(mins.head, mins.tail: _*)
+    // candidates from SINGLE-row bands (r = 1 over the same signature):
+    // collisions fire at jaccard ≳ 1/12 instead of production banding's
+    // ≳ 0.5, so the calibration sweeps the estimator's WHOLE range —
+    // the low-agreement buckets are exactly where a threshold choice
+    // needs evidence. Still an equi-join, still never all pairs.
+    val b1 = bandsAt(sig, 1)
+    val cand = b1.as("a")
+      .join(b1.as("b"),
+        col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+      .distinct()
+    val sigA = sig.select(col("doc_id").as("a_id") +:
+      (0 until NumHashes).map(j => col(s"m$j").as(s"am$j")): _*)
+    val sigB = sig.select(col("doc_id").as("b_id") +:
+      (0 until NumHashes).map(j => col(s"m$j").as(s"bm$j")): _*)
+    val agree = (0 until NumHashes)
+      .map(j => (col(s"am$j") === col(s"bm$j")).cast("long"))
+      .reduce(_ + _)
+    val truth = jaccardPairs(sh).select(col("a_id"), col("b_id"), col("jaccard"))
+    unpersistAfterFirstAction(
+      cand.join(sigA, "a_id").join(sigB, "b_id")
+        .select(col("a_id"), col("b_id"), agree.as("n_agree"))
+        .join(truth, Seq("a_id", "b_id"))
+        .groupBy(col("n_agree"))
+        .agg(count(lit(1)).as("n_pairs"),
+          round(avg(col("jaccard")), 6).as("avg_true_jaccard_r"))
+        .select(col("n_agree"),
+          round(col("n_agree") / lit(NumHashes.toDouble), 6).as("est_jaccard_r"),
+          col("n_pairs"), col("avg_true_jaccard_r"))
+        .orderBy(col("n_agree")),
+      sh)
+  }
+
+  val qDedupLshCalibrationOracle: String =
+    s"""WITH $shinglesSql,
+       |mh AS (
+       |  SELECT doc_id, s.seed, min(md5(s.seed || ':' || shingle)) AS minh
+       |  FROM sh, (SELECT unnest(generate_series(0, ${NumHashes - 1})) AS seed) s
+       |  GROUP BY 1, 2),
+       |bands AS (
+       |  SELECT doc_id, seed AS band, md5(minh) AS bkey FROM mh),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+       |  FROM bands a JOIN bands b
+       |    ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
+       |agr AS (
+       |  SELECT c.a_id, c.b_id, COUNT(*) AS n_agree
+       |  FROM cand c
+       |  JOIN mh x ON x.doc_id = c.a_id
+       |  JOIN mh y ON y.doc_id = c.b_id AND y.seed = x.seed AND y.minh = x.minh
+       |  GROUP BY 1, 2),
+       |sc AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+       |iv AS (
+       |  SELECT c.a_id, c.b_id, COUNT(*) AS inter
+       |  FROM cand c
+       |  JOIN sh x ON x.doc_id = c.a_id
+       |  JOIN sh y ON y.doc_id = c.b_id AND y.shingle = x.shingle
+       |  GROUP BY 1, 2),
+       |tj AS (
+       |  SELECT iv.a_id, iv.b_id,
+       |    CAST(iv.inter AS DOUBLE) / (sa.n + sb.n - iv.inter) AS jaccard
+       |  FROM iv
+       |  JOIN sc sa ON sa.doc_id = iv.a_id
+       |  JOIN sc sb ON sb.doc_id = iv.b_id)
+       |SELECT agr.n_agree,
+       |  round(agr.n_agree / ${NumHashes.toDouble}, 6) AS est_jaccard_r,
+       |  CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       |  round(AVG(tj.jaccard), 6) AS avg_true_jaccard_r
+       |FROM agr JOIN tj USING (a_id, b_id)
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** Default stratum width for [[qDedupLshAuditStratum]]: a quarter of
     * the md5 doc-id space. On the fixture this leaves enough true
     * pairs for a stable estimate; at 100 TB the knob goes as low as
@@ -2657,6 +2751,7 @@ object DedupOps {
     "sample_contrastive_pairs" -> (qContrastivePairs _),
     "dedup_minhash_lsh" -> (qDedupMinhashLsh _),
     "dedup_lsh_band_tuning" -> (qDedupLshBandTuning _),
+    "dedup_lsh_calibration" -> (qDedupLshCalibration _),
     "dedup_simhash" -> (qDedupSimhash _),
     "dedup_simhash_hamming" -> (qDedupSimhashHamming _),
     "dedup_embedding_cosine" -> (qDedupEmbedding _),
@@ -2692,6 +2787,7 @@ object DedupOps {
     "sample_contrastive_pairs" -> qContrastivePairsOracle,
     "dedup_minhash_lsh" -> qDedupMinhashLshOracle,
     "dedup_lsh_band_tuning" -> qDedupLshBandTuningOracle,
+    "dedup_lsh_calibration" -> qDedupLshCalibrationOracle,
     "dedup_simhash" -> qDedupSimhashOracle,
     "dedup_simhash_hamming" -> qDedupSimhashHammingOracle,
     "dedup_embedding_cosine" -> qDedupEmbeddingOracle,

@@ -1773,6 +1773,52 @@ class PipelineOpsSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("LSH calibration equals a driver-side estimator recompute; agreement tracks true jaccard") {
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val docs = Tables.documents(spark, sf).select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val shing = docs.map { case (id, t) =>
+      val ts = t.split(" ", -1)
+      id -> (if (ts.length < 3) Set.empty[String]
+        else ts.sliding(3).map(_.mkString(" ")).toSet)
+    }.filter(_._2.nonEmpty)
+    val sig = shing.map { case (id, ss) =>
+      id -> (0 until 12).map(j => ss.map(s => md5hex(s"$j:$s")).min)
+    }.toMap
+    // r=1 candidates: any pair agreeing on at least one permutation
+    val byMin = sig.toSeq.flatMap { case (id, ms) =>
+      ms.zipWithIndex.map { case (m, j) => (j, m) -> id } }
+      .groupBy(_._1).values.map(_.map(_._2).distinct.sorted)
+    val cand = byMin.flatMap(ids =>
+      for (i <- ids.indices; j <- (i + 1) until ids.length)
+        yield (ids(i), ids(j))).toSet
+    val shMap = shing.toMap
+    val want = cand.toSeq.map { case (a, b) =>
+      val agree = (0 until 12).count(j => sig(a)(j) == sig(b)(j))
+      val (sa, sb) = (shMap(a), shMap(b))
+      val inter = (sa intersect sb).size
+      (agree.toLong, inter.toDouble / (sa.size + sb.size - inter))
+    }.groupBy(_._1).map { case (agr, v) =>
+      agr -> (v.length.toLong, v.map(_._2).sum / v.length) }
+    val got = DedupOps.qDedupLshCalibration(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getLong(2), r.getDouble(3)))
+    assert(got.map(_._1).toSet === want.keySet, "agreement buckets")
+    got.foreach { case (agr, est, n, avg) =>
+      assert(n === want(agr)._1, s"bucket $agr pair count")
+      assert(math.abs(est - agr / 12.0) < 1e-6)
+      assert(math.abs(avg - want(agr)._2) < 2e-6, s"bucket $agr avg jaccard")
+    }
+    // the estimator is informative: the top agreement bucket's true
+    // jaccard dominates the bottom one's
+    val sorted = got.sortBy(_._1)
+    assert(sorted.last._4 > sorted.head._4,
+      "agreement must track true jaccard across the range")
+    assert(sorted.length >= 3, "fixture must populate several buckets")
+    spark.catalog.clearCache()
+  }
+
   test("index refresh: patched index identical to a from-scratch rebuild; only the churn slice re-shingled") {
     import org.apache.spark.sql.Row
     val patched = DedupOps.refreshedSignatures(spark, sf)
