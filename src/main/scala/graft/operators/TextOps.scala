@@ -1579,7 +1579,13 @@ object TextOps {
     * classifier deploys: trained once on a labeled snapshot, scoring
     * every incoming shard against frozen counts. Oracle shared
     * verbatim with the live twin. */
-  def qNbQualityStored(spark: SparkSession, sfDir: String): DataFrame = {
+  def qNbQualityStored(spark: SparkSession, sfDir: String): DataFrame =
+    nbScoredDocs(spark, sfDir).orderBy(col("doc_id"))
+
+  /** The stored-model scoring pass, unsorted — shared by
+    * [[qNbQualityStored]] and the classifier-eval queries
+    * ([[qNbAuc]], [[qNbConfusion]]). */
+  private[graft] def nbScoredDocs(spark: SparkSession, sfDir: String): DataFrame = {
     val (model, m) = nbStored(spark, sfDir)
     val Array(np, nq, v, dp, dq) = m
     val prior = math.log(dp.toDouble) - math.log(dq.toDouble)
@@ -1593,7 +1599,122 @@ object TextOps {
         round(lit(prior) + col("a") -
           col("n_tokens").cast(DoubleType) * lit(kk), 6).as("nb_score_r"))
       .withColumn("pred_pos", col("nb_score_r") > 0)
-      .orderBy(col("doc_id"))
+  }
+
+  /** EXACT ROC-AUC of the NB quality classifier against its
+    * curated-source labels — the eval a trained filter ships with.
+    * AUC is the Mann–Whitney rank statistic, and the exact
+    * tie-respecting form needs every document's AVERAGE rank under
+    * the score order: ranks come from the score HISTOGRAM run through
+    * the sharded global prefix sum ([[SamplingOps.withGlobalCumSum]]
+    * — never an unpartitioned window; scores are 6-decimal-rounded so
+    * the histogram is value-keyed but near doc cardinality, exactly
+    * the class that primitive exists for). All integer arithmetic —
+    * avg rank enters doubled (2·before + cnt + 1), so the single
+    * division at the end is the only float op. */
+  def qNbAuc(spark: SparkSession, sfDir: String): DataFrame = {
+    val scored = nbScoredDocs(spark, sfDir)
+      .select(col("nb_score_r"), curatedPred.cast("long").as("pos"))
+    val h = scored.groupBy(col("nb_score_r"))
+      .agg(count(lit(1)).as("cnt"), sum(col("pos")).as("npos"))
+    val (cum, sharded) = SamplingOps.withGlobalCumSum(
+      h, "cnt", "__before", col("nb_score_r"))
+    val res = cum.agg(
+        sum(col("npos")).as("np"),
+        sum(col("cnt") - col("npos")).as("nq"),
+        sum(col("npos") * (lit(2) * col("__before") + col("cnt") + 1)).as("s2"))
+      .select(col("np"), col("nq"),
+        round((col("s2") - col("np") * (col("np") + 1)).cast(DoubleType) /
+          (lit(2.0) * col("np") * col("nq")), 6).as("auc_r"))
+    DedupOps.unpersistAfterFirstAction(res, sharded)
+  }
+
+  lazy val qNbAucOracle: String = {
+    val chain = qNbQualityOracle.stripSuffix("""
+SELECT doc_id, source, n_tokens, nb_score_r, nb_score_r > 0 AS pred_pos
+FROM r ORDER BY doc_id""")
+    chain + """,
+      |h AS (
+      |  SELECT nb_score_r AS sc, COUNT(*) AS cnt,
+      |    SUM(CASE WHEN source IN ('src0','src1','src2') THEN 1 ELSE 0 END)
+      |      AS npos
+      |  FROM r GROUP BY 1),
+      |c AS (
+      |  SELECT cnt, npos,
+      |    COALESCE(SUM(cnt) OVER (ORDER BY sc
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS bef
+      |  FROM h),
+      |a AS (
+      |  SELECT CAST(SUM(npos) AS BIGINT) AS np,
+      |    CAST(SUM(cnt - npos) AS BIGINT) AS nq,
+      |    CAST(SUM(npos * (2 * bef + cnt + 1)) AS BIGINT) AS s2
+      |  FROM c)
+      |SELECT np, nq,
+      |  round(CAST(s2 - np * (np + 1) AS DOUBLE) / (2.0 * np * nq), 6) AS auc_r
+      |FROM a""".stripMargin
+  }
+
+  /** Confusion matrix + precision/recall/F1 of the NB classifier at
+    * the PRIOR-COMPENSATED (balanced likelihood-ratio) threshold —
+    * the companion readout to [[qNbAuc]]. The MAP threshold (score
+    * > 0, [[qNbQuality]]'s `pred_pos`) is the Bayes decision, but
+    * with a rare positive class it degenerates to all-negative; a
+    * deployed quality filter thresholds the likelihood ratio
+    * (score > prior ⇔ LR > 1) and tunes from there — that is the
+    * operating point this report prices. Exact integer cells; F1 as
+    * the single-division 2TP/(2TP+FP+FN) form; divisions guarded so
+    * a degenerate corner reports 0, not an error. */
+  def qNbConfusion(spark: SparkSession, sfDir: String): DataFrame = {
+    val Array(_, _, _, dp, dq) = nbStored(spark, sfDir)._2
+    val prior = math.log(dp.toDouble) - math.log(dq.toDouble)
+    val predLr = col("nb_score_r") > lit(prior)
+    nbScoredDocs(spark, sfDir)
+      .select(curatedPred.as("pos"), predLr.as("pred"))
+      .agg(
+        sum(when(col("pos") && col("pred"), 1L).otherwise(0L)).as("tp"),
+        sum(when(!col("pos") && col("pred"), 1L).otherwise(0L)).as("fp"),
+        sum(when(col("pos") && !col("pred"), 1L).otherwise(0L)).as("fn"),
+        sum(when(!col("pos") && !col("pred"), 1L).otherwise(0L)).as("tn"))
+      .select(col("tp"), col("fp"), col("fn"), col("tn"),
+        when(col("tp") + col("fp") === 0, 0.0)
+          .otherwise(round(col("tp").cast(DoubleType) /
+            (col("tp") + col("fp")), 6)).as("precision_r"),
+        when(col("tp") + col("fn") === 0, 0.0)
+          .otherwise(round(col("tp").cast(DoubleType) /
+            (col("tp") + col("fn")), 6)).as("recall_r"),
+        when(lit(2) * col("tp") + col("fp") + col("fn") === 0, 0.0)
+          .otherwise(round(lit(2.0) * col("tp") /
+            (lit(2) * col("tp") + col("fp") + col("fn")), 6)).as("f1_r"))
+  }
+
+  lazy val qNbConfusionOracle: String = {
+    val chain = qNbQualityOracle.stripSuffix("""
+SELECT doc_id, source, n_tokens, nb_score_r, nb_score_r > 0 AS pred_pos
+FROM r ORDER BY doc_id""")
+    chain + """,
+      |cm AS (
+      |  SELECT
+      |    CAST(SUM(CASE WHEN source IN ('src0','src1','src2')
+      |      AND nb_score_r > ln((SELECT dp FROM dc)) - ln((SELECT dq FROM dc))
+      |      THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+      |    CAST(SUM(CASE WHEN source NOT IN ('src0','src1','src2')
+      |      AND nb_score_r > ln((SELECT dp FROM dc)) - ln((SELECT dq FROM dc))
+      |      THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+      |    CAST(SUM(CASE WHEN source IN ('src0','src1','src2')
+      |      AND NOT nb_score_r > ln((SELECT dp FROM dc)) - ln((SELECT dq FROM dc))
+      |      THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+      |    CAST(SUM(CASE WHEN source NOT IN ('src0','src1','src2')
+      |      AND NOT nb_score_r > ln((SELECT dp FROM dc)) - ln((SELECT dq FROM dc))
+      |      THEN 1 ELSE 0 END) AS BIGINT) AS tn
+      |  FROM r)
+      |SELECT tp, fp, fn, tn,
+      |  CASE WHEN tp + fp = 0 THEN 0.0
+      |       ELSE round(CAST(tp AS DOUBLE) / (tp + fp), 6) END AS precision_r,
+      |  CASE WHEN tp + fn = 0 THEN 0.0
+      |       ELSE round(CAST(tp AS DOUBLE) / (tp + fn), 6) END AS recall_r,
+      |  CASE WHEN 2 * tp + fp + fn = 0 THEN 0.0
+      |       ELSE round(2.0 * tp / (2 * tp + fp + fn), 6) END AS f1_r
+      |FROM cm""".stripMargin
   }
 
   val qNbQualityOracle: String =
@@ -1689,7 +1810,9 @@ object TextOps {
     "text_fertility" -> (qFertility _),
     "text_lm_backoff" -> (qLmBackoff _),
     "text_nb_quality" -> (qNbQuality _),
-    "text_nb_quality_stored" -> (qNbQualityStored _))
+    "text_nb_quality_stored" -> (qNbQualityStored _),
+    "text_nb_auc" -> (qNbAuc _),
+    "text_nb_confusion" -> (qNbConfusion _))
 
   val oracles: Map[String, String] = Map(
     "text_oov_rate" -> qOovRateOracle,
@@ -1723,5 +1846,7 @@ object TextOps {
     "text_fertility" -> qFertilityOracle,
     "text_lm_backoff" -> qLmBackoffOracle,
     "text_nb_quality" -> qNbQualityOracle,
-    "text_nb_quality_stored" -> qNbQualityOracle)
+    "text_nb_quality_stored" -> qNbQualityOracle,
+    "text_nb_auc" -> qNbAucOracle,
+    "text_nb_confusion" -> qNbConfusionOracle)
 }

@@ -1773,6 +1773,44 @@ class PipelineOpsSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("NB AUC and confusion equal driver-side recomputes; classifier separates better than chance") {
+    val scored = TextOps.qNbQualityStored(spark, sf).collect()
+      .map(r => (r.getString(1), r.getDouble(3)))
+    val pos = Set("src0", "src1", "src2")
+    // exact tie-respecting AUC via average ranks
+    val sorted = scored.map(_._2).sorted
+    val avgRank = sorted.zipWithIndex.groupBy(_._1).map { case (s, v) =>
+      s -> v.map(_._2 + 1).sum.toDouble / v.length }
+    val np = scored.count(x => pos(x._1)).toLong
+    val nq = scored.length - np
+    val sumPos = scored.filter(x => pos(x._1)).map(x => avgRank(x._2)).sum
+    val auc = (sumPos - np * (np + 1) / 2.0) / (np * nq)
+    val a = TextOps.qNbAuc(spark, sf).collect().head
+    assert(a.getLong(0) === np && a.getLong(1) === nq)
+    assert(math.abs(a.getDouble(2) - auc) < 2e-6,
+      s"auc ${a.getDouble(2)} vs $auc")
+    assert(a.getDouble(2) > 0.5 && a.getDouble(2) <= 1.0,
+      "trained classifier must beat chance on its own corpus")
+    // confusion at the prior-compensated threshold
+    val prior = math.log(np.toDouble) - math.log(nq.toDouble)
+    val cells = scored.map { case (s, sc) => (pos(s), sc > prior) }
+    val c = TextOps.qNbConfusion(spark, sf).collect().head
+    assert(c.getLong(0) === cells.count(x => x._1 && x._2).toLong, "tp")
+    assert(c.getLong(1) === cells.count(x => !x._1 && x._2).toLong, "fp")
+    assert(c.getLong(2) === cells.count(x => x._1 && !x._2).toLong, "fn")
+    assert(c.getLong(3) === cells.count(x => !x._1 && !x._2).toLong, "tn")
+    assert(c.getLong(0) + c.getLong(1) + c.getLong(2) + c.getLong(3) ===
+      scored.length.toLong, "cells must partition the corpus")
+    // the LR threshold genuinely fires both ways on the fixture
+    assert(c.getLong(0) > 0 && c.getLong(3) > 0)
+    // AUC's rank pass must be the sharded prefix sum, not one reducer
+    val p = TextOps.qNbAuc(spark, sf).queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+    assert(!p.contains("Window [") || p.contains("__shard"),
+      "rank cumulation must be sharded")
+    spark.catalog.clearCache()
+  }
+
   test("LSH calibration equals a driver-side estimator recompute; agreement tracks true jaccard") {
     def md5hex(s: String): String =
       java.security.MessageDigest.getInstance("MD5")
