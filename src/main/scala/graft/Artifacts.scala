@@ -116,6 +116,15 @@ object Artifacts {
       val dest = keyRoot.resolve(name)
       if (!Files.exists(dest)) {
         Files.createDirectories(keyRoot)
+        // provenance marker: which dataset this key dir derives from.
+        // The key itself is a hash, so without the marker a GC pass
+        // cannot tell "stale key of dataset X" from "live key of
+        // dataset Y" — with it, [[gcStale]] can retire superseded
+        // keys per dataset instead of `rm -rf`ing the whole store.
+        val marker = keyRoot.resolve("_graft_dataset")
+        if (!Files.exists(marker))
+          Files.write(marker, Paths.get(sfDir).toAbsolutePath.normalize
+            .toString.getBytes("UTF-8"))
         val tmp = keyRoot.resolve(s"$name.build-${ProcessHandle.current().pid()}")
         deleteRecursively(tmp)
         val meta = build(tmp.toString)
@@ -140,5 +149,41 @@ object Artifacts {
       if (Files.exists(metaFile)) new String(Files.readAllBytes(metaFile), "UTF-8")
       else ""
     (dir, meta)
+  }
+
+  /** GARBAGE-COLLECT superseded artifact keys for `sfDir`: every key
+    * directory whose `_graft_dataset` marker names this dataset but
+    * whose key is no longer the dataset's CURRENT key (the data was
+    * regenerated, so a new key directory took over) is deleted
+    * recursively. Keys of OTHER datasets sharing the warehouse are
+    * never touched, and neither is the current key. Returns the
+    * deleted paths. Safe to run any time: every consumer
+    * existence-checks through [[getOrBuildMeta]], and a racing
+    * builder writing into a stale key would only rebuild.
+    *
+    * This is the retention half of the artifact lifecycle
+    * (build → reuse → refresh → RETIRE): without it a recurring
+    * regeneration (nightly snapshots) leaks one dead key directory —
+    * i.e. a full mined-edge/index copy — per refresh. */
+  def gcStale(spark: SparkSession, sfDir: String): Seq[String] = {
+    val root = warehouseRoot(spark).resolve("graft_artifacts")
+    if (!Files.exists(root)) return Seq.empty
+    val current = datasetKey(sfDir)
+    val dataset = Paths.get(sfDir).toAbsolutePath.normalize.toString
+    val doomed = {
+      val s = Files.list(root)
+      try {
+        import scala.jdk.CollectionConverters._
+        s.iterator().asScala.filter { kd =>
+          Files.isDirectory(kd) && kd.getFileName.toString != current && {
+            val m = kd.resolve("_graft_dataset")
+            Files.exists(m) &&
+              new String(Files.readAllBytes(m), "UTF-8") == dataset
+          }
+        }.toList
+      } finally s.close()
+    }
+    doomed.foreach(deleteRecursively)
+    doomed.map(_.toString)
   }
 }

@@ -91,4 +91,32 @@ class ArtifactsSpec extends SparkSpec {
     assert(built, "half-written build dirs must not satisfy the existence check")
     assert(!p.contains(".build-"))
   }
+
+  test("gcStale retires superseded keys of the SAME dataset only; current key and other datasets survive") {
+    val ds = freshDataset()
+    val other = freshDataset()
+    def build(d: String, name: String): String =
+      Artifacts.getOrBuild(spark, d, name) { dir =>
+        Files.createDirectories(Paths.get(dir))
+        Files.write(Paths.get(dir, "part-0"), "x".getBytes("UTF-8"))
+      }
+    val stalePath = build(ds, "spec_gc")
+    val otherPath = build(other, "spec_gc_other")
+    // regenerate ds → new key; the old key dir is now dead weight
+    Thread.sleep(5)
+    Files.write(Paths.get(ds, "t.parquet"), "regenerated!".getBytes("UTF-8"))
+    Artifacts.clearMemoForTests()
+    val freshPath = build(ds, "spec_gc")
+    assert(freshPath != stalePath, "regeneration must take a new key")
+    val deleted = Artifacts.gcStale(spark, ds)
+    // exactly the superseded key dir went; marker made it attributable
+    assert(deleted.exists(stalePath.startsWith),
+      s"stale key must be collected: $deleted vs $stalePath")
+    assert(!Files.exists(Paths.get(stalePath)), "stale artifact gone")
+    assert(Files.exists(Paths.get(freshPath, "part-0")), "current key survives")
+    assert(Files.exists(Paths.get(otherPath, "part-0")),
+      "other datasets' keys are never touched")
+    // idempotent: a second pass finds nothing
+    assert(Artifacts.gcStale(spark, ds).isEmpty)
+  }
 }
