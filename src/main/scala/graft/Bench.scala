@@ -12,26 +12,53 @@ import org.apache.spark.sql.SparkSession
   * cross-query pollution to ~15 neighbors and makes the committed
   * artifact match isolated spot-checks.
   *
+  * r11 — the measurement channel itself is now failure-soft (the r10
+  * driver bench was SIGTERM'd at its wall-clock limit and emitted
+  * NOTHING, `parsed: null`; a 219-query suite at warmup+min-of-2 across
+  * ~14 forked JVMs + prebuild + 20 isolated forks had outgrown the
+  * budget):
+  *
+  *  1. STREAMED RESULTS. Children append+flush one `name=seconds` line
+  *     per query as it completes; the parent salvages whatever a dead
+  *     child wrote, merges after every chunk into `bench_latest.json`
+  *     (flagged `"partial":true` until complete) and prints a compact
+  *     running-totals line. A shutdown hook re-emits the partial
+  *     artifact on SIGTERM. A timeout can no longer produce nothing.
+  *  2. ADAPTIVE EXECUTIONS. A query whose warmup pass lands under
+  *     ~1 s is measured min-of-1 (its noise is irrelevant to the
+  *     total); warmup+min-of-2 is reserved for the queries where a
+  *     single unlucky GC pause would actually distort the artifact.
+  *  3. WALL-CLOCK BUDGET. `SPARK_GRAFT_BUDGET` (seconds; default 1500)
+  *     degrades gracefully as the deadline nears: isolated reps 2 -> 1,
+  *     then fewer isolated queries, then none, then min-of-1 for
+  *     everything (children get SPARK_GRAFT_FAST). The artifact records
+  *     budget, elapsed, and any unmeasured names, so a degraded run is
+  *     self-describing rather than silently absent.
+  *
   * Modes (selected by env, all set by this process for its children):
   *  - parent (default): sorts query names, forks one child JVM per
   *    chunk (SPARK_GRAFT_CHUNK), merges per-query times, emits the
-  *    same artifacts as always. Any child failure falls back to
-  *    running that chunk in-process so the artifact is never partial.
+  *    artifacts above. A failed child's completed lines are kept and
+  *    only the missing queries re-run in-process.
   *  - child (SPARK_GRAFT_CHUNK set): runs just those queries with the
-  *    warmup + min-of-2 + GC harness and writes `name=seconds` lines
+  *    warmup + adaptive min harness, streaming `name=seconds` lines
   *    to SPARK_GRAFT_OUT.
   *  - dev  (SPARK_GRAFT_ONLY restricts the query set; add
   *    SPARK_GRAFT_NOFORK for a single in-process pass) — the driver
   *    never sets these so its totals always take the forked path.
   *
-  * r9: the artifact additionally carries an `"isolated"` series — the
-  * 10 most expensive queries re-measured one-per-fresh-JVM after the
-  * chunked pass (see [[isolatedSeries]]) — so chunk-composition /
-  * box-contention noise in the official number is self-diagnosing.
+  * The artifact additionally carries an `"isolated"` series — the most
+  * expensive queries re-measured one-per-fresh-JVM after the chunked
+  * pass (see [[isolatedSeries]]) — so chunk-composition / box-contention
+  * noise in the official number is self-diagnosing.
   */
 object Bench {
   private val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
   private val cpus  = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+
+  /** Warmup passes under this many seconds -> min-of-1 (one timed run).
+    * Children in SPARK_GRAFT_FAST mode treat EVERY query this way. */
+  private val fastThreshold = 1.0
 
   private def newSession(): SparkSession = {
     val spark = SparkSession.builder()
@@ -58,25 +85,38 @@ object Bench {
   }
 
   /** One warmup pass absorbs JVM/codegen/catalog init (the engine is
-    * long-lived in production); then min-of-2 with a GC between
-    * queries reports steady-state cost. Returned in input order. */
-  private def measure(spark: SparkSession, names: Seq[String]): Seq[(String, Double)] = {
+    * long-lived in production); the measured pass is min-of-2 only for
+    * queries whose warmup exceeded [[fastThreshold]] — a sub-second
+    * query's run-to-run jitter is milliseconds against a multi-minute
+    * total, so one timed run suffices (r10 verdict: 3 executions of
+    * every one of 219 queries is what blew the driver's wall clock).
+    * `onResult` streams each measurement out as soon as it exists so a
+    * killed JVM still leaves everything it finished. */
+  private def measure(spark: SparkSession, names: Seq[String],
+                      fast: Boolean = false,
+                      onResult: (String, Double) => Unit = (_, _) => ()): Seq[(String, Double)] = {
     val qs = names.map(n => n -> SparkEntry.queries(n))
-    qs.foreach { case (n, fn) => run1(spark, n, fn) }
+    val warm = qs.map { case (n, fn) => n -> run1(spark, n, fn) }.toMap
     qs.map { case (n, fn) =>
       System.gc()
-      n -> math.min(run1(spark, n, fn), run1(spark, n, fn))
+      val first = run1(spark, n, fn)
+      val t = if (fast || math.min(first, warm(n)) < fastThreshold) first
+              else math.min(first, run1(spark, n, fn))
+      onResult(n, t)
+      n -> t
     }
   }
 
-  /** Child JVM entry: measure the chunk, write name=seconds lines. */
+  /** Child JVM entry: measure the chunk, streaming `name=seconds` lines
+    * (append + flush per query) so the parent can salvage a partial
+    * chunk if this JVM is SIGTERM'd mid-flight. */
   private def runChunk(chunk: String): Unit = {
     val names = chunk.split(",").map(_.trim).filter(_.nonEmpty).toSeq
+    val fast = sys.env.contains("SPARK_GRAFT_FAST")
     val spark = newSession()
-    val results = measure(spark, names)
-    val out = java.nio.file.Paths.get(sys.env("SPARK_GRAFT_OUT"))
-    val body = results.map { case (n, t) => s"$n=$t" }.mkString("", "\n", "\n")
-    java.nio.file.Files.write(out, body.getBytes("UTF-8"))
+    val out = new java.io.PrintWriter(new java.io.FileWriter(sys.env("SPARK_GRAFT_OUT"), true))
+    try measure(spark, names, fast, (n, t) => { out.println(s"$n=$t"); out.flush() })
+    finally out.close()
     spark.stop()
   }
 
@@ -94,41 +134,57 @@ object Bench {
   /** ISOLATED re-measurement (r8 verdict #2): after the chunked pass,
     * the N most expensive queries are each re-measured in a DEDICATED
     * fresh JVM (one query per child — zero chunk neighbors, same
-    * warmup + min-of-2 harness) and recorded in the artifact as a
-    * separate `"isolated"` series alongside the chunked numbers. The
-    * official artifact thereby carries its own contention control: a
-    * chunked price far above its isolated twin is measurement-channel
-    * noise (box contention, chunk composition), not a plan
-    * regression — distinguishable without re-running on the
-    * builder's machine.
+    * warmup harness) and recorded in the artifact as a separate
+    * `"isolated"` series alongside the chunked numbers. The official
+    * artifact thereby carries its own contention control: a chunked
+    * price far above its isolated twin is measurement-channel noise
+    * (box contention, chunk composition), not a plan regression —
+    * distinguishable without re-running on the builder's machine.
     *
     * r10 (r9 verdict #2): ONE fork per query is itself not robust to
     * a busy box — r9's official artifact carried an isolated
     * `sim_triangles` 2.4× its own chunked price, inverting the
-    * control's meaning. Each query is now measured in `reps`
-    * SEPARATELY FORKED children (temporally spread, so a load burst
-    * can't hit every fork) and reports the MIN across forks, plus the
-    * 1-min load average observed around the winning fork — a high
-    * residual price now arrives with the box-state reading that
-    * explains or exonerates it. */
+    * control's meaning. Each query is measured in `reps` SEPARATELY
+    * FORKED children (temporally spread, so a load burst can't hit
+    * every fork) and reports the MIN across forks, plus the 1-min load
+    * average observed around the winning fork.
+    *
+    * r11: the series is BUDGET-AWARE — each fork costs a full Spark
+    * init plus 2-3 query executions, and 10 queries × 2 reps of that
+    * is what helped blow the r10 wall clock. Before each fork the
+    * remaining budget is checked against a per-fork estimate
+    * (init ~15 s + 3× the chunked price); reps degrade to 1 first,
+    * then the tail of the series is dropped, most-expensive-first
+    * queries retained. */
   private def isolatedSeries(times: Map[String, Double], topN: Int,
-      reps: Int): Map[String, (Double, Double)] =
-    times.toSeq.sortBy(-_._2).take(topN).flatMap { case (name, _) =>
-      val samples = (1 to reps).flatMap { _ =>
-        val before = loadAvg()
-        forkChunk(Seq(name)).flatMap(_.get(name))
-          .map(t => (t, math.max(before, loadAvg())))
+      reps: Int, remaining: () => Double): Map[String, (Double, Double)] =
+    times.toSeq.sortBy(-_._2).take(topN).flatMap { case (name, chunked) =>
+      val perFork = 15.0 + 3.0 * chunked
+      val r = if (remaining() > perFork * reps * 2) reps else 1
+      if (remaining() < perFork + 30.0) None   // keep headroom to emit
+      else {
+        val samples = (1 to r).flatMap { _ =>
+          if (remaining() < perFork + 30.0) None
+          else {
+            val before = loadAvg()
+            forkChunk(Seq(name), salvage = false).get(name)
+              .map(t => (t, math.max(before, loadAvg())))
+          }
+        }
+        if (samples.isEmpty) None
+        else Some(name -> samples.minBy(_._1))
       }
-      if (samples.isEmpty) None
-      else Some(name -> samples.minBy(_._1))
     }.toMap
 
-  /** Fork one child JVM for a chunk; None on any failure (the parent
-    * then re-runs the chunk in-process so totals are never partial).
-    * The child is launched with the SAME classpath this JVM got
-    * (sbt/run.sh both pass a real -cp to the forked bench JVM) and the
-    * JDK17 add-opens Spark 4 needs outside spark-submit. */
-  private def forkChunk(grp: Seq[String]): Option[Map[String, Double]] = {
+  /** Fork one child JVM for a chunk and return whatever it measured —
+    * the full map normally, a PARTIAL map if the child died mid-chunk
+    * (its streamed lines survive; `salvage=false` drops partials, used
+    * by the isolated series where a partial single-query fork is just a
+    * failed rep). The child is launched with the SAME classpath this
+    * JVM got (sbt/run.sh both pass a real -cp to the forked bench JVM)
+    * and the JDK17 add-opens Spark 4 needs outside spark-submit. */
+  private def forkChunk(grp: Seq[String], salvage: Boolean = true,
+      fast: Boolean = false): Map[String, Double] = {
     try {
       val out = java.nio.file.Files.createTempFile("graft-bench-chunk", ".txt")
       val java17Opens = Seq(
@@ -154,6 +210,7 @@ object Bench {
       pb.environment().put("SPARK_GRAFT_OUT", out.toString)
       pb.environment().put("SPARK_GRAFT_SF_DIR", sfDir)
       pb.environment().put("SPARK_GRAFT_CPUS", cpus)
+      if (fast) pb.environment().put("SPARK_GRAFT_FAST", "1")
       // Child logs must never reach the parent's stdout (the driver
       // tail-parses it for the totals JSON) — route them to a file.
       val log = new java.io.File("target/bench_children.log")
@@ -161,18 +218,21 @@ object Bench {
       pb.redirectErrorStream(true)
       pb.redirectOutput(java.lang.ProcessBuilder.Redirect.appendTo(log))
       val code = pb.start().waitFor()
-      if (code != 0) { System.err.println(s"[bench] chunk exited $code: ${grp.head}.."); return None }
       val lines = new String(java.nio.file.Files.readAllBytes(out), "UTF-8")
         .split("\n").map(_.trim).filter(_.contains("="))
       java.nio.file.Files.deleteIfExists(out)
       val m = lines.map { l =>
         val i = l.indexOf('='); l.substring(0, i) -> l.substring(i + 1).toDouble
       }.toMap
-      if (grp.forall(m.contains)) Some(m) else {
+      if (code != 0)
+        System.err.println(s"[bench] chunk exited $code: ${grp.head}.. " +
+          s"(salvaged ${m.size}/${grp.size})")
+      else if (!grp.forall(m.contains))
         System.err.println(s"[bench] chunk missing ${grp.filterNot(m.contains).mkString(",")}")
-        None
-      }
-    } catch { case e: Throwable => System.err.println(s"[bench] fork failed: $e"); None }
+      if (code == 0 || salvage) m else Map.empty
+    } catch {
+      case e: Throwable => System.err.println(s"[bench] fork failed: $e"); Map.empty
+    }
   }
 
   def main(args: Array[String]): Unit = {
@@ -189,8 +249,9 @@ object Bench {
     * stored prices never silently include a first-touch build (the
     * r8 artifact's 4-6 s stored prices were exactly that). Build cost
     * is paid here, outside every measurement, and only when the
-    * artifact is genuinely absent. */
-  /** Returns "ok" or "failed: …" — recorded in the artifact (ADVICE
+    * artifact is genuinely absent.
+    *
+    * Returns "ok" or "failed: …" — recorded in the artifact (ADVICE
     * r9): a silently failed prebuild reverts stored-query prices to
     * including the first-touch build cost, and without the flag that
     * regime is indistinguishable from pure serving cost. */
@@ -217,62 +278,143 @@ object Bench {
     } finally spark.stop()
   }
 
+  // ---- shared emit state: everything the shutdown hook needs to write
+  // a valid partial artifact without touching Spark -------------------
+  private val startNanos = System.nanoTime()
+  private def elapsed(): Double = (System.nanoTime() - startNanos) / 1e9
+  @volatile private var shuttingDown = false
+  @volatile private var allNames: Seq[String] = Nil
+  @volatile private var prebuildStatus = "pending"
+  private val partial = new java.util.concurrent.ConcurrentHashMap[String, java.lang.Double]()
+  @volatile private var isoDone: Map[String, (Double, Double)] = Map.empty
+  private val chunkLoads = new java.util.concurrent.CopyOnWriteArrayList[java.lang.Double]()
+
+  /** Locale-independent fixed-point (ADVICE r10: the f-interpolator is
+    * locale-sensitive — a comma-decimal default locale would corrupt
+    * the JSON array). */
+  private def fmt2(d: Double): String =
+    String.format(java.util.Locale.ROOT, "%.2f", Double.box(d))
+
+  /** Build the artifact JSON from current state. `complete=false` adds
+    * `"partial":true` + the unmeasured names so a budget- or
+    * SIGTERM-truncated artifact says exactly what it is missing. */
+  private def artifactLine(complete: Boolean): String = {
+    import scala.jdk.CollectionConverters._
+    val times = partial.asScala.map { case (k, v) => k -> v.doubleValue }.toMap
+    val done = allNames.filter(times.contains)
+    val qs = done.map(n => s"\"" + n + "\":" + times(n)).mkString("{", ",", "}")
+    val total = done.map(times).sum
+    val isoJson = isoDone.toSeq.sortBy(_._1)
+      .map { case (k, (t, _)) => s"\"" + k + "\":" + t }.mkString("{", ",", "}")
+    val isoLoadJson = isoDone.toSeq.sortBy(_._1)
+      .map { case (k, (_, l)) => s"\"" + k + "\":" + l }.mkString("{", ",", "}")
+    val loadsJson = chunkLoads.asScala.map(l => fmt2(l.doubleValue)).mkString("[", ",", "]")
+    val missing = allNames.filterNot(times.contains)
+    val partialPart =
+      if (complete) ""
+      else s""","partial":true,"unmeasured":${missing.map("\"" + _ + "\"").mkString("[", ",", "]")}"""
+    s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"isolated":$isoJson,"isolated_load":$isoLoadJson,"load_chunked":$loadsJson,"prebuild":"$prebuildStatus","elapsed":${fmt2(elapsed())},"budget":${fmt2(budget)},"sf":"$sfDir"$partialPart}"""
+  }
+
+  /** Compact running-totals line — printed after every chunk (and by
+    * the shutdown hook) so the driver's tail-parse window ALWAYS holds
+    * a valid JSON line, however and whenever this JVM dies. The full
+    * per-query map lives in bench_latest.json (it has exceeded the
+    * tail window every round). */
+  private def compactLine(complete: Boolean): String = {
+    import scala.jdk.CollectionConverters._
+    val times = partial.asScala
+    val total = allNames.flatMap(n => Option(partial.get(n)).map(_.doubleValue)).sum
+    val p = if (complete) "" else s""","partial":true"""
+    s"""{"metric":"total","value":$total,"unit":"sec","measured":${times.size},"registered":${allNames.size},"prebuild":"$prebuildStatus","sf":"$sfDir"$p}"""
+  }
+
+  private def emit(complete: Boolean): Unit = {
+    try java.nio.file.Files.write(
+      java.nio.file.Paths.get("bench_latest.json"),
+      (artifactLine(complete) + "\n").getBytes("UTF-8"))
+    catch { case e: Throwable => System.err.println(s"[bench] emit: $e") }
+    println(compactLine(complete))
+  }
+
+  /** Wall-clock budget in seconds (SPARK_GRAFT_BUDGET; default 1500 —
+    * r10's suite, at 3 executions × 219 queries × ~14 JVM inits +
+    * prebuild + 20 isolated forks, outgrew the driver's limit and was
+    * SIGTERM'd with nothing emitted). The budget is the self-limit:
+    * as it drains, the harness sheds isolated reps, then the isolated
+    * series, then min-of-2 — and past the deadline it stops forking
+    * and emits what it has. */
+  private val budget: Double =
+    sys.env.get("SPARK_GRAFT_BUDGET").map(_.toDouble).getOrElse(1500.0)
+  private def remaining(): Double = budget - elapsed()
+
   private def runParent(): Unit = {
     // a PREVIOUS run's artifact must not survive a crashed run: delete
     // up front so absence signals failure instead of stale totals
     // masquerading as current ones
     java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get("bench_latest.json"))
-    val prebuild = prebuildArtifacts()
+    // From here on, ANY exit — normal, budget-exhausted, or the
+    // driver's SIGTERM — leaves a parseable artifact: the hook re-emits
+    // the current partial state (file + compact stdout line) without
+    // touching Spark.
+    val hook = new Thread(() => { shuttingDown = true; emit(complete = false) })
+    Runtime.getRuntime.addShutdownHook(hook)
     // dev-only: SPARK_GRAFT_ONLY=q1,q2 restricts the run for fast
     // iteration; the driver never sets it, so its totals are unaffected
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).toSet)
-    val names = SparkEntry.queries.keys.toSeq.sorted
+    allNames = SparkEntry.queries.keys.toSeq.sorted
       .filter(n => only.forall(_.contains(n)))
+    prebuildStatus = prebuildArtifacts()
     val inProc = sys.env.contains("SPARK_GRAFT_NOFORK")
     val chunkSize = sys.env.get("SPARK_GRAFT_CHUNKSIZE").map(_.toInt).getOrElse(16)
-    val chunkLoads = scala.collection.mutable.ArrayBuffer(loadAvg())
-    val times: Map[String, Double] =
-      if (inProc) measure(newSession(), names).toMap
-      else names.grouped(chunkSize).flatMap { grp =>
-        val m = forkChunk(grp) match {
-          case Some(m) => m
-          case None    => measure(newSession(), grp).toMap // fallback
+    chunkLoads.add(loadAvg())
+    if (inProc) {
+      val spark = newSession()
+      measure(spark, allNames, onResult = (n, t) => partial.put(n, t))
+      spark.stop()
+    } else {
+      allNames.grouped(chunkSize).foreach { grp =>
+        if (!shuttingDown && remaining() > 30.0) {
+          // past ~2/3 of the budget, children stop paying min-of-2
+          // anywhere — finishing every query beats polishing a few
+          val fast = remaining() < budget / 3.0
+          val m = forkChunk(grp, salvage = true, fast = fast)
+          m.foreach { case (n, t) => partial.put(n, t) }
+          val missing = grp.filterNot(m.contains)
+          if (missing.nonEmpty && !shuttingDown && remaining() > 60.0) {
+            val spark = newSession()
+            try measure(spark, missing, fast = true,
+              onResult = (n, t) => partial.put(n, t))
+            finally spark.stop()
+          }
+          chunkLoads.add(loadAvg())
+          emit(complete = false)
         }
-        chunkLoads += loadAvg()
-        m
-      }.toMap
-    val results = names.map(n => n -> times(n))
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
+      }
+    }
     // isolated control series for the top-N chunked prices (skipped in
     // dev/in-process mode; SPARK_GRAFT_ISOLATED overrides the count,
-    // SPARK_GRAFT_ISOREPS the forks-per-query minimum)
+    // SPARK_GRAFT_ISOREPS the forks-per-query minimum) — budget-aware,
+    // sheds reps then queries as the deadline nears
     val nIso = sys.env.get("SPARK_GRAFT_ISOLATED").map(_.toInt)
       .getOrElse(if (inProc) 0 else 10)
     val isoReps = sys.env.get("SPARK_GRAFT_ISOREPS").map(_.toInt).getOrElse(2)
-    val iso = isolatedSeries(times, nIso, isoReps)
-    val isoJson = iso.toSeq.sortBy(_._1)
-      .map { case (k, (t, _)) => s"\"" + k + "\":" + t }.mkString("{", ",", "}")
-    val isoLoadJson = iso.toSeq.sortBy(_._1)
-      .map { case (k, (_, l)) => s"\"" + k + "\":" + l }.mkString("{", ",", "}")
-    val loadsJson = chunkLoads.map(l => f"$l%.2f").mkString("[", ",", "]")
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"isolated":$isoJson,"isolated_load":$isoLoadJson,"load_chunked":$loadsJson,"prebuild":"$prebuild","sf":"$sfDir"}"""
-    // The driver parses a tail-capture of stdout, and per-query JVM
-    // noise can scroll the totals line out of the window — so the line
-    // is ALSO written to bench_latest.json (a stable artifact the judge
-    // can always read) and re-printed as the very last line after
-    // session teardown so no shutdown logging can follow it.
-    println(line)
-    java.nio.file.Files.write(
-      java.nio.file.Paths.get("bench_latest.json"),
-      (line + "\n").getBytes("UTF-8"))
+    if (!shuttingDown) {
+      import scala.jdk.CollectionConverters._
+      val times = partial.asScala.map { case (k, v) => k -> v.doubleValue }.toMap
+      isoDone = isolatedSeries(times, nIso, isoReps, () => remaining())
+    }
+    val complete = allNames.forall(partial.containsKey)
+    // the final emit below supersedes the hook — remove it so a normal
+    // exit's last stdout line is the COMPLETE one (throws if a SIGTERM
+    // already started shutdown, in which case the hook is the emitter)
+    try Runtime.getRuntime.removeShutdownHook(hook)
+    catch { case _: IllegalStateException => return }
+    emit(complete)
     SparkSession.getActiveSession.foreach(_.stop())
-    println(line)
-    // The full line (128-query map) has exceeded the driver's tail-parse
-    // window every round so far — ALSO print a compact totals-only line
-    // as the very last output so a short tail capture still parses.
-    println(s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir"}""")
+    // re-print after session teardown so no shutdown logging can
+    // follow the last line the driver tail-parses
+    println(compactLine(complete))
   }
 }
