@@ -57,7 +57,15 @@ object Artifacts {
     * (ADVICE r9: a depth-capped listing missed in-place rewrites deep
     * inside multi-column-partitioned layouts that keep filename and
     * directory mtimes — `Files.walk` sees every leaf, so any
-    * regeneration of the parquet inputs changes the key). */
+    * regeneration of the parquet inputs changes the key).
+    *
+    * Mtimes are hashed at NANOSECOND granularity (ADVICE r10: at
+    * millis, a regeneration completing within the same millisecond
+    * with byte-identical sizes kept the old key and silently served
+    * stale artifacts). The residual window is the filesystem's own
+    * timestamp resolution — ext4/xfs/btrfs all store nanoseconds, so
+    * in practice a same-key regeneration now requires identical
+    * content timing down to the ns, plus identical sizes. */
   private[graft] def datasetKey(sfDir: String): String = {
     val root = Paths.get(sfDir).toAbsolutePath.normalize
     val listing: Seq[String] =
@@ -68,7 +76,7 @@ object Artifacts {
           import scala.jdk.CollectionConverters._
           s.iterator().asScala
             .filter(p => Files.isRegularFile(p))
-            .map(p => s"${root.relativize(p)}:${Files.getLastModifiedTime(p).toMillis}:${Files.size(p)}")
+            .map(p => s"${root.relativize(p)}:${Files.getLastModifiedTime(p).to(java.util.concurrent.TimeUnit.NANOSECONDS)}:${Files.size(p)}")
             .toSeq.sorted
         } finally s.close()
       }
@@ -110,45 +118,77 @@ object Artifacts {
     * recover it without recomputing. */
   def getOrBuildMeta(spark: SparkSession, sfDir: String, name: String)(
       build: String => String): (String, String) = {
-    val dir = memo.computeIfAbsent(s"$sfDir::$name", _ => {
-      val keyRoot = warehouseRoot(spark)
-        .resolve("graft_artifacts").resolve(datasetKey(sfDir))
-      val dest = keyRoot.resolve(name)
-      if (!Files.exists(dest)) {
-        Files.createDirectories(keyRoot)
-        // provenance marker: which dataset this key dir derives from.
-        // The key itself is a hash, so without the marker a GC pass
-        // cannot tell "stale key of dataset X" from "live key of
-        // dataset Y" — with it, [[gcStale]] can retire superseded
-        // keys per dataset instead of `rm -rf`ing the whole store.
-        val marker = keyRoot.resolve("_graft_dataset")
-        if (!Files.exists(marker))
-          Files.write(marker, Paths.get(sfDir).toAbsolutePath.normalize
-            .toString.getBytes("UTF-8"))
-        val tmp = keyRoot.resolve(s"$name.build-${ProcessHandle.current().pid()}")
-        deleteRecursively(tmp)
-        val meta = build(tmp.toString)
-        if (meta.nonEmpty)
-          Files.write(tmp.resolve("_graft_meta"), meta.getBytes("UTF-8"))
-        try Files.move(tmp, dest, StandardCopyOption.ATOMIC_MOVE)
-        catch { case e: java.nio.file.FileSystemException =>
-          // Either a concurrent builder won the rename race (dest now
-          // exists — serve its copy) or the move failed for a real
-          // reason (permissions, I/O). ADVICE r9: only the former may
-          // be swallowed — treating an I/O failure as a lost race
-          // would memoize a path that never materializes and every
-          // downstream read would fail obscurely for the JVM lifetime.
-          deleteRecursively(tmp)
-          if (!Files.exists(dest)) throw e
-        }
-      }
-      dest.toString
-    })
+    // NOT computeIfAbsent (ADVICE r10): a build closure that resolves a
+    // DEPENDENT artifact (e.g. the curated LM building on top of the raw
+    // unigram LM) would re-enter this map from inside a mapping function
+    // — if both keys hash into the same locked bin, ConcurrentHashMap
+    // throws IllegalStateException("Recursive update"). The memo is only
+    // a path cache; correctness under concurrent builders lives in the
+    // DISK protocol (atomic rename, loser discards), so plain
+    // get → build-outside-the-lock → putIfAbsent is sufficient and
+    // makes nested getOrBuild calls safe. The worst case — two threads
+    // of ONE JVM both reaching buildOnce — is the same lost-rename race
+    // two separate JVMs already resolve.
+    val memoKey = s"$sfDir::$name"
+    val dir = Option(memo.get(memoKey)).getOrElse {
+      val d = buildOnce(spark, sfDir, name, build, retry = true)
+      memo.putIfAbsent(memoKey, d)
+      d
+    }
     val metaFile = Paths.get(dir).resolve("_graft_meta")
     val meta =
       if (Files.exists(metaFile)) new String(Files.readAllBytes(metaFile), "UTF-8")
       else ""
     (dir, meta)
+  }
+
+  private def buildOnce(spark: SparkSession, sfDir: String, name: String,
+      build: String => String, retry: Boolean): String = {
+    val keyRoot = warehouseRoot(spark)
+      .resolve("graft_artifacts").resolve(datasetKey(sfDir))
+    val dest = keyRoot.resolve(name)
+    if (!Files.exists(dest)) {
+      Files.createDirectories(keyRoot)
+      // provenance marker: which dataset this key dir derives from.
+      // The key itself is a hash, so without the marker a GC pass
+      // cannot tell "stale key of dataset X" from "live key of
+      // dataset Y" — with it, [[gcStale]] can retire superseded
+      // keys per dataset instead of `rm -rf`ing the whole store.
+      val marker = keyRoot.resolve("_graft_dataset")
+      if (!Files.exists(marker))
+        Files.write(marker, Paths.get(sfDir).toAbsolutePath.normalize
+          .toString.getBytes("UTF-8"))
+      val tmp = keyRoot.resolve(s"$name.build-${ProcessHandle.current().pid()}")
+      deleteRecursively(tmp)
+      val meta = build(tmp.toString)
+      if (meta.nonEmpty)
+        Files.write(tmp.resolve("_graft_meta"), meta.getBytes("UTF-8"))
+      try Files.move(tmp, dest, StandardCopyOption.ATOMIC_MOVE)
+      catch { case e: java.nio.file.FileSystemException =>
+        // Either a concurrent builder won the rename race (dest now
+        // exists — serve its copy) or the move failed for a real
+        // reason (permissions, I/O). ADVICE r9: only the former may
+        // be swallowed — treating an I/O failure as a lost race
+        // would memoize a path that never materializes and every
+        // downstream read would fail obscurely for the JVM lifetime.
+        deleteRecursively(tmp)
+        if (!Files.exists(dest)) {
+          // ADVICE r10: a concurrent [[gcStale]] racing a regeneration
+          // can delete this (now-stale) key dir mid-build, taking the
+          // pid-suffixed tmp with it — then NEITHER tmp nor dest
+          // exists. That is a retriable state, not an I/O fault: the
+          // rebuild recreates the key dir (against the now-current
+          // key if the data changed) and lands cleanly. One retry
+          // only — a second consecutive vanishing act means something
+          // other than GC is deleting the warehouse, and that should
+          // surface.
+          if (retry && !Files.exists(tmp))
+            return buildOnce(spark, sfDir, name, build, retry = false)
+          throw e
+        }
+      }
+    }
+    dest.toString
   }
 
   /** GARBAGE-COLLECT superseded artifact keys for `sfDir`: every key
@@ -158,8 +198,11 @@ object Artifacts {
     * recursively. Keys of OTHER datasets sharing the warehouse are
     * never touched, and neither is the current key. Returns the
     * deleted paths. Safe to run any time: every consumer
-    * existence-checks through [[getOrBuildMeta]], and a racing
-    * builder writing into a stale key would only rebuild.
+    * existence-checks through [[getOrBuildMeta]], and a builder racing
+    * this GC in a stale key — whose pid-suffixed tmp dir this delete
+    * takes down mid-build — hits the vanished-tmp branch of the move
+    * handler and rebuilds once against the current key (ADVICE r10:
+    * before that retry, the race crashed the concurrent session).
     *
     * This is the retention half of the artifact lifecycle
     * (build → reuse → refresh → RETIRE): without it a recurring

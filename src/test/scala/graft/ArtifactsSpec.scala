@@ -119,4 +119,53 @@ class ArtifactsSpec extends SparkSpec {
     // idempotent: a second pass finds nothing
     assert(Artifacts.gcStale(spark, ds).isEmpty)
   }
+
+  test("a build closure may resolve a DEPENDENT artifact (nested getOrBuild)") {
+    // ADVICE r10: the curated-LM build resolves the raw unigram LM from
+    // INSIDE its own build closure. Under computeIfAbsent that was a
+    // latent IllegalStateException("Recursive update") whenever the two
+    // keys hashed into the same ConcurrentHashMap bin; the store now
+    // memoizes outside the map lock, so nesting is a supported pattern.
+    val ds = freshDataset()
+    var innerBuilds, outerBuilds = 0
+    def inner(): (String, String) =
+      Artifacts.getOrBuildMeta(spark, ds, "spec_nest_inner") { dir =>
+        innerBuilds += 1
+        Files.createDirectories(Paths.get(dir))
+        "v=3"
+      }
+    val (outerPath, outerMeta) =
+      Artifacts.getOrBuildMeta(spark, ds, "spec_nest_outer") { dir =>
+        outerBuilds += 1
+        Files.createDirectories(Paths.get(dir))
+        val (_, m) = inner()   // nested resolution, inner not yet built
+        s"derived:$m"
+      }
+    assert(innerBuilds === 1 && outerBuilds === 1)
+    assert(outerMeta === "derived:v=3")
+    assert(Files.exists(Paths.get(outerPath)))
+    // both artifacts independently resolvable afterwards, no rebuild
+    assert(inner() === (inner()._1, "v=3") && innerBuilds === 1)
+  }
+
+  test("a builder whose tmp dir is deleted mid-build (racing GC) retries once and lands") {
+    // ADVICE r10: gcStale racing a builder in a superseded key deletes
+    // the pid-suffixed tmp directory out from under the Files.move —
+    // neither tmp nor dest exists, which must rebuild, not crash.
+    val ds = freshDataset()
+    var builds = 0
+    val p = Artifacts.getOrBuild(spark, ds, "spec_race") { dir =>
+      builds += 1
+      Files.createDirectories(Paths.get(dir))
+      Files.write(Paths.get(dir, "part-0"), "x".getBytes("UTF-8"))
+      if (builds == 1) {
+        // simulate the GC: the whole tmp tree vanishes before the move
+        val tmp = Paths.get(dir)
+        Files.deleteIfExists(tmp.resolve("part-0"))
+        Files.deleteIfExists(tmp)
+      }
+    }
+    assert(builds === 2, "vanished tmp must trigger exactly one retry")
+    assert(Files.exists(Paths.get(p, "part-0")), "retried build must land")
+  }
 }
