@@ -568,10 +568,34 @@ class PlanAuditSpec extends SparkSpec {
       s"expected the GramMoments aggregator in the plan:\n$p")
   }
 
+  /** ONE construction pass shared by the global sweeps: EVERY
+    * registered query is built — no skip list anywhere (r10 verdict
+    * #4: the cartesian sweep still exempted 18 iterative/stored names
+    * on trust; the window sweep had already shown construct-everything
+    * is affordable, so both audits now ride the same pass and a new
+    * sweep predicate costs nothing). Iterative loops run at
+    * construction (cheap at sf0.001); the audit then covers the FINAL
+    * serving plan. Per query: (formatted physical plan, unpartitioned
+    * corpus-window findings). */
+  private lazy val sweptPlans: Seq[(String, String, Seq[String])] =
+    SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      val (p, wins) =
+        try {
+          val df = fn(spark, sf)
+          (planString(df), corpusGlobalWindows(df))
+        } catch {
+          case e: Throwable => (s"BUILD FAILED: $e", Seq(s"BUILD FAILED: $e"))
+        }
+      spark.catalog.clearCache()
+      (name, p, wins)
+    }
+
   test("global sweep: no registered query plans a cartesian or nested-loop join outside documented sites") {
     // The one global anti-pattern gate: every future query is checked
-    // automatically. Legitimate nested-loop sites, each documented at
-    // its definition:
+    // automatically — EVERY query is constructed (shared [[sweptPlans]]
+    // pass), none exempted from construction. `allowNested` is not a
+    // skip list: each member names a DOCUMENTED nested-loop site whose
+    // plan is justified at its definition:
     //   - 1-row scalar-subquery broadcasts (quota totals, corpus size,
     //     PSI totals): sample_mixture, pipeline_corpus, text_tfidf,
     //     text_lm_score, q14_promo_effect-style single-row joins
@@ -589,6 +613,14 @@ class PlanAuditSpec extends SparkSpec {
       "sim_ivf_probe", "sim_ivf_multiprobe", "sim_ivf_cell_stats",
       "sim_kmeans_step",
       "sim_ivfpq_topk", "sim_kmeans_iter", "dedup_semdedup",
+      // r11 (the skip list died — these three surfaced when every
+      // query joined the sweep): the stored IVFPQ serving path still
+      // quantizer-assigns its QUERY vectors (NumQueries rows × the
+      // K-row broadcast centroid set — the documented IVF-quantizer
+      // cross; the corpus side is the stored code artifact, equi-joined
+      // on the cell key), and the PCA pair crossJoin the 1-row
+      // moments/eigen anchor — the documented 1-row-broadcast category.
+      "sim_ivfpq_stored", "sim_pca_whiten", "sim_pca_outliers",
       "dedup_semantic_clusters", "sample_mixture", "pipeline_corpus",
       "pipeline_corpus_stored", "sample_token_budget",
       "text_tfidf", "text_lm_score", "q_rolling_active_users",
@@ -604,32 +636,16 @@ class PlanAuditSpec extends SparkSpec {
       "q15_top_supplier", "q14_promo_effect", "q8_market_share",
       "q17_correlated_avg", "q_approx_distinct", "q_approx_quantiles",
       "q_median_exact", "q_group_quantiles")
-    // iterative queries execute their loop at BUILD time — each has
-    // its own targeted pin; excluded here to keep the sweep fast. The
-    // stored-edge graph variants run a one-off mine+write at BUILD
-    // time and get the same three asserts in their dedicated pin.
-    val skipIterative = Set(
-      "dedup_clusters", "dedup_clusters_stars", "dedup_representatives",
-      "dedup_semantic_clusters_ann", "cdc_scd2", "sim_pca_whiten",
-      "sim_pca_outliers", "text_heavy_hitters",
-      "sim_pagerank_stored", "sim_triangles_stored", "sim_knn_graph_stored",
-      "dedup_semantic_clusters_stored", "sim_ivfpq_stored",
-      "dedup_clusters_stored", "dedup_representatives_stored",
-      "dedup_clusters_stars_stored", "dedup_source_overlap",
-      "sim_label_propagation")
-    val offenders = SparkEntry.queries.toSeq.sortBy(_._1)
-      .filterNot { case (name, _) =>
-        skipIterative.contains(name) || allowNested.contains(name) }
-      .flatMap { case (name, fn) =>
-        val p = try planString(fn(spark, sf))
-          catch { case e: Throwable => s"BUILD FAILED: $e" }
+    val offenders = sweptPlans
+      .filterNot { case (name, _, _) => allowNested.contains(name) }
+      .flatMap { case (name, p, _) =>
         if (p.contains("CartesianProduct") ||
             p.contains("BroadcastNestedLoopJoin") ||
             p.startsWith("BUILD FAILED")) Some(name -> p.take(200)) else None
       }
-    spark.catalog.clearCache()
     assert(offenders.isEmpty,
-      s"unexpected nested-loop/cartesian plans: ${offenders.map(_._1)}")
+      s"unexpected nested-loop/cartesian plans: ${offenders.map(_._1)}\n" +
+        offenders.map { case (n, p) => s"$n:\n$p" }.mkString("\n---\n"))
   }
 
   test("stored-edge graph queries read the edge artifact and never re-bucket embeddings") {
@@ -1014,20 +1030,12 @@ class PlanAuditSpec extends SparkSpec {
   }
 
   test("global sweep: no registered query plans an unpartitioned window over a corpus-sized input") {
-    // Same shape as the cartesian sweep, but with NO skip list (r9
-    // verdict #4: 18 iterative/stored queries were exempted on trust
-    // and the newest members had no pin at all). EVERY registered
-    // query is constructed and its FINAL plan walked — for iterative
-    // queries the loop runs at construction (cheap at sf0.001) and
-    // the audit covers the serving plan; the loop bodies share their
-    // machinery with live twins that are fully swept here.
-    val offenders = SparkEntry.queries.toSeq.sortBy(_._1)
-      .flatMap { case (name, fn) =>
-        val bad = try corpusGlobalWindows(fn(spark, sf))
-          catch { case e: Throwable => Seq(s"BUILD FAILED: $e") }
-        spark.catalog.clearCache()
-        if (bad.nonEmpty) Some(name -> bad.head.take(120)) else None
-      }
+    // NO skip list (r9 verdict #4): EVERY registered query's FINAL
+    // plan is walked — the shared [[sweptPlans]] pass constructs each
+    // query once for both this and the cartesian sweep.
+    val offenders = sweptPlans
+      .flatMap { case (name, _, bad) =>
+        if (bad.nonEmpty) Some(name -> bad.head.take(120)) else None }
     assert(offenders.isEmpty,
       s"single-reducer corpus windows: $offenders")
   }
