@@ -324,7 +324,7 @@ object DedupOps {
     * verbatim. Shared by the fingerprint projection ([[crawlPrev]])
     * and the previous-snapshot signature index
     * ([[qDedupDeltaClassify]]). */
-  private def prevTextExpr: Column =
+  private[graft] def prevTextExpr: Column =
     when(col("doc_id") % 7 === 3,
         array_join(slice(split(col("text"), " "), lit(1),
           size(split(col("text"), " ")) - 1), " "))

@@ -412,7 +412,28 @@ object EventOps {
     * arithmetic over exact sums: no float accumulation order anywhere
     * (the repo's exact-moment discipline, [[qAbTest]]). Scale: one
     * shuffle on user_id, then a 1-row global aggregate. */
-  def qAbCuped(spark: SparkSession, sfDir: String): DataFrame = {
+  def qAbCuped(spark: SparkSession, sfDir: String): DataFrame =
+    cupedMoments(spark, sfDir)
+      .select(col("n_a"), col("n_b"),
+        round(col("theta"), 6).as("theta_r"),
+        round((col("syb") / col("n_b") - col("sya") / col("n_a")) / 100, 6)
+          .as("diff_raw_r"),
+        round((col("mycb") - col("myca")) / 100, 6).as("diff_cuped_r"),
+        round((col("syb") / col("n_b") - col("sya") / col("n_a")) /
+          sqrt(col("vya") / col("n_a") + col("vyb") / col("n_b")), 6)
+          .as("t_raw_r"),
+        round((col("mycb") - col("myca")) /
+          sqrt(col("vyca") / col("n_a") + col("vycb") / col("n_b")), 6)
+          .as("t_cuped_r"),
+        round(lit(1.0) - (col("vyca") + col("vycb")) /
+          (col("vya") + col("vyb")), 6).as("var_red_r"))
+
+  /** The shared exact-moment pipeline of the CUPED family
+    * ([[qAbCuped]], [[qAbPower]]): one user-keyed rollup of pre/post
+    * integer-cent sums, one 1-row conditional aggregate of every
+    * moment, then the closed-form scalar columns (θ, per-arm raw and
+    * CUPED-adjusted means/variances). */
+  private def cupedMoments(spark: SparkSession, sfDir: String): DataFrame = {
     val big = org.apache.spark.sql.types.DecimalType(38, 0)
     val cents = (col("value") * 100)
       .cast(org.apache.spark.sql.types.DecimalType(18, 0))
@@ -469,22 +490,39 @@ object EventOps {
         col("theta") * (col("sxa") / col("n_a") - col("sx") / col("n")))
       .withColumn("mycb", col("syb") / col("n_b") -
         col("theta") * (col("sxb") / col("n_b") - col("sx") / col("n")))
-      .select(col("n_a"), col("n_b"),
-        round(col("theta"), 6).as("theta_r"),
-        round((col("syb") / col("n_b") - col("sya") / col("n_a")) / 100, 6)
-          .as("diff_raw_r"),
-        round((col("mycb") - col("myca")) / 100, 6).as("diff_cuped_r"),
-        round((col("syb") / col("n_b") - col("sya") / col("n_a")) /
-          sqrt(col("vya") / col("n_a") + col("vyb") / col("n_b")), 6)
-          .as("t_raw_r"),
-        round((col("mycb") - col("myca")) /
-          sqrt(col("vyca") / col("n_a") + col("vycb") / col("n_b")), 6)
-          .as("t_cuped_r"),
-        round(lit(1.0) - (col("vyca") + col("vycb")) /
-          (col("vya") + col("vyb")), 6).as("var_red_r"))
   }
 
-  val qAbCupedOracle: String =
+  /** POWER ANALYSIS companion to the A/B stack — the question a
+    * readout owner actually asks next: "what effect COULD this
+    * experiment have detected?" Minimum detectable effect at the
+    * standard α = 0.05 two-sided / 80% power operating point:
+    * MDE = (z_{0.975} + z_{0.80}) · SE(diff) with the constant
+    * z-sum 1.959964 + 0.841621, once with the raw Welch standard
+    * error and once with the CUPED-adjusted one — the dollars-valued
+    * statement of what the variance reduction buys. `n_mult_r` is the
+    * equivalent sample-size multiplier (a CUPED experiment detects at
+    * SE parity with a raw experiment (vya+vyb)/(vyca+vycb) times its
+    * size). Same exact-moment pipeline as [[qAbCuped]]
+    * ([[cupedMoments]] — one user rollup, one 1-row aggregate);
+    * closed-form scalar arithmetic from there, so both engines hit
+    * identical IEEE doubles before rounding. */
+  def qAbPower(spark: SparkSession, sfDir: String): DataFrame = {
+    val zsum = lit(1.959964 + 0.841621)
+    cupedMoments(spark, sfDir)
+      .withColumn("se_raw",
+        sqrt(col("vya") / col("n_a") + col("vyb") / col("n_b")))
+      .withColumn("se_cuped",
+        sqrt(col("vyca") / col("n_a") + col("vycb") / col("n_b")))
+      .select(col("n_a"), col("n_b"),
+        round(zsum * col("se_raw") / 100, 6).as("mde_raw_r"),
+        round(zsum * col("se_cuped") / 100, 6).as("mde_cuped_r"),
+        round((col("vya") + col("vyb")) / (col("vyca") + col("vycb")), 6)
+          .as("n_mult_r"))
+  }
+
+  /** Shared WITH-chain of the CUPED oracles — byte-identical moment
+    * derivation for [[qAbCupedOracle]] and [[qAbPowerOracle]]. */
+  private val abCupedOracleChain: String =
     """WITH u AS (
       |  SELECT user_id,
       |    CAST(SUM(CASE WHEN ts < TIMESTAMP '2024-01-16 00:00:00'
@@ -538,7 +576,10 @@ object EventOps {
       |    vyb - 2 * theta * cvb + theta * theta * vxb AS vycb,
       |    sya / n_a - theta * (sxa / n_a - sx / n) AS myca,
       |    syb / n_b - theta * (sxb / n_b - sx / n) AS mycb
-      |  FROM t)
+      |  FROM t)""".stripMargin
+
+  val qAbCupedOracle: String = abCupedOracleChain +
+    """
       |SELECT n_a, n_b,
       |  round(theta, 6) AS theta_r,
       |  round((syb / n_b - sya / n_a) / 100, 6) AS diff_raw_r,
@@ -548,6 +589,16 @@ object EventOps {
       |  round((mycb - myca) /
       |    sqrt(vyca / n_a + vycb / n_b), 6) AS t_cuped_r,
       |  round(1.0 - (vyca + vycb) / (vya + vyb), 6) AS var_red_r
+      |FROM c""".stripMargin
+
+  val qAbPowerOracle: String = abCupedOracleChain +
+    """
+      |SELECT n_a, n_b,
+      |  round((1.959964 + 0.841621) *
+      |    sqrt(vya / n_a + vyb / n_b) / 100, 6) AS mde_raw_r,
+      |  round((1.959964 + 0.841621) *
+      |    sqrt(vyca / n_a + vycb / n_b) / 100, 6) AS mde_cuped_r,
+      |  round((vya + vyb) / (vyca + vycb), 6) AS n_mult_r
       |FROM c""".stripMargin
 
   /** SAMPLE-RATIO MISMATCH check — the experimentation-hygiene gate
@@ -1250,6 +1301,7 @@ object EventOps {
     "q_seasonal_residuals" -> (qSeasonalResiduals _),
     "q_ab_test" -> (qAbTest _),
     "q_ab_cuped" -> (qAbCuped _),
+    "q_ab_power" -> (qAbPower _),
     "q_ab_srm" -> (qAbSrm _),
     "q_rolling_active_users" -> (qRollingActiveUsers _),
     "q_funnel" -> (qFunnel _),
@@ -1271,6 +1323,7 @@ object EventOps {
     "q_seasonal_residuals" -> qSeasonalResidualsOracle,
     "q_ab_test" -> qAbTestOracle,
     "q_ab_cuped" -> qAbCupedOracle,
+    "q_ab_power" -> qAbPowerOracle,
     "q_ab_srm" -> qAbSrmOracle,
     "q_rolling_active_users" -> qRollingActiveUsersOracle,
     "q_funnel" -> qFunnelOracle,

@@ -971,6 +971,34 @@ object SamplingOps {
       |  bucket <= 2 AS kept
       |FROM b GROUP BY 1, 2 ORDER BY lang, bucket""".stripMargin
 
+  /** FROZEN per-language tercile cutoffs of the perplexity sampler —
+    * the deployable form of [[qPerplexityBuckets]]'s boundaries: the
+    * minimum score inside buckets 1 and 2 of the training pass.
+    * A streaming filter applies these as broadcast constants
+    * ([[graft.streaming.StatefulOps.streamingPerplexityFilter]]) —
+    * score ≥ b1_min → head, ≥ b2_min → middle, else tail — which is
+    * how CCNet's filter actually deploys (thresholds from the
+    * reference corpus, applied per shard). Languages-sized output.
+    * Boundary note: the batch ntile splits EQUAL scores across
+    * buckets by doc_id; a threshold necessarily maps a boundary-tied
+    * score to the better bucket, so agreement off the two boundary
+    * values is exact and ON them is by convention. */
+  private[graft] def perplexityCutoffs(spark: SparkSession, sfDir: String): DataFrame = {
+    val (ranked, cached) = withGlobalRank(
+      TextOps.lmScoredDocs(spark, sfDir), "grk",
+      col("lang"), col("avg_logp_r").desc, col("doc_id"))
+    val langSizes = ranked.groupBy(col("lang"))
+      .agg(min(col("grk")).as("__loff"), count(lit(1)).as("__nl"))
+    val cut = ranked
+      .join(broadcast(langSizes), Seq("lang"))
+      .withColumn("r", col("grk") - col("__loff") + 1)
+      .withColumn("bucket", expr(ntileColExpr("__nl", 3, "r")).cast("int"))
+      .groupBy(col("lang"))
+      .agg(min(when(col("bucket") === 1, col("avg_logp_r"))).as("b1_min"),
+        min(when(col("bucket") === 2, col("avg_logp_r"))).as("b2_min"))
+    graft.operators.DedupOps.unpersistAfterFirstAction(cut, cached)
+  }
+
   /** DSIR — Data Selection via Importance Resampling (Xie et al.
     * 2023): score every document by its unigram log importance ratio
     * ln p_target/p_raw (target LM trained on the curated sources,

@@ -414,6 +414,64 @@ object TextOps {
       |FROM w JOIN b ON w.doc_id = b.doc_id
       |ORDER BY w.doc_id""".stripMargin
 
+  /** GOPHER STRUCTURAL QUALITY RULES (Rae et al. 2021 §A1.1) — the
+    * per-document threshold gate every large-corpus curation pass runs
+    * before anything expensive, complementing [[qRepetition]] (the
+    * same appendix's repetition rules) and [[qQualityPipeline]]'s
+    * TTR/stopword score with the STRUCTURAL battery: word-count
+    * bounds, mean-word-length bounds, minimum stopword evidence, and
+    * a minimum fraction of alphabetic words. A document must pass
+    * EVERY rule to survive; the per-rule booleans are kept so a
+    * curation report can attribute the rejection mass rule by rule
+    * (the number Gopher's appendix actually publishes).
+    *
+    * Thresholds are scaled to the synthetic corpus's distributions
+    * (word counts 10–99, mean word length 3.7–5.1) so each rule
+    * genuinely partitions the data rather than passing everything.
+    * Mean word length is computed WITHOUT an array walk: the text is
+    * single-space separated, so Σ|word| = len(text) − (n−1) — one
+    * string-length per row against a per-word transform+fold, and the
+    * identical single IEEE division in both engines.
+    *
+    * Scale: map-only — one projection over one pruned (doc_id, text)
+    * scan, no shuffle but the output sort; at 100 TB this is the
+    * embarrassingly-parallel gate it should be. */
+  def qGopherRules(spark: SparkSession, sfDir: String): DataFrame = {
+    val nWords = size(toks)
+    val mwl = (length(col("text")) - nWords + 1).cast(DoubleType) / nWords
+    val nStop = size(filter(toks, t => t.isin(stopwords: _*)))
+    val alphaFrac = size(filter(toks, t => t.rlike("[a-z]")))
+      .cast(DoubleType) / nWords
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"), nWords.as("n_words"), round(mwl, 6).as("mwl_r"),
+        nStop.as("n_stop"), round(alphaFrac, 6).as("alpha_frac_r"),
+        (nWords >= 25 && nWords <= 80).as("r_words"),
+        (mwl >= 4.0 && mwl <= 4.9).as("r_mwl"),
+        (nStop >= 2).as("r_stop"),
+        (alphaFrac >= 0.8).as("r_alpha"))
+      .withColumn("passes",
+        col("r_words") && col("r_mwl") && col("r_stop") && col("r_alpha"))
+      .orderBy(col("doc_id"))
+  }
+
+  val qGopherRulesOracle: String =
+    """WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS ts FROM documents),
+      |m AS (SELECT doc_id,
+      |  CAST(len(ts) AS INT) AS n_words,
+      |  CAST(len(text) - len(ts) + 1 AS DOUBLE) / len(ts) AS mwl,
+      |  CAST(len(list_filter(ts, w -> w IN ('the','a','of','and','to'))) AS INT) AS n_stop,
+      |  CAST(len(list_filter(ts, w -> regexp_matches(w, '[a-z]'))) AS DOUBLE) / len(ts) AS alpha_frac
+      |  FROM t)
+      |SELECT doc_id, n_words, round(mwl, 6) AS mwl_r, n_stop,
+      |  round(alpha_frac, 6) AS alpha_frac_r,
+      |  n_words >= 25 AND n_words <= 80 AS r_words,
+      |  mwl >= 4.0 AND mwl <= 4.9 AS r_mwl,
+      |  n_stop >= 2 AS r_stop,
+      |  alpha_frac >= 0.8 AS r_alpha,
+      |  (n_words >= 25 AND n_words <= 80) AND (mwl >= 4.0 AND mwl <= 4.9)
+      |    AND n_stop >= 2 AND alpha_frac >= 0.8 AS passes
+      |FROM m ORDER BY doc_id""".stripMargin
+
   /** PII redaction: mask emails and phone numbers before training.
     * The corpus is synthetic word soup, so deterministic PII is woven
     * in first (same construction on both engines): every 5th doc gains
@@ -1752,6 +1810,105 @@ FROM r ORDER BY doc_id""")
       |SELECT doc_id, source, n_tokens, nb_score_r, nb_score_r > 0 AS pred_pos
       |FROM r ORDER BY doc_id""".stripMargin
 
+  /** The PREVIOUS crawl snapshot's NB count model as a durable
+    * artifact — the frozen classifier a nightly refresh patches.
+    * Same (tk, cp, cq) relation as [[nbStored]], mined over the
+    * simulated previous snapshot (docs `% 10 != 9` with
+    * [[DedupOps.prevTextExpr]]'s content drift — the crawl-delta
+    * convention every lifecycle query shares). */
+  private[graft] def nbPrevModelStored(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = graft.Artifacts.getOrBuild(spark, sfDir, "nb_model_prev") { d =>
+      Tables.documents(spark, sfDir)
+        .filter(col("doc_id") % 10 =!= 9)
+        .select(col("source"),
+          explode(split(DedupOps.prevTextExpr, " ")).as("tk"))
+        .groupBy(col("tk"))
+        .agg(sum(when(curatedPred, 1L).otherwise(0L)).as("cp"),
+          sum(when(curatedPred, 0L).otherwise(1L)).as("cq"))
+        .write.parquet(d)
+    }
+    spark.read.parquet(dir)
+  }
+
+  /** NB MODEL REFRESH from a crawl delta — the stored-MODEL
+    * maintenance op completing the lifecycle the signature index
+    * already has ([[DedupOps.qDedupIndexRefresh]]): instead of
+    * re-counting the whole current crawl, PATCH the previous
+    * snapshot's frozen (tk, cp, cq) model with token-count deltas
+    * from the churn slice only — +counts of added/changed docs'
+    * current text, −counts of changed/removed docs' previous text
+    * (count models patch ARITHMETICALLY where the signature index
+    * patches row-wise; that is why a production pipeline keeps the
+    * model as integer counts, not log-ratios — deltas add). Tokens
+    * whose total count reaches zero leave the vocabulary, exactly as
+    * a from-scratch rebuild would never see them. The five NB scalars
+    * (Np, Nq, V, and the doc priors) re-derive from the patched
+    * relation by a vocabulary-sized rollup, so nothing else needs
+    * patching.
+    *
+    * Output: the PATCHED model itself, which the oracle rebuilds
+    * from scratch over the current snapshot — hash equality IS the
+    * proof the patch algebra is exact (and TextModelSpec asserts the
+    * same row-identity against a Spark-side rebuild).
+    *
+    * Scale: the only explodes are over the churn slice (added +
+    * changed + removed — the crawl's churn fraction, ~‰ of a 100 TB
+    * corpus per night); the previous model enters as an artifact
+    * scan; the patch is one vocabulary-keyed full-outer join. Change
+    * detection is fingerprint equality, not text comparison — the
+    * same md5 frame [[DedupOps.qCrawlDelta]] ships. */
+  def qNbRefresh(spark: SparkSession, sfDir: String): DataFrame = {
+    val prev = nbPrevModelStored(spark, sfDir)
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("source"), col("text"),
+        DedupOps.prevTextExpr.as("p_text"))
+      .withColumn("in_prev", col("doc_id") % 10 =!= 9)
+      .withColumn("in_cur", col("doc_id") % 10 =!= 0)
+      .withColumn("changed",
+        col("in_prev") && col("in_cur") &&
+          md5(col("p_text").cast("binary")) =!= md5(col("text").cast("binary")))
+    val plus = docs
+      .filter(col("in_cur") && (!col("in_prev") || col("changed")))
+      .select(col("source"), explode(split(col("text"), " ")).as("tk"),
+        lit(1L).as("sgn"))
+    val minus = docs
+      .filter(col("in_prev") && (!col("in_cur") || col("changed")))
+      .select(col("source"), explode(split(col("p_text"), " ")).as("tk"),
+        lit(-1L).as("sgn"))
+    val delta = plus.unionByName(minus)
+      .groupBy(col("tk"))
+      .agg(sum(when(curatedPred, col("sgn")).otherwise(0L)).as("dcp"),
+        sum(when(curatedPred, lit(0L)).otherwise(col("sgn"))).as("dcq"))
+    nbPatch(prev, delta).orderBy(col("tk"))
+  }
+
+  /** The patch join itself — frozen (tk, cp, cq) counts + signed
+    * (tk, dcp, dcq) deltas, vocabulary-keyed full outer so tokens may
+    * both ARRIVE (delta-only rows) and RETIRE (counts reaching zero
+    * are filtered out, exactly as a from-scratch rebuild would never
+    * see them). Factored out of [[qNbRefresh]] so the retirement /
+    * arrival edge cases are unit-testable on a synthetic fixture —
+    * the shared corpus's closed vocabulary never exercises them. */
+  private[graft] def nbPatch(prev: DataFrame, delta: DataFrame): DataFrame =
+    prev.join(delta, Seq("tk"), "full_outer")
+      .select(col("tk"),
+        (coalesce(col("cp"), lit(0L)) + coalesce(col("dcp"), lit(0L))).as("cp"),
+        (coalesce(col("cq"), lit(0L)) + coalesce(col("dcq"), lit(0L))).as("cq"))
+      .filter(col("cp") + col("cq") > 0)
+
+  /** From-scratch NB counts over the CURRENT crawl snapshot — what
+    * the patch must reproduce exactly. */
+  val qNbRefreshOracle: String =
+    """WITH tok AS (
+      |  SELECT source, unnest(string_split(text, ' ')) AS tk
+      |  FROM documents WHERE doc_id % 10 != 0)
+      |SELECT tk,
+      |  CAST(SUM(CASE WHEN source IN ('src0','src1','src2') THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS cp,
+      |  CAST(SUM(CASE WHEN source IN ('src0','src1','src2') THEN 0 ELSE 1 END)
+      |    AS BIGINT) AS cq
+      |FROM tok GROUP BY 1 ORDER BY tk""".stripMargin
+
   /** TARGET unigram LM for importance resampling: trained on the
     * curated sources only, stored durably next to the raw corpus LM
     * ([[lmStored]]); meta carries the target mass and the RAW
@@ -1812,7 +1969,9 @@ FROM r ORDER BY doc_id""")
     "text_nb_quality" -> (qNbQuality _),
     "text_nb_quality_stored" -> (qNbQualityStored _),
     "text_nb_auc" -> (qNbAuc _),
-    "text_nb_confusion" -> (qNbConfusion _))
+    "text_nb_confusion" -> (qNbConfusion _),
+    "text_nb_refresh" -> (qNbRefresh _),
+    "text_gopher_rules" -> (qGopherRules _))
 
   val oracles: Map[String, String] = Map(
     "text_oov_rate" -> qOovRateOracle,
@@ -1848,5 +2007,7 @@ FROM r ORDER BY doc_id""")
     "text_nb_quality" -> qNbQualityOracle,
     "text_nb_quality_stored" -> qNbQualityOracle,
     "text_nb_auc" -> qNbAucOracle,
-    "text_nb_confusion" -> qNbConfusionOracle)
+    "text_nb_confusion" -> qNbConfusionOracle,
+    "text_nb_refresh" -> qNbRefreshOracle,
+    "text_gopher_rules" -> qGopherRulesOracle)
 }

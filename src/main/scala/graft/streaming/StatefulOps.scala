@@ -1359,6 +1359,49 @@ object StatefulOps {
         coalesce(col("exact_match_id"), col("near_match_id")).as("match_id"))
   }
 
+  /** STREAMING PERPLEXITY FILTER — the serving path of the CCNet
+    * bucket sampler (`sample_perplexity_buckets`) as a stream-static
+    * pipeline: the unigram LM is the frozen stored artifact
+    * (`TextOps.lmStored` — static side of a vocabulary-keyed
+    * equi-join), the per-language tercile CUTOFFS are frozen at train
+    * time (`SamplingOps.perplexityCutoffs`, a languages-sized
+    * broadcast), and each arriving document scores in one explode +
+    * join + per-doc aggregate, then buckets by threshold comparison
+    * map-side. This is how the published filter deploys: the
+    * reference model and its cutoffs come from the trusted training
+    * pass; the stream is every incoming shard.
+    *
+    * Parity with the batch twin: tokens outside the frozen vocabulary
+    * contribute nothing (same inner join), the score is the same
+    * 6-decimal-rounded avg ln(c) − ln(N), and buckets agree exactly
+    * off the two boundary scores — ON a boundary the batch ntile
+    * splits score-ties by doc_id where a threshold must choose the
+    * better bucket (documented at [[SamplingOps.perplexityCutoffs]]).
+    * State: ONE aggregation row per arriving doc (the per-doc score
+    * rollup), so re-delivery is idempotent under OutputMode.Update;
+    * bounded with the state-store TTL knob like the other twins.
+    * Scale: per-batch cost tracks arrival rate × doc length; the LM
+    * side is static and hash-partitioned on the token key; nothing
+    * grows with corpus size. */
+  def streamingPerplexityFilter(docs: DataFrame, lm: DataFrame,
+      nTotal: Long, cutoffs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"), col("lang"),
+        explode(split(col("text"), " ")).as("tk"))
+      .join(lm, "tk")
+      .groupBy(col("doc_id"), col("lang"))
+      .agg(count(lit(1)).as("n_tokens"), sum(log(col("c"))).as("slc"))
+      .withColumn("score_r", round(
+        col("slc") / col("n_tokens") - log(lit(nTotal.toDouble)), 6))
+      .join(broadcast(cutoffs), Seq("lang"))
+      .withColumn("bucket",
+        when(col("score_r") >= col("b1_min"), 1)
+          .when(col("score_r") >= col("b2_min"), 2)
+          .otherwise(3))
+      .select(col("doc_id"), col("lang"), col("n_tokens"),
+        col("score_r"), col("bucket"),
+        (col("bucket") <= 2).as("kept"))
+
   // ================= composed streaming ingest pipeline =================
 
   /** The END-TO-END streaming ingest — the live twin of the batch

@@ -408,6 +408,24 @@ class EventOpsSpec extends SparkSpec {
     // post spend correlate positively, so the reduction is real
     assert(got._8 > 0.0 && got._8 < 1.0,
       s"variance reduction out of range: ${got._8}")
+    // power companion: same moments, closed-form MDE at the
+    // alpha=.05 / 80%-power point — recomputed from the driver-side
+    // variances above, plus the internal consistency laws (CUPED MDE
+    // strictly tighter; sample multiplier is the variance ratio,
+    // i.e. 1/(1 - var_red))
+    val pw = EventOps.qAbPower(spark, sf).collect().head
+    val zsum = 1.959964 + 0.841621
+    assert(pw.getLong(0) === na && pw.getLong(1) === nb)
+    val mdeRaw = zsum * math.sqrt(vya / na + vyb / nb) / 100
+    val mdeCuped = zsum * math.sqrt(vyca / na + vycb / nb) / 100
+    assert(math.abs(pw.getDouble(2) - mdeRaw) < 1e-6,
+      s"mde_raw ${pw.getDouble(2)} vs $mdeRaw")
+    assert(math.abs(pw.getDouble(3) - mdeCuped) < 1e-6,
+      s"mde_cuped ${pw.getDouble(3)} vs $mdeCuped")
+    assert(pw.getDouble(3) < pw.getDouble(2),
+      "CUPED must tighten the detectable effect")
+    assert(math.abs(pw.getDouble(4) - 1.0 / (1.0 - got._8)) < 1e-4,
+      "n_mult must be the inverse survival of var_red")
   }
 
   test("SRM check equals a driver-side chi-square recompute; arms partition all users") {

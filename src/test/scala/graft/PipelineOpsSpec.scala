@@ -412,6 +412,48 @@ class PipelineOpsSpec extends SparkSpec {
     }
   }
 
+  test("gopher rules equal a driver-side recompute; every rule partitions the corpus; map-only plan") {
+    val rows = TextOps.qGopherRules(spark, sf).collect()
+    val docs = Tables.documents(spark, sf)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(rows.length === docs.size)
+    val stop = Set("the", "a", "of", "and", "to")
+    rows.foreach { r =>
+      val ws = docs(r.getAs[Long]("doc_id")).split(" ", -1)
+      val n = ws.length
+      val mwl = ws.map(_.length).sum.toDouble / n
+      val nStop = ws.count(stop)
+      val alpha = ws.count(_.exists(c => c >= 'a' && c <= 'z')).toDouble / n
+      assert(r.getAs[Int]("n_words") === n)
+      assert(math.abs(r.getAs[Double]("mwl_r") - mwl) < 1e-6)
+      assert(r.getAs[Int]("n_stop") === nStop)
+      assert(math.abs(r.getAs[Double]("alpha_frac_r") - alpha) < 1e-6)
+      assert(r.getAs[Boolean]("r_words") === (n >= 25 && n <= 80))
+      assert(r.getAs[Boolean]("r_mwl") === (mwl >= 4.0 && mwl <= 4.9))
+      assert(r.getAs[Boolean]("r_stop") === (nStop >= 2))
+      assert(r.getAs[Boolean]("passes") === (r.getAs[Boolean]("r_words") &&
+        r.getAs[Boolean]("r_mwl") && r.getAs[Boolean]("r_stop") &&
+        r.getAs[Boolean]("r_alpha")))
+    }
+    // thresholds must actually split the corpus (a rule that passes or
+    // fails everything tests nothing)
+    for (c <- Seq("r_words", "r_mwl", "r_stop", "passes")) {
+      val ps = rows.count(_.getAs[Boolean](c))
+      assert(ps > 0 && ps < rows.length, s"$c does not partition: $ps/${rows.length}")
+    }
+    // plan: map-only gate — a pruned (doc_id, text) scan and no
+    // exchange but the output sort
+    val p = TextOps.qGopherRules(spark, sf).queryExecution
+      .explainString(org.apache.spark.sql.execution.FormattedMode)
+    assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string>"),
+      s"scan not pruned to (doc_id, text):\n${p.take(600)}")
+    // formatted mode prints every node twice (tree + detail heading) —
+    // count the numbered detail headings
+    assert("""\(\d+\) Exchange""".r.findAllIn(p).size <= 1,
+      s"expected at most the output-sort exchange:\n${p.take(600)}")
+  }
+
   test("pii redact finds exactly the woven-in emails and phones") {
     val r = TextOps.qPiiRedact(spark, sf).collect()
     r.foreach { row =>
@@ -1895,5 +1937,75 @@ class PipelineOpsSpec extends SparkSpec {
     assert(provs.keySet === Set("kept", "rebuilt"))
     assert(provs.values.sum === rk.size.toLong)
     spark.catalog.clearCache()
+  }
+
+  test("NB model refresh: patched counts identical to a from-scratch rebuild; only the churn slice re-tokenized") {
+    val patched = TextOps.qNbRefresh(spark, sf).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    // from-scratch NB counts over the current snapshot, in Spark
+    val rebuilt = Tables.documents(spark, sf)
+      .filter(col("doc_id") % 10 =!= 0)
+      .select(col("source"), explode(split(col("text"), " ")).as("tk"))
+      .groupBy(col("tk"))
+      .agg(sum(when(col("source").isin("src0", "src1", "src2"), 1L)
+          .otherwise(0L)).as("cp"),
+        sum(when(col("source").isin("src0", "src1", "src2"), 0L)
+          .otherwise(1L)).as("cq"))
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(patched.keySet === rebuilt.keySet,
+      s"vocab drift: missing=${(rebuilt.keySet -- patched.keySet).take(5)} " +
+        s"extra=${(patched.keySet -- rebuilt.keySet).take(5)}")
+    patched.foreach { case (tk, v) =>
+      assert(v === rebuilt(tk), s"token '$tk': patched != rebuilt") }
+    // patch algebra really exercised in BOTH directions: some token's
+    // count was decremented (removed/changed docs), some incremented
+    // (added/changed docs). Full vocabulary arrival/retirement cannot
+    // occur on the shared corpus (its vocabulary is a closed set of
+    // common words, every one present in hundreds of docs of either
+    // snapshot) — those edge cases are covered by the synthetic
+    // nbPatch fixture test below.
+    val prevCounts = TextOps.nbPrevModelStored(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1) + r.getLong(2))).toMap
+    val both = patched.keySet.intersect(prevCounts.keySet)
+    assert(both.exists(tk => patched(tk)._1 + patched(tk)._2 < prevCounts(tk)),
+      "fixture must decrement at least one token's count")
+    assert(both.exists(tk => patched(tk)._1 + patched(tk)._2 > prevCounts(tk)),
+      "fixture must increment at least one token's count")
+    // the patch's whole point: zero tokenization outside the churn
+    // slice — every text explode sits above the churn filter (the
+    // 'changed' fingerprint predicate), and the previous model rides
+    // in from the stored artifact scan
+    val df = TextOps.qNbRefresh(spark, sf)
+    val gens = df.queryExecution.analyzed.collect {
+      case g: org.apache.spark.sql.catalyst.plans.logical.Generate
+        if g.toString.contains("split(") => g }
+    assert(gens.nonEmpty, "expected the churn slice's token explodes")
+    gens.foreach(g => assert(g.toString.contains("changed"),
+      s"a text explode escaped the churn filter:\n${g.toString.take(400)}"))
+    val p = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+    assert(p.contains("nb_model_prev"),
+      "unchanged counts must come from the stored model artifact")
+    spark.catalog.clearCache()
+  }
+
+  test("NB patch join: tokens retire at zero count, arrive from delta-only rows, and never go negative-silent") {
+    import spark.implicits._
+    // synthetic fixture for the edges the shared corpus's closed
+    // vocabulary can never hit: a token fully removed (counts reach
+    // exactly zero -> leaves the relation), a brand-new token (no prev
+    // row -> arrives with its delta counts), and an untouched token
+    // (no delta row -> rides through unchanged).
+    val prev = Seq(("gone", 2L, 1L), ("stays", 5L, 0L), ("shrinks", 4L, 4L))
+      .toDF("tk", "cp", "cq")
+    val delta = Seq(("gone", -2L, -1L), ("shrinks", -1L, 0L), ("fresh", 0L, 3L))
+      .toDF("tk", "dcp", "dcq")
+    val out = TextOps.nbPatch(prev, delta).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(out === Map(
+      "stays" -> ((5L, 0L)),      // no delta: unchanged
+      "shrinks" -> ((3L, 4L)),    // decremented, still present
+      "fresh" -> ((0L, 3L))))     // delta-only: arrives
+    assert(!out.contains("gone"), "a zero-count token must leave the vocabulary")
   }
 }

@@ -1090,6 +1090,68 @@ class StatefulOpsSpec extends SparkSpec {
     }
   }
 
+  test("streaming perplexity filter matches batch terciles everywhere off the frozen boundaries") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    // batch truth: per-doc scores + driver-side ntile(3) per language
+    // (the registered query only ships the per-bucket rollup)
+    val scored = graft.operators.TextOps.lmScoredDocs(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+    val batchBucket: Map[Long, Int] = scored.groupBy(_._2).flatMap {
+      case (_, v) =>
+        val ord = v.sortBy(x => (-x._4, x._1))
+        val (base, extra) = (ord.length / 3, ord.length % 3)
+        val sizes = Array.tabulate(3)(b => base + (if (b < extra) 1 else 0))
+        val starts = sizes.scanLeft(0)(_ + _)
+        ord.zipWithIndex.map { case (x, i) =>
+          x._1 -> ((0 until 3).find(b => i < starts(b + 1)).get + 1) }
+    }
+    // frozen statics: stored LM + per-language cutoffs
+    val (lm, nTotal) = graft.operators.TextOps.lmStored(spark, sf)
+    val cuts = graft.operators.SamplingOps.perplexityCutoffs(spark, sf)
+    val boundary: Map[String, Set[Double]] = cuts.collect()
+      .map(r => r.getString(0) -> Set(r.getDouble(1), r.getDouble(2))).toMap
+    val docs = Tables.documents(spark, sf)
+      .select("doc_id", "lang", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    val in = MemoryStream[(Long, String, String)]
+    val q = StatefulOps.streamingPerplexityFilter(
+        in.toDF().toDF("doc_id", "lang", "text"), lm, nTotal, cuts)
+      .writeStream.format("memory").queryName("ppl_out")
+      .outputMode("update").start()
+    try {
+      val (c1, c2) = docs.splitAt(docs.length / 2)
+      in.addData(c1.toIndexedSeq); q.processAllAvailable()
+      in.addData(c2.toIndexedSeq); q.processAllAvailable()
+      def snapshot() = spark.table("ppl_out").collect()
+        .map(r => r.getLong(0) ->
+          ((r.getString(1), r.getDouble(3), r.getInt(4), r.getBoolean(5))))
+        .toMap
+      val got = snapshot()
+      assert(got.size === scored.length, "every doc must score")
+      val batchScore = scored.map(x => x._1 -> x._4).toMap
+      var offBoundary = 0
+      got.foreach { case (id, (lang, score, bucket, kept)) =>
+        assert(score === batchScore(id), s"doc $id: stream score diverged")
+        assert(kept === (bucket <= 2))
+        if (!boundary(lang).contains(score)) {
+          offBoundary += 1
+          assert(bucket === batchBucket(id),
+            s"doc $id: bucket $bucket != batch ${batchBucket(id)} off-boundary")
+        } else
+          // ON a boundary the threshold maps the tie to the better
+          // bucket; batch ntile may have split it one bucket down
+          assert(bucket <= batchBucket(id),
+            s"doc $id: boundary tie must not worsen the bucket")
+      }
+      assert(offBoundary > scored.length / 2,
+        "fixture must exercise mostly off-boundary docs")
+      // re-delivery is idempotent under Update mode
+      in.addData(c1.toIndexedSeq); q.processAllAvailable()
+      assert(snapshot() === got, "re-delivery must re-emit identical rows")
+    } finally q.stop()
+  }
+
   test("streaming crawl delta over two snapshot batches matches the batch report minus removals") {
     import spark.implicits._
     implicit val sc = spark.sqlContext
