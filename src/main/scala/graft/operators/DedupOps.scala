@@ -214,6 +214,80 @@ object DedupOps {
       |  CAST(doc_id != min(doc_id) OVER (PARTITION BY fingerprint) AS INT) AS is_dup
       |FROM fp ORDER BY doc_id""".stripMargin
 
+  /** PARAGRAPH-LEVEL corpus dedup — the CCNet preprocessing step
+    * (Wenzek et al. 2020, "CCNet: Extracting High Quality Monolingual
+    * Datasets from Web Crawl Data", §3: paragraphs are hashed and
+    * every DUPLICATED paragraph is dropped from every document —
+    * no canonical copy survives, unlike [[qDedupExact]]'s min-id
+    * election; that is how CCNet strips boilerplate that full-document
+    * dedup can't see). Distinct from [[qDedupSubstring]], which mines
+    * PAIRWISE k-token overlaps between specific documents: here the
+    * unit is the paragraph and the signal is its CORPUS-WIDE frequency.
+    *
+    * The corpus has no newline structure, so the paragraph is the
+    * deterministic stand-in every engine can reproduce: consecutive
+    * non-overlapping 20-token windows (the [[TextOps.qChunking]]
+    * slice discipline with stride = size). Per document: paragraph
+    * count, duplicated-paragraph count and rate, and the md5 of the
+    * text REASSEMBLED from surviving paragraphs in order — exact-copy
+    * documents lose every paragraph and reassemble to the empty
+    * string, which the fixture exercises.
+    *
+    * Scale shape: ONE explode (docs → paragraphs, a ~size/20 fan-out,
+    * not the shingle family's per-token one), a paragraph-hash groupBy
+    * with map-side combine, one hash-keyed equi-join back, and a
+    * per-doc rollup whose reassembly is a sort_array over that doc's
+    * own kept paragraphs (per-doc state bounded by doc length, never
+    * corpus-sized). The paragraph relation persists across its two
+    * consumers ([[qDedupJaccard]]'s cache discipline). */
+  def qDedupParagraphs(spark: SparkSession, sfDir: String): DataFrame = {
+    val P = 20
+    val paras = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), split(col("text"), " ").as("ts"))
+      .select(col("doc_id"), col("ts"),
+        explode(sequence(lit(0), floor((size(col("ts")) - 1) / P).cast("int")))
+          .as("pid"))
+      .select(col("doc_id"), col("pid"),
+        array_join(slice(col("ts"), col("pid") * P + 1, lit(P)), " ").as("ptext"))
+      .withColumn("h", md5(col("ptext").cast("binary")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val freq = paras.groupBy(col("h")).agg(count(lit(1)).as("cnt"))
+    val out = paras.join(freq, "h")
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_paras"),
+        sum(when(col("cnt") > 1, 1L).otherwise(0L)).as("n_dup_paras"),
+        md5(array_join(transform(
+          sort_array(collect_list(when(col("cnt") === 1,
+            struct(col("pid"), col("ptext"))))),
+          s => s.getField("ptext")), " ").cast("binary")).as("kept_md5"))
+      .withColumn("dup_rate_r",
+        round(col("n_dup_paras") / col("n_paras").cast(DoubleType), 6))
+      .select("doc_id", "n_paras", "n_dup_paras", "dup_rate_r", "kept_md5")
+      .orderBy("doc_id")
+    unpersistAfterFirstAction(out, paras)
+  }
+
+  val qDedupParagraphsOracle: String =
+    """WITH d AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+      |pp AS (SELECT doc_id, g AS pid,
+      |    array_to_string(ts[g*20 + 1 : least(g*20 + 20, len(ts))], ' ')
+      |      AS ptext
+      |  FROM d, unnest(generate_series(0,
+      |    CAST(floor((len(ts) - 1) / 20) AS BIGINT))) AS u(g)),
+      |h AS (SELECT doc_id, pid, ptext, md5(ptext) AS h FROM pp),
+      |f AS (SELECT h, COUNT(*) AS cnt FROM h GROUP BY 1),
+      |j AS (SELECT doc_id, pid, ptext, cnt FROM h JOIN f USING (h))
+      |SELECT doc_id,
+      |  CAST(COUNT(*) AS BIGINT) AS n_paras,
+      |  CAST(SUM(CASE WHEN cnt > 1 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_dup_paras,
+      |  round(SUM(CASE WHEN cnt > 1 THEN 1 ELSE 0 END) /
+      |    CAST(COUNT(*) AS DOUBLE), 6) AS dup_rate_r,
+      |  md5(COALESCE(string_agg(CASE WHEN cnt = 1 THEN ptext END, ' '
+      |    ORDER BY pid), '')) AS kept_md5
+      |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   /** URL CANONICALIZATION DEDUP — the crawl-frontier dedup that runs
     * BEFORE any content fetch: the same page arrives under http/https,
     * with/without `www.`, mixed host case, a trailing slash, tracking
@@ -2740,6 +2814,7 @@ object DedupOps {
     "dedup_substring" -> (qDedupSubstring _),
     "dedup_levenshtein" -> (qDedupLevenshtein _),
     "dedup_exact" -> (qDedupExact _),
+    "dedup_paragraphs" -> (qDedupParagraphs _),
     "dedup_url_canonical" -> (qUrlCanonical _),
     "dedup_crawl_delta" -> (qCrawlDelta _),
     "dedup_delta_classify" -> (qDedupDeltaClassify _),
@@ -2776,6 +2851,7 @@ object DedupOps {
     "dedup_substring" -> qDedupSubstringOracle,
     "dedup_levenshtein" -> qDedupLevenshteinOracle,
     "dedup_exact" -> qDedupExactOracle,
+    "dedup_paragraphs" -> qDedupParagraphsOracle,
     "dedup_url_canonical" -> qUrlCanonicalOracle,
     "dedup_crawl_delta" -> qCrawlDeltaOracle,
     "dedup_delta_classify" -> qDedupDeltaClassifyOracle,

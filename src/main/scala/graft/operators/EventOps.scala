@@ -641,6 +641,144 @@ object EventOps {
       |    AS srm
       |FROM a""".stripMargin
 
+  /** SEQUENTIAL A/B monitor — the mixture mSPRT of Johari et al. 2017
+    * ("Peeking at A/B Tests: Why It Matters, and What to Do About
+    * It"): the fixed-horizon Welch readout ([[qAbTest]]) is only valid
+    * at its pre-registered end, yet every live dashboard is read
+    * DAILY — the always-valid answer is the mixture sequential
+    * probability ratio, whose rejection at any stopping time keeps the
+    * α guarantee. Per daily cut d:
+    *
+    *   Λ_d = sqrt(V/(V+τ²)) · exp(δ²τ²/(2V(V+τ²)))
+    *
+    * with δ the arm mean difference, V = var_a/n_a + var_b/n_b its
+    * estimated variance, and τ² = 10000 (τ = 100 cents) the mixture
+    * prior scale — a fixed constant of the monitor, documented here,
+    * not tuned to data. The always-valid p-value is the running
+    * minimum of 1/Λ, i.e. exp(−running-max log Λ) capped at 1; the
+    * monitor emits log Λ (never Λ itself, which can overflow) and
+    * flags `rejected` from the ROUNDED p (the [[qAbSrm]] discipline).
+    *
+    * Daily-cut semantics: a user enters at their first purchase day
+    * and their cumulative cents metric carries forward between
+    * purchases — each per-user cumulative value is valid over
+    * [day, next purchase day), exploded onto the daily spine. The
+    * readout starts when both arms hold ≥ 2 users (variance defined).
+    *
+    * Exactness: per-day arm moments are integer-cent decimals cast to
+    * double once; log Λ and p are closed-form scalar steps over them
+    * (ln/exp are the LM-family precedent — hash-stable across engines
+    * at 6-decimal rounding). Scale: one user-day rollup + one
+    * user-partitioned carry-forward window, a spine explode bounded by
+    * users × days, one day-keyed aggregate — the only unpartitioned
+    * window (the running max) reads the days-sized post-aggregate
+    * relation, never the corpus. */
+  def qAbSequential(spark: SparkSession, sfDir: String): DataFrame = {
+    val big = org.apache.spark.sql.types.DecimalType(38, 0)
+    val cents = (col("value") * 100)
+      .cast(org.apache.spark.sql.types.DecimalType(18, 0))
+    val perDay = Tables.events(spark, sfDir)
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"), expr("unix_micros(ts) DIV 86400000000").as("day"),
+        cents.as("c"))
+      .groupBy(col("user_id"), col("day"))
+      .agg(sum(col("c").cast(big)).as("s"))
+    val wU = Window.partitionBy(col("user_id")).orderBy(col("day"))
+    val cum = perDay
+      .withColumn("m", sum(col("s")).over(
+        wU.rowsBetween(Window.unboundedPreceding, Window.currentRow)).cast(big))
+      .withColumn("nd", lead(col("day"), 1).over(wU))
+    val bounds = perDay.agg(max(col("day")).as("maxd"))
+    val span = cum.crossJoin(broadcast(bounds))
+      .select(col("user_id"), col("m"),
+        explode(sequence(col("day"), coalesce(col("nd") - 1, col("maxd"))))
+          .as("day"))
+      .withColumn("arm", SamplingOps.bucket100("user_id") % 2)
+    def side(a: Int, e: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      sum(when(col("arm") === a, e).otherwise(lit(0).cast(big))).cast(DoubleType)
+    val tau2 = lit(10000.0)
+    val scal = span.groupBy(col("day")).agg(
+        sum(when(col("arm") === 0, 1L).otherwise(0L)).as("n_a"),
+        sum(when(col("arm") === 1, 1L).otherwise(0L)).as("n_b"),
+        side(0, col("m")).as("sa"), side(1, col("m")).as("sb"),
+        side(0, (col("m") * col("m")).cast(big)).as("ssa"),
+        side(1, (col("m") * col("m")).cast(big)).as("ssb"))
+      .filter(col("n_a") >= 2 && col("n_b") >= 2)
+      .withColumn("va", (col("n_a") * col("ssa") - col("sa") * col("sa")) /
+        (col("n_a") * (col("n_a") - 1)))
+      .withColumn("vb", (col("n_b") * col("ssb") - col("sb") * col("sb")) /
+        (col("n_b") * (col("n_b") - 1)))
+      .withColumn("delta", col("sb") / col("n_b") - col("sa") / col("n_a"))
+      .withColumn("v", col("va") / col("n_a") + col("vb") / col("n_b"))
+      .withColumn("llr", lit(0.5) * log(col("v") / (col("v") + tau2)) +
+        col("delta") * col("delta") * tau2 /
+          (lit(2.0) * col("v") * (col("v") + tau2)))
+    val wSeq = Window.orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    scal
+      .withColumn("llrm", max(col("llr")).over(wSeq))
+      .select(col("day"), col("n_a"), col("n_b"),
+        round(col("delta") / 100, 6).as("diff_r"),
+        round(col("llr"), 6).as("llr_r"),
+        round(least(lit(1.0), exp(-col("llrm"))), 6).as("p_r"))
+      .withColumn("rejected", col("p_r") < 0.05)
+      .orderBy(col("day"))
+  }
+
+  val qAbSequentialOracle: String =
+    """WITH p AS (
+      |  SELECT user_id, epoch_us(ts) // 86400000000 AS day,
+      |    CAST(SUM(CAST(value * 100 AS DECIMAL(18,0))) AS DECIMAL(38,0)) AS s
+      |  FROM events WHERE event_type = 'purchase' GROUP BY 1, 2),
+      |c AS (
+      |  SELECT user_id, day,
+      |    CAST(SUM(s) OVER (PARTITION BY user_id ORDER BY day)
+      |      AS DECIMAL(38,0)) AS m,
+      |    lead(day) OVER (PARTITION BY user_id ORDER BY day) AS nd
+      |  FROM p),
+      |b AS (SELECT MAX(day) AS maxd FROM p),
+      |sp AS (
+      |  SELECT c.user_id, c.m, u.d AS day,
+      |    CAST('0x' || substr(md5(CAST(c.user_id AS VARCHAR)), 1, 4) AS INT)
+      |      % 100 % 2 AS arm
+      |  FROM c, b, unnest(generate_series(c.day, COALESCE(c.nd - 1, b.maxd)))
+      |    AS u(d)),
+      |a AS (
+      |  SELECT day,
+      |    CAST(SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+      |    CAST(SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+      |    CAST(SUM(CASE WHEN arm = 0 THEN m ELSE 0 END) AS DOUBLE) AS sa,
+      |    CAST(SUM(CASE WHEN arm = 1 THEN m ELSE 0 END) AS DOUBLE) AS sb,
+      |    CAST(SUM(CASE WHEN arm = 0 THEN CAST(m * m AS DECIMAL(38,0))
+      |      ELSE 0 END) AS DOUBLE) AS ssa,
+      |    CAST(SUM(CASE WHEN arm = 1 THEN CAST(m * m AS DECIMAL(38,0))
+      |      ELSE 0 END) AS DOUBLE) AS ssb
+      |  FROM sp GROUP BY 1),
+      |s AS (
+      |  SELECT day, n_a, n_b,
+      |    (n_a * ssa - sa * sa) / (n_a * (n_a - 1)) AS va,
+      |    (n_b * ssb - sb * sb) / (n_b * (n_b - 1)) AS vb,
+      |    sb / n_b - sa / n_a AS delta
+      |  FROM a WHERE n_a >= 2 AND n_b >= 2),
+      |v AS (
+      |  SELECT day, n_a, n_b, delta, va / n_a + vb / n_b AS v FROM s),
+      |l AS (
+      |  SELECT day, n_a, n_b, delta,
+      |    0.5 * ln(v / (v + 10000.0)) +
+      |      delta * delta * 10000.0 / (2.0 * v * (v + 10000.0)) AS llr
+      |  FROM v),
+      |r AS (
+      |  SELECT day, n_a, n_b, delta, llr,
+      |    MAX(llr) OVER (ORDER BY day
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS llrm
+      |  FROM l)
+      |SELECT CAST(day AS BIGINT) AS day, n_a, n_b,
+      |  round(delta / 100, 6) AS diff_r,
+      |  round(llr, 6) AS llr_r,
+      |  round(least(1.0, exp(-llrm)), 6) AS p_r,
+      |  round(least(1.0, exp(-llrm)), 6) < 0.05 AS rejected
+      |FROM r ORDER BY day""".stripMargin
+
   /** SEASONAL residual anomalies — the weekly-pattern-aware monitor:
     * a Monday-shaped traffic dip is normal on Mondays, so the plain
     * z-score ([[qZscoreOutliers]]) and even the MAD variant false-
@@ -1303,6 +1441,7 @@ object EventOps {
     "q_ab_cuped" -> (qAbCuped _),
     "q_ab_power" -> (qAbPower _),
     "q_ab_srm" -> (qAbSrm _),
+    "q_ab_sequential" -> (qAbSequential _),
     "q_rolling_active_users" -> (qRollingActiveUsers _),
     "q_funnel" -> (qFunnel _),
     "q_retention" -> (qRetention _),
@@ -1325,6 +1464,7 @@ object EventOps {
     "q_ab_cuped" -> qAbCupedOracle,
     "q_ab_power" -> qAbPowerOracle,
     "q_ab_srm" -> qAbSrmOracle,
+    "q_ab_sequential" -> qAbSequentialOracle,
     "q_rolling_active_users" -> qRollingActiveUsersOracle,
     "q_funnel" -> qFunnelOracle,
     "q_retention" -> qRetentionOracle,

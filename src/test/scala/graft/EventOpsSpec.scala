@@ -428,6 +428,74 @@ class EventOpsSpec extends SparkSpec {
       "n_mult must be the inverse survival of var_red")
   }
 
+  test("sequential mSPRT equals a driver-side recompute; always-valid p is a running minimum") {
+    val rows = EventOps.qAbSequential(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getDouble(4), r.getDouble(5), r.getBoolean(6)))
+    val ev = Tables.events(spark, sf)
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("value"), unix_micros(col("ts")).as("us"))
+      .collect()
+      .map(x => (x.getLong(0), math.round(x.getDouble(1) * 100),
+        x.getLong(2) / 86400000000L))
+    def arm(u: Long): Int = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(u.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(4)
+      Integer.parseInt(hex, 16) % 100 % 2
+    }
+    // per-user cumulative spend at each day boundary (carry-forward)
+    val cums: Map[Long, Seq[(Long, Long)]] = ev.groupBy(_._1).map { case (u, v) =>
+      val byDay = v.groupBy(_._3).map { case (d, w) => d -> w.map(_._2).sum }
+        .toSeq.sortBy(_._1)
+      u -> byDay.scanLeft((0L, 0L)) { case ((_, acc), (d, s)) =>
+        (d, acc + s) }.drop(1)
+    }
+    def valueAt(u: Long, d: Long): Option[Long] =
+      cums(u).takeWhile(_._1 <= d).lastOption.map(_._2)
+    val (mind, maxd) = (ev.map(_._3).min, ev.map(_._3).max)
+    val tau2 = 10000.0
+    val perDay = (mind to maxd).flatMap { d =>
+      val vals = cums.keys.toSeq.flatMap(u => valueAt(u, d).map(m => (arm(u), m)))
+      val (a, b) = vals.partition(_._1 == 0)
+      if (a.size < 2 || b.size < 2) None
+      else {
+        def mom(xs: Seq[Long]) = {
+          val n = xs.size.toLong
+          (n, xs.map(_.toDouble).sum, xs.map(x => x.toDouble * x).sum)
+        }
+        val (na, sa, ssa) = mom(a.map(_._2)); val (nb, sb, ssb) = mom(b.map(_._2))
+        val va = (na * ssa - sa * sa) / (na.toDouble * (na - 1))
+        val vb = (nb * ssb - sb * sb) / (nb.toDouble * (nb - 1))
+        val delta = sb / nb - sa / na
+        val v = va / na + vb / nb
+        val llr = 0.5 * math.log(v / (v + tau2)) +
+          delta * delta * tau2 / (2.0 * v * (v + tau2))
+        Some((d, na, nb, delta, llr))
+      }
+    }
+    assert(rows.map(_._1).toSeq === perDay.map(_._1),
+      "readout must cover exactly the days where both arms hold >= 2 users")
+    var llrMax = Double.NegativeInfinity
+    rows.zip(perDay).foreach { case ((d, na, nb, diff, llr, p, rej), (wd, wna, wnb, wdelta, wllr)) =>
+      assert(d === wd && na === wna && nb === wnb)
+      assert(math.abs(diff - wdelta / 100) < 1e-6, s"day $d diff $diff vs ${wdelta / 100}")
+      assert(math.abs(llr - wllr) < 1e-6, s"day $d llr $llr vs $wllr")
+      llrMax = math.max(llrMax, wllr)
+      val wp = math.min(1.0, math.exp(-llrMax))
+      assert(math.abs(p - wp) < 1e-6, s"day $d p $p vs $wp")
+      assert(rej === (p < 0.05), "rejection flag from the rounded p")
+    }
+    // always-valid laws: p never increases (a peeked rejection stays
+    // rejected), and the population only accumulates
+    rows.sliding(2).foreach {
+      case Array((_, na1, nb1, _, _, p1, _), (_, na2, nb2, _, _, p2, _)) =>
+        assert(p2 <= p1 + 1e-12, "always-valid p must be non-increasing")
+        assert(na2 + nb2 >= na1 + nb1, "users enter and never leave")
+      case _ => ()
+    }
+  }
+
   test("SRM check equals a driver-side chi-square recompute; arms partition all users") {
     val r = EventOps.qAbSrm(spark, sf).collect().head
     val got = (r.getLong(0), r.getLong(1), r.getDouble(2), r.getBoolean(3))

@@ -1445,6 +1445,63 @@ class PipelineOpsSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("paragraph dedup equals a driver-side recompute; duplicated paragraphs vanish everywhere; one cached explode") {
+    val df = DedupOps.qDedupParagraphs(spark, sf)
+    // pin the cache-substituted logical plan BEFORE the action (the
+    // cache is released after the first action)
+    val cachedPlan = df.queryExecution.withCachedData
+    val got = df.collect().map(r => (r.getLong(0), r.getLong(1),
+      r.getLong(2), r.getDouble(3), r.getString(4)))
+    val docs = Tables.documents(spark, sf).select("doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    def paras(t: String): Seq[String] = {
+      val ts = t.split(" ")
+      (0 to (ts.length - 1) / 20).map(i =>
+        ts.slice(i * 20, math.min(i * 20 + 20, ts.length)).mkString(" "))
+    }
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val all = docs.flatMap { case (d, t) =>
+      paras(t).zipWithIndex.map { case (p, i) => (d, i, p) } }
+    val freq = all.groupBy(_._3).map { case (p, v) => p -> v.length }
+    val want = all.groupBy(_._1).map { case (d, v) =>
+      val sorted = v.sortBy(_._2)
+      d -> (sorted.length.toLong,
+        sorted.count(x => freq(x._3) > 1).toLong,
+        md5hex(sorted.filter(x => freq(x._3) == 1).map(_._3).mkString(" ")))
+    }
+    assert(got.length === docs.length, "one row per document")
+    got.foreach { case (d, np, nd, rate, km) =>
+      val (wnp, wnd, wkm) = want(d)
+      assert(np === wnp, s"doc $d n_paras")
+      assert(nd === wnd, s"doc $d n_dup_paras")
+      assert(math.abs(rate - wnd.toDouble / wnp) < 1e-6, s"doc $d rate")
+      assert(km === wkm, s"doc $d kept md5")
+    }
+    // CCNet semantics: NO canonical survivor — an exact-copy document
+    // loses every paragraph and reassembles to the empty string (the
+    // fixture's exact-dup docs exercise this boundary)
+    assert(got.exists(_._3 > 0), "fixture must contain duplicated paragraphs")
+    assert(got.exists(r => r._2 === r._3), "fixture must contain an all-dup document")
+    got.filter(r => r._2 === r._3).foreach { r =>
+      assert(r._5 === md5hex(""), s"all-dup doc ${r._1} must reassemble empty") }
+    // plan: the single paragraph explode lives inside the cached
+    // relation, reused by BOTH consumers (frequency agg + join-back) —
+    // never recomputed, never a second explode
+    val rels = cachedPlan.collect {
+      case r: org.apache.spark.sql.execution.columnar.InMemoryRelation => r }
+    assert(rels.size === 2,
+      "paragraph relation must be cached and consumed twice")
+    assert(cachedPlan.collect {
+      case g: org.apache.spark.sql.catalyst.plans.logical.Generate => g }.isEmpty,
+      "no explode outside the cached paragraph relation")
+    assert(rels.head.cachedPlan.collect {
+      case g: org.apache.spark.sql.execution.GenerateExec => g }.size === 1,
+      "exactly one paragraph explode")
+    spark.catalog.clearCache()
+  }
+
   test("url canonical dedup equals a driver-side recompute; one keeper per group; map-only derivation") {
     val df = DedupOps.qUrlCanonical(spark, sf)
     val got = df.collect().map(r => (r.getLong(0), r.getString(1),

@@ -632,6 +632,10 @@ class PlanAuditSpec extends SparkSpec {
       // (mind, maxd) bounds aggregate broadcast-crossed into the
       // per-type day spine
       "q_ewma_daily", "q_seasonal_residuals",
+      // r11: the mSPRT daily monitor carries each user's cumulative
+      // metric forward over the day spine — the same 1-row bounds
+      // (maxd) broadcast-cross as the gap-fill family
+      "q_ab_sequential",
       "q22_idle_balances", "q_profile_stats", "sample_drift_psi",
       "q15_top_supplier", "q14_promo_effect", "q8_market_share",
       "q17_correlated_avg", "q_approx_distinct", "q_approx_quantiles",
