@@ -696,13 +696,25 @@ object EventOps {
       .withColumn("arm", SamplingOps.bucket100("user_id") % 2)
     def side(a: Int, e: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
       sum(when(col("arm") === a, e).otherwise(lit(0).cast(big))).cast(DoubleType)
+    msprtScalars(span.groupBy(col("day")).agg(
+      sum(when(col("arm") === 0, 1L).otherwise(0L)).as("n_a"),
+      sum(when(col("arm") === 1, 1L).otherwise(0L)).as("n_b"),
+      side(0, col("m")).as("sa"), side(1, col("m")).as("sb"),
+      side(0, (col("m") * col("m")).cast(big)).as("ssa"),
+      side(1, (col("m") * col("m")).cast(big)).as("ssb")))
+  }
+
+  /** The shared scalar half of the mSPRT monitor — per-day moments
+    * (day, n_a, n_b as longs; sa, sb, ssa, ssb as doubles cast from
+    * exact integer sums) → log Λ, running max, always-valid p. Shared
+    * by the batch [[qAbSequential]] and the streaming delta-rollup
+    * readout ([[graft.streaming.StatefulOps.sequentialReadout]]) so
+    * the two monitors can never drift: identical integer moments in,
+    * identical IEEE doubles out. The running-max window reads the
+    * days-sized post-aggregate relation. */
+  private[graft] def msprtScalars(perDay: DataFrame): DataFrame = {
     val tau2 = lit(10000.0)
-    val scal = span.groupBy(col("day")).agg(
-        sum(when(col("arm") === 0, 1L).otherwise(0L)).as("n_a"),
-        sum(when(col("arm") === 1, 1L).otherwise(0L)).as("n_b"),
-        side(0, col("m")).as("sa"), side(1, col("m")).as("sb"),
-        side(0, (col("m") * col("m")).cast(big)).as("ssa"),
-        side(1, (col("m") * col("m")).cast(big)).as("ssb"))
+    val scal = perDay
       .filter(col("n_a") >= 2 && col("n_b") >= 2)
       .withColumn("va", (col("n_a") * col("ssa") - col("sa") * col("sa")) /
         (col("n_a") * (col("n_a") - 1)))

@@ -917,6 +917,119 @@ object StatefulOps {
         OutputMode.Append())
   }
 
+  /** Per-user daily purchase spend, integer cents — what a windowed
+    * upstream (user, day) rollup emits (the [[DailyCount]] convention:
+    * quiet days never arrive). */
+  case class PurchaseDay(user_id: Long, day: Long, cents: Long)
+  /** One user-day's contribution to the experiment's day-d arm
+    * moments: Δn (1 on the user's entry day), ΔΣ = cents added, and
+    * ΔΣ² = cum² − prev² — the TELESCOPING identity that makes the
+    * monitor incremental: summing a user's deltas through day d
+    * reproduces m(d), m(d)² exactly, so a rollup of deltas equals the
+    * batch monitor's carry-forward moments without ever revisiting a
+    * user's history. */
+  case class MomentDelta(day: Long, arm: Int, dn: Long, dsum: Long,
+    dsumsq: Long)
+  case class SeqMonState(lastDay: Long, cum: Long)
+
+  /** The md5 50/50 assignment, JVM-side — bit-identical to the column
+    * form every batch A/B query uses (`SamplingOps.bucket100 % 2`:
+    * first 4 hex chars of md5 of the decimal string). */
+  private[graft] def md5Arm(userId: Long): Int = {
+    val hex = java.security.MessageDigest.getInstance("MD5")
+      .digest(userId.toString.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString.take(4)
+    Integer.parseInt(hex, 16) % 100 % 2
+  }
+
+  /** The sequential-monitor transition for ONE user: ascending
+    * purchase days accumulate into the running cents total; each new
+    * day emits its moment delta. Re-delivered or out-of-order days
+    * (day ≤ lastDay) are dropped — replay-idempotent, the
+    * [[advanceEwma]] discipline. Exactness: all Longs; cum² is exact
+    * up to cum < 3.0e9 cents (~$30M per user), documented headroom for
+    * any per-user spend this pipeline meters. Split law + telescoping
+    * law + re-delivery law are ScalaCheck'd in SeqMonitorLaws. */
+  private[graft] def advanceSeqMoments(st0: Option[SeqMonState], arm: Int,
+      rows: Seq[(Long, Long)]): (Option[SeqMonState], Seq[MomentDelta]) = {
+    var st = st0
+    val out = scala.collection.mutable.ArrayBuffer[MomentDelta]()
+    rows.sortBy(_._1).foreach { case (day, cents) =>
+      if (!st.exists(_.lastDay >= day)) {
+        val prev = st.map(_.cum).getOrElse(0L)
+        val cum = prev + cents
+        out += MomentDelta(day, arm, if (st.isEmpty) 1L else 0L, cents,
+          cum * cum - prev * prev)
+        st = Some(SeqMonState(day, cum))
+      }
+    }
+    (st, out.toSeq)
+  }
+
+  final class SeqMonitorProcessor(ttl: TTLConfig = TTLConfig.NONE)
+      extends StatefulProcessor[Long, PurchaseDay, MomentDelta] {
+    @transient private var st: ValueState[SeqMonState] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      st = getHandle.getValueState[SeqMonState]("seqMonCum",
+        Encoders.product[SeqMonState], ttl)
+    override def handleInputRows(userId: Long, rows: Iterator[PurchaseDay],
+        tv: TimerValues): Iterator[MomentDelta] = {
+      val st0 = if (st.exists()) Some(st.get()) else None
+      val (st1, out) = advanceSeqMoments(st0, md5Arm(userId),
+        rows.map(r => (r.day, r.cents)).toSeq)
+      st1.foreach(st.update)
+      out.iterator
+    }
+  }
+
+  /** STREAMING twin of the batch mSPRT monitor
+    * (`EventOps.qAbSequential`) — sequential testing is the statistic
+    * DESIGNED for streams, so the always-valid monitor should never
+    * need a batch rescan: state is ONE (lastDay, cum) pair per user
+    * (O(users), TTL-boundable), each arriving user-day emits its
+    * moment DELTA, and the day-level readout is a days-sized rollup
+    * of deltas ([[sequentialReadout]]) that telescopes to the batch
+    * monitor's carry-forward moments EXACTLY (asserted row-for-row in
+    * StatefulOpsSpec). The heavy half (per-user accumulation) scales
+    * with arrival volume; the scalar half reads a days × arms
+    * relation. RocksDB state store required. */
+  def streamingSeqMonitor(purchases: Dataset[PurchaseDay],
+      ttl: TTLConfig = TTLConfig.NONE): Dataset[MomentDelta] = {
+    import purchases.sparkSession.implicits._
+    purchases.groupByKey(_.user_id)
+      .transformWithState(new SeqMonitorProcessor(ttl), timeModeFor(ttl),
+        OutputMode.Append())
+  }
+
+  /** Day-level readout over the accumulated delta table: per-day
+    * per-arm delta sums, cumulative over days (the telescoping sum),
+    * then the SHARED scalar pipeline `EventOps.msprtScalars` — the
+    * same expression tree as the batch monitor, so identical integer
+    * moments yield identical IEEE doubles. Every window here reads
+    * the days-sized post-aggregate relation. Readout rows appear on
+    * days WITH arrivals — on a corpus-quiet day no delta exists and
+    * the monitor's value is by definition the previous day's (the
+    * batch spine repeats that row; the stream simply doesn't emit
+    * one). */
+  def sequentialReadout(deltas: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    def side(a: Int, c: String) =
+      sum(when(col("arm") === a, col(c)).otherwise(0L)).as(c + (if (a == 0) "a" else "b"))
+    val perDay = deltas.groupBy(col("day")).agg(
+      side(0, "dn"), side(1, "dn"), side(0, "dsum"), side(1, "dsum"),
+      side(0, "dsumsq"), side(1, "dsumsq"))
+    val w = Window.orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    graft.operators.EventOps.msprtScalars(perDay
+      .withColumn("n_a", sum(col("dna")).over(w))
+      .withColumn("n_b", sum(col("dnb")).over(w))
+      .withColumn("sa", sum(col("dsuma")).over(w).cast("double"))
+      .withColumn("sb", sum(col("dsumb")).over(w).cast("double"))
+      .withColumn("ssa", sum(col("dsumsqa")).over(w).cast("double"))
+      .withColumn("ssb", sum(col("dsumsqb")).over(w).cast("double"))
+      .select("day", "n_a", "n_b", "sa", "sb", "ssa", "ssb"))
+  }
+
   case class QuotaDoc(doc_id: Long, source: String, ts: java.sql.Timestamp)
 
   /** Streaming per-source QUOTA sampler — the ingest-side counterpart

@@ -605,6 +605,45 @@ object EwmaLaws extends Properties("advanceEwma") {
     }
 }
 
+object SeqMonitorLaws extends Properties("advanceSeqMoments") {
+  import graft.streaming.StatefulOps
+
+  /** Ascending, distinct (day, cents) purchase series for one user. */
+  private val series: Gen[List[(Long, Long)]] = for {
+    n <- Gen.choose(0, 40)
+    days <- Gen.listOfN(n, Gen.choose(0L, 80L)).map(_.distinct.sorted)
+    cents <- Gen.listOfN(days.length, Gen.choose(1L, 100000L))
+  } yield days.zip(cents)
+
+  property("any batch cut + threaded state = one pass") =
+    forAll(series, Gen.choose(0, 40)) { (s, cutRaw) =>
+      val cut = math.min(cutRaw, s.length)
+      val (a, b) = s.splitAt(cut)
+      val (st1, o1) = StatefulOps.advanceSeqMoments(None, 0, a)
+      val (_, o2) = StatefulOps.advanceSeqMoments(st1, 0, b)
+      val (_, all) = StatefulOps.advanceSeqMoments(None, 0, s)
+      (o1 ++ o2) == all
+    }
+
+  property("deltas telescope: cumulative sums reproduce the carry-forward moments") =
+    forAll(series) { s =>
+      val (_, out) = StatefulOps.advanceSeqMoments(None, 1, s)
+      var (cum, dn, dsum, dsumsq) = (0L, 0L, 0L, 0L)
+      out.zip(s).forall { case (d, (day, cents)) =>
+        cum += cents; dn += d.dn; dsum += d.dsum; dsumsq += d.dsumsq
+        d.day == day && d.arm == 1 &&
+          dn == 1L && dsum == cum && dsumsq == cum * cum
+      }
+    }
+
+  property("re-delivered days emit nothing and leave state unchanged") =
+    forAll(series) { s =>
+      val (st1, _) = StatefulOps.advanceSeqMoments(None, 0, s)
+      val (st2, replay) = StatefulOps.advanceSeqMoments(st1, 0, s)
+      replay.isEmpty && st2 == st1
+    }
+}
+
 object KmvLaws extends Properties("kmvSketch") {
   import graft.streaming.StatefulOps
   private val k = 8

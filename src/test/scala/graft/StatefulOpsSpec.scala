@@ -1152,6 +1152,67 @@ class StatefulOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming sequential monitor: delta rollup telescopes to the batch mSPRT row-for-row") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      // the per-user daily spend stream (what a windowed upstream
+      // rollup emits) — integer cents, exactly the batch monitor's input
+      val rows = Tables.events(spark, sf)
+        .filter(col("event_type") === "purchase")
+        .select(col("user_id"),
+          expr("unix_micros(ts) DIV 86400000000").as("day"),
+          (col("value") * 100).cast("decimal(18,0)").cast("long").as("c"))
+        .groupBy("user_id", "day")
+        .agg(sum(col("c")).as("cents"))
+        .collect()
+        .map(r => StatefulOps.PurchaseDay(r.getLong(0), r.getLong(1), r.getLong(2)))
+      // cut by DAY so each user's days arrive in order across batches
+      val midDay = rows.map(_.day).sorted.apply(rows.length / 2)
+      val (c1, c2) = rows.partition(_.day <= midDay)
+      assert(c1.nonEmpty && c2.nonEmpty, "both cuts must carry data")
+      val in = MemoryStream[StatefulOps.PurchaseDay]
+      val q = StatefulOps.streamingSeqMonitor(in.toDS())
+        .writeStream.format("memory").queryName("seqmon_out")
+        .outputMode("append").start()
+      try {
+        in.addData(c1.toIndexedSeq); q.processAllAvailable()
+        in.addData(c2.toIndexedSeq); q.processAllAvailable()
+        def readout() = StatefulOps.sequentialReadout(spark.table("seqmon_out"))
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+            r.getDouble(3), r.getDouble(4), r.getDouble(5), r.getBoolean(6)))
+        val got = readout()
+        val want = graft.operators.EventOps.qAbSequential(spark, sf).collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+            r.getDouble(3), r.getDouble(4), r.getDouble(5), r.getBoolean(6)))
+        // the stream emits readout rows on days WITH arrivals; a
+        // corpus-quiet day's batch row is a repeat of the previous day
+        val active = rows.map(_.day).toSet
+        val wantActive = want.filter(w => active.contains(w._1))
+        assert(wantActive.length === want.length,
+          "fixture must have purchases every monitored day")
+        assert(got.toSeq === wantActive.toSeq,
+          "streaming delta rollup must equal the batch monitor exactly")
+        assert(got.exists(_._2 >= 2) && got.length > 5,
+          "fixture must exercise a multi-day readout")
+        // re-delivery is idempotent: replaying cut 1 emits nothing
+        val n0 = spark.table("seqmon_out").count()
+        in.addData(c1.toIndexedSeq); q.processAllAvailable()
+        assert(spark.table("seqmon_out").count() === n0,
+          "re-delivered days must emit no deltas")
+      } finally q.stop()
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
+
   test("streaming crawl delta over two snapshot batches matches the batch report minus removals") {
     import spark.implicits._
     implicit val sc = spark.sqlContext
