@@ -2160,6 +2160,101 @@ object DedupOps {
        |  ON a.win = b.win AND a.doc_id < b.doc_id
        |GROUP BY 1, 2 ORDER BY a_id, b_id""".stripMargin
 
+  /** SPAN REMOVAL — the "act" half of Lee et al. 2022's exact-substring
+    * dedup ([[qDedupSubstring]] mines the pairs, [[qDedupSpanCoverage]]
+    * measures the mass; this operator actually DELETES the duplicated
+    * text): a token position is covered when it lies inside any 8-token
+    * window whose text occurs in MORE THAN ONE document (cross-doc
+    * df ≥ 2 — within-doc self-repetition is `text_repetition`'s
+    * signal, deliberately not removed here), every covered position is
+    * dropped from every document (the no-survivor convention of
+    * [[qDedupParagraphs]]), and the survivor tokens reassemble in
+    * order. Per doc: token count, removed count and rate, and the md5
+    * of the cleaned text — exact-copy documents clean to the empty
+    * string.
+    *
+    * Scale shape: the window relation (ONE bounded explode, ~n windows
+    * per n-token doc) persists across its two consumers (df aggregate
+    * + join-back); covered positions fan out by the constant window
+    * width (≤ 8×), then one (doc, pos)-keyed distinct, one anti-join
+    * against the posexploded tokens, one per-doc rollup whose
+    * reassembly state is bounded by doc length. Every join is a hash
+    * equi-join; a boilerplate window with huge df costs ONE row in the
+    * dup relation (the join-back fan-out is the window's own
+    * occurrence count, which is the work any removal must do). */
+  def qDedupSpanRemoval(spark: SparkSession, sfDir: String): DataFrame = {
+    val ts = split(col("text"), " ")
+    val docs = Tables.documents(spark, sfDir).select(col("doc_id"), ts.as("ts"))
+    val wins = docs
+      .filter(size(col("ts")) >= SubstrK)
+      .select(col("doc_id"),
+        explode(sequence(lit(0), size(col("ts")) - SubstrK)).as("i"),
+        col("ts"))
+      .select(col("doc_id"), col("i"),
+        concat_ws(" ",
+          (0 until SubstrK).map(o => element_at(col("ts"), col("i") + o + 1)): _*)
+          .as("win"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val dup = wins.groupBy(col("win"))
+      .agg(countDistinct(col("doc_id")).as("df"))
+      .filter(col("df") >= 2)
+      .select("win")
+    val covered = wins.join(dup, "win")
+      .select(col("doc_id"),
+        explode(sequence(col("i"), col("i") + (SubstrK - 1))).as("pos"))
+      .distinct()
+    val toks = docs.select(col("doc_id"), posexplode(col("ts")).as(Seq("pos", "tk")))
+    val kept = toks.join(covered, Seq("doc_id", "pos"), "left_anti")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_kept"),
+        md5(array_join(transform(
+          sort_array(collect_list(struct(col("pos"), col("tk")))),
+          s => s.getField("tk")), " ").cast("binary")).as("clean_md5"))
+    val out = docs
+      .select(col("doc_id"), size(col("ts")).cast("long").as("n_tokens"))
+      .join(kept, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"), col("n_tokens"),
+        (col("n_tokens") - coalesce(col("n_kept"), lit(0L))).as("n_removed"),
+        round((col("n_tokens") - coalesce(col("n_kept"), lit(0L))) /
+          col("n_tokens").cast(DoubleType), 6).as("removal_rate_r"),
+        coalesce(col("clean_md5"),
+          lit("d41d8cd98f00b204e9800998ecf8427e")).as("clean_md5"))
+      .orderBy("doc_id")
+    unpersistAfterFirstAction(out, wins)
+  }
+
+  val qDedupSpanRemovalOracle: String =
+    s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+       |w AS (
+       |  SELECT doc_id, g AS i,
+       |    ${(0 until 8).map(o => s"ts[g+${o + 1}]").mkString(" || ' ' || ")} AS win
+       |  FROM t, unnest(generate_series(0, len(ts) - 8)) AS u(g)
+       |  WHERE len(ts) >= 8),
+       |dup AS (
+       |  SELECT win FROM w GROUP BY win HAVING COUNT(DISTINCT doc_id) >= 2),
+       |cov AS (
+       |  SELECT DISTINCT w.doc_id, u.p
+       |  FROM w JOIN dup USING (win),
+       |       unnest(generate_series(w.i, w.i + 7)) AS u(p)),
+       |tok AS (
+       |  SELECT doc_id, g - 1 AS p, ts[g] AS tk
+       |  FROM t, unnest(generate_series(1, len(ts))) AS u(g)),
+       |kept AS (
+       |  SELECT tok.doc_id, tok.p, tok.tk FROM tok
+       |  WHERE NOT EXISTS (SELECT 1 FROM cov
+       |    WHERE cov.doc_id = tok.doc_id AND cov.p = tok.p)),
+       |k AS (
+       |  SELECT doc_id, COUNT(*) AS n_kept,
+       |    md5(string_agg(tk, ' ' ORDER BY p)) AS clean_md5
+       |  FROM kept GROUP BY doc_id)
+       |SELECT t.doc_id, CAST(len(t.ts) AS BIGINT) AS n_tokens,
+       |  CAST(len(t.ts) - COALESCE(k.n_kept, 0) AS BIGINT) AS n_removed,
+       |  round((len(t.ts) - COALESCE(k.n_kept, 0)) /
+       |    CAST(len(t.ts) AS DOUBLE), 6) AS removal_rate_r,
+       |  COALESCE(k.clean_md5, 'd41d8cd98f00b204e9800998ecf8427e')
+       |    AS clean_md5
+       |FROM t LEFT JOIN k USING (doc_id) ORDER BY t.doc_id""".stripMargin
+
   /** INCREMENTAL ingest dedup — the nightly-crawl operator: classify
     * every INCOMING document (id-hash bucket ≥ 90, standing in for the
     * new crawl slice) against the BASE corpus (bucket < 90) as
@@ -2812,6 +2907,7 @@ object DedupOps {
     "dedup_incremental" -> (qDedupIncremental _),
     "dedup_incremental_stored" -> (qDedupIncrementalFromIndex _),
     "dedup_substring" -> (qDedupSubstring _),
+    "dedup_span_removal" -> (qDedupSpanRemoval _),
     "dedup_levenshtein" -> (qDedupLevenshtein _),
     "dedup_exact" -> (qDedupExact _),
     "dedup_paragraphs" -> (qDedupParagraphs _),
@@ -2849,6 +2945,7 @@ object DedupOps {
     // the stored-index variant classifies identically by construction
     "dedup_incremental_stored" -> qDedupIncrementalOracle,
     "dedup_substring" -> qDedupSubstringOracle,
+    "dedup_span_removal" -> qDedupSpanRemovalOracle,
     "dedup_levenshtein" -> qDedupLevenshteinOracle,
     "dedup_exact" -> qDedupExactOracle,
     "dedup_paragraphs" -> qDedupParagraphsOracle,

@@ -791,6 +791,134 @@ object EventOps {
       |  round(least(1.0, exp(-llrm)), 6) < 0.05 AS rejected
       |FROM r ORDER BY day""".stripMargin
 
+  /** WINSORIZED A/B readout — the heavy-tail practice every
+    * revenue-metric experiment runs (Kohavi et al., "Trustworthy
+    * Online Controlled Experiments" §22: a single whale purchase can
+    * swing a raw t-test for weeks, so the metric is capped at a high
+    * quantile before testing): cap = the POOLED p99 of the per-user
+    * metric (pooling is unbiased under the null — assignment is
+    * independent of the pre-capped distribution), every user's metric
+    * clamps to `least(m, cap)`, and Welch's t recomputes on the capped
+    * moments beside the raw one, so the row shows what the tail was
+    * doing to the readout.
+    *
+    * The p99 is EXACT and decomposed: a value histogram (groupBy the
+    * metric — near-id cardinality, so the quantile selection goes
+    * through [[SamplingOps.withGlobalCumSum]]'s range-sharded prefix
+    * sum, never an unpartitioned window over it), then
+    * cap = min m with cumulative count ≥ ⌈0.99·n⌉, the ceiling exact
+    * in integers ((99n + 99) div 100). Moments stay integer-cent
+    * decimals until the closed-form scalar step ([[qAbTest]]'s
+    * discipline). Scale: one user rollup, one histogram aggregate, the
+    * sharded prefix sum, two 1-row broadcasts (n, cap) — the
+    * documented 1-row-broadcast category. */
+  def qAbWinsorized(spark: SparkSession, sfDir: String): DataFrame = {
+    val big = org.apache.spark.sql.types.DecimalType(38, 0)
+    val cents = (col("value") * 100)
+      .cast(org.apache.spark.sql.types.DecimalType(18, 0))
+    val users = Tables.events(spark, sfDir)
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"), cents.as("c"))
+      .groupBy(col("user_id"))
+      .agg(sum(col("c").cast(big)).as("m"))
+      .withColumn("arm", SamplingOps.bucket100("user_id") % 2)
+    val hist = users.groupBy(col("m")).agg(count(lit(1)).as("cnt"))
+    val (cum, sharded) = SamplingOps.withGlobalCumSum(
+      hist, "cnt", "cum_excl", col("m"))
+    val n1 = users.agg(count(lit(1)).as("n"))
+    val cap = cum.crossJoin(broadcast(n1))
+      .filter(col("cum_excl") + col("cnt") >= expr("(99 * n + 99) DIV 100"))
+      .agg(min(col("m")).as("cap"))
+    def side(a: Int, e: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      sum(when(col("arm") === a, e).otherwise(lit(0).cast(big))).cast(DoubleType)
+    val agg = users.crossJoin(broadcast(cap))
+      .withColumn("mc", least(col("m"), col("cap")).cast(big))
+      .agg(
+        sum(when(col("arm") === 0, 1L).otherwise(0L)).as("n_a"),
+        sum(when(col("arm") === 1, 1L).otherwise(0L)).as("n_b"),
+        first(col("cap")).cast(DoubleType).as("capd"),
+        sum(when(col("m") > col("cap"), 1L).otherwise(0L)).as("n_capped"),
+        side(0, col("m")).as("sa"), side(1, col("m")).as("sb"),
+        side(0, (col("m") * col("m")).cast(big)).as("ssa"),
+        side(1, (col("m") * col("m")).cast(big)).as("ssb"),
+        side(0, col("mc")).as("swa"), side(1, col("mc")).as("swb"),
+        side(0, (col("mc") * col("mc")).cast(big)).as("sswa"),
+        side(1, (col("mc") * col("mc")).cast(big)).as("sswb"))
+    def vr(n: org.apache.spark.sql.Column, s: org.apache.spark.sql.Column,
+        ss: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      (n * ss - s * s) / (n * (n - 1))
+    val out = agg
+      .withColumn("va", vr(col("n_a"), col("sa"), col("ssa")))
+      .withColumn("vb", vr(col("n_b"), col("sb"), col("ssb")))
+      .withColumn("vwa", vr(col("n_a"), col("swa"), col("sswa")))
+      .withColumn("vwb", vr(col("n_b"), col("swb"), col("sswb")))
+      .withColumn("t_raw", (col("sa") / col("n_a") - col("sb") / col("n_b")) /
+        sqrt(col("va") / col("n_a") + col("vb") / col("n_b")))
+      .withColumn("t_wins", (col("swa") / col("n_a") - col("swb") / col("n_b")) /
+        sqrt(col("vwa") / col("n_a") + col("vwb") / col("n_b")))
+      .select(col("n_a"), col("n_b"),
+        round(col("capd") / 100, 6).as("cap_r"),
+        col("n_capped"),
+        round(col("t_raw"), 6).as("t_raw_r"),
+        round(col("t_wins"), 6).as("t_wins_r"),
+        (abs(round(col("t_wins"), 6)) > 1.96).as("significant_wins"))
+    DedupOps.unpersistAfterFirstAction(out, sharded)
+  }
+
+  val qAbWinsorizedOracle: String =
+    """WITH u AS (
+      |  SELECT user_id,
+      |    CAST(SUM(CAST(CAST(value * 100 AS DECIMAL(18,0)) AS DECIMAL(38,0)))
+      |      AS DECIMAL(38,0)) AS m,
+      |    CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 4) AS INT)
+      |      % 100 % 2 AS arm
+      |  FROM events WHERE event_type = 'purchase' GROUP BY user_id),
+      |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM u),
+      |h AS (SELECT m, COUNT(*) AS cnt FROM u GROUP BY 1),
+      |c AS (SELECT m, SUM(cnt) OVER (ORDER BY m
+      |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ci FROM h),
+      |cp AS (SELECT MIN(m) AS cap FROM c, tot
+      |  WHERE ci >= (99 * n + 99) // 100),
+      |w AS (SELECT u.user_id, u.arm, u.m, cp.cap,
+      |    CAST(LEAST(u.m, cp.cap) AS DECIMAL(38,0)) AS mc
+      |  FROM u, cp),
+      |a AS (
+      |  SELECT
+      |    CAST(SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+      |    CAST(SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+      |    CAST(MIN(cap) AS DOUBLE) AS capd,
+      |    CAST(SUM(CASE WHEN m > cap THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS n_capped,
+      |    CAST(SUM(CASE WHEN arm = 0 THEN m ELSE 0 END) AS DOUBLE) AS sa,
+      |    CAST(SUM(CASE WHEN arm = 1 THEN m ELSE 0 END) AS DOUBLE) AS sb,
+      |    CAST(SUM(CASE WHEN arm = 0 THEN CAST(m * m AS DECIMAL(38,0))
+      |      ELSE 0 END) AS DOUBLE) AS ssa,
+      |    CAST(SUM(CASE WHEN arm = 1 THEN CAST(m * m AS DECIMAL(38,0))
+      |      ELSE 0 END) AS DOUBLE) AS ssb,
+      |    CAST(SUM(CASE WHEN arm = 0 THEN mc ELSE 0 END) AS DOUBLE) AS swa,
+      |    CAST(SUM(CASE WHEN arm = 1 THEN mc ELSE 0 END) AS DOUBLE) AS swb,
+      |    CAST(SUM(CASE WHEN arm = 0 THEN CAST(mc * mc AS DECIMAL(38,0))
+      |      ELSE 0 END) AS DOUBLE) AS sswa,
+      |    CAST(SUM(CASE WHEN arm = 1 THEN CAST(mc * mc AS DECIMAL(38,0))
+      |      ELSE 0 END) AS DOUBLE) AS sswb
+      |  FROM w),
+      |s AS (
+      |  SELECT *,
+      |    (n_a * ssa - sa * sa) / (n_a * (n_a - 1)) AS va,
+      |    (n_b * ssb - sb * sb) / (n_b * (n_b - 1)) AS vb,
+      |    (n_a * sswa - swa * swa) / (n_a * (n_a - 1)) AS vwa,
+      |    (n_b * sswb - swb * swb) / (n_b * (n_b - 1)) AS vwb
+      |  FROM a),
+      |t AS (
+      |  SELECT *,
+      |    (sa / n_a - sb / n_b) / sqrt(va / n_a + vb / n_b) AS t_raw,
+      |    (swa / n_a - swb / n_b) / sqrt(vwa / n_a + vwb / n_b) AS t_wins
+      |  FROM s)
+      |SELECT n_a, n_b, round(capd / 100, 6) AS cap_r, n_capped,
+      |  round(t_raw, 6) AS t_raw_r, round(t_wins, 6) AS t_wins_r,
+      |  abs(round(t_wins, 6)) > 1.96 AS significant_wins
+      |FROM t""".stripMargin
+
   /** SEASONAL residual anomalies — the weekly-pattern-aware monitor:
     * a Monday-shaped traffic dip is normal on Mondays, so the plain
     * z-score ([[qZscoreOutliers]]) and even the MAD variant false-
@@ -1454,6 +1582,7 @@ object EventOps {
     "q_ab_power" -> (qAbPower _),
     "q_ab_srm" -> (qAbSrm _),
     "q_ab_sequential" -> (qAbSequential _),
+    "q_ab_winsorized" -> (qAbWinsorized _),
     "q_rolling_active_users" -> (qRollingActiveUsers _),
     "q_funnel" -> (qFunnel _),
     "q_retention" -> (qRetention _),
@@ -1477,6 +1606,7 @@ object EventOps {
     "q_ab_power" -> qAbPowerOracle,
     "q_ab_srm" -> qAbSrmOracle,
     "q_ab_sequential" -> qAbSequentialOracle,
+    "q_ab_winsorized" -> qAbWinsorizedOracle,
     "q_rolling_active_users" -> qRollingActiveUsersOracle,
     "q_funnel" -> qFunnelOracle,
     "q_retention" -> qRetentionOracle,

@@ -129,6 +129,14 @@ object Monitoring {
     exec.scheduleAtFixedRate(
       () => m.stats.toSeq.sortBy(_._1).foreach { case (q, s) => emit(s"[$q] $s") },
       intervalMs, intervalMs, java.util.concurrent.TimeUnit.MILLISECONDS)
-    () => exec.shutdownNow()
+    // close() is SYNCHRONOUS: await the in-flight tick so no emission
+    // can land after close() returns — callers (and the spec) rely on
+    // "closed ticker emits nothing further" as a contract, and a
+    // fire-and-forget shutdown races the last tick against the check
+    () => {
+      exec.shutdownNow()
+      exec.awaitTermination(2, java.util.concurrent.TimeUnit.SECONDS)
+      ()
+    }
   }
 }

@@ -516,6 +516,57 @@ class EventOpsSpec extends SparkSpec {
     assert(got._4 === (got._3 > 3.84), "srm flag from the rounded statistic")
   }
 
+  test("winsorized A/B equals a driver-side recompute; cap is the exact pooled p99") {
+    // sf0.01: the sf0.001 fixture holds only 15 purchasers, where the
+    // p99 rank is the maximum and nothing can cap — the tail this
+    // operator exists for needs the 150-purchaser slice
+    val sfw = "/root/testdata/sf0.01"
+    val r = EventOps.qAbWinsorized(spark, sfw).collect().head
+    val got = (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3),
+      r.getDouble(4), r.getDouble(5), r.getBoolean(6))
+    val perUser = Tables.events(spark, sfw)
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("value")).collect()
+      .map(x => (x.getLong(0), math.round(x.getDouble(1) * 100)))
+      .groupBy(_._1).map { case (u, v) => u -> v.map(_._2).sum }
+    def arm(u: Long): Int = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(u.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(4)
+      Integer.parseInt(hex, 16) % 100 % 2
+    }
+    // exact pooled p99: the smallest value whose cumulative count
+    // reaches ceil(0.99 n)
+    val n = perUser.size.toLong
+    val r99 = (99 * n + 99) / 100
+    val sortedM = perUser.values.toSeq.sorted
+    val cap = sortedM((r99 - 1).toInt)
+    val (ua, ub) = perUser.partition(kv => arm(kv._1) == 0)
+    def stats(xs: Iterable[Long]): (Long, Double, Double) = {
+      val nn = xs.size.toDouble
+      val s = xs.map(_.toDouble).sum; val ss = xs.map(x => x.toDouble * x).sum
+      (xs.size.toLong, s / nn, (nn * ss - s * s) / (nn * (nn - 1)))
+    }
+    def t(a: Iterable[Long], b: Iterable[Long]): Double = {
+      val (na, ma, va) = stats(a); val (nb, mb, vb) = stats(b)
+      (ma - mb) / math.sqrt(va / na + vb / nb)
+    }
+    val tRaw = t(ua.values, ub.values)
+    val tWins = t(ua.values.map(math.min(_, cap)), ub.values.map(math.min(_, cap)))
+    val nCapped = perUser.values.count(_ > cap).toLong
+    assert(got._1 === ua.size.toLong && got._2 === ub.size.toLong)
+    assert(math.abs(got._3 - cap / 100.0) < 1e-6, s"cap ${got._3} vs ${cap / 100.0}")
+    assert(got._4 === nCapped)
+    assert(nCapped > 0 && nCapped <= n / 100 + 1,
+      s"fixture must cap a real (<=1%) tail, got $nCapped of $n")
+    assert(math.abs(got._5 - tRaw) < 1e-4, s"t_raw ${got._5} vs $tRaw")
+    assert(math.abs(got._6 - tWins) < 1e-4, s"t_wins ${got._6} vs $tWins")
+    assert(got._7 === (math.abs(got._6) > 1.96))
+    // winsorization must genuinely change the statistic (the tail was
+    // doing something), while leaving at least 99% of users untouched
+    assert(got._5 !== got._6, "capping must move the t statistic")
+  }
+
   test("seasonal residuals equal a driver-side decomposition recompute; dow means removed exactly") {
     val got = EventOps.qSeasonalResiduals(spark, sf).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2),

@@ -1445,6 +1445,61 @@ class PipelineOpsSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("span removal equals a driver-side recompute; covered positions vanish; cross-doc windows only") {
+    val df = DedupOps.qDedupSpanRemoval(spark, sf)
+    val cachedPlan = df.queryExecution.withCachedData
+    val got = df.collect().map(r => (r.getLong(0), r.getLong(1),
+      r.getLong(2), r.getDouble(3), r.getString(4)))
+    val docs = Tables.documents(spark, sf).select("doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val K = 8
+    val wins = docs.flatMap { case (d, t) =>
+      val ts = t.split(" ")
+      if (ts.length < K) Seq.empty
+      else (0 to ts.length - K).map(i => (d, i, ts.slice(i, i + K).mkString(" ")))
+    }
+    // cross-doc duplication only: df counts DISTINCT docs per window
+    val dup = wins.groupBy(_._3).filter(_._2.map(_._1).distinct.length >= 2).keySet
+    val covered: Map[Long, Set[Int]] = wins.filter(w => dup(w._3))
+      .groupBy(_._1).map { case (d, v) =>
+        d -> v.flatMap(w => w._2 until w._2 + K).toSet }
+    val want = docs.map { case (d, t) =>
+      val ts = t.split(" ")
+      val cov = covered.getOrElse(d, Set.empty)
+      val kept = ts.zipWithIndex.collect { case (tk, p) if !cov(p) => tk }
+      d -> (ts.length.toLong, cov.size.toLong, md5hex(kept.mkString(" ")))
+    }.toMap
+    assert(got.length === docs.length, "one row per document")
+    got.foreach { case (d, nt, nr, rate, km) =>
+      val (wnt, wnr, wkm) = want(d)
+      assert(nt === wnt, s"doc $d n_tokens")
+      assert(nr === wnr, s"doc $d n_removed")
+      assert(math.abs(rate - wnr.toDouble / wnt) < 1e-6, s"doc $d rate")
+      assert(km === wkm, s"doc $d clean md5")
+    }
+    // the fixture's exact copies clean to the empty string; docs with
+    // genuine partial overlap lose some but not all tokens
+    assert(got.exists(r => r._2 === r._3 && r._2 > 0),
+      "fixture must contain a fully-removed document")
+    got.filter(r => r._2 === r._3).foreach { r =>
+      assert(r._5 === md5hex(""), s"fully-removed doc ${r._1}") }
+    assert(got.exists(r => r._3 > 0 && r._3 < r._2),
+      "fixture must contain a partially-cleaned document")
+    assert(got.exists(_._3 === 0L), "fixture must contain untouched documents")
+    // plan: the window relation is cached and consumed by BOTH the
+    // dup-frequency aggregate and the join-back
+    val rels = cachedPlan.collect {
+      case r: org.apache.spark.sql.execution.columnar.InMemoryRelation => r }
+    assert(rels.size === 2, "window relation must be cached and consumed twice")
+    assert(rels.head.cachedPlan.collect {
+      case g: org.apache.spark.sql.execution.GenerateExec => g }.size === 1,
+      "exactly one window explode inside the cache")
+    spark.catalog.clearCache()
+  }
+
   test("paragraph dedup equals a driver-side recompute; duplicated paragraphs vanish everywhere; one cached explode") {
     val df = DedupOps.qDedupParagraphs(spark, sf)
     // pin the cache-substituted logical plan BEFORE the action (the

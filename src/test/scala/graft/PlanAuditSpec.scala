@@ -636,6 +636,10 @@ class PlanAuditSpec extends SparkSpec {
       // metric forward over the day spine — the same 1-row bounds
       // (maxd) broadcast-cross as the gap-fill family
       "q_ab_sequential",
+      // r11: the winsorized readout broadcasts two 1-row scalars (the
+      // user count and the exact pooled p99 cap) — the documented
+      // 1-row-broadcast category
+      "q_ab_winsorized",
       "q22_idle_balances", "q_profile_stats", "sample_drift_psi",
       "q15_top_supplier", "q14_promo_effect", "q8_market_share",
       "q17_correlated_avg", "q_approx_distinct", "q_approx_quantiles",
