@@ -2453,8 +2453,134 @@ object SimilarityOps {
        |FROM cands c LEFT JOIN hits h ON h.p = c.p
        |ORDER BY nprobe""".stripMargin
 
+  /** RANK-AWARE retrieval eval — MRR and nDCG@10 of the IVF serving
+    * path (nprobe=2) against exact top-10 truth, completing the eval
+    * family recall started ([[qSimIvfRecallCurve]],
+    * `sim_truncation_recall`, `mm_crossmodal_recall`): recall@k says
+    * WHETHER the truth set was retrieved; MRR/nDCG price WHERE in the
+    * served list it landed, which is what a retrieval-augmented
+    * training pipeline actually consumes (a hit at served rank 10 is
+    * nearly worthless to a reranker fed the top 3). Graded relevance
+    * is the standard linear gain rel = k+1 − truth_rank; the discount
+    * is 1/log2(served_rank + 1) written as the SAME ln-ratio
+    * expression in both engines (the `text_char_entropy` precedent);
+    * IDCG is a closed-form constant of k alone, computed once on the
+    * driver and interpolated into BOTH texts so the normalization
+    * divides bit-identical doubles.
+    *
+    * Scale shape: the truth side is the documented brute-force
+    * verification twin (broadcast query set × corpus — at 100 TB a
+    * sampled audit, the LSH-audit stratum discipline); the served
+    * side is the production IVF path — corpus assigned once
+    * (nprobe=1, the stored layout), only the 10-row query set fans
+    * out ×2 probes, candidates via the cell-key equi-join. The
+    * metric join is (q_id, n_id)-keyed on two ≤10·k-row relations;
+    * everything after it is query-set-sized. */
+  private val EvalK = 10
+  private val Ln2 = math.log(2.0)
+  private val IdcgK: Double =
+    (1 to EvalK).map(i => (EvalK + 1.0 - i) / (math.log(i + 1.0) / Ln2)).sum
+
+  def qSimRankEval(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = DedupOps.normedVectors(Tables.embeddings(spark, sfDir))
+    val cent = centroids(e)
+    val assigned = cellAssignments(e, cent, nprobe = 1)
+    val qp = cellAssignments(e.filter(col("vec_id") < NumQueries), cent, nprobe = 2)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"),
+        col("nrm").as("qn"), col("cid"))
+    val wI = Window.partitionBy(col("q_id"))
+      .orderBy(col("cosine").desc, col("n_id"))
+    val ivf = assigned
+      .select(col("vec_id").as("n_id"), col("v").as("nv"),
+        col("nrm").as("nn"), col("cid"))
+      .join(broadcast(qp), Seq("cid"))
+      .filter(col("q_id") =!= col("n_id"))
+      .withColumn("cosine",
+        DedupOps.dot(col("qv"), col("nv")) / (col("qn") * col("nn")))
+      .withColumn("rank_ivf", row_number().over(wI))
+      .filter(col("rank_ivf") <= EvalK)
+      .select(col("q_id"), col("n_id"), col("rank_ivf"))
+    val wB = Window.partitionBy(col("q_id"))
+      .orderBy(col("cosine").desc, col("n_id"))
+    val bf = e.select(col("vec_id").as("n_id"), col("v").as("nv"),
+        col("nrm").as("nn"))
+      .join(broadcast(e.filter(col("vec_id") < NumQueries)
+        .select(col("vec_id").as("q_id"), col("v").as("qv"),
+          col("nrm").as("qn"))), col("q_id") =!= col("n_id"))
+      .withColumn("cosine",
+        DedupOps.dot(col("qv"), col("nv")) / (col("qn") * col("nn")))
+      .withColumn("rank_bf", row_number().over(wB))
+      .filter(col("rank_bf") <= EvalK)
+      .select(col("q_id"), col("n_id"), col("rank_bf"))
+    val perQ = ivf.join(bf, Seq("q_id", "n_id"))
+      .groupBy(col("q_id")).agg(
+        count(lit(1)).as("n_hits"),
+        sum((lit(EvalK + 1) - col("rank_bf")).cast("double") /
+          (log(col("rank_ivf") + lit(1.0)) / lit(Ln2))).as("dcg"),
+        max(when(col("rank_bf") === 1,
+          lit(1.0) / col("rank_ivf"))).as("rr0"))
+    e.filter(col("vec_id") < NumQueries).select(col("vec_id").as("q_id"))
+      .join(perQ, Seq("q_id"), "left_outer")
+      .select(col("q_id"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        round(coalesce(col("rr0"), lit(0.0)), 6).as("rr_r"),
+        round(coalesce(col("dcg"), lit(0.0)), 6).as("dcg_r"),
+        round(coalesce(col("dcg"), lit(0.0)) / lit(IdcgK), 6).as("ndcg_r"))
+      .orderBy(col("q_id"))
+  }
+
+  /** Same IVF/brute-force CTEs as the recall curve at nprobe=2, plus
+    * the ln-ratio discount and the driver-interpolated IDCG constant. */
+  val qSimRankEvalOracle: String =
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+       |cent AS (SELECT vec_id AS cid, v AS cv, nrm AS cn FROM n WHERE vec_id < $NumCentroids),
+       |asg AS (
+       |  SELECT vec_id, v, nrm, cid,
+       |    row_number() OVER (PARTITION BY vec_id
+       |      ORDER BY list_dot_product(v, cv) / (nrm * cn) DESC, cid) AS rn
+       |  FROM n CROSS JOIN cent),
+       |a AS (SELECT vec_id, v, nrm, cid FROM asg WHERE rn = 1),
+       |qp AS (SELECT vec_id AS q_id, v AS qv, nrm AS qn, cid
+       |       FROM asg WHERE vec_id < $NumQueries AND rn <= 2),
+       |scored AS (
+       |  SELECT qp.q_id, c.vec_id AS n_id,
+       |    list_dot_product(qp.qv, c.v) / (qp.qn * c.nrm) AS cosine
+       |  FROM a c JOIN qp ON c.cid = qp.cid AND qp.q_id != c.vec_id),
+       |irk AS (
+       |  SELECT q_id, n_id,
+       |    row_number() OVER (PARTITION BY q_id
+       |      ORDER BY cosine DESC, n_id) AS rank_ivf
+       |  FROM scored),
+       |ivf AS (SELECT q_id, n_id, rank_ivf FROM irk WHERE rank_ivf <= $EvalK),
+       |bs AS (
+       |  SELECT q.vec_id AS q_id, c.vec_id AS n_id,
+       |    list_dot_product(q.v, c.v) / (q.nrm * c.nrm) AS cosine
+       |  FROM n q JOIN n c ON q.vec_id < $NumQueries AND q.vec_id != c.vec_id),
+       |brk AS (
+       |  SELECT q_id, n_id,
+       |    row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, n_id) AS rank_bf
+       |  FROM bs),
+       |bf AS (SELECT q_id, n_id, rank_bf FROM brk WHERE rank_bf <= $EvalK),
+       |h AS (
+       |  SELECT i.q_id, COUNT(*) AS n_hits,
+       |    SUM(CAST(${EvalK + 1} - b.rank_bf AS DOUBLE) /
+       |        (ln(i.rank_ivf + 1.0) / ln(2.0))) AS dcg,
+       |    MAX(CASE WHEN b.rank_bf = 1
+       |        THEN CAST(1.0 AS DOUBLE) / i.rank_ivf END) AS rr0
+       |  FROM ivf i JOIN bf b USING (q_id, n_id) GROUP BY 1)
+       |SELECT s.q_id, CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits,
+       |  round(COALESCE(h.rr0, 0), 6) AS rr_r,
+       |  round(COALESCE(h.dcg, 0), 6) AS dcg_r,
+       |  round(COALESCE(h.dcg, 0) / $IdcgK, 6) AS ndcg_r
+       |FROM (SELECT vec_id AS q_id FROM n WHERE vec_id < $NumQueries) s
+       |LEFT JOIN h ON h.q_id = s.q_id
+       |ORDER BY s.q_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sim_ivf_recall_curve" -> (qSimIvfRecallCurve _),
+    "sim_rank_eval" -> (qSimRankEval _),
     "sim_label_propagation" -> (qSimLabelPropagation _),
     "sim_svm_step" -> (qSimSvmStep _),
     "sim_rank_fusion" -> (qSimRankFusion _),
@@ -2490,6 +2616,7 @@ object SimilarityOps {
 
   val oracles: Map[String, String] = Map(
     "sim_ivf_recall_curve" -> qSimIvfRecallCurveOracle,
+    "sim_rank_eval" -> qSimRankEvalOracle,
     "sim_label_propagation" -> qSimLabelPropagationOracle,
     "sim_svm_step" -> qSimSvmStepOracle,
     "sim_rank_fusion" -> qSimRankFusionOracle,

@@ -517,6 +517,52 @@ object TextOps {
       |    '[0-9]{3}-[0-9]{3}-[0-9]{4}', '<PHONE>', 'g')) AS redacted_md5
       |FROM aug ORDER BY doc_id""".stripMargin
 
+  /** K-ANONYMITY / L-DIVERSITY risk report — the OTHER half of the
+    * privacy gate [[qPiiRedact]] starts: redaction strips DIRECT
+    * identifiers, but a released training corpus still re-identifies
+    * people through QUASI-identifier combinations (Sweeney 2002;
+    * Machanavajjhala et al. 2007 for l-diversity). Here the QI tuple
+    * is (lang, source) — the metadata a corpus card publishes — and
+    * the report prices every equivalence class: its size, whether it
+    * breaks k=5 anonymity (fewer than k records share the releasable
+    * tuple → each is near-identifiable), the diversity of the
+    * length-bucket "sensitive attribute" within it, and whether it
+    * breaks l=3 diversity (a class can be k-anonymous yet leak the
+    * sensitive value when all members share it — the homogeneity
+    * attack l-diversity exists to catch). Downstream, risky classes
+    * are suppressed or generalized before release; this relation is
+    * the decision table for that step.
+    *
+    * Both thresholds genuinely partition the synthetic corpus
+    * (sf0.001: 99 classes, 51 under k, 30 under l — spec-asserted),
+    * so neither gate is vacuous.
+    *
+    * Scale shape: ONE hash aggregation over a pruned 3-column scan —
+    * class count and distinct-bucket count ride the same groupBy
+    * (map-side partials absorb the per-class skew; the distinct is
+    * Spark's standard 2-phase expand, keyed by the same QI tuple, so
+    * no second corpus pass). Output is equivalence-class-sized —
+    * (langs × sources), metadata scale at 100 TB — never row scale. */
+  def qKAnonymity(spark: SparkSession, sfDir: String): DataFrame = {
+    val (k, l) = (5, 3)
+    Tables.documents(spark, sfDir)
+      .groupBy(col("lang"), col("source"))
+      .agg(count(lit(1)).as("class_n"),
+        countDistinct(floor(col("n_chars") / 100)).as("n_buckets"))
+      .select(col("lang"), col("source"), col("class_n"),
+        (col("class_n") < k).as("k_risky"),
+        col("n_buckets"),
+        (col("n_buckets") < l).as("l_risky"))
+      .orderBy(col("lang"), col("source"))
+  }
+
+  val qKAnonymityOracle: String =
+    """SELECT lang, source, COUNT(*) AS class_n,
+      |  COUNT(*) < 5 AS k_risky,
+      |  CAST(COUNT(DISTINCT n_chars // 100) AS BIGINT) AS n_buckets,
+      |  COUNT(DISTINCT n_chars // 100) < 3 AS l_risky
+      |FROM documents GROUP BY 1, 2 ORDER BY lang, source""".stripMargin
+
   /** Overlapping fixed-size chunking — the standard pre-tokenization
     * split of long documents into training windows (size 40 words,
     * stride 30 → 10-word overlap). Declarative cardinality: the chunk
@@ -1971,7 +2017,8 @@ FROM r ORDER BY doc_id""")
     "text_nb_auc" -> (qNbAuc _),
     "text_nb_confusion" -> (qNbConfusion _),
     "text_nb_refresh" -> (qNbRefresh _),
-    "text_gopher_rules" -> (qGopherRules _))
+    "text_gopher_rules" -> (qGopherRules _),
+    "text_k_anonymity" -> (qKAnonymity _))
 
   val oracles: Map[String, String] = Map(
     "text_oov_rate" -> qOovRateOracle,
@@ -2009,5 +2056,6 @@ FROM r ORDER BY doc_id""")
     "text_nb_auc" -> qNbAucOracle,
     "text_nb_confusion" -> qNbConfusionOracle,
     "text_nb_refresh" -> qNbRefreshOracle,
-    "text_gopher_rules" -> qGopherRulesOracle)
+    "text_gopher_rules" -> qGopherRulesOracle,
+    "text_k_anonymity" -> qKAnonymityOracle)
 }

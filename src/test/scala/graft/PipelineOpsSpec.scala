@@ -2120,4 +2120,93 @@ class PipelineOpsSpec extends SparkSpec {
       "fresh" -> ((0L, 3L))))     // delta-only: arrives
     assert(!out.contains("gone"), "a zero-count token must leave the vocabulary")
   }
+
+  test("k-anonymity report equals a driver-side recompute; both gates partition; one-pass pruned aggregation") {
+    val got = TextOps.qKAnonymity(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getBoolean(3), r.getLong(4), r.getBoolean(5)))
+    val docs = Tables.documents(spark, sf)
+      .select("lang", "source", "n_chars").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    val want = docs.groupBy(d => (d._1, d._2)).toSeq
+      .map { case ((lang, src), rows) =>
+        val n = rows.length.toLong
+        val nb = rows.map(_._3 / 100).distinct.length.toLong
+        (lang, src, n, n < 5, nb, nb < 3)
+      }.sortBy(t => (t._1, t._2))
+    assert(got.toSeq === want)
+    // each gate must split the classes (a vacuous threshold tests nothing)
+    for ((c, i) <- Seq("k_risky" -> 3, "l_risky" -> 5)) {
+      val risky = got.count(_.productElement(i).asInstanceOf[Boolean])
+      assert(risky > 0 && risky < got.length, s"$c does not partition: $risky/${got.length}")
+    }
+    // plan: one aggregation over a pruned 3-column scan — no join, no
+    // explode; the class relation is metadata-sized
+    val p = TextOps.qKAnonymity(spark, sf).queryExecution
+      .explainString(org.apache.spark.sql.execution.FormattedMode)
+    assert(p.contains("ReadSchema: struct<lang:string,source:string,n_chars:bigint>"),
+      s"scan not pruned to (lang, source, n_chars):\n${p.take(600)}")
+    assert(!p.contains("Join") && !p.contains("Generate"),
+      "k-anonymity must be a single grouped aggregation")
+  }
+
+  test("rank-aware eval equals a driver-side recompute; metric laws hold; candidate join stays on the cell key") {
+    val got = SimilarityOps.qSimRankEval(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4))).toSeq.sortBy(_._1)
+    // driver-side recompute: same index-order dots, same tie-breaks,
+    // same ln-ratio discount (the IVF recall-curve recompute pattern)
+    val vecs = Tables.embeddings(spark, sf)
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray)
+      .sortBy(_._1)
+    def dot(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i) * b(i); i += 1 }; s
+    }
+    val vm = vecs.toMap
+    val nrm = vecs.map { case (id, v) => id -> math.sqrt(dot(v, v)) }.toMap
+    def cos(a: Long, b: Long): Double = dot(vm(a), vm(b)) / (nrm(a) * nrm(b))
+    val cents = vecs.filter(_._1 < 8).map(_._1)
+    def cellRank(v: Long): Seq[Long] = cents.sortBy(c => (-cos(v, c), c)).toSeq
+    val cellOf = vecs.map { case (id, _) => id -> cellRank(id).head }.toMap
+    val ids = vecs.map(_._1)
+    val ln2 = math.log(2.0)
+    val idcg = (1 to 10).map(i => (11.0 - i) / (math.log(i + 1.0) / ln2)).sum
+    val want = ids.filter(_ < 10).map { q =>
+      val probed = cellRank(q).take(2).toSet
+      val served = ids.filter(n => n != q && probed(cellOf(n)))
+        .sortBy(n => (-cos(q, n), n)).take(10).toSeq
+      val truth = ids.filter(_ != q).sortBy(n => (-cos(q, n), n)).take(10).toSeq
+      val bfRank = truth.zipWithIndex.map { case (n, i) => n -> (i + 1) }.toMap
+      val hits = served.zipWithIndex.collect {
+        case (n, i) if bfRank.contains(n) => (i + 1, bfRank(n)) }
+      val dcg = hits.map { case (ri, rb) => (11.0 - rb) / (math.log(ri + 1.0) / ln2) }.sum
+      val rr = hits.collectFirst { case (ri, 1) => 1.0 / ri }.getOrElse(0.0)
+      (q, hits.length.toLong, rr, dcg, dcg / idcg)
+    }.toSeq
+    assert(got.map(_._1) === want.map(_._1))
+    got.zip(want).foreach { case ((_, nh, rr, dcg, ndcg), (_, wnh, wrr, wdcg, wndcg)) =>
+      assert(nh === wnh)
+      assert(math.abs(rr - wrr) < 1e-6)
+      assert(math.abs(dcg - wdcg) < 1e-6)
+      assert(math.abs(ndcg - wndcg) < 1e-6)
+    }
+    // metric laws: hits bounded by k, ndcg in [0,1], rr in {0} U [1/k, 1],
+    // and the eval must not be saturated (some query pays a rank penalty)
+    got.foreach { case (_, nh, rr, _, ndcg) =>
+      assert(nh >= 0L && nh <= 10L)
+      assert(ndcg >= 0.0 && ndcg <= 1.0 + 1e-9)
+      assert(rr == 0.0 || (rr >= 0.1 - 1e-9 && rr <= 1.0 + 1e-9))
+    }
+    assert(got.exists(_._5 < 1.0 - 1e-9), "eval saturated: nprobe=2 found every truth row at its exact rank")
+    // plan: no cartesian anywhere; the only non-equi joins are the two
+    // documented quantizer crosses and the brute-force truth twin
+    val p = SimilarityOps.qSimRankEval(spark, sf).queryExecution
+      .explainString(org.apache.spark.sql.execution.FormattedMode)
+    assert(!p.contains("CartesianProduct"), "rank eval planned a cartesian")
+    val bnlj = """\(\d+\) BroadcastNestedLoopJoin""".r.findAllIn(p).size
+    assert(bnlj <= 3, s"expected at most quantizer x2 + truth BNLJ, got $bnlj")
+    spark.catalog.clearCache()
+  }
 }

@@ -610,6 +610,11 @@ class PlanAuditSpec extends SparkSpec {
       // same documented verification-twin category as the two above
       // (the IVF candidate side itself is an equi-join on the cell key)
       "sim_ivf_recall_curve",
+      // r11: the rank-aware eval's truth side is the same brute-force
+      // verification twin; its served side is the ordinary cell-key
+      // equi-join (only the quantizer cross and the truth pass are
+      // non-equi)
+      "sim_rank_eval",
       "sim_ivf_probe", "sim_ivf_multiprobe", "sim_ivf_cell_stats",
       "sim_kmeans_step",
       "sim_ivfpq_topk", "sim_kmeans_iter", "dedup_semdedup",
