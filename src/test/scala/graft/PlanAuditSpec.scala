@@ -626,7 +626,7 @@ class PlanAuditSpec extends SparkSpec {
       // on the cell key), and the PCA pair crossJoin the 1-row
       // moments/eigen anchor — the documented 1-row-broadcast category.
       "sim_ivfpq_stored", "sim_pca_whiten", "sim_pca_outliers",
-      "dedup_semantic_clusters", "sample_mixture", "pipeline_corpus",
+      "sample_mixture", "pipeline_corpus",
       "pipeline_corpus_stored", "sample_token_budget",
       "text_tfidf", "text_lm_score", "q_rolling_active_users",
       // r10: NB classifier's five scalars (Np, Nq, V, docsP, docsQ)
@@ -645,10 +645,13 @@ class PlanAuditSpec extends SparkSpec {
       // user count and the exact pooled p99 cap) — the documented
       // 1-row-broadcast category
       "q_ab_winsorized",
-      "q22_idle_balances", "q_profile_stats", "sample_drift_psi",
-      "q15_top_supplier", "q14_promo_effect", "q8_market_share",
-      "q17_correlated_avg", "q_approx_distinct", "q_approx_quantiles",
-      "q_median_exact", "q_group_quantiles")
+      // r11: the stale-entry audit below evicted 11 names whose plans
+      // had quietly graduated to plain hash/sort-merge joins across
+      // rounds (q14/q15/q17/q8-style scalar subqueries, the approx-agg
+      // family, drift PSI, profile stats, semantic clusters) — the
+      // list can now only shrink: a new member needs a real cross in
+      // its final plan, and a healed member fails the sweep as stale.
+      "q22_idle_balances")
     val offenders = sweptPlans
       .filterNot { case (name, _, _) => allowNested.contains(name) }
       .flatMap { case (name, p, _) =>
@@ -659,6 +662,23 @@ class PlanAuditSpec extends SparkSpec {
     assert(offenders.isEmpty,
       s"unexpected nested-loop/cartesian plans: ${offenders.map(_._1)}\n" +
         offenders.map { case (n, p) => s"$n:\n$p" }.mkString("\n---\n"))
+    // the documented-site list must not go stale either: a member
+    // whose final plan no longer contains any nested-loop node is
+    // leftover trust — a plan change graduated the query to the plain
+    // sweep and the entry must be deleted, or the documentation here
+    // claims a cross that does not exist
+    val stale = allowNested.toSeq.sorted.flatMap { name =>
+      sweptPlans.find(_._1 == name) match {
+        case None => Some(s"$name (not a registered query)")
+        case Some((_, p, _))
+          if !p.contains("CartesianProduct") &&
+             !p.contains("BroadcastNestedLoopJoin") &&
+             !p.startsWith("BUILD FAILED") => Some(name)
+        case _ => None
+      }
+    }
+    assert(stale.isEmpty,
+      s"stale allowNested entries (no nested-loop in the final plan — remove them): $stale")
   }
 
   test("stored-edge graph queries read the edge artifact and never re-bucket embeddings") {
