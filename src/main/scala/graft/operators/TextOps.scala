@@ -1821,6 +1821,100 @@ FROM r ORDER BY doc_id""")
       |FROM cm""".stripMargin
   }
 
+  /** SPLIT-CONFORMAL calibration of the NB keep-gate (Papadopoulos et
+    * al. 2002; Angelopoulos & Bates 2023 for the modern recipe) — the
+    * missing piece of the classifier lifecycle (train → eval
+    * AUC/confusion → refresh → serve → CALIBRATE): pick the keep
+    * threshold with a finite-sample guarantee instead of the
+    * LR-threshold folklore [[qNbConfusion]] prices. A held-out fifth
+    * of the CURATED docs is the calibration set — the fold key is
+    * (doc_id div 20) mod 5 because the synthetic corpus assigns
+    * source = doc_id mod 20, so a plain doc_id mod 5 fold would alias
+    * with the label itself. The threshold is the k-th smallest
+    * calibration score with k = ⌊α(n_cal+1)⌋ at α = 0.2: for an
+    * exchangeable new curated doc, P(score ≥ thr) ≥ 1−α — the "keep
+    * ≥80% of good docs" contract a production filter actually signs.
+    * The row reports the threshold, the REALIZED keep rate on the
+    * held-in positives, and the negative keep rate (the gate's
+    * efficiency), all integer ppm.
+    *
+    * The order statistic is EXACT and decomposed: calibration-score
+    * histogram → [[SamplingOps.withGlobalCumSum]] range-sharded
+    * prefix sum → min score with cumulative count ≥ k (the
+    * `q_ab_winsorized` p99 discipline — never an unpartitioned window
+    * over a near-cardinality histogram, and never a driver-side sort:
+    * at 100 TB the calibration set is millions of rows). Scoring
+    * rides the STORED model ([[nbScoredDocs]] — artifact scan + meta
+    * literals); the 1-row (n_cal, thr) broadcasts are the documented
+    * `allowNested` category. */
+  def qNbConformal(spark: SparkSession, sfDir: String): DataFrame = {
+    val scored = nbScoredDocs(spark, sfDir)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val calFold = expr("(doc_id DIV 20) % 5 = 4")
+    val cal = scored.filter(curatedPred && calFold).select(col("nb_score_r"))
+    val nc = cal.agg(count(lit(1)).as("n_cal"))
+    val hist = cal.groupBy(col("nb_score_r")).agg(count(lit(1)).as("cnt"))
+    val (cum, sharded) = SamplingOps.withGlobalCumSum(
+      hist, "cnt", "cum_excl", col("nb_score_r"))
+    val thr = cum.crossJoin(broadcast(nc))
+      .filter(col("cum_excl") + col("cnt") >= expr("(n_cal + 1) DIV 5"))
+      .agg(min(col("nb_score_r")).as("thr"))
+    val evalPos = curatedPred && !calFold
+    val out = scored.crossJoin(broadcast(thr)).crossJoin(broadcast(nc))
+      .agg(first(col("n_cal")).as("n_cal"),
+        first(expr("(n_cal + 1) DIV 5")).as("k_rank"),
+        first(col("thr")).as("thr_r"),
+        sum(when(evalPos, 1L).otherwise(0L)).as("n_eval_pos"),
+        sum(when(evalPos && col("nb_score_r") >= col("thr"), 1L)
+          .otherwise(0L)).as("pos_kept"),
+        sum(when(!curatedPred, 1L).otherwise(0L)).as("n_neg"),
+        sum(when(!curatedPred && col("nb_score_r") >= col("thr"), 1L)
+          .otherwise(0L)).as("neg_kept"))
+      .select(col("n_cal"), col("k_rank"), col("thr_r"),
+        col("n_eval_pos"), col("pos_kept"),
+        expr("pos_kept * 1000000 DIV n_eval_pos").as("pos_keep_ppm"),
+        col("n_neg"), col("neg_kept"),
+        expr("neg_kept * 1000000 DIV n_neg").as("neg_keep_ppm"))
+      .withColumn("coverage_ok", col("pos_keep_ppm") >= 800000L)
+    DedupOps.unpersistAfterFirstAction(out, scored, sharded)
+  }
+
+  /** Shared NB scoring chain + the conformal order statistic and the
+    * realized keep rates. */
+  lazy val qNbConformalOracle: String = {
+    val chain = qNbQualityOracle.stripSuffix("""
+SELECT doc_id, source, n_tokens, nb_score_r, nb_score_r > 0 AS pred_pos
+FROM r ORDER BY doc_id""")
+    chain + """,
+      |cal AS (SELECT nb_score_r FROM r
+      |  WHERE source IN ('src0','src1','src2') AND (doc_id // 20) % 5 = 4),
+      |nc AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_cal FROM cal),
+      |hh AS (SELECT nb_score_r AS sv, COUNT(*) AS cnt FROM cal GROUP BY 1),
+      |cc AS (SELECT sv, SUM(cnt) OVER (ORDER BY sv
+      |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ci FROM hh),
+      |th AS (SELECT MIN(sv) AS thr FROM cc, nc WHERE ci >= (n_cal + 1) // 5),
+      |f AS (
+      |  SELECT nc.n_cal, (nc.n_cal + 1) // 5 AS k_rank, th.thr AS thr_r,
+      |    CAST(SUM(CASE WHEN r.source IN ('src0','src1','src2')
+      |      AND (r.doc_id // 20) % 5 != 4 THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS n_eval_pos,
+      |    CAST(SUM(CASE WHEN r.source IN ('src0','src1','src2')
+      |      AND (r.doc_id // 20) % 5 != 4 AND r.nb_score_r >= th.thr
+      |      THEN 1 ELSE 0 END) AS BIGINT) AS pos_kept,
+      |    CAST(SUM(CASE WHEN r.source NOT IN ('src0','src1','src2')
+      |      THEN 1 ELSE 0 END) AS BIGINT) AS n_neg,
+      |    CAST(SUM(CASE WHEN r.source NOT IN ('src0','src1','src2')
+      |      AND r.nb_score_r >= th.thr THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS neg_kept
+      |  FROM r, nc, th GROUP BY 1, 2, 3)
+      |SELECT n_cal, k_rank, thr_r, n_eval_pos, pos_kept,
+      |  pos_kept * 1000000 // n_eval_pos AS pos_keep_ppm,
+      |  n_neg, neg_kept,
+      |  neg_kept * 1000000 // n_neg AS neg_keep_ppm,
+      |  pos_kept * 1000000 // n_eval_pos >= 800000 AS coverage_ok
+      |FROM f""".stripMargin
+  }
+
   val qNbQualityOracle: String =
     """WITH tok AS (
       |  SELECT doc_id, source, unnest(string_split(text, ' ')) AS tk
@@ -2017,6 +2111,7 @@ FROM r ORDER BY doc_id""")
     "text_nb_auc" -> (qNbAuc _),
     "text_nb_confusion" -> (qNbConfusion _),
     "text_nb_refresh" -> (qNbRefresh _),
+    "text_nb_conformal" -> (qNbConformal _),
     "text_gopher_rules" -> (qGopherRules _),
     "text_k_anonymity" -> (qKAnonymity _))
 
@@ -2056,6 +2151,7 @@ FROM r ORDER BY doc_id""")
     "text_nb_auc" -> qNbAucOracle,
     "text_nb_confusion" -> qNbConfusionOracle,
     "text_nb_refresh" -> qNbRefreshOracle,
+    "text_nb_conformal" -> qNbConformalOracle,
     "text_gopher_rules" -> qGopherRulesOracle,
     "text_k_anonymity" -> qKAnonymityOracle)
 }

@@ -2121,6 +2121,45 @@ class PipelineOpsSpec extends SparkSpec {
     assert(!out.contains("gone"), "a zero-count token must leave the vocabulary")
   }
 
+  test("conformal calibration: threshold is the exact k-th smallest calibration score; keep rates recompute; stored-model serving") {
+    val row = TextOps.qNbConformal(spark, sf).collect().head
+    // driver-side: the same scored relation the stored-NB twin emits
+    val scored = TextOps.qNbQualityStored(spark, sf).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("source"),
+        r.getAs[Double]("nb_score_r")))
+    val curated = Set("src0", "src1", "src2")
+    val cal = scored.filter { case (id, s, _) =>
+      curated(s) && (id / 20) % 5 == 4 }.map(_._3).sorted
+    val n = cal.length
+    val k = (n + 1) / 5
+    assert(k >= 1, "fixture must exercise a non-vacuous conformal rank")
+    assert(row.getAs[Long]("n_cal") === n.toLong)
+    assert(row.getAs[Long]("k_rank") === k.toLong)
+    val thr = cal(k - 1)
+    assert(row.getAs[Double]("thr_r") === thr)
+    // the defining property of the k-th order statistic under ties
+    assert(cal.count(_ < thr) <= k - 1 && cal.count(_ <= thr) >= k)
+    val evalPos = scored.filter { case (id, s, _) =>
+      curated(s) && (id / 20) % 5 != 4 }
+    val negs = scored.filter { case (_, s, _) => !curated(s) }
+    assert(row.getAs[Long]("n_eval_pos") === evalPos.length.toLong)
+    assert(row.getAs[Long]("pos_kept") === evalPos.count(_._3 >= thr).toLong)
+    assert(row.getAs[Long]("n_neg") === negs.length.toLong)
+    assert(row.getAs[Long]("neg_kept") === negs.count(_._3 >= thr).toLong)
+    assert(row.getAs[Long]("pos_keep_ppm") ===
+      evalPos.count(_._3 >= thr).toLong * 1000000L / evalPos.length)
+    // the calibrated gate must separate the classes, or it gates nothing
+    assert(row.getAs[Long]("pos_keep_ppm") > row.getAs[Long]("neg_keep_ppm"))
+    // plan: scoring rides the stored model artifact (train-once,
+    // serve-frozen); the quantile decomposition itself is covered by
+    // the global no-unpartitioned-window sweep
+    val p = TextOps.qNbConformal(spark, sf).queryExecution
+      .explainString(org.apache.spark.sql.execution.FormattedMode)
+    assert(p.contains("nb_quality_model"),
+      "scoring must ride the stored model artifact")
+    spark.catalog.clearCache()
+  }
+
   test("k-anonymity report equals a driver-side recompute; both gates partition; one-pass pruned aggregation") {
     val got = TextOps.qKAnonymity(spark, sf).collect()
       .map(r => (r.getString(0), r.getString(1), r.getLong(2),

@@ -633,6 +633,9 @@ class PlanAuditSpec extends SparkSpec {
       // ride the same documented 1-row broadcast pattern; the stored
       // twin replaces them with meta literals and is swept normally
       "text_nb_quality",
+      // r11: the conformal calibration's (n_cal, thr) 1-row broadcasts
+      // — the same documented category as q_ab_winsorized's (n, cap)
+      "text_nb_conformal",
       // r10: same gap-fill spine shape as q_ewma_daily — the 1-row
       // (mind, maxd) bounds aggregate broadcast-crossed into the
       // per-type day spine
