@@ -271,6 +271,7 @@ object Bench {
       graft.operators.TextOps.lmCuratedStored(spark, sfDir)
       graft.operators.TextOps.nbStored(spark, sfDir)
       graft.operators.TextOps.nbPrevModelStored(spark, sfDir)
+      graft.operators.TextOps.nbCalModelStored(spark, sfDir)
       graft.operators.DedupOps.qDedupDeltaClassify(spark, sfDir)
       "ok"
     } catch { case e: Throwable =>

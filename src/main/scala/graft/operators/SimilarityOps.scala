@@ -2380,17 +2380,7 @@ object SimilarityOps {
       .orderBy(col("cosine").desc, col("n_id"))
     val ivf = scored.withColumn("rank", row_number().over(wr))
       .filter(col("rank") <= 3).select(col("p"), col("q_id"), col("n_id"))
-    val wb = Window.partitionBy(col("q_id"))
-      .orderBy(col("cosine").desc, col("n_id"))
-    val bf = e.select(col("vec_id").as("n_id"), col("v").as("nv"),
-        col("nrm").as("nn"))
-      .join(broadcast(e.filter(col("vec_id") < NumQueries)
-        .select(col("vec_id").as("q_id"), col("v").as("qv"),
-          col("nrm").as("qn"))), col("q_id") =!= col("n_id"))
-      .withColumn("cosine",
-        DedupOps.dot(col("qv"), col("nv")) / (col("qn") * col("nn")))
-      .withColumn("rank", row_number().over(wb))
-      .filter(col("rank") <= 3).select(col("q_id"), col("n_id"))
+    val bf = bruteForceTopK(e, 3).select(col("q_id"), col("n_id"))
     val cands = scored.groupBy(col("p")).agg(count(lit(1)).as("n_candidates"))
     val hits = ivf.join(bf, Seq("q_id", "n_id"))
       .groupBy(col("p")).agg(count(lit(1)).as("n_hits"))
@@ -2453,6 +2443,29 @@ object SimilarityOps {
        |FROM cands c LEFT JOIN hits h ON h.p = c.p
        |ORDER BY nprobe""".stripMargin
 
+  /** Exact top-`k` truth relation (q_id, n_id, rank_bf): the
+    * broadcast query set scored against the full corpus — the shared
+    * brute-force verification-twin pass of the eval family
+    * ([[qSimIvfRecallCurve]]'s truth side and [[qSimRankEval]]'s,
+    * factored once so the tie-break and cosine expression can never
+    * drift between them). At 100 TB this runs over a sampled query
+    * audit, never as the serving path. */
+  private def bruteForceTopK(e: DataFrame, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wb = Window.partitionBy(col("q_id"))
+      .orderBy(col("cosine").desc, col("n_id"))
+    e.select(col("vec_id").as("n_id"), col("v").as("nv"),
+        col("nrm").as("nn"))
+      .join(broadcast(e.filter(col("vec_id") < NumQueries)
+        .select(col("vec_id").as("q_id"), col("v").as("qv"),
+          col("nrm").as("qn"))), col("q_id") =!= col("n_id"))
+      .withColumn("cosine",
+        DedupOps.dot(col("qv"), col("nv")) / (col("qn") * col("nn")))
+      .withColumn("rank_bf", row_number().over(wb))
+      .filter(col("rank_bf") <= k)
+      .select(col("q_id"), col("n_id"), col("rank_bf"))
+  }
+
   /** RANK-AWARE retrieval eval — MRR and nDCG@10 of the IVF serving
     * path (nprobe=2) against exact top-10 truth, completing the eval
     * family recall started ([[qSimIvfRecallCurve]],
@@ -2460,7 +2473,13 @@ object SimilarityOps {
     * WHETHER the truth set was retrieved; MRR/nDCG price WHERE in the
     * served list it landed, which is what a retrieval-augmented
     * training pipeline actually consumes (a hit at served rank 10 is
-    * nearly worthless to a reranker fed the top 3). Graded relevance
+    * nearly worthless to a reranker fed the top 3). Two reciprocal
+    * ranks are reported and they are NOT the same statistic: `mrr_r`
+    * is the standard MRR term — 1 / (served rank of the FIRST
+    * relevant item, relevance = membership in the truth top-10) —
+    * and `rr_true_r` is the stricter reciprocal served rank of the
+    * single TRUE nearest neighbor (0 when truth #1 is missed
+    * entirely), so mrr_r ≥ rr_true_r always. Graded relevance
     * is the standard linear gain rel = k+1 − truth_rank; the discount
     * is 1/log2(served_rank + 1) written as the SAME ln-ratio
     * expression in both engines (the `text_char_entropy` precedent);
@@ -2501,30 +2520,21 @@ object SimilarityOps {
       .withColumn("rank_ivf", row_number().over(wI))
       .filter(col("rank_ivf") <= EvalK)
       .select(col("q_id"), col("n_id"), col("rank_ivf"))
-    val wB = Window.partitionBy(col("q_id"))
-      .orderBy(col("cosine").desc, col("n_id"))
-    val bf = e.select(col("vec_id").as("n_id"), col("v").as("nv"),
-        col("nrm").as("nn"))
-      .join(broadcast(e.filter(col("vec_id") < NumQueries)
-        .select(col("vec_id").as("q_id"), col("v").as("qv"),
-          col("nrm").as("qn"))), col("q_id") =!= col("n_id"))
-      .withColumn("cosine",
-        DedupOps.dot(col("qv"), col("nv")) / (col("qn") * col("nn")))
-      .withColumn("rank_bf", row_number().over(wB))
-      .filter(col("rank_bf") <= EvalK)
-      .select(col("q_id"), col("n_id"), col("rank_bf"))
+    val bf = bruteForceTopK(e, EvalK)
     val perQ = ivf.join(bf, Seq("q_id", "n_id"))
       .groupBy(col("q_id")).agg(
         count(lit(1)).as("n_hits"),
         sum((lit(EvalK + 1) - col("rank_bf")).cast("double") /
           (log(col("rank_ivf") + lit(1.0)) / lit(Ln2))).as("dcg"),
+        min(col("rank_ivf")).as("first_hit"),
         max(when(col("rank_bf") === 1,
           lit(1.0) / col("rank_ivf"))).as("rr0"))
     e.filter(col("vec_id") < NumQueries).select(col("vec_id").as("q_id"))
       .join(perQ, Seq("q_id"), "left_outer")
       .select(col("q_id"),
         coalesce(col("n_hits"), lit(0L)).as("n_hits"),
-        round(coalesce(col("rr0"), lit(0.0)), 6).as("rr_r"),
+        round(coalesce(lit(1.0) / col("first_hit"), lit(0.0)), 6).as("mrr_r"),
+        round(coalesce(col("rr0"), lit(0.0)), 6).as("rr_true_r"),
         round(coalesce(col("dcg"), lit(0.0)), 6).as("dcg_r"),
         round(coalesce(col("dcg"), lit(0.0)) / lit(IdcgK), 6).as("ndcg_r"))
       .orderBy(col("q_id"))
@@ -2567,11 +2577,13 @@ object SimilarityOps {
        |  SELECT i.q_id, COUNT(*) AS n_hits,
        |    SUM(CAST(${EvalK + 1} - b.rank_bf AS DOUBLE) /
        |        (ln(i.rank_ivf + 1.0) / ln(2.0))) AS dcg,
+       |    MIN(i.rank_ivf) AS first_hit,
        |    MAX(CASE WHEN b.rank_bf = 1
        |        THEN CAST(1.0 AS DOUBLE) / i.rank_ivf END) AS rr0
        |  FROM ivf i JOIN bf b USING (q_id, n_id) GROUP BY 1)
        |SELECT s.q_id, CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits,
-       |  round(COALESCE(h.rr0, 0), 6) AS rr_r,
+       |  round(COALESCE(CAST(1.0 AS DOUBLE) / h.first_hit, 0), 6) AS mrr_r,
+       |  round(COALESCE(h.rr0, 0), 6) AS rr_true_r,
        |  round(COALESCE(h.dcg, 0), 6) AS dcg_r,
        |  round(COALESCE(h.dcg, 0) / $IdcgK, 6) AS ndcg_r
        |FROM (SELECT vec_id AS q_id FROM n WHERE vec_id < $NumQueries) s

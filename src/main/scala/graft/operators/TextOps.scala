@@ -1821,22 +1821,81 @@ FROM r ORDER BY doc_id""")
       |FROM cm""".stripMargin
   }
 
+  /** The calibration fold of the curated class — the key is
+    * (doc_id div 20) mod 5 because the synthetic corpus assigns
+    * source = doc_id mod 20, so a plain doc_id mod 5 fold would alias
+    * with the label itself. Shared by the model build and the
+    * calibration query so the exclusion can never drift. */
+  private def calFold: Column = expr("(doc_id DIV 20) % 5 = 4")
+
+  /** The FOLD-EXCLUDED NB model for conformal calibration — the same
+    * (tk, cp, cq) + five-scalar shape as [[nbStored]], trained on
+    * every document EXCEPT the calibration fold. Split conformal
+    * REQUIRES the score function to be fit on data disjoint from the
+    * calibration set: training through the fold would bias the
+    * calibration scores optimistic (their own tokens inflate cp),
+    * set the threshold too high, and silently void the coverage
+    * guarantee the query exists to provide. */
+  private[graft] def nbCalModelStored(spark: SparkSession, sfDir: String)
+      : (DataFrame, Array[Long]) = {
+    val trainPred = !(curatedPred && calFold)
+    val (dir, meta) = graft.Artifacts.getOrBuildMeta(
+        spark, sfDir, "nb_model_cal") { d =>
+      val model = docSourceTf(spark, sfDir).filter(trainPred)
+        .groupBy(col("tk")).agg(
+          sum(when(curatedPred, col("cnt")).otherwise(lit(0L))).as("cp"),
+          sum(when(curatedPred, lit(0L)).otherwise(col("cnt"))).as("cq"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        model.write.parquet(d)
+        val s = model.agg(sum(col("cp")), sum(col("cq")), count(lit(1))).head
+        val dcr = Tables.documents(spark, sfDir).filter(trainPred).agg(
+          sum(when(curatedPred, 1L).otherwise(0L)),
+          sum(when(curatedPred, 0L).otherwise(1L))).head
+        Seq(s.getLong(0), s.getLong(1), s.getLong(2),
+          dcr.getLong(0), dcr.getLong(1)).mkString(",")
+      } finally model.unpersist()
+    }
+    (spark.read.parquet(dir), meta.trim.split(",").map(_.toLong))
+  }
+
+  /** Every document scored against the fold-excluded model — the
+    * [[nbScoredDocs]] arithmetic with `nb_model_cal` in place of the
+    * all-docs model (a token the fold-excluded vocabulary never saw
+    * drops out of the inner join, i.e. unseen tokens contribute 0 —
+    * mirrored by the oracle's inner JOIN USING (tk)). Factored so the
+    * spec can audit the same relation the query calibrates on. */
+  private[graft] def nbCalScoredDocs(spark: SparkSession, sfDir: String): DataFrame = {
+    val (model, m) = nbCalModelStored(spark, sfDir)
+    val Array(np, nq, v, dp, dq) = m
+    val prior = math.log(dp.toDouble) - math.log(dq.toDouble)
+    val kk = math.log((np + v).toDouble) - math.log((nq + v).toDouble)
+    docSourceTf(spark, sfDir)
+      .join(model, "tk")
+      .groupBy(col("doc_id"), col("source"))
+      .agg(sum(col("cnt")).as("n_tokens"),
+        sum(col("cnt") * (log(col("cp") + 1) - log(col("cq") + 1))).as("a"))
+      .select(col("doc_id"), col("source"),
+        round(lit(prior) + col("a") -
+          col("n_tokens").cast(DoubleType) * lit(kk), 6).as("nb_score_r"))
+  }
+
   /** SPLIT-CONFORMAL calibration of the NB keep-gate (Papadopoulos et
     * al. 2002; Angelopoulos & Bates 2023 for the modern recipe) — the
     * missing piece of the classifier lifecycle (train → eval
     * AUC/confusion → refresh → serve → CALIBRATE): pick the keep
     * threshold with a finite-sample guarantee instead of the
     * LR-threshold folklore [[qNbConfusion]] prices. A held-out fifth
-    * of the CURATED docs is the calibration set — the fold key is
-    * (doc_id div 20) mod 5 because the synthetic corpus assigns
-    * source = doc_id mod 20, so a plain doc_id mod 5 fold would alias
-    * with the label itself. The threshold is the k-th smallest
-    * calibration score with k = ⌊α(n_cal+1)⌋ at α = 0.2: for an
-    * exchangeable new curated doc, P(score ≥ thr) ≥ 1−α — the "keep
-    * ≥80% of good docs" contract a production filter actually signs.
-    * The row reports the threshold, the REALIZED keep rate on the
-    * held-in positives, and the negative keep rate (the gate's
-    * efficiency), all integer ppm.
+    * of the CURATED docs is the calibration set ([[calFold]]), the
+    * score function is the NB model trained WITHOUT that fold
+    * ([[nbCalModelStored]] — disjointness is what makes the math
+    * hold), and the threshold is the k-th smallest calibration score
+    * with k = ⌊α(n_cal+1)⌋ at α = 0.2: for an exchangeable new
+    * curated doc, P(score ≥ thr) ≥ 1−α — the "keep ≥80% of good
+    * docs" contract a production filter actually signs. The row
+    * reports the threshold, the REALIZED keep rate on the held-in
+    * positives, and the negative keep rate (the gate's efficiency),
+    * all integer ppm.
     *
     * The order statistic is EXACT and decomposed: calibration-score
     * histogram → [[SamplingOps.withGlobalCumSum]] range-sharded
@@ -1844,13 +1903,12 @@ FROM r ORDER BY doc_id""")
     * `q_ab_winsorized` p99 discipline — never an unpartitioned window
     * over a near-cardinality histogram, and never a driver-side sort:
     * at 100 TB the calibration set is millions of rows). Scoring
-    * rides the STORED model ([[nbScoredDocs]] — artifact scan + meta
+    * rides the STORED fold-excluded model (artifact scan + meta
     * literals); the 1-row (n_cal, thr) broadcasts are the documented
     * `allowNested` category. */
   def qNbConformal(spark: SparkSession, sfDir: String): DataFrame = {
-    val scored = nbScoredDocs(spark, sfDir)
+    val scored = nbCalScoredDocs(spark, sfDir)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val calFold = expr("(doc_id DIV 20) % 5 = 4")
     val cal = scored.filter(curatedPred && calFold).select(col("nb_score_r"))
     val nc = cal.agg(count(lit(1)).as("n_cal"))
     val hist = cal.groupBy(col("nb_score_r")).agg(count(lit(1)).as("cnt"))
@@ -1879,13 +1937,45 @@ FROM r ORDER BY doc_id""")
     DedupOps.unpersistAfterFirstAction(out, scored, sharded)
   }
 
-  /** Shared NB scoring chain + the conformal order statistic and the
-    * realized keep rates. */
-  lazy val qNbConformalOracle: String = {
-    val chain = qNbQualityOracle.stripSuffix("""
-SELECT doc_id, source, n_tokens, nb_score_r, nb_score_r > 0 AS pred_pos
-FROM r ORDER BY doc_id""")
-    chain + """,
+  /** The NB scoring chain REBUILT over the fold-excluded training
+    * slice (model, scalars, and doc priors all exclude the
+    * calibration fold — the disjointness split conformal requires),
+    * then the conformal order statistic and the realized keep rates. */
+  val qNbConformalOracle: String =
+    """WITH tok AS (
+      |  SELECT doc_id, source, unnest(string_split(text, ' ')) AS tk
+      |  FROM documents),
+      |dtf AS (
+      |  SELECT doc_id, source, tk, COUNT(*) AS cnt FROM tok GROUP BY 1, 2, 3),
+      |tr AS (SELECT * FROM dtf WHERE NOT
+      |  (source IN ('src0','src1','src2') AND (doc_id // 20) % 5 = 4)),
+      |model AS (
+      |  SELECT tk,
+      |    SUM(CASE WHEN source IN ('src0','src1','src2') THEN cnt ELSE 0 END)
+      |      AS cp,
+      |    SUM(CASE WHEN source IN ('src0','src1','src2') THEN 0 ELSE cnt END)
+      |      AS cq
+      |  FROM tr GROUP BY 1),
+      |sc AS (
+      |  SELECT CAST(SUM(cp) AS DOUBLE) AS np, CAST(SUM(cq) AS DOUBLE) AS nq,
+      |    CAST(COUNT(*) AS DOUBLE) AS v FROM model),
+      |dc AS (
+      |  SELECT
+      |    CAST(SUM(CASE WHEN source IN ('src0','src1','src2') THEN 1 ELSE 0 END)
+      |      AS DOUBLE) AS dp,
+      |    CAST(SUM(CASE WHEN source IN ('src0','src1','src2') THEN 0 ELSE 1 END)
+      |      AS DOUBLE) AS dq
+      |  FROM documents WHERE NOT
+      |    (source IN ('src0','src1','src2') AND (doc_id // 20) % 5 = 4)),
+      |s AS (
+      |  SELECT doc_id, source, CAST(SUM(cnt) AS BIGINT) AS n_tokens,
+      |    SUM(cnt * (ln(cp + 1) - ln(cq + 1))) AS a
+      |  FROM dtf JOIN model USING (tk) GROUP BY 1, 2),
+      |r AS (
+      |  SELECT doc_id, source,
+      |    round(ln(dc.dp) - ln(dc.dq) + a -
+      |      n_tokens * (ln(sc.np + sc.v) - ln(sc.nq + sc.v)), 6) AS nb_score_r
+      |  FROM s, sc, dc),
       |cal AS (SELECT nb_score_r FROM r
       |  WHERE source IN ('src0','src1','src2') AND (doc_id // 20) % 5 = 4),
       |nc AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_cal FROM cal),
@@ -1913,7 +2003,6 @@ FROM r ORDER BY doc_id""")
       |  neg_kept * 1000000 // n_neg AS neg_keep_ppm,
       |  pos_kept * 1000000 // n_eval_pos >= 800000 AS coverage_ok
       |FROM f""".stripMargin
-  }
 
   val qNbQualityOracle: String =
     """WITH tok AS (

@@ -2121,13 +2121,25 @@ class PipelineOpsSpec extends SparkSpec {
     assert(!out.contains("gone"), "a zero-count token must leave the vocabulary")
   }
 
-  test("conformal calibration: threshold is the exact k-th smallest calibration score; keep rates recompute; stored-model serving") {
+  test("conformal calibration: threshold is the exact k-th smallest calibration score; keep rates recompute; fold-excluded model") {
     val row = TextOps.qNbConformal(spark, sf).collect().head
-    // driver-side: the same scored relation the stored-NB twin emits
-    val scored = TextOps.qNbQualityStored(spark, sf).collect()
+    // the relation the query itself calibrates on — the spec's job is
+    // the quantile decomposition (driver sort vs sharded prefix sum),
+    // the integer skeleton, and the fold-exclusion guards; value-level
+    // parity is the DuckDB oracle's (which rebuilds from raw text)
+    val scored = TextOps.nbCalScoredDocs(spark, sf).collect()
       .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("source"),
         r.getAs[Double]("nb_score_r")))
     val curated = Set("src0", "src1", "src2")
+    // integer skeleton independently from the raw table: fold sizes
+    // depend only on (doc_id, source), not on any scoring
+    val raw = Tables.documents(spark, sf).select("doc_id", "source").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    assert(row.getAs[Long]("n_cal") ===
+      raw.count { case (id, s) => curated(s) && (id / 20) % 5 == 4 }.toLong)
+    assert(row.getAs[Long]("n_eval_pos") ===
+      raw.count { case (id, s) => curated(s) && (id / 20) % 5 != 4 }.toLong)
+    assert(row.getAs[Long]("n_neg") === raw.count(t => !curated(t._2)).toLong)
     val cal = scored.filter { case (id, s, _) =>
       curated(s) && (id / 20) % 5 == 4 }.map(_._3).sorted
     val n = cal.length
@@ -2150,13 +2162,24 @@ class PipelineOpsSpec extends SparkSpec {
       evalPos.count(_._3 >= thr).toLong * 1000000L / evalPos.length)
     // the calibrated gate must separate the classes, or it gates nothing
     assert(row.getAs[Long]("pos_keep_ppm") > row.getAs[Long]("neg_keep_ppm"))
-    // plan: scoring rides the stored model artifact (train-once,
-    // serve-frozen); the quantile decomposition itself is covered by
-    // the global no-unpartitioned-window sweep
+    // leakage guard: the calibration model must genuinely exclude the
+    // fold — split conformal is void if the score function trained
+    // through its own calibration set. Positive token mass and the
+    // curated doc prior must both be strictly below the all-docs model's.
+    val fullMeta = TextOps.nbStored(spark, sf)._2
+    val calMeta = TextOps.nbCalModelStored(spark, sf)._2
+    assert(calMeta(0) < fullMeta(0),
+      "fold-excluded model must drop positive-class token mass")
+    assert(calMeta(3) < fullMeta(3),
+      "fold-excluded doc prior must drop the calibration docs")
+    // plan: scoring rides the FOLD-EXCLUDED stored model artifact
+    // (train-once-without-fold, serve-frozen); the quantile
+    // decomposition itself is covered by the global
+    // no-unpartitioned-window sweep
     val p = TextOps.qNbConformal(spark, sf).queryExecution
       .explainString(org.apache.spark.sql.execution.FormattedMode)
-    assert(p.contains("nb_quality_model"),
-      "scoring must ride the stored model artifact")
+    assert(p.contains("nb_model_cal"),
+      "scoring must ride the fold-excluded stored model artifact")
     spark.catalog.clearCache()
   }
 
@@ -2192,7 +2215,7 @@ class PipelineOpsSpec extends SparkSpec {
   test("rank-aware eval equals a driver-side recompute; metric laws hold; candidate join stays on the cell key") {
     val got = SimilarityOps.qSimRankEval(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
-        r.getDouble(3), r.getDouble(4))).toSeq.sortBy(_._1)
+        r.getDouble(3), r.getDouble(4), r.getDouble(5))).toSeq.sortBy(_._1)
     // driver-side recompute: same index-order dots, same tie-breaks,
     // same ln-ratio discount (the IVF recall-curve recompute pattern)
     val vecs = Tables.embeddings(spark, sf)
@@ -2221,24 +2244,34 @@ class PipelineOpsSpec extends SparkSpec {
       val hits = served.zipWithIndex.collect {
         case (n, i) if bfRank.contains(n) => (i + 1, bfRank(n)) }
       val dcg = hits.map { case (ri, rb) => (11.0 - rb) / (math.log(ri + 1.0) / ln2) }.sum
+      // standard MRR term: first served RELEVANT item (hits are in
+      // served-rank order, so the head is the minimum served rank)
+      val mrr = hits.headOption.map { case (ri, _) => 1.0 / ri }.getOrElse(0.0)
+      // stricter: the TRUE nearest neighbor's served reciprocal rank
       val rr = hits.collectFirst { case (ri, 1) => 1.0 / ri }.getOrElse(0.0)
-      (q, hits.length.toLong, rr, dcg, dcg / idcg)
+      (q, hits.length.toLong, mrr, rr, dcg, dcg / idcg)
     }.toSeq
     assert(got.map(_._1) === want.map(_._1))
-    got.zip(want).foreach { case ((_, nh, rr, dcg, ndcg), (_, wnh, wrr, wdcg, wndcg)) =>
-      assert(nh === wnh)
-      assert(math.abs(rr - wrr) < 1e-6)
-      assert(math.abs(dcg - wdcg) < 1e-6)
-      assert(math.abs(ndcg - wndcg) < 1e-6)
+    got.zip(want).foreach {
+      case ((_, nh, mrr, rr, dcg, ndcg), (_, wnh, wmrr, wrr, wdcg, wndcg)) =>
+        assert(nh === wnh)
+        assert(math.abs(mrr - wmrr) < 1e-6)
+        assert(math.abs(rr - wrr) < 1e-6)
+        assert(math.abs(dcg - wdcg) < 1e-6)
+        assert(math.abs(ndcg - wndcg) < 1e-6)
     }
-    // metric laws: hits bounded by k, ndcg in [0,1], rr in {0} U [1/k, 1],
-    // and the eval must not be saturated (some query pays a rank penalty)
-    got.foreach { case (_, nh, rr, _, ndcg) =>
+    // metric laws: hits bounded by k, ndcg in [0,1], both reciprocal
+    // ranks in {0} U [1/k, 1], MRR dominates the true-NN RR (the first
+    // relevant served rank is <= the true-NN's served rank), and the
+    // eval must not be saturated (some query pays a rank penalty)
+    got.foreach { case (_, nh, mrr, rr, _, ndcg) =>
       assert(nh >= 0L && nh <= 10L)
       assert(ndcg >= 0.0 && ndcg <= 1.0 + 1e-9)
+      assert(mrr == 0.0 || (mrr >= 0.1 - 1e-9 && mrr <= 1.0 + 1e-9))
       assert(rr == 0.0 || (rr >= 0.1 - 1e-9 && rr <= 1.0 + 1e-9))
+      assert(mrr >= rr - 1e-9, "MRR must dominate the true-NN reciprocal rank")
     }
-    assert(got.exists(_._5 < 1.0 - 1e-9), "eval saturated: nprobe=2 found every truth row at its exact rank")
+    assert(got.exists(_._6 < 1.0 - 1e-9), "eval saturated: nprobe=2 found every truth row at its exact rank")
     // plan: no cartesian anywhere; the only non-equi joins are the two
     // documented quantizer crosses and the brute-force truth twin
     val p = SimilarityOps.qSimRankEval(spark, sf).queryExecution

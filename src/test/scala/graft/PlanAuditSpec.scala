@@ -673,10 +673,14 @@ class PlanAuditSpec extends SparkSpec {
     val stale = allowNested.toSeq.sorted.flatMap { name =>
       sweptPlans.find(_._1 == name) match {
         case None => Some(s"$name (not a registered query)")
+        // a member that cannot even be constructed must fail HERE —
+        // the offenders check above filters allowNested out, so
+        // without this branch a broken member would pass the sweep
+        case Some((_, p, _)) if p.startsWith("BUILD FAILED") =>
+          Some(s"$name (${p.take(120)})")
         case Some((_, p, _))
           if !p.contains("CartesianProduct") &&
-             !p.contains("BroadcastNestedLoopJoin") &&
-             !p.startsWith("BUILD FAILED") => Some(name)
+             !p.contains("BroadcastNestedLoopJoin") => Some(name)
         case _ => None
       }
     }
