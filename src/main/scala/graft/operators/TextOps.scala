@@ -1867,14 +1867,35 @@ FROM r ORDER BY doc_id""")
     * spec can audit the same relation the query calibrates on. */
   private[graft] def nbCalScoredDocs(spark: SparkSession, sfDir: String): DataFrame = {
     val (model, m) = nbCalModelStored(spark, sfDir)
+    nbScoreAgainst(docSourceTf(spark, sfDir), model, m)
+  }
+
+  /** Score a (doc_id, source, tk, cnt) relation against a frozen NB
+    * model whose vocabulary may NOT cover every token — the fold-
+    * excluded calibration case. The model join is LEFT OUTER with the
+    * unseen tokens contributing 0 to BOTH the log-ratio sum and the
+    * in-vocabulary token count: an inner join here would silently
+    * DROP any document all of whose tokens are out-of-vocabulary
+    * (at 100 TB: a short doc in a domain concentrated in the
+    * calibration fold — exactly the lowest-scoring docs), shrinking
+    * the calibration set and biasing the conformal threshold high.
+    * A fully-OOV document survives with score = the class prior,
+    * which is what "no token evidence" means for NB. Factored so the
+    * OOV edge — unreachable on the shared-vocabulary corpus — is
+    * unit-tested against a synthetic fixture. */
+  private[graft] def nbScoreAgainst(dtf: DataFrame, model: DataFrame,
+      m: Array[Long]): DataFrame = {
     val Array(np, nq, v, dp, dq) = m
     val prior = math.log(dp.toDouble) - math.log(dq.toDouble)
     val kk = math.log((np + v).toDouble) - math.log((nq + v).toDouble)
-    docSourceTf(spark, sfDir)
-      .join(model, "tk")
+    dtf.join(model, Seq("tk"), "left_outer")
       .groupBy(col("doc_id"), col("source"))
-      .agg(sum(col("cnt")).as("n_tokens"),
-        sum(col("cnt") * (log(col("cp") + 1) - log(col("cq") + 1))).as("a"))
+      .agg(
+        sum(when(col("cp").isNotNull, col("cnt")).otherwise(lit(0L)))
+          .as("n_tokens"),
+        sum(when(col("cp").isNotNull,
+          col("cnt") * (log(col("cp") + 1) - log(col("cq") + 1)))
+          .otherwise(lit(0.0))).as("a"))
       .select(col("doc_id"), col("source"),
         round(lit(prior) + col("a") -
           col("n_tokens").cast(DoubleType) * lit(kk), 6).as("nb_score_r"))
@@ -1941,68 +1962,71 @@ FROM r ORDER BY doc_id""")
     * slice (model, scalars, and doc priors all exclude the
     * calibration fold — the disjointness split conformal requires),
     * then the conformal order statistic and the realized keep rates. */
-  val qNbConformalOracle: String =
-    """WITH tok AS (
-      |  SELECT doc_id, source, unnest(string_split(text, ' ')) AS tk
-      |  FROM documents),
-      |dtf AS (
-      |  SELECT doc_id, source, tk, COUNT(*) AS cnt FROM tok GROUP BY 1, 2, 3),
-      |tr AS (SELECT * FROM dtf WHERE NOT
-      |  (source IN ('src0','src1','src2') AND (doc_id // 20) % 5 = 4)),
-      |model AS (
-      |  SELECT tk,
-      |    SUM(CASE WHEN source IN ('src0','src1','src2') THEN cnt ELSE 0 END)
-      |      AS cp,
-      |    SUM(CASE WHEN source IN ('src0','src1','src2') THEN 0 ELSE cnt END)
-      |      AS cq
-      |  FROM tr GROUP BY 1),
-      |sc AS (
-      |  SELECT CAST(SUM(cp) AS DOUBLE) AS np, CAST(SUM(cq) AS DOUBLE) AS nq,
-      |    CAST(COUNT(*) AS DOUBLE) AS v FROM model),
-      |dc AS (
-      |  SELECT
-      |    CAST(SUM(CASE WHEN source IN ('src0','src1','src2') THEN 1 ELSE 0 END)
-      |      AS DOUBLE) AS dp,
-      |    CAST(SUM(CASE WHEN source IN ('src0','src1','src2') THEN 0 ELSE 1 END)
-      |      AS DOUBLE) AS dq
-      |  FROM documents WHERE NOT
-      |    (source IN ('src0','src1','src2') AND (doc_id // 20) % 5 = 4)),
-      |s AS (
-      |  SELECT doc_id, source, CAST(SUM(cnt) AS BIGINT) AS n_tokens,
-      |    SUM(cnt * (ln(cp + 1) - ln(cq + 1))) AS a
-      |  FROM dtf JOIN model USING (tk) GROUP BY 1, 2),
-      |r AS (
-      |  SELECT doc_id, source,
-      |    round(ln(dc.dp) - ln(dc.dq) + a -
-      |      n_tokens * (ln(sc.np + sc.v) - ln(sc.nq + sc.v)), 6) AS nb_score_r
-      |  FROM s, sc, dc),
-      |cal AS (SELECT nb_score_r FROM r
-      |  WHERE source IN ('src0','src1','src2') AND (doc_id // 20) % 5 = 4),
-      |nc AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_cal FROM cal),
-      |hh AS (SELECT nb_score_r AS sv, COUNT(*) AS cnt FROM cal GROUP BY 1),
-      |cc AS (SELECT sv, SUM(cnt) OVER (ORDER BY sv
-      |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ci FROM hh),
-      |th AS (SELECT MIN(sv) AS thr FROM cc, nc WHERE ci >= (n_cal + 1) // 5),
-      |f AS (
-      |  SELECT nc.n_cal, (nc.n_cal + 1) // 5 AS k_rank, th.thr AS thr_r,
-      |    CAST(SUM(CASE WHEN r.source IN ('src0','src1','src2')
-      |      AND (r.doc_id // 20) % 5 != 4 THEN 1 ELSE 0 END) AS BIGINT)
-      |      AS n_eval_pos,
-      |    CAST(SUM(CASE WHEN r.source IN ('src0','src1','src2')
-      |      AND (r.doc_id // 20) % 5 != 4 AND r.nb_score_r >= th.thr
-      |      THEN 1 ELSE 0 END) AS BIGINT) AS pos_kept,
-      |    CAST(SUM(CASE WHEN r.source NOT IN ('src0','src1','src2')
-      |      THEN 1 ELSE 0 END) AS BIGINT) AS n_neg,
-      |    CAST(SUM(CASE WHEN r.source NOT IN ('src0','src1','src2')
-      |      AND r.nb_score_r >= th.thr THEN 1 ELSE 0 END) AS BIGINT)
-      |      AS neg_kept
-      |  FROM r, nc, th GROUP BY 1, 2, 3)
-      |SELECT n_cal, k_rank, thr_r, n_eval_pos, pos_kept,
-      |  pos_kept * 1000000 // n_eval_pos AS pos_keep_ppm,
-      |  n_neg, neg_kept,
-      |  neg_kept * 1000000 // n_neg AS neg_keep_ppm,
-      |  pos_kept * 1000000 // n_eval_pos >= 800000 AS coverage_ok
-      |FROM f""".stripMargin
+  /** The curated-class and calibration-fold predicates as SQL, built
+    * from the SAME Scala constants the Spark side uses
+    * ([[curatedSources]], [[calFold]]'s key) so the oracle's four
+    * uses cannot drift from the plan's. */
+  private val CuratedSql: String =
+    curatedSources.map("'" + _ + "'").mkString("source IN (", ",", ")")
+  private val CalFoldSql: String = "(doc_id // 20) % 5 = 4"
+
+  lazy val qNbConformalOracle: String =
+    s"""WITH tok AS (
+       |  SELECT doc_id, source, unnest(string_split(text, ' ')) AS tk
+       |  FROM documents),
+       |dtf AS (
+       |  SELECT doc_id, source, tk, COUNT(*) AS cnt FROM tok GROUP BY 1, 2, 3),
+       |tr AS (SELECT * FROM dtf WHERE NOT ($CuratedSql AND $CalFoldSql)),
+       |model AS (
+       |  SELECT tk,
+       |    SUM(CASE WHEN $CuratedSql THEN cnt ELSE 0 END) AS cp,
+       |    SUM(CASE WHEN $CuratedSql THEN 0 ELSE cnt END) AS cq
+       |  FROM tr GROUP BY 1),
+       |sc AS (
+       |  SELECT CAST(SUM(cp) AS DOUBLE) AS np, CAST(SUM(cq) AS DOUBLE) AS nq,
+       |    CAST(COUNT(*) AS DOUBLE) AS v FROM model),
+       |dc AS (
+       |  SELECT
+       |    CAST(SUM(CASE WHEN $CuratedSql THEN 1 ELSE 0 END) AS DOUBLE) AS dp,
+       |    CAST(SUM(CASE WHEN $CuratedSql THEN 0 ELSE 1 END) AS DOUBLE) AS dq
+       |  FROM documents WHERE NOT ($CuratedSql AND $CalFoldSql)),
+       |s AS (
+       |  SELECT doc_id, source,
+       |    CAST(SUM(CASE WHEN cp IS NOT NULL THEN cnt ELSE 0 END) AS BIGINT)
+       |      AS n_tokens,
+       |    SUM(CASE WHEN cp IS NOT NULL
+       |        THEN cnt * (ln(cp + 1) - ln(cq + 1)) ELSE 0 END) AS a
+       |  FROM dtf LEFT JOIN model USING (tk) GROUP BY 1, 2),
+       |r AS (
+       |  SELECT doc_id, source,
+       |    round(ln(dc.dp) - ln(dc.dq) + a -
+       |      n_tokens * (ln(sc.np + sc.v) - ln(sc.nq + sc.v)), 6) AS nb_score_r
+       |  FROM s, sc, dc),
+       |cal AS (SELECT nb_score_r FROM r WHERE $CuratedSql AND $CalFoldSql),
+       |nc AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_cal FROM cal),
+       |hh AS (SELECT nb_score_r AS sv, COUNT(*) AS cnt FROM cal GROUP BY 1),
+       |cc AS (SELECT sv, SUM(cnt) OVER (ORDER BY sv
+       |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ci FROM hh),
+       |th AS (SELECT MIN(sv) AS thr FROM cc, nc WHERE ci >= (n_cal + 1) // 5),
+       |f AS (
+       |  SELECT nc.n_cal, (nc.n_cal + 1) // 5 AS k_rank, th.thr AS thr_r,
+       |    CAST(SUM(CASE WHEN $CuratedSql AND NOT $CalFoldSql
+       |      THEN 1 ELSE 0 END) AS BIGINT) AS n_eval_pos,
+       |    CAST(SUM(CASE WHEN $CuratedSql AND NOT $CalFoldSql
+       |      AND r.nb_score_r >= th.thr
+       |      THEN 1 ELSE 0 END) AS BIGINT) AS pos_kept,
+       |    CAST(SUM(CASE WHEN NOT $CuratedSql
+       |      THEN 1 ELSE 0 END) AS BIGINT) AS n_neg,
+       |    CAST(SUM(CASE WHEN NOT $CuratedSql
+       |      AND r.nb_score_r >= th.thr THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS neg_kept
+       |  FROM r, nc, th GROUP BY 1, 2, 3)
+       |SELECT n_cal, k_rank, thr_r, n_eval_pos, pos_kept,
+       |  pos_kept * 1000000 // n_eval_pos AS pos_keep_ppm,
+       |  n_neg, neg_kept,
+       |  neg_kept * 1000000 // n_neg AS neg_keep_ppm,
+       |  pos_kept * 1000000 // n_eval_pos >= 800000 AS coverage_ok
+       |FROM f""".stripMargin
 
   val qNbQualityOracle: String =
     """WITH tok AS (

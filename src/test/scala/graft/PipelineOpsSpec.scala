@@ -2162,16 +2162,29 @@ class PipelineOpsSpec extends SparkSpec {
       evalPos.count(_._3 >= thr).toLong * 1000000L / evalPos.length)
     // the calibrated gate must separate the classes, or it gates nothing
     assert(row.getAs[Long]("pos_keep_ppm") > row.getAs[Long]("neg_keep_ppm"))
-    // leakage guard: the calibration model must genuinely exclude the
-    // fold — split conformal is void if the score function trained
-    // through its own calibration set. Positive token mass and the
-    // curated doc prior must both be strictly below the all-docs model's.
+    // every document survives scoring: the left-outer model join keeps
+    // a doc even when its whole text is OOV to the fold-excluded
+    // vocabulary (an inner join would silently shrink the calibration
+    // set with exactly the lowest-evidence docs)
+    assert(scored.length === raw.length,
+      "scoring dropped documents — the model join must be left-outer")
+    // BINDING leakage guard: the mass the calibration model lacks must
+    // equal EXACTLY the calibration fold's mass — a strict-inequality
+    // check would also pass if the wrong slice were excluded. The
+    // fold's token count is recomputed from raw text; the negative
+    // side must be untouched.
     val fullMeta = TextOps.nbStored(spark, sf)._2
     val calMeta = TextOps.nbCalModelStored(spark, sf)._2
-    assert(calMeta(0) < fullMeta(0),
-      "fold-excluded model must drop positive-class token mass")
-    assert(calMeta(3) < fullMeta(3),
-      "fold-excluded doc prior must drop the calibration docs")
+    val foldTokens = Tables.documents(spark, sf)
+      .select("doc_id", "source", "text").collect()
+      .filter(r => curated(r.getString(1)) && (r.getLong(0) / 20) % 5 == 4)
+      .map(_.getString(2).split(" ", -1).length.toLong).sum
+    assert(fullMeta(0) - calMeta(0) === foldTokens,
+      "excluded positive token mass must equal the calibration fold's")
+    assert(fullMeta(3) - calMeta(3) === row.getAs[Long]("n_cal"),
+      "excluded doc prior must equal the calibration fold size")
+    assert(calMeta(1) === fullMeta(1) && calMeta(4) === fullMeta(4),
+      "the negative class must be untouched by the fold exclusion")
     // plan: scoring rides the FOLD-EXCLUDED stored model artifact
     // (train-once-without-fold, serve-frozen); the quantile
     // decomposition itself is covered by the global
@@ -2181,6 +2194,32 @@ class PipelineOpsSpec extends SparkSpec {
     assert(p.contains("nb_model_cal"),
       "scoring must ride the fold-excluded stored model artifact")
     spark.catalog.clearCache()
+  }
+
+  test("NB scoring against a partial vocabulary: fully-OOV docs survive with score = prior") {
+    import spark.implicits._
+    // synthetic fixture for the edge the shared-vocabulary corpus can
+    // never hit: a doc whose every token is absent from the model
+    val dtf = Seq(
+      (1L, "src0", "seen", 2L),     // in-vocab evidence
+      (2L, "src9", "ghost", 3L),    // fully OOV -> must survive
+      (3L, "src9", "seen", 1L),     // mixed doc
+      (3L, "src9", "phantom", 4L))
+      .toDF("doc_id", "source", "tk", "cnt")
+    val model = Seq(("seen", 6L, 2L)).toDF("tk", "cp", "cq")
+    val m = Array(6L, 2L, 1L, 3L, 5L) // np, nq, v, dp, dq
+    val got = TextOps.nbScoreAgainst(dtf, model, m).collect()
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    val prior = math.log(3.0) - math.log(5.0)
+    val kk = math.log(7.0) - math.log(3.0)
+    val lr = math.log(7.0) - math.log(3.0)
+    def r6(d: Double) = BigDecimal(d)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got.keySet === Set(1L, 2L, 3L), "the fully-OOV doc must survive")
+    assert(got(2L) === r6(prior), "no token evidence must score the prior")
+    assert(got(1L) === r6(prior + 2.0 * lr - 2.0 * kk))
+    // the mixed doc counts ONLY its in-vocab token toward n_tokens
+    assert(got(3L) === r6(prior + 1.0 * lr - 1.0 * kk))
   }
 
   test("k-anonymity report equals a driver-side recompute; both gates partition; one-pass pruned aggregation") {
