@@ -3,14 +3,14 @@ import org.apache.spark.sql.SparkSession
 
 /** Benchmark main. Prints ONE JSON line with per-query seconds.
   *
-  * r8: the suite runs in CHUNKS OF ~16 QUERIES, EACH IN A FRESH CHILD
-  * JVM. r6/r7 both shipped artifacts whose per-query numbers were
-  * inflated up to 2.6x vs isolated runs: a 128-query single-JVM pass
-  * accumulates heap/codegen-cache/GC pressure that min-of-2 + per-query
-  * GC cannot undo (the r7 verdict's `sim_pagerank` 11.24 s committed vs
-  * 4.28 s isolated). Forking a fresh JVM per small chunk bounds the
-  * cross-query pollution to ~15 neighbors and makes the committed
-  * artifact match isolated spot-checks.
+  * r8: the suite runs in CHUNKS (16 queries r8-r11, 32 since r12 —
+  * see below), EACH IN A FRESH CHILD JVM. r6/r7 both shipped artifacts
+  * whose per-query numbers were inflated up to 2.6x vs isolated runs:
+  * a 128-query single-JVM pass accumulates heap/codegen-cache/GC
+  * pressure that min-of-2 + per-query GC cannot undo (the r7 verdict's
+  * `sim_pagerank` 11.24 s committed vs 4.28 s isolated). Forking a
+  * fresh JVM per bounded chunk caps the cross-query pollution and
+  * makes the committed artifact match isolated spot-checks.
   *
   * r11 — the measurement channel itself is now failure-soft (the r10
   * driver bench was SIGTERM'd at its wall-clock limit and emitted
@@ -24,16 +24,40 @@ import org.apache.spark.sql.SparkSession
   *     (flagged `"partial":true` until complete) and prints a compact
   *     running-totals line. A shutdown hook re-emits the partial
   *     artifact on SIGTERM. A timeout can no longer produce nothing.
-  *  2. ADAPTIVE EXECUTIONS. A query whose warmup pass lands under
-  *     ~1 s is measured min-of-1 (its noise is irrelevant to the
-  *     total); warmup+min-of-2 is reserved for the queries where a
-  *     single unlucky GC pause would actually distort the artifact.
-  *  3. WALL-CLOCK BUDGET. `SPARK_GRAFT_BUDGET` (seconds; default 1500)
+  *  2. WALL-CLOCK BUDGET. `SPARK_GRAFT_BUDGET` (seconds; default 1500)
   *     degrades gracefully as the deadline nears: isolated reps 2 -> 1,
-  *     then fewer isolated queries, then none, then min-of-1 for
-  *     everything (children get SPARK_GRAFT_FAST). The artifact records
-  *     budget, elapsed, and any unmeasured names, so a degraded run is
-  *     self-describing rather than silently absent.
+  *     then fewer isolated queries, then none, then single-execution
+  *     for everything (children get SPARK_GRAFT_FAST). The artifact
+  *     records budget, elapsed, and any unmeasured names, so a degraded
+  *     run is self-describing rather than silently absent.
+  *
+  * r12 — the r11 run landed at 1442 of 1500 s and the budget squeeze
+  * had shed the isolated control series down to ONE query; the fixed
+  * costs are bought back so the control series fits again (the r11
+  * verdict's #1):
+  *
+  *  1. TWO EXECUTIONS PER QUERY, PRICE = MIN. The first run doubles as
+  *     the warmup (it pays codegen/catalog first-touch; the min
+  *     discards it), replacing r11's warmup-pass + adaptive
+  *     min-of-1/2 — which cost 2 executions for sub-second queries and
+  *     3 for everything over ~1 s. Prices remain WARM-run prices
+  *     (min picks the non-cold pass), so per-query round-over-round
+  *     comparability is preserved while the ~100 third executions
+  *     (~150-220 s) disappear.
+  *  2. CHUNK SIZE 16 -> 32. Halves the chunk-JVM init fixed cost
+  *     (~8 inits instead of ~15). This is the round's ONE deliberate
+  *     regime change for same-channel comparisons: cross-query
+  *     pollution is now bounded to ~31 neighbors instead of ~15. The
+  *     artifact records `chunk_size` so the regime is explicit, and
+  *     the isolated series remains the per-query contention control.
+  *  3. ISOLATED SERIES: BREADTH BEFORE DEPTH. Reps are decided
+  *     globally up front — 2 reps only when the WHOLE series fits
+  *     twice with slack; otherwise every query gets 1 rep before any
+  *     gets 2, because eight single-rep isolated prices diagnose more
+  *     than four double-rep ones.
+  *  4. PHASE TIMINGS. `phase_secs` records prebuild / chunked /
+  *     isolated wall-clock so the next budget decision reads off the
+  *     artifact instead of being reconstructed from guesses.
   *
   * Modes (selected by env, all set by this process for its children):
   *  - parent (default): sorts query names, forks one child JVM per
@@ -55,10 +79,6 @@ import org.apache.spark.sql.SparkSession
 object Bench {
   private val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
   private val cpus  = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-
-  /** Warmup passes under this many seconds -> min-of-1 (one timed run).
-    * Children in SPARK_GRAFT_FAST mode treat EVERY query this way. */
-  private val fastThreshold = 1.0
 
   private def newSession(): SparkSession = {
     val spark = SparkSession.builder()
@@ -84,24 +104,29 @@ object Bench {
     (System.nanoTime() - t0) / 1e9
   }
 
-  /** One warmup pass absorbs JVM/codegen/catalog init (the engine is
-    * long-lived in production); the measured pass is min-of-2 only for
-    * queries whose warmup exceeded [[fastThreshold]] — a sub-second
-    * query's run-to-run jitter is milliseconds against a multi-minute
-    * total, so one timed run suffices (r10 verdict: 3 executions of
-    * every one of 219 queries is what blew the driver's wall clock).
+  /** Exactly TWO executions per query, price = min. The first run
+    * absorbs the query's own codegen/catalog first-touch (the engine is
+    * long-lived in production, so a cold price would be the wrong
+    * number) and the min discards it; the second is the warm run that
+    * becomes the price. This replaces r11's warmup-pass-then-adaptive-
+    * min-of-1/2, which spent a THIRD execution on every query over
+    * ~1 s — ~150-220 s of the blown r11 wall clock — for precision the
+    * isolated series already provides where it matters.
+    *
+    * In `fast` mode (budget squeeze / missing-query salvage) a query
+    * gets ONE execution and the price includes its first-touch codegen
+    * — degraded but self-describing, since fast mode only occurs in
+    * runs whose elapsed is already near the recorded budget.
     * `onResult` streams each measurement out as soon as it exists so a
     * killed JVM still leaves everything it finished. */
   private def measure(spark: SparkSession, names: Seq[String],
                       fast: Boolean = false,
                       onResult: (String, Double) => Unit = (_, _) => ()): Seq[(String, Double)] = {
     val qs = names.map(n => n -> SparkEntry.queries(n))
-    val warm = qs.map { case (n, fn) => n -> run1(spark, n, fn) }.toMap
     qs.map { case (n, fn) =>
-      System.gc()
       val first = run1(spark, n, fn)
-      val t = if (fast || math.min(first, warm(n)) < fastThreshold) first
-              else math.min(first, run1(spark, n, fn))
+      val t = if (fast) first
+              else { System.gc(); math.min(first, run1(spark, n, fn)) }
       onResult(n, t)
       n -> t
     }
@@ -150,21 +175,29 @@ object Bench {
     * average observed around the winning fork.
     *
     * r11: the series is BUDGET-AWARE — each fork costs a full Spark
-    * init plus 2-3 query executions, and 10 queries × 2 reps of that
-    * is what helped blow the r10 wall clock. Before each fork the
-    * remaining budget is checked against a per-fork estimate
-    * (init ~15 s + 3× the chunked price); reps degrade to 1 first,
-    * then the tail of the series is dropped, most-expensive-first
-    * queries retained. */
+    * init plus 2 query executions. Before each fork the remaining
+    * budget is checked against a per-fork estimate (init ~15 s + 2.5×
+    * the chunked price); the tail of the series is dropped,
+    * most-expensive-first queries retained.
+    *
+    * r12: BREADTH BEFORE DEPTH. The r11 per-query rep decision let the
+    * first queries take 2 reps and starved the tail (the official r11
+    * artifact kept ONE isolated price). Reps are now decided ONCE, up
+    * front: 2 reps only if the WHOLE series fits twice with 30% slack;
+    * otherwise every query gets its single rep before any query gets
+    * a second — eight single-rep prices diagnose chunk contention
+    * better than four double-rep ones. */
   private def isolatedSeries(times: Map[String, Double], topN: Int,
-      reps: Int, remaining: () => Double): Map[String, (Double, Double)] =
-    times.toSeq.sortBy(-_._2).take(topN).flatMap { case (name, chunked) =>
-      val perFork = 15.0 + 3.0 * chunked
-      val r = if (remaining() > perFork * reps * 2) reps else 1
-      if (remaining() < perFork + 30.0) None   // keep headroom to emit
+      reps: Int, remaining: () => Double): Map[String, (Double, Double)] = {
+    val top = times.toSeq.sortBy(-_._2).take(topN)
+    def perFork(chunked: Double): Double = 15.0 + 2.5 * chunked
+    val seriesCost = top.map { case (_, c) => perFork(c) }.sum
+    val r = if (remaining() > seriesCost * reps * 1.3) reps else 1
+    top.flatMap { case (name, chunked) =>
+      if (remaining() < perFork(chunked) + 30.0) None // headroom to emit
       else {
         val samples = (1 to r).flatMap { _ =>
-          if (remaining() < perFork + 30.0) None
+          if (remaining() < perFork(chunked) + 30.0) None
           else {
             val before = loadAvg()
             forkChunk(Seq(name), salvage = false).get(name)
@@ -175,6 +208,7 @@ object Bench {
         else Some(name -> samples.minBy(_._1))
       }
     }.toMap
+  }
 
   /** Fork one child JVM for a chunk and return whatever it measured —
     * the full map normally, a PARTIAL map if the child died mid-chunk
@@ -290,6 +324,14 @@ object Bench {
   private val partial = new java.util.concurrent.ConcurrentHashMap[String, java.lang.Double]()
   @volatile private var isoDone: Map[String, (Double, Double)] = Map.empty
   private val chunkLoads = new java.util.concurrent.CopyOnWriteArrayList[java.lang.Double]()
+  @volatile private var chunkSizeUsed: Int = 0
+  // per-phase wall clock (prebuild / chunked / isolated) so the next
+  // round's budget decision reads off the artifact, not from guesses
+  private val phaseSecs = new java.util.concurrent.ConcurrentHashMap[String, java.lang.Double]()
+  private def timePhase[A](name: String)(body: => A): A = {
+    val t0 = System.nanoTime()
+    try body finally phaseSecs.put(name, (System.nanoTime() - t0) / 1e9)
+  }
 
   /** Locale-independent fixed-point (ADVICE r10: the f-interpolator is
     * locale-sensitive — a comma-decimal default locale would corrupt
@@ -312,10 +354,13 @@ object Bench {
       .map { case (k, (_, l)) => s"\"" + k + "\":" + l }.mkString("{", ",", "}")
     val loadsJson = chunkLoads.asScala.map(l => fmt2(l.doubleValue)).mkString("[", ",", "]")
     val missing = allNames.filterNot(times.contains)
+    val phases = phaseSecs.asScala.toSeq.sortBy(_._1)
+      .map { case (k, v) => s"\"" + k + "\":" + fmt2(v.doubleValue) }
+      .mkString("{", ",", "}")
     val partialPart =
       if (complete) ""
       else s""","partial":true,"unmeasured":${missing.map("\"" + _ + "\"").mkString("[", ",", "]")}"""
-    s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"isolated":$isoJson,"isolated_load":$isoLoadJson,"load_chunked":$loadsJson,"prebuild":"$prebuildStatus","elapsed":${fmt2(elapsed())},"budget":${fmt2(budget)},"sf":"$sfDir"$partialPart}"""
+    s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"isolated":$isoJson,"isolated_load":$isoLoadJson,"load_chunked":$loadsJson,"prebuild":"$prebuildStatus","chunk_size":$chunkSizeUsed,"phase_secs":$phases,"elapsed":${fmt2(elapsed())},"budget":${fmt2(budget)},"sf":"$sfDir"$partialPart}"""
   }
 
   /** Compact running-totals line — printed after every chunk (and by
@@ -367,10 +412,15 @@ object Bench {
       .map(_.split(",").map(_.trim).toSet)
     allNames = SparkEntry.queries.keys.toSeq.sorted
       .filter(n => only.forall(_.contains(n)))
-    prebuildStatus = prebuildArtifacts()
+    prebuildStatus = timePhase("prebuild")(prebuildArtifacts())
     val inProc = sys.env.contains("SPARK_GRAFT_NOFORK")
-    val chunkSize = sys.env.get("SPARK_GRAFT_CHUNKSIZE").map(_.toInt).getOrElse(16)
+    // 32 (r12, was 16): halves the chunk-JVM init fixed cost; the
+    // pollution bound widens to ~31 neighbors — recorded in the
+    // artifact as chunk_size, controlled by the isolated series
+    val chunkSize = sys.env.get("SPARK_GRAFT_CHUNKSIZE").map(_.toInt).getOrElse(32)
+    chunkSizeUsed = chunkSize
     chunkLoads.add(loadAvg())
+    timePhase("chunks") {
     if (inProc) {
       val spark = newSession()
       measure(spark, allNames, onResult = (n, t) => partial.put(n, t))
@@ -378,8 +428,8 @@ object Bench {
     } else {
       allNames.grouped(chunkSize).foreach { grp =>
         if (!shuttingDown && remaining() > 30.0) {
-          // past ~2/3 of the budget, children stop paying min-of-2
-          // anywhere — finishing every query beats polishing a few
+          // past ~2/3 of the budget, children drop to single-execution
+          // — finishing every query beats polishing a few
           val fast = remaining() < budget / 3.0
           val m = forkChunk(grp, salvage = true, fast = fast)
           m.foreach { case (n, t) => partial.put(n, t) }
@@ -395,6 +445,7 @@ object Bench {
         }
       }
     }
+    }
     // isolated control series for the top-N chunked prices (skipped in
     // dev/in-process mode; SPARK_GRAFT_ISOLATED overrides the count,
     // SPARK_GRAFT_ISOREPS the forks-per-query minimum) — budget-aware,
@@ -405,7 +456,8 @@ object Bench {
     if (!shuttingDown) {
       import scala.jdk.CollectionConverters._
       val times = partial.asScala.map { case (k, v) => k -> v.doubleValue }.toMap
-      isoDone = isolatedSeries(times, nIso, isoReps, () => remaining())
+      isoDone = timePhase("isolated")(
+        isolatedSeries(times, nIso, isoReps, () => remaining()))
     }
     val complete = allNames.forall(partial.containsKey)
     // the final emit below supersedes the hook — remove it so a normal

@@ -543,25 +543,35 @@ object TextOps {
     * Spark's standard 2-phase expand, keyed by the same QI tuple, so
     * no second corpus pass). Output is equivalence-class-sized —
     * (langs × sources), metadata scale at 100 TB — never row scale. */
+  /** The k-anonymity / l-diversity operating point and the sensitive-
+    * attribute bucket width — ONE set of constants shared by the batch
+    * query, its oracle SQL, and the streaming monitor twin
+    * ([[graft.streaming.StatefulOps.streamingKAnonMonitor]]) so the
+    * thresholds can never drift between the three. */
+  private[graft] val KAnonK = 5
+  private[graft] val KAnonL = 3
+  private[graft] val KAnonBucketWidth = 100L
+
   def qKAnonymity(spark: SparkSession, sfDir: String): DataFrame = {
-    val (k, l) = (5, 3)
     Tables.documents(spark, sfDir)
       .groupBy(col("lang"), col("source"))
       .agg(count(lit(1)).as("class_n"),
-        countDistinct(floor(col("n_chars") / 100)).as("n_buckets"))
+        // integer division, matching the oracle's `//` bit-for-bit —
+        // floor(double-div) agrees only below 2^53 (ADVICE r11)
+        countDistinct(expr(s"n_chars DIV $KAnonBucketWidth")).as("n_buckets"))
       .select(col("lang"), col("source"), col("class_n"),
-        (col("class_n") < k).as("k_risky"),
+        (col("class_n") < KAnonK).as("k_risky"),
         col("n_buckets"),
-        (col("n_buckets") < l).as("l_risky"))
+        (col("n_buckets") < KAnonL).as("l_risky"))
       .orderBy(col("lang"), col("source"))
   }
 
   val qKAnonymityOracle: String =
-    """SELECT lang, source, COUNT(*) AS class_n,
-      |  COUNT(*) < 5 AS k_risky,
-      |  CAST(COUNT(DISTINCT n_chars // 100) AS BIGINT) AS n_buckets,
-      |  COUNT(DISTINCT n_chars // 100) < 3 AS l_risky
-      |FROM documents GROUP BY 1, 2 ORDER BY lang, source""".stripMargin
+    s"""SELECT lang, source, COUNT(*) AS class_n,
+       |  COUNT(*) < $KAnonK AS k_risky,
+       |  CAST(COUNT(DISTINCT n_chars // $KAnonBucketWidth) AS BIGINT) AS n_buckets,
+       |  COUNT(DISTINCT n_chars // $KAnonBucketWidth) < $KAnonL AS l_risky
+       |FROM documents GROUP BY 1, 2 ORDER BY lang, source""".stripMargin
 
   /** Overlapping fixed-size chunking — the standard pre-tokenization
     * split of long documents into training windows (size 40 words,
@@ -1824,9 +1834,15 @@ FROM r ORDER BY doc_id""")
   /** The calibration fold of the curated class — the key is
     * (doc_id div 20) mod 5 because the synthetic corpus assigns
     * source = doc_id mod 20, so a plain doc_id mod 5 fold would alias
-    * with the label itself. Shared by the model build and the
-    * calibration query so the exclusion can never drift. */
-  private def calFold: Column = expr("(doc_id DIV 20) % 5 = 4")
+    * with the label itself. The divisor/modulus/residue constants are
+    * shared by the Spark predicate AND the oracle's [[CalFoldSql]]
+    * (ADVICE r11: two independently hard-coded strings could drift,
+    * surfacing only as a confusing oracle mismatch), and by the model
+    * build and the calibration query so the exclusion can never
+    * drift. */
+  private val (calFoldDiv, calFoldMod, calFoldResidue) = (20, 5, 4)
+  private def calFold: Column =
+    expr(s"(doc_id DIV $calFoldDiv) % $calFoldMod = $calFoldResidue")
 
   /** The FOLD-EXCLUDED NB model for conformal calibration — the same
     * (tk, cp, cq) + five-scalar shape as [[nbStored]], trained on
@@ -1958,18 +1974,19 @@ FROM r ORDER BY doc_id""")
     DedupOps.unpersistAfterFirstAction(out, scored, sharded)
   }
 
+  /** The curated-class and calibration-fold predicates as SQL, built
+    * from the SAME Scala constants the Spark side uses
+    * ([[curatedSources]], [[calFold]]'s divisor/modulus/residue) so
+    * the oracle's four uses cannot drift from the plan's. */
+  private val CuratedSql: String =
+    curatedSources.map("'" + _ + "'").mkString("source IN (", ",", ")")
+  private val CalFoldSql: String =
+    s"(doc_id // $calFoldDiv) % $calFoldMod = $calFoldResidue"
+
   /** The NB scoring chain REBUILT over the fold-excluded training
     * slice (model, scalars, and doc priors all exclude the
     * calibration fold — the disjointness split conformal requires),
     * then the conformal order statistic and the realized keep rates. */
-  /** The curated-class and calibration-fold predicates as SQL, built
-    * from the SAME Scala constants the Spark side uses
-    * ([[curatedSources]], [[calFold]]'s key) so the oracle's four
-    * uses cannot drift from the plan's. */
-  private val CuratedSql: String =
-    curatedSources.map("'" + _ + "'").mkString("source IN (", ",", ")")
-  private val CalFoldSql: String = "(doc_id // 20) % 5 = 4"
-
   lazy val qNbConformalOracle: String =
     s"""WITH tok AS (
        |  SELECT doc_id, source, unnest(string_split(text, ' ')) AS tk
