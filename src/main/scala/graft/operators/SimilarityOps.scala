@@ -110,6 +110,110 @@ object SimilarityOps {
        |FROM rk WHERE rank <= 3
        |ORDER BY q_id, rank""".stripMargin
 
+  /** Extra probes per query for multi-probe LSH (T in Lv et al. 2007):
+    * each query searches its own bucket plus the T buckets reached by
+    * flipping its T least-confident sign bits. Shared by the plan and
+    * the oracle SQL so the probe count cannot drift. */
+  private val MultiprobeT = 2
+
+  /** The bucket reached by flipping hyperplane `flip`'s bit of `v`'s
+    * sign pattern (flip = 0 means no flip — the home bucket): bit i is
+    * "1" iff (v[i] >= 0) XOR (i = flip). Same 4 axis-aligned planes as
+    * [[bucketKey]]. */
+  private def probeBucket(v: Column, flip: Column): Column =
+    concat((1 to 4).map(i =>
+      when((element_at(v, i) >= 0) =!= (flip === i), "1").otherwise("0")): _*)
+
+  /** MULTI-PROBE sign-LSH (Lv et al. 2007) — the LSH twin of
+    * [[qSimIvfMultiprobe]]'s recall knob: a near neighbor that falls
+    * just across ONE hyperplane lands in a bucket differing in exactly
+    * that bit, and the bit most likely to differ is the one where the
+    * query's projection margin |q·h_i| is smallest. Each query
+    * therefore probes its home bucket plus the [[MultiprobeT]] buckets
+    * reached by flipping its least-confident bits (margin rank
+    * ascending, dimension tie-break) — recovering boundary neighbors
+    * WITHOUT the classic multi-table LSH answer of building and
+    * storing L independent hash tables. That trade is the paper's
+    * point, and at 100 TB it is decisive: tables multiply the stored
+    * index; probes only fan out the query side.
+    *
+    * Scale shape: the corpus side is untouched — one computed bucket
+    * per vector, same equi-join as `sim_lsh_bucketed` (bucketed
+    * storage prunes the scan identically). Only the tiny broadcast
+    * query side fans out ×(T+1); probe buckets are distinct by
+    * construction and a corpus vector lives in exactly one bucket, so
+    * candidates arrive deduplicated and the scan cost is (T+1)/2^4 of
+    * the corpus. The margin ranking is a window over the
+    * queries-sized side only. */
+  def qSimLshMultiprobe(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = DedupOps.normedVectors(Tables.embeddings(spark, sfDir))
+      .withColumn("bucket", bucketKey(col("v")))
+    val q = e.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"),
+        col("nrm").as("qn"), col("bucket"))
+    // least-confident bits: margin rank over the 4 hyperplanes,
+    // computed on the queries-sized side (10 × 4 rows)
+    val wMargin = Window.partitionBy(col("q_id"))
+      .orderBy(abs(element_at(col("qv"), col("d"))), col("d"))
+    val flips = q
+      .select(col("q_id"), col("qv"), col("qn"),
+        explode(array((1 to 4).map(lit): _*)).as("d"))
+      .withColumn("mr", row_number().over(wMargin))
+      .filter(col("mr") <= MultiprobeT)
+      .select(col("q_id"), col("qv"), col("qn"),
+        probeBucket(col("qv"), col("d")).as("bucket"))
+    val qprobe = broadcast(q.unionByName(flips))
+    val cand = e.select(col("vec_id").as("n_id"), col("v").as("nv"),
+      col("nrm").as("nn"), col("bucket"))
+    val wRank = Window.partitionBy(col("q_id"))
+      .orderBy(col("cosine").desc, col("n_id"))
+    cand.join(qprobe, Seq("bucket"))
+      .filter(col("q_id") =!= col("n_id"))
+      .withColumn("cosine", DedupOps.dot(col("qv"), col("nv")) / (col("qn") * col("nn")))
+      .withColumn("rank", row_number().over(wRank))
+      .filter(col("rank") <= 3)
+      .select(col("q_id"), col("rank"), col("n_id"),
+        round(col("cosine"), 6).as("cosine_r"))
+      .orderBy("q_id", "rank")
+  }
+
+  val qSimLshMultiprobeOracle: String =
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm,
+       |  (CASE WHEN v[1] >= 0 THEN '1' ELSE '0' END ||
+       |   CASE WHEN v[2] >= 0 THEN '1' ELSE '0' END ||
+       |   CASE WHEN v[3] >= 0 THEN '1' ELSE '0' END ||
+       |   CASE WHEN v[4] >= 0 THEN '1' ELSE '0' END) AS bucket FROM e),
+       |q AS (SELECT vec_id AS q_id, v AS qv, nrm AS qn, bucket
+       |  FROM n WHERE vec_id < $NumQueries),
+       |dims AS (
+       |  SELECT q_id, qv, qn, d,
+       |    row_number() OVER (PARTITION BY q_id
+       |      ORDER BY abs(qv[d]) ASC, d) AS mr
+       |  FROM q CROSS JOIN (SELECT unnest([1, 2, 3, 4]) AS d) dd),
+       |probes AS (
+       |  SELECT q_id, qv, qn, bucket FROM q
+       |  UNION ALL
+       |  SELECT q_id, qv, qn,
+       |    (CASE WHEN (qv[1] >= 0) != (d = 1) THEN '1' ELSE '0' END ||
+       |     CASE WHEN (qv[2] >= 0) != (d = 2) THEN '1' ELSE '0' END ||
+       |     CASE WHEN (qv[3] >= 0) != (d = 3) THEN '1' ELSE '0' END ||
+       |     CASE WHEN (qv[4] >= 0) != (d = 4) THEN '1' ELSE '0' END) AS bucket
+       |  FROM dims WHERE mr <= $MultiprobeT),
+       |scored AS (
+       |  SELECT p.q_id, c.vec_id AS n_id,
+       |    list_dot_product(p.qv, c.v) / (p.qn * c.nrm) AS cosine
+       |  FROM n c JOIN probes p ON c.bucket = p.bucket
+       |   AND p.q_id != c.vec_id),
+       |rk AS (
+       |  SELECT q_id, n_id, cosine,
+       |    row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, n_id) AS rank
+       |  FROM scored)
+       |SELECT q_id, rank, n_id, round(cosine, 6) AS cosine_r
+       |FROM rk WHERE rank <= 3
+       |ORDER BY q_id, rank""".stripMargin
+
   private val NumCentroids = 8
 
   /** IVF-style ANN: a coarse quantizer assigns every vector to its
@@ -2618,6 +2722,7 @@ object SimilarityOps {
     "sim_dim_corr" -> (qDimCorr _),
     "sim_bruteforce_topk" -> (qSimBruteForce _),
     "sim_lsh_bucketed" -> (qSimLshBucketed _),
+    "sim_lsh_multiprobe" -> (qSimLshMultiprobe _),
     "sim_ivf_probe" -> (qSimIvf _),
     "sim_ivf_multiprobe" -> (qSimIvfMultiprobe _),
     "sim_kmeans_step" -> (qKmeansStep _),
@@ -2659,6 +2764,7 @@ object SimilarityOps {
     "sim_dim_corr" -> qDimCorrOracle,
     "sim_bruteforce_topk" -> qSimBruteForceOracle,
     "sim_lsh_bucketed" -> qSimLshBucketedOracle,
+    "sim_lsh_multiprobe" -> qSimLshMultiprobeOracle,
     "sim_ivf_probe" -> qSimIvfOracle,
     "sim_ivf_multiprobe" -> qSimIvfMultiprobeOracle,
     "sim_kmeans_step" -> qKmeansStepOracle,

@@ -1515,6 +1515,89 @@ object StatefulOps {
         col("score_r"), col("bucket"),
         (col("bucket") <= 2).as("kept"))
 
+  // ================= streaming k-anonymity monitor =================
+
+  /** One arriving document's privacy-relevant projection: the QI tuple
+    * (lang, source) plus the length used for the sensitive-attribute
+    * bucket — exactly the 3 columns the batch report scans. */
+  case class KAnonDoc(doc_id: Long, lang: String, source: String,
+    n_chars: Long)
+  /** The current risk row for one equivalence class — same columns as
+    * the batch `text_k_anonymity` report. */
+  case class KAnonClass(lang: String, source: String, class_n: Long,
+    k_risky: Boolean, n_buckets: Long, l_risky: Boolean)
+  case class KAnonState(class_n: Long, buckets: Seq[Long])
+
+  /** The k-anonymity transition for ONE equivalence class: the batch's
+    * arrivals add to the class count and union into the distinct
+    * sensitive-bucket set (kept sorted so state equality is structural).
+    * Pure — split / order-invariance / monotonicity laws are
+    * ScalaCheck'd in KAnonLaws.
+    *
+    * DELIVERY CONTRACT (the [[advanceWalGaps]] discipline, stated
+    * rather than hidden): the class COUNT is duplicate-sensitive —
+    * micro-batch replay after failure is exactly-once with respect to
+    * state (the store versions per batch, so a replayed batch re-runs
+    * against the pre-batch snapshot), but a SOURCE that delivers the
+    * same document in two different batches double-counts it, exactly
+    * as a streaming `groupBy.count` would. A deployment on an
+    * at-least-once transport puts the watermarked `dropDuplicates`
+    * stage (the C2 dedup twin) upstream — the composition the spec
+    * exercises. The bucket SET is union-idempotent regardless. */
+  private[graft] def advanceKAnon(st0: Option[KAnonState],
+      buckets: Seq[Long]): KAnonState = {
+    val n = st0.map(_.class_n).getOrElse(0L) + buckets.length
+    val bs = (st0.map(_.buckets).getOrElse(Nil) ++ buckets).distinct.sorted
+    KAnonState(n, bs)
+  }
+
+  final class KAnonProcessor(ttl: TTLConfig = TTLConfig.NONE)
+      extends StatefulProcessor[(String, String), KAnonDoc, KAnonClass] {
+    @transient private var st: ValueState[KAnonState] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      st = getHandle.getValueState[KAnonState]("kAnonClass",
+        Encoders.product[KAnonState], ttl)
+    override def handleInputRows(key: (String, String),
+        rows: Iterator[KAnonDoc], tv: TimerValues): Iterator[KAnonClass] = {
+      val st0 = if (st.exists()) Some(st.get()) else None
+      val st1 = advanceKAnon(st0, rows.map(r =>
+        Math.floorDiv(r.n_chars, graft.operators.TextOps.KAnonBucketWidth)).toSeq)
+      st.update(st1)
+      Iterator.single(KAnonClass(key._1, key._2, st1.class_n,
+        st1.class_n < graft.operators.TextOps.KAnonK,
+        st1.buckets.length.toLong,
+        st1.buckets.length < graft.operators.TextOps.KAnonL))
+    }
+  }
+
+  /** STREAMING PRIVACY MONITOR — the live twin of the batch
+    * k-anonymity / l-diversity report
+    * ([[graft.operators.TextOps.qKAnonymity]]): each arriving document
+    * updates its (lang, source) equivalence class and the class's
+    * CURRENT risk row is re-emitted, so the release gate watches
+    * re-identification risk decay as classes fill instead of waiting
+    * for the nightly report — a class is "risky until proven
+    * populated", and the k=5 / l=3 flags flip monotonically from
+    * risky to safe (class count and bucket diversity only grow).
+    * Thresholds and the bucket width are the batch query's own
+    * constants, so the twins cannot drift.
+    *
+    * State is one (count, distinct-bucket seq) per equivalence class:
+    * O(classes × length-buckets) — (langs × sources × ~max-doc-len /
+    * bucket-width), METADATA scale at 100 TB, never row scale (the
+    * doc_ids themselves are not retained; see [[advanceKAnon]] for the
+    * duplicate-delivery contract that buys that bound). Fed the same
+    * corpus in any batch split and arrival order, the latest row per
+    * class equals the batch report row-for-row — asserted at two cuts
+    * in StatefulOpsSpec. RocksDB state store required. */
+  def streamingKAnonMonitor(docs: Dataset[KAnonDoc],
+      ttl: TTLConfig = TTLConfig.NONE): Dataset[KAnonClass] = {
+    import docs.sparkSession.implicits._
+    docs.groupByKey(d => (d.lang, d.source))
+      .transformWithState(new KAnonProcessor(ttl), timeModeFor(ttl),
+        OutputMode.Append())
+  }
+
   // ================= composed streaming ingest pipeline =================
 
   /** The END-TO-END streaming ingest — the live twin of the batch

@@ -644,6 +644,54 @@ object SeqMonitorLaws extends Properties("advanceSeqMoments") {
     }
 }
 
+object KAnonLaws extends Properties("advanceKAnon") {
+  import graft.streaming.StatefulOps
+  import graft.streaming.StatefulOps.KAnonState
+
+  /** Sensitive-attribute buckets of one class's arrivals (duplicates
+    * common — many docs share a length bucket). */
+  private val arrivals: Gen[List[Long]] =
+    Gen.listOf(Gen.chooseNum(0L, 12L))
+
+  property("any batch cut + threaded state = one pass") =
+    forAll(arrivals, Gen.chooseNum(0, 50)) { (s, cutRaw) =>
+      val cut = math.min(cutRaw, s.length)
+      val (a, b) = s.splitAt(cut)
+      val st1 = StatefulOps.advanceKAnon(None, a)
+      StatefulOps.advanceKAnon(Some(st1), b) ==
+        StatefulOps.advanceKAnon(None, s)
+    }
+
+  property("arrival order is irrelevant: any permutation converges") =
+    forAll(arrivals) { s =>
+      StatefulOps.advanceKAnon(None, s) ==
+        StatefulOps.advanceKAnon(None, s.reverse) &&
+      StatefulOps.advanceKAnon(None, s) ==
+        StatefulOps.advanceKAnon(None, s.sorted)
+    }
+
+  property("count and diversity are monotone: risk only decays") =
+    forAll(arrivals, arrivals) { (a, b) =>
+      val st1 = StatefulOps.advanceKAnon(None, a)
+      val st2 = StatefulOps.advanceKAnon(Some(st1), b)
+      st2.class_n >= st1.class_n &&
+        st2.buckets.length >= st1.buckets.length &&
+        // a class that reached safety can never become risky again
+        // (thresholds are the batch query's own constants)
+        (st1.class_n >= graft.operators.TextOps.KAnonK) <=
+          (st2.class_n >= graft.operators.TextOps.KAnonK) &&
+        (st1.buckets.length >= graft.operators.TextOps.KAnonL) <=
+          (st2.buckets.length >= graft.operators.TextOps.KAnonL)
+    }
+
+  property("state is canonical: buckets sorted distinct, count = arrivals") =
+    forAll(arrivals) { s =>
+      val st = StatefulOps.advanceKAnon(None, s)
+      st == KAnonState(s.length.toLong, s.distinct.sorted) &&
+        st.buckets == st.buckets.distinct.sorted
+    }
+}
+
 object KmvLaws extends Properties("kmvSketch") {
   import graft.streaming.StatefulOps
   private val k = 8

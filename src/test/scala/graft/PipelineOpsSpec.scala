@@ -165,6 +165,46 @@ class PipelineOpsSpec extends SparkSpec {
     assert((one & exact).subsetOf(two & exact))
   }
 
+  test("multi-probe LSH: probes only home+flip buckets, recall dominates single-bucket") {
+    def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.select("q_id", "n_id").collect()
+        .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("n_id"))).toSet
+    val exact = SimilarityOps.qSimBruteForce(spark, sf)
+      .filter(col("rank") <= 3)
+    val single = pairs(SimilarityOps.qSimLshBucketed(spark, sf))
+    val multi = pairs(SimilarityOps.qSimLshMultiprobe(spark, sf))
+    val truth = pairs(exact)
+    // the candidate set is a superset (home bucket always probed), so a
+    // true-top-3 hit cannot be lost: only <=2 vectors anywhere beat it
+    assert((single & truth).subsetOf(multi & truth),
+      "multiprobe must keep every true hit single-bucket LSH found")
+    // non-vacuous: the extra probes must actually recover a boundary
+    // neighbor on the fixture
+    assert((multi & truth).size > (single & truth).size,
+      "extra probes recovered no true neighbor — the knob tests nothing")
+
+    // every returned neighbor lives in one of the query's 3 probed
+    // buckets: home, or home with one of the 2 lowest-|margin| bits
+    // flipped (margin rank ties broken by dimension)
+    val vecs = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getAs[Long]("vec_id") ->
+        r.getAs[scala.collection.Seq[Float]]("embedding").map(_.toDouble).toArray)
+      .toMap
+    def bucketOf(v: Array[Double]): String =
+      (0 until 4).map(i => if (v(i) >= 0) '1' else '0').mkString
+    def probesOf(v: Array[Double]): Set[String] = {
+      val home = bucketOf(v)
+      val flips = (0 until 4).sortBy(i => (math.abs(v(i)), i)).take(2)
+      flips.map(i => home.updated(i, if (home(i) == '1') '0' else '1'))
+        .toSet + home
+    }
+    multi.foreach { case (q, n) =>
+      assert(probesOf(vecs(q)).contains(bucketOf(vecs(n))),
+        s"neighbor $n of query $q sits outside the probed buckets")
+    }
+  }
+
   test("token stats: ratios bounded, counts consistent") {
     val rows = TextOps.qTokenStats(spark, sf).collect()
     rows.foreach { r =>

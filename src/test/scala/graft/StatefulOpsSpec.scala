@@ -1213,6 +1213,66 @@ class StatefulOpsSpec extends SparkSpec {
     }
   }
 
+  test("streaming k-anonymity monitor: latest row per class equals the batch report, risk only decays") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val docs = Tables.documents(spark, sf)
+        .select("doc_id", "lang", "source", "n_chars").collect()
+        .map(r => StatefulOps.KAnonDoc(r.getLong(0), r.getString(1),
+          r.getString(2), r.getLong(3)))
+      // cut by doc_id HALVES: source = doc_id mod 20 on this corpus, so
+      // a parity cut would hand every class wholly to one batch and the
+      // cross-cut assertions below would be vacuous
+      val (c1, c2) = docs.sortBy(_.doc_id).splitAt(docs.length / 2)
+      assert(c1.nonEmpty && c2.nonEmpty, "both cuts must carry data")
+      val in = MemoryStream[StatefulOps.KAnonDoc]
+      val q = StatefulOps.streamingKAnonMonitor(in.toDS())
+        .writeStream.format("memory").queryName("kanon_out")
+        .outputMode("append").start()
+      try {
+        type Row6 = (Long, Boolean, Long, Boolean)
+        // count is monotone, so the latest row per class is its max
+        def snapshot(): Map[(String, String), Row6] =
+          spark.table("kanon_out").collect()
+            .map(r => ((r.getString(0), r.getString(1)),
+              (r.getLong(2), r.getBoolean(3), r.getLong(4), r.getBoolean(5))))
+            .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).maxBy(_._1) }
+        in.addData(c1.toIndexedSeq); q.processAllAvailable()
+        val mid = snapshot()
+        in.addData(c2.toIndexedSeq); q.processAllAvailable()
+        val got = snapshot()
+        val want = graft.operators.TextOps.qKAnonymity(spark, sf).collect()
+          .map(r => ((r.getString(0), r.getString(1)),
+            (r.getLong(2), r.getBoolean(3), r.getLong(4), r.getBoolean(5))))
+          .toMap
+        assert(got === want,
+          "streamed class rows must equal the batch k-anonymity report")
+        // risk decays monotonically as classes fill across the cut
+        mid.foreach { case (k, (n1, kr1, b1, lr1)) =>
+          val (n2, kr2, b2, lr2) = got(k)
+          assert(n1 <= n2 && b1 <= b2, s"$k: count/diversity must grow")
+          assert(kr1 >= kr2 && lr1 >= lr2, s"$k: risk must only decay")
+        }
+        // the fixture must exercise a real flip: some class risky at
+        // the cut became safe by the end (a vacuous gate tests nothing)
+        assert(mid.exists { case (k, (_, kr1, _, lr1)) =>
+          val (_, kr2, _, lr2) = got(k)
+          (kr1 && !kr2) || (lr1 && !lr2)
+        }, "some class must cross a risk threshold between the cuts")
+      } finally q.stop()
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
+
   test("streaming crawl delta over two snapshot batches matches the batch report minus removals") {
     import spark.implicits._
     implicit val sc = spark.sqlContext
