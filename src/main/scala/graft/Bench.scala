@@ -115,8 +115,10 @@ object Bench {
     *
     * In `fast` mode (budget squeeze / missing-query salvage) a query
     * gets ONE execution and the price includes its first-touch codegen
-    * — degraded but self-describing, since fast mode only occurs in
-    * runs whose elapsed is already near the recorded budget.
+    * — a COLD price, incomparable with warm ones, so the parent
+    * records every fast-measured name in the artifact's `single_exec`
+    * list (r12 review: without it a squeezed run's fast tail reads as
+    * phantom regressions).
     * `onResult` streams each measurement out as soon as it exists so a
     * killed JVM still leaves everything it finished. */
   private def measure(spark: SparkSession, names: Seq[String],
@@ -180,33 +182,36 @@ object Bench {
     * the chunked price); the tail of the series is dropped,
     * most-expensive-first queries retained.
     *
-    * r12: BREADTH BEFORE DEPTH. The r11 per-query rep decision let the
-    * first queries take 2 reps and starved the tail (the official r11
-    * artifact kept ONE isolated price). Reps are now decided ONCE, up
-    * front: 2 reps only if the WHOLE series fits twice with 30% slack;
-    * otherwise every query gets its single rep before any query gets
-    * a second — eight single-rep prices diagnose chunk contention
-    * better than four double-rep ones. */
+    * r12: BREADTH BEFORE DEPTH, REP-MAJOR. The r11 per-query rep
+    * decision let the first queries take 2 reps and starved the tail
+    * (the official r11 artifact kept ONE isolated price). The loop is
+    * now rep-major: EVERY query gets its first fork before ANY query
+    * gets a second, and the second pass runs only if the whole series
+    * still fits in the measured (not estimated) remaining budget —
+    * eight single-rep prices diagnose chunk contention better than
+    * four double-rep ones, and an estimate error can no longer starve
+    * the tail (r12 review: an up-front-only decision re-created the
+    * r11 failure under a mid-series load spike). */
   private def isolatedSeries(times: Map[String, Double], topN: Int,
       reps: Int, remaining: () => Double): Map[String, (Double, Double)] = {
     val top = times.toSeq.sortBy(-_._2).take(topN)
     def perFork(chunked: Double): Double = 15.0 + 2.5 * chunked
     val seriesCost = top.map { case (_, c) => perFork(c) }.sum
-    val r = if (remaining() > seriesCost * reps * 1.3) reps else 1
-    top.flatMap { case (name, chunked) =>
-      if (remaining() < perFork(chunked) + 30.0) None // headroom to emit
-      else {
-        val samples = (1 to r).flatMap { _ =>
-          if (remaining() < perFork(chunked) + 30.0) None
-          else {
-            val before = loadAvg()
-            forkChunk(Seq(name), salvage = false).get(name)
-              .map(t => (t, math.max(before, loadAvg())))
-          }
+    def pass(): Map[String, (Double, Double)] =
+      top.flatMap { case (name, chunked) =>
+        if (remaining() < perFork(chunked) + 30.0) None // headroom to emit
+        else {
+          val before = loadAvg()
+          forkChunk(Seq(name), salvage = false).get(name)
+            .map(t => name -> (t, math.max(before, loadAvg())))
         }
-        if (samples.isEmpty) None
-        else Some(name -> samples.minBy(_._1))
-      }
+      }.toMap
+    val first = pass()
+    val second =
+      if (reps >= 2 && remaining() > seriesCost * 1.15) pass()
+      else Map.empty[String, (Double, Double)]
+    (first.keySet ++ second.keySet).map { k =>
+      k -> (first.get(k).toSeq ++ second.get(k)).minBy(_._1)
     }.toMap
   }
 
@@ -325,6 +330,10 @@ object Bench {
   @volatile private var isoDone: Map[String, (Double, Double)] = Map.empty
   private val chunkLoads = new java.util.concurrent.CopyOnWriteArrayList[java.lang.Double]()
   @volatile private var chunkSizeUsed: Int = 0
+  // queries priced from ONE cold execution (budget-squeeze fast mode /
+  // missing-query salvage) — recorded so a degraded run's incomparable
+  // prices are identifiable per-query, not just per-run (r12 review)
+  private val fastNames = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
   // per-phase wall clock (prebuild / chunked / isolated) so the next
   // round's budget decision reads off the artifact, not from guesses
   private val phaseSecs = new java.util.concurrent.ConcurrentHashMap[String, java.lang.Double]()
@@ -357,10 +366,12 @@ object Bench {
     val phases = phaseSecs.asScala.toSeq.sortBy(_._1)
       .map { case (k, v) => s"\"" + k + "\":" + fmt2(v.doubleValue) }
       .mkString("{", ",", "}")
+    val fastJson = fastNames.asScala.toSeq.sorted
+      .map("\"" + _ + "\"").mkString("[", ",", "]")
     val partialPart =
       if (complete) ""
       else s""","partial":true,"unmeasured":${missing.map("\"" + _ + "\"").mkString("[", ",", "]")}"""
-    s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"isolated":$isoJson,"isolated_load":$isoLoadJson,"load_chunked":$loadsJson,"prebuild":"$prebuildStatus","chunk_size":$chunkSizeUsed,"phase_secs":$phases,"elapsed":${fmt2(elapsed())},"budget":${fmt2(budget)},"sf":"$sfDir"$partialPart}"""
+    s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"isolated":$isoJson,"isolated_load":$isoLoadJson,"load_chunked":$loadsJson,"prebuild":"$prebuildStatus","chunk_size":$chunkSizeUsed,"single_exec":$fastJson,"phase_secs":$phases,"elapsed":${fmt2(elapsed())},"budget":${fmt2(budget)},"sf":"$sfDir"$partialPart}"""
   }
 
   /** Compact running-totals line — printed after every chunk (and by
@@ -412,13 +423,16 @@ object Bench {
       .map(_.split(",").map(_.trim).toSet)
     allNames = SparkEntry.queries.keys.toSeq.sorted
       .filter(n => only.forall(_.contains(n)))
-    prebuildStatus = timePhase("prebuild")(prebuildArtifacts())
     val inProc = sys.env.contains("SPARK_GRAFT_NOFORK")
     // 32 (r12, was 16): halves the chunk-JVM init fixed cost; the
     // pollution bound widens to ~31 neighbors — recorded in the
-    // artifact as chunk_size, controlled by the isolated series
+    // artifact as chunk_size, controlled by the isolated series. Set
+    // BEFORE the (slow) prebuild so a SIGTERM mid-prebuild still emits
+    // the real regime, and recorded as the SUITE size in-process (one
+    // JVM ran everything — the honest pollution bound; r12 review).
     val chunkSize = sys.env.get("SPARK_GRAFT_CHUNKSIZE").map(_.toInt).getOrElse(32)
-    chunkSizeUsed = chunkSize
+    chunkSizeUsed = if (inProc) allNames.size else chunkSize
+    prebuildStatus = timePhase("prebuild")(prebuildArtifacts())
     chunkLoads.add(loadAvg())
     timePhase("chunks") {
     if (inProc) {
@@ -432,12 +446,15 @@ object Bench {
           // — finishing every query beats polishing a few
           val fast = remaining() < budget / 3.0
           val m = forkChunk(grp, salvage = true, fast = fast)
-          m.foreach { case (n, t) => partial.put(n, t) }
+          m.foreach { case (n, t) =>
+            partial.put(n, t)
+            if (fast) fastNames.add(n)
+          }
           val missing = grp.filterNot(m.contains)
           if (missing.nonEmpty && !shuttingDown && remaining() > 60.0) {
             val spark = newSession()
             try measure(spark, missing, fast = true,
-              onResult = (n, t) => partial.put(n, t))
+              onResult = (n, t) => { partial.put(n, t); fastNames.add(n) })
             finally spark.stop()
           }
           chunkLoads.add(loadAvg())

@@ -61,10 +61,12 @@ object SimilarityOps {
     * (4 axis-aligned hyperplanes → 16 buckets). A production ANN uses
     * random hyperplanes and multiple tables; the plan shape — compute
     * key map-side, join on key, top-k inside the bucket — is the same
-    * and is what removes the O(n) scan per query. */
-  def bucketKey(v: Column): Column =
-    concat((1 to 4).map(i =>
-      when(element_at(v, i) >= 0, "1").otherwise("0")): _*)
+    * and is what removes the O(n) scan per query.
+    *
+    * Defined as [[probeBucket]] with no flip so the hyperplane set
+    * lives in exactly ONE place — the single-bucket and multi-probe
+    * queries cannot diverge on what a bucket is (r12 review). */
+  def bucketKey(v: Column): Column = probeBucket(v, lit(0))
 
   /** Approximate top-3 via sign-LSH: queries join only their own
     * bucket (~1/16 of the corpus), then exact cosine rank inside it. */

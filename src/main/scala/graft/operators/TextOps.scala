@@ -556,9 +556,15 @@ object TextOps {
     Tables.documents(spark, sfDir)
       .groupBy(col("lang"), col("source"))
       .agg(count(lit(1)).as("class_n"),
-        // integer division, matching the oracle's `//` bit-for-bit —
-        // floor(double-div) agrees only below 2^53 (ADVICE r11)
-        countDistinct(expr(s"n_chars DIV $KAnonBucketWidth")).as("n_buckets"))
+        // FLOORED integer division — exact at any magnitude (the
+        // ADVICE r11 point: floor(double-div) drifts above 2^53) AND
+        // floor semantics on negatives (the r12 review point: Spark's
+        // DIV truncates toward zero where DuckDB's `//` and the
+        // streaming twin's Math.floorDiv floor; a corrupt negative
+        // length must bucket identically in all three). The pmod form
+        // is integer floor-div for every input.
+        countDistinct(expr(s"(n_chars - pmod(n_chars, $KAnonBucketWidth))" +
+          s" DIV $KAnonBucketWidth")).as("n_buckets"))
       .select(col("lang"), col("source"), col("class_n"),
         (col("class_n") < KAnonK).as("k_risky"),
         col("n_buckets"),
@@ -692,6 +698,102 @@ object TextOps {
       |         ORDER BY score_1000 DESC, term) AS rk FROM scored)
       |SELECT doc_id, term, tf, df, score_1000
       |FROM rk WHERE rk <= 5 ORDER BY doc_id, term""".stripMargin
+
+  /** BM25 constants and the fixed query — ONE set of interpolated
+    * literals shared by the plan and the oracle SQL (the calFold
+    * discipline) so neither the operating point nor the query can
+    * drift between engines. k1+1 and 1−b are written as their OWN
+    * literals ("2.2", "0.25") rather than derived, so both engines
+    * parse the identical decimal instead of each folding `1.2 + 1`
+    * in possibly different last-ulp ways. */
+  private val Bm25K1 = "1.2"
+  private val Bm25K1p1 = "2.2"
+  private val Bm25B = "0.75"
+  private val Bm25OneMinusB = "0.25"
+  private[graft] val Bm25Terms = Seq("spark", "join", "vector")
+
+  /** OKAPI BM25 ad-hoc retrieval scoring (Robertson et al., TREC-3) —
+    * the retrieval-side scorer [[qTfidf]] deliberately is not: tf
+    * SATURATES (a term's 10th occurrence adds less than its 2nd —
+    * the k1 knob) and long documents are penalized toward the corpus
+    * mean length (the b knob), which is what makes BM25 the default
+    * first-stage ranker in front of the rerankers `sim_rank_eval`
+    * prices. Scores the fixed [[Bm25Terms]] query against every
+    * document with the Lucene-form idf ln(1 + (N−df+0.5)/(df+0.5))
+    * (always positive) and emits the ranked top-20 with per-doc hit
+    * counts.
+    *
+    * Scale shape — the inverted-posting discipline: the token explode
+    * is FILTERED to the query's terms before any aggregation, so the
+    * shuffle carries only the query's posting lists, never the
+    * corpus vocabulary; doc length comes from a map-only
+    * `size(split)` projection (NO second explode); df and the 1-row
+    * (N, avgdl) aggregate are broadcast (terms-sized and 1-row — the
+    * documented `allowNested` category); top-20 is the bounded heap.
+    * A production deployment freezes (df, N, avgdl) into the
+    * `idf_table`-style artifact and scores arrivals map-side — the
+    * same serve-from-frozen split every stored twin here takes.
+    * Float parity: the addend is ONE expression string interpolated
+    * from shared constants into both engines, summed over ≤3 terms
+    * per doc and rounded to 6 decimals (the ln-ratio convention). */
+  def qBm25(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(spark, sfDir)
+    val dl = docs.select(col("doc_id"), size(toks).as("dl"))
+    val stats = broadcast(dl.agg(
+      count(lit(1)).cast(DoubleType).as("n"),
+      (sum(col("dl")).cast(DoubleType) / count(lit(1))).as("avgdl")))
+    // persisted: the filtered posting relation feeds both df and the
+    // scored join (the qTfidf discipline — without it the corpus
+    // explode runs twice); released after the first action
+    val tf = docs.select(col("doc_id"), explode(toks).as("tk"))
+      .filter(col("tk").isin(Bm25Terms: _*))
+      .groupBy(col("doc_id"), col("tk")).agg(count(lit(1)).as("tf"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val df = broadcast(tf.groupBy(col("tk"))
+      .agg(count(lit(1)).cast(DoubleType).as("df")))
+    val addend = expr(
+      s"ln(1 + (n - df + 0.5) / (df + 0.5)) * tf * $Bm25K1p1" +
+        s" / (tf + $Bm25K1 * ($Bm25OneMinusB + $Bm25B * dl / avgdl))")
+    val scored = tf.join(df, "tk").join(dl, "doc_id")
+      .crossJoin(stats)
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_hit"), sum(addend).as("score"))
+    DedupOps.unpersistAfterFirstAction(
+      scored.orderBy(col("score").desc, col("doc_id")).limit(20)
+        .withColumn("rank", row_number().over(
+          Window.orderBy(col("score").desc, col("doc_id"))))
+        .select(col("rank"), col("doc_id"), col("n_hit"),
+          round(col("score"), 6).as("score_r"))
+        .orderBy(col("rank")),
+      tf)
+  }
+
+  lazy val qBm25Oracle: String = {
+    val inList = Bm25Terms.map("'" + _ + "'").mkString("(", ",", ")")
+    s"""WITH dl AS (
+       |  SELECT doc_id, len(string_split(text, ' ')) AS dl FROM documents),
+       |s AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+       |  CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl FROM dl),
+       |tf AS (
+       |  SELECT doc_id, tk, COUNT(*) AS tf FROM (
+       |    SELECT doc_id, unnest(string_split(text, ' ')) AS tk
+       |    FROM documents) t
+       |  WHERE tk IN $inList GROUP BY 1, 2),
+       |df AS (SELECT tk, CAST(COUNT(*) AS DOUBLE) AS df FROM tf GROUP BY 1),
+       |sc AS (
+       |  SELECT t.doc_id, CAST(COUNT(*) AS BIGINT) AS n_hit,
+       |    SUM(ln(1 + (n - df + 0.5) / (df + 0.5)) * t.tf * $Bm25K1p1
+       |      / (t.tf + $Bm25K1 * ($Bm25OneMinusB + $Bm25B * d.dl / avgdl)))
+       |      AS score
+       |  FROM tf t JOIN df USING (tk) JOIN dl d ON t.doc_id = d.doc_id, s
+       |  GROUP BY 1),
+       |rk AS (SELECT doc_id, n_hit, score,
+       |  row_number() OVER (ORDER BY score DESC, doc_id) AS rank FROM sc)
+       |SELECT CAST(rank AS INT) AS rank, doc_id, n_hit,
+       |  round(score, 6) AS score_r
+       |FROM rk WHERE rank <= 20 ORDER BY rank""".stripMargin
+  }
 
   /** Character-entropy quality signal: Shannon entropy of the per-doc
     * character distribution (low entropy ⇒ repetitive/degenerate text,
@@ -2230,6 +2332,7 @@ FROM r ORDER BY doc_id""")
     "text_chunking" -> (qChunking _),
     "text_tfidf" -> (qTfidf _),
     "text_tfidf_stored" -> (qTfidfStored _),
+    "text_bm25" -> (qBm25 _),
     "text_lm_score_stored" -> (qLmScoreStored _),
     "text_lm_bigram" -> (qLmBigram _),
     "text_lm_bigram_stored" -> (qLmBigramStored _),
@@ -2270,6 +2373,7 @@ FROM r ORDER BY doc_id""")
     "text_chunking" -> qChunkingOracle,
     "text_tfidf" -> qTfidfOracle,
     "text_tfidf_stored" -> qTfidfOracle,
+    "text_bm25" -> qBm25Oracle,
     "text_lm_score_stored" -> qLmScoreOracle,
     "text_lm_bigram" -> qLmBigramOracle,
     "text_lm_bigram_stored" -> qLmBigramOracle,

@@ -2272,7 +2272,7 @@ class PipelineOpsSpec extends SparkSpec {
     val want = docs.groupBy(d => (d._1, d._2)).toSeq
       .map { case ((lang, src), rows) =>
         val n = rows.length.toLong
-        val nb = rows.map(_._3 / 100).distinct.length.toLong
+        val nb = rows.map(c => Math.floorDiv(c._3, 100L)).distinct.length.toLong
         (lang, src, n, n < 5, nb, nb < 3)
       }.sortBy(t => (t._1, t._2))
     assert(got.toSeq === want)
@@ -2289,6 +2289,71 @@ class PipelineOpsSpec extends SparkSpec {
       s"scan not pruned to (lang, source, n_chars):\n${p.take(600)}")
     assert(!p.contains("Join") && !p.contains("Generate"),
       "k-anonymity must be a single grouped aggregation")
+  }
+
+  test("BM25 equals a driver-side recompute; one cached posting explode, term filter below the aggregation") {
+    val q = TextOps.qBm25(spark, sf)
+    // pin the cache-substituted plan BEFORE the action (the posting
+    // cache is released after the first action)
+    val cachedPlan = q.queryExecution.withCachedData
+    val got = q.collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(got.length === 20)
+    assert(got.map(_._4).distinct.length > 1, "scores must vary")
+
+    // driver recompute with the same float shapes (k1=1.2, b=0.75,
+    // Lucene idf; addend shape identical to the interpolated SQL)
+    val docs = Tables.documents(spark, sf).select("doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getString(1).split(" ", -1)))
+    val n = docs.length.toDouble
+    val dl = docs.map { case (id, ts) => id -> ts.length }.toMap
+    val avgdl = dl.values.map(_.toLong).sum.toDouble / docs.length
+    val terms = TextOps.Bm25Terms.toSet
+    val tf = docs.flatMap { case (id, ts) =>
+      ts.filter(terms).groupBy(identity)
+        .map { case (t, v) => (id, t, v.length.toLong) } }
+    val df = tf.groupBy(_._2).map { case (t, v) => t -> v.size.toDouble }
+    val want = tf.groupBy(_._1).toSeq.map { case (id, rows) =>
+      val s = rows.toSeq.sortBy(_._2).map { case (_, t, f) =>
+        math.log(1 + (n - df(t) + 0.5) / (df(t) + 0.5)) * f * 2.2 /
+          (f + 1.2 * (0.25 + 0.75 * dl(id) / avgdl)) }.sum
+      (id, rows.size.toLong, s)
+    }.sortBy { case (id, _, s) => (-s, id) }.take(20)
+      .zipWithIndex.map { case ((id, h, s), i) =>
+        (i + 1, id, h, math.rint(s * 1e6) / 1e6) }
+    assert(got.toSeq === want)
+
+    // plan: the posting relation is cached and consumed twice (df and
+    // the scored join); the ONLY corpus explode lives inside it, with
+    // the query-term filter below the tf aggregation; doc length is a
+    // map-only size(split) — no second explode anywhere
+    val rels = cachedPlan.collect {
+      case r: org.apache.spark.sql.execution.columnar.InMemoryRelation => r }
+    assert(rels.size === 2,
+      "posting relation must be cached and consumed twice")
+    // the cached physical plan is AQE-wrapped once materialized —
+    // descend through AdaptiveSparkPlanExec / query stages explicitly
+    def flatten(p: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[org.apache.spark.sql.execution.SparkPlan] = p match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        flatten(a.executedPlan)
+      case s: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+        p +: flatten(s.plan)
+      case _ => p +: p.children.flatMap(flatten)
+    }
+    val inside = flatten(rels.head.cachedPlan)
+    assert(inside.count(_.isInstanceOf[
+      org.apache.spark.sql.execution.GenerateExec]) === 1,
+      "exactly one token explode, inside the cache")
+    assert(inside.exists {
+      case f: org.apache.spark.sql.execution.FilterExec =>
+        TextOps.Bm25Terms.forall(f.condition.toString.contains)
+      case _ => false
+    }, "query-term filter must sit below the tf aggregation")
+    assert(cachedPlan.collect {
+      case g: org.apache.spark.sql.catalyst.plans.logical.Generate => g }.isEmpty,
+      "no corpus explode outside the cached posting relation")
+    spark.catalog.clearCache()
   }
 
   test("rank-aware eval equals a driver-side recompute; metric laws hold; candidate join stays on the cell key") {

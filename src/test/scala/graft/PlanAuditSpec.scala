@@ -636,6 +636,10 @@ class PlanAuditSpec extends SparkSpec {
       // r11: the conformal calibration's (n_cal, thr) 1-row broadcasts
       // — the same documented category as q_ab_winsorized's (n, cap)
       "text_nb_conformal",
+      // r12: BM25's 1-row (N, avgdl) corpus-stats broadcast — the same
+      // documented 1-row category; the posting join and the df join
+      // are ordinary equi-joins
+      "text_bm25",
       // r10: same gap-fill spine shape as q_ewma_daily — the 1-row
       // (mind, maxd) bounds aggregate broadcast-crossed into the
       // per-type day spine
