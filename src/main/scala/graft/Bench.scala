@@ -206,13 +206,18 @@ object Bench {
             .map(t => name -> (t, math.max(before, loadAvg())))
         }
       }.toMap
-    val first = pass()
-    val second =
-      if (reps >= 2 && remaining() > seriesCost * 1.15) pass()
-      else Map.empty[String, (Double, Double)]
-    (first.keySet ++ second.keySet).map { k =>
-      k -> (first.get(k).toSeq ++ second.get(k)).minBy(_._1)
-    }.toMap
+    var acc = pass()
+    var rep = 1
+    // further passes honor SPARK_GRAFT_ISOREPS beyond 2 (r12 review),
+    // each gated on the whole series still fitting in the MEASURED
+    // remaining budget
+    while (rep < reps && remaining() > seriesCost * 1.15) {
+      val more = pass()
+      acc = (acc.keySet ++ more.keySet).map { k =>
+        k -> (acc.get(k).toSeq ++ more.get(k)).minBy(_._1) }.toMap
+      rep += 1
+    }
+    acc
   }
 
   /** Fork one child JVM for a chunk and return whatever it measured —

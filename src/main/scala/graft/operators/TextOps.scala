@@ -556,15 +556,15 @@ object TextOps {
     Tables.documents(spark, sfDir)
       .groupBy(col("lang"), col("source"))
       .agg(count(lit(1)).as("class_n"),
-        // FLOORED integer division — exact at any magnitude (the
-        // ADVICE r11 point: floor(double-div) drifts above 2^53) AND
-        // floor semantics on negatives (the r12 review point: Spark's
-        // DIV truncates toward zero where DuckDB's `//` and the
-        // streaming twin's Math.floorDiv floor; a corrupt negative
-        // length must bucket identically in all three). The pmod form
-        // is integer floor-div for every input.
-        countDistinct(expr(s"(n_chars - pmod(n_chars, $KAnonBucketWidth))" +
-          s" DIV $KAnonBucketWidth")).as("n_buckets"))
+        // TRUNCATING integer division is the bucket convention on all
+        // three sides: Spark's DIV, DuckDB's integer `//` (verified on
+        // this repo's duckdb 1.0.0: -5 // 100 = 0 — it truncates
+        // toward zero, NOT floor), and the streaming twin's Long `/`.
+        // Exact at any magnitude (the ADVICE r11 point: floor of a
+        // double division drifts above 2^53) and identical on a
+        // corrupt negative length (the r12 review point — the first
+        // "fix" paired a floor-div here with the truncating oracle).
+        countDistinct(expr(s"n_chars DIV $KAnonBucketWidth")).as("n_buckets"))
       .select(col("lang"), col("source"), col("class_n"),
         (col("class_n") < KAnonK).as("k_risky"),
         col("n_buckets"),
@@ -735,11 +735,20 @@ object TextOps {
     * same serve-from-frozen split every stored twin here takes.
     * Float parity: the addend is ONE expression string interpolated
     * from shared constants into both engines, summed over ≤3 terms
-    * per doc and rounded to 6 decimals (the ln-ratio convention). */
+    * per doc and rounded to 6 decimals (the ln-ratio convention).
+    * The SUM's accumulation order is engine-chosen — the same
+    * documented, fixture-verified risk every ln-sum query here
+    * carries (nb scoring, entropy): with O(1) addends of O(1)
+    * magnitude the order error is ~1e-16 against a 1e-6 rounding
+    * grid, and the hash gate re-verifies the bet every round. */
   def qBm25(spark: SparkSession, sfDir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val docs = Tables.documents(spark, sfDir)
+    // persisted: the ~8-byte-per-doc length relation feeds both the
+    // (N, avgdl) stats aggregate and the scored join — without it the
+    // corpus is re-tokenized for each (r12 review)
     val dl = docs.select(col("doc_id"), size(toks).as("dl"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val stats = broadcast(dl.agg(
       count(lit(1)).cast(DoubleType).as("n"),
       (sum(col("dl")).cast(DoubleType) / count(lit(1))).as("avgdl")))
@@ -766,7 +775,7 @@ object TextOps {
         .select(col("rank"), col("doc_id"), col("n_hit"),
           round(col("score"), 6).as("score_r"))
         .orderBy(col("rank")),
-      tf)
+      tf, dl)
   }
 
   lazy val qBm25Oracle: String = {

@@ -1560,8 +1560,11 @@ object StatefulOps {
     override def handleInputRows(key: (String, String),
         rows: Iterator[KAnonDoc], tv: TimerValues): Iterator[KAnonClass] = {
       val st0 = if (st.exists()) Some(st.get()) else None
-      val st1 = advanceKAnon(st0, rows.map(r =>
-        Math.floorDiv(r.n_chars, graft.operators.TextOps.KAnonBucketWidth)).toSeq)
+      // Long `/` TRUNCATES toward zero — the shared bucket convention
+      // (Spark DIV and DuckDB integer `//` both truncate; floorDiv
+      // would drift on a corrupt negative length)
+      val st1 = advanceKAnon(st0, rows.map(
+        _.n_chars / graft.operators.TextOps.KAnonBucketWidth).toSeq)
       st.update(st1)
       Iterator.single(KAnonClass(key._1, key._2, st1.class_n,
         st1.class_n < graft.operators.TextOps.KAnonK,

@@ -2272,7 +2272,8 @@ class PipelineOpsSpec extends SparkSpec {
     val want = docs.groupBy(d => (d._1, d._2)).toSeq
       .map { case ((lang, src), rows) =>
         val n = rows.length.toLong
-        val nb = rows.map(c => Math.floorDiv(c._3, 100L)).distinct.length.toLong
+        // Long `/` truncates toward zero — the shared bucket convention
+        val nb = rows.map(_._3 / 100).distinct.length.toLong
         (lang, src, n, n < 5, nb, nb < 3)
       }.sortBy(t => (t._1, t._2))
     assert(got.toSeq === want)
@@ -2327,10 +2328,6 @@ class PipelineOpsSpec extends SparkSpec {
     // the scored join); the ONLY corpus explode lives inside it, with
     // the query-term filter below the tf aggregation; doc length is a
     // map-only size(split) — no second explode anywhere
-    val rels = cachedPlan.collect {
-      case r: org.apache.spark.sql.execution.columnar.InMemoryRelation => r }
-    assert(rels.size === 2,
-      "posting relation must be cached and consumed twice")
     // the cached physical plan is AQE-wrapped once materialized —
     // descend through AdaptiveSparkPlanExec / query stages explicitly
     def flatten(p: org.apache.spark.sql.execution.SparkPlan)
@@ -2341,10 +2338,18 @@ class PipelineOpsSpec extends SparkSpec {
         p +: flatten(s.plan)
       case _ => p +: p.children.flatMap(flatten)
     }
-    val inside = flatten(rels.head.cachedPlan)
+    val rels = cachedPlan.collect {
+      case r: org.apache.spark.sql.execution.columnar.InMemoryRelation => r }
+    assert(rels.size === 4,
+      "posting and doc-length relations each cached and consumed twice")
+    val (postings, lens) = rels.partition(r => flatten(r.cachedPlan)
+      .exists(_.isInstanceOf[org.apache.spark.sql.execution.GenerateExec]))
+    assert(postings.size === 2 && lens.size === 2,
+      "one cache is the posting explode, the other the map-only lengths")
+    val inside = flatten(postings.head.cachedPlan)
     assert(inside.count(_.isInstanceOf[
       org.apache.spark.sql.execution.GenerateExec]) === 1,
-      "exactly one token explode, inside the cache")
+      "exactly one token explode, inside the posting cache")
     assert(inside.exists {
       case f: org.apache.spark.sql.execution.FilterExec =>
         TextOps.Bm25Terms.forall(f.condition.toString.contains)
