@@ -314,6 +314,7 @@ object Bench {
       graft.operators.TextOps.lmBackoffStored(spark, sfDir)
       graft.operators.TextOps.lmCuratedStored(spark, sfDir)
       graft.operators.TextOps.nbStored(spark, sfDir)
+      graft.operators.TextOps.bm25Stored(spark, sfDir)
       graft.operators.TextOps.nbPrevModelStored(spark, sfDir)
       graft.operators.TextOps.nbCalModelStored(spark, sfDir)
       graft.operators.DedupOps.qDedupDeltaClassify(spark, sfDir)

@@ -345,6 +345,61 @@ object SamplingOps {
       |SELECT doc_id, lang, round(w, 6) AS w_r, round(u, 6) AS u_r
       |FROM d WHERE u < w ORDER BY doc_id""".stripMargin
 
+  /** WEIGHTED reservoir sampling without replacement (Efraimidis &
+    * Spirakis 2006, the A-ES scheme) — THE one-pass distributed
+    * weighted sampler: where [[qImportanceSample]] keeps each doc
+    * independently (sample size varies), this draws EXACTLY k docs
+    * with inclusion probability proportional to weight (here doc
+    * length — the "sample tokens, not documents" correction every
+    * token-budget pipeline needs). Each doc gets the key
+    * e = −ln(u)/w — the exponential-clock formulation, order-
+    * equivalent to the paper's u^(1/w) but numerically tame — and the
+    * k SMALLEST keys are the sample. u is the deterministic md5 coin
+    * of the family, shifted to (0,1) strictly (u = (h+0.5)/2^32; ln
+    * must never see 0), so the sample is reproducible across runs,
+    * engines, and partitionings, and append-stable: a new doc races
+    * its own clock and never reshuffles existing keys. Docs with
+    * w ≤ 0 cannot win a weighted draw and are filtered explicitly.
+    *
+    * Scale shape: map-only key computation over a pruned 2-column
+    * scan + a bounded-heap TakeOrdered(k) — each partition keeps its
+    * local top-k and only k-row heaps merge, no shuffle of the
+    * corpus; this is the pass a 100 TB token-budgeted corpus build
+    * runs per epoch. The streaming variant (A-ExpJ's exponential
+    * jumps) keeps the same keys, so batch and stream draws agree.
+    * The key expression is ONE string interpolated into both engines
+    * (the BM25 discipline); ordering uses the UNROUNDED key with a
+    * doc_id tie-break. */
+  def qWeightedReservoir(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val k = 50
+    val u = (conv(substring(md5(col("doc_id").cast("string").cast("binary")), 1, 8), 16, 10)
+      .cast("long").cast("double") + lit(0.5)) / lit(4294967296.0)
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("n_chars").as("w"), u.as("u"))
+      .filter(col("w") > 0)
+      .withColumn("e", expr("-ln(u) / w"))
+      .orderBy(col("e"), col("doc_id")).limit(k)
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("e"), col("doc_id"))))
+      .select(col("rank"), col("doc_id"), col("w"),
+        round(col("e") * 1000, 6).as("e1000_r"))
+      .orderBy(col("rank"))
+  }
+
+  val qWeightedReservoirOracle: String =
+    """WITH d AS (
+      |  SELECT doc_id, n_chars AS w,
+      |    (CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) AS DOUBLE)
+      |      + 0.5) / 4294967296.0 AS u
+      |  FROM documents WHERE n_chars > 0),
+      |keyed AS (SELECT doc_id, w, -ln(u) / w AS e FROM d),
+      |rk AS (SELECT doc_id, w, e,
+      |  row_number() OVER (ORDER BY e, doc_id) AS rank FROM keyed)
+      |SELECT CAST(rank AS INT) AS rank, doc_id, w,
+      |  round(e * 1000, 6) AS e1000_r
+      |FROM rk WHERE rank <= 50 ORDER BY rank""".stripMargin
+
   /** Distribution DRIFT between two corpus snapshots (population
     * stability index): bin a feature, compare bin shares across the
     * 1996 vs 1997 order years, report the per-bin PSI term and the
@@ -1088,7 +1143,8 @@ object SamplingOps {
     "sample_decontaminate" -> (qDecontaminate _),
     "sample_decontaminate_bloom" -> (qDecontaminateBloom _),
     "sample_mixture" -> (qMixtureSample _),
-    "sample_importance" -> (qImportanceSample _))
+    "sample_importance" -> (qImportanceSample _),
+    "sample_weighted_reservoir" -> (qWeightedReservoir _))
 
   val oracles: Map[String, String] = Map(
     "sample_dsir" -> qDsirOracle,
@@ -1110,5 +1166,6 @@ object SamplingOps {
     // bloom variant shares the exact twin's oracle verbatim
     "sample_decontaminate_bloom" -> qDecontaminateOracle,
     "sample_mixture" -> qMixtureSampleOracle,
-    "sample_importance" -> qImportanceSampleOracle)
+    "sample_importance" -> qImportanceSampleOracle,
+    "sample_weighted_reservoir" -> qWeightedReservoirOracle)
 }

@@ -761,21 +761,76 @@ object TextOps {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val df = broadcast(tf.groupBy(col("tk"))
       .agg(count(lit(1)).cast(DoubleType).as("df")))
+    DedupOps.unpersistAfterFirstAction(
+      bm25Ranked(tf.join(df, "tk").join(dl, "doc_id").crossJoin(stats)),
+      tf, dl)
+  }
+
+  /** The shared BM25 scoring tail over a (doc_id, tk, tf, df, dl, n,
+    * avgdl) relation — ONE expression tree for the live query (stats
+    * from the 1-row cross) and the stored twin (stats as folded meta
+    * literals), so the two paths cannot drift and share the oracle
+    * verbatim (the graph-family discipline). */
+  private def bm25Ranked(withStats: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val addend = expr(
       s"ln(1 + (n - df + 0.5) / (df + 0.5)) * tf * $Bm25K1p1" +
         s" / (tf + $Bm25K1 * ($Bm25OneMinusB + $Bm25B * dl / avgdl))")
-    val scored = tf.join(df, "tk").join(dl, "doc_id")
-      .crossJoin(stats)
+    withStats
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_hit"), sum(addend).as("score"))
-    DedupOps.unpersistAfterFirstAction(
-      scored.orderBy(col("score").desc, col("doc_id")).limit(20)
-        .withColumn("rank", row_number().over(
-          Window.orderBy(col("score").desc, col("doc_id"))))
-        .select(col("rank"), col("doc_id"), col("n_hit"),
-          round(col("score"), 6).as("score_r"))
-        .orderBy(col("rank")),
-      tf, dl)
+      .orderBy(col("score").desc, col("doc_id")).limit(20)
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("score").desc, col("doc_id"))))
+      .select(col("rank"), col("doc_id"), col("n_hit"),
+        round(col("score"), 6).as("score_r"))
+      .orderBy(col("rank"))
+  }
+
+  /** The mined BM25 model a production ranker ships — full-vocabulary
+    * (tk, df) document frequencies in the durable artifact store with
+    * the corpus doc count and total token count as `_graft_meta`: the
+    * corpus-wide mining pass runs ONCE per dataset, and scoring any
+    * query is then per-doc map work + a terms-sized broadcast join
+    * against the artifact. */
+  private[graft] def bm25Stored(spark: SparkSession, sfDir: String)
+      : (DataFrame, Long, Long) = {
+    val (dir, meta) = graft.Artifacts.getOrBuildMeta(
+        spark, sfDir, "bm25_model") { d =>
+      val docs = Tables.documents(spark, sfDir)
+      val s = docs.agg(count(lit(1)), sum(size(toks))).head
+      docs.select(col("doc_id"), explode(toks).as("tk"))
+        .groupBy(col("doc_id"), col("tk")).agg(count(lit(1)).as("tf"))
+        .groupBy(col("tk")).agg(count(lit(1)).as("df"))
+        .write.parquet(d)
+      s"${s.getLong(0)},${s.getLong(1)}"
+    }
+    val Array(n, sumdl) = meta.trim.split(",").map(_.toLong)
+    (spark.read.parquet(dir), n, sumdl)
+  }
+
+  /** [[qBm25]] SERVED from the stored model — identical contract and
+    * oracle (verbatim-shared): the per-doc tf explode and length
+    * projection are the unavoidable map work over whatever documents
+    * are being scored; the df side is the artifact scan filtered to
+    * the query's terms (a terms-sized broadcast), and (N, avgdl) are
+    * meta literals FOLDED into the scoring expression — no 1-row
+    * cross join at all, so unlike the live miner this plan needs no
+    * `allowNested` entry. avgdl is the same exact-integer division
+    * the live stats aggregate performs, so the doubles agree
+    * bit-for-bit. */
+  def qBm25Stored(spark: SparkSession, sfDir: String): DataFrame = {
+    val (model, n, sumdl) = bm25Stored(spark, sfDir)
+    val docs = Tables.documents(spark, sfDir)
+    val dl = docs.select(col("doc_id"), size(toks).as("dl"))
+    val tf = docs.select(col("doc_id"), explode(toks).as("tk"))
+      .filter(col("tk").isin(Bm25Terms: _*))
+      .groupBy(col("doc_id"), col("tk")).agg(count(lit(1)).as("tf"))
+    val df = broadcast(model.filter(col("tk").isin(Bm25Terms: _*))
+      .select(col("tk"), col("df").cast(DoubleType).as("df")))
+    bm25Ranked(tf.join(df, "tk").join(dl, "doc_id")
+      .withColumn("n", lit(n.toDouble))
+      .withColumn("avgdl", lit(sumdl.toDouble / n)))
   }
 
   lazy val qBm25Oracle: String = {
@@ -2342,6 +2397,7 @@ FROM r ORDER BY doc_id""")
     "text_tfidf" -> (qTfidf _),
     "text_tfidf_stored" -> (qTfidfStored _),
     "text_bm25" -> (qBm25 _),
+    "text_bm25_stored" -> (qBm25Stored _),
     "text_lm_score_stored" -> (qLmScoreStored _),
     "text_lm_bigram" -> (qLmBigram _),
     "text_lm_bigram_stored" -> (qLmBigramStored _),
@@ -2383,6 +2439,9 @@ FROM r ORDER BY doc_id""")
     "text_tfidf" -> qTfidfOracle,
     "text_tfidf_stored" -> qTfidfOracle,
     "text_bm25" -> qBm25Oracle,
+    // the stored twin shares the self-contained oracle VERBATIM: the
+    // artifact is the same df mining pass materialized
+    "text_bm25_stored" -> qBm25Oracle,
     "text_lm_score_stored" -> qLmScoreOracle,
     "text_lm_bigram" -> qLmBigramOracle,
     "text_lm_bigram_stored" -> qLmBigramOracle,

@@ -2361,6 +2361,53 @@ class PipelineOpsSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("stored BM25 equals the live miner row-for-row; artifact scan, no 1-row cross, no caches") {
+    val live = TextOps.qBm25(spark, sf).collect().map(_.toSeq)
+    val stored = TextOps.qBm25Stored(spark, sf)
+    assert(stored.collect().map(_.toSeq).toSeq === live.toSeq,
+      "serving from the frozen model must equal the live mining pass")
+    val p = stored.queryExecution
+      .explainString(org.apache.spark.sql.execution.FormattedMode)
+    // (N, avgdl) are meta literals — the live miner's 1-row stats
+    // cross must be GONE from the serving plan
+    assert(!p.contains("BroadcastNestedLoopJoin") &&
+      !p.contains("CartesianProduct"),
+      "stored BM25 must fold the corpus stats as literals")
+    assert(p.contains("graft_artifacts"),
+      "df side must be the stored-model artifact scan")
+    assert(!p.contains("InMemoryRelation") && !p.contains("InMemoryTableScan"),
+      "single-consumer relations in the serving path need no caches")
+  }
+
+  test("weighted reservoir equals a driver-side recompute and skews toward heavy documents") {
+    val got = graft.operators.SamplingOps.qWeightedReservoir(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(got.length === 50)
+    // driver recompute: same md5 coin, same key shape
+    val docs = Tables.documents(spark, sf).select("doc_id", "n_chars")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    def uOf(id: Long): Double = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(8)
+      (java.lang.Long.parseLong(hex, 16).toDouble + 0.5) / 4294967296.0
+    }
+    val keyed = docs.filter(_._2 > 0)
+      .map { case (id, w) => (id, w, -math.log(uOf(id)) / w) }
+    val want = keyed.sortBy { case (id, _, e) => (e, id) }.take(50)
+      .zipWithIndex.map { case ((id, w, e), i) =>
+        (i + 1, id, w, math.rint(e * 1000 * 1e6) / 1e6) }
+    assert(got.toSeq === want.toSeq)
+    // weighted draws must skew toward heavy docs: the sample's mean
+    // weight beats the corpus mean (a uniform sampler would match it)
+    val corpusMean = docs.map(_._2).sum.toDouble / docs.length
+    val sampleMean = got.map(_._3).sum.toDouble / got.length
+    assert(sampleMean > corpusMean,
+      s"sample mean weight $sampleMean must exceed corpus mean $corpusMean")
+    // exactly-k, no replacement
+    assert(got.map(_._2).distinct.length === 50)
+  }
+
   test("rank-aware eval equals a driver-side recompute; metric laws hold; candidate join stays on the cell key") {
     val got = SimilarityOps.qSimRankEval(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
