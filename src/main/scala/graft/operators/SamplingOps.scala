@@ -368,8 +368,11 @@ object SamplingOps {
     * runs per epoch. The streaming variant (A-ExpJ's exponential
     * jumps) keeps the same keys, so batch and stream draws agree.
     * The key expression is ONE string interpolated into both engines
-    * (the BM25 discipline); ordering uses the UNROUNDED key with a
-    * doc_id tie-break. */
+    * (the BM25 discipline), and selection/rank run on the 6-decimal
+    * ROUNDED key with a doc_id tie-break — the qDsir rule: ln() is
+    * only ulp-accurate per libm, so ranking the raw double could flip
+    * membership at the rank-k cutoff between engines; rounding before
+    * the top-k makes the selected set engine-exact. */
   def qWeightedReservoir(spark: SparkSession, sfDir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val k = 50
@@ -378,12 +381,11 @@ object SamplingOps {
     Tables.documents(spark, sfDir)
       .select(col("doc_id"), col("n_chars").as("w"), u.as("u"))
       .filter(col("w") > 0)
-      .withColumn("e", expr("-ln(u) / w"))
-      .orderBy(col("e"), col("doc_id")).limit(k)
+      .withColumn("e1000_r", round(expr("-ln(u) / w") * 1000, 6))
+      .orderBy(col("e1000_r"), col("doc_id")).limit(k)
       .withColumn("rank", row_number().over(
-        Window.orderBy(col("e"), col("doc_id"))))
-      .select(col("rank"), col("doc_id"), col("w"),
-        round(col("e") * 1000, 6).as("e1000_r"))
+        Window.orderBy(col("e1000_r"), col("doc_id"))))
+      .select(col("rank"), col("doc_id"), col("w"), col("e1000_r"))
       .orderBy(col("rank"))
   }
 
@@ -393,11 +395,10 @@ object SamplingOps {
       |    (CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) AS DOUBLE)
       |      + 0.5) / 4294967296.0 AS u
       |  FROM documents WHERE n_chars > 0),
-      |keyed AS (SELECT doc_id, w, -ln(u) / w AS e FROM d),
-      |rk AS (SELECT doc_id, w, e,
-      |  row_number() OVER (ORDER BY e, doc_id) AS rank FROM keyed)
-      |SELECT CAST(rank AS INT) AS rank, doc_id, w,
-      |  round(e * 1000, 6) AS e1000_r
+      |keyed AS (SELECT doc_id, w, round(-ln(u) / w * 1000, 6) AS e1000_r FROM d),
+      |rk AS (SELECT doc_id, w, e1000_r,
+      |  row_number() OVER (ORDER BY e1000_r, doc_id) AS rank FROM keyed)
+      |SELECT CAST(rank AS INT) AS rank, doc_id, w, e1000_r
       |FROM rk WHERE rank <= 50 ORDER BY rank""".stripMargin
 
   /** Distribution DRIFT between two corpus snapshots (population

@@ -742,7 +742,6 @@ object TextOps {
     * magnitude the order error is ~1e-16 against a 1e-6 rounding
     * grid, and the hash gate re-verifies the bet every round. */
   def qBm25(spark: SparkSession, sfDir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val docs = Tables.documents(spark, sfDir)
     // persisted: the ~8-byte-per-doc length relation feeds both the
     // (N, avgdl) stats aggregate and the scored join — without it the

@@ -2363,6 +2363,11 @@ class PipelineOpsSpec extends SparkSpec {
 
   test("stored BM25 equals the live miner row-for-row; artifact scan, no 1-row cross, no caches") {
     val live = TextOps.qBm25(spark, sf).collect().map(_.toSeq)
+    // barrier: the live miner's unpersist is ASYNC (listener bus) and
+    // its tf/dl plans are identical to the stored query's subtrees —
+    // without this the CacheManager can substitute the still-registered
+    // caches into the stored plan and flake the no-cache pin below
+    spark.catalog.clearCache()
     val stored = TextOps.qBm25Stored(spark, sf)
     assert(stored.collect().map(_.toSeq).toSeq === live.toSeq,
       "serving from the frozen model must equal the live mining pass")
@@ -2392,11 +2397,11 @@ class PipelineOpsSpec extends SparkSpec {
         .map("%02x".format(_)).mkString.take(8)
       (java.lang.Long.parseLong(hex, 16).toDouble + 0.5) / 4294967296.0
     }
-    val keyed = docs.filter(_._2 > 0)
-      .map { case (id, w) => (id, w, -math.log(uOf(id)) / w) }
+    // selection and rank run on the ROUNDED key (the qDsir rule)
+    val keyed = docs.filter(_._2 > 0).map { case (id, w) =>
+      (id, w, math.rint(-math.log(uOf(id)) / w * 1000 * 1e6) / 1e6) }
     val want = keyed.sortBy { case (id, _, e) => (e, id) }.take(50)
-      .zipWithIndex.map { case ((id, w, e), i) =>
-        (i + 1, id, w, math.rint(e * 1000 * 1e6) / 1e6) }
+      .zipWithIndex.map { case ((id, w, e), i) => (i + 1, id, w, e) }
     assert(got.toSeq === want.toSeq)
     // weighted draws must skew toward heavy docs: the sample's mean
     // weight beats the corpus mean (a uniform sampler would match it)
@@ -2406,6 +2411,16 @@ class PipelineOpsSpec extends SparkSpec {
       s"sample mean weight $sampleMean must exceed corpus mean $corpusMean")
     // exactly-k, no replacement
     assert(got.map(_._2).distinct.length === 50)
+    // plan: map-only key over a pruned 2-column scan + bounded-heap
+    // top-k — no join, no explode, no global sort of the corpus
+    val p = graft.operators.SamplingOps.qWeightedReservoir(spark, sf)
+      .queryExecution.explainString(org.apache.spark.sql.execution.FormattedMode)
+    assert(p.contains("TakeOrderedAndProject"),
+      "top-k must be the bounded heap, not a global sort")
+    assert(p.contains("ReadSchema: struct<doc_id:bigint,n_chars:bigint>"),
+      s"scan not pruned to (doc_id, n_chars):\n${p.take(600)}")
+    assert(!p.contains("Join") && !p.contains("Generate"),
+      "key computation must be map-only")
   }
 
   test("rank-aware eval equals a driver-side recompute; metric laws hold; candidate join stays on the cell key") {
