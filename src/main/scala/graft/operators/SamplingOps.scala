@@ -373,16 +373,27 @@ object SamplingOps {
     * only ulp-accurate per libm, so ranking the raw double could flip
     * membership at the rank-k cutoff between engines; rounding before
     * the top-k makes the selected set engine-exact. */
-  def qWeightedReservoir(spark: SparkSession, sfDir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val k = 50
+  private[graft] val ReservoirK = 50
+
+  /** The keyed (doc_id, w, e1000_r) relation — ONE column pipeline
+    * shared by the batch draw and the streaming twin
+    * ([[graft.streaming.StatefulOps.streamingWeightedReservoir]]), so
+    * both race identical keys and a mid-stream cut of the stream
+    * equals the batch draw exactly. */
+  private[graft] def reservoirKeyed(docs: DataFrame): DataFrame = {
     val u = (conv(substring(md5(col("doc_id").cast("string").cast("binary")), 1, 8), 16, 10)
       .cast("long").cast("double") + lit(0.5)) / lit(4294967296.0)
-    Tables.documents(spark, sfDir)
+    docs
       .select(col("doc_id"), col("n_chars").as("w"), u.as("u"))
       .filter(col("w") > 0)
       .withColumn("e1000_r", round(expr("-ln(u) / w") * 1000, 6))
-      .orderBy(col("e1000_r"), col("doc_id")).limit(k)
+      .select(col("doc_id"), col("w"), col("e1000_r"))
+  }
+
+  def qWeightedReservoir(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    reservoirKeyed(Tables.documents(spark, sfDir))
+      .orderBy(col("e1000_r"), col("doc_id")).limit(ReservoirK)
       .withColumn("rank", row_number().over(
         Window.orderBy(col("e1000_r"), col("doc_id"))))
       .select(col("rank"), col("doc_id"), col("w"), col("e1000_r"))

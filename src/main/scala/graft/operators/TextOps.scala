@@ -770,14 +770,23 @@ object TextOps {
     * from the 1-row cross) and the stored twin (stats as folded meta
     * literals), so the two paths cannot drift and share the oracle
     * verbatim (the graph-family discipline). */
-  private def bm25Ranked(withStats: DataFrame): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
+  /** Per-doc BM25 rollup over a (doc_id, tk, tf, df, dl, n, avgdl)
+    * relation — the scoring half of [[bm25Ranked]], shared with the
+    * streaming serving twin
+    * ([[graft.streaming.StatefulOps.streamingBm25]]) so an arriving
+    * document scores exactly as the batch pass scores it. */
+  private[graft] def bm25Scored(withStats: DataFrame): DataFrame = {
     val addend = expr(
       s"ln(1 + (n - df + 0.5) / (df + 0.5)) * tf * $Bm25K1p1" +
         s" / (tf + $Bm25K1 * ($Bm25OneMinusB + $Bm25B * dl / avgdl))")
     withStats
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_hit"), sum(addend).as("score"))
+  }
+
+  private def bm25Ranked(withStats: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    bm25Scored(withStats)
       .orderBy(col("score").desc, col("doc_id")).limit(20)
       .withColumn("rank", row_number().over(
         Window.orderBy(col("score").desc, col("doc_id"))))

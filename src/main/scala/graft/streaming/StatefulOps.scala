@@ -1601,6 +1601,134 @@ object StatefulOps {
         OutputMode.Append())
   }
 
+  // ================= streaming BM25 serving =================
+
+  /** STREAMING BM25 scoring — the serving path of the stored model
+    * (`TextOps.bm25Stored`) as a STATELESS map-only projection, the
+    * strongest serving shape of the twins here: the model is
+    * terms-sized, so its (df → idf) values and the (N, avgdl)
+    * scalars FOLD INTO THE PLAN AS LITERALS (the broadcast-literal
+    * pattern every k-row model query uses) and each arriving
+    * document scores in one codegen'd expression — per-term tf from
+    * an array `filter` count (the same number the batch explode
+    * counts), no explode, no join, no aggregation, NO STATE.
+    * A streaming `groupBy` here would double-count re-delivered
+    * documents (tf saturation is not a ratio — doubling tf CHANGES
+    * the score, unlike the perplexity filter's average); a pure
+    * projection is idempotent by construction instead.
+    *
+    * Float parity: idf is computed with the same arithmetic order as
+    * the batch expression (JVM Math.log = the codegen'd ln), the
+    * addend mirrors the shared SQL string term-for-term, and the
+    * per-doc sum runs in fixed term order — within the documented
+    * round-6 ln-sum convention the batch ranker itself carries.
+    * Asserted against the batch top-20 in StatefulOpsSpec.
+    * Scale: per-batch cost tracks arrival volume × doc length;
+    * nothing grows with corpus size or time. */
+  def streamingBm25(docs: DataFrame, df: DataFrame,
+      n: Long, sumdl: Long): DataFrame = {
+    val nD = n.toDouble
+    val avgdl = sumdl.toDouble / n
+    val model: Seq[(String, Double)] = df.collect()
+      .map(r => (r.getString(0), r.getDouble(1))).toSeq.sortBy(_._1)
+    val toks = split(col("text"), " ")
+    val dl = size(toks)
+    def tf(t: String) = size(filter(toks, x => x === t)).cast("double")
+    val addends = model.map { case (t, dfv) =>
+      // same arithmetic order as the shared batch SQL addend
+      val idf = math.log(1 + (nD - dfv + 0.5) / (dfv + 0.5))
+      when(tf(t) > 0,
+        lit(idf) * tf(t) * lit(2.2) /
+          (tf(t) + lit(1.2) * (lit(0.25) + lit(0.75) * dl / lit(avgdl))))
+        .otherwise(lit(0.0))
+    }
+    val hits = model.map { case (t, _) =>
+      when(tf(t) > 0, 1L).otherwise(0L) }
+    docs.select(col("doc_id"),
+        hits.reduce(_ + _).as("n_hit"),
+        round(addends.reduce(_ + _), 6).as("score_r"))
+      .filter(col("n_hit") > 0)
+  }
+
+  // ================= streaming weighted reservoir =================
+
+  /** One keyed arrival of the weighted draw: the doc, its weight, and
+    * its deterministic race key (computed by the SHARED
+    * `SamplingOps.reservoirKeyed` column pipeline — the stream races
+    * the same keys as the batch draw). */
+  case class ResDoc(doc_id: Long, w: Long, e1000_r: Double)
+  /** A shard's current reservoir, re-emitted per batch with a
+    * monotone version so the latest emission per shard is
+    * identifiable in an append sink. */
+  case class ResEmit(shard: Long, ver: Long, doc_id: Long, w: Long,
+    e1000_r: Double)
+  case class ResState(ver: Long, docs: Seq[ResDoc])
+
+  /** The reservoir transition for one shard: union, dedup, keep the k
+    * smallest keys (doc_id tie-break). A pure min-merge — idempotent
+    * under re-delivery and order-invariant, the [[mergeMinima]]
+    * discipline (a top-k set, unlike a count, absorbs duplicates for
+    * free). Laws in ReservoirLaws. */
+  private[graft] def mergeReservoir(st: Seq[ResDoc],
+      arrivals: Seq[ResDoc], k: Int): Seq[ResDoc] =
+    (st ++ arrivals).distinct.sortBy(d => (d.e1000_r, d.doc_id)).take(k)
+
+  final class ReservoirProcessor(k: Int, ttl: TTLConfig = TTLConfig.NONE)
+      extends StatefulProcessor[Long, ResDoc, ResEmit] {
+    @transient private var st: ValueState[ResState] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      st = getHandle.getValueState[ResState]("reservoir",
+        Encoders.product[ResState], ttl)
+    override def handleInputRows(shard: Long, rows: Iterator[ResDoc],
+        tv: TimerValues): Iterator[ResEmit] = {
+      val st0 = if (st.exists()) st.get() else ResState(0L, Nil)
+      val merged = mergeReservoir(st0.docs, rows.toSeq, k)
+      val st1 = ResState(st0.ver + 1, merged)
+      st.update(st1)
+      merged.iterator.map(d =>
+        ResEmit(shard, st1.ver, d.doc_id, d.w, d.e1000_r))
+    }
+  }
+
+  /** STREAMING weighted reservoir — the A-ExpJ serving shape of the
+    * batch `sample_weighted_reservoir`: because the race keys are
+    * deterministic and a top-k set is a pure min-merge, the stream
+    * needs no jump trickery — each shard keeps its k smallest keys
+    * (O(shards × k) state, constant), re-emitting its reservoir per
+    * batch, and [[reservoirReadout]] merges the latest shard
+    * reservoirs into the global top-k. At ANY cut the readout equals
+    * the batch draw over the docs seen so far, exactly (asserted
+    * two-cut in StatefulOpsSpec) — the property that lets a crawler
+    * maintain the training sample online instead of re-drawing per
+    * epoch. Sharding is by doc_id mod [[ReservoirShards]]: any
+    * partition works for a min-merge; mod keeps replay deterministic.
+    * RocksDB state store required. */
+  val ReservoirShards = 8
+  def streamingWeightedReservoir(docs: Dataset[ResDoc],
+      k: Int = graft.operators.SamplingOps.ReservoirK,
+      ttl: TTLConfig = TTLConfig.NONE): Dataset[ResEmit] = {
+    import docs.sparkSession.implicits._
+    docs.groupByKey(_.doc_id % ReservoirShards)
+      .transformWithState(new ReservoirProcessor(k, ttl),
+        timeModeFor(ttl), OutputMode.Append())
+  }
+
+  /** Merge the latest per-shard reservoirs into the global ranked
+    * top-k — identical columns and ordering to the batch query. */
+  def reservoirReadout(emitted: DataFrame,
+      k: Int = graft.operators.SamplingOps.ReservoirK): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    emitted
+      .withColumn("maxv", max(col("ver")).over(
+        Window.partitionBy(col("shard"))))
+      .filter(col("ver") === col("maxv"))
+      .orderBy(col("e1000_r"), col("doc_id")).limit(k)
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("e1000_r"), col("doc_id"))))
+      .select(col("rank"), col("doc_id"), col("w"), col("e1000_r"))
+      .orderBy(col("rank"))
+  }
+
   // ================= composed streaming ingest pipeline =================
 
   /** The END-TO-END streaming ingest — the live twin of the batch

@@ -692,6 +692,43 @@ object KAnonLaws extends Properties("advanceKAnon") {
     }
 }
 
+object ReservoirLaws extends Properties("mergeReservoir") {
+  import graft.streaming.StatefulOps
+  import graft.streaming.StatefulOps.ResDoc
+  private val k = 5
+  // doc_id is a KEY (it determines weight and race key, as in the real
+  // relation) — otherwise two rows tied on (e, doc_id) with different
+  // weights would make the sort non-total and the laws vacuous noise.
+  // The small ranges force duplicates and key ties, so the dedup and
+  // the doc_id tie-break are actually exercised.
+  private def doc(id: Long) = ResDoc(id, id % 7 + 1, (id % 5 + 1).toDouble)
+  private val docs: Gen[List[ResDoc]] =
+    Gen.listOf(Gen.chooseNum(0L, 30L).map(doc))
+
+  property("any batch split converges to one merge") =
+    forAll(docs, docs) { (a, b) =>
+      StatefulOps.mergeReservoir(
+        StatefulOps.mergeReservoir(Nil, a, k), b, k) ==
+        StatefulOps.mergeReservoir(Nil, a ++ b, k)
+    }
+
+  property("re-delivered batches are idempotent") = forAll(docs) { a =>
+    val once = StatefulOps.mergeReservoir(Nil, a, k)
+    StatefulOps.mergeReservoir(once, a, k) == once
+  }
+
+  property("arrival order is irrelevant") = forAll(docs) { a =>
+    StatefulOps.mergeReservoir(Nil, a, k) ==
+      StatefulOps.mergeReservoir(Nil, a.reverse, k)
+  }
+
+  property("reservoir holds the k smallest distinct keys, id tie-broken") =
+    forAll(docs) { a =>
+      StatefulOps.mergeReservoir(Nil, a, k) ==
+        a.distinct.sortBy(d => (d.e1000_r, d.doc_id)).take(k)
+    }
+}
+
 object KmvLaws extends Properties("kmvSketch") {
   import graft.streaming.StatefulOps
   private val k = 8

@@ -1273,6 +1273,99 @@ class StatefulOpsSpec extends SparkSpec {
     }
   }
 
+  test("streaming weighted reservoir: any cut's readout equals the batch draw over docs seen so far") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      // the SHARED key pipeline — the stream races the batch's keys
+      val keyed = graft.operators.SamplingOps
+        .reservoirKeyed(Tables.documents(spark, sf)).collect()
+        .map(r => StatefulOps.ResDoc(r.getLong(0), r.getLong(1), r.getDouble(2)))
+      val (c1, c2) = keyed.sortBy(_.doc_id).splitAt(keyed.length / 2)
+      val in = MemoryStream[StatefulOps.ResDoc]
+      val q = StatefulOps.streamingWeightedReservoir(in.toDS())
+        .writeStream.format("memory").queryName("res_out")
+        .outputMode("append").start()
+      try {
+        def readout() = StatefulOps.reservoirReadout(spark.table("res_out"))
+          .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2),
+            r.getDouble(3)))
+        def batchDraw(rows: Seq[StatefulOps.ResDoc]) = rows
+          .sortBy(d => (d.e1000_r, d.doc_id))
+          .take(graft.operators.SamplingOps.ReservoirK)
+          .zipWithIndex.map { case (d, i) => (i + 1, d.doc_id, d.w, d.e1000_r) }
+        in.addData(c1.toIndexedSeq); q.processAllAvailable()
+        assert(readout().toSeq === batchDraw(c1.toIndexedSeq),
+          "mid-stream cut must equal the batch draw over the seen half")
+        in.addData(c2.toIndexedSeq); q.processAllAvailable()
+        val fin = readout()
+        assert(fin.toSeq === batchDraw(keyed.toIndexedSeq),
+          "final readout must equal the batch draw over the full corpus")
+        // and the batch QUERY itself — same keys, same ranks
+        val want = graft.operators.SamplingOps.qWeightedReservoir(spark, sf)
+          .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2),
+            r.getDouble(3)))
+        assert(fin.toSeq === want.toSeq)
+        // re-delivery is a no-op for a min-merge
+        in.addData(c1.toIndexedSeq); q.processAllAvailable()
+        assert(readout().toSeq === fin.toSeq,
+          "re-delivered docs must not change the reservoir")
+      } finally q.stop()
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
+
+  test("streaming BM25 scores arrivals exactly as the batch ranker scores them") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    // frozen statics: the stored model filtered to the query terms
+    val (model, n, sumdl) = graft.operators.TextOps.bm25Stored(spark, sf)
+    val dfStatic = model
+      .filter(col("tk").isin(graft.operators.TextOps.Bm25Terms: _*))
+      .select(col("tk"), col("df").cast("double").as("df"))
+    val docs = Tables.documents(spark, sf)
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val in = MemoryStream[(Long, String)]
+    val q = StatefulOps.streamingBm25(
+        in.toDF().toDF("doc_id", "text"), dfStatic, n, sumdl)
+      .writeStream.format("memory").queryName("bm25_out")
+      .outputMode("update").start()
+    try {
+      val (c1, c2) = docs.splitAt(docs.length / 2)
+      in.addData(c1.toIndexedSeq); q.processAllAvailable()
+      in.addData(c2.toIndexedSeq); q.processAllAvailable()
+      val got = spark.table("bm25_out").collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+      // every batch top-20 row reproduces exactly in the stream
+      val want = graft.operators.TextOps.qBm25(spark, sf).collect()
+        .map(r => (r.getLong(1), r.getLong(2), r.getDouble(3)))
+      assert(want.nonEmpty)
+      want.foreach { case (id, nHit, score) =>
+        assert(got(id) === ((nHit, score)),
+          s"doc $id: stream score diverged from the batch ranker")
+      }
+      // the stream scores exactly the docs with >=1 query term
+      val terms = graft.operators.TextOps.Bm25Terms.toSet
+      val expected = docs.filter(_._2.split(" ", -1).exists(terms)).map(_._1).toSet
+      assert(got.keySet === expected,
+        "stream must score exactly the docs containing a query term")
+      // re-delivery is idempotent under Update mode
+      in.addData(c1.toIndexedSeq); q.processAllAvailable()
+      val again = spark.table("bm25_out").collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+      assert(again === got, "re-delivery must re-emit identical rows")
+    } finally q.stop()
+  }
+
   test("streaming crawl delta over two snapshot batches matches the batch report minus removals") {
     import spark.implicits._
     implicit val sc = spark.sqlContext
