@@ -706,10 +706,10 @@ object TextOps {
     * literals ("2.2", "0.25") rather than derived, so both engines
     * parse the identical decimal instead of each folding `1.2 + 1`
     * in possibly different last-ulp ways. */
-  private val Bm25K1 = "1.2"
-  private val Bm25K1p1 = "2.2"
-  private val Bm25B = "0.75"
-  private val Bm25OneMinusB = "0.25"
+  private[graft] val Bm25K1 = "1.2"
+  private[graft] val Bm25K1p1 = "2.2"
+  private[graft] val Bm25B = "0.75"
+  private[graft] val Bm25OneMinusB = "0.25"
   private[graft] val Bm25Terms = Seq("spark", "join", "vector")
 
   /** OKAPI BM25 ad-hoc retrieval scoring (Robertson et al., TREC-3) —
@@ -765,16 +765,12 @@ object TextOps {
       tf, dl)
   }
 
-  /** The shared BM25 scoring tail over a (doc_id, tk, tf, df, dl, n,
-    * avgdl) relation — ONE expression tree for the live query (stats
-    * from the 1-row cross) and the stored twin (stats as folded meta
-    * literals), so the two paths cannot drift and share the oracle
-    * verbatim (the graph-family discipline). */
   /** Per-doc BM25 rollup over a (doc_id, tk, tf, df, dl, n, avgdl)
-    * relation — the scoring half of [[bm25Ranked]], shared with the
-    * streaming serving twin
-    * ([[graft.streaming.StatefulOps.streamingBm25]]) so an arriving
-    * document scores exactly as the batch pass scores it. */
+    * relation — the scoring half of [[bm25Ranked]]. The streaming
+    * twin ([[graft.streaming.StatefulOps.streamingBm25]]) shares the
+    * Bm25* CONSTANTS, not this relational op: it is a stateless
+    * projection with the model folded as literals, and its addend
+    * mirrors this expression term-for-term. */
   private[graft] def bm25Scored(withStats: DataFrame): DataFrame = {
     val addend = expr(
       s"ln(1 + (n - df + 0.5) / (df + 0.5)) * tf * $Bm25K1p1" +
@@ -784,6 +780,10 @@ object TextOps {
       .agg(count(lit(1)).as("n_hit"), sum(addend).as("score"))
   }
 
+  /** The shared BM25 ranking tail — ONE expression tree for the live
+    * query (stats from the 1-row cross) and the stored twin (stats as
+    * folded meta literals), so the two paths cannot drift and share
+    * the oracle verbatim (the graph-family discipline). */
   private def bm25Ranked(withStats: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     bm25Scored(withStats)

@@ -1627,26 +1627,44 @@ object StatefulOps {
     * nothing grows with corpus size or time. */
   def streamingBm25(docs: DataFrame, df: DataFrame,
       n: Long, sumdl: Long): DataFrame = {
+    import graft.operators.TextOps.{Bm25B, Bm25K1, Bm25K1p1, Bm25OneMinusB, Bm25Terms}
     val nD = n.toDouble
     val avgdl = sumdl.toDouble / n
-    val model: Seq[(String, Double)] = df.collect()
+    // the model may be the FULL stored vocabulary — restrict to the
+    // query's terms BEFORE folding into the plan (a vocabulary-sized
+    // expression tree would stall codegen; the query is what bounds
+    // the projection, exactly as it bounds the batch posting join)
+    val model: Seq[(String, Double)] = df
+      .filter(col("tk").isin(Bm25Terms: _*)).collect()
       .map(r => (r.getString(0), r.getDouble(1))).toSeq.sortBy(_._1)
     val toks = split(col("text"), " ")
-    val dl = size(toks)
-    def tf(t: String) = size(filter(toks, x => x === t)).cast("double")
+    // per-term tf computed ONCE into a column (an HOF subtree per
+    // occurrence would re-tokenize the text several times per term —
+    // codegen does not guarantee subexpression elimination for
+    // lambda-bearing HOFs)
+    def tfCol(t: String) = s"tf_${model.indexWhere(_._1 == t)}"
+    val withTf = docs.select(col("doc_id") +: size(toks).as("dl") +:
+      model.map { case (t, _) =>
+        size(filter(toks, x => x === t)).cast("double").as(tfCol(t)) }: _*)
+    // addend mirrors the shared batch SQL string term-for-term, from
+    // the SAME Bm25* constants (JVM Math.log = the codegen'd ln)
     val addends = model.map { case (t, dfv) =>
-      // same arithmetic order as the shared batch SQL addend
       val idf = math.log(1 + (nD - dfv + 0.5) / (dfv + 0.5))
-      when(tf(t) > 0,
-        lit(idf) * tf(t) * lit(2.2) /
-          (tf(t) + lit(1.2) * (lit(0.25) + lit(0.75) * dl / lit(avgdl))))
+      val tf = col(tfCol(t))
+      when(tf > 0,
+        lit(idf) * tf * lit(Bm25K1p1.toDouble) /
+          (tf + lit(Bm25K1.toDouble) * (lit(Bm25OneMinusB.toDouble) +
+            lit(Bm25B.toDouble) * col("dl") / lit(avgdl))))
         .otherwise(lit(0.0))
     }
     val hits = model.map { case (t, _) =>
-      when(tf(t) > 0, 1L).otherwise(0L) }
-    docs.select(col("doc_id"),
-        hits.reduce(_ + _).as("n_hit"),
-        round(addends.reduce(_ + _), 6).as("score_r"))
+      when(col(tfCol(t)) > 0, 1L).otherwise(0L) }
+    // foldLeft, not reduce: an all-OOV query (empty model) must score
+    // every doc 0 and emit nothing, matching the batch ranker's empty
+    // top-20 — not throw at plan construction
+    withTf.select(col("doc_id"),
+        hits.foldLeft(lit(0L))(_ + _).as("n_hit"),
+        round(addends.foldLeft(lit(0.0))(_ + _), 6).as("score_r"))
       .filter(col("n_hit") > 0)
   }
 
@@ -1714,7 +1732,17 @@ object StatefulOps {
   }
 
   /** Merge the latest per-shard reservoirs into the global ranked
-    * top-k — identical columns and ordering to the batch query. */
+    * top-k — identical columns and ordering to the batch query.
+    *
+    * TTL CONTRACT (r12 review): "latest" is selected by the shard's
+    * monotone state version, which RESTARTS at 1 if a TTL evicts the
+    * shard's state — a readout over a sink that still holds
+    * pre-eviction emissions would then pin the frozen pre-eviction
+    * reservoir forever. A deployment that sets a TTL treats eviction
+    * as intentional forgetting and must age the sink on the same
+    * horizon (retention ≤ TTL) so post-restart versions are again the
+    * maximum; with the default TTLConfig.NONE (every spec here) the
+    * version never restarts and the readout is exact at any cut. */
   def reservoirReadout(emitted: DataFrame,
       k: Int = graft.operators.SamplingOps.ReservoirK): DataFrame = {
     import org.apache.spark.sql.expressions.Window

@@ -1326,11 +1326,11 @@ class StatefulOpsSpec extends SparkSpec {
   test("streaming BM25 scores arrivals exactly as the batch ranker scores them") {
     import spark.implicits._
     implicit val sc = spark.sqlContext
-    // frozen statics: the stored model filtered to the query terms
+    // frozen statics: the FULL stored model — the op itself restricts
+    // to the query's terms before folding literals (r12 review: a
+    // vocabulary-sized expression tree must never reach codegen)
     val (model, n, sumdl) = graft.operators.TextOps.bm25Stored(spark, sf)
-    val dfStatic = model
-      .filter(col("tk").isin(graft.operators.TextOps.Bm25Terms: _*))
-      .select(col("tk"), col("df").cast("double").as("df"))
+    val dfStatic = model.select(col("tk"), col("df").cast("double").as("df"))
     val docs = Tables.documents(spark, sf)
       .select("doc_id", "text").collect()
       .map(r => (r.getLong(0), r.getString(1)))
@@ -1350,7 +1350,7 @@ class StatefulOpsSpec extends SparkSpec {
         .map(r => (r.getLong(1), r.getLong(2), r.getDouble(3)))
       assert(want.nonEmpty)
       want.foreach { case (id, nHit, score) =>
-        assert(got(id) === ((nHit, score)),
+        assert(got.get(id) === Some((nHit, score)),
           s"doc $id: stream score diverged from the batch ranker")
       }
       // the stream scores exactly the docs with >=1 query term
