@@ -375,18 +375,28 @@ object SamplingOps {
     * the top-k makes the selected set engine-exact. */
   private[graft] val ReservoirK = 50
 
+  /** The race-key formula and the u-coin normalization — ONE string
+    * each, interpolated into BOTH engines (the BM25/calFold
+    * discipline, r12 advice: re-stating them as independent SQL would
+    * let a constant change silently desynchronize the oracle). Only
+    * the md5-hex→BIGINT step differs, because the engines' builtin
+    * surfaces do (Spark `conv`, DuckDB `'0x' ||` cast). */
+  private[graft] val ReservoirKeyExpr = "round(-ln(u) / w * 1000, 6)"
+  private[graft] def reservoirUExpr(hex8ToBigint: String): String =
+    s"(CAST($hex8ToBigint AS DOUBLE) + 0.5) / 4294967296.0"
+
   /** The keyed (doc_id, w, e1000_r) relation — ONE column pipeline
     * shared by the batch draw and the streaming twin
     * ([[graft.streaming.StatefulOps.streamingWeightedReservoir]]), so
     * both race identical keys and a mid-stream cut of the stream
     * equals the batch draw exactly. */
   private[graft] def reservoirKeyed(docs: DataFrame): DataFrame = {
-    val u = (conv(substring(md5(col("doc_id").cast("string").cast("binary")), 1, 8), 16, 10)
-      .cast("long").cast("double") + lit(0.5)) / lit(4294967296.0)
+    val u = expr(reservoirUExpr("CAST(conv(substring(md5(" +
+      "CAST(CAST(doc_id AS STRING) AS BINARY)), 1, 8), 16, 10) AS BIGINT)"))
     docs
       .select(col("doc_id"), col("n_chars").as("w"), u.as("u"))
       .filter(col("w") > 0)
-      .withColumn("e1000_r", round(expr("-ln(u) / w") * 1000, 6))
+      .withColumn("e1000_r", expr(ReservoirKeyExpr))
       .select(col("doc_id"), col("w"), col("e1000_r"))
   }
 
@@ -400,17 +410,18 @@ object SamplingOps {
       .orderBy(col("rank"))
   }
 
-  val qWeightedReservoirOracle: String =
-    """WITH d AS (
-      |  SELECT doc_id, n_chars AS w,
-      |    (CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) AS DOUBLE)
-      |      + 0.5) / 4294967296.0 AS u
-      |  FROM documents WHERE n_chars > 0),
-      |keyed AS (SELECT doc_id, w, round(-ln(u) / w * 1000, 6) AS e1000_r FROM d),
-      |rk AS (SELECT doc_id, w, e1000_r,
-      |  row_number() OVER (ORDER BY e1000_r, doc_id) AS rank FROM keyed)
-      |SELECT CAST(rank AS INT) AS rank, doc_id, w, e1000_r
-      |FROM rk WHERE rank <= 50 ORDER BY rank""".stripMargin
+  val qWeightedReservoirOracle: String = {
+    val u = reservoirUExpr(
+      "CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT)")
+    s"""WITH d AS (
+       |  SELECT doc_id, n_chars AS w, $u AS u
+       |  FROM documents WHERE n_chars > 0),
+       |keyed AS (SELECT doc_id, w, $ReservoirKeyExpr AS e1000_r FROM d),
+       |rk AS (SELECT doc_id, w, e1000_r,
+       |  row_number() OVER (ORDER BY e1000_r, doc_id) AS rank FROM keyed)
+       |SELECT CAST(rank AS INT) AS rank, doc_id, w, e1000_r
+       |FROM rk WHERE rank <= $ReservoirK ORDER BY rank""".stripMargin
+  }
 
   /** Distribution DRIFT between two corpus snapshots (population
     * stability index): bin a feature, compare bin shares across the

@@ -19,7 +19,7 @@ import org.apache.spark.sql.functions._
   */
 object SimilarityOps {
 
-  private val NumQueries = 10
+  private[graft] val NumQueries = 10
   private val TopK = 5
 
   /** Exact brute-force top-k: every query (vec_id < 10) scored against
@@ -1741,8 +1741,10 @@ object SimilarityOps {
     })
 
   /** Millionth-quantization of a float/double vector column — the
-    * repo-wide integer fixed-point contract (see qDimCorr). */
-  private def pqQuant(v: Column): Column =
+    * repo-wide integer fixed-point contract (see qDimCorr).
+    * private[graft]: the streaming ADC twin encodes arrivals with the
+    * SAME expressions (one definition, no drift). */
+  private[graft] def pqQuant(v: Column): Column =
     transform(v, x => floor(x.cast("double") * 1000000).cast("long"))
 
   /** dists[m][j]: EXACT integer squared-L2 distance between the row's
@@ -1753,7 +1755,7 @@ object SimilarityOps {
     * ~3·10¹³ — far inside Long), so ranks are order-independent and
     * engine-exact: no float-sum ranking hazard anywhere in the PQ
     * family. */
-  private def pqDists(cb: Column): Column =
+  private[graft] def pqDists(cb: Column): Column =
     transform(sequence(lit(0), lit(PqM - 1)), m =>
       transform(sequence(lit(0), lit(PqK - 1)), j =>
         aggregate(
@@ -1863,10 +1865,7 @@ object SimilarityOps {
       .orderBy(col("adc_dist"), col("n_id"))
     cand.join(q, Seq("cid"))
       .filter(col("q_id") =!= col("n_id"))
-      .withColumn("adc_dist",
-        aggregate(zip_with(col("lut"), col("codes"),
-          (lutm, c) => element_at(lutm, c + 1)),
-          lit(0L), (acc, x) => acc + x))
+      .withColumn("adc_dist", adcDist(col("lut"), col("codes")))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= 3)
       .select(col("q_id"), col("rank"), col("n_id"), col("adc_dist"))
@@ -1882,8 +1881,16 @@ object SimilarityOps {
     * the serving path reads the 32×-smaller code table plus a handful
     * of rows. Same oracle verbatim: the artifact is the same encoder
     * materialized. */
-  def qSimIvfPqTopkStored(spark: SparkSession, sfDir: String): DataFrame = {
-    val dir = Artifacts.getOrBuild(spark, sfDir, "pq_index") { d =>
+  def qSimIvfPqTopkStored(spark: SparkSession, sfDir: String): DataFrame =
+    ivfPqTopkOn(spark, sfDir, spark.read.parquet(pqIndexDir(spark, sfDir)))
+
+  /** The stored (n_id, cid, codes) artifact the ADC search scans —
+    * extracted so the STREAMING serving twin
+    * ([[graft.streaming.StatefulOps.streamingIvfPqServe]]) reads the
+    * identical index the batch query built (the incrementalIndexDir
+    * pattern: one builder, no drift). */
+  private[graft] def pqIndexDir(spark: SparkSession, sfDir: String): String =
+    Artifacts.getOrBuild(spark, sfDir, "pq_index") { d =>
       val cb = typedlit(pqCodebook(spark, sfDir))
       val e = DedupOps.normedVectors(Tables.embeddings(spark, sfDir))
       val assigned = cellAssignments(e, centroids(e), nprobe = 1)
@@ -1893,8 +1900,26 @@ object SimilarityOps {
         .select(col("vec_id").as("n_id"), col("cid"), pqCodes.as("codes"))
         .write.parquet(d)
     }
-    ivfPqTopkOn(spark, sfDir, spark.read.parquet(dir))
-  }
+
+  /** The M integer table lookups that replace a 64-dim float dot
+    * product — ONE expression shared by the batch search and the
+    * streaming serving twin. */
+  private[graft] def adcDist(lut: Column, codes: Column): Column =
+    aggregate(zip_with(lut, codes,
+      (lutm, c) => element_at(lutm, c + 1)),
+      lit(0L), (acc, x) => acc + x)
+
+  /** The frozen coarse quantizer as a driver-side model: K (cid, cv,
+    * cn) rows collected for literal folding by the streaming twin's
+    * map-side cell assignment (the pcaBasis/pqCodebook discipline —
+    * model-sized state rides in the plan; K = [[NumCentroids]] = 8
+    * rows, never corpus-sized). */
+  private[graft] def ivfCentroidModel(spark: SparkSession, sfDir: String)
+      : Seq[(Long, Seq[Double], Double)] =
+    centroids(DedupOps.normedVectors(Tables.embeddings(spark, sfDir)))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1), r.getDouble(2)))
+      .sortBy(_._1).toSeq
 
   /** IVF assignment (shared with qSimIvfOracle) + the encode CTEs +
     * the ADC sum: candidate codes join the QUERY's distance table on

@@ -783,15 +783,20 @@ object TextOps {
   /** The shared BM25 ranking tail — ONE expression tree for the live
     * query (stats from the 1-row cross) and the stored twin (stats as
     * folded meta literals), so the two paths cannot drift and share
-    * the oracle verbatim (the graph-family discipline). */
+    * the oracle verbatim (the graph-family discipline). Selection AND
+    * rank run on the 6-decimal ROUNDED score with the doc_id
+    * tie-break (the qDsir rule, r12 advice): ln-sum accumulation
+    * order is engine-chosen, so ranking the raw double could flip
+    * membership at the rank-20 cutoff between Spark and the oracle;
+    * rounding before the top-k makes the selected set engine-exact. */
   private def bm25Ranked(withStats: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     bm25Scored(withStats)
-      .orderBy(col("score").desc, col("doc_id")).limit(20)
+      .withColumn("score_r", round(col("score"), 6))
+      .orderBy(col("score_r").desc, col("doc_id")).limit(20)
       .withColumn("rank", row_number().over(
-        Window.orderBy(col("score").desc, col("doc_id"))))
-      .select(col("rank"), col("doc_id"), col("n_hit"),
-        round(col("score"), 6).as("score_r"))
+        Window.orderBy(col("score_r").desc, col("doc_id"))))
+      .select(col("rank"), col("doc_id"), col("n_hit"), col("score_r"))
       .orderBy(col("rank"))
   }
 
@@ -860,10 +865,10 @@ object TextOps {
        |      AS score
        |  FROM tf t JOIN df USING (tk) JOIN dl d ON t.doc_id = d.doc_id, s
        |  GROUP BY 1),
-       |rk AS (SELECT doc_id, n_hit, score,
-       |  row_number() OVER (ORDER BY score DESC, doc_id) AS rank FROM sc)
-       |SELECT CAST(rank AS INT) AS rank, doc_id, n_hit,
-       |  round(score, 6) AS score_r
+       |rk AS (SELECT doc_id, n_hit, round(score, 6) AS score_r,
+       |  row_number() OVER (ORDER BY round(score, 6) DESC, doc_id) AS rank
+       |  FROM sc)
+       |SELECT CAST(rank AS INT) AS rank, doc_id, n_hit, score_r
        |FROM rk WHERE rank <= 20 ORDER BY rank""".stripMargin
   }
 

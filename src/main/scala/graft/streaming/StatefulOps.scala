@@ -1637,6 +1637,14 @@ object StatefulOps {
     val model: Seq[(String, Double)] = df
       .filter(col("tk").isin(Bm25Terms: _*)).collect()
       .map(r => (r.getString(0), r.getDouble(1))).toSeq.sortBy(_._1)
+    // the stored model guarantees unique tk rows, but the parameter
+    // accepts any df — a duplicate term would mint two identically
+    // named tf_N columns and only fail later as an opaque
+    // ambiguous-reference AnalysisException (r12 advice): state the
+    // contract here with a readable message instead
+    require(model.map(_._1).distinct.size == model.size,
+      s"streamingBm25: model must have one row per term, got duplicates: " +
+        model.groupBy(_._1).filter(_._2.size > 1).keys.mkString(", "))
     val toks = split(col("text"), " ")
     // per-term tf computed ONCE into a column (an HOF subtree per
     // occurrence would re-tokenize the text several times per term —
@@ -1755,6 +1763,113 @@ object StatefulOps {
         Window.orderBy(col("e1000_r"), col("doc_id"))))
       .select(col("rank"), col("doc_id"), col("w"), col("e1000_r"))
       .orderBy(col("rank"))
+  }
+
+  // ================= streaming IVFPQ/ADC serving =================
+
+  /** One scored candidate for an arriving query vector: the corpus
+    * neighbor's id and its exact integer ADC distance. */
+  case class AdcCand(q_id: Long, n_id: Long, adc_dist: Long)
+  /** An arrival's current top-k, re-emitted per batch with a monotone
+    * version so the latest emission per query is identifiable in an
+    * append sink (the [[ResEmit]] convention; the same TTL contract
+    * as [[reservoirReadout]] applies to `ver`). */
+  case class AdcEmit(q_id: Long, ver: Long, rank: Int, n_id: Long,
+    adc_dist: Long)
+  case class AdcState(ver: Long, cands: Seq[AdcCand])
+
+  /** The top-k transition for one query: union, dedup, keep the k
+    * smallest distances (n_id tie-break — the batch search's ORDER BY
+    * adc_dist, n_id verbatim). A pure min-merge: idempotent under
+    * re-delivery and order-invariant, the [[mergeReservoir]]
+    * discipline. Laws in AdcTopKLaws. */
+  private[graft] def mergeAdc(st: Seq[AdcCand], arrivals: Seq[AdcCand],
+      k: Int): Seq[AdcCand] =
+    (st ++ arrivals).distinct.sortBy(c => (c.adc_dist, c.n_id)).take(k)
+
+  final class AdcProcessor(k: Int, ttl: TTLConfig = TTLConfig.NONE)
+      extends StatefulProcessor[Long, AdcCand, AdcEmit] {
+    @transient private var st: ValueState[AdcState] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      st = getHandle.getValueState[AdcState]("adc_topk",
+        Encoders.product[AdcState], ttl)
+    override def handleInputRows(qId: Long, rows: Iterator[AdcCand],
+        tv: TimerValues): Iterator[AdcEmit] = {
+      val st0 = if (st.exists()) st.get() else AdcState(0L, Nil)
+      val merged = mergeAdc(st0.cands, rows.toSeq, k)
+      val st1 = AdcState(st0.ver + 1, merged)
+      st.update(st1)
+      merged.iterator.zipWithIndex.map { case (c, i) =>
+        AdcEmit(qId, st1.ver, i + 1, c.n_id, c.adc_dist) }
+    }
+  }
+
+  /** STREAMING IVFPQ/ADC serving — the live twin of the stored-index
+    * search (`sim_ivfpq_stored`), closing the one serving asymmetry
+    * the ANN stack had left (the sign-LSH index already serves via
+    * [[streamingSimIncremental]]): each arriving query vector
+    * (vec_id, v, nrm) is encoded ENTIRELY map-side at the frozen
+    * model — cell argmax against the K coarse-centroid literals (the
+    * identical dot/norm arithmetic as the batch `cellAssignments`,
+    * ties to the smaller cid) and its M×K integer ADC lookup table
+    * from the codebook literals — then candidates come from the (cid)
+    * stream-static equi-join against the stored `pq_index` code
+    * artifact and score with the shared [[graft.operators
+    * .SimilarityOps.adcDist]] expression: M integer adds per pair,
+    * the corpus floats never load. Exact integer distances ⇒ no
+    * float-rank hazard anywhere.
+    *
+    * The per-arrival top-k is a [[mergeAdc]] min-merge in
+    * transformWithState — O(arrivals × k) state, idempotent under
+    * re-delivery by construction (a collect_list aggregate would
+    * double-count replays; a min-merge absorbs them) — re-emitting
+    * the query's current ranked top-k per batch; [[adcReadout]]
+    * selects the latest emission per query. At any cut the readout
+    * over the seen arrivals equals the batch search's verdicts
+    * row-for-row (asserted two-cut in StatefulOpsSpec).
+    *
+    * Scale: the index side is the 32×-compressed static code table,
+    * hash-partitioned by cell; per-batch cost tracks arrival rate ×
+    * cell occupancy ÷ K; model state (K centroids + M×K codebook)
+    * rides in the plan as literals. RocksDB state store required. */
+  def streamingIvfPqServe(arrivals: DataFrame, codes: DataFrame,
+      cents: Seq[(Long, Seq[Double], Double)], cb: Seq[Seq[Seq[Long]]],
+      k: Int = 3, ttl: TTLConfig = TTLConfig.NONE): Dataset[AdcEmit] = {
+    import arrivals.sparkSession.implicits._
+    import graft.operators.SimilarityOps
+    import graft.functions.VectorFunctions
+    // argmax over K cosine literals: struct max = (ccos DESC, cid ASC)
+    // — negating the cid (exact for integers) flips its tie direction,
+    // matching the batch window's ORDER BY ccos DESC, cid
+    val best = array_max(array(cents.map { case (cid, cv, cn) =>
+      struct((VectorFunctions.dot(col("v"), typedlit(cv)) /
+        (col("nrm") * lit(cn))).as("c"), lit(-cid).as("nc")) }: _*))
+    val q = arrivals
+      .withColumn("cid", -best.getField("nc"))
+      .withColumn("qv", SimilarityOps.pqQuant(col("v")))
+      .withColumn("lut", SimilarityOps.pqDists(typedlit(cb)))
+      .select(col("vec_id"), col("cid"), col("lut"))
+    q.join(codes, Seq("cid"))
+      .filter(col("n_id") =!= col("vec_id"))
+      .select(col("vec_id").as("q_id"), col("n_id"),
+        SimilarityOps.adcDist(col("lut"), col("codes")).as("adc_dist"))
+      .as[AdcCand]
+      .groupByKey(_.q_id)
+      .transformWithState(new AdcProcessor(k, ttl), timeModeFor(ttl),
+        OutputMode.Append())
+  }
+
+  /** Latest per-query top-k from the append sink — identical columns
+    * and ordering to the batch `sim_ivfpq_stored` result. Same
+    * ver/TTL contract as [[reservoirReadout]]. */
+  def adcReadout(emitted: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    emitted
+      .withColumn("maxv", max(col("ver")).over(
+        Window.partitionBy(col("q_id"))))
+      .filter(col("ver") === col("maxv"))
+      .select(col("q_id"), col("rank"), col("n_id"), col("adc_dist"))
+      .orderBy("q_id", "rank")
   }
 
   // ================= composed streaming ingest pipeline =================

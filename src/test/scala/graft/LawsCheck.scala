@@ -729,6 +729,41 @@ object ReservoirLaws extends Properties("mergeReservoir") {
     }
 }
 
+object AdcTopKLaws extends Properties("mergeAdc") {
+  import graft.streaming.StatefulOps
+  import graft.streaming.StatefulOps.AdcCand
+  private val k = 3
+  // n_id is a KEY (one ADC distance per (query, neighbor) pair in the
+  // real relation); the small ranges force duplicates and distance
+  // ties, so the dedup and the n_id tie-break are actually exercised.
+  private def cand(id: Long) = AdcCand(0L, id, id % 5 + 1)
+  private val cands: Gen[List[AdcCand]] =
+    Gen.listOf(Gen.chooseNum(0L, 30L).map(cand))
+
+  property("any batch split converges to one merge") =
+    forAll(cands, cands) { (a, b) =>
+      StatefulOps.mergeAdc(
+        StatefulOps.mergeAdc(Nil, a, k), b, k) ==
+        StatefulOps.mergeAdc(Nil, a ++ b, k)
+    }
+
+  property("re-delivered batches are idempotent") = forAll(cands) { a =>
+    val once = StatefulOps.mergeAdc(Nil, a, k)
+    StatefulOps.mergeAdc(once, a, k) == once
+  }
+
+  property("arrival order is irrelevant") = forAll(cands) { a =>
+    StatefulOps.mergeAdc(Nil, a, k) ==
+      StatefulOps.mergeAdc(Nil, a.reverse, k)
+  }
+
+  property("top-k holds the k smallest distinct distances, id tie-broken") =
+    forAll(cands) { a =>
+      StatefulOps.mergeAdc(Nil, a, k) ==
+        a.distinct.sortBy(c => (c.adc_dist, c.n_id)).take(k)
+    }
+}
+
 object KmvLaws extends Properties("kmvSketch") {
   import graft.streaming.StatefulOps
   private val k = 8

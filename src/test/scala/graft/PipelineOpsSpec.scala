@@ -2314,14 +2314,14 @@ class PipelineOpsSpec extends SparkSpec {
       ts.filter(terms).groupBy(identity)
         .map { case (t, v) => (id, t, v.length.toLong) } }
     val df = tf.groupBy(_._2).map { case (t, v) => t -> v.size.toDouble }
+    // selection and rank run on the ROUNDED score (the qDsir rule)
     val want = tf.groupBy(_._1).toSeq.map { case (id, rows) =>
       val s = rows.toSeq.sortBy(_._2).map { case (_, t, f) =>
         math.log(1 + (n - df(t) + 0.5) / (df(t) + 0.5)) * f * 2.2 /
           (f + 1.2 * (0.25 + 0.75 * dl(id) / avgdl)) }.sum
-      (id, rows.size.toLong, s)
+      (id, rows.size.toLong, math.rint(s * 1e6) / 1e6)
     }.sortBy { case (id, _, s) => (-s, id) }.take(20)
-      .zipWithIndex.map { case ((id, h, s), i) =>
-        (i + 1, id, h, math.rint(s * 1e6) / 1e6) }
+      .zipWithIndex.map { case ((id, h, s), i) => (i + 1, id, h, s) }
     assert(got.toSeq === want)
 
     // plan: the posting relation is cached and consumed twice (df and

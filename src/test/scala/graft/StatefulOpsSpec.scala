@@ -1323,6 +1323,60 @@ class StatefulOpsSpec extends SparkSpec {
     }
   }
 
+  test("streaming IVFPQ/ADC serve: any cut's readout equals the batch stored-index search") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    import graft.operators.{DedupOps, SimilarityOps}
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      // batch reference — also builds + memoizes the stored code artifact
+      val expected = SimilarityOps.qSimIvfPqTopkStored(spark, sf).collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+      assert(expected.nonEmpty)
+      // the FROZEN serving model: the batch query's own artifact,
+      // centroids, and codebook — one builder each, no drift
+      val codes = spark.read.parquet(SimilarityOps.pqIndexDir(spark, sf))
+      val cents = SimilarityOps.ivfCentroidModel(spark, sf)
+      val cb = SimilarityOps.pqCodebook(spark, sf)
+      // the same arrival slice the batch search ranks: the query vectors
+      val arrivals = DedupOps.normedVectors(Tables.embeddings(spark, sf))
+        .filter(col("vec_id") < SimilarityOps.NumQueries)
+        .select("vec_id", "v").collect()
+        .map(r => (r.getLong(0), r.getSeq[Double](1)))
+      val (first, second) = arrivals.splitAt(arrivals.length / 2)
+      val in = MemoryStream[(Long, Seq[Double])]
+      val stream = in.toDF().toDF("vec_id", "v")
+        .withColumn("nrm", graft.functions.VectorFunctions.l2Norm(col("v")))
+      val q = StatefulOps.streamingIvfPqServe(stream, codes, cents, cb)
+        .writeStream.format("memory").queryName("adc_out")
+        .outputMode("append").start()
+      try {
+        def readout() = StatefulOps.adcReadout(spark.table("adc_out"))
+          .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+            r.getLong(3)))
+        in.addData(first.toSeq); q.processAllAvailable()
+        val seen = first.map(_._1).toSet
+        assert(readout().toSeq === expected.filter(e => seen(e._1)).toSeq,
+          "mid-stream cut must equal the batch verdicts for the seen arrivals")
+        in.addData(second.toSeq); q.processAllAvailable()
+        assert(readout().toSeq === expected.toSeq,
+          "final readout must equal the batch stored-index search row-for-row")
+        // re-delivery is a no-op for a min-merge
+        in.addData(first.toSeq); q.processAllAvailable()
+        assert(readout().toSeq === expected.toSeq,
+          "re-delivered arrivals must not change any top-k")
+      } finally q.stop()
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
+
   test("streaming BM25 scores arrivals exactly as the batch ranker scores them") {
     import spark.implicits._
     implicit val sc = spark.sqlContext
