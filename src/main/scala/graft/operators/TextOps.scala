@@ -1145,15 +1145,26 @@ object TextOps {
     * a production perplexity filter actually uses. Scale: doc-side
     * bigram pass is map-side; all three model joins are vocabulary-
     * keyed LEFT equi-joins; N is a meta literal. */
-  private[graft] def lmBackoffStored(spark: SparkSession, sfDir: String)
-      : (DataFrame, DataFrame, Long) = {
-    val refDocs = (s: SparkSession, d: String) =>
-      Tables.documents(s, d).filter(col("doc_id") % 10 === 0)
-    val bigDir = graft.Artifacts.getOrBuild(spark, sfDir, "bigram_lm_ref") { d =>
+  private def refDocs(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d).filter(col("doc_id") % 10 === 0)
+
+  /** The reference-corpus bigram type table (w1, w2, c2) as a durable
+    * artifact — the ONE model both smoothed scorers serve from:
+    * [[qLmBackoff]] (Stupid Backoff) and [[qLmKneserNey]] (every KN
+    * statistic — context totals, fan-out, continuation counts, type
+    * total — is a rollup of this relation, so KN adds zero artifacts). */
+  private[graft] def lmRefBigrams(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = graft.Artifacts.getOrBuild(spark, sfDir, "bigram_lm_ref") { d =>
       bigramsOf(refDocs(spark, sfDir))
         .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c2"))
         .write.parquet(d)
     }
+    spark.read.parquet(dir)
+  }
+
+  private[graft] def lmBackoffStored(spark: SparkSession, sfDir: String)
+      : (DataFrame, DataFrame, Long) = {
+    val c2 = lmRefBigrams(spark, sfDir)
     val (uniDir, meta) = graft.Artifacts.getOrBuildMeta(
         spark, sfDir, "unigram_lm_ref") { d =>
       val tf = refDocs(spark, sfDir)
@@ -1165,8 +1176,7 @@ object TextOps {
         tf.agg(sum(col("cu"))).head.getLong(0).toString
       } finally tf.unpersist()
     }
-    (spark.read.parquet(bigDir), spark.read.parquet(uniDir),
-      meta.trim.toLong)
+    (c2, spark.read.parquet(uniDir), meta.trim.toLong)
   }
 
   def qLmBackoff(spark: SparkSession, sfDir: String): DataFrame = {
@@ -1226,6 +1236,113 @@ object TextOps {
       |SELECT doc_id, n_bigrams, n_backoff, round(a, 6) AS avg_logs,
       |  doc_id % 10 != 0 AS held_out
       |FROM s ORDER BY doc_id""".stripMargin
+
+  /** Interpolated Kneser-Ney constants and the per-bigram log-score —
+    * ONE formula string interpolated into both engines (the calFold /
+    * BM25 discipline). The absolute discount D is the conventional
+    * 0.75 (Chen & Goodman 1999 use counts-of-counts estimation; a
+    * fixed D keeps the model pure integer-count algebra over the
+    * stored artifact). The only engine-specific token is the bigram
+    * TYPE total `t`: Spark folds the driver-computed integer as a
+    * literal (the meta-literal discipline — no 1-row cross join), the
+    * oracle computes it as a scalar subquery; both are the same exact
+    * integer, so the arithmetic cannot diverge. */
+  private[graft] val KnD = "0.75"
+
+  /** logp over columns (c2, c1, n1p, cont): seen context ⇒
+    * ln((max(c2−D,0) + D·n1p·Pcont(w2)) / c1) — the discounted ML
+    * estimate plus the λ(w1)=D·n1p/c1 escape mass times the
+    * CONTINUATION probability Pcont(w2)=N1+(·,w2)/T (how many distinct
+    * contexts w2 follows — the KN insight: "Francisco" is frequent but
+    * follows only "San", so its continuation probability is tiny);
+    * unseen context ⇒ Pcont alone. COALESCE(cont,1) is the one-type
+    * floor for words the reference never saw as a continuation — the
+    * same floor convention as [[qLmBackoff]]'s COALESCE(cu,1). */
+  private[graft] def knLogpExpr(t: String): String =
+    s"""CASE WHEN c1 IS NULL
+       |  THEN ln(CAST(COALESCE(cont, 1) AS DOUBLE) / $t)
+       |  ELSE ln((CASE WHEN c2 IS NOT NULL THEN c2 - $KnD ELSE 0.0 END
+       |    + $KnD * n1p * (CAST(COALESCE(cont, 1) AS DOUBLE) / $t)) / c1)
+       |END""".stripMargin
+
+  /** INTERPOLATED KNESER-NEY bigram scoring (Kneser & Ney 1995; the
+    * interpolated form of Chen & Goodman 1999) — the published step
+    * past [[qLmBackoff]]'s Stupid Backoff on the perplexity-filter
+    * ladder: instead of an unnormalized α·unigram fallback, every
+    * bigram mixes a 0.75-discounted ML estimate with the context's
+    * escape mass λ(w1) times the CONTINUATION unigram — the smoothing
+    * serious LM-based quality filters (KenLM) actually ship.
+    *
+    * Model = the frozen [[lmRefBigrams]] artifact alone: c1 and the
+    * context fan-out n1p are one (w1) rollup of it, continuation
+    * counts one (w2) rollup, and the type total T a driver-side count
+    * of the artifact (vocabulary-sized action, folded as a literal —
+    * the bm25Stored meta discipline). Scale: doc-side bigram pass is
+    * map-side ([[bigramsOf]]); the three model joins are vocabulary-
+    * keyed LEFT equi-joins (broadcast-able in production); nothing
+    * corpus-sized shuffles twice. Backoff genuinely fires on the
+    * held-out `% 10 != 0` docs — both the unseen-bigram interpolation
+    * (n_interp) and the unseen-context fallback (n_unseen_ctx) are
+    * exercised and counted per doc. Float parity: the formula is one
+    * shared string; the per-doc ln-sum carries the documented
+    * accumulation-order risk every LM query here does, rounded to 6
+    * decimals. */
+  def qLmKneserNey(spark: SparkSession, sfDir: String): DataFrame = {
+    val c2 = lmRefBigrams(spark, sfDir)
+    val ctx = c2.groupBy(col("w1"))
+      .agg(sum(col("c2")).as("c1"), count(lit(1)).as("n1p"))
+    val cont = c2.groupBy(col("w2")).agg(count(lit(1)).as("cont"))
+    val t = c2.count()
+    bigramsOf(Tables.documents(spark, sfDir))
+      .groupBy(col("doc_id"), col("w1"), col("w2"))
+      .agg(count(lit(1)).as("cnt"))
+      .join(c2, Seq("w1", "w2"), "left")
+      .join(ctx, Seq("w1"), "left")
+      .join(cont, Seq("w2"), "left")
+      .withColumn("logp", expr(knLogpExpr(t.toString)))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("cnt")).as("n_bigrams"),
+        sum(when(col("c1").isNull, col("cnt")).otherwise(lit(0L)))
+          .as("n_unseen_ctx"),
+        sum(when(col("c1").isNotNull && col("c2").isNull, col("cnt"))
+          .otherwise(lit(0L))).as("n_interp"),
+        round(sum(col("cnt") * col("logp")) / sum(col("cnt")), 6)
+          .as("avg_logp"))
+      .withColumn("held_out", col("doc_id") % 10 =!= 0)
+      .orderBy(col("doc_id"))
+  }
+
+  lazy val qLmKneserNeyOracle: String =
+    s"""WITH ref AS (SELECT text FROM documents WHERE doc_id % 10 = 0),
+       |rl AS (SELECT string_split(text, ' ') AS l FROM ref),
+       |c2t AS (
+       |  SELECT l[i] AS w1, l[i + 1] AS w2, COUNT(*) AS c2
+       |  FROM rl, LATERAL (SELECT unnest(range(1, len(l))) AS i) r
+       |  GROUP BY 1, 2),
+       |ctx AS (SELECT w1, SUM(c2) AS c1, COUNT(*) AS n1p FROM c2t GROUP BY 1),
+       |cw AS (SELECT w2, COUNT(*) AS cont FROM c2t GROUP BY 1),
+       |tot AS (SELECT COUNT(*) AS t FROM c2t),
+       |dl AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+       |dbg AS (
+       |  SELECT doc_id, l[i] AS w1, l[i + 1] AS w2, COUNT(*) AS cnt
+       |  FROM dl, LATERAL (SELECT unnest(range(1, len(l))) AS i) r
+       |  GROUP BY 1, 2, 3),
+       |j AS (
+       |  SELECT dbg.doc_id, dbg.cnt, c2t.c2, ctx.c1, ctx.n1p, cw.cont
+       |  FROM dbg LEFT JOIN c2t USING (w1, w2) LEFT JOIN ctx USING (w1)
+       |  LEFT JOIN cw ON cw.w2 = dbg.w2),
+       |s AS (
+       |  SELECT doc_id,
+       |    CAST(SUM(cnt) AS BIGINT) AS n_bigrams,
+       |    CAST(SUM(CASE WHEN c1 IS NULL THEN cnt ELSE 0 END) AS BIGINT)
+       |      AS n_unseen_ctx,
+       |    CAST(SUM(CASE WHEN c1 IS NOT NULL AND c2 IS NULL THEN cnt ELSE 0 END)
+       |      AS BIGINT) AS n_interp,
+       |    SUM(cnt * (${knLogpExpr("(SELECT t FROM tot)")})) / SUM(cnt) AS a
+       |  FROM j GROUP BY 1)
+       |SELECT doc_id, n_bigrams, n_unseen_ctx, n_interp,
+       |  round(a, 6) AS avg_logp, doc_id % 10 != 0 AS held_out
+       |FROM s ORDER BY doc_id""".stripMargin
 
   /** Bigrams via 1-based list indexing over a lateral index range —
     * the same pairs as the Spark tail-zip. */
@@ -2417,6 +2534,7 @@ FROM r ORDER BY doc_id""")
     "text_zipf_fit" -> (qZipfFit _),
     "text_fertility" -> (qFertility _),
     "text_lm_backoff" -> (qLmBackoff _),
+    "text_lm_kn" -> (qLmKneserNey _),
     "text_nb_quality" -> (qNbQuality _),
     "text_nb_quality_stored" -> (qNbQualityStored _),
     "text_nb_auc" -> (qNbAuc _),
@@ -2461,6 +2579,7 @@ FROM r ORDER BY doc_id""")
     "text_zipf_fit" -> qZipfFitOracle,
     "text_fertility" -> qFertilityOracle,
     "text_lm_backoff" -> qLmBackoffOracle,
+    "text_lm_kn" -> qLmKneserNeyOracle,
     "text_nb_quality" -> qNbQualityOracle,
     "text_nb_quality_stored" -> qNbQualityOracle,
     "text_nb_auc" -> qNbAucOracle,

@@ -1683,6 +1683,89 @@ class PipelineOpsSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("Kneser-Ney equals a driver-side recompute; interpolation fires on held-out docs only") {
+    val df = TextOps.qLmKneserNey(spark, sf)
+    val got = df.collect().map(r => (r.getLong(0), r.getLong(1),
+      r.getLong(2), r.getLong(3), r.getDouble(4), r.getBoolean(5)))
+    val docs = Tables.documents(spark, sf).select("doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val refBgs = docs.filter(_._1 % 10 == 0).flatMap { case (_, t) =>
+      val l = t.split(" ", -1); l.zip(l.drop(1)) }
+    val c2 = refBgs.groupBy(identity).map { case (bg, v) => bg -> v.length.toLong }
+    val c1 = c2.groupBy(_._1._1).map { case (w, m) => w -> m.values.sum }
+    val n1p = c2.groupBy(_._1._1).map { case (w, m) => w -> m.size.toLong }
+    val cont = c2.groupBy(_._1._2).map { case (w, m) => w -> m.size.toLong }
+    val t = c2.size.toDouble
+    val D = 0.75
+    got.foreach { case (d, nb, nuc, nin, avg, held) =>
+      assert(held === (d % 10 != 0), s"doc $d held_out flag")
+      val l = docs.find(_._1 == d).get._2.split(" ", -1)
+      val bgs = l.zip(l.drop(1))
+      assert(nb === bgs.length.toLong, s"doc $d n_bigrams")
+      val lps = bgs.map { bg =>
+        val pcont = cont.getOrElse(bg._2, 1L).toDouble / t
+        c1.get(bg._1) match {
+          case None => math.log(pcont)
+          case Some(c1v) =>
+            val disc = c2.get(bg) match { case Some(c) => c - D; case None => 0.0 }
+            math.log((disc + D * n1p(bg._1) * pcont) / c1v)
+        }
+      }
+      assert(nuc === bgs.count(bg => !c1.contains(bg._1)).toLong,
+        s"doc $d n_unseen_ctx")
+      assert(nin === bgs.count(bg => c1.contains(bg._1) && !c2.contains(bg)).toLong,
+        s"doc $d n_interp")
+      val want = BigDecimal(lps.sum / lps.length)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(math.abs(avg - want) < 2e-6, s"doc $d avg_logp $avg vs $want")
+    }
+    // held-out docs interpolate over unseen bigrams; the reference
+    // slice scores fully in-model (unseen CONTEXTS never occur at this
+    // fixture's closed vocabulary — that branch is pinned synthetically
+    // in the next test)
+    assert(got.filter(_._6).map(_._4).sum > 0,
+      "interpolation must fire on held-out docs")
+    assert(got.filter(!_._6).forall(r => r._3 == 0L && r._4 == 0L),
+      "reference docs score fully in-model against their own counts")
+    // ONE frozen artifact serves every model statistic; T is a folded
+    // literal, so the serving plan has no 1-row cross
+    val p = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+    assert(p.contains("bigram_lm_ref"),
+      "KN must serve from the stored bigram artifact")
+    assert(!p.contains("unigram_lm_ref"),
+      "KN derives all statistics from the bigram table alone")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      "the type total is a folded literal — no 1-row stats cross")
+    spark.catalog.clearCache()
+  }
+
+  test("Kneser-Ney formula: the fixture-unreachable unseen-context branch, synthetically") {
+    // the ONE shared expression string, evaluated on crafted model
+    // rows against hand-computed values (the factor-the-kernel rule:
+    // sf0.001's closed vocabulary never produces a c1-NULL row, so the
+    // fallback branch gets a synthetic pin; tolerance 0 — same JVM ln)
+    import spark.implicits._
+    val t = 7.0
+    val rows = Seq[(java.lang.Long, java.lang.Long, java.lang.Long, java.lang.Long)](
+      (3L, 10L, 2L, 4L),      // seen bigram: discounted ML + escape mass
+      (null, 10L, 2L, 4L),    // unseen bigram, seen context: escape only
+      (null, 10L, 2L, null),  // ... w2 never a continuation: one-type floor
+      (null, null, null, 5L), // unseen context: continuation prob alone
+      (null, null, null, null)) // unseen everything: 1/T floor
+      .toDF("c2", "c1", "n1p", "cont")
+    val got = rows.withColumn("logp",
+      org.apache.spark.sql.functions.expr(TextOps.knLogpExpr("7")))
+      .collect().map(_.getDouble(4))
+    val want = Seq(
+      math.log((3L - 0.75 + 0.75 * 2L * (4L.toDouble / t)) / 10L),
+      math.log((0.0 + 0.75 * 2L * (4L.toDouble / t)) / 10L),
+      math.log((0.0 + 0.75 * 2L * (1L.toDouble / t)) / 10L),
+      math.log(5L.toDouble / t),
+      math.log(1L.toDouble / t))
+    assert(got.toSeq === want)
+  }
+
   test("fertility equals a driver-side recompute and agrees with the per-doc BPE report") {
     val got = TextOps.qFertility(spark, sf).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
