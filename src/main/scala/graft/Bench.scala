@@ -312,6 +312,7 @@ object Bench {
       graft.operators.TextOps.lmStored(spark, sfDir)
       graft.operators.TextOps.lmBigramStored(spark, sfDir)
       graft.operators.TextOps.lmBackoffStored(spark, sfDir)
+      graft.operators.TextOps.knStored(spark, sfDir)
       graft.operators.TextOps.lmCuratedStored(spark, sfDir)
       graft.operators.TextOps.nbStored(spark, sfDir)
       graft.operators.TextOps.bm25Stored(spark, sfDir)

@@ -1292,7 +1292,17 @@ object TextOps {
     val ctx = c2.groupBy(col("w1"))
       .agg(sum(col("c2")).as("c1"), count(lit(1)).as("n1p"))
     val cont = c2.groupBy(col("w2")).agg(count(lit(1)).as("cont"))
-    val t = c2.count()
+    knScored(spark, sfDir, c2, ctx, cont, c2.count())
+  }
+
+  /** The KN scoring pass over ANY (c2, ctx, cont, T) model relations —
+    * ONE plan tail shared by the live query (serve-time rollups) and
+    * the stored twin (materialized statistic tables), so the two paths
+    * cannot drift and share the oracle verbatim. All model statistics
+    * are integer columns, so the stored round-trip through parquet is
+    * bit-exact and both variants produce identical doubles. */
+  private def knScored(spark: SparkSession, sfDir: String, c2: DataFrame,
+      ctx: DataFrame, cont: DataFrame, t: Long): DataFrame =
     bigramsOf(Tables.documents(spark, sfDir))
       .groupBy(col("doc_id"), col("w1"), col("w2"))
       .agg(count(lit(1)).as("cnt"))
@@ -1310,6 +1320,42 @@ object TextOps {
           .as("avg_logp"))
       .withColumn("held_out", col("doc_id") % 10 =!= 0)
       .orderBy(col("doc_id"))
+
+  /** The PRECOMPUTED KN model: the context statistic table (w1, c1,
+    * n1p) with the bigram type total T as meta, and the continuation
+    * table (w2, cont) — materialized ONCE from [[lmRefBigrams]], the
+    * KenLM arrangement (an ARPA file stores precomputed smoothing
+    * statistics; the scorer never re-derives them from raw counts).
+    * Both rollups are vocabulary-sized integer relations. */
+  private[graft] def knStored(spark: SparkSession, sfDir: String)
+      : (DataFrame, DataFrame, DataFrame, Long) = {
+    val c2 = lmRefBigrams(spark, sfDir)
+    val (ctxDir, meta) = graft.Artifacts.getOrBuildMeta(
+        spark, sfDir, "kn_ctx_ref") { d =>
+      c2.groupBy(col("w1"))
+        .agg(sum(col("c2")).as("c1"), count(lit(1)).as("n1p"))
+        .write.parquet(d)
+      c2.count().toString
+    }
+    val contDir = graft.Artifacts.getOrBuild(spark, sfDir, "kn_cont_ref") { d =>
+      c2.groupBy(col("w2")).agg(count(lit(1)).as("cont")).write.parquet(d)
+    }
+    (c2, spark.read.parquet(ctxDir), spark.read.parquet(contDir),
+      meta.trim.toLong)
+  }
+
+  /** [[qLmKneserNey]] SERVING the precomputed model: the context and
+    * continuation statistics come from the frozen [[knStored]]
+    * artifacts and T from its meta — serve time is the doc-side
+    * bigram pass plus three vocabulary-keyed LEFT equi-joins, with
+    * zero model-side aggregation and zero driver-side count actions
+    * (the live twin re-derives all three statistics per call — the
+    * live-miner/stored-server split every stored family here makes).
+    * Same oracle verbatim: the artifacts are the same rollups
+    * materialized, integer-exact through parquet. */
+  def qLmKneserNeyStored(spark: SparkSession, sfDir: String): DataFrame = {
+    val (c2, ctx, cont, t) = knStored(spark, sfDir)
+    knScored(spark, sfDir, c2, ctx, cont, t)
   }
 
   lazy val qLmKneserNeyOracle: String =
@@ -2535,6 +2581,7 @@ FROM r ORDER BY doc_id""")
     "text_fertility" -> (qFertility _),
     "text_lm_backoff" -> (qLmBackoff _),
     "text_lm_kn" -> (qLmKneserNey _),
+    "text_lm_kn_stored" -> (qLmKneserNeyStored _),
     "text_nb_quality" -> (qNbQuality _),
     "text_nb_quality_stored" -> (qNbQualityStored _),
     "text_nb_auc" -> (qNbAuc _),
@@ -2580,6 +2627,7 @@ FROM r ORDER BY doc_id""")
     "text_fertility" -> qFertilityOracle,
     "text_lm_backoff" -> qLmBackoffOracle,
     "text_lm_kn" -> qLmKneserNeyOracle,
+    "text_lm_kn_stored" -> qLmKneserNeyOracle,
     "text_nb_quality" -> qNbQualityOracle,
     "text_nb_quality_stored" -> qNbQualityOracle,
     "text_nb_auc" -> qNbAucOracle,

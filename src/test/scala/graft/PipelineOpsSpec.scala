@@ -1740,6 +1740,28 @@ class PipelineOpsSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("Kneser-Ney stored twin: precomputed statistics serve identically to the live rollups") {
+    val live = TextOps.qLmKneserNey(spark, sf).collect().toSeq
+    val df = TextOps.qLmKneserNeyStored(spark, sf)
+    assert(df.collect().toSeq === live,
+      "the stored twin must equal the live query row-for-row")
+    val p = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+    assert(p.contains("kn_ctx_ref") && p.contains("kn_cont_ref"),
+      "the stored twin must scan the materialized statistic tables")
+    // serving reads the raw bigram table ONCE (the c2 join); the live
+    // twin reads it three times to re-derive ctx and cont per call —
+    // the statistic rollups genuinely moved to build time
+    val pl = TextOps.qLmKneserNey(spark, sf).queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+    def mentions(s: String, sub: String) = s.sliding(sub.length).count(_ == sub)
+    assert(mentions(p, "bigram_lm_ref") < mentions(pl, "bigram_lm_ref"),
+      "the serve plan must not re-derive model statistics from raw counts")
+    assert(!pl.contains("kn_ctx_ref"),
+      "the live twin mines the bigram table alone")
+    spark.catalog.clearCache()
+  }
+
   test("Kneser-Ney formula: the fixture-unreachable unseen-context branch, synthetically") {
     // the ONE shared expression string, evaluated on crafted model
     // rows against hand-computed values (the factor-the-kernel rule:
