@@ -771,10 +771,17 @@ object TextOps {
     * Bm25* CONSTANTS, not this relational op: it is a stateless
     * projection with the model folded as literals, and its addend
     * mirrors this expression term-for-term. */
-  private[graft] def bm25Scored(withStats: DataFrame): DataFrame = {
-    val addend = expr(
-      s"ln(1 + (n - df + 0.5) / (df + 0.5)) * tf * $Bm25K1p1" +
-        s" / (tf + $Bm25K1 * ($Bm25OneMinusB + $Bm25B * dl / avgdl))")
+  /** The per-(term, doc) BM25 addend over columns (tf, df, dl, n,
+    * avgdl) — ONE kernel string interpolated into both engines,
+    * shared by the unweighted scorers and the RM3 rescorer (which
+    * multiplies it by the term's mixture weight `fw`). */
+  private[graft] val Bm25Kernel: String =
+    s"ln(1 + (n - df + 0.5) / (df + 0.5)) * tf * $Bm25K1p1" +
+      s" / (tf + $Bm25K1 * ($Bm25OneMinusB + $Bm25B * dl / avgdl))"
+
+  private[graft] def bm25Scored(withStats: DataFrame,
+      weighted: Boolean = false): DataFrame = {
+    val addend = expr(if (weighted) s"fw * ($Bm25Kernel)" else Bm25Kernel)
     withStats
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_hit"), sum(addend).as("score"))
@@ -789,9 +796,10 @@ object TextOps {
     * order is engine-chosen, so ranking the raw double could flip
     * membership at the rank-20 cutoff between Spark and the oracle;
     * rounding before the top-k makes the selected set engine-exact. */
-  private def bm25Ranked(withStats: DataFrame): DataFrame = {
+  private def bm25Ranked(withStats: DataFrame,
+      weighted: Boolean = false): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    bm25Scored(withStats)
+    bm25Scored(withStats, weighted)
       .withColumn("score_r", round(col("score"), 6))
       .orderBy(col("score_r").desc, col("doc_id")).limit(20)
       .withColumn("rank", row_number().over(
@@ -868,6 +876,152 @@ object TextOps {
        |rk AS (SELECT doc_id, n_hit, round(score, 6) AS score_r,
        |  row_number() OVER (ORDER BY round(score, 6) DESC, doc_id) AS rank
        |  FROM sc)
+       |SELECT CAST(rank AS INT) AS rank, doc_id, n_hit, score_r
+       |FROM rk WHERE rank <= 20 ORDER BY rank""".stripMargin
+  }
+
+  /** RM3 constants — each its own literal per the Bm25K1p1 discipline.
+    * The original-term weight 0.2 is (1−λ)/|Q| with λ = 0.4 and the
+    * fixed 3-term [[Bm25Terms]] query, written as one decimal so both
+    * engines parse the identical double instead of folding 0.6/3. */
+  private[graft] val Rm3FbDocs = 10
+  private[graft] val Rm3FbTerms = 10
+  private[graft] val Rm3OrigW = "0.2"
+  private[graft] val Rm3ExpW = "0.4"
+
+  /** The RM1 per-(term, feedback-doc) relevance contribution over
+    * columns (kd, tf, dl), in EXACT integer fixed-point: the feedback
+    * doc's 6-decimal-rounded BM25 score in micro-units (kd) times the
+    * term's tf, scaled by 1e6 and divided by the doc length with
+    * TRUNCATING integer division (the repo-wide bucket convention —
+    * DuckDB `//` and Spark `div` agree on positive BIGINTs, verified
+    * empirically in r12). Integer sums are order-invariant, so
+    * expansion-term SELECTION carries zero float-rank risk — the one
+    * stage of RM3 where a float formulation would race doubles at a
+    * cutoff. Only the division token differs between engines. */
+  private[graft] def rm3ContribExpr(idiv: String): String =
+    s"(kd * tf * 1000000) $idiv dl"
+
+  /** RM3 PSEUDO-RELEVANCE FEEDBACK (Lavrenko & Croft 2001 relevance
+    * models; the RM3 interpolation of Abdul-Jaleel et al., TREC 2004)
+    * — the published step past [[qBm25]] on the retrieval ladder:
+    * take the stored-model BM25 top-[[Rm3FbDocs]] as pseudo-relevant,
+    * estimate a relevance model over their vocabulary (each term
+    * weighted by feedback-doc score × tf/dl — integer fixed-point,
+    * see [[rm3ContribExpr]]), keep the top-[[Rm3FbTerms]] expansion
+    * terms, and re-score the corpus against the expanded query with
+    * the original terms at weight 0.2 each and expansion terms
+    * sharing λ = 0.4 proportionally to their RM1 mass (W = Σw is an
+    * exact integer, so the mixture weights are single-division
+    * doubles both engines compute identically).
+    *
+    * Scale shape: every corpus-sized pass keeps the inverted-posting
+    * discipline — stage-1 tf is the explode FILTERED to the 3 query
+    * terms; the RM1 pass explodes only the [[Rm3FbDocs]] feedback
+    * docs (a broadcast semi-join BEFORE the explode); the rescoring
+    * explode is filtered by a broadcast join against the 13-term
+    * literal relation BEFORE aggregation, so the shuffle carries 13
+    * posting lists, never the vocabulary. df and (N, avgdl) serve
+    * from the frozen [[bm25Stored]] artifact (meta literals — no
+    * 1-row cross anywhere). The expanded query itself is a bounded
+    * driver-side fold (≤10 rows collected — the top-20 collect
+    * precedent), the KenLM/stored-model discipline for model-sized
+    * state. Ranking: selection and rank on the 6-decimal rounded
+    * score with the doc_id tie-break at BOTH ranked stages (feedback
+    * selection and final top-20) — the qDsir rule. */
+  def qBm25Rm3(spark: SparkSession, sfDir: String): DataFrame = {
+    val (model, n, sumdl) = bm25Stored(spark, sfDir)
+    val docs = Tables.documents(spark, sfDir)
+    val dl = docs.select(col("doc_id"), size(toks).as("dl"))
+    def withN(d: DataFrame): DataFrame = d
+      .withColumn("n", lit(n.toDouble))
+      .withColumn("avgdl", lit(sumdl.toDouble / n))
+    // stage 1: pseudo-relevant docs = the stored-model BM25 top-k
+    val tf1 = docs.select(col("doc_id"), explode(toks).as("tk"))
+      .filter(col("tk").isin(Bm25Terms: _*))
+      .groupBy(col("doc_id"), col("tk")).agg(count(lit(1)).as("tf"))
+    val df1 = broadcast(model.filter(col("tk").isin(Bm25Terms: _*))
+      .select(col("tk"), col("df").cast(DoubleType).as("df")))
+    val fb = bm25Scored(withN(tf1.join(df1, "tk").join(dl, "doc_id")))
+      .withColumn("score_r", round(col("score"), 6))
+      .orderBy(col("score_r").desc, col("doc_id")).limit(Rm3FbDocs)
+      .select(col("doc_id"),
+        round(col("score_r") * lit(1000000)).cast("long").as("kd"))
+    // stage 2: RM1 expansion weights — tokens of ≤ FbDocs docs only
+    val expansion = docs.join(broadcast(fb), "doc_id")
+      .select(col("doc_id"), col("kd"), explode(toks).as("tk"))
+      .filter(!col("tk").isin(Bm25Terms: _*))
+      .groupBy(col("doc_id"), col("kd"), col("tk"))
+      .agg(count(lit(1)).as("tf"))
+      .join(dl, "doc_id")
+      .withColumn("c", expr(rm3ContribExpr("div")))
+      .groupBy(col("tk")).agg(sum(col("c")).as("w"))
+      .orderBy(col("w").desc, col("tk")).limit(Rm3FbTerms)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    val wSum = expansion.map(_._2).sum
+    // stage 3: the expanded query folds as a literal relation
+    import spark.implicits._
+    val termDf = broadcast((
+      Bm25Terms.map(t => (t, Rm3OrigW.toDouble)) ++
+        expansion.map { case (t, w) =>
+          (t, Rm3ExpW.toDouble * w.toDouble / wSum.toDouble) })
+      .toDF("tk", "fw"))
+    // stage 4: weighted rescore against the expanded query
+    val tf2 = docs.select(col("doc_id"), explode(toks).as("tk"))
+      .join(termDf, "tk")
+      .groupBy(col("doc_id"), col("tk"), col("fw"))
+      .agg(count(lit(1)).as("tf"))
+    val df2 = broadcast(model.join(termDf.select("tk"), "tk")
+      .select(col("tk"), col("df").cast(DoubleType).as("df")))
+    bm25Ranked(withN(tf2.join(df2, "tk").join(dl, "doc_id")),
+      weighted = true)
+  }
+
+  lazy val qBm25Rm3Oracle: String = {
+    val inList = Bm25Terms.map("'" + _ + "'").mkString("(", ",", ")")
+    val origRows = Bm25Terms.map("('" + _ + "')").mkString(", ")
+    s"""WITH dl AS (
+       |  SELECT doc_id, len(string_split(text, ' ')) AS dl FROM documents),
+       |s AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+       |  CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl FROM dl),
+       |dtf AS (
+       |  SELECT doc_id, tk, COUNT(*) AS tf FROM (
+       |    SELECT doc_id, unnest(string_split(text, ' ')) AS tk
+       |    FROM documents) t GROUP BY 1, 2),
+       |dfv AS (SELECT tk, CAST(COUNT(*) AS DOUBLE) AS df FROM dtf GROUP BY 1),
+       |j1 AS (
+       |  SELECT t.doc_id, t.tf, dfv.df, d.dl, s.n, s.avgdl
+       |  FROM dtf t JOIN dfv USING (tk) JOIN dl d ON t.doc_id = d.doc_id, s
+       |  WHERE t.tk IN $inList),
+       |s1 AS (SELECT doc_id, round(SUM($Bm25Kernel), 6) AS score_r
+       |  FROM j1 GROUP BY 1),
+       |fb AS (SELECT doc_id, CAST(round(score_r * 1000000) AS BIGINT) AS kd,
+       |  row_number() OVER (ORDER BY score_r DESC, doc_id) AS r FROM s1),
+       |fbk AS (SELECT doc_id, kd FROM fb WHERE r <= $Rm3FbDocs),
+       |rm1 AS (
+       |  SELECT tk, SUM(${rm3ContribExpr("//")}) AS w FROM (
+       |    SELECT dtf.tk, dtf.tf, fbk.kd, dl.dl
+       |    FROM dtf JOIN fbk USING (doc_id) JOIN dl USING (doc_id)
+       |    WHERE dtf.tk NOT IN $inList) z
+       |  GROUP BY 1),
+       |er AS (SELECT tk, w,
+       |  row_number() OVER (ORDER BY w DESC, tk) AS r FROM rm1),
+       |ex AS (SELECT tk, w FROM er WHERE r <= $Rm3FbTerms),
+       |ws AS (SELECT SUM(w) AS ws FROM ex),
+       |terms AS (
+       |  SELECT tk, CAST($Rm3OrigW AS DOUBLE) AS fw
+       |  FROM (VALUES $origRows) v(tk)
+       |  UNION ALL
+       |  SELECT tk, $Rm3ExpW * CAST(w AS DOUBLE)
+       |    / CAST((SELECT ws FROM ws) AS DOUBLE) AS fw FROM ex),
+       |j2 AS (
+       |  SELECT t.doc_id, t.tf, dfv.df, d.dl, s.n, s.avgdl, q.fw
+       |  FROM dtf t JOIN terms q USING (tk) JOIN dfv USING (tk)
+       |  JOIN dl d ON t.doc_id = d.doc_id, s),
+       |sc AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_hit,
+       |  round(SUM(fw * ($Bm25Kernel)), 6) AS score_r FROM j2 GROUP BY 1),
+       |rk AS (SELECT doc_id, n_hit, score_r,
+       |  row_number() OVER (ORDER BY score_r DESC, doc_id) AS rank FROM sc)
        |SELECT CAST(rank AS INT) AS rank, doc_id, n_hit, score_r
        |FROM rk WHERE rank <= 20 ORDER BY rank""".stripMargin
   }
@@ -2574,6 +2728,7 @@ FROM r ORDER BY doc_id""")
     "text_tfidf_stored" -> (qTfidfStored _),
     "text_bm25" -> (qBm25 _),
     "text_bm25_stored" -> (qBm25Stored _),
+    "text_bm25_rm3" -> (qBm25Rm3 _),
     "text_lm_score_stored" -> (qLmScoreStored _),
     "text_lm_bigram" -> (qLmBigram _),
     "text_lm_bigram_stored" -> (qLmBigramStored _),
@@ -2620,6 +2775,7 @@ FROM r ORDER BY doc_id""")
     // the stored twin shares the self-contained oracle VERBATIM: the
     // artifact is the same df mining pass materialized
     "text_bm25_stored" -> qBm25Oracle,
+    "text_bm25_rm3" -> qBm25Rm3Oracle,
     "text_lm_score_stored" -> qLmScoreOracle,
     "text_lm_bigram" -> qLmBigramOracle,
     "text_lm_bigram_stored" -> qLmBigramOracle,

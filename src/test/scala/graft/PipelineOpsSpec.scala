@@ -2489,6 +2489,90 @@ class PipelineOpsSpec extends SparkSpec {
       "single-consumer relations in the serving path need no caches")
   }
 
+  test("RM3 equals a driver-side recompute; integer-exact expansion, artifact-served rescore") {
+    val q = TextOps.qBm25Rm3(spark, sf)
+    val got = q.collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(got.nonEmpty && got.length <= 20)
+
+    // full driver recompute — the qBm25 spec's float shapes, extended
+    // through the RM1 integer fixed-point and the weighted rescore
+    val docs = Tables.documents(spark, sf).select("doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getString(1).split(" ", -1)))
+    val n = docs.length.toDouble
+    val dl = docs.map { case (id, ts) => id -> ts.length }.toMap
+    val avgdl = dl.values.map(_.toLong).sum.toDouble / docs.length
+    val dtf: Map[(Long, String), Long] = docs.flatMap { case (id, ts) =>
+      ts.groupBy(identity).map { case (t, v) => (id, t) -> v.length.toLong }
+    }.toMap
+    val df: Map[String, Double] = dtf.keys.toSeq.groupBy(_._2)
+      .map { case (t, v) => t -> v.size.toDouble }
+    def kernel(f: Long, t: String, id: Long): Double =
+      math.log(1 + (n - df(t) + 0.5) / (df(t) + 0.5)) * f * 2.2 /
+        (f + 1.2 * (0.25 + 0.75 * dl(id) / avgdl))
+    val orig = TextOps.Bm25Terms
+    // stage 1: feedback docs on the rounded score, doc_id tie-break
+    val s1 = docs.flatMap { case (id, _) =>
+      val hits = orig.sorted.flatMap(t => dtf.get((id, t)).map(t -> _))
+      if (hits.isEmpty) None
+      else Some(id -> math.rint(
+        hits.map { case (t, f) => kernel(f, t, id) }.sum * 1e6) / 1e6)
+    }
+    val fbk = s1.sortBy { case (id, s) => (-s, id) }
+      .take(TextOps.Rm3FbDocs).map { case (id, s) =>
+        id -> math.round(s * 1e6) }
+    assert(fbk.length === TextOps.Rm3FbDocs)
+    // stage 2: RM1 weights — pure Long arithmetic, truncating division
+    val w = scala.collection.mutable.Map.empty[String, Long]
+      .withDefaultValue(0L)
+    fbk.foreach { case (id, kd) =>
+      docs.find(_._1 == id).get._2.filterNot(orig.contains)
+        .groupBy(identity).foreach { case (t, v) =>
+          w(t) += kd * v.length * 1000000L / dl(id) }
+    }
+    val exp = w.toSeq.sortBy { case (t, wv) => (-wv, t) }
+      .take(TextOps.Rm3FbTerms)
+    assert(exp.length === TextOps.Rm3FbTerms && exp.forall(_._2 > 0))
+    assert(exp.forall { case (t, _) => !orig.contains(t) },
+      "expansion terms must be disjoint from the original query")
+    val wSum = exp.map(_._2).sum
+    // stages 3+4: weighted rescore over the 13-term expanded query
+    val fw = (orig.map(_ -> 0.2) ++ exp.map { case (t, wv) =>
+      t -> (0.4 * wv.toDouble / wSum.toDouble) }).toMap
+    val want = docs.flatMap { case (id, ts) =>
+      val hits = ts.distinct.filter(fw.contains).sorted
+      if (hits.isEmpty) None
+      else {
+        val s = hits.map(t => fw(t) * kernel(dtf((id, t)), t, id)).sum
+        Some((id, hits.length.toLong, math.rint(s * 1e6) / 1e6))
+      }
+    }.sortBy { case (id, _, s) => (-s, id) }.take(20)
+      .zipWithIndex.map { case ((id, h, s), i) => (i + 1, id, h, s) }
+    assert(got.toSeq === want.toSeq)
+    // the expanded query genuinely re-ranks: some doc outside the
+    // original-terms top-20 entered, or the order changed
+    val plain = TextOps.qBm25Stored(spark, sf).collect()
+      .map(r => (r.getLong(1))).toSeq
+    assert(got.map(_._2).toSeq !== plain,
+      "RM3 must change the ranking the unexpanded query produces")
+
+    // plan pins on the RETURNED (stage-4) plan: df serves from the
+    // stored model artifact; corpus stats are folded literals (no
+    // 1-row cross); ONE corpus explode, filtered by the broadcast
+    // term join below the tf aggregation
+    val p = q.queryExecution
+      .explainString(org.apache.spark.sql.execution.FormattedMode)
+    assert(p.contains("graft_artifacts"),
+      "rescore df must serve from the bm25_model artifact")
+    assert(!p.contains("BroadcastNestedLoopJoin") &&
+      !p.contains("CartesianProduct"),
+      "corpus stats are meta literals — no 1-row cross in the rescore")
+    assert(q.queryExecution.optimizedPlan.collect {
+      case g: org.apache.spark.sql.catalyst.plans.logical.Generate => g
+    }.size === 1, "exactly one corpus explode in the rescore plan")
+    spark.catalog.clearCache()
+  }
+
   test("weighted reservoir equals a driver-side recompute and skews toward heavy documents") {
     val got = graft.operators.SamplingOps.qWeightedReservoir(spark, sf).collect()
       .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
