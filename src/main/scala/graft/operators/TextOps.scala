@@ -1026,6 +1026,109 @@ object TextOps {
        |FROM rk WHERE rank <= 20 ORDER BY rank""".stripMargin
   }
 
+  /** Dirichlet smoothing constant μ = 2000 (the Zhai & Lafferty 2001
+    * default) — one literal interpolated into both engines. */
+  private[graft] val QlMu = "2000.0"
+
+  /** The per-MATCHED-(term, doc) addend of the decomposed query
+    * likelihood over columns (tf, ctf): ln(tf + μ·p(t|C)) − ln(μ·p(t|C))
+    * with p(t|C) = ctf/C — the part of ln((tf + μp)/(dl + μ)) that
+    * differs from an absent term. ONE string in both engines; only the
+    * collection-size token `c` is engine-specific (Spark folds the
+    * exact integer from the bm25_model meta, the oracle reads its own
+    * 1-row total — the knLogpExpr discipline). */
+  private[graft] def qlAddendExpr(c: String): String =
+    s"ln(tf + $QlMu * ctf / $c) - ln($QlMu * ctf / $c)"
+
+  /** The full document score over columns (ms, dl): the matched sum
+    * plus the all-absent constant K = Σ_t ln(μ·p(t|C)) minus the
+    * per-doc length normalizer |Q|·ln(dl + μ). K's three addends are
+    * written out IN ORDER (terms sorted) so both engines add the same
+    * values in the same sequence. */
+  private[graft] def qlScoreExpr(k: String): String =
+    s"COALESCE(ms, 0.0) + ($k) - ${Bm25Terms.size} * ln(dl + $QlMu)"
+
+  /** QUERY LIKELIHOOD with DIRICHLET smoothing (Zhai & Lafferty 2001)
+    * — the language-modeling first-stage ranker, the standard
+    * alternative to [[qBm25]]: score(d) = Σ_t ln((tf + μ·p(t|C)) /
+    * (dl + μ)). Unlike BM25, EVERY document scores (absent terms
+    * contribute the collection prior; shorter docs win among no-hit
+    * docs), which naively couples every doc to every query term. The
+    * DECOMPOSITION fixes the scale shape: score = matched_sum + K −
+    * |Q|·ln(dl+μ), where only terms PRESENT in the doc need the
+    * posting join, K is a query-constant of in-engine ln's over
+    * folded exact integers, and the rest is a map-only projection
+    * over the doc-length relation — so the corpus-sized work is one
+    * filtered posting pass plus a map, and the top-20 is a bounded
+    * heap over (rounded score, doc_id). Collection statistics (C =
+    * total tokens) serve from the frozen [[bm25Stored]] meta; per-term
+    * collection frequencies are a terms-sized bounded collect folded
+    * as literals (the stored-model discipline — no 1-row cross).
+    * Float parity: addends and K are shared strings; the ln-sum
+    * and round-6 conventions as every scorer here. */
+  def qQlDirichlet(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val (_, _, sumdl) = bm25Stored(spark, sfDir)
+    val docs = Tables.documents(spark, sfDir)
+    val dl = docs.select(col("doc_id"), size(toks).as("dl"))
+    // the filtered posting relation feeds both the ctf fold and the
+    // matched-sum join (the qBm25 cache discipline)
+    val tf = docs.select(col("doc_id"), explode(toks).as("tk"))
+      .filter(col("tk").isin(Bm25Terms: _*))
+      .groupBy(col("doc_id"), col("tk")).agg(count(lit(1)).as("tf"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val ctf: Map[String, Long] = tf.groupBy(col("tk"))
+      .agg(sum(col("tf")).as("ctf"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    import spark.implicits._
+    val termDf = broadcast(ctf.toSeq.sorted.toDF("tk", "ctf"))
+    val ms = tf.join(termDf, "tk")
+      .withColumn("a", expr(qlAddendExpr(sumdl.toString)))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_hit"), sum(col("a")).as("ms"))
+    val k = Bm25Terms.sorted
+      .map(t => s"ln($QlMu * ${ctf(t)} / $sumdl)").mkString(" + ")
+    val ranked = dl.join(ms, Seq("doc_id"), "left")
+      .withColumn("n_hit", coalesce(col("n_hit"), lit(0L)))
+      .withColumn("score_r", round(expr(qlScoreExpr(k)), 6))
+      .orderBy(col("score_r").desc, col("doc_id")).limit(20)
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("score_r").desc, col("doc_id"))))
+      .select(col("rank"), col("doc_id"), col("n_hit"), col("score_r"))
+      .orderBy(col("rank"))
+    DedupOps.unpersistAfterFirstAction(ranked, tf)
+  }
+
+  lazy val qQlDirichletOracle: String = {
+    val inList = Bm25Terms.map("'" + _ + "'").mkString("(", ",", ")")
+    val kSql = Bm25Terms.sorted.map(t =>
+      s"ln($QlMu * (SELECT ctf FROM ctf WHERE tk = '$t')" +
+        " / (SELECT c FROM tot))").mkString(" + ")
+    s"""WITH dl AS (
+       |  SELECT doc_id, len(string_split(text, ' ')) AS dl FROM documents),
+       |tot AS (SELECT CAST(SUM(dl) AS BIGINT) AS c FROM dl),
+       |tf AS (
+       |  SELECT doc_id, tk, COUNT(*) AS tf FROM (
+       |    SELECT doc_id, unnest(string_split(text, ' ')) AS tk
+       |    FROM documents) t
+       |  WHERE tk IN $inList GROUP BY 1, 2),
+       |ctf AS (SELECT tk, CAST(SUM(tf) AS BIGINT) AS ctf FROM tf GROUP BY 1),
+       |ms AS (
+       |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_hit,
+       |    SUM(${qlAddendExpr("(SELECT c FROM tot)")}) AS ms
+       |  FROM (SELECT t.doc_id, t.tf, x.ctf
+       |        FROM tf t JOIN ctf x USING (tk)) j
+       |  GROUP BY 1),
+       |sc AS (
+       |  SELECT d.doc_id, COALESCE(ms.n_hit, 0) AS n_hit,
+       |    round(${qlScoreExpr(kSql)}, 6) AS score_r
+       |  FROM dl d LEFT JOIN ms USING (doc_id)),
+       |rk AS (SELECT doc_id, n_hit, score_r,
+       |  row_number() OVER (ORDER BY score_r DESC, doc_id) AS rank FROM sc)
+       |SELECT CAST(rank AS INT) AS rank, doc_id, n_hit, score_r
+       |FROM rk WHERE rank <= 20 ORDER BY rank""".stripMargin
+  }
+
   /** Character-entropy quality signal: Shannon entropy of the per-doc
     * character distribution (low entropy ⇒ repetitive/degenerate text,
     * high ⇒ random noise — both filtered in web-corpus curation; cf.
@@ -2729,6 +2832,7 @@ FROM r ORDER BY doc_id""")
     "text_bm25" -> (qBm25 _),
     "text_bm25_stored" -> (qBm25Stored _),
     "text_bm25_rm3" -> (qBm25Rm3 _),
+    "text_ql_dirichlet" -> (qQlDirichlet _),
     "text_lm_score_stored" -> (qLmScoreStored _),
     "text_lm_bigram" -> (qLmBigram _),
     "text_lm_bigram_stored" -> (qLmBigramStored _),
@@ -2776,6 +2880,7 @@ FROM r ORDER BY doc_id""")
     // artifact is the same df mining pass materialized
     "text_bm25_stored" -> qBm25Oracle,
     "text_bm25_rm3" -> qBm25Rm3Oracle,
+    "text_ql_dirichlet" -> qQlDirichletOracle,
     "text_lm_score_stored" -> qLmScoreOracle,
     "text_lm_bigram" -> qLmBigramOracle,
     "text_lm_bigram_stored" -> qLmBigramOracle,

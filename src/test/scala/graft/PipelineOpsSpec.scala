@@ -2573,6 +2573,54 @@ class PipelineOpsSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("Dirichlet query likelihood equals a driver-side recompute; decomposed map-only scoring") {
+    val q = TextOps.qQlDirichlet(spark, sf)
+    val cachedPlan = q.queryExecution.withCachedData
+    val got = q.collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(got.length === 20)
+    assert(got.forall(r => r._3 >= 0 && r._3 <= TextOps.Bm25Terms.size))
+
+    val docs = Tables.documents(spark, sf).select("doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getString(1).split(" ", -1)))
+    val dl = docs.map { case (id, ts) => id -> ts.length }.toMap
+    val c = dl.values.map(_.toLong).sum
+    val orig = TextOps.Bm25Terms
+    val tf: Map[(Long, String), Long] = docs.flatMap { case (id, ts) =>
+      ts.filter(orig.contains).groupBy(identity)
+        .map { case (t, v) => (id, t) -> v.length.toLong } }.toMap
+    val ctf: Map[String, Long] = orig.map(t =>
+      t -> docs.map { case (id, _) => tf.getOrElse((id, t), 0L) }.sum).toMap
+    val mu = 2000.0
+    // K in the engines' own order: sorted terms, left-assoc addition
+    val kConst = orig.sorted.map(t => math.log(mu * ctf(t) / c)).sum
+    val want = docs.map { case (id, ts) =>
+      val hits = orig.sorted.flatMap(t => tf.get((id, t)).map(t -> _))
+      val ms = hits.map { case (t, f) =>
+        math.log(f + mu * ctf(t) / c) - math.log(mu * ctf(t) / c) }.sum
+      val s = ms + kConst - orig.size * math.log(dl(id) + mu)
+      (id, hits.length.toLong, math.rint(s * 1e6) / 1e6)
+    }.sortBy { case (id, _, s) => (-s, id) }.take(20)
+      .zipWithIndex.map { case ((id, h, s), i) => (i + 1, id, h, s) }
+    assert(got.toSeq === want.toSeq)
+
+    // plan: ONE corpus explode, inside the cached posting relation
+    // (it feeds both the ctf fold and the matched-sum join); the
+    // no-hit mass is a map-only projection — no cross anywhere
+    val rels = cachedPlan.collect {
+      case r: org.apache.spark.sql.execution.columnar.InMemoryRelation => r }
+    assert(rels.size === 1, "the filtered posting relation is the one cache")
+    assert(cachedPlan.collect {
+      case g: org.apache.spark.sql.catalyst.plans.logical.Generate => g }.isEmpty,
+      "no corpus explode outside the cached posting relation")
+    val p = q.queryExecution
+      .explainString(org.apache.spark.sql.execution.FormattedMode)
+    assert(!p.contains("BroadcastNestedLoopJoin") &&
+      !p.contains("CartesianProduct"),
+      "K and C are folded constants — no 1-row stats cross")
+    spark.catalog.clearCache()
+  }
+
   test("weighted reservoir equals a driver-side recompute and skews toward heavy documents") {
     val got = graft.operators.SamplingOps.qWeightedReservoir(spark, sf).collect()
       .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
