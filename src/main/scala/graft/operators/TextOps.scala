@@ -1080,6 +1080,12 @@ object TextOps {
     val ctf: Map[String, Long] = tf.groupBy(col("tk"))
       .agg(sum(col("tf")).as("ctf"))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // p(t|C) = 0 has no ln — a query term the corpus never saw must
+    // fail with a readable message, not a late lookup error (the
+    // streamingBm25 contract discipline)
+    require(Bm25Terms.forall(ctf.contains),
+      "qQlDirichlet: query terms absent from the corpus: " +
+        Bm25Terms.filterNot(ctf.contains).mkString(", "))
     import spark.implicits._
     val termDf = broadcast(ctf.toSeq.sorted.toDF("tk", "ctf"))
     val ms = tf.join(termDf, "tk")
