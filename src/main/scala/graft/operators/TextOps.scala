@@ -1105,6 +1105,23 @@ object TextOps {
     DedupOps.unpersistAfterFirstAction(ranked, tf)
   }
 
+  /** The frozen QL collection statistics — per-term collection
+    * frequency (count of occurrences, identical to the batch's
+    * sum-of-per-doc-tf by construction) and the total token count
+    * from the [[bm25Stored]] meta. The model the STREAMING twin
+    * ([[graft.streaming.StatefulOps.streamingQlDirichlet]]) folds as
+    * literals; terms-sized, never corpus-sized. */
+  private[graft] def qlCollectionStats(spark: SparkSession, sfDir: String)
+      : (Map[String, Long], Long) = {
+    val (_, _, sumdl) = bm25Stored(spark, sfDir)
+    val ctf = Tables.documents(spark, sfDir)
+      .select(explode(toks).as("tk"))
+      .filter(col("tk").isin(Bm25Terms: _*))
+      .groupBy(col("tk")).agg(count(lit(1)).as("ctf"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    (ctf, sumdl)
+  }
+
   lazy val qQlDirichletOracle: String = {
     val inList = Bm25Terms.map("'" + _ + "'").mkString("(", ",", ")")
     val kSql = Bm25Terms.sorted.map(t =>

@@ -1676,6 +1676,63 @@ object StatefulOps {
       .filter(col("n_hit") > 0)
   }
 
+  // ================= streaming Dirichlet query likelihood =================
+
+  /** STREAMING Dirichlet query-likelihood scoring — the serving twin
+    * of `TextOps.qQlDirichlet`, the same stateless map-only shape as
+    * [[streamingBm25]]: the model is three collection frequencies
+    * plus the token total, so every scalar — the per-term smoothed
+    * priors μ·p(t|C), their log constant K, μ itself — folds into the
+    * plan, and each arriving document scores in one codegen'd
+    * expression (per-term tf via array `filter` count, dl via
+    * `size`): no explode, no join, no aggregation, NO STATE, hence
+    * idempotent under re-delivery by construction. Unlike the BM25
+    * twin it emits EVERY arrival — in QL every document ranks (the
+    * no-hit mass is the pure length prior), exactly as the batch
+    * ranker scores every doc before its top-20 cut.
+    *
+    * Float parity with the batch plan: the per-term prior is the
+    * identical IEEE sequence (μ·ctf exact-integer-to-double, one
+    * divide by C), ln is the same JVM Math.log the codegen'd
+    * expression calls, K's addends fold in sorted term order (the
+    * batch writes K out in sorted order too), absent terms add the
+    * bitwise no-op 0.0, and the tail is the batch's own
+    * (ms + K) − |Q|·ln(dl + μ) association, rounded to 6. Asserted
+    * row-exact against the batch top-20 in StatefulOpsSpec.
+    * Scale: per-batch cost tracks arrival volume × doc length;
+    * nothing grows with corpus size or time. */
+  def streamingQlDirichlet(docs: DataFrame, ctf: Map[String, Long],
+      c: Long): DataFrame = {
+    import graft.operators.TextOps.{Bm25Terms, QlMu}
+    val mu = QlMu.toDouble
+    // the batch ranker's own contract: a query term the corpus never
+    // saw has no log — fail readably, not with a NaN score
+    require(Bm25Terms.forall(ctf.contains),
+      "streamingQlDirichlet: query terms absent from the model: " +
+        Bm25Terms.filterNot(ctf.contains).mkString(", "))
+    val model = Bm25Terms.sorted.map(t => t -> ctf(t))
+    val toks = split(col("text"), " ")
+    def tfCol(i: Int) = s"tf_$i"
+    // per-term tf computed ONCE into a column (the streamingBm25
+    // rule: lambda-bearing HOFs get no subexpression elimination)
+    val withTf = docs.select(col("doc_id") +: size(toks).as("dl") +:
+      model.zipWithIndex.map { case ((t, _), i) =>
+        size(filter(toks, x => x === t)).cast("double").as(tfCol(i)) }: _*)
+    val addends = model.zipWithIndex.map { case ((_, ctfT), i) =>
+      val pt = mu * ctfT / c
+      val tf = col(tfCol(i))
+      when(tf > 0, log(tf + lit(pt)) - lit(math.log(pt)))
+        .otherwise(lit(0.0))
+    }
+    val kConst = model.map { case (_, ctfT) => math.log(mu * ctfT / c) }.sum
+    val hits = model.zipWithIndex.map { case (_, i) =>
+      when(col(tfCol(i)) > 0, 1L).otherwise(0L) }
+    withTf.select(col("doc_id"),
+      hits.foldLeft(lit(0L))(_ + _).as("n_hit"),
+      round(addends.foldLeft(lit(0.0))(_ + _) + lit(kConst) -
+        lit(Bm25Terms.size) * log(col("dl") + lit(mu)), 6).as("score_r"))
+  }
+
   // ================= streaming weighted reservoir =================
 
   /** One keyed arrival of the weighted draw: the doc, its weight, and

@@ -1377,6 +1377,44 @@ class StatefulOpsSpec extends SparkSpec {
     }
   }
 
+  test("streaming Dirichlet QL scores every arrival exactly as the batch ranker") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    // the frozen model: the batch's own collection statistics
+    val (ctf, c) = graft.operators.TextOps.qlCollectionStats(spark, sf)
+    val docs = Tables.documents(spark, sf)
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val in = MemoryStream[(Long, String)]
+    val q = StatefulOps.streamingQlDirichlet(
+        in.toDF().toDF("doc_id", "text"), ctf, c)
+      .writeStream.format("memory").queryName("ql_out")
+      .outputMode("update").start()
+    try {
+      val (c1, c2) = docs.splitAt(docs.length / 2)
+      in.addData(c1.toIndexedSeq); q.processAllAvailable()
+      in.addData(c2.toIndexedSeq); q.processAllAvailable()
+      val got = spark.table("ql_out").collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+      // EVERY document scores (QL ranks no-hit docs by length prior)
+      assert(got.keySet === docs.map(_._1).toSet,
+        "the stream must score every arrival")
+      // every batch top-20 row reproduces exactly in the stream
+      val want = graft.operators.TextOps.qQlDirichlet(spark, sf).collect()
+        .map(r => (r.getLong(1), r.getLong(2), r.getDouble(3)))
+      assert(want.nonEmpty)
+      want.foreach { case (id, nHit, score) =>
+        assert(got.get(id) === Some((nHit, score)),
+          s"doc $id: stream score diverged from the batch ranker")
+      }
+      // re-delivery is idempotent — a stateless projection by shape
+      in.addData(c1.toIndexedSeq); q.processAllAvailable()
+      val again = spark.table("ql_out").collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+      assert(again === got, "re-delivery must re-emit identical rows")
+    } finally q.stop()
+  }
+
   test("streaming BM25 scores arrivals exactly as the batch ranker scores them") {
     import spark.implicits._
     implicit val sc = spark.sqlContext
