@@ -195,15 +195,26 @@ object Bench {
   private def isolatedSeries(times: Map[String, Double], topN: Int,
       reps: Int, remaining: () => Double): Map[String, (Double, Double)] = {
     val top = times.toSeq.sortBy(-_._2).take(topN)
-    def perFork(chunked: Double): Double = 15.0 + 2.5 * chunked
-    val seriesCost = top.map { case (_, c) => perFork(c) }.sum
+    // r13: the per-fork estimate SELF-CALIBRATES from observed fork
+    // wall-clock. The static 15 s init + 2.5× chunked was sized on the
+    // r12 box; this round's ~1.5×-slower box under-estimated every
+    // fork and the series overran the budget by ~100 s (the discarded
+    // cold run). The ratio only ratchets UP: optimistic forks widen
+    // the guard, a lucky fast fork never narrows it below the static
+    // floor. Guards only — prices are untouched.
+    @volatile var calib = 1.0
+    def perFork(chunked: Double): Double = (15.0 + 2.5 * chunked) * calib
+    def seriesCost = top.map { case (_, c) => perFork(c) }.sum
     def pass(): Map[String, (Double, Double)] =
       top.flatMap { case (name, chunked) =>
         if (remaining() < perFork(chunked) + 30.0) None // headroom to emit
         else {
           val before = loadAvg()
-          forkChunk(Seq(name), salvage = false).get(name)
+          val t0 = remaining()
+          val r = forkChunk(Seq(name), salvage = false).get(name)
             .map(t => name -> (t, math.max(before, loadAvg())))
+          calib = math.max(calib, (t0 - remaining()) / (15.0 + 2.5 * chunked))
+          r
         }
       }.toMap
     var acc = pass()
