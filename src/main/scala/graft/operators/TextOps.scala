@@ -898,7 +898,20 @@ object TextOps {
     * empirically in r12). Integer sums are order-invariant, so
     * expansion-term SELECTION carries zero float-rank risk — the one
     * stage of RM3 where a float formulation would race doubles at a
-    * cutoff. Only the division token differs between engines. */
+    * cutoff. Only the division token differs between engines.
+    *
+    * BIGINT headroom (r13 advice): kd·tf·1e6 must stay under 2^63 ≈
+    * 9.2e18, i.e. kd·tf ≤ ~9.2e12. kd is a 6-decimal BM25 score in
+    * micro-units — with the Lucene-form idf, score < |Q|·(k1+1)·ln(1+N)
+    * so kd ≲ 2.2e8 even at a 1e12-doc corpus — and tf is one term's
+    * count inside ONE feedback document, so the product has ~4 orders
+    * of headroom until a single doc repeats one term ~40 000 times.
+    * The failure modes DIVERGE outside it (DuckDB errors on BIGINT
+    * overflow, non-ANSI Spark wraps silently), so a corpus whose docs
+    * can exceed that needs a tf clamp on the feedback side before
+    * this expression — not a silent widening to DOUBLE, which would
+    * reintroduce the float-rank race this fixed-point form exists to
+    * remove. */
   private[graft] def rm3ContribExpr(idiv: String): String =
     s"(kd * tf * 1000000) $idiv dl"
 

@@ -1697,8 +1697,14 @@ object StatefulOps {
     * expression calls, K's addends fold in sorted term order (the
     * batch writes K out in sorted order too), absent terms add the
     * bitwise no-op 0.0, and the tail is the batch's own
-    * (ms + K) − |Q|·ln(dl + μ) association, rounded to 6. Asserted
-    * row-exact against the batch top-20 in StatefulOpsSpec.
+    * (ms + K) − |Q|·ln(dl + μ) association, rounded to 6. One gap
+    * is NOT structurally closed (r13 advice): the matched sum here
+    * folds in sorted term order, but the batch's `sum` accumulation
+    * order is engine-chosen — the same documented round-6 ln-sum
+    * risk every LM query carries (qLmKneserNey's doc states it the
+    * same way). With ≤3 addends of O(1) magnitude the order error
+    * is ~1e-16 against the 1e-6 grid; the StatefulOpsSpec row-exact
+    * assertion is the empirical pin, re-verified every round.
     * Scale: per-batch cost tracks arrival volume × doc length;
     * nothing grows with corpus size or time. */
   def streamingQlDirichlet(docs: DataFrame, ctf: Map[String, Long],
