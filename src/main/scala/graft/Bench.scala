@@ -59,6 +59,22 @@ import org.apache.spark.sql.SparkSession
   *     isolated wall-clock so the next budget decision reads off the
   *     artifact instead of being reconstructed from guesses.
   *
+  * r14 — the measurement channel becomes SELF-CALIBRATING (the r13
+  * verdict's #1/#2 after two rounds of box-speed forensics):
+  *
+  *  1. CANARY. A fixed CPU-bound range-aggregation workload (see
+  *     [[canaryOnce]]) is priced before the chunked phase and after
+  *     the isolated series; `canary_secs`/`canary_ratio`/
+  *     `canary_polluted` land in the artifact so round-over-round
+  *     grading can normalize prices by box speed and a mid-run load
+  *     burst flags the run itself.
+  *  2. CONDITIONAL SECOND EXECUTION. A query whose first run lands
+  *     under 0.7 s keeps that single price (`skip2` list in the
+  *     artifact) — sub-second prices are noise-dominated either way,
+  *     and the ~140-query sub-second tail was paying ~100 s of wall
+  *     clock for nothing. The isolated series is exempt (always
+  *     min-of-2).
+  *
   * Modes (selected by env, all set by this process for its children):
   *  - parent (default): sorts query names, forks one child JVM per
   *    chunk (SPARK_GRAFT_CHUNK), merges per-query times, emits the
@@ -92,6 +108,38 @@ object Bench {
     spark
   }
 
+  /** CANARY (r13 verdict #1): a fixed CPU-bound workload — a pure
+    * in-memory range aggregation, zero IO, plan-stable by construction
+    * — priced at the START and END of every bench run and recorded in
+    * the artifact as `canary_secs`. Round-over-round grading then
+    * compares `price / canary` instead of raw seconds (two consecutive
+    * rounds burned their top verdict findings adjudicating box-speed:
+    * r12's three phantom upticks, r13's phantom 2.53× official
+    * regression), and a within-run drift of the two canary prices
+    * >1.2× flags the run itself as load-polluted (`canary_polluted`)
+    * — the r13 failure mode, where the box degraded mid-run and one
+    * chunk's prices exploded 10-30×. Three executions, price = min
+    * (the first absorbs codegen first-touch AND parent-JVM JIT
+    * warm-up — the dev smoke measured the start canary ~1.45× the end
+    * canary from JIT alone, which is why `canary_polluted` fires only
+    * on END-SLOWER drift: a faster end is benign JIT, a slower end is
+    * the load-pollution direction the flag exists for).
+    * The workload: 400M-row range, a mod + multiply + bit-mix per row
+    * into one sum — wholly inside WholeStageCodegen, deterministic,
+    * no shuffle (single aggregation over `cpus` partitions). */
+  private def canaryOnce(spark: SparkSession): Double = {
+    val t0 = System.nanoTime()
+    spark.range(0L, 400000000L, 1L, cpus.toInt)
+      .selectExpr("sum(id * 31 + (id % 7) * 1009 + (id div 13)) AS s")
+      .head()
+    (System.nanoTime() - t0) / 1e9
+  }
+  private def canary(): Double = {
+    val spark = newSession()
+    try Seq.fill(3)(canaryOnce(spark)).min
+    finally spark.stop()
+  }
+
   // noop write (not count) so Catalyst can't prune away the computed
   // columns — every query pays for its full result materialization.
   private def run1(spark: SparkSession, name: String,
@@ -119,15 +167,35 @@ object Bench {
     * records every fast-measured name in the artifact's `single_exec`
     * list (r12 review: without it a squeezed run's fast tail reads as
     * phantom regressions).
+    *
+    * r14 (r13 verdict #2): the second execution is CONDITIONAL — a
+    * query whose FIRST run lands under [[Skip2Threshold]] keeps that
+    * single price and skips the re-run. Sub-second prices are already
+    * noise-dominated (NOTES_r13 §2: they swing 1.0-2.6× with chunk
+    * composition regardless of the harness), so the second execution
+    * bought nothing there while costing ~100 s across the ~140
+    * sub-second queries — the margin the 1447.8/1500 r13 driver run
+    * had lost. SEMANTICS: a skipped query's price includes its own
+    * codegen/catalog first-touch (a cold-ish price, like `fast` mode
+    * but bounded under the threshold by construction); every such
+    * name is recorded in the artifact's `skip2` list with the
+    * threshold, so the regime is per-query explicit. The isolated
+    * control series passes skipUnder = 0 — its whole point is the
+    * clean min-of-2 warm price.
     * `onResult` streams each measurement out as soon as it exists so a
-    * killed JVM still leaves everything it finished. */
+    * killed JVM still leaves everything it finished; `onSkip2` streams
+    * the skip marker the same way. */
+  private val Skip2Threshold = 0.7
   private def measure(spark: SparkSession, names: Seq[String],
                       fast: Boolean = false,
-                      onResult: (String, Double) => Unit = (_, _) => ()): Seq[(String, Double)] = {
+                      skipUnder: Double = Skip2Threshold,
+                      onResult: (String, Double) => Unit = (_, _) => (),
+                      onSkip2: String => Unit = _ => ()): Seq[(String, Double)] = {
     val qs = names.map(n => n -> SparkEntry.queries(n))
     qs.map { case (n, fn) =>
       val first = run1(spark, n, fn)
       val t = if (fast) first
+              else if (first < skipUnder) { onSkip2(n); first }
               else { System.gc(); math.min(first, run1(spark, n, fn)) }
       onResult(n, t)
       n -> t
@@ -136,13 +204,18 @@ object Bench {
 
   /** Child JVM entry: measure the chunk, streaming `name=seconds` lines
     * (append + flush per query) so the parent can salvage a partial
-    * chunk if this JVM is SIGTERM'd mid-flight. */
+    * chunk if this JVM is SIGTERM'd mid-flight. Skip2 markers stream
+    * as `#skip2=name` metadata lines on the same channel. */
   private def runChunk(chunk: String): Unit = {
     val names = chunk.split(",").map(_.trim).filter(_.nonEmpty).toSeq
     val fast = sys.env.contains("SPARK_GRAFT_FAST")
+    val skipUnder = sys.env.get("SPARK_GRAFT_SKIP2").map(_.toDouble)
+      .getOrElse(Skip2Threshold)
     val spark = newSession()
     val out = new java.io.PrintWriter(new java.io.FileWriter(sys.env("SPARK_GRAFT_OUT"), true))
-    try measure(spark, names, fast, (n, t) => { out.println(s"$n=$t"); out.flush() })
+    try measure(spark, names, fast, skipUnder,
+      (n, t) => { out.println(s"$n=$t"); out.flush() },
+      n => { out.println(s"#skip2=$n"); out.flush() })
     finally out.close()
     spark.stop()
   }
@@ -202,7 +275,15 @@ object Bench {
     // cold run). The ratio only ratchets UP: optimistic forks widen
     // the guard, a lucky fast fork never narrows it below the static
     // floor. Guards only — prices are untouched.
+    // r14 (r13 advice): the FIRST fork is excluded from calibration —
+    // it is always the coldest (JVM init + artifact-cache warm-up),
+    // and a never-decaying ratchet seeded by it permanently inflated
+    // every later estimate, starving the cheap tail of isolated
+    // prices the budget could in fact afford. The ratchet is also
+    // capped at 3.0: a single pathological fork (load burst) may not
+    // veto the whole rest of the series either.
     @volatile var calib = 1.0
+    @volatile var forksDone = 0
     def perFork(chunked: Double): Double = (15.0 + 2.5 * chunked) * calib
     def seriesCost = top.map { case (_, c) => perFork(c) }.sum
     def pass(): Map[String, (Double, Double)] =
@@ -211,9 +292,14 @@ object Bench {
         else {
           val before = loadAvg()
           val t0 = remaining()
-          val r = forkChunk(Seq(name), salvage = false).get(name)
+          // skipUnder 0: the control series always takes the clean
+          // min-of-2 warm price, whatever the chunked regime did
+          val r = forkChunk(Seq(name), salvage = false, skipUnder = 0.0)
+            .get(name)
             .map(t => name -> (t, math.max(before, loadAvg())))
-          calib = math.max(calib, (t0 - remaining()) / (15.0 + 2.5 * chunked))
+          if (forksDone > 0) calib = math.min(3.0, math.max(calib,
+            (t0 - remaining()) / (15.0 + 2.5 * chunked)))
+          forksDone += 1
           r
         }
       }.toMap
@@ -239,7 +325,8 @@ object Bench {
     * JVM got (sbt/run.sh both pass a real -cp to the forked bench JVM)
     * and the JDK17 add-opens Spark 4 needs outside spark-submit. */
   private def forkChunk(grp: Seq[String], salvage: Boolean = true,
-      fast: Boolean = false): Map[String, Double] = {
+      fast: Boolean = false,
+      skipUnder: Double = Skip2Threshold): Map[String, Double] = {
     try {
       val out = java.nio.file.Files.createTempFile("graft-bench-chunk", ".txt")
       val java17Opens = Seq(
@@ -265,6 +352,7 @@ object Bench {
       pb.environment().put("SPARK_GRAFT_OUT", out.toString)
       pb.environment().put("SPARK_GRAFT_SF_DIR", sfDir)
       pb.environment().put("SPARK_GRAFT_CPUS", cpus)
+      pb.environment().put("SPARK_GRAFT_SKIP2", skipUnder.toString)
       if (fast) pb.environment().put("SPARK_GRAFT_FAST", "1")
       // Child logs must never reach the parent's stdout (the driver
       // tail-parses it for the totals JSON) — route them to a file.
@@ -273,9 +361,13 @@ object Bench {
       pb.redirectErrorStream(true)
       pb.redirectOutput(java.lang.ProcessBuilder.Redirect.appendTo(log))
       val code = pb.start().waitFor()
-      val lines = new String(java.nio.file.Files.readAllBytes(out), "UTF-8")
-        .split("\n").map(_.trim).filter(_.contains("="))
+      val all = new String(java.nio.file.Files.readAllBytes(out), "UTF-8")
+        .split("\n").map(_.trim)
       java.nio.file.Files.deleteIfExists(out)
+      // `#`-prefixed lines are metadata, not measurements
+      all.filter(_.startsWith("#skip2=")).foreach(l =>
+        skip2Names.add(l.stripPrefix("#skip2=")))
+      val lines = all.filter(l => l.contains("=") && !l.startsWith("#"))
       val m = lines.map { l =>
         val i = l.indexOf('='); l.substring(0, i) -> l.substring(i + 1).toDouble
       }.toMap
@@ -352,6 +444,15 @@ object Bench {
   // missing-query salvage) — recorded so a degraded run's incomparable
   // prices are identifiable per-query, not just per-run (r12 review)
   private val fastNames = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  // queries whose first execution landed under Skip2Threshold and
+  // therefore kept that single (cold-ish, sub-threshold) price — the
+  // NORMAL regime for the sub-second tail since r14, distinct from the
+  // budget-squeeze `single_exec` list above
+  private val skip2Names = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  // canary prices (box-speed control): start = before the chunked
+  // phase, end = after the isolated series; NaN until measured
+  @volatile private var canaryStart: Double = Double.NaN
+  @volatile private var canaryEnd: Double = Double.NaN
   // per-phase wall clock (prebuild / chunked / isolated) so the next
   // round's budget decision reads off the artifact, not from guesses
   private val phaseSecs = new java.util.concurrent.ConcurrentHashMap[String, java.lang.Double]()
@@ -386,10 +487,26 @@ object Bench {
       .mkString("{", ",", "}")
     val fastJson = fastNames.asScala.toSeq.sorted
       .map("\"" + _ + "\"").mkString("[", ",", "]")
+    val skip2Json = skip2Names.asScala.toSeq.sorted
+      .map("\"" + _ + "\"").mkString("[", ",", "]")
+    def cOrNull(v: Double) = if (v.isNaN) "null" else fmt2(v)
+    // canary ratio end/start: >1.2 means the box degraded WITHIN this
+    // run and its prices are suspect (the r13 failure mode)
+    val canaryJson = {
+      val ratio =
+        if (canaryStart.isNaN || canaryEnd.isNaN) "null"
+        else fmt2(canaryEnd / canaryStart)
+      // one-directional: end SLOWER than start is the load-pollution
+      // signature; end faster is parent-JVM JIT warm-up (benign)
+      val polluted =
+        if (canaryStart.isNaN || canaryEnd.isNaN) "null"
+        else (canaryEnd / canaryStart > 1.2).toString
+      s""""canary_secs":{"start":${cOrNull(canaryStart)},"end":${cOrNull(canaryEnd)}},"canary_ratio":$ratio,"canary_polluted":$polluted"""
+    }
     val partialPart =
       if (complete) ""
       else s""","partial":true,"unmeasured":${missing.map("\"" + _ + "\"").mkString("[", ",", "]")}"""
-    s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"isolated":$isoJson,"isolated_load":$isoLoadJson,"load_chunked":$loadsJson,"prebuild":"$prebuildStatus","chunk_size":$chunkSizeUsed,"single_exec":$fastJson,"phase_secs":$phases,"elapsed":${fmt2(elapsed())},"budget":${fmt2(budget)},"sf":"$sfDir"$partialPart}"""
+    s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"isolated":$isoJson,"isolated_load":$isoLoadJson,"load_chunked":$loadsJson,"prebuild":"$prebuildStatus","chunk_size":$chunkSizeUsed,"single_exec":$fastJson,"skip2":$skip2Json,"skip2_threshold":$Skip2Threshold,$canaryJson,"phase_secs":$phases,"elapsed":${fmt2(elapsed())},"budget":${fmt2(budget)},"sf":"$sfDir"$partialPart}"""
   }
 
   /** Compact running-totals line — printed after every chunk (and by
@@ -451,11 +568,16 @@ object Bench {
     val chunkSize = sys.env.get("SPARK_GRAFT_CHUNKSIZE").map(_.toInt).getOrElse(32)
     chunkSizeUsed = if (inProc) allNames.size else chunkSize
     prebuildStatus = timePhase("prebuild")(prebuildArtifacts())
+    // canary START — after prebuild (whose cold IO is not what the
+    // canary controls for), before any measurement phase
+    if (!inProc) canaryStart = timePhase("canary_start")(canary())
     chunkLoads.add(loadAvg())
     timePhase("chunks") {
     if (inProc) {
       val spark = newSession()
-      measure(spark, allNames, onResult = (n, t) => partial.put(n, t))
+      measure(spark, allNames,
+        onResult = (n, t) => partial.put(n, t),
+        onSkip2 = n => skip2Names.add(n))
       spark.stop()
     } else {
       allNames.grouped(chunkSize).foreach { grp =>
@@ -494,6 +616,10 @@ object Bench {
       isoDone = timePhase("isolated")(
         isolatedSeries(times, nIso, isoReps, () => remaining()))
     }
+    // canary END — brackets the measurement phases; the start/end pair
+    // makes within-run load drift self-diagnosing (>1.2× ⇒ polluted)
+    if (!inProc && !shuttingDown && remaining() > 30.0)
+      canaryEnd = timePhase("canary_end")(canary())
     val complete = allNames.forall(partial.containsKey)
     // the final emit below supersedes the hook — remove it so a normal
     // exit's last stdout line is the COMPLETE one (throws if a SIGTERM
