@@ -1165,6 +1165,364 @@ object TextOps {
        |FROM rk WHERE rank <= 20 ORDER BY rank""".stripMargin
   }
 
+  /** Rank-eval constants — query-doc count, fingerprint size, and the
+    * serving cutoff. The (1−λ) RM3 mass as its own literal (the
+    * Bm25K1p1 discipline): per-query |Q| is data here (a query doc
+    * could yield fewer than 3 eligible terms), so the original-term
+    * weight is (1−λ)/nq computed in-engine rather than the fixed-query
+    * 0.2 literal [[qBm25Rm3]] uses. */
+  private[graft] val RankEvalQueries = 10
+  private[graft] val RankEvalFpTerms = 3
+  private[graft] val RankEvalK = 10
+  private[graft] val Rm3OneMinusLambda = "0.6"
+  private val Ln2 = math.log(2.0)
+
+  /** TEXT-RETRIEVAL RANK EVAL — grades the whole retrieval ladder
+    * ([[qBm25]] → [[qBm25Rm3]] → [[qQlDirichlet]]) with the rank-aware
+    * discipline the ANN side already has (`sim_rank_eval`): without
+    * this, the ladder has four rankers and zero evidence which
+    * retrieves better. Deterministic pseudo-qrels are mined from the
+    * corpus itself — for each of [[RankEvalQueries]] held-out query
+    * docs, the query is its RARE-TERM FINGERPRINT (its
+    * [[RankEvalFpTerms]] rarest corpus terms with df ≥ 2, ties by
+    * term) and the graded truth is the other docs sharing those terms
+    * (gain = #shared terms; truth rank by (gain desc, total shared tf
+    * desc, doc_id) — all integers, and the tf layer keeps the cut
+    * informative on template-vocabulary corpora where gain alone ties
+    * hundreds of docs — the shared-truth pattern of `sim_rank_eval`'s
+    * brute-force twin). Each
+    * scorer serves its top-[[RankEvalK]] per query (query doc itself
+    * excluded), and ONE metric tail prices all three: per-query
+    * reciprocal rank and nDCG@10 in exact integer ppm (1e6 div
+    * first_hit; round(1e6·DCG/IDCG)), then per-scorer means by integer
+    * division — the final relation is all-integer, so cross-engine
+    * comparison carries zero float-rank risk (the rm3ContribExpr
+    * discipline applied to the metric layer).
+    *
+    * Scorer shapes are the per-query relational re-expression of the
+    * fixed-query originals, sharing their kernel strings verbatim
+    * ([[Bm25Kernel]], [[qlAddendExpr]], [[rm3ContribExpr]]) so the
+    * formulas cannot drift: BM25 ranks the fingerprint postings; RM3
+    * runs feedback → integer RM1 weights → per-query top-10 expansion
+    * (window, not driver fold — the expansion is per-query data here)
+    * → weighted rescore; QL uses the decomposed matched_sum + K_q −
+    * nq·ln(dl+μ) with K_q a 3-addend relational rollup. The QL serving
+    * list needs every doc only NOMINALLY: among no-hit docs the score
+    * is strictly monotone in dl alone (Δscore ≈ nq·Δdl/(dl+μ) ≫ the
+    * 1e-6 rounding grid until dl ~ 3M tokens, documented bound), so
+    * the true top-10 is contained in matched docs ∪ the globally
+    * ([[RankEvalK]]+1) shortest docs — a BOUNDED candidate union (the
+    * +1 absorbs the per-query self-exclusion) instead of a
+    * queries×corpus fan-out. That, plus fingerprint terms being rare
+    * by construction (short posting lists), keeps every stage an
+    * equi-join: NO cross, no non-equi join, nothing corpus×queries.
+    *
+    * Scale shape: two corpus explodes total (fingerprint postings;
+    * rescore postings), each filtered by a broadcast term join BEFORE
+    * aggregation; the feedback explode touches only the ≤100
+    * (query, feedback-doc) pairs via a broadcast join before the
+    * explode; the shortlist is a bounded TakeOrdered collect (the RM3
+    * ≤10-row fold precedent); everything after the posting joins is
+    * queries×k-sized. At 100 TB this runs as a sampled retrieval
+    * audit — the `sim_rank_eval` stratum discipline — never as a
+    * serving path. */
+  def qTextRankEval(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val (model, n, sumdl) = bm25Stored(spark, sfDir)
+    val docs = Tables.documents(spark, sfDir)
+    val dl = docs.select(col("doc_id"), size(toks).as("dl"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    def withN(d: DataFrame): DataFrame = d
+      .withColumn("n", lit(n.toDouble))
+      .withColumn("avgdl", lit(sumdl.toDouble / n))
+    // fingerprints: the query docs' distinct terms against the stored
+    // model's df, rarest-first per query; df ≥ 2 guarantees nonempty
+    // truth (at least one OTHER doc shares the term)
+    val wFp = Window.partitionBy(col("q_id"))
+      .orderBy(col("df").asc, col("tk"))
+    val qrel = docs.filter(col("doc_id") < RankEvalQueries)
+      .select(col("doc_id").as("q_id"), explode(toks).as("tk")).distinct()
+      .join(broadcast(model.filter(col("df") >= 2)), "tk")
+      .withColumn("fr", row_number().over(wFp))
+      .filter(col("fr") <= RankEvalFpTerms)
+      .select(col("q_id"), col("tk"), col("df").cast(DoubleType).as("df"))
+    // postings for the ≤30 fingerprint terms — corpus explode #1,
+    // broadcast-filtered before aggregation; persisted: feeds ctf,
+    // truth, BM25 scoring, and the QL matched sums
+    val post = docs.select(col("doc_id"), explode(toks).as("tk"))
+      .join(broadcast(qrel), "tk")
+      .groupBy(col("q_id"), col("doc_id"), col("tk"), col("df"))
+      .agg(count(lit(1)).as("tf"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val ctfRel = post.groupBy(col("q_id"), col("tk"))
+      .agg(sum(col("tf")).as("ctf"))
+    val krel = ctfRel
+      .withColumn("ka", expr(s"ln($QlMu * ctf / $sumdl)"))
+      .groupBy(col("q_id"))
+      .agg(sum(col("ka")).as("k"), count(lit(1)).as("nq"))
+    val postx = post.filter(col("doc_id") =!= col("q_id"))
+    // graded truth + its ideal DCG — gain = #shared fingerprint terms,
+    // ties broken by TOTAL shared term frequency before doc_id: on a
+    // template-vocabulary corpus (this fixture: 31 terms) hundreds of
+    // docs share all 3 fingerprint terms, and without the integer
+    // tfsum layer the truth cut would be doc_id-arbitrary
+    val wT = Window.partitionBy(col("q_id"))
+      .orderBy(col("sc").desc, col("tfsum").desc, col("doc_id"))
+    val truth = postx.groupBy(col("q_id"), col("doc_id"))
+      .agg(count(lit(1)).as("sc"), sum(col("tf")).as("tfsum"))
+      .withColumn("rank_t", row_number().over(wT))
+      .filter(col("rank_t") <= RankEvalK)
+    val idcg = truth.groupBy(col("q_id"))
+      .agg(sum(col("sc").cast(DoubleType) /
+        (log(col("rank_t") + lit(1.0)) / lit(Ln2))).as("idcg"))
+    // BM25 arm — persisted: the scored relation is also RM3's feedback
+    val wS = Window.partitionBy(col("q_id"))
+      .orderBy(col("score_r").desc, col("doc_id"))
+    val s1 = withN(postx.join(dl, "doc_id"))
+      .withColumn("a", expr(Bm25Kernel))
+      .groupBy(col("q_id"), col("doc_id"))
+      .agg(sum(col("a")).as("score"))
+      .withColumn("score_r", round(col("score"), 6))
+      .withColumn("rk", row_number().over(wS))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val servedBm25 = s1.filter(col("rk") <= RankEvalK)
+      .select(lit("bm25").as("scorer"), col("q_id"), col("doc_id"), col("rk"))
+    // RM3 arm: feedback docs' tokens via broadcast join BEFORE the
+    // explode; integer RM1 weights; per-query top-10 expansion window
+    val fb = s1.filter(col("rk") <= Rm3FbDocs)
+      .select(col("q_id"), col("doc_id"),
+        round(col("score_r") * lit(1000000)).cast("long").as("kd"))
+    val wE = Window.partitionBy(col("q_id")).orderBy(col("w").desc, col("tk"))
+    // ws as a window sum over the selected expansion rows (integer —
+    // order-invariant, identical to a groupBy rollup) so the RM1
+    // explode is referenced exactly once in the plan
+    val ex = docs.join(broadcast(fb), "doc_id")
+      .select(col("q_id"), col("doc_id"), col("kd"), explode(toks).as("tk"))
+      .join(broadcast(qrel.select("q_id", "tk")), Seq("q_id", "tk"), "left_anti")
+      .groupBy(col("q_id"), col("doc_id"), col("kd"), col("tk"))
+      .agg(count(lit(1)).as("tf"))
+      .join(dl, "doc_id")
+      .withColumn("c", expr(rm3ContribExpr("div")))
+      .groupBy(col("q_id"), col("tk")).agg(sum(col("c")).as("w"))
+      .withColumn("er", row_number().over(wE))
+      .filter(col("er") <= Rm3FbTerms)
+      .withColumn("ws", sum(col("w")).over(Window.partitionBy(col("q_id"))))
+    val exw = model.join(broadcast(ex), "tk")
+      .select(col("q_id"), col("tk"),
+        (lit(Rm3ExpW.toDouble) * col("w").cast(DoubleType) /
+          col("ws").cast(DoubleType)).as("fw"),
+        col("df").cast(DoubleType).as("df"))
+    val origW = qrel.join(broadcast(krel.select("q_id", "nq")), "q_id")
+      .select(col("q_id"), col("tk"),
+        (lit(Rm3OneMinusLambda.toDouble) / col("nq")).as("fw"), col("df"))
+    val terms = origW.unionByName(exw)
+    // weighted rescore — corpus explode #2, broadcast-filtered
+    val servedRm3 = withN(docs.select(col("doc_id"), explode(toks).as("tk"))
+        .join(broadcast(terms), "tk")
+        .filter(col("doc_id") =!= col("q_id"))
+        .groupBy(col("q_id"), col("doc_id"), col("tk"), col("fw"), col("df"))
+        .agg(count(lit(1)).as("tf"))
+        .join(dl, "doc_id"))
+      .withColumn("a", expr(s"fw * ($Bm25Kernel)"))
+      .groupBy(col("q_id"), col("doc_id"))
+      .agg(sum(col("a")).as("score"))
+      .withColumn("score_r", round(col("score"), 6))
+      .withColumn("rk", row_number().over(wS))
+      .filter(col("rk") <= RankEvalK)
+      .select(lit("rm3").as("scorer"), col("q_id"), col("doc_id"), col("rk"))
+    // QL arm: matched sums + the bounded no-hit shortlist
+    val ms = postx.join(broadcast(ctfRel), Seq("q_id", "tk"))
+      .withColumn("a", expr(qlAddendExpr(sumdl.toString)))
+      .groupBy(col("q_id"), col("doc_id")).agg(sum(col("a")).as("ms"))
+    val short = dl.orderBy(col("dl").asc, col("doc_id"))
+      .limit(RankEvalK + 1)
+      .select("doc_id").collect().map(_.getLong(0)).toSeq
+    import spark.implicits._
+    val cand = (for {
+      q <- 0L until RankEvalQueries.toLong
+      d <- short if d != q
+    } yield (q, d)).toDF("q_id", "doc_id")
+    val servedQl = ms.select("q_id", "doc_id").unionByName(cand).distinct()
+      .join(dl, "doc_id")
+      .join(broadcast(krel), "q_id")
+      .join(ms, Seq("q_id", "doc_id"), "left")
+      .withColumn("score_r",
+        round(expr(s"COALESCE(ms, 0.0) + k - nq * ln(dl + $QlMu)"), 6))
+      .withColumn("rk", row_number().over(wS))
+      .filter(col("rk") <= RankEvalK)
+      .select(lit("ql").as("scorer"), col("q_id"), col("doc_id"), col("rk"))
+    // ONE metric tail for all three scorers, all-integer output
+    val served = servedBm25.unionByName(servedQl).unionByName(servedRm3)
+    val hits = served
+      .join(truth.select("q_id", "doc_id", "sc"), Seq("q_id", "doc_id"))
+      .groupBy(col("scorer"), col("q_id"))
+      .agg(count(lit(1)).as("n_hits"),
+        min(col("rk")).as("first_hit"),
+        sum(col("sc").cast(DoubleType) /
+          (log(col("rk") + lit(1.0)) / lit(Ln2))).as("dcg"))
+    val grid = spark.range(0, RankEvalQueries.toLong)
+      .select(col("id").as("q_id"),
+        explode(array(lit("bm25"), lit("ql"), lit("rm3"))).as("scorer"))
+    val perQ = grid.join(hits, Seq("scorer", "q_id"), "left")
+      .join(broadcast(idcg), Seq("q_id"), "left")
+      .select(col("scorer"), col("q_id"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        coalesce(expr("CAST(1000000 div first_hit AS BIGINT)"), lit(0L))
+          .as("rr_ppm"),
+        coalesce(round(lit(1000000) * col("dcg") / col("idcg")).cast("long"),
+          lit(0L)).as("ndcg_ppm"))
+    val out = perQ.groupBy(col("scorer"))
+      .agg(count(lit(1)).as("n_queries"),
+        sum(col("n_hits")).as("hits"),
+        expr(s"CAST(sum(rr_ppm) div $RankEvalQueries AS BIGINT)").as("mrr_ppm"),
+        expr(s"CAST(sum(ndcg_ppm) div $RankEvalQueries AS BIGINT)").as("ndcg_ppm"))
+      .orderBy(col("scorer"))
+    graft.operators.DedupOps.unpersistAfterFirstAction(out, post, s1, dl)
+  }
+
+  lazy val qTextRankEvalOracle: String =
+    s"""WITH dl AS (
+       |  SELECT doc_id, len(string_split(text, ' ')) AS dl FROM documents),
+       |s AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+       |  CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl FROM dl),
+       |tot AS (SELECT CAST(SUM(dl) AS BIGINT) AS c FROM dl),
+       |dtf AS (
+       |  SELECT doc_id, tk, COUNT(*) AS tf FROM (
+       |    SELECT doc_id, unnest(string_split(text, ' ')) AS tk
+       |    FROM documents) t GROUP BY 1, 2),
+       |dfv AS (SELECT tk, COUNT(*) AS df FROM dtf GROUP BY 1),
+       |fpr AS (
+       |  SELECT d.doc_id AS q_id, d.tk, f.df,
+       |    row_number() OVER (PARTITION BY d.doc_id
+       |      ORDER BY f.df ASC, d.tk) AS fr
+       |  FROM (SELECT DISTINCT doc_id, tk FROM dtf
+       |        WHERE doc_id < $RankEvalQueries) d
+       |  JOIN dfv f USING (tk) WHERE f.df >= 2),
+       |q AS (SELECT q_id, tk, CAST(df AS DOUBLE) AS df FROM fpr
+       |      WHERE fr <= $RankEvalFpTerms),
+       |post AS (
+       |  SELECT q.q_id, t.doc_id, q.tk, q.df, t.tf
+       |  FROM dtf t JOIN q USING (tk)),
+       |ctf AS (SELECT q_id, tk, CAST(SUM(tf) AS BIGINT) AS ctf
+       |        FROM post GROUP BY 1, 2),
+       |krel AS (
+       |  SELECT q_id, SUM(ln($QlMu * ctf / (SELECT c FROM tot))) AS k,
+       |    COUNT(*) AS nq
+       |  FROM ctf GROUP BY 1),
+       |px AS (SELECT * FROM post WHERE doc_id != q_id),
+       |truth AS (
+       |  SELECT q_id, doc_id, sc, rank_t FROM (
+       |    SELECT q_id, doc_id, COUNT(*) AS sc, SUM(tf) AS tfsum,
+       |      row_number() OVER (PARTITION BY q_id
+       |        ORDER BY COUNT(*) DESC, SUM(tf) DESC, doc_id) AS rank_t
+       |    FROM px GROUP BY q_id, doc_id) z
+       |  WHERE rank_t <= $RankEvalK),
+       |idcg AS (
+       |  SELECT q_id, SUM(CAST(sc AS DOUBLE)
+       |    / (ln(rank_t + 1.0) / ln(2.0))) AS idcg
+       |  FROM truth GROUP BY 1),
+       |j1 AS (
+       |  SELECT p.q_id, p.doc_id, p.tf, p.df, d.dl, s.n, s.avgdl
+       |  FROM px p JOIN dl d ON p.doc_id = d.doc_id, s),
+       |s1 AS (
+       |  SELECT q_id, doc_id, round(SUM($Bm25Kernel), 6) AS score_r
+       |  FROM j1 GROUP BY 1, 2),
+       |s1r AS (
+       |  SELECT q_id, doc_id, score_r,
+       |    row_number() OVER (PARTITION BY q_id
+       |      ORDER BY score_r DESC, doc_id) AS rk
+       |  FROM s1),
+       |sb AS (SELECT 'bm25' AS scorer, q_id, doc_id, rk
+       |       FROM s1r WHERE rk <= $RankEvalK),
+       |fbk AS (
+       |  SELECT q_id, doc_id, CAST(round(score_r * 1000000) AS BIGINT) AS kd
+       |  FROM s1r WHERE rk <= $Rm3FbDocs),
+       |rm1 AS (
+       |  SELECT z.q_id, z.tk, SUM(${rm3ContribExpr("//")}) AS w FROM (
+       |    SELECT f.q_id, t.tk, t.tf, f.kd, d.dl
+       |    FROM dtf t JOIN fbk f USING (doc_id) JOIN dl d USING (doc_id)
+       |    WHERE NOT EXISTS (SELECT 1 FROM q
+       |      WHERE q.q_id = f.q_id AND q.tk = t.tk)) z
+       |  GROUP BY 1, 2),
+       |er AS (
+       |  SELECT q_id, tk, w,
+       |    row_number() OVER (PARTITION BY q_id ORDER BY w DESC, tk) AS er
+       |  FROM rm1),
+       |ex AS (SELECT q_id, tk, w FROM er WHERE er <= $Rm3FbTerms),
+       |ws AS (SELECT q_id, SUM(w) AS ws FROM ex GROUP BY 1),
+       |terms AS (
+       |  SELECT q.q_id, q.tk,
+       |    CAST($Rm3OneMinusLambda AS DOUBLE) / k.nq AS fw, q.df
+       |  FROM q JOIN krel k USING (q_id)
+       |  UNION ALL
+       |  SELECT e.q_id, e.tk,
+       |    $Rm3ExpW * CAST(e.w AS DOUBLE) / CAST(w2.ws AS DOUBLE) AS fw,
+       |    CAST(f.df AS DOUBLE) AS df
+       |  FROM ex e JOIN ws w2 USING (q_id) JOIN dfv f USING (tk)),
+       |j4 AS (
+       |  SELECT r.q_id, t.doc_id, r.fw, t.tf, r.df, d.dl, s.n, s.avgdl
+       |  FROM dtf t JOIN terms r USING (tk) JOIN dl d ON t.doc_id = d.doc_id, s
+       |  WHERE t.doc_id != r.q_id),
+       |s4 AS (
+       |  SELECT q_id, doc_id, round(SUM(fw * ($Bm25Kernel)), 6) AS score_r
+       |  FROM j4 GROUP BY 1, 2),
+       |sr AS (SELECT 'rm3' AS scorer, q_id, doc_id, rk FROM (
+       |  SELECT q_id, doc_id, row_number() OVER (PARTITION BY q_id
+       |    ORDER BY score_r DESC, doc_id) AS rk FROM s4) z
+       |  WHERE rk <= $RankEvalK),
+       |ms AS (
+       |  SELECT p.q_id, p.doc_id,
+       |    SUM(${qlAddendExpr("(SELECT c FROM tot)")}) AS ms
+       |  FROM (SELECT px.q_id, px.doc_id, px.tf, c.ctf
+       |        FROM px JOIN ctf c USING (q_id, tk)) p
+       |  GROUP BY 1, 2),
+       |short AS (SELECT doc_id FROM (
+       |  SELECT doc_id, row_number() OVER (ORDER BY dl ASC, doc_id) AS r
+       |  FROM dl) z WHERE r <= ${RankEvalK + 1}),
+       |qids AS (SELECT unnest(range(0, $RankEvalQueries)) AS q_id),
+       |cand AS (
+       |  SELECT q_id, doc_id FROM ms
+       |  UNION
+       |  SELECT qi.q_id, sh.doc_id FROM qids qi, short sh
+       |  WHERE sh.doc_id != qi.q_id),
+       |sq AS (
+       |  SELECT c.q_id, c.doc_id,
+       |    round(COALESCE(m.ms, 0.0) + k.k - k.nq * ln(d.dl + $QlMu), 6)
+       |      AS score_r
+       |  FROM cand c JOIN dl d USING (doc_id) JOIN krel k USING (q_id)
+       |  LEFT JOIN ms m ON m.q_id = c.q_id AND m.doc_id = c.doc_id),
+       |qls AS (SELECT 'ql' AS scorer, q_id, doc_id, rk FROM (
+       |  SELECT q_id, doc_id, row_number() OVER (PARTITION BY q_id
+       |    ORDER BY score_r DESC, doc_id) AS rk FROM sq) z
+       |  WHERE rk <= $RankEvalK),
+       |served AS (
+       |  SELECT * FROM sb UNION ALL SELECT * FROM qls
+       |  UNION ALL SELECT * FROM sr),
+       |h AS (
+       |  SELECT sv.scorer, sv.q_id, COUNT(*) AS n_hits,
+       |    MIN(sv.rk) AS first_hit,
+       |    SUM(CAST(t.sc AS DOUBLE) / (ln(sv.rk + 1.0) / ln(2.0))) AS dcg
+       |  FROM served sv JOIN truth t
+       |    ON t.q_id = sv.q_id AND t.doc_id = sv.doc_id
+       |  GROUP BY 1, 2),
+       |grid AS (
+       |  SELECT sc2.scorer, qi.q_id
+       |  FROM qids qi, (VALUES ('bm25'), ('ql'), ('rm3')) sc2(scorer)),
+       |pq AS (
+       |  SELECT g.scorer, g.q_id,
+       |    COALESCE(h.n_hits, 0) AS n_hits,
+       |    COALESCE(1000000 // h.first_hit, 0) AS rr_ppm,
+       |    COALESCE(CAST(round(1000000 * h.dcg / i.idcg) AS BIGINT), 0)
+       |      AS ndcg_ppm
+       |  FROM grid g
+       |  LEFT JOIN h ON h.scorer = g.scorer AND h.q_id = g.q_id
+       |  LEFT JOIN idcg i ON i.q_id = g.q_id)
+       |SELECT scorer, CAST(COUNT(*) AS BIGINT) AS n_queries,
+       |  CAST(SUM(n_hits) AS BIGINT) AS hits,
+       |  CAST(SUM(rr_ppm) // $RankEvalQueries AS BIGINT) AS mrr_ppm,
+       |  CAST(SUM(ndcg_ppm) // $RankEvalQueries AS BIGINT) AS ndcg_ppm
+       |FROM pq GROUP BY 1 ORDER BY scorer""".stripMargin
+
   /** Character-entropy quality signal: Shannon entropy of the per-doc
     * character distribution (low entropy ⇒ repetitive/degenerate text,
     * high ⇒ random noise — both filtered in web-corpus curation; cf.
@@ -2869,6 +3227,7 @@ FROM r ORDER BY doc_id""")
     "text_bm25_stored" -> (qBm25Stored _),
     "text_bm25_rm3" -> (qBm25Rm3 _),
     "text_ql_dirichlet" -> (qQlDirichlet _),
+    "text_rank_eval" -> (qTextRankEval _),
     "text_lm_score_stored" -> (qLmScoreStored _),
     "text_lm_bigram" -> (qLmBigram _),
     "text_lm_bigram_stored" -> (qLmBigramStored _),
@@ -2917,6 +3276,7 @@ FROM r ORDER BY doc_id""")
     "text_bm25_stored" -> qBm25Oracle,
     "text_bm25_rm3" -> qBm25Rm3Oracle,
     "text_ql_dirichlet" -> qQlDirichletOracle,
+    "text_rank_eval" -> qTextRankEvalOracle,
     "text_lm_score_stored" -> qLmScoreOracle,
     "text_lm_bigram" -> qLmBigramOracle,
     "text_lm_bigram_stored" -> qLmBigramOracle,

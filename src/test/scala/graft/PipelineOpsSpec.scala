@@ -2621,6 +2621,172 @@ class PipelineOpsSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("text rank eval equals a driver-side recompute; cross-free, bounded-candidate plan") {
+    val q = TextOps.qTextRankEval(spark, sf)
+    val cachedPlan = q.queryExecution.withCachedData
+    val got = q.collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    assert(got.length === 3 &&
+      got.map(_._1).toSeq === Seq("bm25", "ql", "rm3"))
+
+    // ---- full metric recompute from raw documents ----
+    val docs = Tables.documents(spark, sf).select("doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getString(1).split(" ", -1)))
+      .sortBy(_._1)
+    val n = docs.length.toDouble
+    val dl = docs.map { case (id, ts) => id -> ts.length }.toMap
+    val c = dl.values.map(_.toLong).sum
+    val avgdl = c.toDouble / docs.length
+    val dtf: Map[(Long, String), Long] = docs.flatMap { case (id, ts) =>
+      ts.groupBy(identity).map { case (t, v) => (id, t) -> v.length.toLong }
+    }.toMap
+    val dfm: Map[String, Long] = dtf.keys.toSeq.groupBy(_._2)
+      .map { case (t, v) => t -> v.size.toLong }
+    def kernel(f: Long, dfT: Double, id: Long): Double =
+      math.log(1 + (n - dfT + 0.5) / (dfT + 0.5)) * f * 2.2 /
+        (f + 1.2 * (0.25 + 0.75 * dl(id) / avgdl))
+    val nQ = TextOps.RankEvalQueries
+    val k10 = TextOps.RankEvalK
+    // fingerprints: rarest df>=2 distinct terms per query doc
+    val fp: Map[Long, Seq[(String, Double)]] = (0L until nQ).map { qid =>
+      qid -> docs.find(_._1 == qid).get._2.distinct.toSeq
+        .filter(t => dfm(t) >= 2)
+        .map(t => t -> dfm(t))
+        .sortBy { case (t, d) => (d, t) }
+        .take(TextOps.RankEvalFpTerms)
+        .map { case (t, d) => t -> d.toDouble }
+    }.toMap
+    assert(fp.values.forall(_.size == TextOps.RankEvalFpTerms),
+      "fixture must yield full fingerprints for every query doc")
+    val mu = 2000.0
+    // per-(scorer, q) served lists
+    def rank(scored: Seq[(Long, Double)]): Seq[(Long, Int)] =
+      scored.sortBy { case (id, s) => (-s, id) }.take(k10)
+        .zipWithIndex.map { case ((id, _), i) => (id, i + 1) }
+    def r6(x: Double): Double = math.rint(x * 1e6) / 1e6
+    val served = scala.collection.mutable.Map
+      .empty[(String, Long), Seq[(Long, Int)]]
+    val truth = scala.collection.mutable.Map
+      .empty[Long, Seq[(Long, Long, Int)]] // (doc, sc, rank_t)
+    (0L until nQ).foreach { qid =>
+      val terms = fp(qid)
+      val ctf: Map[String, Long] = terms.map { case (t, _) =>
+        t -> docs.map { case (id, _) => dtf.getOrElse((id, t), 0L) }.sum
+      }.toMap
+      // matched docs (excluding the query doc)
+      val matched = docs.map(_._1).filter(_ != qid).flatMap { id =>
+        val sh = terms.flatMap { case (t, d) =>
+          dtf.get((id, t)).map(f => (t, d, f)) }
+        if (sh.isEmpty) None else Some(id -> sh)
+      }
+      // truth: (sc desc, tfsum desc, doc_id), gain = sc
+      truth(qid) = matched
+        .map { case (id, sh) => (id, sh.length.toLong, sh.map(_._3).sum) }
+        .sortBy { case (id, sc, tfsum) => (-sc, -tfsum, id) }.take(k10)
+        .zipWithIndex
+        .map { case ((id, sc, _), i) => (id, sc, i + 1) }
+      // bm25
+      val s1 = matched.map { case (id, sh) =>
+        id -> r6(sh.map { case (_, d, f) => kernel(f, d, id) }.sum) }
+      served(("bm25", qid)) = rank(s1)
+      // rm3: feedback -> integer RM1 -> expansion -> weighted rescore
+      val fbk = s1.sortBy { case (id, s) => (-s, id) }
+        .take(TextOps.Rm3FbDocs)
+        .map { case (id, s) => id -> math.round(s * 1e6) }
+      val w = scala.collection.mutable.Map.empty[String, Long]
+        .withDefaultValue(0L)
+      val origTerms = terms.map(_._1).toSet
+      fbk.foreach { case (id, kd) =>
+        docs.find(_._1 == id).get._2.filterNot(origTerms.contains)
+          .groupBy(identity).foreach { case (t, v) =>
+            w(t) += kd * v.length * 1000000L / dl(id) }
+      }
+      val exp = w.toSeq.sortBy { case (t, wv) => (-wv, t) }
+        .take(TextOps.Rm3FbTerms)
+      val wSum = exp.map(_._2).sum
+      val fw: Map[String, (Double, Double)] =
+        (terms.map { case (t, d) =>
+          t -> ((0.6 / terms.size, d)) } ++
+         exp.map { case (t, wv) =>
+           t -> ((0.4 * wv.toDouble / wSum.toDouble, dfm(t).toDouble)) }).toMap
+      val s4 = docs.map(_._1).filter(_ != qid).flatMap { id =>
+        val sh = fw.toSeq.flatMap { case (t, (fwT, d)) =>
+          dtf.get((id, t)).map(f => fwT * kernel(f, d, id)) }
+        if (sh.isEmpty) None else Some(id -> r6(sh.sum))
+      }
+      served(("rm3", qid)) = rank(s4)
+      // ql: matched sum + K - nq ln(dl+mu) over matched ∪ shortest
+      val kC = terms.map { case (t, _) => math.log(mu * ctf(t) / c) }.sum
+      val short = docs.map(_._1)
+        .sortBy(id => (dl(id), id)).take(k10 + 1)
+      val cands = (matched.map(_._1) ++ short.filter(_ != qid)).distinct
+      val sq = cands.map { id =>
+        val ms = terms.flatMap { case (t, _) =>
+          dtf.get((id, t)).map(f =>
+            math.log(f + mu * ctf(t) / c) - math.log(mu * ctf(t) / c)) }.sum
+        id -> r6(ms + kC - terms.size * math.log(dl(id) + mu))
+      }
+      served(("ql", qid)) = rank(sq)
+    }
+    // metrics: integer ppm, per-scorer integer-division means
+    val want = Seq("bm25", "ql", "rm3").map { s =>
+      val per = (0L until nQ).map { qid =>
+        val t = truth(qid).map { case (id, sc, _) => id -> sc }.toMap
+        val hits = served((s, qid)).filter { case (id, _) => t.contains(id) }
+        val nh = hits.length.toLong
+        val rr = if (hits.isEmpty) 0L
+          else 1000000L / hits.map(_._2).min
+        val dcg = hits.map { case (id, rk) =>
+          t(id).toDouble / (math.log(rk + 1.0) / math.log(2.0)) }.sum
+        val idcg = truth(qid).map { case (_, sc, rt) =>
+          sc.toDouble / (math.log(rt + 1.0) / math.log(2.0)) }.sum
+        val nd = if (hits.isEmpty) 0L
+          else math.round(1000000 * dcg / idcg)
+        (nh, rr, nd)
+      }
+      (s, nQ.toLong, per.map(_._1).sum,
+        per.map(_._2).sum / nQ, per.map(_._3).sum / nQ)
+    }
+    assert(got.toSeq === want)
+    // the eval genuinely discriminates: not all scorers tie
+    assert(got.map(r => (r._3, r._5)).distinct.length > 1,
+      "scorers must not all produce identical hits/ndcg")
+    // every truth set is full (df>=2 guarantees nonempty; the fixture
+    // gives >= k10 sharers per query)
+    assert(truth.values.forall(_.length == k10))
+
+    // ---- plan pins ----
+    // cross-free: unlike sim_rank_eval's brute-force truth side, the
+    // pseudo-qrels and the bounded-candidate QL keep every stage an
+    // equi-join — this query needs no allowNested entry
+    val p = q.queryExecution
+      .explainString(org.apache.spark.sql.execution.FormattedMode)
+    assert(!p.contains("BroadcastNestedLoopJoin") &&
+      !p.contains("CartesianProduct"),
+      "rank eval must stay cross-free (bounded candidates, equi-joins)")
+    // three persisted relations: dl, the fingerprint postings, the
+    // scored BM25 relation (feedback + served)
+    // (collect sees each cache once per REFERENCE — count distinct
+    // builders, not occurrences)
+    val rels = cachedPlan.collect {
+      case r: org.apache.spark.sql.execution.columnar.InMemoryRelation =>
+        r.cacheBuilder }.distinct
+    assert(rels.size === 3,
+      s"expected dl/post/s1 caches, got ${rels.size}")
+    // corpus explodes OUTSIDE the caches: the RM1 feedback explode
+    // (broadcast-joined to <=100 feedback docs BEFORE exploding), the
+    // rescore explode (broadcast term join below the aggregation), and
+    // two fingerprint explodes (filtered to the 10 query docs) — the
+    // big posting explode lives INSIDE the cached relation
+    val gens = cachedPlan.collect {
+      case g: org.apache.spark.sql.catalyst.plans.logical.Generate
+        if g.toString.contains("split(text") => g }
+    assert(gens.size <= 4,
+      s"unexpected corpus explode count outside caches: ${gens.size}")
+    spark.catalog.clearCache()
+  }
+
   test("weighted reservoir equals a driver-side recompute and skews toward heavy documents") {
     val got = graft.operators.SamplingOps.qWeightedReservoir(spark, sf).collect()
       .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
