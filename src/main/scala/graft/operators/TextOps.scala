@@ -1710,7 +1710,7 @@ object TextOps {
     * self-join-on-(doc, pos+1) shape which shuffles the whole token
     * stream twice. Docs with fewer than 2 tokens contribute no rows
     * (both engines: an empty slice / empty `range`). */
-  private def bigramsOf(docs: DataFrame): DataFrame =
+  private[graft] def bigramsOf(docs: DataFrame): DataFrame =
     docs
       .select(col("doc_id"), split(col("text"), " ").as("l"))
       .select(col("doc_id"),

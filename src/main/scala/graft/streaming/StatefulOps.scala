@@ -1935,6 +1935,118 @@ object StatefulOps {
       .orderBy("q_id", "rank")
   }
 
+  // ================= streaming Kneser-Ney serving =================
+
+  /** One arriving bigram occurrence, model statistics attached by the
+    * stream-static joins (None where the reference model has no row —
+    * the batch's LEFT-join nulls). */
+  case class KnBigram(doc_id: Long, w1: String, w2: String,
+    c2: Option[Long], c1: Option[Long], n1p: Option[Long],
+    cont: Option[Long])
+  /** The scored row — identical columns to the batch
+    * `text_lm_kn_stored` result. */
+  case class KnScore(doc_id: Long, n_bigrams: Long, n_unseen_ctx: Long,
+    n_interp: Long, avg_logp: Double, held_out: Boolean)
+
+  /** The per-document KN rollup over the doc's joined bigram rows —
+    * the batch `knScored` aggregation re-expressed as a fold: distinct
+    * bigrams with occurrence counts, the [[graft.operators.TextOps]]
+    * `knLogpExpr` formula term-for-term in the same IEEE order
+    * ((c2 − D) + (D·n1p)·(cont/T), one divide by c1; JVM Math.log =
+    * the codegen'd ln), cnt-weighted sum over bigrams in sorted
+    * (w1, w2) order, and the batch's own round-6 (BigDecimal HALF_UP
+    * — Spark `round`'s exact implementation). The batch sum's
+    * accumulation order is engine-chosen, so row-exact parity is the
+    * documented round-6 ln-sum convention pinned empirically by the
+    * spec, not a structural guarantee (the streamingQlDirichlet
+    * caveat, stated rather than implied). */
+  private[graft] def knScoreRows(docId: Long, rows: Seq[KnBigram],
+      t: Long): KnScore = {
+    val d = graft.operators.TextOps.KnD.toDouble
+    val grouped = rows.groupBy(r => (r.w1, r.w2)).toSeq.sortBy(_._1)
+      .map { case (_, v) => (v.head, v.length.toLong) }
+    var nb = 0L; var nuc = 0L; var ni = 0L; var s = 0.0
+    grouped.foreach { case (r, cnt) =>
+      val pcont = r.cont.getOrElse(1L).toDouble / t
+      val logp = r.c1 match {
+        case None => math.log(pcont)
+        case Some(c1) =>
+          val disc = r.c2 match { case Some(c2) => c2 - d; case None => 0.0 }
+          math.log((disc + d * r.n1p.get * pcont) / c1)
+      }
+      nb += cnt
+      if (r.c1.isEmpty) nuc += cnt
+      if (r.c1.isDefined && r.c2.isEmpty) ni += cnt
+      s += cnt * logp
+    }
+    KnScore(docId, nb, nuc, ni,
+      java.math.BigDecimal.valueOf(s / nb)
+        .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue,
+      docId % 10 != 0)
+  }
+
+  /** First-delivery-wins per document: the scored row IS the state, so
+    * a re-delivered document re-emits its stored row bit-for-bit
+    * instead of re-counting — TRUE idempotence, stronger than the
+    * perplexity filter's ratio-invariance (whose counts double on
+    * re-delivery). DELIVERY CONTRACT (the [[advanceKAnon]] discipline):
+    * a document arrives ATOMICALLY (one row → its bigram rows explode
+    * within the same micro-batch); a source that splits one document's
+    * text across batches would score the first fragment only. */
+  final class KnServeProcessor(t: Long, ttl: TTLConfig = TTLConfig.NONE)
+      extends StatefulProcessor[Long, KnBigram, KnScore] {
+    @transient private var st: ValueState[KnScore] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      st = getHandle.getValueState[KnScore]("knScore",
+        Encoders.product[KnScore], ttl)
+    override def handleInputRows(docId: Long, rows: Iterator[KnBigram],
+        tv: TimerValues): Iterator[KnScore] =
+      if (st.exists()) Iterator.single(st.get())
+      else {
+        val sc = knScoreRows(docId, rows.toSeq, t)
+        st.update(sc)
+        Iterator.single(sc)
+      }
+  }
+
+  /** STREAMING KNESER-NEY serving — the last stored LM gains its
+    * serving twin (BM25 and Dirichlet QL already have theirs): score
+    * arriving documents against the frozen `kn_ctx_ref` /
+    * `kn_cont_ref` statistic tables + the `bigram_lm_ref` bigram
+    * counts (`TextOps.knStored`), T from the artifact meta. Unlike
+    * those two, the KN model is VOCABULARY-sized — it cannot fold as
+    * literals — so the shape is [[streamingTextClassify]]'s
+    * stream-static equi-join, NOT the literal-fold projection: the
+    * arrival's map-side bigram explode (the batch's own `bigramsOf`
+    * column pipeline) LEFT-joins the three vocabulary-keyed static
+    * relations (hash-partitioned on w1/w2 — broadcast-able in
+    * production), and one [[KnServeProcessor]] keyed by doc_id folds
+    * the doc's rows into the batch formula. Zero model-side
+    * aggregation, zero driver actions — the stored twin's serving
+    * guarantee, kept under streaming.
+    *
+    * At any cut the emitted rows equal `text_lm_kn_stored`'s rows for
+    * exactly the delivered documents (two-cut replay + re-delivery
+    * idempotence asserted in StatefulOpsSpec). State: one scored row
+    * per arriving doc — O(arrivals), TTL-boundable; per-batch cost
+    * tracks arrival volume × doc length, nothing grows with corpus
+    * size. RocksDB state store required. */
+  def streamingKneserNey(docs: DataFrame, c2: DataFrame, ctx: DataFrame,
+      cont: DataFrame, t: Long,
+      ttl: TTLConfig = TTLConfig.NONE): Dataset[KnScore] = {
+    import docs.sparkSession.implicits._
+    graft.operators.TextOps.bigramsOf(docs)
+      .join(c2, Seq("w1", "w2"), "left")
+      .join(ctx, Seq("w1"), "left")
+      .join(cont, Seq("w2"), "left")
+      .select(col("doc_id"), col("w1"), col("w2"),
+        col("c2"), col("c1"), col("n1p"), col("cont"))
+      .as[KnBigram]
+      .groupByKey(_.doc_id)
+      .transformWithState(new KnServeProcessor(t, ttl), timeModeFor(ttl),
+        OutputMode.Append())
+  }
+
   // ================= composed streaming ingest pipeline =================
 
   /** The END-TO-END streaming ingest — the live twin of the batch

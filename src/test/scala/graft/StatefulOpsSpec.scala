@@ -1415,6 +1415,83 @@ class StatefulOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming Kneser-Ney serves the frozen model: two-cut replay equals the stored batch scorer") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      // frozen statics: the stored twin's own artifacts + meta T
+      val (c2, ctx, cont, t) = graft.operators.TextOps.knStored(spark, sf)
+      val want = graft.operators.TextOps.qLmKneserNeyStored(spark, sf)
+        .collect().map(r => r.getLong(0) ->
+          ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4),
+            r.getBoolean(5)))).toMap
+      val docs = Tables.documents(spark, sf)
+        .select("doc_id", "text").collect()
+        .map(r => (r.getLong(0), r.getString(1)))
+      val in = MemoryStream[(Long, String)]
+      val q = StatefulOps.streamingKneserNey(
+          in.toDF().toDF("doc_id", "text"), c2, ctx, cont, t)
+        .writeStream.format("memory").queryName("kn_out")
+        .outputMode("append").start()
+      try {
+        def rows() = spark.table("kn_out").collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+            r.getLong(3), r.getDouble(4), r.getBoolean(5)))
+        val (cut1, cut2) = docs.splitAt(docs.length / 2)
+        // cut 1: rows equal the batch rows for EXACTLY the seen docs
+        in.addData(cut1.toIndexedSeq); q.processAllAvailable()
+        val seen = cut1.map(_._1).toSet
+        val mid = rows()
+        assert(mid.map(_._1).toSet === seen.filter(want.contains),
+          "cut-1 emissions must cover exactly the delivered docs")
+        mid.foreach { case (id, nb, nuc, ni, a, h) =>
+          assert(want(id) === ((nb, nuc, ni, a, h)),
+            s"doc $id: stream KN row diverged from text_lm_kn_stored") }
+        // cut 2: the full corpus equals the batch scorer row-for-row
+        in.addData(cut2.toIndexedSeq); q.processAllAvailable()
+        val all = rows()
+        assert(all.map(_._1).toSet === want.keySet,
+          "after both cuts every scorable doc must have a row")
+        all.foreach { case (id, nb, nuc, ni, a, h) =>
+          assert(want(id) === ((nb, nuc, ni, a, h)),
+            s"doc $id: stream KN row diverged from text_lm_kn_stored") }
+        // the corpus fixture must exercise the interpolation branch
+        assert(all.exists(_._4 > 0),
+          "fixture must hit the unseen-bigram interpolation path")
+        // re-delivery re-emits the STORED rows (first-delivery-wins):
+        // appended duplicates are bit-identical, no doc changes value
+        val n0 = all.length
+        in.addData(cut1.toIndexedSeq); q.processAllAvailable()
+        val re = rows()
+        assert(re.length > n0, "append sink must show the re-emissions")
+        re.groupBy(_._1).foreach { case (id, vs) =>
+          assert(vs.distinct.length === 1,
+            s"doc $id: re-delivery changed the emitted row") }
+        re.foreach { case (id, nb, nuc, ni, a, h) =>
+          assert(want(id) === ((nb, nuc, ni, a, h))) }
+        // unseen-CONTEXT branch (this template-vocabulary corpus never
+        // hits it): an out-of-vocabulary arrival has the closed form
+        // logp = ln(Pcont) = ln(1/T) per bigram — checked against the
+        // formula directly, independent of the fold under test
+        in.addData(Seq((9999999L, "zzq zzq zzq"))); q.processAllAvailable()
+        val oov = rows().filter(_._1 == 9999999L)
+        val lnT = java.math.BigDecimal.valueOf(math.log(1.0 / t))
+          .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue
+        assert(oov.toSeq === Seq((9999999L, 2L, 2L, 0L, lnT, true)),
+          "OOV arrival must score the pure continuation floor ln(1/T)")
+      } finally q.stop()
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
+
   test("streaming BM25 scores arrivals exactly as the batch ranker scores them") {
     import spark.implicits._
     implicit val sc = spark.sqlContext
