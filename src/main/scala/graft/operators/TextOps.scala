@@ -1175,6 +1175,7 @@ object TextOps {
   private[graft] val RankEvalFpTerms = 3
   private[graft] val RankEvalK = 10
   private[graft] val Rm3OneMinusLambda = "0.6"
+  private[graft] val RrfK = 60
   private val Ln2 = math.log(2.0)
 
   /** TEXT-RETRIEVAL RANK EVAL — grades the whole retrieval ladder
@@ -1192,7 +1193,10 @@ object TextOps {
     * hundreds of docs — the shared-truth pattern of `sim_rank_eval`'s
     * brute-force twin). Each
     * scorer serves its top-[[RankEvalK]] per query (query doc itself
-    * excluded), and ONE metric tail prices all three: per-query
+    * excluded), a fourth RRF arm fuses the three served lists
+    * (Cormack, Clarke & Büttcher 2009, k=[[RrfK]] — exact integer
+    * fixed-point, so fusion selection cannot float-race), and ONE
+    * metric tail prices all four: per-query
     * reciprocal rank and nDCG@10 in exact integer ppm (1e6 div
     * first_hit; round(1e6·DCG/IDCG)), then per-scorer means by integer
     * division — the final relation is all-integer, so cross-engine
@@ -1351,8 +1355,25 @@ object TextOps {
       .withColumn("rk", row_number().over(wS))
       .filter(col("rk") <= RankEvalK)
       .select(lit("ql").as("scorer"), col("q_id"), col("doc_id"), col("rk"))
-    // ONE metric tail for all three scorers, all-integer output
-    val served = servedBm25.unionByName(servedQl).unionByName(servedRm3)
+    // reciprocal rank fusion over the three served lists (Cormack,
+    // Clarke & Büttcher 2009, k=60) — the fused ranker graded beside
+    // its components; the RRF score is EXACT integer fixed-point
+    // (1e6 div (60+rank): all 30 possible addends distinct, integer
+    // sums order-invariant), so fusion selection carries zero
+    // float-rank risk
+    // persisted: the tiny (<=30x10-row) union feeds both the fusion
+    // grouping and the final metric join
+    val base = servedBm25.unionByName(servedQl).unionByName(servedRm3)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val wF = Window.partitionBy(col("q_id"))
+      .orderBy(col("rrf").desc, col("doc_id"))
+    val servedRrf = base.groupBy(col("q_id"), col("doc_id"))
+      .agg(sum(expr(s"CAST(1000000 div ($RrfK + rk) AS BIGINT)")).as("rrf"))
+      .withColumn("rk", row_number().over(wF))
+      .filter(col("rk") <= RankEvalK)
+      .select(lit("rrf").as("scorer"), col("q_id"), col("doc_id"), col("rk"))
+    // ONE metric tail for all four rankers, all-integer output
+    val served = base.unionByName(servedRrf)
     val hits = served
       .join(truth.select("q_id", "doc_id", "sc"), Seq("q_id", "doc_id"))
       .groupBy(col("scorer"), col("q_id"))
@@ -1362,7 +1383,8 @@ object TextOps {
           (log(col("rk") + lit(1.0)) / lit(Ln2))).as("dcg"))
     val grid = spark.range(0, RankEvalQueries.toLong)
       .select(col("id").as("q_id"),
-        explode(array(lit("bm25"), lit("ql"), lit("rm3"))).as("scorer"))
+        explode(array(lit("bm25"), lit("ql"), lit("rm3"), lit("rrf")))
+          .as("scorer"))
     val perQ = grid.join(hits, Seq("scorer", "q_id"), "left")
       .join(broadcast(idcg), Seq("q_id"), "left")
       .select(col("scorer"), col("q_id"),
@@ -1377,7 +1399,7 @@ object TextOps {
         expr(s"CAST(sum(rr_ppm) div $RankEvalQueries AS BIGINT)").as("mrr_ppm"),
         expr(s"CAST(sum(ndcg_ppm) div $RankEvalQueries AS BIGINT)").as("ndcg_ppm"))
       .orderBy(col("scorer"))
-    graft.operators.DedupOps.unpersistAfterFirstAction(out, post, s1, dl)
+    graft.operators.DedupOps.unpersistAfterFirstAction(out, post, s1, dl, base)
   }
 
   lazy val qTextRankEvalOracle: String =
@@ -1495,9 +1517,18 @@ object TextOps {
        |  SELECT q_id, doc_id, row_number() OVER (PARTITION BY q_id
        |    ORDER BY score_r DESC, doc_id) AS rk FROM sq) z
        |  WHERE rk <= $RankEvalK),
-       |served AS (
+       |base AS (
        |  SELECT * FROM sb UNION ALL SELECT * FROM qls
        |  UNION ALL SELECT * FROM sr),
+       |rrf AS (SELECT 'rrf' AS scorer, q_id, doc_id, rk FROM (
+       |  SELECT q_id, doc_id,
+       |    row_number() OVER (PARTITION BY q_id
+       |      ORDER BY rrf DESC, doc_id) AS rk
+       |  FROM (SELECT q_id, doc_id,
+       |          SUM(1000000 // ($RrfK + rk)) AS rrf
+       |        FROM base GROUP BY 1, 2) g) z
+       |  WHERE rk <= $RankEvalK),
+       |served AS (SELECT * FROM base UNION ALL SELECT * FROM rrf),
        |h AS (
        |  SELECT sv.scorer, sv.q_id, COUNT(*) AS n_hits,
        |    MIN(sv.rk) AS first_hit,
@@ -1507,7 +1538,8 @@ object TextOps {
        |  GROUP BY 1, 2),
        |grid AS (
        |  SELECT sc2.scorer, qi.q_id
-       |  FROM qids qi, (VALUES ('bm25'), ('ql'), ('rm3')) sc2(scorer)),
+       |  FROM qids qi,
+       |    (VALUES ('bm25'), ('ql'), ('rm3'), ('rrf')) sc2(scorer)),
        |pq AS (
        |  SELECT g.scorer, g.q_id,
        |    COALESCE(h.n_hits, 0) AS n_hits,

@@ -2627,8 +2627,8 @@ class PipelineOpsSpec extends SparkSpec {
     val got = q.collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
         r.getLong(3), r.getLong(4)))
-    assert(got.length === 3 &&
-      got.map(_._1).toSeq === Seq("bm25", "ql", "rm3"))
+    assert(got.length === 4 &&
+      got.map(_._1).toSeq === Seq("bm25", "ql", "rm3", "rrf"))
 
     // ---- full metric recompute from raw documents ----
     val docs = Tables.documents(spark, sf).select("doc_id", "text")
@@ -2728,9 +2728,19 @@ class PipelineOpsSpec extends SparkSpec {
         id -> r6(ms + kC - terms.size * math.log(dl(id) + mu))
       }
       served(("ql", qid)) = rank(sq)
+      // rrf: exact-integer reciprocal rank fusion of the three lists
+      val rrf = Seq("bm25", "ql", "rm3")
+        .flatMap(s => served((s, qid)))
+        .groupBy(_._1)
+        .map { case (id, vs) =>
+          id -> vs.map { case (_, rk) =>
+            1000000L / (TextOps.RrfK + rk) }.sum }.toSeq
+      served(("rrf", qid)) = rrf
+        .sortBy { case (id, sc2) => (-sc2, id) }.take(k10)
+        .zipWithIndex.map { case ((id, _), i) => (id, i + 1) }
     }
     // metrics: integer ppm, per-scorer integer-division means
-    val want = Seq("bm25", "ql", "rm3").map { s =>
+    val want = Seq("bm25", "ql", "rm3", "rrf").map { s =>
       val per = (0L until nQ).map { qid =>
         val t = truth(qid).map { case (id, sc, _) => id -> sc }.toMap
         val hits = served((s, qid)).filter { case (id, _) => t.contains(id) }
@@ -2772,8 +2782,8 @@ class PipelineOpsSpec extends SparkSpec {
     val rels = cachedPlan.collect {
       case r: org.apache.spark.sql.execution.columnar.InMemoryRelation =>
         r.cacheBuilder }.distinct
-    assert(rels.size === 3,
-      s"expected dl/post/s1 caches, got ${rels.size}")
+    assert(rels.size === 4,
+      s"expected dl/post/s1/base caches, got ${rels.size}")
     // corpus explodes OUTSIDE the caches: the RM1 feedback explode
     // (broadcast-joined to <=100 feedback docs BEFORE exploding), the
     // rescore explode (broadcast term join below the aggregation), and
