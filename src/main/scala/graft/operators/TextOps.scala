@@ -1221,49 +1221,90 @@ object TextOps {
     * by construction (short posting lists), keeps every stage an
     * equi-join: NO cross, no non-equi join, nothing corpus×queries.
     *
-    * Scale shape: two corpus explodes total (fingerprint postings;
-    * rescore postings), each filtered by a broadcast term join BEFORE
-    * aggregation; the feedback explode touches only the ≤100
-    * (query, feedback-doc) pairs via a broadcast join before the
-    * explode; the shortlist is a bounded TakeOrdered collect (the RM3
-    * ≤10-row fold precedent); everything after the posting joins is
-    * queries×k-sized. At 100 TB this runs as a sampled retrieval
+    * Scale shape: ONE corpus explode total — the per-(doc, term)
+    * count relation, aggregated BEFORE any query join (a query join
+    * on raw occurrences would fan each occurrence by the number of
+    * fingerprints sharing its term — ~10× on a template-vocabulary
+    * corpus, measured 4× the whole-query price at sf0.1) — cached
+    * and consumed by every arm through broadcast joins; the
+    * vocabulary-sized model scan streams against the broadcast
+    * query-term relation, never the reverse; the shortlist is a
+    * bounded TakeOrdered collect (the RM3 ≤10-row fold precedent);
+    * everything after the posting joins is queries×k-sized. At 100 TB this runs as a sampled retrieval
     * audit — the `sim_rank_eval` stratum discipline — never as a
     * serving path. */
   def qTextRankEval(spark: SparkSession, sfDir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    import spark.implicits._
     val (model, n, sumdl) = bm25Stored(spark, sfDir)
     val docs = Tables.documents(spark, sfDir)
-    val dl = docs.select(col("doc_id"), size(toks).as("dl"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     def withN(d: DataFrame): DataFrame = d
       .withColumn("n", lit(n.toDouble))
       .withColumn("avgdl", lit(sumdl.toDouble / n))
+    // THE one corpus explode: per-(doc, term) counts, aggregated
+    // BEFORE any query join (a query join on raw occurrences would
+    // fan every occurrence by the number of fingerprints sharing its
+    // term — ~10x on a template-vocabulary corpus); dl (constant per
+    // doc) rides the same aggregation so no arm ever joins the
+    // doc-length relation
+    val dtf = docs
+      .select(col("doc_id"), size(toks).cast("long").as("dl"),
+        explode(toks).as("tk"))
+      .groupBy(col("doc_id"), col("tk"))
+      .agg(count(lit(1)).as("tf"), max(col("dl")).as("dl"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // Every model-sized relation below is a BOUNDED DRIVER FOLD (the
+    // qBm25Rm3 expansion-fold precedent, ≤130 rows each): folded as
+    // literal relations, the serving plan carries ZERO broadcast
+    // subquery jobs for them. This is a deliberate price choice, not
+    // just style — as live broadcast subqueries they execute eagerly,
+    // concurrently, and per-run, re-racing the caches and re-paying
+    // one AQE stage chain each (measured: the relational form ran 74
+    // adaptive stages and 2x the wall clock of this shape at sf0.1).
+    // The folds double as cache materializers: each collect runs on
+    // the already-cached upstream, so the main action reads warm
+    // caches only.
     // fingerprints: the query docs' distinct terms against the stored
     // model's df, rarest-first per query; df ≥ 2 guarantees nonempty
-    // truth (at least one OTHER doc shares the term)
+    // truth (at least one OTHER doc shares the term). The
+    // vocabulary-sized model scan streams against the broadcast
+    // 10-doc term relation — never the reverse.
     val wFp = Window.partitionBy(col("q_id"))
       .orderBy(col("df").asc, col("tk"))
-    val qrel = docs.filter(col("doc_id") < RankEvalQueries)
-      .select(col("doc_id").as("q_id"), explode(toks).as("tk")).distinct()
-      .join(broadcast(model.filter(col("df") >= 2)), "tk")
+    val qrelRel = model.filter(col("df") >= 2)
+      .join(broadcast(dtf.filter(col("doc_id") < RankEvalQueries)
+        .select(col("doc_id").as("q_id"), col("tk"))), "tk")
       .withColumn("fr", row_number().over(wFp))
       .filter(col("fr") <= RankEvalFpTerms)
       .select(col("q_id"), col("tk"), col("df").cast(DoubleType).as("df"))
-    // postings for the ≤30 fingerprint terms — corpus explode #1,
-    // broadcast-filtered before aggregation; persisted: feeds ctf,
-    // truth, BM25 scoring, and the QL matched sums
-    val post = docs.select(col("doc_id"), explode(toks).as("tk"))
-      .join(broadcast(qrel), "tk")
-      .groupBy(col("q_id"), col("doc_id"), col("tk"), col("df"))
-      .agg(count(lit(1)).as("tf"))
+    // postings for the ≤30 fingerprint terms — persisted: feeds ctf,
+    // truth, the merged BM25+QL scoring pass, and RM1
+    val post = dtf.join(broadcast(qrelRel), "tk")
+      .select(col("q_id"), col("doc_id"), col("tk"), col("df"),
+        col("tf"), col("dl"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val ctfRel = post.groupBy(col("q_id"), col("tk"))
-      .agg(sum(col("tf")).as("ctf"))
-    val krel = ctfRel
-      .withColumn("ka", expr(s"ln($QlMu * ctf / $sumdl)"))
-      .groupBy(col("q_id"))
-      .agg(sum(col("ka")).as("k"), count(lit(1)).as("nq"))
+    // fold job 1 (materializes dtf + post): fingerprints, their dfs,
+    // and per-(query, term) collection frequencies in ONE rollup of
+    // the posting relation (df rides as max — constant per (q, tk))
+    val qstats = post.groupBy(col("q_id"), col("tk"))
+      .agg(max(col("df")).as("df"), sum(col("tf")).as("ctf"))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2), r.getLong(3)))
+      .toSeq.sorted
+    val qrelRows = qstats.map { case (q, tk, df, _) => (q, tk, df) }
+    val qrel = broadcast(qrelRows.toDF("q_id", "tk", "df"))
+    val qTerms: Map[Long, Seq[String]] =
+      qrelRows.groupBy(_._1).map { case (q, v) => q -> v.map(_._2) }
+    val ctf: Map[(Long, String), Long] =
+      qstats.map { case (q, tk, _, c) => (q, tk) -> c }.toMap
+    val ctfLit = broadcast(ctf.toSeq.sortBy(_._1)
+      .map { case ((q, tk), c) => (q, tk, c) }.toDF("q_id", "tk", "ctf"))
+    // K_q addends in sorted term order (the qQlDirichlet convention)
+    val krel = broadcast(qTerms.toSeq.sortBy(_._1).map { case (q, ts) =>
+      val k = ts.sorted.map(t =>
+        math.log(QlMu.toDouble * ctf((q, t)) / sumdl)).sum
+      (q, k, ts.size.toLong)
+    }.toDF("q_id", "k", "nq"))
     val postx = post.filter(col("doc_id") =!= col("q_id"))
     // graded truth + its ideal DCG — gain = #shared fingerprint terms,
     // ties broken by TOTAL shared term frequency before doc_id: on a
@@ -1279,54 +1320,59 @@ object TextOps {
     val idcg = truth.groupBy(col("q_id"))
       .agg(sum(col("sc").cast(DoubleType) /
         (log(col("rank_t") + lit(1.0)) / lit(Ln2))).as("idcg"))
-    // BM25 arm — persisted: the scored relation is also RM3's feedback
+    // BM25 + QL matched sums in ONE pass over the posting relation
+    // (same groups, so one hash-agg carries both scorers' addends and
+    // the doc length) — persisted: the scored relation is the BM25
+    // served list, RM3's feedback, AND the QL matched side
     val wS = Window.partitionBy(col("q_id"))
       .orderBy(col("score_r").desc, col("doc_id"))
-    val s1 = withN(postx.join(dl, "doc_id"))
+    val s1 = withN(postx.join(ctfLit, Seq("q_id", "tk")))
       .withColumn("a", expr(Bm25Kernel))
+      .withColumn("qa", expr(qlAddendExpr(sumdl.toString)))
       .groupBy(col("q_id"), col("doc_id"))
-      .agg(sum(col("a")).as("score"))
+      .agg(sum(col("a")).as("score"), sum(col("qa")).as("ms"),
+        max(col("dl")).as("dl"))
       .withColumn("score_r", round(col("score"), 6))
       .withColumn("rk", row_number().over(wS))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val servedBm25 = s1.filter(col("rk") <= RankEvalK)
       .select(lit("bm25").as("scorer"), col("q_id"), col("doc_id"), col("rk"))
-    // RM3 arm: feedback docs' tokens via broadcast join BEFORE the
-    // explode; integer RM1 weights; per-query top-10 expansion window
+    // RM3: feedback fold (≤100 rows, kd in micro-units — the qBm25Rm3
+    // shape per query), integer RM1 weights from the cached counts,
+    // per-query top-10 expansion, mixture weights in the fold
     val fb = s1.filter(col("rk") <= Rm3FbDocs)
       .select(col("q_id"), col("doc_id"),
         round(col("score_r") * lit(1000000)).cast("long").as("kd"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val fbLit = broadcast(fb.sorted.toDF("q_id", "doc_id", "kd"))
     val wE = Window.partitionBy(col("q_id")).orderBy(col("w").desc, col("tk"))
-    // ws as a window sum over the selected expansion rows (integer —
-    // order-invariant, identical to a groupBy rollup) so the RM1
-    // explode is referenced exactly once in the plan
-    val ex = docs.join(broadcast(fb), "doc_id")
-      .select(col("q_id"), col("doc_id"), col("kd"), explode(toks).as("tk"))
-      .join(broadcast(qrel.select("q_id", "tk")), Seq("q_id", "tk"), "left_anti")
-      .groupBy(col("q_id"), col("doc_id"), col("kd"), col("tk"))
-      .agg(count(lit(1)).as("tf"))
-      .join(dl, "doc_id")
+    // fold job 3: RM1 weights + the expansion terms' model dfs in the
+    // same job (the vocabulary-sized model scan joins AFTER the
+    // ≤10-per-query cut, inside this job's plan)
+    val ex = dtf.join(fbLit, "doc_id")
+      .join(qrel.select("q_id", "tk"), Seq("q_id", "tk"), "left_anti")
       .withColumn("c", expr(rm3ContribExpr("div")))
       .groupBy(col("q_id"), col("tk")).agg(sum(col("c")).as("w"))
       .withColumn("er", row_number().over(wE))
       .filter(col("er") <= Rm3FbTerms)
-      .withColumn("ws", sum(col("w")).over(Window.partitionBy(col("q_id"))))
-    val exw = model.join(broadcast(ex), "tk")
-      .select(col("q_id"), col("tk"),
-        (lit(Rm3ExpW.toDouble) * col("w").cast(DoubleType) /
-          col("ws").cast(DoubleType)).as("fw"),
-        col("df").cast(DoubleType).as("df"))
-    val origW = qrel.join(broadcast(krel.select("q_id", "nq")), "q_id")
-      .select(col("q_id"), col("tk"),
-        (lit(Rm3OneMinusLambda.toDouble) / col("nq")).as("fw"), col("df"))
-    val terms = origW.unionByName(exw)
-    // weighted rescore — corpus explode #2, broadcast-filtered
-    val servedRm3 = withN(docs.select(col("doc_id"), explode(toks).as("tk"))
-        .join(broadcast(terms), "tk")
-        .filter(col("doc_id") =!= col("q_id"))
-        .groupBy(col("q_id"), col("doc_id"), col("tk"), col("fw"), col("df"))
-        .agg(count(lit(1)).as("tf"))
-        .join(dl, "doc_id"))
+      .select(col("q_id"), col("tk"), col("w"))
+      .join(model.withColumnRenamed("df", "mdf"), "tk")
+      .collect()
+      .map(r => (r.getLong(1), r.getString(0), r.getLong(2), r.getLong(3)))
+      .toSeq
+    val wsum: Map[Long, Long] = ex.groupBy(_._1)
+      .map { case (q, v) => q -> v.map(_._3).sum }
+    val terms = broadcast((
+      qrelRows.map { case (q, tk, df) =>
+        (q, tk, Rm3OneMinusLambda.toDouble / qTerms(q).size, df) } ++
+      ex.map { case (q, tk, w, mdf) =>
+        (q, tk, Rm3ExpW.toDouble * w.toDouble / wsum(q).toDouble,
+          mdf.toDouble) })
+      .sorted.toDF("q_id", "tk", "fw", "df"))
+    // weighted rescore — the cached counts against the folded
+    // expanded-query relation; no second corpus pass
+    val servedRm3 = withN(dtf.join(terms, "tk")
+        .filter(col("doc_id") =!= col("q_id")))
       .withColumn("a", expr(s"fw * ($Bm25Kernel)"))
       .groupBy(col("q_id"), col("doc_id"))
       .agg(sum(col("a")).as("score"))
@@ -1334,35 +1380,41 @@ object TextOps {
       .withColumn("rk", row_number().over(wS))
       .filter(col("rk") <= RankEvalK)
       .select(lit("rm3").as("scorer"), col("q_id"), col("doc_id"), col("rk"))
-    // QL arm: matched sums + the bounded no-hit shortlist
-    val ms = postx.join(broadcast(ctfRel), Seq("q_id", "tk"))
-      .withColumn("a", expr(qlAddendExpr(sumdl.toString)))
-      .groupBy(col("q_id"), col("doc_id")).agg(sum(col("a")).as("ms"))
-    val short = dl.orderBy(col("dl").asc, col("doc_id"))
-      .limit(RankEvalK + 1)
-      .select("doc_id").collect().map(_.getLong(0)).toSeq
-    import spark.implicits._
-    val cand = (for {
-      q <- 0L until RankEvalQueries.toLong
-      d <- short if d != q
-    } yield (q, d)).toDF("q_id", "doc_id")
-    val servedQl = ms.select("q_id", "doc_id").unionByName(cand).distinct()
-      .join(dl, "doc_id")
-      .join(broadcast(krel), "q_id")
-      .join(ms, Seq("q_id", "doc_id"), "left")
+    // QL arm: the matched side rides the s1 pass; the bounded no-hit
+    // candidates are the globally (k+1) shortest docs (among no-hit
+    // docs the score is strictly monotone in dl — Δscore ≈
+    // nq·Δdl/(dl+μ) ≫ the 1e-6 grid until dl ~ 3M tokens — so the
+    // true top-10 is contained in matched ∪ shortlist), minus pairs
+    // already matched, a membership test over two folded relations
+    // fold job 4: the shortlist docs AND their term sets in one job —
+    // rank docs by (dl, doc_id), keep k+1, join their dtf rows back
+    val shortRows = dtf.groupBy(col("doc_id")).agg(max(col("dl")).as("dl"))
+      .orderBy(col("dl").asc, col("doc_id")).limit(RankEvalK + 1)
+      .join(dtf.select(col("doc_id"), col("tk")), "doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSeq
+    val short = shortRows.map(t => (t._1, t._2)).distinct.sorted
+    val shortTerms: Map[Long, Set[String]] = shortRows.groupBy(_._1)
+      .map { case (d, rs) => d -> rs.map(_._3).toSet }
+    val qlShort = broadcast((for {
+      q <- 0L until RankEvalQueries.toLong if qTerms.contains(q)
+      (d, dlv) <- short
+      if d != q && !qTerms(q).exists(shortTerms(d).contains)
+    } yield (q, d, dlv, 0.0)).toDF("q_id", "doc_id", "dl", "ms"))
+    val servedQl = s1.select(col("q_id"), col("doc_id"), col("dl"), col("ms"))
+      .unionByName(qlShort)
+      .join(krel, "q_id")
       .withColumn("score_r",
-        round(expr(s"COALESCE(ms, 0.0) + k - nq * ln(dl + $QlMu)"), 6))
+        round(expr(s"ms + k - nq * ln(dl + $QlMu)"), 6))
       .withColumn("rk", row_number().over(wS))
       .filter(col("rk") <= RankEvalK)
       .select(lit("ql").as("scorer"), col("q_id"), col("doc_id"), col("rk"))
     // reciprocal rank fusion over the three served lists (Cormack,
     // Clarke & Büttcher 2009, k=60) — the fused ranker graded beside
     // its components; the RRF score is EXACT integer fixed-point
-    // (1e6 div (60+rank): all 30 possible addends distinct, integer
-    // sums order-invariant), so fusion selection carries zero
-    // float-rank risk
-    // persisted: the tiny (<=30x10-row) union feeds both the fusion
-    // grouping and the final metric join
+    // (1e6 div (60+rank): all possible addends distinct, integer sums
+    // order-invariant), so fusion selection carries zero float-rank
+    // risk. The tiny (<=30x10-row) union persists for its two
+    // consumers (fusion grouping, metric join).
     val base = servedBm25.unionByName(servedQl).unionByName(servedRm3)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val wF = Window.partitionBy(col("q_id"))
@@ -1399,9 +1451,8 @@ object TextOps {
         expr(s"CAST(sum(rr_ppm) div $RankEvalQueries AS BIGINT)").as("mrr_ppm"),
         expr(s"CAST(sum(ndcg_ppm) div $RankEvalQueries AS BIGINT)").as("ndcg_ppm"))
       .orderBy(col("scorer"))
-    graft.operators.DedupOps.unpersistAfterFirstAction(out, post, s1, dl, base)
+    graft.operators.DedupOps.unpersistAfterFirstAction(out, dtf, post, s1, base)
   }
-
   lazy val qTextRankEvalOracle: String =
     s"""WITH dl AS (
        |  SELECT doc_id, len(string_split(text, ' ')) AS dl FROM documents),

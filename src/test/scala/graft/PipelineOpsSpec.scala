@@ -2783,17 +2783,15 @@ class PipelineOpsSpec extends SparkSpec {
       case r: org.apache.spark.sql.execution.columnar.InMemoryRelation =>
         r.cacheBuilder }.distinct
     assert(rels.size === 4,
-      s"expected dl/post/s1/base caches, got ${rels.size}")
-    // corpus explodes OUTSIDE the caches: the RM1 feedback explode
-    // (broadcast-joined to <=100 feedback docs BEFORE exploding), the
-    // rescore explode (broadcast term join below the aggregation), and
-    // two fingerprint explodes (filtered to the 10 query docs) — the
-    // big posting explode lives INSIDE the cached relation
+      s"expected dtf/post/s1/base caches, got ${rels.size}")
+    // ZERO corpus explodes outside the caches: the one explode lives
+    // inside the cached per-(doc, term) count relation; every arm is
+    // a broadcast/folded-literal join over it
     val gens = cachedPlan.collect {
       case g: org.apache.spark.sql.catalyst.plans.logical.Generate
         if g.toString.contains("split(text") => g }
-    assert(gens.size <= 4,
-      s"unexpected corpus explode count outside caches: ${gens.size}")
+    assert(gens.isEmpty,
+      s"corpus explode escaped the dtf cache: ${gens.size}")
     spark.catalog.clearCache()
   }
 
