@@ -275,14 +275,20 @@ object Bench {
     // cold run). The ratio only ratchets UP: optimistic forks widen
     // the guard, a lucky fast fork never narrows it below the static
     // floor. Guards only — prices are untouched.
-    // r14 (r13 advice): the FIRST fork is excluded from calibration —
-    // it is always the coldest (JVM init + artifact-cache warm-up),
-    // and a never-decaying ratchet seeded by it permanently inflated
-    // every later estimate, starving the cheap tail of isolated
-    // prices the budget could in fact afford. The ratchet is also
-    // capped at 3.0: a single pathological fork (load burst) may not
-    // veto the whole rest of the series either.
-    @volatile var calib = 1.0
+    // r14 (r13 advice + review): the estimate multiplier is the
+    // MEDIAN of observed fork-cost ratios, excluding the FIRST fork
+    // (always the coldest — JVM init + artifact-cache warm-up, which
+    // as a never-decaying max-ratchet permanently inflated every
+    // later estimate and starved the cheap tail). A median is robust
+    // both ways: one load-burst outlier cannot starve the rest of the
+    // series (the r13-advice direction), and a SUSTAINED box slowdown
+    // moves the median and widens the guard (the r13 10-30x failure
+    // direction a hard cap would have re-opened). Floor 1.0: a lucky
+    // fast fork never narrows the guard below the static estimate.
+    val ratios = scala.collection.mutable.ArrayBuffer.empty[Double]
+    def calib: Double =
+      if (ratios.isEmpty) 1.0
+      else math.max(1.0, ratios.sorted.apply(ratios.size / 2))
     @volatile var forksDone = 0
     def perFork(chunked: Double): Double = (15.0 + 2.5 * chunked) * calib
     def seriesCost = top.map { case (_, c) => perFork(c) }.sum
@@ -297,8 +303,8 @@ object Bench {
           val r = forkChunk(Seq(name), salvage = false, skipUnder = 0.0)
             .get(name)
             .map(t => name -> (t, math.max(before, loadAvg())))
-          if (forksDone > 0) calib = math.min(3.0, math.max(calib,
-            (t0 - remaining()) / (15.0 + 2.5 * chunked)))
+          if (forksDone > 0)
+            ratios += (t0 - remaining()) / (15.0 + 2.5 * chunked)
           forksDone += 1
           r
         }
@@ -489,13 +495,18 @@ object Bench {
       .map("\"" + _ + "\"").mkString("[", ",", "]")
     val skip2Json = skip2Names.asScala.toSeq.sorted
       .map("\"" + _ + "\"").mkString("[", ",", "]")
-    def cOrNull(v: Double) = if (v.isNaN) "null" else fmt2(v)
+    // canary at 4 decimals: the artifact's normalizer for few-percent
+    // price disputes must not itself be quantized by ~1.5% (review)
+    def cOrNull(v: Double) =
+      if (v.isNaN) "null"
+      else String.format(java.util.Locale.ROOT, "%.4f", Double.box(v))
     // canary ratio end/start: >1.2 means the box degraded WITHIN this
     // run and its prices are suspect (the r13 failure mode)
     val canaryJson = {
       val ratio =
         if (canaryStart.isNaN || canaryEnd.isNaN) "null"
-        else fmt2(canaryEnd / canaryStart)
+        else String.format(java.util.Locale.ROOT, "%.4f",
+          Double.box(canaryEnd / canaryStart))
       // one-directional: end SLOWER than start is the load-pollution
       // signature; end faster is parent-JVM JIT warm-up (benign)
       val polluted =
@@ -594,7 +605,11 @@ object Bench {
           if (missing.nonEmpty && !shuttingDown && remaining() > 60.0) {
             val spark = newSession()
             try measure(spark, missing, fast = true,
-              onResult = (n, t) => { partial.put(n, t); fastNames.add(n) })
+              // a child killed between its #skip2 marker and the price
+              // line leaves a stale skip2 label — the fast salvage
+              // price supersedes it (review: one price, one regime)
+              onResult = (n, t) => { partial.put(n, t); fastNames.add(n)
+                skip2Names.remove(n) })
             finally spark.stop()
           }
           chunkLoads.add(loadAvg())

@@ -1199,9 +1199,14 @@ object TextOps {
     * metric tail prices all four: per-query
     * reciprocal rank and nDCG@10 in exact integer ppm (1e6 div
     * first_hit; round(1e6·DCG/IDCG)), then per-scorer means by integer
-    * division — the final relation is all-integer, so cross-engine
-    * comparison carries zero float-rank risk (the rm3ContribExpr
-    * discipline applied to the metric layer).
+    * division — the final relation is all-integer, so the METRIC LAYER
+    * adds no float risk of its own (the rm3ContribExpr discipline).
+    * The serving cuts it consumes still carry the repo's documented
+    * round-6 convention: each list is cut at rank 10 on a 6-decimal
+    * rounded ln-sum whose accumulation order is engine-chosen, and
+    * ndcg_ppm rounds a double ratio — the same fixture-verified risk
+    * class as every scorer here, re-verified by the hash gate each
+    * round, not eliminated by the integer output.
     *
     * Scorer shapes are the per-query relational re-expression of the
     * fixed-query originals, sharing their kernel strings verbatim

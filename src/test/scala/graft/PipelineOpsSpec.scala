@@ -2664,7 +2664,10 @@ class PipelineOpsSpec extends SparkSpec {
     def rank(scored: Seq[(Long, Double)]): Seq[(Long, Int)] =
       scored.sortBy { case (id, s) => (-s, id) }.take(k10)
         .zipWithIndex.map { case ((id, _), i) => (id, i + 1) }
-    def r6(x: Double): Double = math.rint(x * 1e6) / 1e6
+    // Spark round()'s exact arithmetic (HALF_UP on the shortest
+    // decimal repr), not math.rint — a half-point score would diverge
+    def r6(x: Double): Double = java.math.BigDecimal.valueOf(x)
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue
     val served = scala.collection.mutable.Map
       .empty[(String, Long), Seq[(Long, Int)]]
     val truth = scala.collection.mutable.Map
@@ -2775,8 +2778,9 @@ class PipelineOpsSpec extends SparkSpec {
     assert(!p.contains("BroadcastNestedLoopJoin") &&
       !p.contains("CartesianProduct"),
       "rank eval must stay cross-free (bounded candidates, equi-joins)")
-    // three persisted relations: dl, the fingerprint postings, the
-    // scored BM25 relation (feedback + served)
+    // four persisted relations: the per-(doc, term) counts, the
+    // fingerprint postings, the merged scored relation, the served
+    // union
     // (collect sees each cache once per REFERENCE — count distinct
     // builders, not occurrences)
     val rels = cachedPlan.collect {
