@@ -75,6 +75,23 @@ import org.apache.spark.sql.SparkSession
   *     clock for nothing. The isolated series is exempt (always
   *     min-of-2).
   *
+  * r15 — the channel survives a SLOW BOX and an ABORT (the r14
+  * verdict's #1: the official channel had failed 3 rounds of 4, and
+  * the r14 driver run blew its budget at 128/238 measured, dropping
+  * three whole query families):
+  *
+  *  1. CANARY-SCALED SKIP2. The 0.7 s second-execution skip threshold
+  *     scales by measured box speed (canaryStart / 0.33) so a slower
+  *     box sheds the same ~47-query tail instead of paying MORE wall
+  *     clock exactly when the budget is tightest (see [[scaleSkip2]]).
+  *  2. INTERLEAVED CHUNKS. Chunk k takes every numChunks-th name from
+  *     the sorted list, so an aborted run samples every family
+  *     instead of losing whole alphabetical prefixes.
+  *  3. PROJECTED-OVERRUN DEGRADE. Observed mean chunk wall-clock
+  *     projects the chunked phase's landing point before every fork;
+  *     crossing budget − 60 s flips the remaining chunks to
+  *     single-execution — complete-with-cold-flags beats partial.
+  *
   * Modes (selected by env, all set by this process for its children):
   *  - parent (default): sorts query names, forks one child JVM per
   *    chunk (SPARK_GRAFT_CHUNK), merges per-query times, emits the
@@ -186,6 +203,29 @@ object Bench {
     * killed JVM still leaves everything it finished; `onSkip2` streams
     * the skip marker the same way. */
   private val Skip2Threshold = 0.7
+
+  /** r15 (r14 verdict #1a): the skip2 threshold SCALES WITH BOX SPEED.
+    * 0.7 s was sized on the builder box (committed r14 start canary
+    * 0.33 s); on the 1.34×-slower r14 driver box the same absolute
+    * threshold skipped only 11 queries instead of ~47 — the run paid
+    * ~100 s of extra second-executions precisely when its budget was
+    * tightest, and blew the 1500 s wall. The effective threshold is
+    * `Skip2Threshold × (canaryStart / ReferenceCanary)`: the canary is
+    * a pure-CPU workload, so the ratio is exactly how much longer this
+    * box needs to run the same sub-second tail. Clamped to [0.5, 5]×
+    * so a pathological canary reading (load spike during the 3-sample
+    * min) cannot collapse the regime to min-of-2-everything or skip
+    * the whole suite. The artifact records the EFFECTIVE threshold
+    * (`skip2_threshold`) beside the base and the reference canary, so
+    * the regime stays per-run explicit. Dev-only
+    * SPARK_GRAFT_CANARY_START overrides the measured start canary to
+    * smoke the scaling (the driver never sets it). */
+  private val ReferenceCanary = 0.33
+  @volatile private var skip2Used: Double = Skip2Threshold
+  private def scaleSkip2(canaryStart: Double): Double =
+    if (canaryStart.isNaN) Skip2Threshold
+    else Skip2Threshold *
+      math.min(5.0, math.max(0.5, canaryStart / ReferenceCanary))
   private def measure(spark: SparkSession, names: Seq[String],
                       fast: Boolean = false,
                       skipUnder: Double = Skip2Threshold,
@@ -493,7 +533,13 @@ object Bench {
       .mkString("{", ",", "}")
     val fastJson = fastNames.asScala.toSeq.sorted
       .map("\"" + _ + "\"").mkString("[", ",", "]")
-    val skip2Json = skip2Names.asScala.toSeq.sorted
+    // skip2 ∩ measured (r14 advice): a child killed between its
+    // `#skip2=name` marker and the price line would otherwise leave a
+    // name in BOTH skip2 and unmeasured — contradictory regime
+    // metadata — whenever the fast salvage doesn't run (shutdown or
+    // exhausted budget). The marker only means anything about a price
+    // that exists.
+    val skip2Json = skip2Names.asScala.toSeq.filter(times.contains).sorted
       .map("\"" + _ + "\"").mkString("[", ",", "]")
     // canary at 4 decimals: the artifact's normalizer for few-percent
     // price disputes must not itself be quantized by ~1.5% (review)
@@ -517,7 +563,7 @@ object Bench {
     val partialPart =
       if (complete) ""
       else s""","partial":true,"unmeasured":${missing.map("\"" + _ + "\"").mkString("[", ",", "]")}"""
-    s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"isolated":$isoJson,"isolated_load":$isoLoadJson,"load_chunked":$loadsJson,"prebuild":"$prebuildStatus","chunk_size":$chunkSizeUsed,"single_exec":$fastJson,"skip2":$skip2Json,"skip2_threshold":$Skip2Threshold,$canaryJson,"phase_secs":$phases,"elapsed":${fmt2(elapsed())},"budget":${fmt2(budget)},"sf":"$sfDir"$partialPart}"""
+    s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"isolated":$isoJson,"isolated_load":$isoLoadJson,"load_chunked":$loadsJson,"prebuild":"$prebuildStatus","chunk_size":$chunkSizeUsed,"chunk_order":"interleaved","single_exec":$fastJson,"skip2":$skip2Json,"skip2_threshold":${cOrNull(skip2Used)},"skip2_base":$Skip2Threshold,"canary_ref":$ReferenceCanary,$canaryJson,"phase_secs":$phases,"elapsed":${fmt2(elapsed())},"budget":${fmt2(budget)},"sf":"$sfDir"$partialPart}"""
   }
 
   /** Compact running-totals line — printed after every chunk (and by
@@ -580,23 +626,63 @@ object Bench {
     chunkSizeUsed = if (inProc) allNames.size else chunkSize
     prebuildStatus = timePhase("prebuild")(prebuildArtifacts())
     // canary START — after prebuild (whose cold IO is not what the
-    // canary controls for), before any measurement phase
-    if (!inProc) canaryStart = timePhase("canary_start")(canary())
+    // canary controls for), before any measurement phase.
+    // SPARK_GRAFT_CANARY_START is the dev-only smoke override for the
+    // skip2 scaling below; the driver never sets it, so official runs
+    // always measure.
+    if (!inProc) canaryStart =
+      sys.env.get("SPARK_GRAFT_CANARY_START").map(_.toDouble)
+        .getOrElse(timePhase("canary_start")(canary()))
+    skip2Used = scaleSkip2(canaryStart)
     chunkLoads.add(loadAvg())
     timePhase("chunks") {
     if (inProc) {
       val spark = newSession()
-      measure(spark, allNames,
+      measure(spark, allNames, skipUnder = skip2Used,
         onResult = (n, t) => partial.put(n, t),
         onSkip2 = n => skip2Names.add(n))
       spark.stop()
     } else {
-      allNames.grouped(chunkSize).foreach { grp =>
+      // r15 (r14 verdict #1b): INTERLEAVED chunk assignment — chunk k
+      // takes names k, k+numChunks, k+2·numChunks, … over the sorted
+      // list, so an aborted run samples every alphabetical family
+      // instead of losing whole prefixes (the r14 driver run aborted
+      // after 4 of 8 contiguous chunks and was blind to all 110
+      // sample_*/sim_*/text_* queries, including the round's flagship).
+      // Per-chunk composition is recorded implicitly: the artifact's
+      // chunk_order field plus the sorted name list reproduce every
+      // chunk exactly.
+      val numChunks = math.max(1, (allNames.size + chunkSize - 1) / chunkSize)
+      val chunks: Seq[Seq[String]] = (0 until numChunks).map(k =>
+        allNames.indices.collect { case i if i % numChunks == k => allNames(i) })
+      // r15 (r14 verdict #1c): PROJECTED-OVERRUN DEGRADE. The old
+      // trigger (fast once remaining < budget/3) only fires late; a
+      // slow box can blow the wall while still in min-of-2 mode (the
+      // r14 driver run: elapsed 1549.9/1500, partial 128/238). Before
+      // each chunk, project the chunked phase's landing point from the
+      // OBSERVED mean chunk wall-clock; if elapsed + projection
+      // crosses budget − reserve, this and all remaining chunks run
+      // single-execution (sticky — mixed regimes per chunk are
+      // recorded per-query in single_exec either way). The reserve
+      // (60 s) keeps the end canary + artifact emit alive; the
+      // isolated series self-sheds and needs no reservation. A
+      // complete run of cold-flagged prices beats partial:true.
+      val chunkWalls = scala.collection.mutable.ArrayBuffer.empty[Double]
+      var fastSticky = false
+      chunks.foreach { grp =>
         if (!shuttingDown && remaining() > 30.0) {
-          // past ~2/3 of the budget, children drop to single-execution
-          // — finishing every query beats polishing a few
-          val fast = remaining() < budget / 3.0
-          val m = forkChunk(grp, salvage = true, fast = fast)
+          val projected =
+            if (chunkWalls.isEmpty) 0.0
+            else chunkWalls.sum / chunkWalls.size *
+              (numChunks - chunkWalls.size)
+          if (!fastSticky &&
+              (remaining() < budget / 3.0 ||
+               (chunkWalls.nonEmpty && elapsed() + projected > budget - 60.0)))
+            fastSticky = true
+          val fast = fastSticky
+          val t0 = elapsed()
+          val m = forkChunk(grp, salvage = true, fast = fast,
+            skipUnder = skip2Used)
           m.foreach { case (n, t) =>
             partial.put(n, t)
             if (fast) fastNames.add(n)
@@ -612,6 +698,7 @@ object Bench {
                 skip2Names.remove(n) })
             finally spark.stop()
           }
+          chunkWalls += elapsed() - t0
           chunkLoads.add(loadAvg())
           emit(complete = false)
         }

@@ -2719,13 +2719,20 @@ class PipelineOpsSpec extends SparkSpec {
         if (sh.isEmpty) None else Some(id -> r6(sh.sum))
       }
       served(("rm3", qid)) = rank(s4)
-      // ql: matched sum + K - nq ln(dl+mu) over matched ∪ shortest
-      val kC = terms.map { case (t, _) => math.log(mu * ctf(t) / c) }.sum
+      // ql: matched sum + K - nq ln(dl+mu) over matched ∪ shortest.
+      // K addends (and per-doc kernel addends) sum in SORTED-TERM
+      // order — the engine's krel folds `ts.sorted` and the oracle's
+      // kSql concatenates sorted terms, so the recompute must follow
+      // the same addition sequence (r14 advice: summing rarest-first
+      // here could land ~1 ulp off a round-6 half-point on a future
+      // fixture and flake the exact-equality assertion)
+      val sortedTerms = terms.map(_._1).sorted
+      val kC = sortedTerms.map(t => math.log(mu * ctf(t) / c)).sum
       val short = docs.map(_._1)
         .sortBy(id => (dl(id), id)).take(k10 + 1)
       val cands = (matched.map(_._1) ++ short.filter(_ != qid)).distinct
       val sq = cands.map { id =>
-        val ms = terms.flatMap { case (t, _) =>
+        val ms = sortedTerms.flatMap { t =>
           dtf.get((id, t)).map(f =>
             math.log(f + mu * ctf(t) / c) - math.log(mu * ctf(t) / c)) }.sum
         id -> r6(ms + kC - terms.size * math.log(dl(id) + mu))

@@ -767,6 +767,64 @@ class PlanAuditSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("rank eval stratum: corpus explode confined to the sample, estimate tracks the full eval") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Generate, LogicalPlan}
+    import graft.operators.TextOps
+    def textGenerates(lp: LogicalPlan): Seq[Generate] =
+      lp.collect { case g: Generate if g.toString.contains("split(text") => g }
+    // the 100 TB bound must be CODE: the eval's ONE corpus explode
+    // (and with it postings, df, truth — everything downstream)
+    // carries the md5-bucket sample filter in its subtree, so no
+    // clause ever tokenizes or joins the full corpus
+    val strat = TextOps.qTextRankEvalStratum(spark, sf)
+    val gens = textGenerates(strat.queryExecution.analyzed)
+    assert(gens.nonEmpty, "expected the stratum eval's corpus explode")
+    gens.foreach(g => assert(
+      g.toString.contains(s"< ${TextOps.RankEvalStratumPct}"),
+      s"a corpus explode escaped the sample filter:\n$g"))
+    // the query PANEL rides exempt (doc_id < RankEvalQueries OR'd
+    // into the same filter): the audit samples the corpus being
+    // searched, never its query workload
+    gens.foreach(g => assert(
+      g.toString.contains(s"< cast(${TextOps.RankEvalQueries} as bigint)"),
+      s"the sample filter lost the query-panel exemption:\n$g"))
+    // negative control: the full eval must keep exploding the whole
+    // corpus, or this pin has rotted into a tautology
+    val full = TextOps.qTextRankEval(spark, sf)
+    assert(textGenerates(full.queryExecution.analyzed)
+      .exists(g => !g.toString.contains(s"< ${TextOps.RankEvalStratumPct}")),
+      "full eval no longer explodes the full corpus — update this pin")
+    spark.catalog.clearCache()
+    // estimator agreement at sf0.01 (the r14 verdict's asked-for
+    // scale; the sf0.001 sample is a quarter of ~600 docs and its
+    // truth relations get too thin for a stable pin): the panel is
+    // fixed, truth comes from a quarter-corpus, and the per-scorer
+    // means stay within the lshAuditStratum tolerance (0.25 on
+    // [0,1]-ratios ≙ 250_000 ppm; observed sf0.01 max |Δ| ≈ 142k
+    // mrr / 120k ndcg — sampling variance, no systematic bias)
+    val sf01 = "/root/testdata/sf0.01"
+    def metrics(df: org.apache.spark.sql.DataFrame): Map[String, (Long, Long, Long)] =
+      df.collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(3), r.getLong(4)))).toMap
+    val fm = metrics(TextOps.qTextRankEval(spark, sf01))
+    spark.catalog.clearCache()
+    val sm = metrics(TextOps.qTextRankEvalStratum(spark, sf01))
+    assert(fm.keySet === Set("bm25", "ql", "rm3", "rrf"))
+    assert(sm.keySet === fm.keySet)
+    for (s <- fm.keySet) {
+      val (fq, fmrr, fndcg) = fm(s)
+      val (sq, smrr, sndcg) = sm(s)
+      assert(fq === TextOps.RankEvalQueries.toLong &&
+        sq === TextOps.RankEvalQueries.toLong,
+        s"$s: query panel not fully scored (full $fq, stratum $sq)")
+      assert(math.abs(smrr - fmrr) <= 250000L,
+        s"$s: stratum mrr_ppm $smrr far from full $fmrr")
+      assert(math.abs(sndcg - fndcg) <= 250000L,
+        s"$s: stratum ndcg_ppm $sndcg far from full $fndcg")
+    }
+    spark.catalog.clearCache()
+  }
+
   test("stored text-edge cluster queries never re-shingle the corpus") {
     // The text mirror of the stored ANN graph pin: clusters and
     // representatives served from the materialized capped-Jaccard
