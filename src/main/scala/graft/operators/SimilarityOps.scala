@@ -1443,9 +1443,12 @@ object SimilarityOps {
     * floor arithmetic — r' = tele + ⌊85·⌊Σ ⌊r/deg⌋⌋/100⌋ — so three
     * unrolled iterations hash-match DuckDB bit-for-bit with no
     * float-summation order hazard. The floor-div here is double
-    * division + cast: quotients stay < 2⁵³, so the 0.5-ulp division
-    * error (≤ q·2⁻⁵³) is always smaller than the minimum fractional
-    * gap (1/deg) — the cast can never cross an integer boundary.
+    * division + cast: the division error is ≤ (r/deg)·2⁻⁵³, so
+    * error·deg ≤ S0·2⁻⁵³ ≈ 1.1×10⁻⁴ < 1 while the gap to the next
+    * integer boundary is 1/deg — the bound is UNIFORM in deg (r15
+    * audit: any degree, not just fixture degrees), so the cast can
+    * never cross an integer boundary as long as total mass stays
+    * below 2⁵³.
     * Sink leakage (vertices without out-edges drop their mass) is the
     * documented semantics; both engines implement the same recurrence.
     *
