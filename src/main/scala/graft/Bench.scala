@@ -486,6 +486,11 @@ object Bench {
   @volatile private var isoDone: Map[String, (Double, Double)] = Map.empty
   private val chunkLoads = new java.util.concurrent.CopyOnWriteArrayList[java.lang.Double]()
   @volatile private var chunkSizeUsed: Int = 0
+  // how names were assigned to chunks: "interleaved" for forked runs
+  // (stride over the sorted list), "sorted_inproc" for NOFORK dev runs
+  // that execute everything in one JVM in plain sorted order — the
+  // artifact's reproduction rule must describe the partition that RAN
+  @volatile private var chunkOrderUsed: String = "interleaved"
   // queries priced from ONE cold execution (budget-squeeze fast mode /
   // missing-query salvage) — recorded so a degraded run's incomparable
   // prices are identifiable per-query, not just per-run (r12 review)
@@ -563,7 +568,7 @@ object Bench {
     val partialPart =
       if (complete) ""
       else s""","partial":true,"unmeasured":${missing.map("\"" + _ + "\"").mkString("[", ",", "]")}"""
-    s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"isolated":$isoJson,"isolated_load":$isoLoadJson,"load_chunked":$loadsJson,"prebuild":"$prebuildStatus","chunk_size":$chunkSizeUsed,"chunk_order":"interleaved","single_exec":$fastJson,"skip2":$skip2Json,"skip2_threshold":${cOrNull(skip2Used)},"skip2_base":$Skip2Threshold,"canary_ref":$ReferenceCanary,$canaryJson,"phase_secs":$phases,"elapsed":${fmt2(elapsed())},"budget":${fmt2(budget)},"sf":"$sfDir"$partialPart}"""
+    s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"isolated":$isoJson,"isolated_load":$isoLoadJson,"load_chunked":$loadsJson,"prebuild":"$prebuildStatus","chunk_size":$chunkSizeUsed,"chunk_order":"$chunkOrderUsed","single_exec":$fastJson,"skip2":$skip2Json,"skip2_threshold":${cOrNull(skip2Used)},"skip2_base":$Skip2Threshold,"canary_ref":$ReferenceCanary,$canaryJson,"phase_secs":$phases,"elapsed":${fmt2(elapsed())},"budget":${fmt2(budget)},"sf":"$sfDir"$partialPart}"""
   }
 
   /** Compact running-totals line — printed after every chunk (and by
@@ -624,16 +629,19 @@ object Bench {
     // JVM ran everything — the honest pollution bound; r12 review).
     val chunkSize = sys.env.get("SPARK_GRAFT_CHUNKSIZE").map(_.toInt).getOrElse(32)
     chunkSizeUsed = if (inProc) allNames.size else chunkSize
+    if (inProc) chunkOrderUsed = "sorted_inproc"
     prebuildStatus = timePhase("prebuild")(prebuildArtifacts())
     // canary START — after prebuild (whose cold IO is not what the
     // canary controls for), before any measurement phase.
     // SPARK_GRAFT_CANARY_START is the dev-only smoke override for the
-    // skip2 scaling below; the driver never sets it, so official runs
-    // always measure.
-    if (!inProc) canaryStart =
+    // skip2 SCALING only — it never reaches the artifact's canary
+    // fields, which stay measured-or-null (r15 review: writing the
+    // override into canaryStart fabricated canary_secs/canary_ratio
+    // in smoke artifacts). The driver never sets it.
+    if (!inProc) canaryStart = timePhase("canary_start")(canary())
+    skip2Used = scaleSkip2(
       sys.env.get("SPARK_GRAFT_CANARY_START").map(_.toDouble)
-        .getOrElse(timePhase("canary_start")(canary()))
-    skip2Used = scaleSkip2(canaryStart)
+        .getOrElse(canaryStart))
     chunkLoads.add(loadAvg())
     timePhase("chunks") {
     if (inProc) {

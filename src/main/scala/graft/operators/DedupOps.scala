@@ -1078,10 +1078,14 @@ object DedupOps {
     * drift in any other clause. */
   val qDedupLshAuditStratumOracle: String = {
     val filtered = "FROM documents WHERE " +
-      "CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS INT) % 100" +
-      s" < $LshAuditStratumPct)"
-    require(qDedupLshAuditOracle.contains("FROM documents)"),
-      "exact-audit oracle no longer sources `documents` directly; fix the stratum substitution")
+      SamplingOps.bucket100Sql("doc_id") + s" < $LshAuditStratumPct)"
+    def cnt(needle: String) =
+      qDedupLshAuditOracle.sliding(needle.length).count(_ == needle)
+    // every documents source must be the substitutable shape — an
+    // aliased `FROM documents d` would silently shingle the full
+    // corpus (r15 review, the qTextRankEvalStratumOracle discipline)
+    require(cnt("FROM documents") == 1 && cnt("FROM documents)") == 1,
+      "exact-audit oracle's `documents` source changed shape or count; fix the stratum substitution")
     qDedupLshAuditOracle.replace("FROM documents)", filtered)
   }
 

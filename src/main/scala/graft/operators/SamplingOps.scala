@@ -144,6 +144,14 @@ object SamplingOps {
     conv(substring(md5(col(idCol).cast("string").cast("binary")), 1, 4), 16, 10)
       .cast("int") % 100
 
+  /** The DuckDB rendering of [[bucket100]] — one definition beside its
+    * Spark twin so a stratum oracle and the engine can only drift in
+    * one place (r15 review: the literal had been copy-pasted per
+    * oracle). Bit-for-bit equal to [[bucket100]]: both take the first
+    * 4 hex chars of md5(CAST(id AS string)) mod 100. */
+  private[graft] def bucket100Sql(idCol: String): String =
+    s"CAST('0x' || substr(md5(CAST($idCol AS VARCHAR)), 1, 4) AS INT) % 100"
+
   /** Train/valid/test assignment (80/10/10) + the 10% sample flag every
     * doc carries. Pure map-side column algebra — the assignment never
     * shuffles, and stratification needs no per-class pass because a

@@ -1240,7 +1240,8 @@ object TextOps {
     * serving path. */
   def qTextRankEval(spark: SparkSession, sfDir: String): DataFrame = {
     val (model, n, sumdl) = bm25Stored(spark, sfDir)
-    rankEvalOn(spark, Tables.documents(spark, sfDir), Some(model), n, sumdl)
+    rankEvalOn(spark, Tables.documents(spark, sfDir), Some(model),
+      Some((n, sumdl)))
   }
 
   /** Default stratum width for [[qTextRankEvalStratum]]: a quarter of
@@ -1288,21 +1289,13 @@ object TextOps {
     val docs = Tables.documents(spark, sfDir)
       .filter(col("doc_id") < RankEvalQueries ||
         SamplingOps.bucket100("doc_id") < pctDocs)
-    // within-stratum collection stats: the full query reads (n, Σdl)
-    // from the bm25_model artifact's meta; the stratum's model IS the
-    // stratum, so its meta is the same 1-row fold bm25Stored's build
-    // runs, over the filtered docs (bounded: two longs)
-    val s = docs.agg(count(lit(1)), sum(size(toks))).head
-    rankEvalOn(spark, docs, None, s.getLong(0), s.getLong(1))
+    rankEvalOn(spark, docs, None, None)
   }
 
   private def rankEvalOn(spark: SparkSession, docs: DataFrame,
-      modelOpt: Option[DataFrame], n: Long, sumdl: Long): DataFrame = {
+      modelOpt: Option[DataFrame], statsOpt: Option[(Long, Long)]): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     import spark.implicits._
-    def withN(d: DataFrame): DataFrame = d
-      .withColumn("n", lit(n.toDouble))
-      .withColumn("avgdl", lit(sumdl.toDouble / n))
     // THE one corpus explode: per-(doc, term) counts, aggregated
     // BEFORE any query join (a query join on raw occurrences would
     // fan every occurrence by the number of fingerprints sharing its
@@ -1323,6 +1316,22 @@ object TextOps {
     // truth relation lives inside the stratum
     val model = modelOpt.getOrElse(
       dtf.groupBy(col("tk")).agg(count(lit(1)).as("df")))
+    // collection stats (n, Σdl): the full query reads them from the
+    // bm25_model artifact's meta; the stratum derives them from the
+    // SAME cached explode — every doc yields ≥ 1 dtf row (split of
+    // empty text is [""], so size(toks) ≥ 1 on both engines) — in a
+    // 1-row fold that doubles as the dtf cache materializer instead
+    // of paying a second corpus scan+tokenize (r15 review: the
+    // previous docs.agg shape re-read the sampled corpus once more,
+    // contradicting the one-explode contract)
+    val (n, sumdl) = statsOpt.getOrElse {
+      val r = dtf.groupBy(col("doc_id")).agg(max(col("dl")).as("dl"))
+        .agg(count(lit(1)), sum(col("dl"))).head
+      (r.getLong(0), r.getLong(1))
+    }
+    def withN(d: DataFrame): DataFrame = d
+      .withColumn("n", lit(n.toDouble))
+      .withColumn("avgdl", lit(sumdl.toDouble / n))
     // Every model-sized relation below is a BOUNDED DRIVER FOLD (the
     // qBm25Rm3 expansion-fold precedent, ≤130 rows each): folded as
     // literal relations, the serving plan carries ZERO broadcast
@@ -1695,12 +1704,15 @@ object TextOps {
     * CTE (postings, df, fingerprints, truth). */
   lazy val qTextRankEvalStratumOracle: String = {
     val filtered = s"FROM documents WHERE doc_id < $RankEvalQueries OR " +
-      "CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS INT) % 100" +
-      s" < $RankEvalStratumPct)"
-    val hits = qTextRankEvalOracle.sliding("FROM documents)".length)
-      .count(_ == "FROM documents)")
-    require(hits == 2,
-      s"rank-eval oracle no longer sources `documents` directly twice (found $hits); fix the stratum substitution")
+      SamplingOps.bucket100Sql("doc_id") + s" < $RankEvalStratumPct)"
+    def cnt(needle: String) =
+      qTextRankEvalOracle.sliding(needle.length).count(_ == needle)
+    // EVERY documents source must be the substitutable `FROM documents)`
+    // shape — counting only that shape would let a future aliased
+    // source (`FROM documents d`) silently score against the full
+    // corpus (r15 review)
+    require(cnt("FROM documents") == 2 && cnt("FROM documents)") == 2,
+      "rank-eval oracle's `documents` sources changed shape or count; fix the stratum substitution")
     qTextRankEvalOracle.replace("FROM documents)", filtered)
   }
 
