@@ -92,6 +92,34 @@ import org.apache.spark.sql.SparkSession
   *     crossing budget − 60 s flips the remaining chunks to
   *     single-execution — complete-with-cold-flags beats partial.
   *
+  * r16 — the channel survives MID-RUN degradation (the r15 verdict's
+  * #1: the r15 driver run's start canary read FAST, 0.3198, so skip2
+  * scaled DOWN — then 1-min load spiked to 10.5 mid-run and the
+  * mean-chunk-wall projection lagged the spike; partial again at
+  * 180/239). The point-in-time start canary cannot defend against a
+  * load spike that arrives after it was read, so three in-band
+  * mechanisms take over mid-run:
+  *
+  *  1. PER-CHUNK SKIP2 RE-SCALING. Interleaved assignment makes every
+  *     chunk a sample of every family, so per-query chunk walls are
+  *     comparable ACROSS chunks by construction; the ratio of the last
+  *     chunk's per-query wall to the running median is a free in-band
+  *     speedometer (no mini-canary session cost). The next chunk's
+  *     skip2 threshold is the start-scaled value × that ratio (clamped
+  *     [1, 5] — only ever UP: a slowdown sheds second-executions, a
+  *     lucky fast chunk never tightens the regime below the canary
+  *     scaling). Per-chunk multipliers land in the artifact
+  *     (`skip2_scales`), so the regime stays per-run explicit.
+  *  2. SPIKE-ROBUST PROJECTION. The per-chunk estimate in the degrade
+  *     projection is `max(last chunk wall, mean chunk wall)` — one
+  *     slow chunk immediately flips the degrade instead of being
+  *     averaged away by the fast chunks before it.
+  *  3. END-OF-RUN SALVAGE. After the chunk loop, if unmeasured names
+  *     remain and ≥90 s of budget survive, ONE in-process fast pass
+  *     prices them (cold prices, `single_exec`-flagged, per-query
+  *     budget-gated) — a complete artifact of flagged cold prices
+  *     beats `partial:true` with `unmeasured` names.
+  *
   * Modes (selected by env, all set by this process for its children):
   *  - parent (default): sorts query names, forks one child JVM per
   *    chunk (SPARK_GRAFT_CHUNK), merges per-query times, emits the
@@ -485,6 +513,9 @@ object Bench {
   private val partial = new java.util.concurrent.ConcurrentHashMap[String, java.lang.Double]()
   @volatile private var isoDone: Map[String, (Double, Double)] = Map.empty
   private val chunkLoads = new java.util.concurrent.CopyOnWriteArrayList[java.lang.Double]()
+  // per-chunk skip2 multipliers from the in-band mid-run speedometer
+  // (r16): effective threshold for chunk k = skip2_threshold × scale[k]
+  private val skip2Scales = new java.util.concurrent.CopyOnWriteArrayList[java.lang.Double]()
   @volatile private var chunkSizeUsed: Int = 0
   // how names were assigned to chunks: "interleaved" for forked runs
   // (stride over the sorted list), "sorted_inproc" for NOFORK dev runs
@@ -532,6 +563,7 @@ object Bench {
     val isoLoadJson = isoDone.toSeq.sortBy(_._1)
       .map { case (k, (_, l)) => s"\"" + k + "\":" + l }.mkString("{", ",", "}")
     val loadsJson = chunkLoads.asScala.map(l => fmt2(l.doubleValue)).mkString("[", ",", "]")
+    val scalesJson = skip2Scales.asScala.map(l => fmt2(l.doubleValue)).mkString("[", ",", "]")
     val missing = allNames.filterNot(times.contains)
     val phases = phaseSecs.asScala.toSeq.sortBy(_._1)
       .map { case (k, v) => s"\"" + k + "\":" + fmt2(v.doubleValue) }
@@ -568,7 +600,7 @@ object Bench {
     val partialPart =
       if (complete) ""
       else s""","partial":true,"unmeasured":${missing.map("\"" + _ + "\"").mkString("[", ",", "]")}"""
-    s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"isolated":$isoJson,"isolated_load":$isoLoadJson,"load_chunked":$loadsJson,"prebuild":"$prebuildStatus","chunk_size":$chunkSizeUsed,"chunk_order":"$chunkOrderUsed","single_exec":$fastJson,"skip2":$skip2Json,"skip2_threshold":${cOrNull(skip2Used)},"skip2_base":$Skip2Threshold,"canary_ref":$ReferenceCanary,$canaryJson,"phase_secs":$phases,"elapsed":${fmt2(elapsed())},"budget":${fmt2(budget)},"sf":"$sfDir"$partialPart}"""
+    s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"isolated":$isoJson,"isolated_load":$isoLoadJson,"load_chunked":$loadsJson,"prebuild":"$prebuildStatus","chunk_size":$chunkSizeUsed,"chunk_order":"$chunkOrderUsed","single_exec":$fastJson,"skip2":$skip2Json,"skip2_threshold":${cOrNull(skip2Used)},"skip2_base":$Skip2Threshold,"skip2_scales":$scalesJson,"canary_ref":$ReferenceCanary,$canaryJson,"phase_secs":$phases,"elapsed":${fmt2(elapsed())},"budget":${fmt2(budget)},"sf":"$sfDir"$partialPart}"""
   }
 
   /** Compact running-totals line — printed after every chunk (and by
@@ -639,8 +671,11 @@ object Bench {
     // override into canaryStart fabricated canary_secs/canary_ratio
     // in smoke artifacts). The driver never sets it.
     if (!inProc) canaryStart = timePhase("canary_start")(canary())
+    // ADVICE r15: a malformed dev override must degrade to the measured
+    // canary, not abort the whole run before any measurement
     skip2Used = scaleSkip2(
-      sys.env.get("SPARK_GRAFT_CANARY_START").map(_.toDouble)
+      sys.env.get("SPARK_GRAFT_CANARY_START")
+        .flatMap(s => scala.util.Try(s.toDouble).toOption)
         .getOrElse(canaryStart))
     chunkLoads.add(loadAvg())
     timePhase("chunks") {
@@ -663,6 +698,11 @@ object Bench {
       val numChunks = math.max(1, (allNames.size + chunkSize - 1) / chunkSize)
       val chunks: Seq[Seq[String]] = (0 until numChunks).map(k =>
         allNames.indices.collect { case i if i % numChunks == k => allNames(i) })
+      // ADVICE r15: record the ACTUAL max per-chunk size, not the
+      // stride basis — under interleaved assignment ceil(n/numChunks)
+      // (e.g. 30) is what bounds a query's neighbor pollution, and the
+      // artifact's recorded bound must equal what ran
+      chunkSizeUsed = chunks.map(_.size).max
       // r15 (r14 verdict #1c): PROJECTED-OVERRUN DEGRADE. The old
       // trigger (fast once remaining < budget/3) only fires late; a
       // slow box can blow the wall while still in min-of-2 mode (the
@@ -676,42 +716,88 @@ object Bench {
       // isolated series self-sheds and needs no reservation. A
       // complete run of cold-flagged prices beats partial:true.
       val chunkWalls = scala.collection.mutable.ArrayBuffer.empty[Double]
+      // per-query chunk walls (wall / chunk size): the in-band mid-run
+      // speedometer — comparable across chunks because interleaving
+      // gives every chunk the same family mix (r15 verdict #1a)
+      val perQueryWalls = scala.collection.mutable.ArrayBuffer.empty[Double]
       var fastSticky = false
       chunks.foreach { grp =>
         if (!shuttingDown && remaining() > 30.0) {
+          // r16 (r15 verdict #1b): SPIKE-ROBUST projection — the
+          // per-chunk estimate is max(last wall, mean wall), so one
+          // slow chunk flips the degrade immediately instead of being
+          // diluted by the fast chunks before it (the r15 driver run:
+          // mean-based projection lagged a late load spike to 10.5)
           val projected =
             if (chunkWalls.isEmpty) 0.0
-            else chunkWalls.sum / chunkWalls.size *
+            else math.max(chunkWalls.last, chunkWalls.sum / chunkWalls.size) *
               (numChunks - chunkWalls.size)
           if (!fastSticky &&
               (remaining() < budget / 3.0 ||
                (chunkWalls.nonEmpty && elapsed() + projected > budget - 60.0)))
             fastSticky = true
           val fast = fastSticky
+          // r16 (r15 verdict #1a): PER-CHUNK SKIP2 RE-SCALING. If the
+          // last chunk's per-query wall ran above the running median,
+          // the box slowed AFTER the start canary was read — raise the
+          // skip threshold for this chunk by that observed ratio
+          // (clamped [1,5]: only ever up — shedding second-executions
+          // is safe; tightening the regime mid-run on a lucky fast
+          // chunk is not). Price semantics unchanged: a skipped query
+          // keeps its first-execution price, flagged in `skip2`.
+          val midRunScale =
+            if (perQueryWalls.size < 2) 1.0
+            else {
+              val med = perQueryWalls.sorted.apply((perQueryWalls.size - 1) / 2)
+              if (med <= 0) 1.0
+              else math.min(5.0, math.max(1.0, perQueryWalls.last / med))
+            }
+          skip2Scales.add(midRunScale)
           val t0 = elapsed()
           val m = forkChunk(grp, salvage = true, fast = fast,
-            skipUnder = skip2Used)
+            skipUnder = skip2Used * midRunScale)
           m.foreach { case (n, t) =>
             partial.put(n, t)
             if (fast) fastNames.add(n)
           }
-          val missing = grp.filterNot(m.contains)
-          if (missing.nonEmpty && !shuttingDown && remaining() > 60.0) {
-            val spark = newSession()
-            try measure(spark, missing, fast = true,
-              // a child killed between its #skip2 marker and the price
-              // line leaves a stale skip2 label — the fast salvage
-              // price supersedes it (review: one price, one regime)
-              onResult = (n, t) => { partial.put(n, t); fastNames.add(n)
-                skip2Names.remove(n) })
-            finally spark.stop()
-          }
+          // a dead child's missing names are salvaged ONCE after the
+          // chunk loop (r16) — one session amortized over every
+          // chunk's losses, with per-query budget gates the old
+          // immediate per-chunk pass lacked
           chunkWalls += elapsed() - t0
+          perQueryWalls += (elapsed() - t0) / math.max(1, grp.size)
           chunkLoads.add(loadAvg())
           emit(complete = false)
         }
       }
     }
+    }
+    // r16 (r15 verdict #1c): END-OF-RUN SALVAGE — the single salvage
+    // path (it REPLACES the r11-era immediate per-chunk in-proc pass:
+    // one session amortized over every chunk's losses instead of one
+    // per dead child, and per-query budget gates the old pass lacked —
+    // an unguarded 30-name in-proc pass could itself blow the wall).
+    // A run that lost queries to dead children or skipped chunks used
+    // to emit `partial:true` with their names in `unmeasured`; a cold
+    // in-process price with a `single_exec` flag carries strictly more
+    // information. Gates: fire at >60 s remaining (the old per-chunk
+    // trigger, so no previously-salvageable shape is dropped);
+    // per-query at >45 s so the end canary + final emit stay alive.
+    // A salvage price supersedes a stale `#skip2` marker from a child
+    // killed between the marker and its price line (one price, one
+    // regime).
+    val unmeasuredNow = allNames.filterNot(partial.containsKey)
+    if (unmeasuredNow.nonEmpty && !shuttingDown && remaining() > 60.0) {
+      timePhase("salvage") {
+        val spark = newSession()
+        try unmeasuredNow.foreach { n =>
+          if (!shuttingDown && remaining() > 45.0) {
+            val t = run1(spark, n, SparkEntry.queries(n))
+            partial.put(n, t); fastNames.add(n); skip2Names.remove(n)
+          }
+        } finally spark.stop()
+      }
+      emit(complete = false)
     }
     // isolated control series for the top-N chunked prices (skipped in
     // dev/in-process mode; SPARK_GRAFT_ISOLATED overrides the count,

@@ -20,7 +20,7 @@ import org.apache.spark.sql.types.DoubleType
 object TextOps {
 
   /** Whitespace tokens of the `text` column. */
-  private val toks: Column = split(col("text"), " ")
+  private[graft] val toks: Column = split(col("text"), " ")
 
   private val stopwords = Seq("the", "a", "of", "and", "to")
 
@@ -1241,7 +1241,7 @@ object TextOps {
   def qTextRankEval(spark: SparkSession, sfDir: String): DataFrame = {
     val (model, n, sumdl) = bm25Stored(spark, sfDir)
     rankEvalOn(spark, Tables.documents(spark, sfDir), Some(model),
-      Some((n, sumdl)))
+      Some((n, sumdl)), fullPanel = true)
   }
 
   /** Default stratum width for [[qTextRankEvalStratum]]: a quarter of
@@ -1289,11 +1289,12 @@ object TextOps {
     val docs = Tables.documents(spark, sfDir)
       .filter(col("doc_id") < RankEvalQueries ||
         SamplingOps.bucket100("doc_id") < pctDocs)
-    rankEvalOn(spark, docs, None, None)
+    rankEvalOn(spark, docs, None, None, fullPanel = false)
   }
 
   private def rankEvalOn(spark: SparkSession, docs: DataFrame,
-      modelOpt: Option[DataFrame], statsOpt: Option[(Long, Long)]): DataFrame = {
+      modelOpt: Option[DataFrame], statsOpt: Option[(Long, Long)],
+      fullPanel: Boolean): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     import spark.implicits._
     // THE one corpus explode: per-(doc, term) counts, aggregated
@@ -1384,6 +1385,17 @@ object TextOps {
     // observed, not by the population constant)
     val qIds = qTerms.keys.toSeq.sorted
     val nQEff = qIds.size
+    // ADVICE r15: nQEff is the metric DENOMINATOR — a corpus where no
+    // query doc yields a df>=2 fingerprint term would divide by zero
+    // (null metrics, NPE downstream), and in the FULL eval any
+    // nQEff < RankEvalQueries silently redefines the spec-pinned means
+    // on both engines at once (the hash gate cannot see it). Fail loud
+    // instead.
+    require(nQEff >= 1,
+      "rank eval: no query doc yielded a df>=2 fingerprint term")
+    if (fullPanel) require(nQEff == RankEvalQueries,
+      s"full rank eval: surviving-query count $nQEff != $RankEvalQueries " +
+        "— the spec-pinned metric definition would silently drift")
     val ctf: Map[(Long, String), Long] =
       qstats.map { case (q, tk, _, c) => (q, tk) -> c }.toMap
     val ctfLit = broadcast(ctf.toSeq.sortBy(_._1)

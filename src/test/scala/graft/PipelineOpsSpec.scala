@@ -2914,4 +2914,32 @@ class PipelineOpsSpec extends SparkSpec {
     assert(bnlj <= 3, s"expected at most quantizer x2 + truth BNLJ, got $bnlj")
     spark.catalog.clearCache()
   }
+
+  test("tokenizer invariant: an empty-text doc yields exactly one dtf row") {
+    // The stratum rank eval's (n, Σdl) stats fold (TextOps rankEvalOn)
+    // counts docs as groupBy(doc_id) over the one cached explode — it
+    // is correct ONLY because Spark's split("", " ") returns [""], so
+    // every doc, even an empty one, contributes >= 1 (doc, term) row.
+    // DuckDB's string_split shares the convention, so the oracle hash
+    // covers it only indirectly; a Spark upgrade changing split("")
+    // to [] would silently undercount n. Pin it explicitly with the
+    // PRODUCTION tokenizer expression (r15 verdict #4).
+    import spark.implicits._
+    val dtf = Seq((0L, ""), (1L, "a b a"))
+      .toDF("doc_id", "text")
+      .select(col("doc_id"), size(TextOps.toks).cast("long").as("dl"),
+        explode(TextOps.toks).as("tk"))
+      .groupBy(col("doc_id"), col("tk"))
+      .agg(count(lit(1)).as("tf"), max(col("dl")).as("dl"))
+    val empty = dtf.filter(col("doc_id") === 0L).collect()
+    assert(empty.length === 1, s"empty text must yield exactly one dtf row, got ${empty.length}")
+    assert(empty.head.getAs[String]("tk") === "")
+    assert(empty.head.getAs[Long]("tf") === 1L)
+    assert(empty.head.getAs[Long]("dl") === 1L)
+    // the stats fold built on the invariant: n counts BOTH docs
+    val r = dtf.groupBy(col("doc_id")).agg(max(col("dl")).as("dl"))
+      .agg(count(lit(1)), sum(col("dl"))).head
+    assert(r.getLong(0) === 2L, "n must count the empty doc")
+    assert(r.getLong(1) === 4L) // dl: 1 (empty) + 3
+  }
 }

@@ -779,9 +779,12 @@ class PlanAuditSpec extends SparkSpec {
     val strat = TextOps.qTextRankEvalStratum(spark, sf)
     val gens = textGenerates(strat.queryExecution.analyzed)
     assert(gens.nonEmpty, "expected the stratum eval's corpus explode")
+    // ADVICE r15: pin the bucket expression TOGETHER with the
+    // comparison — a bare "< 25" could false-positive against an
+    // unrelated literal if the plan ever gains one
     gens.foreach(g => assert(
-      g.toString.contains(s"< ${TextOps.RankEvalStratumPct}"),
-      s"a corpus explode escaped the sample filter:\n$g"))
+      g.toString.contains(s"% 100) < ${TextOps.RankEvalStratumPct}"),
+      s"a corpus explode escaped the md5-bucket sample filter:\n$g"))
     // the query PANEL rides exempt (doc_id < RankEvalQueries OR'd
     // into the same filter): the audit samples the corpus being
     // searched, never its query workload
@@ -792,7 +795,7 @@ class PlanAuditSpec extends SparkSpec {
     // corpus, or this pin has rotted into a tautology
     val full = TextOps.qTextRankEval(spark, sf)
     assert(textGenerates(full.queryExecution.analyzed)
-      .exists(g => !g.toString.contains(s"< ${TextOps.RankEvalStratumPct}")),
+      .exists(g => !g.toString.contains(s"% 100) < ${TextOps.RankEvalStratumPct}")),
       "full eval no longer explodes the full corpus — update this pin")
     spark.catalog.clearCache()
     // estimator agreement at sf0.01 (the r14 verdict's asked-for
