@@ -1850,17 +1850,22 @@ object SimilarityOps {
 
   /** ADC search body over an already-encoded (n_id, cid, codes)
     * relation — shared verbatim by the self-contained query (which
-    * encodes inline) and the stored-index variant below. The QUERY
-    * side always re-derives its cell + lookup table from its own 10
-    * vectors (pushed-filter scans) — that is the serving contract:
-    * arrivals compute their own features, the corpus never does. */
+    * encodes inline), the stored-index variant, and the multiprobe
+    * twin below. The QUERY side always re-derives its cell(s) + lookup
+    * table from its own 10 vectors (pushed-filter scans) — that is the
+    * serving contract: arrivals compute their own features, the corpus
+    * never does. `qprobe` widens the QUERY side to its top-qprobe
+    * cells (the corpus residence stays nprobe=1 — a vector lives in
+    * ONE cell; multiprobe is a query-fanout knob, never a storage
+    * blow-up): candidates stay distinct because the probed cells are
+    * distinct and each candidate resides in exactly one. */
   private def ivfPqTopkOn(spark: SparkSession, sfDir: String,
-      cand: DataFrame): DataFrame = {
+      cand: DataFrame, qprobe: Int = 1): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val cb = typedlit(pqCodebook(spark, sfDir))
     val e = DedupOps.normedVectors(Tables.embeddings(spark, sfDir))
     val q = broadcast(
-      cellAssignments(e.filter(col("vec_id") < NumQueries), centroids(e), nprobe = 1)
+      cellAssignments(e.filter(col("vec_id") < NumQueries), centroids(e), nprobe = qprobe)
         .withColumn("qv", pqQuant(col("v")))
         .withColumn("lut", pqDists(cb))
         .select(col("vec_id").as("q_id"), col("cid"), col("lut")))
@@ -1886,6 +1891,77 @@ object SimilarityOps {
     * materialized. */
   def qSimIvfPqTopkStored(spark: SparkSession, sfDir: String): DataFrame =
     ivfPqTopkOn(spark, sfDir, spark.read.parquet(pqIndexDir(spark, sfDir)))
+
+  /** IVFPQ MULTIPROBE (r16): queries probe their top-2 coarse cells —
+    * the FAISS nprobe knob, the standard recall/latency trade at fixed
+    * index size. Served from the STORED code artifact (the production
+    * shape: multiprobe is a query-time decision; the index does not
+    * change). Only the broadcast QUERY side fans out (10 × 2 rows);
+    * the corpus-code scan is identical to nprobe=1 — at 100 TB the
+    * probe reads nprobe/K of the code table via the same (cid)
+    * equi-join, and the per-candidate cost stays M integer lookups. */
+  private[graft] val IvfPqProbes = 2
+  def qSimIvfPqMultiprobe(spark: SparkSession, sfDir: String): DataFrame =
+    ivfPqTopkOn(spark, sfDir, spark.read.parquet(pqIndexDir(spark, sfDir)),
+      qprobe = IvfPqProbes)
+
+  /** IVFPQ + EXACT RE-RANK (r16): the two-stage serving ladder FAISS
+    * calls IVFADC,R — the ADC pass shortlists [[RerankShortlist]]
+    * candidates per query from the stored code artifact (8 bytes/
+    * vector scanned), then ONLY the shortlist rows fetch their float
+    * vectors for an exact-cosine re-rank. The shortlist is a BOUNDED
+    * DRIVER FOLD (≤ NumQueries × RerankShortlist = 100 rows by
+    * construction — the pcaBasis/pqCodebook discipline: model-sized
+    * state rides in the plan) whose ids are pushed into the float
+    * scan as an In filter, so at 100 TB the refine stage reads the
+    * row groups holding ~100 vectors, NOT a streamed pass over the
+    * float corpus — the whole point of serving from codes is that
+    * the float table is cold storage touched only by id. Final ranks
+    * are by exact cosine (ADC distance retained as evidence); ties
+    * break on n_id as everywhere in the ANN family. */
+  private[graft] val RerankShortlist = 10
+  def qSimIvfPqRerank(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cb = typedlit(pqCodebook(spark, sfDir))
+    val e = DedupOps.normedVectors(Tables.embeddings(spark, sfDir))
+    val cand = spark.read.parquet(pqIndexDir(spark, sfDir))
+    val q = broadcast(
+      cellAssignments(e.filter(col("vec_id") < NumQueries), centroids(e), nprobe = 1)
+        .withColumn("qv", pqQuant(col("v")))
+        .withColumn("lut", pqDists(cb))
+        .select(col("vec_id").as("q_id"), col("cid"), col("lut"),
+          col("v").as("qvf"), col("nrm").as("qn")))
+    val wAdc = Window.partitionBy(col("q_id"))
+      .orderBy(col("adc_dist"), col("n_id"))
+    // stage 1: ADC shortlist — identical candidate generation to
+    // qSimIvfPqTopkStored, kept to top-RerankShortlist per query
+    val shortDf = cand.join(q, Seq("cid"))
+      .filter(col("q_id") =!= col("n_id"))
+      .withColumn("adc_dist", adcDist(col("lut"), col("codes")))
+      .withColumn("arank", row_number().over(wAdc))
+      .filter(col("arank") <= RerankShortlist)
+      .select(col("q_id"), col("n_id"), col("adc_dist"),
+        col("qvf"), col("qn"))
+    val shortlist = shortDf.collect()
+    val ids = shortlist.map(_.getAs[Long]("n_id")).distinct.sorted.toSeq
+    val shortRel = broadcast(spark.createDataFrame(
+      java.util.Arrays.asList(shortlist: _*), shortDf.schema))
+    // stage 2: exact cosine over the shortlist only — the float scan
+    // carries the id pushdown (plan-pinned), the 100-row shortlist is
+    // the broadcast side
+    val wCos = Window.partitionBy(col("q_id"))
+      .orderBy(col("cosine").desc, col("n_id"))
+    e.filter(col("vec_id").isin(ids: _*))
+      .select(col("vec_id").as("n_id"), col("v").as("nv"), col("nrm").as("nn"))
+      .join(shortRel, Seq("n_id"))
+      .withColumn("cosine",
+        DedupOps.dot(col("qvf"), col("nv")) / (col("qn") * col("nn")))
+      .withColumn("rank", row_number().over(wCos))
+      .filter(col("rank") <= 3)
+      .select(col("q_id"), col("rank"), col("n_id"), col("adc_dist"),
+        round(col("cosine"), 6).as("cosine_r"))
+      .orderBy("q_id", "rank")
+  }
 
   /** The stored (n_id, cid, codes) artifact the ADC search scans —
     * extracted so the STREAMING serving twin
@@ -1924,10 +2000,12 @@ object SimilarityOps {
       .map(r => (r.getLong(0), r.getSeq[Double](1), r.getDouble(2)))
       .sortBy(_._1).toSeq
 
-  /** IVF assignment (shared with qSimIvfOracle) + the encode CTEs +
-    * the ADC sum: candidate codes join the QUERY's distance table on
-    * (m, code) — the lookup-table semantics verbatim. */
-  val qSimIvfPqTopkOracle: String =
+  /** IVF assignment (shared with qSimIvfOracle) + the encode CTEs,
+    * through the per-vector best codes — ONE definition feeding the
+    * three ADC-search oracles below (the bucket100Sql discipline:
+    * a shared SQL fragment lives in one place so the engine and its
+    * oracles can only drift together). */
+  private def ivfPqOraclePrefix: String =
     s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
        |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm,
        |  list_transform(v, x -> CAST(floor(x * 1000000) AS BIGINT)) AS qv FROM e),
@@ -1956,8 +2034,14 @@ object SimilarityOps {
        |  SELECT vec_id, m, j, d,
        |    row_number() OVER (PARTITION BY vec_id, m ORDER BY d, j) AS rn
        |  FROM dist),
-       |best AS (SELECT vec_id, m, j FROM code WHERE rn = 1),
-       |adc AS (
+       |best AS (SELECT vec_id, m, j FROM code WHERE rn = 1)""".stripMargin
+
+  /** The nprobe=1 ADC aggregation + ranking — shared by the top-k
+    * oracle (rank ≤ 3 output) and the re-rank oracle (shortlist
+    * input). Candidate codes join the QUERY's distance table on
+    * (m, code) — the lookup-table semantics verbatim. */
+  private def ivfPqAdcRank: String =
+    s"""adc AS (
        |  SELECT q.vec_id AS q_id, c.vec_id AS n_id, CAST(SUM(d.d) AS BIGINT) AS adc_dist
        |  FROM a q JOIN a c ON c.cid = q.cid AND c.vec_id != q.vec_id
        |    AND q.vec_id < $NumQueries
@@ -1967,9 +2051,57 @@ object SimilarityOps {
        |rk AS (
        |  SELECT q_id, n_id, adc_dist,
        |    row_number() OVER (PARTITION BY q_id ORDER BY adc_dist, n_id) AS rank
+       |  FROM adc)""".stripMargin
+
+  val qSimIvfPqTopkOracle: String =
+    s"""$ivfPqOraclePrefix,
+       |$ivfPqAdcRank
+       |SELECT q_id, rank, n_id, adc_dist
+       |FROM rk WHERE rank <= 3
+       |ORDER BY q_id, rank""".stripMargin
+
+  /** Multiprobe: the QUERY side takes its top-[[IvfPqProbes]] cells
+    * (rn <= probes over the same assignment window); corpus residence
+    * stays rn = 1. Probed cells are distinct and each candidate lives
+    * in exactly one, so the pair relation needs no dedup. */
+  val qSimIvfPqMultiprobeOracle: String =
+    s"""$ivfPqOraclePrefix,
+       |qa AS (SELECT vec_id, cid FROM asg
+       |  WHERE rn <= $IvfPqProbes AND vec_id < $NumQueries),
+       |adc AS (
+       |  SELECT q.vec_id AS q_id, c.vec_id AS n_id, CAST(SUM(d.d) AS BIGINT) AS adc_dist
+       |  FROM qa q JOIN a c ON c.cid = q.cid AND c.vec_id != q.vec_id
+       |  JOIN best bc ON bc.vec_id = c.vec_id
+       |  JOIN dist d ON d.vec_id = q.vec_id AND d.m = bc.m AND d.j = bc.j
+       |  GROUP BY 1, 2),
+       |rk AS (
+       |  SELECT q_id, n_id, adc_dist,
+       |    row_number() OVER (PARTITION BY q_id ORDER BY adc_dist, n_id) AS rank
        |  FROM adc)
        |SELECT q_id, rank, n_id, adc_dist
        |FROM rk WHERE rank <= 3
+       |ORDER BY q_id, rank""".stripMargin
+
+  /** Re-rank: the ADC shortlist (rank ≤ [[RerankShortlist]]) fetches
+    * raw doubles and re-ranks by exact cosine (same sequential
+    * list_dot_product / norm product as every cosine oracle), n_id
+    * tie-break; ADC distance retained as evidence. */
+  val qSimIvfPqRerankOracle: String =
+    s"""$ivfPqOraclePrefix,
+       |$ivfPqAdcRank,
+       |short AS (SELECT q_id, n_id, adc_dist FROM rk WHERE rank <= $RerankShortlist),
+       |cos AS (
+       |  SELECT s.q_id, s.n_id, s.adc_dist,
+       |    list_dot_product(qn.v, nn.v) / (qn.nrm * nn.nrm) AS cosine
+       |  FROM short s
+       |  JOIN n qn ON qn.vec_id = s.q_id
+       |  JOIN n nn ON nn.vec_id = s.n_id),
+       |rk2 AS (
+       |  SELECT q_id, n_id, adc_dist, round(cosine, 6) AS cosine_r,
+       |    row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, n_id) AS rank
+       |  FROM cos)
+       |SELECT q_id, rank, n_id, adc_dist, cosine_r
+       |FROM rk2 WHERE rank <= 3
        |ORDER BY q_id, rank""".stripMargin
 
   // ---- Label-aware curation: noise detection + hard-negative mining ----
@@ -2739,6 +2871,8 @@ object SimilarityOps {
     "sim_pq_encode" -> (qSimPqEncode _),
     "sim_ivfpq_topk" -> (qSimIvfPqTopk _),
     "sim_ivfpq_stored" -> (qSimIvfPqTopkStored _),
+    "sim_ivfpq_multiprobe" -> (qSimIvfPqMultiprobe _),
+    "sim_ivfpq_rerank" -> (qSimIvfPqRerank _),
     "sim_pagerank_stored" -> (qSimPagerankStored _),
     "sim_triangles_stored" -> (qSimTrianglesStored _),
     "sim_knn_graph_stored" -> (qSimKnnGraphStored _),
@@ -2778,6 +2912,8 @@ object SimilarityOps {
     // the stored variant shares the self-contained oracle VERBATIM:
     // the artifact is the same encoder materialized
     "sim_ivfpq_stored" -> qSimIvfPqTopkOracle,
+    "sim_ivfpq_multiprobe" -> qSimIvfPqMultiprobeOracle,
+    "sim_ivfpq_rerank" -> qSimIvfPqRerankOracle,
     // the stored variants share the self-contained oracles VERBATIM:
     // the artifact is the same miner materialized, so the DuckDB
     // re-derivation grades both paths against one edge set

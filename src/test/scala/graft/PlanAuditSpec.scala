@@ -304,6 +304,39 @@ class PlanAuditSpec extends SparkSpec {
     assert(df.collect().toSeq === live, "stored path must equal the live query")
   }
 
+  test("ivfpq multiprobe serves the stored code artifact; only the query side fans out") {
+    val df = SimilarityOps.qSimIvfPqMultiprobe(spark, sf)
+    val p = planString(df)
+    assert(p.contains("graft_artifacts") && p.contains("pq_index"),
+      s"multiprobe must scan the materialized code artifact:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"query probe must be a broadcast hash join on cid:\n$p")
+    // the corpus-side code scan is identical to nprobe=1 — no explode,
+    // no second artifact scan (query fanout rides the broadcast side)
+    val codeScans = df.queryExecution.sparkPlan.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec
+        if s.relation.location.inputFiles.exists(_.contains("pq_index")) => s }
+    assert(codeScans.size === 1,
+      s"expected exactly one code-artifact scan, got ${codeScans.size}")
+  }
+
+  test("ivfpq rerank: the float re-rank reads ONLY the shortlist ids (pushed In filter)") {
+    // the returned (stage-2) plan must touch corpus floats solely
+    // through an id-pushdown scan — the IVFADC,R contract: the float
+    // table is cold storage fetched by id, never streamed
+    val df = SimilarityOps.qSimIvfPqRerank(spark, sf)
+    val embScans = df.queryExecution.sparkPlan.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec
+        if s.relation.location.inputFiles.exists(_.contains("embeddings")) => s }
+    assert(embScans.nonEmpty, "expected the shortlist float fetch scan")
+    embScans.foreach(s =>
+      assert(s.toString.contains("In(vec_id"),
+        s"the float fetch lost its shortlist id pushdown: $s"))
+    // and stage 2 never re-scans the code artifact or re-runs the ADC
+    assert(!planString(df).contains("pq_index"),
+      "stage 2 must consume the collected shortlist, not re-derive it")
+  }
+
   test("decontamination is a shingle equi-join, not a cross join") {
     val p = planString(graft.operators.SamplingOps.qDecontaminate(spark, sf))
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"))
@@ -626,6 +659,11 @@ class PlanAuditSpec extends SparkSpec {
       // on the cell key), and the PCA pair crossJoin the 1-row
       // moments/eigen anchor — the documented 1-row-broadcast category.
       "sim_ivfpq_stored", "sim_pca_whiten", "sim_pca_outliers",
+      // r16: the multiprobe twin is the same stored-code serving path
+      // with the query side widened to 2 cells — the only nested loop
+      // is the identical K-row quantizer cross. (The re-rank twin is
+      // NOT here: its returned plan is the stage-2 equi-join only.)
+      "sim_ivfpq_multiprobe",
       "sample_mixture", "pipeline_corpus",
       "pipeline_corpus_stored", "sample_token_budget",
       "text_tfidf", "text_lm_score", "q_rolling_active_users",

@@ -162,4 +162,86 @@ class PqSpec extends SparkSpec {
       assert(rows.length <= 3)
     }
   }
+
+  // ---- raw-double side (coarse assignment + exact cosine) for the
+  // multiprobe and re-rank twins: sequential left-to-right folds, the
+  // same accumulation order as the codegen'd DotProduct kernel ----
+
+  private lazy val raw: Map[Long, Array[Double]] =
+    spark.read.parquet(s"$sf/embeddings.parquet")
+      .select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("v"))
+      .collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+
+  private def dotD(a: Array[Double], b: Array[Double]): Double = {
+    var s = 0.0; var i = 0
+    while (i < a.length) { s += a(i) * b(i); i += 1 }
+    s
+  }
+  private lazy val norm: Map[Long, Double] =
+    raw.map { case (i, v) => i -> math.sqrt(dotD(v, v)) }
+  private def cosine(a: Long, b: Long): Double =
+    dotD(raw(a), raw(b)) / (norm(a) * norm(b))
+
+  /** Top-`nprobe` coarse cells: cosine DESC, cid tie-break. */
+  private def cellsOf(id: Long, nprobe: Int): Seq[Long] =
+    (0L until 8L).sortBy(c => (-cosine(id, c), c)).take(nprobe)
+
+  /** ADC distance: M lookups of the query's table at the candidate's
+    * codes. */
+  private def adcOf(qid: Long, nid: Long): Long = {
+    val codes = encode(vecs(nid))._1
+    var d = 0L
+    for (m <- 0 until M) d += subDist(vecs(qid), m, cb(m)(codes(m)))
+    d
+  }
+
+  test("ivfpq multiprobe equals the driver recompute; rank-r ADC never worse than single-probe") {
+    val got = SimilarityOps.qSimIvfPqMultiprobe(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+    val want = (0L until 10L).flatMap { q =>
+      val probed = cellsOf(q, 2).toSet
+      val cands = raw.keys.toSeq
+        .filter(n => n != q && probed.contains(cellsOf(n, 1).head))
+        .map(n => (adcOf(q, n), n)).sorted.take(3)
+      cands.zipWithIndex.map { case ((d, n), i) => (q, i + 1, n, d) }
+    }
+    assert(got.sorted.toSeq === want.sorted, "multiprobe ADC top-k mismatch")
+    // widening the probe set can only improve (never worsen) the
+    // rank-r ADC distance vs the single-probe search
+    val single = SimilarityOps.qSimIvfPqTopkStored(spark, sf).collect()
+      .map(r => ((r.getLong(0), r.getInt(1)), r.getLong(3))).toMap
+    got.foreach { case (q, rank, _, d) =>
+      single.get((q, rank)).foreach(sd =>
+        assert(d <= sd, s"multiprobe rank-$rank worse than single-probe for q=$q"))
+    }
+  }
+
+  test("ivfpq rerank equals the driver recompute: exact cosine over the ADC shortlist") {
+    val got = SimilarityOps.qSimIvfPqRerank(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4)))
+    val want = (0L until 10L).flatMap { q =>
+      val cell = cellsOf(q, 1).head
+      val shortlist = raw.keys.toSeq
+        .filter(n => n != q && cellsOf(n, 1).head == cell)
+        .map(n => (adcOf(q, n), n)).sorted
+        .take(SimilarityOps.RerankShortlist)
+      shortlist.map { case (d, n) => (n, d, cosine(q, n)) }
+        .sortBy { case (n, _, c) => (-c, n) }.take(3)
+        .zipWithIndex.map { case ((n, d, c), i) =>
+          (q, i + 1, n, d,
+            BigDecimal(c).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+        }
+    }
+    assert(got.sorted.toSeq === want.sorted, "rerank mismatch")
+    // re-rank law: the final top-3 is a subset of the ADC shortlist,
+    // ordered by exact cosine — so each query's rank-1 cosine is the
+    // max over its shortlist
+    got.groupBy(_._1).foreach { case (q, rows) =>
+      assert(rows.length <= 3)
+      assert(rows.map(_._2).sorted.toSeq === (1 to rows.length))
+    }
+  }
 }
