@@ -115,10 +115,17 @@ import org.apache.spark.sql.SparkSession
   *     slow chunk immediately flips the degrade instead of being
   *     averaged away by the fast chunks before it.
   *  3. END-OF-RUN SALVAGE. After the chunk loop, if unmeasured names
-  *     remain and ≥90 s of budget survive, ONE in-process fast pass
+  *     remain and ≥60 s of budget survive, ONE in-process fast pass
   *     prices them (cold prices, `single_exec`-flagged, per-query
   *     budget-gated) — a complete artifact of flagged cold prices
-  *     beats `partial:true` with `unmeasured` names.
+  *     beats `partial:true` with `unmeasured` names. This is the
+  *     SINGLE salvage path (it replaced the per-chunk in-proc pass,
+  *     whose guards made the end-of-run shape unreachable and which
+  *     itself lacked a per-query budget gate).
+  *  4. QUERY-SHAPED CANARY (`canary_q_secs`). A second box-speed
+  *     instrument beside the pure-CPU canary — see [[canaryQueryOnce]]
+  *     — because a steal-heavy host slows the two differently and a
+  *     single instrument over-corrects normalization (NOTES_r16 §7).
   *
   * Modes (selected by env, all set by this process for its children):
   *  - parent (default): sorts query names, forks one child JVM per
@@ -179,9 +186,36 @@ object Bench {
       .head()
     (System.nanoTime() - t0) / 1e9
   }
-  private def canary(): Double = {
+  /** QUERY-SHAPED canary (r16): a fixed scan→shuffle→aggregate
+    * mini-query over the bench dataset's lineitem table, priced beside
+    * the pure-CPU canary at both ends of the run. Motivation: on this
+    * round's steal-heavy host the CPU canary read 4.3× the reference
+    * while the real suite priced ~1.4× the previous round — pure-CPU
+    * work absorbs hypervisor steal bursts differently from the
+    * IO/shuffle-mixed queries, so ONE instrument over-corrects
+    * (NOTES_r16 §7). The two canaries BRACKET the box factor: CPU =
+    * compute ceiling, query-shaped = the end-to-end floor. Recorded as
+    * `canary_q_secs` (observational this round — skip2 scaling stays
+    * on the CPU canary for cross-round continuity; no reference value
+    * exists yet, this round establishes it). */
+  private def canaryQueryOnce(spark: SparkSession): Double = {
+    val t0 = System.nanoTime()
+    spark.read.parquet(s"$sfDir/lineitem.parquet")
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(org.apache.spark.sql.functions.sum("l_quantity"),
+        org.apache.spark.sql.functions.avg("l_extendedprice"),
+        org.apache.spark.sql.functions.count("*"))
+      .write.format("noop").mode("overwrite").save()
+    (System.nanoTime() - t0) / 1e9
+  }
+  /** Both canaries from ONE session (halves the init cost); each is
+    * min-of-3, the CPU canary first (its first rep absorbs the shared
+    * JVM/JIT warm-up exactly as before, preserving comparability of
+    * `canary_secs` with rounds 14-15). */
+  private def canary(): (Double, Double) = {
     val spark = newSession()
-    try Seq.fill(3)(canaryOnce(spark)).min
+    try (Seq.fill(3)(canaryOnce(spark)).min,
+         Seq.fill(3)(canaryQueryOnce(spark)).min)
     finally spark.stop()
   }
 
@@ -532,9 +566,12 @@ object Bench {
   // budget-squeeze `single_exec` list above
   private val skip2Names = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
   // canary prices (box-speed control): start = before the chunked
-  // phase, end = after the isolated series; NaN until measured
+  // phase, end = after the isolated series; NaN until measured.
+  // canaryQ* = the query-shaped twin instrument (r16)
   @volatile private var canaryStart: Double = Double.NaN
   @volatile private var canaryEnd: Double = Double.NaN
+  @volatile private var canaryQStart: Double = Double.NaN
+  @volatile private var canaryQEnd: Double = Double.NaN
   // per-phase wall clock (prebuild / chunked / isolated) so the next
   // round's budget decision reads off the artifact, not from guesses
   private val phaseSecs = new java.util.concurrent.ConcurrentHashMap[String, java.lang.Double]()
@@ -595,7 +632,7 @@ object Bench {
       val polluted =
         if (canaryStart.isNaN || canaryEnd.isNaN) "null"
         else (canaryEnd / canaryStart > 1.2).toString
-      s""""canary_secs":{"start":${cOrNull(canaryStart)},"end":${cOrNull(canaryEnd)}},"canary_ratio":$ratio,"canary_polluted":$polluted"""
+      s""""canary_secs":{"start":${cOrNull(canaryStart)},"end":${cOrNull(canaryEnd)}},"canary_q_secs":{"start":${cOrNull(canaryQStart)},"end":${cOrNull(canaryQEnd)}},"canary_ratio":$ratio,"canary_polluted":$polluted"""
     }
     val partialPart =
       if (complete) ""
@@ -670,7 +707,10 @@ object Bench {
     // fields, which stay measured-or-null (r15 review: writing the
     // override into canaryStart fabricated canary_secs/canary_ratio
     // in smoke artifacts). The driver never sets it.
-    if (!inProc) canaryStart = timePhase("canary_start")(canary())
+    if (!inProc) {
+      val (c, cq) = timePhase("canary_start")(canary())
+      canaryStart = c; canaryQStart = cq
+    }
     // ADVICE r15: a malformed dev override must degrade to the measured
     // canary, not abort the whole run before any measurement
     skip2Used = scaleSkip2(
@@ -814,8 +854,10 @@ object Bench {
     }
     // canary END — brackets the measurement phases; the start/end pair
     // makes within-run load drift self-diagnosing (>1.2× ⇒ polluted)
-    if (!inProc && !shuttingDown && remaining() > 30.0)
-      canaryEnd = timePhase("canary_end")(canary())
+    if (!inProc && !shuttingDown && remaining() > 30.0) {
+      val (c, cq) = timePhase("canary_end")(canary())
+      canaryEnd = c; canaryQEnd = cq
+    }
     val complete = allNames.forall(partial.containsKey)
     // the final emit below supersedes the hook — remove it so a normal
     // exit's last stdout line is the COMPLETE one (throws if a SIGTERM
