@@ -1935,6 +1935,46 @@ object StatefulOps {
       .orderBy("q_id", "rank")
   }
 
+  /** STREAMING IVFADC,R (r16) — the exact-refine readout for the
+    * re-rank twin. The STREAMING stage is [[streamingIvfPqServe]] run
+    * at k = [[graft.operators.SimilarityOps.RerankShortlist]]: the
+    * stateful part maintains each query's ADC shortlist, the same
+    * stage split as the batch `sim_ivfpq_rerank` (whose refine is
+    * likewise a post-shortlist step over ≤ queries×R rows). This
+    * readout takes the LATEST shortlist per query from the append
+    * sink, fetches ONLY those ids' float vectors (an equi-join whose
+    * probe side is the ~100-row readout — the batch twin's
+    * id-pushdown fetch re-expressed batch-side), and re-ranks by
+    * exact cosine against the arrival's OWN vector: `qVecs` is the
+    * arrival features as they streamed — arrivals compute their own
+    * features, the corpus never does. Identical columns and ordering
+    * to `sim_ivfpq_rerank`; idempotence under re-delivery is
+    * inherited from the shortlist min-merge. */
+  def rerankReadout(emitted: DataFrame, qVecs: DataFrame,
+      corpus: DataFrame, k: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val latest = emitted
+      .withColumn("maxv", max(col("ver")).over(
+        Window.partitionBy(col("q_id"))))
+      .filter(col("ver") === col("maxv"))
+      .select(col("q_id"), col("n_id"), col("adc_dist"))
+    val wCos = Window.partitionBy(col("q_id"))
+      .orderBy(col("cosine").desc, col("n_id"))
+    latest
+      .join(corpus.select(col("vec_id").as("n_id"), col("v").as("nv"),
+        col("nrm").as("nn")), Seq("n_id"))
+      .join(qVecs.select(col("vec_id").as("q_id"), col("v").as("qvf"),
+        col("nrm").as("qn")), Seq("q_id"))
+      .withColumn("cosine",
+        graft.operators.DedupOps.dot(col("qvf"), col("nv")) /
+          (col("qn") * col("nn")))
+      .withColumn("rank", row_number().over(wCos))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("rank"), col("n_id"), col("adc_dist"),
+        round(col("cosine"), 6).as("cosine_r"))
+      .orderBy("q_id", "rank")
+  }
+
   // ================= streaming Kneser-Ney serving =================
 
   /** One arriving bigram occurrence, model statistics attached by the

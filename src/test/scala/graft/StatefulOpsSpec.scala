@@ -1377,6 +1377,65 @@ class StatefulOpsSpec extends SparkSpec {
     }
   }
 
+  test("streaming IVFADC,R: shortlist stream + exact-refine readout equals the batch rerank at any cut") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    import graft.operators.{DedupOps, SimilarityOps}
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      // batch reference (also builds + memoizes the stored code artifact)
+      val expected = SimilarityOps.qSimIvfPqRerank(spark, sf).collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3),
+          r.getDouble(4)))
+      assert(expected.nonEmpty)
+      val codes = spark.read.parquet(SimilarityOps.pqIndexDir(spark, sf))
+      val cents = SimilarityOps.ivfCentroidModel(spark, sf)
+      val cb = SimilarityOps.pqCodebook(spark, sf)
+      val corpus = DedupOps.normedVectors(Tables.embeddings(spark, sf))
+      val arrivals = corpus
+        .filter(col("vec_id") < SimilarityOps.NumQueries)
+        .select("vec_id", "v").collect()
+        .map(r => (r.getLong(0), r.getSeq[Double](1)))
+      val (first, second) = arrivals.splitAt(arrivals.length / 2)
+      val in = MemoryStream[(Long, Seq[Double])]
+      val stream = in.toDF().toDF("vec_id", "v")
+        .withColumn("nrm", graft.functions.VectorFunctions.l2Norm(col("v")))
+      // the stateful stage is the SAME serve, widened to the shortlist
+      val q = StatefulOps.streamingIvfPqServe(stream, codes, cents, cb,
+          k = SimilarityOps.RerankShortlist)
+        .writeStream.format("memory").queryName("rerank_out")
+        .outputMode("append").start()
+      try {
+        // arrival features for the refine: the vectors as they streamed
+        val qVecs = arrivals.toSeq.toDF("vec_id", "v")
+          .withColumn("nrm", graft.functions.VectorFunctions.l2Norm(col("v")))
+        def readout() = StatefulOps.rerankReadout(
+          spark.table("rerank_out"), qVecs, corpus)
+          .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+            r.getLong(3), r.getDouble(4)))
+        in.addData(first.toSeq); q.processAllAvailable()
+        val seen = first.map(_._1).toSet
+        assert(readout().toSeq === expected.filter(e => seen(e._1)).toSeq,
+          "mid-stream cut must equal the batch rerank for the seen arrivals")
+        in.addData(second.toSeq); q.processAllAvailable()
+        assert(readout().toSeq === expected.toSeq,
+          "final readout must equal the batch rerank row-for-row")
+        // re-delivery is a no-op: the refine inherits the shortlist merge
+        in.addData(first.toSeq); q.processAllAvailable()
+        assert(readout().toSeq === expected.toSeq,
+          "re-delivered arrivals must not change any refined top-k")
+      } finally q.stop()
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
+
   test("streaming Dirichlet QL scores every arrival exactly as the batch ranker") {
     import spark.implicits._
     implicit val sc = spark.sqlContext
