@@ -114,7 +114,6 @@ object CdcOps {
       col("action"), col("uuid"), col("key"),
       element_at(col("columns"), "event_type").as("col_event_type"),
       element_at(col("columns"), "user_id").as("col_user_id"))
-      .orderBy(col("wal_position"))
   }
 
   val qEnvelopeOracle: String =
@@ -138,7 +137,6 @@ object CdcOps {
   def qValidity(spark: SparkSession, sfDir: String): DataFrame =
     filterValid(Tables.events(spark, sfDir))
       .select(col("event_id"), col("k"))
-      .orderBy(col("event_id"))
 
   val qValidityOracle: String =
     """SELECT event_id, CAST(json_extract_string(props, '$.k') AS INT) AS k
@@ -151,7 +149,6 @@ object CdcOps {
     route(Tables.events(spark, sfDir), col("event_type"), routing,
       fallback = Some("topic.default"))
       .select(col("event_id"), col("event_type"), col("topic"))
-      .orderBy(col("event_id"))
 
   val qRouteFallbackOracle: String =
     """SELECT event_id, event_type,
@@ -164,7 +161,6 @@ object CdcOps {
   def qRouteDrop(spark: SparkSession, sfDir: String): DataFrame =
     route(Tables.events(spark, sfDir), col("event_type"), routing, None)
       .select(col("event_id"), col("topic"))
-      .orderBy(col("event_id"))
 
   val qRouteDropOracle: String =
     """SELECT event_id,
@@ -179,7 +175,6 @@ object CdcOps {
     val env = filterActions(toEnvelope(Tables.events(spark, sfDir)))
     serialize(env, Seq("host", "database", "tbl", "action", "wal_position", "uuid"))
       .select(col("wal_position"), col("value"))
-      .orderBy(col("wal_position"))
   }
 
   val qSerializeOracle: String =
@@ -208,7 +203,6 @@ object CdcOps {
     ev.unionAll(ev)
       .dropDuplicates("uuid")
       .select(col("event_id"), col("uuid"))
-      .orderBy(col("event_id"))
   }
 
   val qDedupUuidOracle: String =
@@ -238,7 +232,6 @@ object CdcOps {
           .otherwise(lit("missing_row_image_key")))
       .groupBy(col("dest"), col("reason"))
       .agg(count(lit(1)).as("n"))
-      .orderBy(col("dest"), col("reason"))
   }
 
   val qDeadLetterOracle: String =
@@ -268,7 +261,6 @@ object CdcOps {
       .withColumn("p", from_json(col("props"), propsSchema))
       .select(col("event_id"), col("p.k").as("k"), col("p.tag").as("tag"))
       .filter(col("k").isNotNull)
-      .orderBy(col("event_id"))
   }
 
   val qTypedViewOracle: String =
@@ -290,7 +282,6 @@ object CdcOps {
         sum(dec).cast(DoubleType).as("sum_value"))
       .select(unix_seconds(col("w.start")).as("window_start_s"),
         col("event_type"), col("n"), col("sum_value"))
-      .orderBy(col("window_start_s"), col("event_type"))
   }
 
   val qBatchWindowsOracle: String =
@@ -325,7 +316,6 @@ object CdcOps {
         max_by(col("props"), col("wal_position")).as("props"),
         count(lit(1)).as("n_changes"))
       .filter(col("last_action") =!= ChangeEvent.Delete)
-      .orderBy(col("user_id"))
   }
 
   val qSnapshotOracle: String =
@@ -374,7 +364,6 @@ object CdcOps {
         expr("tus DIV 1000000").as("valid_from_s"),
         expr("next_tus DIV 1000000").as("valid_to_s"),
         col("next_tus").isNull.cast("int").as("is_current"))
-      .orderBy(col("user_id"), col("version"))
   }
 
   val qScd2Oracle: String =
@@ -439,7 +428,6 @@ object CdcOps {
       .select(col("doc_id"), col("op"),
         coalesce(col("base_fp"), lit("")).as("base_fp"),
         coalesce(col("next_fp"), lit("")).as("next_fp"))
-      .orderBy("doc_id")
   }
 
   val qSnapshotDiffOracle: String =
@@ -514,7 +502,7 @@ object CdcOps {
     val batch = collapsed(env.filter(col("wal_position") > w))
       .select(col("user_id"), col("wal").as("c_wal"),
         col("act").as("c_act"), col("props").as("c_props"))
-    mergeStates(base, batch).orderBy(col("user_id"))
+    mergeStates(base, batch)
   }
 
   /** The merge arm proper: base (b_wal/b_act/b_props, no tombstones)
@@ -632,7 +620,6 @@ object CdcOps {
       .join(broadcast(offsets), Seq("__shard"))
       .select(col("gap_from"), col("gap_to"), col("missing"),
         (col("__off") + col("__run")).as("cum_missing"))
-      .orderBy(col("gap_from"))
     DedupOps.unpersistAfterFirstAction(result, local, gaps)
   }
 

@@ -92,7 +92,6 @@ object CorpusPipeline {
       .join(broadcast(quotas), "source")
       .filter(col("rn") <= col("quota"))
       .select("doc_id", "source", "rn", "quota")
-      .orderBy("source", "rn")
   }
 
   private[graft] def stages(docs: DataFrame, sh: DataFrame): (DataFrame, Seq[DataFrame]) = {
@@ -405,7 +404,6 @@ object CorpusPipeline {
         round(coalesce(col("n_dup_docs"), lit(0L)) / col("n_docs")
           .cast("double"), 6).as("dup_rate_r"),
         round(col("n_docs") / lit(totalDocs.toDouble), 6).as("corpus_share_r"))
-      .orderBy(col("source"))
     DedupOps.unpersistAfterFirstAction(result, perDoc)
   }
 

@@ -201,7 +201,6 @@ object DedupOps {
         min(col("doc_id")).over(Window.partitionBy(col("fingerprint"))))
       .withColumn("is_dup", (col("doc_id") =!= col("canonical_id")).cast("int"))
       .select("doc_id", "fingerprint", "canonical_id", "is_dup")
-      .orderBy("doc_id")
   }
 
   val qDedupExactOracle: String =
@@ -264,7 +263,6 @@ object DedupOps {
       .withColumn("dup_rate_r",
         round(col("n_dup_paras") / col("n_paras").cast(DoubleType), 6))
       .select("doc_id", "n_paras", "n_dup_paras", "dup_rate_r", "kept_md5")
-      .orderBy("doc_id")
     unpersistAfterFirstAction(out, paras)
   }
 
@@ -335,7 +333,6 @@ object DedupOps {
       .withColumn("canonical", canonical)
       .withColumn("group_size", count(lit(1)).over(byCanon))
       .withColumn("is_keeper", d === min(d).over(byCanon))
-      .orderBy(col("doc_id"))
   }
 
   val qUrlCanonicalOracle: String =
@@ -446,7 +443,6 @@ object DedupOps {
       .withColumn("churn_ppm", expr(
         "(n_added + n_removed + n_changed) * 1000000 DIV " +
           "(n_added + n_removed + n_changed + n_unchanged)"))
-      .orderBy(col("source"))
   }
 
   val qCrawlDeltaOracle: String =
@@ -493,7 +489,6 @@ object DedupOps {
     jaccardPairs(shingles(Tables.documents(spark, sfDir)))
       .filter(col("jaccard") >= 0.1)
       .select("a_id", "b_id", "inter", "jaccard")
-      .orderBy("a_id", "b_id")
 
   val qDedupJaccardOracle: String =
     s"""WITH $shinglesSql,
@@ -520,7 +515,6 @@ object DedupOps {
   def qDedupJaccardCapped(spark: SparkSession, sfDir: String): DataFrame =
     cappedJaccardPairs(spark, sfDir)
       .select("a_id", "b_id", "inter", "jaccard")
-      .orderBy("a_id", "b_id")
 
   /** Matched capped-jaccard pairs, UNSORTED — shared by the query above
     * (which adds its deterministic output order) and the clustering
@@ -586,7 +580,6 @@ object DedupOps {
       .withColumn("containment", col("inter").cast(DoubleType) / col("n_src"))
       .withColumn("is_mutual",
         col("n_dst") >= 5 && lit(5L) * col("inter") >= lit(3L) * col("n_dst"))
-      .orderBy("src_id", "dst_id")
     unpersistAfterFirstAction(directed, sh, kept)
   }
 
@@ -730,7 +723,6 @@ object DedupOps {
     sh.unpersist(); sig.unpersist(); sets.unpersist()
     rows.toDF("rows_per_band", "n_bands", "n_candidates", "n_verified",
         "precision_ppm")
-      .orderBy(col("rows_per_band"))
   }
 
   /** The minhash oracle's signature CTE swept over the four band
@@ -818,8 +810,7 @@ object DedupOps {
         .withColumn("jaccard",
           col("inter").cast(DoubleType) / (col("na") + col("nb") - col("inter")))
         .filter(col("jaccard") >= 0.1)
-        .select("a_id", "b_id", "jaccard")
-        .orderBy("a_id", "b_id"),
+        .select("a_id", "b_id", "jaccard"),
       sh)
   }
 
@@ -957,8 +948,7 @@ object DedupOps {
           round(avg(col("jaccard")), 6).as("avg_true_jaccard_r"))
         .select(col("n_agree"),
           round(col("n_agree") / lit(NumHashes.toDouble), 6).as("est_jaccard_r"),
-          col("n_pairs"), col("avg_true_jaccard_r"))
-        .orderBy(col("n_agree")),
+          col("n_pairs"), col("avg_true_jaccard_r")),
       sh)
   }
 
@@ -1160,7 +1150,6 @@ object DedupOps {
         min(col("doc_id")).over(Window.partitionBy(col("simhash"))))
       .withColumn("is_dup", (col("doc_id") =!= col("canonical_id")).cast("int"))
       .select("doc_id", "simhash", "canonical_id", "is_dup")
-      .orderBy("doc_id")
   }
 
   val qDedupSimhashOracle: String =
@@ -1207,7 +1196,6 @@ object DedupOps {
       .withColumn("hamming", bit_count(expr("ha ^ hb")))
       .filter(col("hamming") <= maxHamming && col("hamming") > 0)
       .select(col("a_id"), col("b_id"), col("hamming"))
-      .orderBy("a_id", "b_id")
   }
 
   val qDedupSimhashHammingOracle: String =
@@ -1263,7 +1251,6 @@ object DedupOps {
     * 64-dim dots, fine on 32 cores; beyond that the guard trips. */
   def qDedupEmbedding(spark: SparkSession, sfDir: String): DataFrame =
     exactCosinePairs(normedVectors(Tables.embeddings(spark, sfDir)))
-      .orderBy("a_id", "b_id")
 
   /** Guarded all-pairs cosine over a normed (vec_id, v, nrm) frame. */
   def exactCosinePairs(e: DataFrame, maxRows: Long = MaxExactCosineRows): DataFrame = {
@@ -1345,8 +1332,18 @@ object DedupOps {
     // task-per-partition scan, and the cached hash partitioning on
     // `dst` is reused by each round's join (InMemoryTableScan preserves
     // outputPartitioning), so only the tiny label side shuffles.
+    // SELF-LOOPS (r16 optimization round): append (node, node) for every
+    // node once, at build time. Each round's min-label propagation then
+    // reads the node's OWN label through the same equi-join as its
+    // neighbors' — the per-round `union(labels)` branch (and with it the
+    // union-over-checkpoint constraint-rewrite hazard the old comment
+    // documents) disappears from the loop entirely. +n rows on a 2m-row
+    // relation, paid once, saves a union+wider shuffle every round.
     val edges = timed("relayout") {
-      val e = edgesRaw.repartition(width, col("dst")).persist(lvl)
+      val withSelf = edgesRaw.union(
+        edgesRaw.select(col("src")).distinct()
+          .select(col("src"), col("src").as("dst")))
+      val e = withSelf.repartition(width, col("dst")).persist(lvl)
       e.count(); edgesRaw.unpersist(); e
     }
     try {
@@ -1360,29 +1357,47 @@ object DedupOps {
     // to executors and does not survive executor loss.
     var labels = timed("init")(edges.select(col("src").as("node")).distinct()
       .withColumn("label", col("node")).localCheckpoint(true))
+    // CONVERGENCE BY MONOTONE SIGNATURE (r16 optimization round): each
+    // node's label is non-increasing round over round (prop takes a min
+    // that includes the node's own label; path doubling substitutes a
+    // label ≤ the current one), so Σ label over the constant node set is
+    // strictly decreasing until the fixpoint and UNCHANGED exactly when
+    // every label is unchanged — the same pointwise criterion the
+    // previous `next ⋈ labels | label ≠ old | count == 0` check tested,
+    // for the price of a 1-row aggregate over already-checkpointed
+    // blocks instead of a per-round join job that re-derived `next`
+    // from scratch. decimal(38,0): exact for any realistic id×n mass.
+    def labelSig(d: org.apache.spark.sql.DataFrame): java.math.BigDecimal = {
+      val v = d.agg(sum(col("label").cast("decimal(38,0)"))).head.getDecimal(0)
+      if (v == null) java.math.BigDecimal.ZERO else v
+    }
+    var prevSig = timed("sig0")(labelSig(labels))
     var converged = false
     var iter = 0
     while (!converged && iter < maxIter) {
       timed(s"round $iter") {
-      // hash-min: pull the smallest label across every edge. Checkpointed
-      // BEFORE the self-join below — both to avoid computing it twice and
-      // because self-joining a Union-over-checkpoint plan trips Spark's
-      // union constraint rewrite (AttributeMap key-not-found).
+      // hash-min: pull the smallest label across every edge of the
+      // closed neighborhood (self-loops carry the node's own label, so
+      // no union branch is needed). Checkpointed BEFORE the self-join
+      // below to avoid computing it twice.
       val prop = edges.join(labels, col("dst") === col("node"))
         .select(col("src").as("node"), col("label"))
-        .union(labels)
         .groupBy("node").agg(min("label").as("label"))
         .localCheckpoint(true)
       // path doubling: label ← label(label), the map composed with
       // ITSELF (composing with a fixed pre-round map would only advance
       // a constant hop count per round). Every label is itself a node
       // (a min of reachable node ids), so the self-join is total.
+      // Checkpointed eagerly: the next round's prop (and the final
+      // consumer) read the materialized rows instead of re-running the
+      // self-join — the old shape recomputed it up to twice per round.
       val next = prop.as("a")
         .join(prop.as("b"), col("a.label") === col("b.node"))
         .select(col("a.node").as("node"), col("b.label").as("label"))
-      converged = next
-        .join(labels.withColumnRenamed("label", "old"), "node")
-        .filter(col("label") =!= col("old")).count() == 0L
+        .localCheckpoint(true)
+      val s = labelSig(next)
+      converged = s.compareTo(prevSig) == 0
+      prevSig = s
       labels = next
       iter += 1
       }
@@ -1511,7 +1526,6 @@ object DedupOps {
     comp.select(col("node").as("doc_id"), col("label").as("cluster_id"))
       .withColumn("csize", count(lit(1)).over(w))
       .withColumn("is_canonical", col("doc_id") === col("cluster_id"))
-      .orderBy(col("doc_id"))
   }
 
   /** Stored TEXT near-dup edge parquet locations, per dataset — the
@@ -1602,7 +1616,6 @@ object DedupOps {
         col("naive_split"),
         (col("matched") && col("split") =!= col("naive_split"))
           .as("leak_averted"))
-      .orderBy(col("doc_id"))
   }
 
   /** The clusters oracle's recursive components + the md5 bucket of
@@ -1690,8 +1703,7 @@ object DedupOps {
       .withColumn("label", lit("neg"))
     unpersistAfterFirstAction(
       edges.withColumn("label", lit("pos"))
-        .unionByName(negs)
-        .orderBy(col("label"), col("a_id"), col("b_id")), edges, rankCache)
+        .unionByName(negs), edges, rankCache)
   }
 
   /** The capped-jaccard edge CTEs + the same rank pairing/guard. */
@@ -1747,7 +1759,6 @@ object DedupOps {
       .select(col("node").as("doc_id"), col("label").as("cluster_id"))
       .withColumn("csize", count(lit(1)).over(w))
       .withColumn("is_canonical", col("doc_id") === col("cluster_id"))
-      .orderBy(col("doc_id"))
   }
 
   /** Quality-aware representative selection + corpus keep-list — the
@@ -1797,7 +1808,6 @@ object DedupOps {
       .select(col("doc_id"),
         coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"),
         coalesce(col("keep"), lit(true)).as("keep"))
-      .orderBy("doc_id")
   }
 
   val qDedupRepresentativesOracle: String =
@@ -1846,7 +1856,6 @@ object DedupOps {
       .select(col("node").as("vec_id"), col("label").as("cluster_id"))
       .withColumn("csize", count(lit(1)).over(w))
       .withColumn("is_canonical", col("vec_id") === col("cluster_id"))
-      .orderBy(col("vec_id"))
   }
 
   val qDedupSemanticClustersOracle: String =
@@ -2012,7 +2021,6 @@ object DedupOps {
       .select(col("node").as("vec_id"), col("label").as("cluster_id"))
       .withColumn("csize", count(lit(1)).over(w))
       .withColumn("is_canonical", col("vec_id") === col("cluster_id"))
-      .orderBy(col("vec_id"))
   }
 
   val qDedupSemanticClustersAnnOracle: String =
@@ -2089,7 +2097,6 @@ object DedupOps {
       .withColumn("dist", levenshtein(col("pa"), col("pb"), 20))
       .filter(col("dist") >= 0)
       .select("a_id", "b_id", "lang", "dist")
-      .orderBy("a_id", "b_id")
   }
 
   val qDedupLevenshteinOracle: String =
@@ -2145,8 +2152,7 @@ object DedupOps {
         .join(kept.as("b"),
           col("a.win") === col("b.win") && col("a.doc_id") < col("b.doc_id"))
         .groupBy(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
-        .agg(count(lit(1)).as("shared_windows"))
-        .orderBy(col("a_id"), col("b_id")),
+        .agg(count(lit(1)).as("shared_windows")),
       wins)
   }
 
@@ -2223,7 +2229,6 @@ object DedupOps {
           col("n_tokens").cast(DoubleType), 6).as("removal_rate_r"),
         coalesce(col("clean_md5"),
           lit("d41d8cd98f00b204e9800998ecf8427e")).as("clean_md5"))
-      .orderBy("doc_id")
     unpersistAfterFirstAction(out, wins)
   }
 
@@ -2316,8 +2321,7 @@ object DedupOps {
           when(col("exact_match_id").isNotNull, "exact")
             .when(col("near_match_id").isNotNull, "near")
             .otherwise("new").as("status"),
-          coalesce(col("exact_match_id"), col("near_match_id")).as("match_id"))
-        .orderBy(col("doc_id")),
+          coalesce(col("exact_match_id"), col("near_match_id")).as("match_id")),
       sh)
   }
 
@@ -2363,7 +2367,6 @@ object DedupOps {
       .withColumn("bucket", SamplingOps.bucket100("doc_id"))
       .filter(col("bucket") >= 90)
     classifyAgainstIndex(incoming, spark.read.parquet(baseDir))
-      .orderBy(col("doc_id"))
   }
 
   /** Classify an arbitrary INCOMING doc slice (doc_id, text) against a
@@ -2465,7 +2468,6 @@ object DedupOps {
       .join(cls, "doc_id")
       .select(col("doc_id"), col("source"), col("delta_status"),
         col("status").as("dup_status"), col("match_id"))
-      .orderBy(col("doc_id"))
   }
 
   /** The PATCHED next-snapshot signature index — the artifact
@@ -2526,7 +2528,6 @@ object DedupOps {
       .select(col("source"), col("n_kept"), col("n_rebuilt"),
         coalesce(col("n_dropped"), lit(0L)).as("n_dropped"),
         col("n_index_rows"))
-      .orderBy(col("source"))
   }
 
   val qDedupIndexRefreshOracle: String =
@@ -2731,8 +2732,7 @@ object DedupOps {
         .select(col("doc_id"), col("n_tokens"), col("covered_tokens"),
           (col("n_tokens") - col("covered_tokens")).as("retained_tokens"),
           round(col("covered_tokens").cast(DoubleType) / col("n_tokens"), 6)
-            .as("dup_fraction_r"))
-        .orderBy(col("doc_id")),
+            .as("dup_fraction_r")),
       wins)
   }
 
@@ -2809,7 +2809,6 @@ object DedupOps {
       .select(col("vec_id"), col("cid").cast("int").as("cid"),
         col("n_close_earlier").isNull.as("keep"),
         coalesce(col("n_close_earlier"), lit(0L)).as("n_close_earlier"))
-      .orderBy("vec_id")
   }
 
   /** Self-contained oracle: same IVF seed assignment CTE as the
@@ -2869,7 +2868,6 @@ object DedupOps {
       .agg(countDistinct(col("doc_id")).as("n_docs"))
     val result = edges.join(docs, Seq("src_x", "src_y"))
       .withColumn("cross_source", col("src_x") =!= col("src_y"))
-      .orderBy(col("src_x"), col("src_y"))
     unpersistAfterFirstAction(result, lab)
   }
 

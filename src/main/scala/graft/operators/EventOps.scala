@@ -106,7 +106,6 @@ object EventOps {
       .groupBy(col("cohort_day"),
         expr("(day - cohort_day) DIV 7").as("week_offset"))
       .agg(count_distinct(col("user_id")).as("n_users"))
-      .orderBy(col("cohort_day"), col("week_offset"))
   }
 
   val qRetentionOracle: String =
@@ -146,7 +145,6 @@ object EventOps {
       .select(col("event_id").as("purchase_id"),
         col("touch.id").as("touch_id"),
         (col("tus") - col("touch.t")).as("latency_us"))
-      .orderBy(col("purchase_id"))
   }
 
   val qAttributionOracle: String =
@@ -194,7 +192,6 @@ object EventOps {
       .filter(abs(col("z")) >= 3.0)
       .select(col("event_id"), col("event_type"), col("value"),
         round(col("z"), 6).as("z_r"))
-      .orderBy(col("event_id"))
   }
 
   val qZscoreOutliersOracle: String =
@@ -242,7 +239,6 @@ object EventOps {
       .join(broadcast(days.agg(max(col("day")).as("max_day"))))
       .filter(col("report_day") <= col("max_day"))
       .select(col("report_day"), col("wau"))
-      .orderBy(col("report_day"))
   }
 
   val qRollingActiveUsersOracle: String =
@@ -291,7 +287,6 @@ object EventOps {
       coalesce(lag(col("cnt"), i).over(w), lit(0L)) * lit(1L << (19 - i)))
     filled.withColumn("ewma_scaled", scaled.reduce(_ + _))
       .withColumn("ewma_r", round(col("ewma_scaled") / 1048575.0, 6))
-      .orderBy("event_type", "day")
   }
 
   val qEwmaDailyOracle: String = {
@@ -734,7 +729,6 @@ object EventOps {
         round(col("llr"), 6).as("llr_r"),
         round(least(lit(1.0), exp(-col("llrm"))), 6).as("p_r"))
       .withColumn("rejected", col("p_r") < 0.05)
-      .orderBy(col("day"))
   }
 
   val qAbSequentialOracle: String =
@@ -960,7 +954,6 @@ object EventOps {
       .filter(abs(col("z")) >= 2.0)
       .select(col("event_type"), col("day"), col("cnt"),
         round(col("resid"), 6).as("resid_r"), round(col("z"), 6).as("z_r"))
-      .orderBy(col("event_type"), col("day"))
   }
 
   val qSeasonalResidualsOracle: String =
@@ -1029,7 +1022,6 @@ object EventOps {
       .select(col("event_type"), col("day"), col("cnt"), col("med"),
         col("mad"), col("dev"),
         (col("dev") * 10000 > col("mad") * 44478).as("is_anomaly"))
-      .orderBy(col("event_type"), col("day"))
   }
 
   val qAnomalyMadOracle: String =
@@ -1193,7 +1185,6 @@ object EventOps {
       .withColumn("cusum", col("cum") - col("cum_min"))
       .select(col("event_type"), col("day"), col("cnt"), col("med"),
         col("cusum"), (col("cusum") > col("med")).as("drift_alarm"))
-      .orderBy(col("event_type"), col("day"))
   }
 
   val qCusumDriftOracle: String =
@@ -1250,7 +1241,6 @@ object EventOps {
     trans.join(totals, "from_type")
       .select(col("from_type"), col("to_type"), col("n"), col("from_total"),
         expr("n * 1000000 DIV from_total").as("p_ppm"))
-      .orderBy(col("from_type"), col("to_type"))
   }
 
   val qEventTransitionsOracle: String =
@@ -1295,7 +1285,6 @@ object EventOps {
       .agg(sum(col("p_n")).as("n"), sum(col("p_sum")).as("sum_cents"),
         min(col("p_min")).as("min_cents"), max(col("p_max")).as("max_cents"),
         count(lit(1)).as("n_partials"))
-      .orderBy(col("event_type"))
   }
 
   /** Aggregates the RAW stream directly — equality proves the merge. */
@@ -1341,7 +1330,6 @@ object EventOps {
     val result = cum
       .withColumn("total_users", col("__before") + col("new_users"))
       .select(col("hr"), col("new_users"), col("total_users"))
-      .orderBy(col("hr"))
     DedupOps.unpersistAfterFirstAction(result, sharded)
   }
 
@@ -1423,7 +1411,6 @@ object EventOps {
       .select(col("d").cast("int").as("decile"), col("n_users"),
         col("decile_cents"), col("min_ltv"), col("max_ltv"))
       .withColumn("revenue_ppm", expr(s"decile_cents * 1000000 DIV $total"))
-      .orderBy(col("decile"))
     DedupOps.unpersistAfterFirstAction(result, ltv, histSharded)
   }
 
@@ -1466,7 +1453,6 @@ object EventOps {
         size(col("win")).as("n_window"),
         element_at(col("win"),
           expr("CAST((size(win) + 1) DIV 2 AS INT)")).as("rolling_med"))
-      .orderBy(col("event_type"), col("day"))
   }
 
   val qRollingMedianOracle: String =
@@ -1535,7 +1521,6 @@ object EventOps {
         row_number().over(Window.orderBy(col("n").desc, col("path"))))
       .select(col("rank"), col("path"), col("n"),
         expr(s"n * 1000000 DIV ${total}L").as("share_ppm"))
-      .orderBy(col("rank"))
     DedupOps.unpersistAfterFirstAction(result, tri)
   }
 

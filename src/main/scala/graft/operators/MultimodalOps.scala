@@ -62,7 +62,6 @@ object MultimodalOps {
         md5(col("payload")).as("checksum"),
         col("meta.width").as("width"),
         col("meta.height").as("height"))
-      .orderBy(col("doc_id"))
 
   val qMetadataOracle: String =
     """SELECT doc_id,
@@ -222,7 +221,6 @@ object MultimodalOps {
       .select(col("doc_id"), col("n_bytes"), round(col("mean_byte"), 4).as("mean_byte_r"),
         concat_ws(",", col("hist")).as("hist_csv"),
         concat_ws(",", col("thumb")).as("thumb_csv"))
-      .orderBy(col("doc_id"))
   }
 
   // ---- 3. frame sampling (pure column arithmetic, full oracle) ----
@@ -243,7 +241,6 @@ object MultimodalOps {
       .select(col("doc_id"), col("n_frames"),
         explode(sequence(lit(0), col("n_frames") - 1, lit(SampleEvery))).as("frame_idx"))
       .withColumn("byte_offset", col("frame_idx") * FrameBytes)
-      .orderBy(col("doc_id"), col("frame_idx"))
 
   val qFrameSampleOracle: String =
     s"""WITH v AS (
@@ -277,7 +274,6 @@ object MultimodalOps {
         when(col("n_samples") < WinSamples, 0)
           .otherwise(expr(s"(n_samples - $WinSamples) DIV $HopSamples + 1"))
           .cast("int"))
-      .orderBy(col("doc_id"))
 
   val qAudioWindowsOracle: String =
     s"""SELECT doc_id, 16000 AS sample_rate,
@@ -317,7 +313,6 @@ object MultimodalOps {
         (col("n") * col("sxx") - col("sx") * col("sx")).as("var_lane"),
         ((col("n") * col("sxx") - col("sx") * col("sx")) <
           lit(1000L) * col("n") * col("n")).as("is_flat"))
-      .orderBy(col("doc_id"))
   }
 
   /** The resize oracle's strided byte math + the same variance lane. */
@@ -390,7 +385,6 @@ object MultimodalOps {
           .as("kept_frames"),
         expr(s"(size(en) - head_silent - tail_silent) * $TrimFrameBytes * 1000 DIV 16000")
           .cast("long").as("kept_ms"))
-      .orderBy(col("doc_id"))
   }
 
   /** Frame energies over `hex(encode(text))` (the scene-cut oracle's
@@ -447,7 +441,6 @@ object MultimodalOps {
         col("tx").cast("int").as("tile_x"), col("ty").cast("int").as("tile_y"),
         least(lit(TileSize), col("width") - col("tx") * TileSize).cast("int").as("tile_w"),
         least(lit(TileSize), col("height") - col("ty") * TileSize).cast("int").as("tile_h"))
-      .orderBy(col("doc_id"), col("tile_x"), col("tile_y"))
 
   val qImageTilesOracle: String =
     s"""WITH img AS (
@@ -574,7 +567,6 @@ object MultimodalOps {
       .withColumn("hamming", bit_count(expr("ha ^ hb")).cast("int"))
       .filter(col("hamming") <= maxHamming)
       .select(col("a_id"), col("b_id"), col("hamming"))
-      .orderBy("a_id", "b_id")
   }
 
   // public: Spark's generated encoder code must reach this
@@ -650,7 +642,6 @@ object MultimodalOps {
         col("b.e_cur").as("e_cur"),
         (abs(col("b.e_cur") - col("b.e_prev")) * SceneCutFactor >
           col("b.e_prev")).as("is_cut"))
-      .orderBy("doc_id", "frame_idx")
   }
 
   /** Frame energies + boundary deltas over `hex(encode(text))`. */
@@ -779,7 +770,6 @@ object MultimodalOps {
       .filter(col("hamming") <= 1)
       .select(col("a_id"), col("a_frame"), col("b_id"), col("b_frame"),
         col("hamming"))
-      .orderBy("a_id", "a_frame", "b_id", "b_frame")
   }
 
   /** VIDEO-level near-dup verdicts rolled up from the frame matches:
@@ -808,7 +798,6 @@ object MultimodalOps {
         expr("(CASE WHEN nfa <= nfb THEN ma ELSE mb END) * 1000 DIV " +
           "(CASE WHEN nfa <= nfb THEN nfa ELSE nfb END)")
           .as("containment_pm"))
-      .orderBy(col("a_id"), col("b_id"))
   }
 
   /** The frame slicing + integer-DCT pHash + pigeonhole join
@@ -993,7 +982,6 @@ ORDER BY a_id, a_frame, b_id, b_frame""")
         col("nt"), col("ni"),
         round(col("inter").cast("double") /
           (col("nt") + col("ni") - col("inter")), 6).as("jaccard_r"))
-      .orderBy(col("text_id"), col("img_id"))
     DedupOps.unpersistAfterFirstAction(scored, sh, kept)
   }
 
@@ -1053,7 +1041,6 @@ ORDER BY a_id, a_frame, b_id, b_frame""")
         coalesce(col("overlap"), lit(0L)).as("overlap"),
         round(coalesce(col("overlap"), lit(0L)) /
           col("n_true").cast("double"), 6).as("recall_r"))
-      .orderBy(col("img_id"))
     DedupOps.unpersistAfterFirstAction(result, sh)
   }
 

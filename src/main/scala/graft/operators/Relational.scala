@@ -45,7 +45,6 @@ object Relational {
         (sum(dec("l_quantity")).cast(DoubleType) / count(lit(1))).as("avg_qty"),
         (sum(disc).cast(DoubleType) / count(lit(1))).as("avg_disc"),
         count(lit(1)).as("count_order"))
-      .orderBy(col("l_returnflag"), col("l_linestatus"))
   }
 
   val q1Oracle: String =
@@ -113,7 +112,6 @@ object Relational {
           col("l_shipdate") > col("o_orderdate"), "left_semi")
       .groupBy(col("o_orderpriority"))
       .agg(count(lit(1)).as("order_count"))
-      .orderBy(col("o_orderpriority"))
   }
 
   val q4Oracle: String =
@@ -147,7 +145,6 @@ object Relational {
       .join(reg, col("n_regionkey") === col("r_regionkey"))
       .groupBy(col("n_name"))
       .agg(sum(col("rev")).cast(DoubleType).as("revenue"))
-      .orderBy(col("revenue").desc, col("n_name"))
   }
 
   val q5Oracle: String =
@@ -191,7 +188,6 @@ object Relational {
       .join(Tables.orders(spark, sfDir).filter(col("o_totalprice") > 400000),
         col("c_custkey") === col("o_custkey"), "left_anti")
       .select(col("c_custkey"), col("c_name"))
-      .orderBy(col("c_custkey"))
 
   val qAntiJoinOracle: String =
     """SELECT c_custkey, c_name FROM customer
@@ -215,7 +211,6 @@ object Relational {
           byDate.rowsBetween(Window.unboundedPreceding, Window.currentRow))
           .cast(DoubleType).as("running_total"),
         rank().over(byPrice).as("price_rank"))
-      .orderBy(col("o_custkey"), col("rn"))
   }
 
   val qWindowFuncsOracle: String =
@@ -238,7 +233,6 @@ object Relational {
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= 3)
       .select("o_custkey", "o_orderkey", "o_totalprice", "rn")
-      .orderBy(col("o_custkey"), col("rn"))
   }
 
   val qTopKPerGroupOracle: String =
@@ -271,7 +265,6 @@ object Relational {
       .select(col("o_custkey"), posexplode(col("top.items")).as(Seq("i", "e")))
       .select(col("o_custkey"), col("e.id").as("o_orderkey"),
         col("e.v").as("o_totalprice"), (col("i") + 1).as("rn"))
-      .orderBy(col("o_custkey"), col("rn"))
   }
 
   /** Global sort + limit (TakeOrderedAndProject — O(k) per partition,
@@ -335,7 +328,6 @@ object Relational {
       .withColumn("frontier_rank", row_number().over(
         Window.orderBy(col("price_c"))))
       .select(col("frontier_rank"), col("price_c"), col("qty"))
-      .orderBy(col("frontier_rank"))
     DedupOps.unpersistAfterFirstAction(result, local)
   }
 
@@ -386,7 +378,6 @@ object Relational {
         expr(s"n * 1000000 DIV $total").as("share_ppm"),
         lit(nKeys).as("n_keys"), lit(maxN).as("max_n"),
         lit(salt).as("salt_factor"))
-      .orderBy(col("rank"))
     DedupOps.unpersistAfterFirstAction(result, counts)
   }
 
@@ -447,7 +438,6 @@ object Relational {
     rules.map { case (r, v) =>
       (r, nLi, v, v * 1000000L / nLi, v == 0L)
     }.toDF("rule", "n_checked", "n_violations", "violation_ppm", "pass")
-      .orderBy(col("rule"))
   }
 
   val qDqReportOracle: String =
@@ -487,7 +477,6 @@ object Relational {
       .unionAll(withOrders.intersect(rich).withColumn("op", lit("intersect")))
       .unionAll(rich.except(withOrders).withColumn("op", lit("except")))
       .select("op", "custkey")
-      .orderBy("op", "custkey")
   }
 
   val qSetOpsOracle: String =
@@ -513,7 +502,6 @@ object Relational {
         count(lit(1)).as("n"),
         grouping(col("l_returnflag")).as("g_flag"),
         grouping(col("l_linestatus")).as("g_status"))
-      .orderBy(asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus"))
 
   val qRollupOracle: String =
     """SELECT l_returnflag, l_linestatus,
@@ -532,7 +520,6 @@ object Relational {
       .agg(count(lit(1)).as("n"),
         sum(col("o_totalprice").cast(DecimalType(18, 2)))
           .cast(DoubleType).as("sum_price"))
-      .orderBy(asc_nulls_first("o_orderstatus"), asc_nulls_first("o_orderpriority"))
 
   val qCubeOracle: String =
     """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
@@ -565,7 +552,6 @@ object Relational {
         sqrt(col("o_totalprice")).as("price_sqrt"),
         element_at(split(col("o_orderpriority"), "-"), 2).as("prio_word"),
         size(split(col("o_orderpriority"), "-")).as("prio_parts"))
-      .orderBy(col("o_orderkey"))
 
   val qScalarFuncsOracle: String =
     """SELECT o_orderkey,
@@ -596,7 +582,6 @@ object Relational {
         sum(when(col("l_linestatus") === "F", dec("l_quantity")).otherwise(lit(0)))
           .cast(DoubleType).as("qty_f"),
         count(when(col("l_quantity") > 25, lit(1))).as("n_bulk"))
-      .orderBy(col("l_returnflag"))
 
   val qDistinctAggOracle: String =
     """SELECT l_returnflag,
@@ -625,7 +610,6 @@ object Relational {
       .select(col("l_returnflag"), col("exact_orders"),
         (abs(col("approx_orders") - col("exact_orders")).cast(DoubleType) /
           col("exact_orders") <= lit(0.15)).as("within_eps"))
-      .orderBy(col("l_returnflag"))
 
   val qApproxDistinctOracle: String =
     """SELECT l_returnflag,
@@ -676,7 +660,6 @@ object Relational {
       .groupBy(col("user_id"))
       .agg(sum(col("pn")).as("n_events"),
         sum(col("ps")).cast(DoubleType).as("sum_value"))
-      .orderBy(col("user_id"))
   }
 
   val qSaltedAggOracle: String =
@@ -694,7 +677,6 @@ object Relational {
       .select(col("event_id"), col("user_id"), col("ts"))
     asofJoin(purchases, signups, "user_id", "ts", "event_id")
       .select(col("event_id"), col("user_id"), col("_asof").as("signup_event_id"))
-      .orderBy(col("event_id"))
   }
 
   val qAsofJoinOracle: String =
@@ -721,7 +703,6 @@ object Relational {
         col("p_tus") <= col("s_tus") + expr("3600000000"), "inner")
       .groupBy(col("s_id"))
       .agg(count(lit(1)).as("purchases_within_1h"))
-      .orderBy(col("s_id"))
   }
 
   /** PURE range join — no equi key at all: pairs of purchases within
@@ -757,7 +738,6 @@ object Relational {
           (col("a_tus") === col("b_tus") && col("a_id") < col("b_id"))) &&
         col("b_tus") - col("a_tus") <= hourUs)
       .select(col("a_id"), col("b_id"), (col("b_tus") - col("a_tus")).as("dt_us"))
-      .orderBy(col("a_id"), col("b_id"))
   }
 
   val qRangeJoinBucketedOracle: String =
@@ -795,7 +775,6 @@ object Relational {
       .groupBy(col("l_partkey"))
       .agg(count(lit(1)).as("n_small"),
         sum(dec("l_extendedprice")).cast(DoubleType).as("value_small"))
-      .orderBy(col("l_partkey"))
   }
 
   val qCorrelatedAvgOracle: String =
@@ -859,7 +838,6 @@ object Relational {
       .groupBy(col("supp_nation"), col("cust_nation"),
         year(col("l_shipdate")).as("l_year"))
       .agg(sum(col("rev")).cast(DoubleType).as("revenue"))
-      .orderBy(col("supp_nation"), col("cust_nation"), col("l_year"))
   }
 
   val qNationPairsOracle: String =
@@ -891,7 +869,6 @@ object Relational {
       .groupBy(col("l_returnflag"))
       .agg(wavg(col("disc_c"), col("qty_c")).as("wavg_discount"),
         count(lit(1)).as("n"))
-      .orderBy(col("l_returnflag"))
   }
 
   val qWeightedAvgOracle: String =
@@ -923,7 +900,6 @@ object Relational {
       .agg(count(lit(1)).as("n_events"),
         expr("min(tus) DIV 1000000").as("start_s"),
         expr("max(tus) DIV 1000000").as("end_s"))
-      .orderBy(col("user_id"), col("session_id"))
   }
 
   val qSessionizeOracle: String =
@@ -960,7 +936,6 @@ object Relational {
         unix_seconds(col("o_orderdate").cast("timestamp")).as("t"))
       .withColumn("neighbors", count(lit(1)).over(w))
       .select(col("o_orderkey"), col("o_custkey"), col("neighbors"))
-      .orderBy(col("o_orderkey"))
   }
 
   val qRangeFrameOracle: String =
@@ -982,7 +957,6 @@ object Relational {
       .withColumnRenamed("F", "n_f")
       .withColumnRenamed("O", "n_o")
       .withColumnRenamed("P", "n_p")
-      .orderBy(col("o_orderpriority"))
 
   val qPivotOracle: String =
     """SELECT o_orderpriority,
@@ -1023,7 +997,6 @@ object Relational {
       .filter(expr("(n + 1) DIV 2") > col("cum") - col("c") &&
         expr("(n + 1) DIV 2") <= col("cum")) // integer div: lower median
       .select(col("l_returnflag"), col("l_quantity").as("median_qty"), col("n"))
-      .orderBy(col("l_returnflag"))
   }
 
   val qMedianOracle: String =
@@ -1136,7 +1109,6 @@ object Relational {
     idle.groupBy(col("c_nationkey"))
       .agg(count(lit(1)).as("n_custs"),
         sum(dec("c_acctbal")).cast(DoubleType).as("total_bal"))
-      .orderBy(col("c_nationkey"))
   }
 
   val q22Oracle: String =
@@ -1184,7 +1156,6 @@ object Relational {
         sum(col("rev")).cast(DoubleType).as("total_rev"))
       .select(col("o_year"),
         (col("nation_rev") / col("total_rev")).as("mkt_share"))
-      .orderBy(col("o_year"))
   }
 
   val q8Oracle: String =
@@ -1225,7 +1196,6 @@ object Relational {
       .groupBy(col("n_name").as("nation"), year(col("o_orderdate")).as("o_year"))
       .agg(sum(col("rev")).cast(DoubleType).as("sum_profit"),
         count(lit(1)).as("n_items"))
-      .orderBy(col("nation"), col("o_year").desc)
   }
 
   val q9Oracle: String =
@@ -1303,7 +1273,6 @@ object Relational {
       .select(coalesce(col("l_returnflag"), lit("ALL")).as("flag"),
         coalesce(col("l_linestatus"), lit("ALL")).as("status"),
         col("sum_qty"), col("n"))
-      .orderBy(col("flag"), col("status"))
 
   val qGroupingSetsOracle: String =
     """SELECT COALESCE(l_returnflag, 'ALL') AS flag,
@@ -1328,7 +1297,6 @@ object Relational {
       .withColumn("pct_rank", percent_rank().over(w))
       .withColumn("cume", cume_dist().over(w))
       .withColumn("gap", col("c_acctbal") - lag(col("c_acctbal"), 1).over(w))
-      .orderBy(col("c_custkey"))
   }
 
   val qWindowNtileOracle: String =
@@ -1361,7 +1329,6 @@ object Relational {
           .otherwise(0L)).as("high_line_count"),
         sum(when(!col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L)
           .otherwise(0L)).as("low_line_count"))
-      .orderBy(col("l_linestatus"))
   }
 
   val q12Oracle: String =
@@ -1391,7 +1358,6 @@ object Relational {
       .agg(count(col("o_orderkey")).as("c_count")) // count(col) skips the outer-join nulls
       .groupBy(col("c_count"))
       .agg(count(lit(1)).as("custdist"))
-      .orderBy(col("custdist").desc, col("c_count").desc)
   }
 
   val q13Oracle: String =
@@ -1419,7 +1385,6 @@ object Relational {
       .filter(col("total_revenue") === col("max_rev"))
       .join(s, col("l_suppkey") === col("s_suppkey"))
       .select(col("s_suppkey"), col("s_name"), col("total_revenue"))
-      .orderBy(col("s_suppkey"))
   }
 
   val q15Oracle: String =
@@ -1520,7 +1485,6 @@ object Relational {
         round(element_at(col("p"), 2), 6).as("p50"),
         round(element_at(col("p"), 3), 6).as("p75"),
         round(element_at(col("p"), 4), 6).as("p90"))
-      .orderBy(col("l_returnflag"))
   }
 
   val qGroupQuantilesOracle: String =
@@ -1558,7 +1522,6 @@ object Relational {
       .select(col("l_returnflag"),
         within(1, "within_p25"), within(2, "within_p50"),
         within(3, "within_p75"), within(4, "within_p90"))
-      .orderBy(col("l_returnflag"))
   }
 
   val qApproxQuantilesOracle: String =
@@ -1602,7 +1565,6 @@ object Relational {
         round(col("slope_c") / 100, 6).as("slope"),
         round(col("intercept_c") / 100, 6).as("intercept"),
         round(col("r2"), 6).as("r2"))
-      .orderBy(col("l_returnflag"))
   }
 
   val qRegressionOracle: String =
@@ -1703,7 +1665,6 @@ object Relational {
       Array(col("l_returnflag")),
       Array(col("sum_qty"), col("sum_rev"), col("n_items")),
       "metric", "value")
-      .orderBy(col("l_returnflag"), col("metric"))
   }
 
   val qUnpivotOracle: String =
@@ -1743,7 +1704,6 @@ object Relational {
       .withColumn("total_ffill", last(col("total"), ignoreNulls = true).over(w))
       .select(date_format(col("d"), "yyyy-MM-dd").as("day"),
         col("n"), col("total_ffill"))
-      .orderBy(col("day"))
   }
 
   val qGapFillOracle: String =

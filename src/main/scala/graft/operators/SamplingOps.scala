@@ -164,7 +164,6 @@ object SamplingOps {
           .when(col("bucket") < 90, "valid")
           .otherwise("test").as("split"),
         (col("bucket") < 10).as("in_10pct_sample"))
-      .orderBy(col("doc_id"))
 
   val qSampleSplitOracle: String =
     """WITH b AS (
@@ -192,7 +191,6 @@ object SamplingOps {
       .select(col("doc_id"), col("lang"))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= cap)
-      .orderBy(col("lang"), col("rn"))
   }
 
   val qBalanceClassesOracle: String =
@@ -248,7 +246,6 @@ object SamplingOps {
         countDistinct(col("shingle")).as("n_shingle_hits"),
         countDistinct(col("bench_id")).as("n_bench_docs"))
       .withColumn("contaminated", col("n_shingle_hits") >= DeconMinHits)
-      .orderBy(col("doc_id"))
 
   def qDecontaminate(spark: SparkSession, sfDir: String): DataFrame = {
     val (sh, train, bench) = deconRelations(spark, sfDir)
@@ -299,7 +296,6 @@ object SamplingOps {
       .join(broadcast(quotas), "source")
       .filter(col("rn") <= col("quota"))
       .select("doc_id", "source", "rn", "quota")
-      .orderBy("source", "rn")
   }
 
   val qMixtureSampleOracle: String =
@@ -339,7 +335,6 @@ object SamplingOps {
       .filter(col("u") < col("w"))
       .select(col("doc_id"), col("lang"),
         round(col("w"), 6).as("w_r"), round(col("u"), 6).as("u_r"))
-      .orderBy(col("doc_id"))
   }
 
   val qImportanceSampleOracle: String =
@@ -415,7 +410,6 @@ object SamplingOps {
       .withColumn("rank", row_number().over(
         Window.orderBy(col("e1000_r"), col("doc_id"))))
       .select(col("rank"), col("doc_id"), col("w"), col("e1000_r"))
-      .orderBy(col("rank"))
   }
 
   val qWeightedReservoirOracle: String = {
@@ -460,7 +454,6 @@ object SamplingOps {
         round((col("pa") - col("pb")) * log(col("pa") / col("pb")), 6))
       .withColumn("psi_total", round(sum(col("psi_term")).over(w), 6))
       .select("bin", "na", "nb", "psi_term", "psi_total")
-      .orderBy(col("bin"))
   }
 
   val qDriftPsiOracle: String =
@@ -546,7 +539,6 @@ object SamplingOps {
       .withColumn("pos", row_number().over(
         Window.partitionBy(col("shard")).orderBy(col("rk"), col("doc_id"))))
       .select(col("doc_id"), col("shard"), col("pos"))
-      .orderBy(col("shard"), col("pos"))
   }
 
   val qTrainOrderOracle: String =
@@ -593,7 +585,6 @@ object SamplingOps {
       .agg(count(lit(1)).as("n_rows"),
         countDistinct(col("x")).as("n_x"),
         countDistinct(col("y")).as("n_y"))
-      .orderBy("shard")
   }
 
   val qZorderLayoutOracle: String = {
@@ -659,7 +650,7 @@ object SamplingOps {
       .withColumn("run", sum(col("n_tokens")).over(wb))
       .select(col("doc_id"), col("q"), col("n_tokens"),
         (col("cum_before") + col("run") <= col("budget")).as("selected"))
-    allIn.union(allOut).union(boundary).orderBy("doc_id")
+    allIn.union(allOut).union(boundary)
   }
 
   /** The NAIVE definition: one global running sum over the sorted
@@ -718,7 +709,6 @@ object SamplingOps {
         min(col("hr")).as("hr_from"),
         max(col("hr")).as("hr_to"),
         sum((col("f_bytes") < target / 4).cast("long")).as("n_small_files"))
-      .orderBy(col("day"), col("bin"))
   }
 
   /** Same manifest, running sum, and bin arithmetic in DuckDB. */
@@ -771,7 +761,6 @@ object SamplingOps {
       .join(broadcast(quotas), "lang")
       .filter(col("rn") <= col("quota"))
       .select("doc_id", "lang", "rn", "n", "w", "quota")
-      .orderBy("lang", "rn")
   }
 
   val qTemperatureMixOracle: String =
@@ -828,7 +817,6 @@ object SamplingOps {
       .agg(count(lit(1)).as("n_docs"),
         sum((col("grp") > 1).cast("long")).as("n_dup_members"))
       .withColumn("dup_ppm", expr("n_dup_members * 1000000 DIV n_docs"))
-      .orderBy(col("decile"))
     DedupOps.unpersistAfterFirstAction(result, cached)
   }
 
@@ -912,7 +900,6 @@ object SamplingOps {
     val result = docs.join(hostStats, "host")
       .select(col("doc_id"), col("host"), col("host_docs"),
         col("host_q_sum"), verdict.as("verdict"))
-      .orderBy(col("doc_id"))
     DedupOps.unpersistAfterFirstAction(result, docs)
   }
 
@@ -975,7 +962,6 @@ object SamplingOps {
           .orderBy(col("rk"), col("doc_id"))))
       .select(col("doc_id"), col("epoch").cast("int").as("epoch"),
         col("shard"), col("pos"))
-      .orderBy(col("epoch"), col("shard"), col("pos"))
   }
 
   /** Same per-epoch hash ranking in DuckDB. */
@@ -1026,7 +1012,6 @@ object SamplingOps {
         sum(col("n_tokens")).as("n_tokens"),
         round(avg(col("avg_logp_r")), 6).as("avg_logp"))
       .withColumn("kept", col("bucket") <= 2)
-      .orderBy(col("lang"), col("bucket"))
     graft.operators.DedupOps.unpersistAfterFirstAction(result, cached)
   }
 

@@ -39,7 +39,6 @@ object SimilarityOps {
       .filter(col("rank") <= TopK)
       .select(col("q_id"), col("rank"), col("n_id"),
         round(col("cosine"), 6).as("cosine_r"))
-      .orderBy("q_id", "rank")
   }
 
   val qSimBruteForceOracle: String =
@@ -89,7 +88,6 @@ object SimilarityOps {
       .filter(col("rank") <= 3)
       .select(col("q_id"), col("rank"), col("n_id"),
         round(col("cosine"), 6).as("cosine_r"))
-      .orderBy("q_id", "rank")
   }
 
   val qSimLshBucketedOracle: String =
@@ -177,7 +175,6 @@ object SimilarityOps {
       .filter(col("rank") <= 3)
       .select(col("q_id"), col("rank"), col("n_id"),
         round(col("cosine"), 6).as("cosine_r"))
-      .orderBy("q_id", "rank")
   }
 
   val qSimLshMultiprobeOracle: String =
@@ -256,7 +253,6 @@ object SimilarityOps {
       .filter(col("rank") <= 3)
       .select(col("q_id"), col("rank"), col("n_id"),
         round(col("cosine"), 6).as("cosine_r"))
-      .orderBy("q_id", "rank")
   }
 
   def qSimIvf(spark: SparkSession, sfDir: String): DataFrame = {
@@ -353,7 +349,6 @@ object SimilarityOps {
     centers.zipWithIndex
       .map { case ((id, _, r), i) => (i, id, r) }
       .toDF("round", "center_id", "maximin_d2")
-      .orderBy(col("round"))
   }
 
   /** The greedy recursion unrolled: stage t picks the argmax of the
@@ -432,7 +427,6 @@ object SimilarityOps {
       .withColumn("rank", row_number().over(wr))
       .filter(col("rank") <= 3)
       .select(col("q_id"), col("rank"), col("n_id"), col("hamming"))
-      .orderBy("q_id", "rank")
   }
 
   /** Same packing (POWER is exact to 2³¹), xor+bit_count Hamming. */
@@ -495,7 +489,6 @@ object SimilarityOps {
         col("n") * NumCentroids > lit(2L) * total)
       .select(col("cid"), col("n"), col("share_ppm"),
         col("hot_rank"), col("cum_ppm"), col("oversized"))
-      .orderBy(col("hot_rank"))
     DedupOps.unpersistAfterFirstAction(result, cells)
   }
 
@@ -566,7 +559,6 @@ object SimilarityOps {
       .groupBy(col("cid"), col("dim"))
       .agg(count(lit(1)).as("n"),
         (sum(col("q")).cast("double") / count(lit(1)) / 1000000.0).as("mean_q"))
-      .orderBy(col("cid"), col("dim"))
   }
 
   val qKmeansStepOracle: String =
@@ -638,7 +630,6 @@ object SimilarityOps {
       .agg(count(lit(1)).as("n_new"),
         sum(when(col("seed_cid") =!= col("best.c"), 1L).otherwise(0L)).as("n_moved"),
         sum(col("best.d")).as("inertia"))
-      .orderBy("cid")
   }
 
   /** The IVF seed assignment + integer M-step + exact-L2 E-step in
@@ -713,7 +704,6 @@ object SimilarityOps {
           .as("mse_r"),
         round(array_max(zip_with(col("v"), col("dq"),
           (a, b) => abs(a - b))), 6).as("max_abs_err_r"))
-      .orderBy(col("vec_id"))
   }
 
   val qQuantizeInt8Oracle: String =
@@ -779,7 +769,6 @@ object SimilarityOps {
       .select(col("vec_id"), pqQuant(col("embedding")).as("qv"))
       .select(col("vec_id"), posexplode(proj).as(Seq("k", "p")))
       .select(col("vec_id"), col("k").cast("int").as("k"), col("p"))
-      .orderBy("vec_id", "k")
   }
 
   /** Oracle re-derives the sign matrix from md5 in SQL — same
@@ -848,7 +837,6 @@ object SimilarityOps {
       .select(col("q_id"), coalesce(col("overlap"), lit(0L)).as("overlap"),
         round(coalesce(col("overlap"), lit(0L)) / lit(TopK.toDouble), 6)
           .as("recall_r"))
-      .orderBy("q_id")
   }
 
   val qSimTruncationRecallOracle: String =
@@ -932,7 +920,6 @@ object SimilarityOps {
         when(col("den") > 0, round(
           (col("n") * col("sxy") - col("sx1") * col("sx2")) / sqrt(col("den")), 6))
           .as("corr_r"))
-      .orderBy(col("d1"), col("d2"))
   }
 
   val qDimCorrOracle: String =
@@ -1016,7 +1003,6 @@ object SimilarityOps {
       .select(col("vec_id"),
         when(col("match_id").isNotNull, "match").otherwise("new").as("status"),
         col("match_id"), col("cosine_r"))
-      .orderBy(col("vec_id"))
   }
 
   /** [[qSimIncrementalStored]] as a registered query: builds the base
@@ -1128,7 +1114,6 @@ object SimilarityOps {
       .filter(col("rank") <= 3)
       .select(col("vec_id"), col("rank"), col("n_id"),
         round(col("cosine"), 6).as("cosine_r"))
-      .orderBy("vec_id", "rank")
   }
 
   val qSimKnnGraphOracle: String =
@@ -1331,7 +1316,6 @@ object SimilarityOps {
         // exact integer as STRING: wide decimals round-trip lossily
         // through the comparer's dataframe layer; digits don't
         col("trace_num").cast("string").as("trace_num"), col("n"))
-      .orderBy(col("comp"))
   }
 
   val qSimPcaWhitenOracle: String =
@@ -1498,7 +1482,7 @@ object SimilarityOps {
           (lit(tele) + idiv(lit(85L) * coalesce(col("inflow"), lit(0L)),
             lit(100L))).as("rank"))
     }
-    DedupOps.unpersistAfterFirstAction(ranks.orderBy(col("vec_id")), edges)
+    DedupOps.unpersistAfterFirstAction(ranks, edges)
   }
 
   /** DuckDB CTE chain reproducing the ANN-mined semantic graph
@@ -1630,7 +1614,6 @@ object SimilarityOps {
         when(coalesce(col("deg"), lit(0L)) >= 2,
           expr("2 * coalesce(tri, 0) * 1000000 DIV (deg * (deg - 1))"))
           .otherwise(lit(0L)).as("lcc_micro"))
-      .orderBy(col("vec_id"))
     DedupOps.unpersistAfterFirstAction(out, m, oriented)
   }
 
@@ -1790,7 +1773,6 @@ object SimilarityOps {
         array_join(transform(pqCodes, _.cast("string")), ",").as("codes_csv"),
         aggregate(transform(col("dists"), d => array_min(d)),
           lit(0L), (acc, x) => acc + x).as("sqerr"))
-      .orderBy("vec_id")
   }
 
   /** The encode reproduced in DuckDB: same quantization, same
@@ -1877,7 +1859,6 @@ object SimilarityOps {
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= 3)
       .select(col("q_id"), col("rank"), col("n_id"), col("adc_dist"))
-      .orderBy("q_id", "rank")
   }
 
   /** [[qSimIvfPqTopk]] served from the STORED code artifact: the
@@ -1960,7 +1941,6 @@ object SimilarityOps {
       .filter(col("rank") <= 3)
       .select(col("q_id"), col("rank"), col("n_id"), col("adc_dist"),
         round(col("cosine"), 6).as("cosine_r"))
-      .orderBy("q_id", "rank")
   }
 
   /** The stored (n_id, cid, codes) artifact the ADC search scans —
@@ -2165,7 +2145,6 @@ object SimilarityOps {
         col("oth.l").as("nearest_other"),
         col("oth.d").as("d_other"),
         (col("own.d") > col("oth.d")).as("suspect"))
-      .orderBy("vec_id")
   }
 
   /** Same centroids, distances, argmin, and strict-inequality flag in
@@ -2231,7 +2210,6 @@ object SimilarityOps {
       .filter(col("rank") === 1)
       .select(col("vec_id"), col("label"), col("n_id").as("neg_id"),
         col("neg_label"), round(col("cosine"), 6).as("cosine_r"))
-      .orderBy("vec_id")
   }
 
   /** The kNN-graph oracle's mining CTEs + the label filter + rank 1. */
@@ -2335,7 +2313,6 @@ object SimilarityOps {
       .select(col("q_id"), col("fused_rank"), col("n_id"), col("rrf_ppb"),
         coalesce(col("rank_t1"), lit(0)).as("rank_t1"),
         coalesce(col("rank_t2"), lit(0)).as("rank_t2"))
-      .orderBy("q_id", "fused_rank")
   }
 
   /** Both tables' scored CTEs + the same integer RRF arithmetic. */
@@ -2417,7 +2394,6 @@ object SimilarityOps {
         expr("IF(sum_b >= 0, sum_b DIV n_b, -((-sum_b + n_b - 1) DIV n_b))").as("mean_b"))
       .withColumn("drift", abs(col("mean_a") - col("mean_b")))
       .withColumn("is_shifted", col("drift") > 10000L)
-      .orderBy(col("dim"))
   }
 
   /** Same quantization, conditional sums, floor-toward-minus-infinity
@@ -2495,7 +2471,6 @@ object SimilarityOps {
         col("grad_d"),
         lit(nViol).as("n_violators"),
         lit(lossSum).as("hinge_loss_sum"))
-      .orderBy(col("dim"))
     DedupOps.unpersistAfterFirstAction(result, viol)
   }
 
@@ -2571,7 +2546,6 @@ object SimilarityOps {
         coalesce(col("prop0"), lit(-1)).as("prop_label"),
         col("label").as("true_label"),
         (coalesce(col("prop0"), lit(-1)) === col("label")).as("correct"))
-      .orderBy(col("vec_id"))
     DedupOps.unpersistAfterFirstAction(result, edges)
   }
 
@@ -2657,7 +2631,6 @@ object SimilarityOps {
         expr(s"coalesce(n_hits, 0L) * 1000000 DIV ${NumQueries * 3}L")
           .as("recall_ppm"),
         col("n_candidates"))
-      .orderBy(col("nprobe"))
     DedupOps.unpersistAfterFirstAction(result, scored)
   }
 
@@ -2803,7 +2776,6 @@ object SimilarityOps {
         round(coalesce(col("rr0"), lit(0.0)), 6).as("rr_true_r"),
         round(coalesce(col("dcg"), lit(0.0)), 6).as("dcg_r"),
         round(coalesce(col("dcg"), lit(0.0)) / lit(IdcgK), 6).as("ndcg_r"))
-      .orderBy(col("q_id"))
   }
 
   /** Same IVF/brute-force CTEs as the recall curve at nprobe=2, plus

@@ -49,7 +49,6 @@ object TextOps {
         // composite quality score: lexical diversity damped by
         // stopword density — both terms in [0,1], deterministic doubles.
         (ttr * (lit(1.0) - stopRatio)).as("quality_score"))
-      .orderBy(col("doc_id"))
   }
 
   val qTokenStatsOracle: String =
@@ -89,7 +88,6 @@ object TextOps {
         es.as("score_es"), fr.as("score_fr"),
         pred.as("predicted_lang"))
       .withColumn("agrees", (col("predicted_lang") === col("labeled_lang")).cast("int"))
-      .orderBy(col("doc_id"))
   }
 
   val qLangIdOracle: String =
@@ -121,7 +119,6 @@ object TextOps {
         md5(col("text").cast("binary")).as("fp_exact"),
         md5(array_join(array_sort(array_distinct(toks)), " ").cast("binary"))
           .as("fp_content"))
-      .orderBy(col("doc_id"))
 
   val qFingerprintOracle: String =
     """SELECT doc_id, md5(text) AS fp_exact,
@@ -142,7 +139,6 @@ object TextOps {
       .agg(count(lit(1)).as("n"))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= 5)
-      .orderBy(col("lang"), col("rank"))
   }
 
   val qTermFreqOracle: String =
@@ -170,7 +166,6 @@ object TextOps {
         size(array_distinct(pieces)).as("n_distinct_pieces"),
         (length(col("text")).cast(DoubleType) / size(pieces)).as("chars_per_piece"),
         (size(pieces).cast(DoubleType) / size(toks)).as("pieces_per_word"))
-      .orderBy(col("doc_id"))
   }
 
   val qBpeTokensOracle: String =
@@ -211,7 +206,6 @@ object TextOps {
           .as("fertility"),
         round(sum(col("chars")).cast(DoubleType) / sum(col("pieces")), 6)
           .as("chars_per_piece"))
-      .orderBy(col("lang"))
   }
 
   val qFertilityOracle: String =
@@ -256,7 +250,6 @@ object TextOps {
         docHash.as("doc_hash"),
         when(col("_n") >= 3, array_min(winHashes)).otherwise(lit(null).cast("long"))
           .as("min_window_hash"))
-      .orderBy(col("doc_id"))
   }
 
   def qRollingHash(spark: SparkSession, sfDir: String): DataFrame =
@@ -325,7 +318,6 @@ object TextOps {
       .join(canonical, col("doc_id") === col("keep_id"))
       .select(col("doc_id"), col("predicted_lang"),
         round(col("quality_score"), 6).as("quality_r"), col("n_tokens"))
-      .orderBy(col("doc_id"))
   }
 
   val qQualityPipelineOracle: String =
@@ -391,7 +383,6 @@ object TextOps {
         (col("top_w").cast(DoubleType) / col("n_tok")).as("top_word_frac"),
         (col("top_bg").cast(DoubleType) / col("n_bg")).as("top_bigram_frac"),
         (col("dup_bg").cast(DoubleType) / col("n_bg")).as("dup_bigram_frac"))
-      .orderBy(col("doc_id"))
   }
 
   val qRepetitionOracle: String =
@@ -451,7 +442,6 @@ object TextOps {
         (alphaFrac >= 0.8).as("r_alpha"))
       .withColumn("passes",
         col("r_words") && col("r_mwl") && col("r_stop") && col("r_alpha"))
-      .orderBy(col("doc_id"))
   }
 
   val qGopherRulesOracle: String =
@@ -497,7 +487,6 @@ object TextOps {
         regexp_count(col("text2"), lit(PhoneRe)).as("n_phone"),
         md5(regexp_replace(regexp_replace(col("text2"), EmailRe, "<EMAIL>"),
           PhoneRe, "<PHONE>").cast("binary")).as("redacted_md5"))
-      .orderBy(col("doc_id"))
   }
 
   val qPiiRedactOracle: String =
@@ -569,7 +558,6 @@ object TextOps {
         (col("class_n") < KAnonK).as("k_risky"),
         col("n_buckets"),
         (col("n_buckets") < KAnonL).as("l_risky"))
-      .orderBy(col("lang"), col("source"))
   }
 
   val qKAnonymityOracle: String =
@@ -597,7 +585,6 @@ object TextOps {
       .select(col("doc_id"), col("chunk_id"),
         size(col("cw")).as("n_words"),
         array_join(col("cw"), " ").as("chunk_text"))
-      .orderBy(col("doc_id"), col("chunk_id"))
   }
 
   val qChunkingOracle: String =
@@ -638,8 +625,7 @@ object TextOps {
         .withColumn("score_1000", expr("tf * n * 1000 DIV df"))
         .withColumn("rk", row_number().over(w))
         .filter(col("rk") <= 5)
-        .select(col("doc_id"), col("term"), col("tf"), col("df"), col("score_1000"))
-        .orderBy(col("doc_id"), col("term")),
+        .select(col("doc_id"), col("term"), col("tf"), col("df"), col("score_1000")),
       tf)
   }
 
@@ -682,7 +668,6 @@ object TextOps {
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") <= 5)
       .select(col("doc_id"), col("term"), col("tf"), col("df"), col("score_1000"))
-      .orderBy(col("doc_id"), col("term"))
   }
 
   val qTfidfOracle: String =
@@ -805,7 +790,6 @@ object TextOps {
       .withColumn("rank", row_number().over(
         Window.orderBy(col("score_r").desc, col("doc_id"))))
       .select(col("rank"), col("doc_id"), col("n_hit"), col("score_r"))
-      .orderBy(col("rank"))
   }
 
   /** The mined BM25 model a production ranker ships — full-vocabulary
@@ -1114,7 +1098,6 @@ object TextOps {
       .withColumn("rank", row_number().over(
         Window.orderBy(col("score_r").desc, col("doc_id"))))
       .select(col("rank"), col("doc_id"), col("n_hit"), col("score_r"))
-      .orderBy(col("rank"))
     DedupOps.unpersistAfterFirstAction(ranked, tf)
   }
 
@@ -1551,7 +1534,6 @@ object TextOps {
         sum(col("n_hits")).as("hits"),
         expr(s"CAST(sum(rr_ppm) div $nQEff AS BIGINT)").as("mrr_ppm"),
         expr(s"CAST(sum(ndcg_ppm) div $nQEff AS BIGINT)").as("ndcg_ppm"))
-      .orderBy(col("scorer"))
     graft.operators.DedupOps.unpersistAfterFirstAction(out, dtf, post, s1, base)
   }
   lazy val qTextRankEvalOracle: String =
@@ -1747,7 +1729,6 @@ object TextOps {
       .withColumn("entropy_bits", round(
         log(2.0, col("n")) - col("clogc") / (col("n") * lit(math.log(2.0))), 6))
       .select("doc_id", "n", "distinct_chars", "entropy_bits")
-      .orderBy("doc_id")
   }
 
   val qCharEntropyOracle: String =
@@ -1793,7 +1774,6 @@ object TextOps {
         expr(s"start_off DIV $capacity").as("first_pack"),
         expr(s"(start_off + n_tokens - 1) DIV $capacity - start_off DIV $capacity")
           .as("boundary_crossings"))
-      .orderBy(col("doc_id"))
   }
 
   val qPackSequencesOracle: String =
@@ -1841,7 +1821,6 @@ object TextOps {
       .crossJoin(broadcast(total))
       .select(col("doc_id"), col("n_tokens"),
         round(col("alc") - log(col("n")), 6).as("avg_logp_r"))
-      .orderBy(col("doc_id"))
   }
 
   /** Stored UNIGRAM LM (token, count) table + total token mass N as
@@ -1874,7 +1853,6 @@ object TextOps {
   def qLmScoreStored(spark: SparkSession, sfDir: String): DataFrame =
     lmScoredDocs(spark, sfDir)
       .select(col("doc_id"), col("n_tokens"), col("avg_logp_r"))
-      .orderBy(col("doc_id"))
 
   /** The stored-model scoring pass with the language slice kept:
     * (doc_id, lang, n_tokens, avg_logp_r). Shared by
@@ -1949,7 +1927,6 @@ object TextOps {
       .agg(sum(col("cnt")).as("n_bigrams"),
         round(sum(col("cnt") * (log(col("c2")) - log(col("c1")))) /
           sum(col("cnt")), 6).as("avg_logp"))
-      .orderBy(col("doc_id"))
   }
 
   /** Stored BIGRAM LM: the (w1, w2, c2) count table as a durable
@@ -1982,7 +1959,6 @@ object TextOps {
       .agg(sum(col("cnt")).as("n_bigrams"),
         round(sum(col("cnt") * (log(col("c2")) - log(col("c1")))) /
           sum(col("cnt")), 6).as("avg_logp"))
-      .orderBy(col("doc_id"))
   }
 
   /** STUPID BACKOFF (Brants et al. 2007, "Large Language Models in
@@ -2056,7 +2032,6 @@ object TextOps {
         round(sum(col("cnt") * col("logs")) / sum(col("cnt")), 6)
           .as("avg_logs"))
       .withColumn("held_out", col("doc_id") % 10 =!= 0)
-      .orderBy(col("doc_id"))
   }
 
   val qLmBackoffOracle: String =
@@ -2175,7 +2150,6 @@ object TextOps {
         round(sum(col("cnt") * col("logp")) / sum(col("cnt")), 6)
           .as("avg_logp"))
       .withColumn("held_out", col("doc_id") % 10 =!= 0)
-      .orderBy(col("doc_id"))
 
   /** The PRECOMPUTED KN model: the context statistic table (w1, c1,
     * n1p) with the bigram type total T as meta, and the continuation
@@ -2288,7 +2262,6 @@ object TextOps {
         sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L)).as("n_novel"))
       .select(col("doc_id"), col("n_shingles"), col("n_novel"),
         round(col("n_novel").cast(DoubleType) / col("n_shingles"), 6).as("novelty_r"))
-      .orderBy(col("doc_id"))
   }
 
   val qNoveltyOracle: String =
@@ -2331,7 +2304,6 @@ object TextOps {
       .withColumn("rank",
         row_number().over(Window.orderBy(col("freq").desc, col("pair"))))
       .select(col("rank"), col("pair"), col("freq"))
-      .orderBy(col("rank"))
   }
 
   val qBpeLearnOracle: String =
@@ -2380,7 +2352,6 @@ object TextOps {
       (w, n, est >= n, est <= n + 4L * totalN / cm.width)
     }
     rows.toDF("word", "n_exact", "lower_bound_ok", "overcount_ok")
-      .orderBy(col("n_exact").desc, col("word"))
   }
 
   val qHeavyHittersOracle: String =
@@ -2501,7 +2472,6 @@ object TextOps {
           array_sort(collect_list(when(col("is_boiler").isNull,
             struct(col("cid"), col("chunk"))))),
           s => s.getField("chunk")), " ").as("clean_text"))
-      .orderBy(col("doc_id"))
   }
 
   val qBoilerplateOracle: String =
@@ -2567,7 +2537,6 @@ object TextOps {
         col("c_xy") * lit(nPairs) > lit(3L) * col("cl_x") * col("cr_y"))
       .select(col("x"), col("y"), col("c_xy"), col("cl_x"), col("cr_y"),
         lit(nPairs).as("n_pairs"))
-      .orderBy(col("c_xy").desc, col("x"), col("y"))
     DedupOps.unpersistAfterFirstAction(result, pc)
   }
 
@@ -2619,7 +2588,6 @@ object TextOps {
         Window.orderBy(col("batch"))
           .rowsBetween(Window.unboundedPreceding, 0)))
       .select(col("batch"), col("new_tokens"), col("vocab_size"))
-      .orderBy(col("batch"))
   }
 
   val qVocabGrowthOracle: String =
@@ -2654,7 +2622,6 @@ object TextOps {
         col("n_labeled"),
         expr("n * 1000000 DIV n_labeled").as("row_ppm"),
         (col("labeled_lang") === col("predicted_lang")).as("is_diagonal"))
-      .orderBy(col("labeled_lang"), col("predicted_lang"))
   }
 
   val qLangIdConfusionOracle: String =
@@ -2715,7 +2682,6 @@ object TextOps {
         col("url").contains("?").as("has_query"),
         regexp_extract(col("url"), "^([a-z]+)://", 1).equalTo("https")
           .as("is_secure"))
-      .orderBy(col("doc_id"))
   }
 
   /** Same derivation + the same anchored extractions in DuckDB. */
@@ -2775,7 +2741,6 @@ object TextOps {
     val result = perLang.join(nDocs, "lang")
       .select(col("lang"), col("n_docs"), col("n_tokens"), col("n_oov"),
         expr("n_oov * 1000000 DIV n_tokens").as("oov_ppm"))
-      .orderBy(col("lang"))
     DedupOps.unpersistAfterFirstAction(result, lw)
   }
 
@@ -2855,7 +2820,6 @@ object TextOps {
             (log(col("np") + col("v")) - log(col("nq") + col("v"))), 6)
           .as("nb_score_r"))
       .withColumn("pred_pos", col("nb_score_r") > 0)
-      .orderBy(col("doc_id"))
   }
 
   /** The NB model as a DURABLE artifact — (tk, cp, cq) counts plus the
@@ -2892,7 +2856,7 @@ object TextOps {
     * every incoming shard against frozen counts. Oracle shared
     * verbatim with the live twin. */
   def qNbQualityStored(spark: SparkSession, sfDir: String): DataFrame =
-    nbScoredDocs(spark, sfDir).orderBy(col("doc_id"))
+    nbScoredDocs(spark, sfDir)
 
   /** The stored-model scoring pass, unsorted — shared by
     * [[qNbQualityStored]] and the classifier-eval queries
@@ -3347,7 +3311,7 @@ FROM r ORDER BY doc_id""")
       .groupBy(col("tk"))
       .agg(sum(when(curatedPred, col("sgn")).otherwise(0L)).as("dcp"),
         sum(when(curatedPred, lit(0L)).otherwise(col("sgn"))).as("dcq"))
-    nbPatch(prev, delta).orderBy(col("tk"))
+    nbPatch(prev, delta)
   }
 
   /** The patch join itself — frozen (tk, cp, cq) counts + signed

@@ -746,11 +746,12 @@ class PipelineOpsSpec extends SparkSpec {
     // no false negatives: the sketch pre-filter + exact confirm join
     // must return byte-identical rows to the full-shuffle variant
     val exact = SparkEntry.queries("sample_decontaminate")(spark, sf).collect().toSeq
+      .sortBy(_.getLong(0))
     val bloom = SparkEntry.queries("sample_decontaminate_bloom")(spark, sf)
     val plan = bloom.queryExecution.executedPlan.toString
     assert(plan.contains("might_contain"),
       s"bloom probe missing from the physical plan:\n$plan")
-    assert(bloom.collect().toSeq === exact)
+    assert(bloom.collect().toSeq.sortBy(_.getLong(0)) === exact)
   }
 
   test("triangles: counts and clustering coefficients match a driver-side brute force") {
@@ -2371,6 +2372,7 @@ class PipelineOpsSpec extends SparkSpec {
     val got = TextOps.qKAnonymity(spark, sf).collect()
       .map(r => (r.getString(0), r.getString(1), r.getLong(2),
         r.getBoolean(3), r.getLong(4), r.getBoolean(5)))
+      .sortBy(t => (t._1, t._2))
     val docs = Tables.documents(spark, sf)
       .select("lang", "source", "n_chars").collect()
       .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
@@ -2627,6 +2629,7 @@ class PipelineOpsSpec extends SparkSpec {
     val got = q.collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
         r.getLong(3), r.getLong(4)))
+      .sortBy(_._1)
     assert(got.length === 4 &&
       got.map(_._1).toSeq === Seq("bm25", "ql", "rm3", "rrf"))
 

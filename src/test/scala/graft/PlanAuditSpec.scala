@@ -236,16 +236,16 @@ class PlanAuditSpec extends SparkSpec {
   test("int8 quantization is map-only: zero exchanges before the output sort") {
     val parts = shufflePartitionings(SimilarityOps.qQuantizeInt8(spark, sf))
       .filter(_.contains("partitioning("))
-    // exactly one shuffle: the rangepartitioning for the final orderBy
-    assert(parts.size === 1 && parts.head.contains("rangepartitioning"),
+    // r16: the presentational output sort is gone — ZERO shuffles
+    assert(parts.isEmpty,
       s"quantization must not shuffle data, got: $parts")
   }
 
   test("pq encode is map-only: codebook as plan literals, zero exchanges before the output sort") {
     val parts = shufflePartitionings(SimilarityOps.qSimPqEncode(spark, sf))
       .filter(_.contains("partitioning("))
-    // exactly one shuffle: the rangepartitioning for the final orderBy
-    assert(parts.size === 1 && parts.head.contains("rangepartitioning"),
+    // r16: the presentational output sort is gone — ZERO shuffles
+    assert(parts.isEmpty,
       s"pq encode must not shuffle data, got: $parts")
     val p = planString(SimilarityOps.qSimPqEncode(spark, sf))
     assert(!p.contains("Join"),
@@ -255,7 +255,8 @@ class PlanAuditSpec extends SparkSpec {
   test("label outliers is map-only: centroids as plan literals, zero exchanges before the output sort") {
     val parts = shufflePartitionings(SimilarityOps.qSimLabelOutliers(spark, sf))
       .filter(_.contains("partitioning("))
-    assert(parts.size === 1 && parts.head.contains("rangepartitioning"),
+    // r16: the presentational output sort is gone — ZERO shuffles
+    assert(parts.isEmpty,
       s"label scoring must not shuffle data, got: $parts")
     val p = planString(SimilarityOps.qSimLabelOutliers(spark, sf))
     assert(!p.contains("Join"),
@@ -452,7 +453,8 @@ class PlanAuditSpec extends SparkSpec {
     // sort may exchange), like sample_split
     val imp = shufflePartitionings(graft.operators.SamplingOps.qImportanceSample(spark, sf))
       .filter(_.contains("partitioning("))
-    assert(imp.size === 1 && imp.head.contains("rangepartitioning"),
+    // r16: the presentational output sort is gone — ZERO shuffles
+    assert(imp.isEmpty,
       s"importance sampling must not shuffle data, got: $imp")
     // packing: exactly one hash exchange (the shard key) + the final sort
     val pack = shufflePartitionings(graft.operators.TextOps.qPackSequences(spark, sf))
@@ -759,13 +761,17 @@ class PlanAuditSpec extends SparkSpec {
     val pp = planString(pairs)
     assert(pp.contains("graft_artifacts") && pp.contains("ann_edges") && !pp.contains("Generate"),
       "stored components input must be the artifact scan, un-bucketed")
-    val liveC = graft.operators.DedupOps.qDedupSemanticClustersAnn(spark, sf).collect().toSeq
-    val matC = SimilarityOps.qDedupSemanticClustersAnnStored(spark, sf).collect().toSeq
+    val liveC = graft.operators.DedupOps.qDedupSemanticClustersAnn(spark, sf)
+      .collect().toSeq.sortBy(_.getLong(0))
+    val matC = SimilarityOps.qDedupSemanticClustersAnnStored(spark, sf)
+      .collect().toSeq.sortBy(_.getLong(0))
     assert(matC === liveC, "stored components diverged from self-contained")
     // contract equality: the stored path is the same miner
     // materialized, so results match the self-contained query exactly
     val live = SimilarityOps.qSimPagerank(spark, sf).collect().toSeq
+      .sortBy(_.getLong(0))
     val mat = SimilarityOps.qSimPagerankStored(spark, sf).collect().toSeq
+      .sortBy(_.getLong(0))
     assert(mat === live, "stored PageRank diverged from self-contained")
     spark.catalog.clearCache()
   }
@@ -919,8 +925,9 @@ class PlanAuditSpec extends SparkSpec {
     val p = planString(stored)
     assert(p.contains("graft_artifacts") && p.contains("unigram_lm"),
       "stored LM score must scan the unigram_lm artifact")
-    assert(stored.collect().toSeq ===
-      graft.operators.TextOps.qLmScore(spark, sf).collect().toSeq,
+    assert(stored.collect().toSeq.sortBy(_.getLong(0)) ===
+      graft.operators.TextOps.qLmScore(spark, sf).collect().toSeq
+        .sortBy(_.getLong(0)),
       "stored LM score diverged from the live twin")
     spark.catalog.clearCache()
   }
@@ -990,7 +997,8 @@ class PlanAuditSpec extends SparkSpec {
       assert(!planB.linesIterator.exists(l =>
           l.contains("BroadcastHashJoin") && l.contains("LeftOuter")),
         "verdict join must not broadcast when the matched side is too big")
-      assert(rowsB === rowsA, "shuffle regime changed the keep-list")
+      assert(rowsB.sortBy(_.getLong(0)) === rowsA.sortBy(_.getLong(0)),
+        "shuffle regime changed the keep-list")
     } finally saved.foreach { case (k, v) =>
       v.fold(spark.conf.unset(k))(spark.conf.set(k, _)) }
   }

@@ -40,6 +40,7 @@ class ProjectionSpec extends SparkSpec {
     }.sortBy(t => (t._1, t._2))
     val got = SimilarityOps.qSimRandomProjection(spark, sf).collect()
       .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+      .sortBy(t => (t._1, t._2))
     assert(got.length === raw.length * 8, "8 projected dims per vector")
     assert(got.toSeq === want.toSeq)
   }
@@ -54,8 +55,9 @@ class ProjectionSpec extends SparkSpec {
       .filter(_.startsWith("Arguments: "))
       .filter(l => l.contains("partitioning(") || l.contains("SinglePartition"))
       .filter(_.contains("partitioning(")).toSeq
-    assert(parts.size === 1 && parts.head.contains("rangepartitioning"),
-      s"projection must not shuffle data before the output sort, got: $parts")
+    // r16: the presentational output sort is gone — ZERO shuffles
+    assert(parts.isEmpty,
+      s"projection must not shuffle data, got: $parts")
   }
 
   test("truncation recall equals a driver-side reimplementation") {

@@ -33,6 +33,7 @@ class TokenBudgetSpec extends SparkSpec {
     }.sortBy(_._1)
     val got = SamplingOps.qTokenBudget(spark, sf).collect()
       .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getBoolean(3)))
+      .sortBy(_._1)
     assert(got.toSeq === want.toSeq)
     // the boundary level is PARTIALLY selected — the case the
     // three-way decomposition exists for

@@ -30,6 +30,7 @@ class ZorderSpec extends SparkSpec {
     }
     val got = SamplingOps.qZorderLayout(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(_._1)
     assert(got.toSeq === want)
     assert(got.map(_._2).sum === rows.length, "shards partition the table")
   }
