@@ -1280,6 +1280,13 @@ object TextOps {
       fullPanel: Boolean): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     import spark.implicits._
+    // dev-only phase timing (the CC_TRACE convention): per-fold cost
+    val reTrace = sys.env.contains("SPARK_GRAFT_RE_TRACE")
+    def timed[A](tag: String)(f: => A): A =
+      if (!reTrace) f else {
+        val t0 = System.nanoTime(); val r = f
+        System.err.println(f"[rankeval] $tag%-10s ${(System.nanoTime() - t0) / 1e9}%.2fs"); r
+      }
     // THE one corpus explode: per-(doc, term) counts, aggregated
     // BEFORE any query join (a query join on raw occurrences would
     // fan every occurrence by the number of fingerprints sharing its
@@ -1300,22 +1307,6 @@ object TextOps {
     // truth relation lives inside the stratum
     val model = modelOpt.getOrElse(
       dtf.groupBy(col("tk")).agg(count(lit(1)).as("df")))
-    // collection stats (n, Σdl): the full query reads them from the
-    // bm25_model artifact's meta; the stratum derives them from the
-    // SAME cached explode — every doc yields ≥ 1 dtf row (split of
-    // empty text is [""], so size(toks) ≥ 1 on both engines) — in a
-    // 1-row fold that doubles as the dtf cache materializer instead
-    // of paying a second corpus scan+tokenize (r15 review: the
-    // previous docs.agg shape re-read the sampled corpus once more,
-    // contradicting the one-explode contract)
-    val (n, sumdl) = statsOpt.getOrElse {
-      val r = dtf.groupBy(col("doc_id")).agg(max(col("dl")).as("dl"))
-        .agg(count(lit(1)), sum(col("dl"))).head
-      (r.getLong(0), r.getLong(1))
-    }
-    def withN(d: DataFrame): DataFrame = d
-      .withColumn("n", lit(n.toDouble))
-      .withColumn("avgdl", lit(sumdl.toDouble / n))
     // Every model-sized relation below is a BOUNDED DRIVER FOLD (the
     // qBm25Rm3 expansion-fold precedent, ≤130 rows each): folded as
     // literal relations, the serving plan carries ZERO broadcast
@@ -1346,13 +1337,52 @@ object TextOps {
       .select(col("q_id"), col("doc_id"), col("tk"), col("df"),
         col("tf"), col("dl"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // fold job 1 (materializes dtf + post): fingerprints, their dfs,
-    // and per-(query, term) collection frequencies in ONE rollup of
-    // the posting relation (df rides as max — constant per (q, tk))
-    val qstats = post.groupBy(col("q_id"), col("tk"))
+    // fold job 1 (materializes dtf + post) — r16 optimization round:
+    // the three MUTUALLY INDEPENDENT bounded folds travel in ONE
+    // tagged-union collect instead of three jobs (each extra job cost
+    // 0.5-0.8 s of pure scheduling + warm-cache re-scan, measured with
+    // SPARK_GRAFT_RE_TRACE):
+    //   tag 0 — collection stats (n, Σdl): the full query reads them
+    //     from the bm25_model artifact's meta (statsOpt — no tag-0
+    //     branch at all); the stratum derives them from the SAME
+    //     cached explode — every doc yields ≥ 1 dtf row (split of
+    //     empty text is [""], so size(toks) ≥ 1 on both engines);
+    //   tag 1 — fingerprints, their dfs, and per-(query, term)
+    //     collection frequencies in one rollup of the posting relation
+    //     (df rides as max — constant per (q, tk));
+    //   tag 2 — the QL no-hit shortlist: the globally (k+1) shortest
+    //     docs joined back to their dtf term rows (previously fold
+    //     job 4, moved here because it depends only on dtf).
+    // Values are bit-identical to the three separate folds — the union
+    // only changes which job carries each row to the driver.
+    val qstatsDf = post.groupBy(col("q_id"), col("tk"))
       .agg(max(col("df")).as("df"), sum(col("tf")).as("ctf"))
-      .collect()
-      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2), r.getLong(3)))
+      .select(lit(1).as("tag"), col("q_id").as("l1"), col("tk").as("s1"),
+        col("df").as("d1"), col("ctf").as("l2"))
+    val shortDf = dtf.groupBy(col("doc_id")).agg(max(col("dl")).as("dl"))
+      .orderBy(col("dl").asc, col("doc_id")).limit(RankEvalK + 1)
+      .join(dtf.select(col("doc_id"), col("tk")), "doc_id")
+      .select(lit(2).as("tag"), col("doc_id").as("l1"), col("tk").as("s1"),
+        lit(null).cast(DoubleType).as("d1"), col("dl").as("l2"))
+    val statsDf = dtf.groupBy(col("doc_id")).agg(max(col("dl")).as("dl"))
+      .agg(count(lit(1)).as("nn"), sum(col("dl")).as("sdl"))
+      .select(lit(0).as("tag"), col("nn").as("l1"),
+        lit(null).cast("string").as("s1"),
+        lit(null).cast(DoubleType).as("d1"), col("sdl").as("l2"))
+    val folded = timed("fold1")(
+      (if (statsOpt.isEmpty) qstatsDf.unionByName(statsDf) else qstatsDf)
+        .unionByName(shortDf).collect())
+    val (n, sumdl) = statsOpt.getOrElse {
+      val r = folded.find(_.getInt(0) == 0).get
+      (r.getLong(1), r.getLong(4))
+    }
+    def withN(d: DataFrame): DataFrame = d
+      .withColumn("n", lit(n.toDouble))
+      .withColumn("avgdl", lit(sumdl.toDouble / n))
+    val shortRows = folded.filter(_.getInt(0) == 2)
+      .map(r => (r.getLong(1), r.getLong(4), r.getString(2))).toSeq
+    val qstats = folded.filter(_.getInt(0) == 1)
+      .map(r => (r.getLong(1), r.getString(2), r.getDouble(3), r.getLong(4)))
       .toSeq.sorted
     val qrelRows = qstats.map { case (q, tk, df, _) => (q, tk, df) }
     val qrel = broadcast(qrelRows.toDF("q_id", "tk", "df"))
@@ -1424,16 +1454,16 @@ object TextOps {
     // RM3: feedback fold (≤100 rows, kd in micro-units — the qBm25Rm3
     // shape per query), integer RM1 weights from the cached counts,
     // per-query top-10 expansion, mixture weights in the fold
-    val fb = s1.filter(col("rk") <= Rm3FbDocs)
+    val fb = timed("fb")(s1.filter(col("rk") <= Rm3FbDocs)
       .select(col("q_id"), col("doc_id"),
         round(col("score_r") * lit(1000000)).cast("long").as("kd"))
-      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+      .collect()).map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
     val fbLit = broadcast(fb.sorted.toDF("q_id", "doc_id", "kd"))
     val wE = Window.partitionBy(col("q_id")).orderBy(col("w").desc, col("tk"))
     // fold job 3: RM1 weights + the expansion terms' model dfs in the
     // same job (the vocabulary-sized model scan joins AFTER the
     // ≤10-per-query cut, inside this job's plan)
-    val ex = dtf.join(fbLit, "doc_id")
+    val exDf = dtf.join(fbLit, "doc_id")
       .join(qrel.select("q_id", "tk"), Seq("q_id", "tk"), "left_anti")
       .withColumn("c", expr(rm3ContribExpr("div")))
       .groupBy(col("q_id"), col("tk")).agg(sum(col("c")).as("w"))
@@ -1441,7 +1471,7 @@ object TextOps {
       .filter(col("er") <= Rm3FbTerms)
       .select(col("q_id"), col("tk"), col("w"))
       .join(model.withColumnRenamed("df", "mdf"), "tk")
-      .collect()
+    val ex = timed("ex")(exDf.collect())
       .map(r => (r.getLong(1), r.getString(0), r.getLong(2), r.getLong(3)))
       .toSeq
     val wsum: Map[Long, Long] = ex.groupBy(_._1)
@@ -1470,12 +1500,7 @@ object TextOps {
     // nq·Δdl/(dl+μ) ≫ the 1e-6 grid until dl ~ 3M tokens — so the
     // true top-10 is contained in matched ∪ shortlist), minus pairs
     // already matched, a membership test over two folded relations
-    // fold job 4: the shortlist docs AND their term sets in one job —
-    // rank docs by (dl, doc_id), keep k+1, join their dtf rows back
-    val shortRows = dtf.groupBy(col("doc_id")).agg(max(col("dl")).as("dl"))
-      .orderBy(col("dl").asc, col("doc_id")).limit(RankEvalK + 1)
-      .join(dtf.select(col("doc_id"), col("tk")), "doc_id")
-      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSeq
+    // (the shortlist fold rides the tag-2 branch of fold job 1 above)
     val short = shortRows.map(t => (t._1, t._2)).distinct.sorted
     val shortTerms: Map[Long, Set[String]] = shortRows.groupBy(_._1)
       .map { case (d, rs) => d -> rs.map(_._3).toSet }
