@@ -59,6 +59,17 @@ class ComponentsSpec extends SparkSpec {
     checkBoth(cliqueA ++ cliqueB :+ ((6L, 11L)))
   }
 
+  test("signature convergence: empty and single-pair inputs terminate cleanly") {
+    // r16: convergence is now detected by the monotone label-sum
+    // signature. Pin its two boundary paths: an EMPTY pair relation
+    // (the signature of an empty label set is the null→ZERO branch —
+    // must converge immediately, not throw or spin to maxIter) and a
+    // single pair (smallest nonempty fixpoint).
+    assert(labelsOf(DedupOps.connectedComponents(toDf(Seq.empty))) === Map.empty)
+    assert(labelsOf(DedupOps.connectedComponents(toDf(Seq((7L, 3L))))) ===
+      Map(3L -> 3L, 7L -> 3L))
+  }
+
   test("seeded random graphs match the union-find oracle") {
     for (seed <- Seq(7, 42, 1337)) {
       val rnd = new scala.util.Random(seed)
