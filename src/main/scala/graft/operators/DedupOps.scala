@@ -699,24 +699,36 @@ object DedupOps {
     val sets = sh.groupBy(col("doc_id"))
       .agg(collect_list(col("shingle")).as("ss"), count(lit(1)).as("n"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val rows = Seq(2, 3, 4, 6).map { r =>
+    // r16 optimization round: ONE job for the whole sweep. The old
+    // shape ran 2 count() actions per config (8 jobs, plus a persist
+    // per candidate set); but (a) the verification join is TOTAL on
+    // the candidate set (sig and sets group the same sh relation, so
+    // every candidate doc_id hits both joins) — candidate count and
+    // verified count can come from one aggregate over the joined
+    // relation — and (b) the four configs are independent branches
+    // over the same cached sig/sets, so they union into a single
+    // 4-row collect. Identical counts, 8 jobs → 1, no per-config
+    // persist.
+    val perConf = Seq(2, 3, 4, 6).map { r =>
       val bands = bandsAt(sig, r)
-      val cand = bands.as("a")
+      bands.as("a")
         .join(bands.as("b"),
           col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
             col("a.doc_id") < col("b.doc_id"))
         .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
         .distinct()
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val nCand = cand.count()
-      val nVer = cand
         .join(sets.select(col("doc_id").as("a_id"), col("ss").as("sa"), col("n").as("na")), "a_id")
         .join(sets.select(col("doc_id").as("b_id"), col("ss").as("sb"), col("n").as("nb")), "b_id")
         .withColumn("inter", size(array_intersect(col("sa"), col("sb"))))
-        .filter(col("inter").cast(DoubleType) /
-          (col("na") + col("nb") - col("inter")) >= 0.1)
-        .count()
-      cand.unpersist()
+        .agg(count(lit(1)).as("nc"),
+          count(when(col("inter").cast(DoubleType) /
+            (col("na") + col("nb") - col("inter")) >= 0.1, lit(1))).as("nv"))
+        .select(lit(r).as("r"), col("nc"), col("nv"))
+    }
+    val swept = perConf.reduce(_.unionByName(_)).collect()
+      .map(row => row.getInt(0) -> (row.getLong(1), row.getLong(2))).toMap
+    val rows = Seq(2, 3, 4, 6).map { r =>
+      val (nCand, nVer) = swept(r)
       (r, NumHashes / r, nCand, nVer,
         if (nCand == 0) 0L else nVer * 1000000L / nCand)
     }
