@@ -1420,24 +1420,16 @@ object TextOps {
       (q, k, ts.size.toLong)
     }.toDF("q_id", "k", "nq"))
     val postx = post.filter(col("doc_id") =!= col("q_id"))
-    // graded truth + its ideal DCG — gain = #shared fingerprint terms,
-    // ties broken by TOTAL shared term frequency before doc_id: on a
-    // template-vocabulary corpus (this fixture: 31 terms) hundreds of
-    // docs share all 3 fingerprint terms, and without the integer
-    // tfsum layer the truth cut would be doc_id-arbitrary
-    val wT = Window.partitionBy(col("q_id"))
-      .orderBy(col("sc").desc, col("tfsum").desc, col("doc_id"))
-    val truth = postx.groupBy(col("q_id"), col("doc_id"))
-      .agg(count(lit(1)).as("sc"), sum(col("tf")).as("tfsum"))
-      .withColumn("rank_t", row_number().over(wT))
-      .filter(col("rank_t") <= RankEvalK)
-    val idcg = truth.groupBy(col("q_id"))
-      .agg(sum(col("sc").cast(DoubleType) /
-        (log(col("rank_t") + lit(1.0)) / lit(Ln2))).as("idcg"))
-    // BM25 + QL matched sums in ONE pass over the posting relation
-    // (same groups, so one hash-agg carries both scorers' addends and
-    // the doc length) — persisted: the scored relation is the BM25
-    // served list, RM3's feedback, AND the QL matched side
+    // BM25 + QL matched sums + the TRUTH aggregates in ONE pass over
+    // the posting relation (r17 optimization round: truth previously
+    // ran its own groupBy over the same postx with the SAME
+    // (q_id, doc_id) keys — guide §2.4, two aggregations keyed the
+    // same way share one exchange; here they share the whole pass).
+    // The ctfLit join is 1:1 (every (q_id, tk) of postx is in ctf by
+    // construction, ctf unique per key), so count(1)/sum(tf) over the
+    // joined groups are bit-identical to the old postx-only rollup.
+    // Persisted: the scored relation is the BM25 served list, RM3's
+    // feedback, the QL matched side, AND the graded-truth base.
     val wS = Window.partitionBy(col("q_id"))
       .orderBy(col("score_r").desc, col("doc_id"))
     val s1 = withN(postx.join(ctfLit, Seq("q_id", "tk")))
@@ -1445,10 +1437,27 @@ object TextOps {
       .withColumn("qa", expr(qlAddendExpr(sumdl.toString)))
       .groupBy(col("q_id"), col("doc_id"))
       .agg(sum(col("a")).as("score"), sum(col("qa")).as("ms"),
-        max(col("dl")).as("dl"))
+        max(col("dl")).as("dl"),
+        count(lit(1)).as("sc"), sum(col("tf")).as("tfsum"))
       .withColumn("score_r", round(col("score"), 6))
       .withColumn("rk", row_number().over(wS))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // graded truth + its ideal DCG — gain = #shared fingerprint terms,
+    // ties broken by TOTAL shared term frequency before doc_id: on a
+    // template-vocabulary corpus (this fixture: 31 terms) hundreds of
+    // docs share all 3 fingerprint terms, and without the integer
+    // tfsum layer the truth cut would be doc_id-arbitrary. Reads the
+    // persisted s1 (partitioned by q_id post-window), so the rank_t
+    // window needs a sort but no new exchange.
+    val wT = Window.partitionBy(col("q_id"))
+      .orderBy(col("sc").desc, col("tfsum").desc, col("doc_id"))
+    val truth = s1
+      .withColumn("rank_t", row_number().over(wT))
+      .filter(col("rank_t") <= RankEvalK)
+      .select(col("q_id"), col("doc_id"), col("sc"), col("rank_t"))
+    val idcg = truth.groupBy(col("q_id"))
+      .agg(sum(col("sc").cast(DoubleType) /
+        (log(col("rank_t") + lit(1.0)) / lit(Ln2))).as("idcg"))
     val servedBm25 = s1.filter(col("rk") <= RankEvalK)
       .select(lit("bm25").as("scorer"), col("q_id"), col("doc_id"), col("rk"))
     // RM3: feedback fold (≤100 rows, kd in micro-units — the qBm25Rm3

@@ -2788,16 +2788,19 @@ class PipelineOpsSpec extends SparkSpec {
     assert(!p.contains("BroadcastNestedLoopJoin") &&
       !p.contains("CartesianProduct"),
       "rank eval must stay cross-free (bounded candidates, equi-joins)")
-    // four persisted relations: the per-(doc, term) counts, the
-    // fingerprint postings, the merged scored relation, the served
-    // union
+    // three persisted relations visible in the final plan: the
+    // per-(doc, term) counts, the merged scored relation, the served
+    // union. The fingerprint-posting cache still exists but is
+    // consumed only INSIDE the s1 cache's builder since r17 fused the
+    // truth aggregation into s1 (one pass over postx instead of two),
+    // so it no longer surfaces at the top level.
     // (collect sees each cache once per REFERENCE — count distinct
     // builders, not occurrences)
     val rels = cachedPlan.collect {
       case r: org.apache.spark.sql.execution.columnar.InMemoryRelation =>
         r.cacheBuilder }.distinct
-    assert(rels.size === 4,
-      s"expected dtf/post/s1/base caches, got ${rels.size}")
+    assert(rels.size === 3,
+      s"expected dtf/s1/base caches, got ${rels.size}")
     // ZERO corpus explodes outside the caches: the one explode lives
     // inside the cached per-(doc, term) count relation; every arm is
     // a broadcast/folded-literal join over it
