@@ -1498,17 +1498,43 @@ object DedupOps {
       // whole plan tree
       val next = timed(s"round $iter")(
         star(star(e, large = true), large = false).localCheckpoint(true))
-      // exact SET equality in ONE action, duplicate-tolerant: group the
-      // tag-union by edge and demand every edge carry both tags (a
-      // tag-SUM check would break under the multiset outputs above).
-      // One shuffle + one take(1) job per round, vs the original
-      // count() + except() (three jobs, two shuffle-heavy).
-      converged = timed(s"check $iter")(
-        next.select(col("src"), col("dst"), lit(1).as("tg"))
-          .union(e.select(col("src"), col("dst"), lit(2).as("tg")))
-          .groupBy("src", "dst").agg(min(col("tg")).as("lo"), max(col("tg")).as("hi"))
-          .filter(col("lo") =!= 1 || col("hi") =!= 2)
-          .isEmpty)
+      // STRUCTURAL convergence (r17, replacing r16's set-equality
+      // compare of consecutive rounds): the fixpoint of alternating
+      // large-star/small-star is exactly a depth-1 star forest rooted
+      // at each component's minimum (Kiveris et al. SoCC'14 — their
+      // convergence theorem states the terminal output shape), so
+      // test `next` ITSELF for forest-ness instead of waiting for the
+      // following round to reproduce it:
+      //   (i)  every edge points downhill (dst < src) — guaranteed by
+      //        construction: both small-star output branches emit
+      //        (x, m) with m < x after the src =!= dst filter;
+      //   (ii) every src has a single distinct dst;
+      //   (iii) no dst appears as a src (depth 1).
+      // (i)+(ii)+(iii) ⟺ star forest ⟺ star(star(next)) ≡ next as a
+      // set (stars map a star forest to itself — each member's closed
+      // neighborhood already contains its root, the component min).
+      // The old criterion fired one full round LATER: it had to pay a
+      // third star round just to reproduce the forest before the
+      // equality compare could see it. Output is unchanged — the old
+      // loop's final `e` was set-equal to the forest this check stops
+      // at, and every downstream consumer (the final group-min
+      // labeling) is duplicate-insensitive. One job over `next` alone
+      // (the old compare also scanned `e`).
+      converged = timed(s"check $iter") {
+        val dt = next.schema("dst").dataType
+        next.select(col("src").as("n"), col("dst"), lit(1).as("tg"))
+          .union(next.select(col("dst").as("n"),
+            lit(null).cast(dt).as("dst"), lit(2).as("tg")))
+          .groupBy("n")
+          .agg(min(col("tg")).as("lotg"), max(col("tg")).as("hitg"),
+            min(col("dst")).as("lo"), max(col("dst")).as("hi"))
+          // violation: the node emits edges (lotg = 1) AND is either
+          // pointed at itself (hitg = 2, depth > 1) or points at two
+          // distinct targets (lo ≠ hi; min/max ignore the tag-2 nulls)
+          .filter(col("lotg") === 1 &&
+            (col("hitg") === 2 || col("lo") =!= col("hi")))
+          .isEmpty
+      }
       e = next
       iter += 1
     }
