@@ -1029,6 +1029,13 @@ ORDER BY a_id, a_frame, b_id, b_frame""")
         .orderBy(col("j").desc, col("text_id"))))
       .filter(col("rk") <= k)
       .select(col("img_id"), col("text_id"))
+      // r17: truth feeds TWO consumers (the overlap semi-join and the
+      // per-image n_true rollup); unpersisted, each re-ran the whole
+      // exact truth subtree — the uncapped shingle self-join, the
+      // query's dominant cost. The relation itself is bounded
+      // (≤ RecallImgCap × k rows), so caching it is free and the
+      // expensive exact side computes once per run (guide §5).
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val rare = sh.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
       .filter(col("df") <= 20).select("shingle")
     val mined = crossmodalGated(sh.join(rare, "shingle"))
@@ -1041,7 +1048,7 @@ ORDER BY a_id, a_frame, b_id, b_frame""")
         coalesce(col("overlap"), lit(0L)).as("overlap"),
         round(coalesce(col("overlap"), lit(0L)) /
           col("n_true").cast("double"), 6).as("recall_r"))
-    DedupOps.unpersistAfterFirstAction(result, sh)
+    DedupOps.unpersistAfterFirstAction(result, sh, truth)
   }
 
   val qCrossmodalRecallOracle: String =
