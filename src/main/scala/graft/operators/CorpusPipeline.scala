@@ -63,8 +63,22 @@ object CorpusPipeline {
     * — shared verbatim by the live pipeline and the stored variant so
     * their admission semantics cannot drift. */
   private def cleanDocs(docs: DataFrame): DataFrame = {
+    // r17: the gate projection feeds TWO consumers — the canonical
+    // fingerprint aggregate and the admission filter — and each used
+    // to re-run the whole tokenize-and-score subtree (two full corpus
+    // gate passes per run). localCheckpoint (eager) materializes the
+    // thin gate relation once; both consumers read the materialized
+    // rows. Checkpoint, not persist: an r16 experiment measured the
+    // columnar cache WORSE here (8.9 -> 14.8 s — InMemoryRelation
+    // serialization + degraded downstream join planning), the same
+    // cache-vs-checkpoint trade the components loop hit. Only the
+    // columns the two consumers need travel into the checkpoint.
     val gated = TextOps.gatedDocs(docs, col("source"),
       SamplingOps.bucket100("doc_id").as("bucket"))
+      .select(col("doc_id"), col("source"), col("bucket"),
+        col("fp_content"), col("quality_score"), col("n_tokens"),
+        col("predicted_lang"), col("lang"))
+      .localCheckpoint(true)
     val canonical = gated.groupBy(col("fp_content"))
       .agg(min(col("doc_id")).as("keep_id"))
     gated
