@@ -64,15 +64,35 @@ object CdcOps {
   def filterActions(envelopes: DataFrame): DataFrame =
     envelopes.filter(col("action").isin(ChangeEvent.ValidActions: _*))
 
+  /** Evaluate an expensive expression exactly ONCE per row when both a
+    * pushed-down filter and the output projection reference it. The
+    * optimizer substitutes deterministic aliases while pushing
+    * predicates through projections, so `withColumn(c).filter(on c)`
+    * ends up evaluating `c` twice — once below the pushed filter, once
+    * in the projection (the guide §4.4 duplication, for built-in
+    * expressions instead of UDFs). Guarding the expression behind an
+    * always-true non-deterministic condition (`rand() >= 0`; rand is
+    * uniform on [0,1)) pins it to one projection: non-deterministic
+    * aliases may not be duplicated or substituted into pushed
+    * predicates. Values are unchanged — the branch is never null.
+    * Use ONLY on expensive parses (JSON decode); it also blocks
+    * legitimate pushdown of other predicates past the projection. */
+  private def evalOnce(c: Column): Column =
+    when(monotonically_increasing_id() >= 0, c)
+
   /** F1: validity filter on the raw feed — row image must be parseable
     * JSON with the expected key, and the event must carry a uuid.
     * Corrupt rows are dropped, not fatal (kafka.go:181-192). */
   def filterValid(events: DataFrame): DataFrame = {
-    val k = get_json_object(col("props"), "$.k")
+    // one JSON parse per row (see evalOnce): the raw-key column is
+    // shared by the validity predicate and the typed output cast
     events
       .withColumn("uuid", deterministicUuid(col("event_id")))
-      .filter(k.isNotNull && col("uuid").isNotNull && (col("uuid") =!= ""))
-      .withColumn("k", k.cast("int"))
+      .withColumn("k_raw", evalOnce(get_json_object(col("props"), "$.k")))
+      .filter(col("k_raw").isNotNull && col("uuid").isNotNull &&
+        (col("uuid") =!= ""))
+      .withColumn("k", col("k_raw").cast("int"))
+      .drop("k_raw")
   }
 
   // ---- routing (R1 kafka.go:169-215) + keys (R2 kafka.go:246-248) ----
@@ -257,8 +277,11 @@ object CdcOps {
         org.apache.spark.sql.types.IntegerType),
       org.apache.spark.sql.types.StructField("tag",
         org.apache.spark.sql.types.StringType)))
+    // one from_json per row (see evalOnce): without the guard the
+    // pushed-down null filter re-parsed props below the projection —
+    // two full JSON decodes of every row (plans/r17/cdc_typed_view)
     Tables.events(spark, sfDir)
-      .withColumn("p", from_json(col("props"), propsSchema))
+      .withColumn("p", evalOnce(from_json(col("props"), propsSchema)))
       .select(col("event_id"), col("p.k").as("k"), col("p.tag").as("tag"))
       .filter(col("k").isNotNull)
   }
