@@ -516,10 +516,11 @@ object DedupOps {
     cappedJaccardPairs(spark, sfDir)
       .select("a_id", "b_id", "inter", "jaccard")
 
-  /** Matched capped-jaccard pairs, UNSORTED — shared by the query above
-    * (which adds its deterministic output order) and the clustering
-    * edge miner, where a global sort feeding a groupBy would be dead
-    * weight in the materialized edge relation. */
+  /** Matched capped-jaccard pairs, UNSORTED (row order is unspecified
+    * everywhere since r16 — the driver compare is order-insensitive) —
+    * shared by the query above and the clustering edge miner, where a
+    * global sort feeding a groupBy would be dead weight in the
+    * materialized edge relation. */
   def cappedJaccardPairs(spark: SparkSession, sfDir: String): DataFrame = {
     val maxDf = 20
     // persisted: sh feeds the document-frequency agg AND the join that
@@ -1379,9 +1380,20 @@ object DedupOps {
     // for the price of a 1-row aggregate over already-checkpointed
     // blocks instead of a per-round join job that re-derived `next`
     // from scratch. decimal(38,0): exact for any realistic id×n mass.
+    // ADVICE r16: a null sum is Spark's non-ANSI decimal-overflow
+    // result as well as the empty-relation one; mapping both to ZERO
+    // could declare two consecutive overflowed rounds "converged" with
+    // wrong labels. Count rows in the same 1-row aggregate and fail
+    // loudly on null-sum-with-rows (unreachable until Σ label exceeds
+    // 10^38, but the guard makes the convergence proof unconditional).
     def labelSig(d: org.apache.spark.sql.DataFrame): java.math.BigDecimal = {
-      val v = d.agg(sum(col("label").cast("decimal(38,0)"))).head.getDecimal(0)
-      if (v == null) java.math.BigDecimal.ZERO else v
+      val r = d.agg(sum(col("label").cast("decimal(38,0)")), count(lit(1))).head
+      val v = r.getDecimal(0)
+      if (v == null) {
+        require(r.getLong(1) == 0L,
+          "connectedComponents: label-sum signature overflowed decimal(38,0)")
+        java.math.BigDecimal.ZERO
+      } else v
     }
     var prevSig = timed("sig0")(labelSig(labels))
     var converged = false

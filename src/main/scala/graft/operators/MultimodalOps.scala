@@ -295,7 +295,8 @@ object MultimodalOps {
     * 1000·n² (variance < 1000 in pixel² units). Same mapPartitions
     * stub-decode plumbing as every decoder stage; a real
     * Laplacian-of-Gaussian slots into the codec without touching the
-    * plan. Map-only per image; no shuffle but the output sort. */
+    * plan. Map-only per image; no shuffle (output order unspecified —
+    * the driver compare is order-insensitive). */
   def qBlurScores(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val media: Dataset[MediaRow] = mediaTable(spark, sfDir)
@@ -350,8 +351,8 @@ object MultimodalOps {
     * detector (a real VAD slots into [[StubCodec]] without touching
     * the plan); the head/tail run lengths are HOF FOLDS over the
     * per-doc energy array (`aggregate` with a (still-in-run, count)
-    * state) — map-only per document, embarrassingly parallel, no
-    * shuffle but the output sort. */
+    * state) — map-only per document, embarrassingly parallel,
+    * shuffle-free (output order unspecified). */
   def qSilenceTrim(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val media: Dataset[MediaRow] = mediaTable(spark, sfDir)
@@ -617,7 +618,7 @@ object MultimodalOps {
     * with its flag (the downstream sampler picks cut-aligned clips).
     * The per-frame fan-out is `transform`+`explode` over the energy
     * array — declarative cardinality, MAP-ONLY end to end (no window
-    * function, no shuffle before the output sort): the previous
+    * function, no shuffle; output order unspecified): the previous
     * frame's energy is already adjacent in the array, so a 100 TB
     * video corpus scene-segments in a single scan. All integer
     * compares — engine-exact. */

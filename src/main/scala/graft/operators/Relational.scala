@@ -17,7 +17,10 @@ import org.apache.spark.sql.types.{DecimalType, DoubleType}
   *     value is cast back to double, which both engines round identically.
   *   - Averages are `cast(sum as double) / count` — never the engine's
   *     own avg(decimal), whose result type differs between engines.
-  *   - Every query ends in a deterministic ORDER BY (full tie-break).
+  *   - Output row ORDER is intentionally unspecified (r16 dropped the
+  *     presentational sorts): the driver compare is order-insensitive
+  *     (both sides sorted before hashing), so do not re-add trailing
+  *     orderBys or rely on result ordering.
   *
   * Scale notes: the fact-side tables (lineitem/orders) stay partitioned;
   * dimension tables (region/nation/supplier/part/customer) are broadcast

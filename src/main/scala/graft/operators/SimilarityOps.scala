@@ -753,7 +753,7 @@ object SimilarityOps {
     * as PLAN LITERALS — the cheap dimensionality reduction in front
     * of LSH tables, coarse quantizers, and drift monitors when 64
     * (or 4096) dims are too wide to hash. Map-only: project, explode
-    * to (vec_id, k, p), no join, no shuffle before the output sort;
+    * to (vec_id, k, p), no join, no shuffle (order unspecified);
     * at 100 TB this rides the corpus partitioning untouched, and the
     * 8-dim output is what later stages shuffle INSTEAD of the full
     * vector (an 8× shuffle-byte reduction is the whole point).

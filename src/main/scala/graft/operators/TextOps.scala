@@ -425,8 +425,8 @@ object TextOps {
     * identical single IEEE division in both engines.
     *
     * Scale: map-only — one projection over one pruned (doc_id, text)
-    * scan, no shuffle but the output sort; at 100 TB this is the
-    * embarrassingly-parallel gate it should be. */
+    * scan, no shuffle (output order unspecified); at 100 TB this is
+    * the embarrassingly-parallel gate it should be. */
   def qGopherRules(spark: SparkSession, sfDir: String): DataFrame = {
     val nWords = size(toks)
     val mwl = (length(col("text")) - nWords + 1).cast(DoubleType) / nWords
@@ -2692,7 +2692,8 @@ object TextOps {
     * derivation CTE is the only fixture-specific line).
     *
     * Scale shape: pure map-side column algebra — regex extractions
-    * and a split count, no shuffle but the output sort. The regexes
+    * and a split count, no shuffle (output order unspecified). The
+    * regexes
     * are anchored character-class patterns (no backtracking
     * pathologies, identical semantics in Java and DuckDB's RE2). */
   def qUrlParse(spark: SparkSession, sfDir: String): DataFrame = {
