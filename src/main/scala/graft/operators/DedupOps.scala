@@ -931,7 +931,13 @@ object DedupOps {
       min(md5(concat(lit(j.toString), lit(":"), col("shingle"))
         .cast("binary"))).as(s"m$j")
     }
+    // r17: sig feeds THREE consumers (the r=1 bands and both sides of
+    // the agreement join); unpersisted, each re-ran the 12-min
+    // signature aggregation over the whole shingle relation. One
+    // docs-sized persist replaces two full re-aggregations (the same
+    // reasoning that already persists sig in the band-tuning sweep).
     val sig = sh.groupBy(col("doc_id")).agg(mins.head, mins.tail: _*)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // candidates from SINGLE-row bands (r = 1 over the same signature):
     // collisions fire at jaccard ≳ 1/12 instead of production banding's
     // ≳ 0.5, so the calibration sweeps the estimator's WHOLE range —
@@ -962,7 +968,7 @@ object DedupOps {
         .select(col("n_agree"),
           round(col("n_agree") / lit(NumHashes.toDouble), 6).as("est_jaccard_r"),
           col("n_pairs"), col("avg_true_jaccard_r")),
-      sh)
+      sh, sig)
   }
 
   val qDedupLshCalibrationOracle: String =
