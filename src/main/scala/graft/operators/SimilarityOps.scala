@@ -1104,10 +1104,16 @@ object SimilarityOps {
     * and the stored-edges variant ([[qSimKnnGraphStored]]). */
   private def knnGraphOn(scored: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val sym = scored
-      .select(col("a_id").as("vec_id"), col("b_id").as("n_id"), col("cosine"))
-      .union(scored
-        .select(col("b_id").as("vec_id"), col("a_id").as("n_id"), col("cosine")))
+    // r17: symmetrize with ONE explode pass — the union of two selects
+    // executed the upstream plan twice (for the live miner that is the
+    // whole LSH bucket join + cosine verification; at scale, two
+    // corpus passes for one candidate list)
+    val sym = scored.select(explode(array(
+        struct(col("a_id").as("vec_id"), col("b_id").as("n_id"), col("cosine")),
+        struct(col("b_id").as("vec_id"), col("a_id").as("n_id"), col("cosine"))))
+        .as("p"))
+      .select(col("p.vec_id").as("vec_id"), col("p.n_id").as("n_id"),
+        col("p.cosine").as("cosine"))
     val w = Window.partitionBy(col("vec_id"))
       .orderBy(col("cosine").desc, col("n_id"))
     sym.withColumn("rank", row_number().over(w))
@@ -1463,8 +1469,15 @@ object SimilarityOps {
     val matched = scored
       .filter(col("cosine") >= 0.4)
       .select(col("a_id"), col("b_id"))
-    val edges = matched.select(col("a_id").as("src"), col("b_id").as("dst"))
-      .union(matched.select(col("b_id").as("src"), col("a_id").as("dst")))
+    // r17: symmetrize with ONE explode pass (the connectedComponents
+    // idiom) — the union of two selects executed the upstream MINING
+    // plan twice inside the edge materialization (the plan held two
+    // full bucket-join + verification subtrees; at scale, two corpus
+    // passes for one edge list)
+    val edges = matched.select(explode(array(
+        struct(col("a_id").as("src"), col("b_id").as("dst")),
+        struct(col("b_id").as("src"), col("a_id").as("dst")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val outdeg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
     val verts = e.select(col("vec_id"))

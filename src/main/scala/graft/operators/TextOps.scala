@@ -1305,8 +1305,14 @@ object TextOps {
     // row per (doc, term)) — no second corpus pass, and the stored
     // full-corpus df would be the wrong statistic for a sample whose
     // truth relation lives inside the stratum
+    // r17: the derived model has TWO consumers (the fingerprint
+    // selection and the RM3 expansion's mdf join) and each re-ran the
+    // vocabulary rollup over the full cached explode — persist the
+    // vocabulary-sized result instead. The full eval's stored model is
+    // a plain parquet artifact scan and needs no cache.
     val model = modelOpt.getOrElse(
-      dtf.groupBy(col("tk")).agg(count(lit(1)).as("df")))
+      dtf.groupBy(col("tk")).agg(count(lit(1)).as("df"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     // Every model-sized relation below is a BOUNDED DRIVER FOLD (the
     // qBm25Rm3 expansion-fold precedent, ≤130 rows each): folded as
     // literal relations, the serving plan carries ZERO broadcast
@@ -1568,7 +1574,10 @@ object TextOps {
         sum(col("n_hits")).as("hits"),
         expr(s"CAST(sum(rr_ppm) div $nQEff AS BIGINT)").as("mrr_ppm"),
         expr(s"CAST(sum(ndcg_ppm) div $nQEff AS BIGINT)").as("ndcg_ppm"))
-    graft.operators.DedupOps.unpersistAfterFirstAction(out, dtf, post, s1, base)
+    // model is persisted only on the derived (stratum) path; unpersist
+    // of a never-persisted frame is a no-op, so the list is unconditional
+    graft.operators.DedupOps.unpersistAfterFirstAction(
+      out, dtf, post, s1, base, model)
   }
   lazy val qTextRankEvalOracle: String =
     s"""WITH dl AS (

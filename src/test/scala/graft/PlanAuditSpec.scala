@@ -746,8 +746,11 @@ class PlanAuditSpec extends SparkSpec {
       val p = planString(df)
       assert(p.contains("graft_artifacts") && p.contains("ann_edges"),
         s"$name must scan the stored edge artifact")
-      assert(!p.contains("Generate"),
-        s"$name re-buckets embeddings (explode in plan)")
+      // the miner's signature node is the posexplode over the per-table
+      // bucket keys; the r17 symmetrize-once explode (2-struct array
+      // over the edge list) is NOT a re-bucketing and is allowed
+      assert(!p.contains("posexplode") && !p.contains("bucket"),
+        s"$name re-buckets embeddings (bucketing explode in plan)")
       assert(!p.contains("CartesianProduct") &&
           !p.contains("BroadcastNestedLoopJoin"),
         s"$name plans a nested-loop join")
