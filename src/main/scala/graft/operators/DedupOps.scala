@@ -2511,6 +2511,11 @@ object DedupOps {
     }
     val prevFp = crawlPrev(spark, sfDir)
       .select(col("doc_id"), col("fp").as("p_fp"))
+    // r17: the delta slice feeds TWO consumers (the shingle
+    // classification and the final status join); unpersisted, each
+    // re-ran the corpus scan + prev-fingerprint join + md5 pass.
+    // Persisting the churn slice (the whole point of incremental
+    // processing is that it is small) computes the delta once.
     val delta = Tables.documents(spark, sfDir)
       .filter(col("doc_id") % 10 =!= 0)
       .join(prevFp, Seq("doc_id"), "left_outer")
@@ -2518,12 +2523,16 @@ object DedupOps {
         when(col("p_fp").isNull, "added")
           .when(col("p_fp") =!= md5(col("text").cast("binary")), "changed"))
       .filter(col("delta_status").isNotNull)
+      .select(col("doc_id"), col("source"), col("delta_status"), col("text"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val cls = classifyAgainstIndex(
       delta.select(col("doc_id"), col("text")), spark.read.parquet(dir))
-    delta.select(col("doc_id"), col("source"), col("delta_status"))
-      .join(cls, "doc_id")
-      .select(col("doc_id"), col("source"), col("delta_status"),
-        col("status").as("dup_status"), col("match_id"))
+    unpersistAfterFirstAction(
+      delta.select(col("doc_id"), col("source"), col("delta_status"))
+        .join(cls, "doc_id")
+        .select(col("doc_id"), col("source"), col("delta_status"),
+          col("status").as("dup_status"), col("match_id")),
+      delta)
   }
 
   /** The PATCHED next-snapshot signature index — the artifact

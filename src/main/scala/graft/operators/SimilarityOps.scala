@@ -2208,10 +2208,14 @@ object SimilarityOps {
     val n = DedupOps.annSizingCount(sfDir, e.count())
     val scored = DedupOps.annScoredPairs(e, knownN = n)
     val labels = Tables.embeddings(spark, sfDir).select(col("vec_id"), col("label"))
-    val sym = scored
-      .select(col("a_id").as("vec_id"), col("b_id").as("n_id"), col("cosine"))
-      .union(scored
-        .select(col("b_id").as("vec_id"), col("a_id").as("n_id"), col("cosine")))
+    // r17: symmetrize with ONE explode pass — the union of two selects
+    // embedded the whole mining plan twice (the knnGraphOn fix)
+    val sym = scored.select(explode(array(
+        struct(col("a_id").as("vec_id"), col("b_id").as("n_id"), col("cosine")),
+        struct(col("b_id").as("vec_id"), col("a_id").as("n_id"), col("cosine"))))
+        .as("p"))
+      .select(col("p.vec_id").as("vec_id"), col("p.n_id").as("n_id"),
+        col("p.cosine").as("cosine"))
     val w = Window.partitionBy(col("vec_id"))
       .orderBy(col("cosine").desc, col("n_id"))
     sym
