@@ -1487,8 +1487,14 @@ object DedupOps {
     // aggregates, the final label agg is a min) — so the two output
     // distincts the textbook formulation implies would be pure extra
     // shuffles (~2 of 7 per round, measured ~25% of the loop).
+    // r17: symmetrize with ONE explode pass — the union of two selects
+    // embedded the (join-heavy) star-output plan twice per sym()
     def sym(d: DataFrame): DataFrame =
-      d.union(d.select(col("dst").as("src"), col("src").as("dst"))).distinct()
+      d.select(explode(array(
+          struct(col("src"), col("dst")),
+          struct(col("dst").as("src"), col("src").as("dst")))).as("e"))
+        .select(col("e.src").as("src"), col("e.dst").as("dst"))
+        .distinct()
     def star(d: DataFrame, large: Boolean): DataFrame = {
       val s = sym(d)
       val m = s.groupBy("src").agg(min(col("dst")).as("mn"))
